@@ -1,0 +1,81 @@
+"""Vector column expressions (SURVEY.md §2.9, V3-V4).
+
+Embeddings live as ``array<double>`` columns; all arithmetic is
+built-in higher-order functions (zip_with / aggregate / transform) —
+JVM-side, no Python, no UDF. Dot products fold left-to-right in
+double, which matches DuckDB's list functions bit-for-bit and keeps
+oracle hashes stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """V4: dot product of two equal-length double arrays."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    """L2 norm."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """V4: full cosine similarity (no unit-norm assumption)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_cosine(a: Column | str, b: Column | str) -> Column:
+    """V4 fast path: cosine when both vectors are unit-L2-normalized —
+    exactly the property the reference relies on (model emits normalized
+    vectors; app/generate_embeddings.py:25-50, app/evaluation.py:24-27)."""
+    return dot(a, b)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Scale to unit L2 norm (null-safe on zero vectors: returns zeros)."""
+    col = _c(a)
+    n = norm(col)
+    return F.when(n == 0.0, col).otherwise(
+        F.transform(col, lambda x: x / n)
+    )
+
+
+def sq_l2_distance(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance — what Faiss IndexFlatL2 actually returns
+    (SURVEY.md §2.9 V3 quirk note)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_to_cosine(dist: Column | str) -> Column:
+    """V3 (correct form): cosine = 1 - L2²/2 for unit vectors, clipped
+    to [-1, 1] (reference: app/evaluation.py:24-27). ``dist`` must be
+    the *true* (non-squared) L2 distance."""
+    c = _c(dist)
+    sim = F.lit(1.0) - (c * c) / F.lit(2.0)
+    return F.least(F.greatest(sim, F.lit(-1.0)), F.lit(1.0))
+
+
+def l2_to_cosine_as_written(sq_dist: Column | str) -> Column:
+    """V3 (fidelity form): the reference passes Faiss *squared* L2 into
+    the 1 - d²/2 formula (app/main.py:250 feeding app/evaluation.py:24-27),
+    so as wired it computes 1 - (L2²)²/2. Provided for byte-parity
+    experiments; ``dot_cosine`` / ``l2_to_cosine`` are the correct paths."""
+    c = _c(sq_dist)
+    sim = F.lit(1.0) - (c * c) / F.lit(2.0)
+    return F.least(F.greatest(sim, F.lit(-1.0)), F.lit(1.0))

@@ -1,0 +1,336 @@
+"""Deduplication suite (SURVEY.md §2.7 D1-D3 + the LLM-data-pipeline
+dedup family: exact hash, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+Design for 100 TB:
+- exact dedup: hash-groupBy — one shuffle on a 128-bit digest, never
+  on the raw text.
+- MinHash/LSH: signatures are map-side; the only shuffle is the
+  band-bucket self-join, whose fan-out is controlled by (bands, rows).
+- SimHash: 64-bit signature map-side; near-dup via banded equality.
+All hashes are engine-deterministic (md5/xxhash64-free arithmetic or
+md5 built-ins that exist in both Spark and DuckDB) so results are
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MOD = 2**31 - 1  # Mersenne prime for universal hashing
+
+
+# ------------------------------------------------------------ exact tier
+
+
+def exact_dup_clusters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate clusters via content digest: md5-groupBy.
+
+    Shuffles 16-byte digests, not documents; returns clusters with >1
+    member. The digest-based shape is how you dedup 100 TB without
+    moving the text.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .orderBy(F.desc("cnt"), F.asc("text_hash"))
+    )
+
+
+def distinct_union(df1: DataFrame, df2: DataFrame) -> DataFrame:
+    """D3: id-set union (reference: list(set(a + b)),
+    app/fetech_jd.py:85)."""
+    return df1.union(df2).distinct()
+
+
+# -------------------------------------------------------- shingles/tokens
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Built-ins only: split → transform over a sliding index sequence →
+    concat_ws → array_distinct. Stays in codegen; no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    ngram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(toks, i + j) for j in range(n)]
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0) - 1))
+    return F.array_distinct(
+        F.filter(F.transform(idx, ngram), lambda s: s.isNotNull() & (s != ""))
+    )
+
+
+def _shingle_code(s: Column) -> Column:
+    """Stable int64 code for a shingle: first 15 hex chars of md5 → int.
+
+    15 hex chars = 60 bits < int64; conv() is deterministic and DuckDB
+    can reproduce it (from_hex/substr), keeping MinHash oracle-able.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+# ----------------------------------------------------------- MinHash+LSH
+
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = 32, n: int = 3, seed: int = 1
+) -> Column:
+    """MinHash signature (array<long>, length num_hashes) over word
+    n-gram shingles.
+
+    Universal hashing h_i(x) = (a_i·x + b_i) mod p with deterministic
+    seeded coefficients — map-side only, no shuffle, no UDF: the
+    signature is transform+aggregate over the shingle array.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    shingles = word_ngrams(c, n)
+    codes = F.transform(shingles, lambda s: _shingle_code(s))
+
+    def h(i: int) -> Column:
+        # deterministic coefficients from the seed (odd a, nonzero)
+        a = (seed * 1_000_003 + i * 7_919) % _MOD or 1
+        b = (seed * 7_907 + i * 104_729) % _MOD
+        return F.array_min(
+            F.transform(
+                codes, lambda x: (x % _MOD * a + b) % _MOD
+            )
+        )
+
+    return F.array(*[F.coalesce(h(i), F.lit(_MOD)) for i in range(num_hashes)])
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 1,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs.
+
+    shingle → minhash (map-side) → explode to (band, band_hash) keys →
+    self-join on the band bucket (the ONLY shuffle) → estimated Jaccard
+    = matching signature positions / num_hashes → threshold → canonical
+    pairs.
+
+    At 100 TB the band join's fan-out is the knob: bands·rows_per_band
+    = num_hashes; raise bands for recall, rows-per-band for precision.
+    Candidate verification against the true n-gram Jaccard can be
+    chained with ``ngram_jaccard_on_pairs``.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, ngram, seed).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    est = cand.select(
+        "id1",
+        "id2",
+        (
+            F.size(
+                F.filter(
+                    F.zip_with("sig1", "sig2", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(float(num_hashes))
+        ).alias("est_jaccard"),
+    )
+    return est.filter(F.col("est_jaccard") >= jaccard_threshold).orderBy(
+        F.desc("est_jaccard"), "id1", "id2"
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the oracle for MinHash).
+
+    O(n²) compare — the verification tier for candidate pairs or small
+    tables; production path is MinHash with this chained on candidates
+    only.
+    """
+    g = df.select(
+        F.col(id_col).alias("id"), word_ngrams(text_col, n).alias("grams")
+    )
+    return (
+        g.alias("a")
+        .join(g.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.round(
+                F.size(F.array_intersect("a.grams", "b.grams"))
+                / F.size(F.array_union("a.grams", "b.grams")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy(F.desc("jaccard"), "id1", "id2")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of whitespace tokens, built-ins only.
+
+    Token hash = xxhash64 (JVM built-in, deterministic); each of the
+    64 bits votes +1/-1 weighted by token count; sign of the sum forms
+    the signature. Map-side; signature is a long.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    codes = F.transform(toks, lambda t: F.xxhash64(t))
+    # per-bit vote: sum over tokens of (bit set ? 1 : -1)
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(
+            codes,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(x.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1 << b if b < 63 else -(2**63))).otherwise(F.lit(0)))
+    sig = bits[0]
+    for bcol in bits[1:]:
+        sig = sig.bitwiseOR(bcol)
+    return sig
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: banded 16-bit chunk equality as the LSH
+    (a pair within Hamming distance ≤ bands-1 shares ≥1 exact chunk),
+    then exact Hamming verification via bit_count(xor).
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("sig")
+    )
+    width = 64 // bands
+    chunked = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sig", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "sig", "bc.band", "bc.chunk")
+    cand = (
+        chunked.alias("a")
+        .join(
+            chunked.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("hamming", "id1", "id2")
+    )
+
+
+# ------------------------------------------------- embedding-cosine tier
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup — delegates to the flagship exact pair
+    join (operators.knn.similarity_pairs); the ANN tier
+    (operators.ann) is the scale path."""
+    from .knn import similarity_pairs
+
+    return similarity_pairs(df, id_col, vec_col, threshold)

@@ -1,0 +1,144 @@
+"""Relational preprocessing operators (SURVEY.md §2.2 P1-P8) and the
+7-step composite pipeline (reference: app/preprocess_data.py:122-147).
+
+Everything here is a lazy Column/DataFrame transformation: Catalyst
+fuses the whole chain into one stage over the scan — at 100 TB this is
+a single pass with pushed-down column pruning, no shuffle at all until
+the dedup step (one shuffle on the dedup key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import strings as S
+from ..schemas import require_columns
+
+# Columns the reference drops (app/preprocess_data.py:105-120).
+UNUSED_COLUMNS = [
+    "jobDescRaw",
+    "companyBranchName",
+    "jobDescUrl",
+    "nlpBenefits",
+    "nlpSkills",
+    "nlpSoftSkills",
+    "nlpDegreeLevel",
+    "nlpEmployment",
+    "nlpSeniority",
+    "scrapedLocation",
+    "jobDescUrlHash",
+]
+
+# Null-fill map (app/preprocess_data.py:41-45): categorical → 'Unknown'.
+CATEGORICAL_FILL = {
+    "companyName": "Unknown",
+    "finalZipcode": "Unknown",
+    "finalState": "Unknown",
+    "finalCity": "Unknown",
+    "companyBranchName": "Unknown",
+}
+
+
+def drop_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P1: drop-if-present (df.drop ignores missing names, matching the
+    reference's existence-gated drop at app/preprocess_data.py:105-120)."""
+    return df.drop(*(columns or UNUSED_COLUMNS))
+
+
+def clean_html_column(
+    df: DataFrame, src: str = "jobDescRaw", dst: str = "jobDescClean",
+    fidelity: bool = False,
+) -> DataFrame:
+    """P2+F1: derive cleaned text column (app/preprocess_data.py:24-34).
+
+    ``fidelity=True`` switches to the html.parser Pandas UDF tier.
+    """
+    require_columns(df, [src], "clean_html")
+    expr: Column
+    if fidelity:
+        expr = S.strip_html_pandas_udf()(F.coalesce(F.col(src), F.lit("")))
+    else:
+        expr = S.strip_html(F.coalesce(F.col(src), F.lit("")))
+    return df.withColumn(dst, expr)
+
+
+def fill_missing(df: DataFrame, fill: dict[str, str] | None = None) -> DataFrame:
+    """P3: constant null-fill (app/preprocess_data.py:41-45).
+    Only fills columns that exist, like the reference."""
+    fill = fill or CATEGORICAL_FILL
+    present = {k: v for k, v in fill.items() if k in df.columns}
+    return df.na.fill(present) if present else df
+
+
+def drop_null_rows(df: DataFrame, subset: list[str]) -> DataFrame:
+    """P4: subset null-drop (app/preprocess_data.py:47-54 — the 14
+    null-correctDate rows)."""
+    return df.na.drop(subset=[c for c in subset if c in df.columns])
+
+
+def dedup_keep_first(
+    df: DataFrame, key: list[str], order: list[Column | str]
+) -> DataFrame:
+    """D1: drop_duplicates(subset=key, keep='first') with DETERMINISTIC
+    'first' (reference: app/preprocess_data.py:59-71).
+
+    pandas keep-first means file order; Spark's dropDuplicates picks an
+    arbitrary row. We replicate determinism with a row_number window
+    over an explicit ordering (caller passes file-order surrogate, e.g.
+    a monotonically increasing id captured at scan, or a natural key).
+
+    Scale note: one shuffle on ``key``. Skewed keys (e.g. empty text)
+    are handled by AQE skew splitting; the window computes only
+    row_number so spill is bounded.
+    """
+    w = Window.partitionBy(*key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def clean_location(df: DataFrame) -> DataFrame:
+    """The reference's clean_location_data (app/preprocess_data.py:73-91):
+    F2 trailing-comma strip on finalState, F3 remote-normalize on
+    finalZipcode, F4 title-trim on finalCity — each gated on existence."""
+    if "finalState" in df.columns:
+        df = df.withColumn("finalState", S.strip_trailing_comma("finalState"))
+    if "finalZipcode" in df.columns:
+        df = df.withColumn("finalZipcode", S.normalize_remote("finalZipcode"))
+    if "finalCity" in df.columns:
+        df = df.withColumn("finalCity", S.title_trim("finalCity"))
+    return df
+
+
+def clean_text_column(df: DataFrame, column: str = "jobDescClean") -> DataFrame:
+    """F5+F6 on the text column (app/preprocess_data.py:93-102)."""
+    if column in df.columns:
+        df = df.withColumn(column, S.clean_text(column))
+    return df
+
+
+def preprocess_jobs(df: DataFrame, order_column: str = "lid") -> DataFrame:
+    """The 7-step composite in the reference's exact operator order
+    (app/preprocess_data.py:124-130):
+
+      load → clean_html → handle_missing → remove_duplicates →
+      clean_location → clean_text → drop_unused
+
+    The dedup-before-embedding ordering is load-bearing at scale
+    (SURVEY.md §4): it shrinks the row set ahead of the expensive
+    embedding UDF, and Catalyst will not reorder across a Python UDF.
+    ``order_column`` stands in for pandas file order to make keep-first
+    deterministic.
+    """
+    df = clean_html_column(df)
+    df = fill_missing(df)
+    df = drop_null_rows(df, ["correctDate"])
+    df = dedup_keep_first(df, ["jobDescClean"], [F.col(order_column)])
+    df = clean_location(df)
+    df = clean_text_column(df)
+    df = drop_columns(df)
+    return df

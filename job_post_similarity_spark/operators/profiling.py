@@ -1,0 +1,82 @@
+"""Profiling / EDA aggregates (SURVEY.md §2.4, A1-A6).
+
+The reference's pandas EDA surface (value_counts / isnull().sum() /
+nunique / describe / duplicated — app/EDA_proprocess.ipynb cells 6-15)
+as single-pass Spark aggregations. All of these are partial+final hash
+aggregates: map-side combine means the shuffle carries one row per
+(group × partition), never the data — the 100 TB-safe shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_count_topn(df: DataFrame, column: str, n: int = 20) -> DataFrame:
+    """A1: value_counts().head(n) (notebook cell 13). Deterministic
+    tiebreak on the group key so top-N is stable."""
+    return (
+        df.groupBy(column)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(column))
+        .limit(n)
+    )
+
+
+def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """A2: per-column null count + percentage (notebook cells 6, 9).
+    One pass over the table; emits one row per column (unpivoted so the
+    result schema is stable regardless of column count)."""
+    cols = columns or df.columns
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls") for c in cols
+    ] + [F.count(F.lit(1)).alias("__total")]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `{c}__nulls`" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column_name, null_count)",
+        "__total as total_count",
+    ).select(
+        "column_name",
+        "null_count",
+        F.round(F.col("null_count") * 100.0 / F.col("total_count"), 4).alias(
+            "null_pct"
+        ),
+    )
+
+
+def distinct_counts(df: DataFrame, columns: list[str]) -> DataFrame:
+    """A3: nunique per column (notebook cell 7). Exact count_distinct;
+    swap in approx_count_distinct at the 100 TB tier when ±2% is fine
+    (HLL sketch, no shuffle of distinct values)."""
+    return df.agg(
+        *[F.countDistinct(c).alias(f"{c}_distinct") for c in columns],
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+def summary_stats(df: DataFrame, column: str) -> DataFrame:
+    """A4: describe() for one numeric column (notebook cell 15):
+    count/mean/min/quartiles/max. percentile() is exact (sort-based
+    within partitions); at extreme scale use percentile_approx."""
+    c = F.col(column)
+    return df.agg(
+        F.count(c).alias("cnt"),
+        F.round(F.avg(c), 4).alias("mean"),
+        F.min(c).alias("min"),
+        F.percentile(c, 0.25).alias("p25"),
+        F.percentile(c, 0.5).alias("p50"),
+        F.percentile(c, 0.75).alias("p75"),
+        F.max(c).alias("max"),
+    )
+
+
+def duplicate_count(df: DataFrame, key: list[str]) -> DataFrame:
+    """A5: df.duplicated().sum() on a key subset (notebook cell 11):
+    total rows minus distinct keys."""
+    return df.agg(
+        (F.count(F.lit(1)) - F.countDistinct(*[F.col(k) for k in key])).alias(
+            "duplicate_rows"
+        )
+    )

@@ -1,0 +1,56 @@
+"""Sampling operators (SURVEY.md §2.10, R1-R2).
+
+Two tiers:
+- ``sample_exact_n`` — the reference's random.sample semantics
+  (app/main.py:207-223): exactly n rows, seeded. Costs a global
+  sort-by-rand; fine for query subsets, not for table-scale.
+- ``deterministic_sample`` — scale path: multiplicative-hash filter on
+  a key. No shuffle at all (pure map-side filter, pushed to the scan),
+  reproducible across engines — this is what a 100 TB pipeline uses to
+  take a stable x% slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# LCG constants (glibc); key is reduced mod 2^31 BEFORE the multiply so
+# the widest intermediate is < 2^62 — no int64 overflow under ANSI mode,
+# and bit-identical on any engine with 64-bit integer arithmetic.
+_MULT = 1103515245
+_INC = 12345
+_MOD = 2**31
+
+
+def hash_bucket(key: Column | str, mult: int = _MULT, mod: int = _MOD) -> Column:
+    """Deterministic pseudo-random bucket in [0, mod) from an integer key.
+
+    Pure int64 arithmetic — identical in Spark, DuckDB, or any engine;
+    used for engine-agnostic reproducible sampling and test oracles.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return ((c.cast("long") % mod) * F.lit(mult) + F.lit(_INC)) % F.lit(mod)
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column | str, fraction: float
+) -> DataFrame:
+    """R1 scale tier: keep rows whose hash bucket falls below
+    fraction·mod. Map-side only; same rows selected on every run and
+    every engine."""
+    return df.filter(hash_bucket(key) < int(fraction * _MOD))
+
+
+def sample_exact_n(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """R1/R2 fidelity tier: exactly-n seeded sample (reference:
+    random.sample at app/main.py:215; 50-query / 5000-pair eval samples
+    at app/evaluation.py:117,192-195).
+
+    Matches the reference's edge cases (app/main.py:207-223): n >= N or
+    n is None → full set; n <= 0 → full set (the reference warns and
+    falls back).
+    """
+    if n is None or n <= 0:
+        return df
+    return df.orderBy(F.rand(seed)).limit(n)

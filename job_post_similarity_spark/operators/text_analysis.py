@@ -1,0 +1,144 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All map-side column expressions (no UDF, no shuffle) — at 100 TB these
+annotate documents in the same scan that reads them, and every one is
+deterministic so the DuckDB oracle can replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# heuristic language-ID. Deliberately small + deterministic.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "las", "es", "y", "que", "por", "para", "una"],
+    "zh": ["的", "是", "了", "在", "和", "有", "不", "人"],
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count. 0 for empty/blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: count of word/number/punct chunks via a
+    GPT-style pre-tokenizer regex, plus a 4-chars-per-token correction
+    for long words (common heuristic for LLM budget estimates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    chunks = F.filter(
+        F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), lambda s: s != ""
+    )
+    long_extra = F.aggregate(
+        chunks,
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(F.length(s) > 4, F.ceil(F.length(s) / 4) - 1).otherwise(0).cast("int"),
+    )
+    return F.size(chunks) + long_extra
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are language stopwords."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation characters / total characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    punct = total - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str, lang: str = "en") -> Column:
+    """Composite document quality score in [0, 1]:
+    0.4·length_score + 0.3·stopword_score + 0.3·(1 - punct_ratio).
+
+    The C4/Gopher-style shape: prefer mid-length documents with natural
+    stopword density and low symbol noise. Deterministic arithmetic —
+    oracle-replayable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    # length score: ramps 0→1 over 0..50 tokens, flat 1 beyond
+    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio(c, lang) * 5.0, F.lit(1.0))
+    return F.round(
+        0.4 * length_score + 0.3 * sw_score + 0.3 * (1.0 - punct_ratio(c)), 4
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language-ID: the language whose marker-stopword hit
+    count is highest wins; ties and zero-hits fall back to 'und'.
+
+    greatest-of-N scoring, fully in codegen. (A char-n-gram model is
+    the richer variant; marker scoring is the deterministic baseline.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    scores = {
+        lang: F.size(
+            F.filter(
+                toks,
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(w) for w in words]), t
+                ),
+            )
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so that on ties the alphabetically-first language wins
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 digest of the normalized text
+    (lowercased, whitespace-collapsed) — the canonical-form content
+    address used for cross-corpus exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def rolling_fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling-hash fingerprint over whitespace tokens
+    (base-31 Horner fold mod a prime) — the incremental-update form
+    used for shift-tolerant chunk fingerprinting."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    codes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x % mod) % mod,
+    )
+
+
+def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass annotation: token count, quality, language, fingerprint."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+    )

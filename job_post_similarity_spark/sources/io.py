@@ -1,0 +1,109 @@
+"""Scans and sinks (SURVEY.md §2.1, S1-S5).
+
+The reference's sources are CSV + .npy side-car matrices
+(app/preprocess_data.py:9-22, app/generate_embeddings.py:52-68).
+Here everything is a table: parquet by default (columnar, predicate
+pushdown, column pruning at the scan), CSV for reference-format
+fidelity. The .npy embedding matrix + positionally-aligned id list
+becomes a single ``(id, embedding array<float>)`` table — the
+alignment bugs the reference guards against (app/main.py:93-94,
+app/vector_search.py:137-139) cannot exist.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S5/S1: parquet scan. Catalyst pushes filters + prunes columns."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S1: CSV scan (reference: app/preprocess_data.py:9-22).
+
+    Explicit schema preferred — inferSchema costs an extra pass and is
+    nondeterministic across files; the reference's all-string inference
+    (pandas object dtype) is matched by passing a all-string schema.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "false")  # all columns string
+    return reader.csv(path)
+
+
+def schema_peek(spark: SparkSession, path: str, fmt: str = "parquet") -> list[str]:
+    """S3: header-only probe (reference: notebook cell 0 pd.read_csv(nrows=0)).
+
+    Reads footer/header metadata only — no data scan.
+    """
+    if fmt == "parquet":
+        return spark.read.parquet(path).columns
+    return spark.read.option("header", "true").csv(path).columns
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table, normalizing the embedding column.
+
+    Embeddings are cast to ``array<double>`` once at the scan so every
+    downstream arithmetic op is double-precision (matches the DuckDB
+    oracle, which promotes list elements to double).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "embeddings":
+        df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read via nanosAsLong: ns → µs timestamp
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """Parquet sink. At 100 TB scale: partition by a low-cardinality key
+    (date/source) so downstream scans prune partitions."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S4: CSV sink (reference: df.to_csv at app/main.py:272).
+
+    ``single_file=True`` coalesces to 1 partition for byte-level
+    fidelity with the reference's single-CSV output — only for small
+    results (the pair list), never for table-scale data.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def cached_stage(
+    spark: SparkSession, path: str, compute, fmt: str = "parquet"
+) -> DataFrame:
+    """Stage memoization: compute-and-write iff the output is absent.
+
+    Mirrors the reference's file-existence caching between pipeline
+    stages (app/main.py:110,130,177) with parquet checkpoints.
+    """
+    success = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(success):
+        df = compute()
+        df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
