@@ -326,6 +326,193 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
 
 
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-marker language-ID over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_analysis.lang_id("text").alias("lang_pred")
+    )
+
+
+def rolling_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (Horner fold mod prime)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_analysis.rolling_fingerprint("text").alias("rhash"),
+    )
+
+
+def strip_html_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 builtin tier: tag-strip + whitespace collapse over documents
+    text wrapped in synthetic markup (fixtures carry no HTML)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit("<div><p>"), F.col("text"), F.lit("</p></div>")).alias(
+            "html"
+        ),
+    )
+    return wrapped.select("doc_id", S.strip_html("html").alias("text_clean"))
+
+
+def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate (rows-only: Java-regex lookarounds have no
+    RE2/DuckDB equivalent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_analysis.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def similarity_histogram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: 20-bin histogram of the |cosine| population over all pairs —
+    the distribution artifact behind the threshold justification."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select(F.abs(V.dot_cosine("v1", "v2")).alias("similarity"))
+    )
+    return knn.similarity_histogram(sims, "similarity", bins=20)
+
+
+def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only: banding is
+    Spark-specific; verified against exact Jaccard by tests)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, ngram=2,
+        jaccard_threshold=0.05,
+    )
+
+
+def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=16, bands=4
+    )
+
+
+def lsh_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 ANN tier (LSH): approxSimilarityJoin pairs at cosine ≥ 0.4
+    (rows-only; recall vs the exact tier is property-tested)."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.lsh_similarity_join(
+        emb, "vec_id", "embedding", threshold=0.40,
+        bucket_length=2.0, num_hash_tables=6,
+    )
+
+
+def ivf_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 ANN tier (IVF): KMeans-bucketed pair join at cosine ≥ 0.4
+    (rows-only)."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ivf_similarity_join(
+        emb, "vec_id", "embedding", threshold=0.40, n_centroids=8, n_probe=3
+    )
+
+
+def embed_documents_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 test tier: deterministic hashing embedder over documents
+    (rows-only; unit-norm + determinism property-tested)."""
+    from job_post_similarity_spark.plans.pipeline import embed_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_documents(docs, "text", "doc_id", dim=64)
+    return emb.select(
+        "doc_id",
+        F.round(V.norm(F.col("embedding").cast("array<double>")), 4).alias(
+            "l2_norm"
+        ),
+    )
+
+
+def e2e_similarity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 4-stage flagship pipeline (clean → dedup → embed →
+    pair join) on documents (rows-only)."""
+    from job_post_similarity_spark.config import EngineConfig
+    from job_post_similarity_spark.plans.pipeline import run_similarity_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = EngineConfig()
+    cfg.index_description = "Flat"
+    # hashing embeddings over the shared-vocab word-soup corpus are far
+    # more similar than random vectors; 0.9 keeps the pair set tight
+    cfg.similarity_threshold = 0.90
+    return run_similarity_pipeline(spark, docs, cfg)
+
+
+def multimodal_metadata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + JVM-side metadata
+    (sizes, digest)."""
+    from job_post_similarity_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.multimodal_metadata(
+        multimodal.attach_binary_payload(docs)
+    )
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract via mapInPandas (stub decoder;
+    rows-only — plumbing shape is the contract under test)."""
+    from job_post_similarity_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = multimodal.decode_features(
+        multimodal.attach_binary_payload(docs)
+    )
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "width", "height",
+        F.round(F.col("feature")[0].cast("double"), 2).alias("f0"),
+    )
+
+
+def stream_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming group-count over the bounded events stream
+    (== batch groupBy, oracle-able)."""
+    from job_post_similarity_spark.streaming import stream_event_counts
+
+    return stream_event_counts(spark, sf_dir)
+
+
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-within-watermark; kept keys == batch DISTINCT."""
+    from job_post_similarity_spark.streaming import stream_dedup
+
+    return stream_dedup(spark, sf_dir)
+
+
+def random_pair_baseline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: seeded random-pair similarity baseline (rows-only: Spark
+    rand() sequence is engine-specific)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn.random_pair_baseline(emb, "vec_id", "embedding", n_pairs=200)
+
+
+def qualitative_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 wide eval report: 20 sampled queries × top-3 neighbors with
+    source lookup (rows-only: seeded sampling)."""
+    from job_post_similarity_spark.plans.pipeline import qualitative_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    return qualitative_report(
+        emb, docs, "vec_id", "source", k=3, n_queries=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -353,6 +540,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_documents": doc_fingerprint_documents,
         "exact_dup_clusters_props": exact_dup_clusters_props,
         "ngram_jaccard_documents": ngram_jaccard_documents,
+        "lang_id_documents": lang_id_documents,
+        "rolling_fingerprint_documents": rolling_fingerprint_documents,
+        "strip_html_documents": strip_html_documents,
+        "bpe_token_count_documents": bpe_token_count_documents,
+        "similarity_histogram_pairs": similarity_histogram_pairs,
+        "minhash_near_dup_documents": minhash_near_dup_documents,
+        "simhash_near_dup_documents": simhash_near_dup_documents,
+        "lsh_similarity_pairs": lsh_similarity_pairs,
+        "ivf_similarity_pairs": ivf_similarity_pairs,
+        "embed_documents_hashing": embed_documents_hashing,
+        "e2e_similarity_pipeline": e2e_similarity_pipeline,
+        "multimodal_metadata_documents": multimodal_metadata_documents,
+        "multimodal_decode_features": multimodal_decode_features,
+        "stream_event_counts": stream_event_counts_q,
+        "stream_dedup_keys": stream_dedup_keys,
+        "random_pair_baseline": random_pair_baseline_q,
+        "qualitative_report": qualitative_report_q,
     }
 
 
@@ -365,8 +569,105 @@ _COS = (
 )
 
 
+def _lang_id_oracle() -> str:
+    """Generated from text_analysis._LANG_MARKERS so the two stay in sync."""
+    from job_post_similarity_spark.operators.text_analysis import _LANG_MARKERS
+
+    score_cols = ",\n".join(
+        f"len(list_filter(toks, t -> list_contains("
+        f"[{', '.join(repr(w) for w in words)}], t))) AS s_{lang}"
+        for lang, words in _LANG_MARKERS.items()
+    )
+    best = f"greatest({', '.join('s_' + lang for lang in _LANG_MARKERS)})"
+    # CASE order = alphabetical, matching the Spark when-chain nesting
+    cases = "\n".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(_LANG_MARKERS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents),
+        scores AS (SELECT doc_id, {score_cols} FROM toks),
+        ranked AS (SELECT *, {best} AS best FROM scores)
+        SELECT doc_id,
+               CASE WHEN best = 0 THEN 'und' {cases} ELSE 'und' END AS lang_pred
+        FROM ranked
+    """
+
+
+_EN_MARKERS_SQL = "['the','and','of','to','in','is','that','for','with','a']"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_score_documents": f"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tok,
+                       len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                       t -> list_contains({_EN_MARKERS_SQL}, t)))
+                           AS hits,
+                       len(string_split_regex(trim(lower(text)), '\\s+')) AS n_low,
+                       length(text) AS n_char,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                           AS n_punct
+                FROM documents)
+            SELECT doc_id,
+                   (least(n_tok * 80, 4000)
+                    + CASE WHEN n_low > 0
+                           THEN least(CAST(floor(hits * 15000 / n_low) AS BIGINT), 3000)
+                           ELSE 0 END
+                    + CASE WHEN n_char > 0
+                           THEN 3000 - CAST(floor(n_punct * 3000 / n_char) AS BIGINT)
+                           ELSE 3000 END) / 10000.0 AS quality
+            FROM base
+        """,
+        "lang_id_documents": _lang_id_oracle(),
+        "rolling_fingerprint_documents": """
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(0, list_transform(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x % 1000000007) % 1000000007
+                   ) AS rhash
+            FROM documents
+        """,
+        "strip_html_documents": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace('<div><p>' || text || '</p></div>',
+                                      '<[^>]+>', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS text_clean
+            FROM documents
+        """,
+        "similarity_histogram_pairs": """
+            WITH sims AS (
+                SELECT abs(list_dot_product(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[])) AS s
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT bin, count(*) AS cnt
+            FROM (SELECT least(CAST(floor(s * 20) AS INT), 19) AS bin FROM sims)
+            GROUP BY bin ORDER BY bin
+        """,
+        "multimodal_metadata_documents": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
+        "stream_event_counts": """
+            SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+        """,
+        "stream_dedup_keys": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,

@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() action drains the whole
+plan) after a warm-up of the session; per-query wall-clock is recorded
+separately so regressions localize.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entrymod
+    from job_post_similarity_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+
+    # Warm up the JVM + parquet footer caches with a trivial action so
+    # query timings measure the plan, not session startup.
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    headline = [
+        "q1_pricing_summary",
+        "broadcast_lookup_customers",
+        "window_topk_orders",
+        "dedup_keep_first_events",
+        "deterministic_sample_lineitem",
+        "knn_exact_top1",
+        "similarity_pairs_flagship",
+        "minhash_near_dup_documents",
+        "token_count_documents",
+        "doc_fingerprint_documents",
+        "embed_documents_hashing",
+    ]
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in headline:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wallclock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

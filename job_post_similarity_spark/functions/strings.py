@@ -8,6 +8,7 @@ approximation.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -49,7 +50,6 @@ def strip_html_pandas_udf():
     named entities. Use when byte-fidelity with the reference matters
     more than staying JVM-side.
     """
-    import pandas as pd
 
     @F.pandas_udf(T.StringType())
     def _strip(s: pd.Series) -> pd.Series:

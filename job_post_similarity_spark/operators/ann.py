@@ -1,0 +1,227 @@
+"""J1 ANN tier — approximate nearest-neighbor joins at scale
+(SURVEY.md §2.9 V2/V5, §4 'ANN index' row; reference index surface:
+app/vector_search.py:42-47 Flat/IVF/HNSW descriptions).
+
+Two interchangeable strategies behind one config surface, mirroring
+the reference's index_description switch:
+
+- ``Flat``   → exact crossJoin tier (operators.knn) — the oracle.
+- ``IVF*``   → KMeans-coarse-quantizer bucketed join (this module),
+  the Spark-native analog of Faiss IVF: vectors are assigned to
+  their nearest of C centroids, candidates only meet inside a
+  bucket (+ optional multi-probe to neighboring centroids).
+- ``HNSW*``/anything else → MLlib BucketedRandomProjectionLSH
+  (random-hyperplane bucketing; approxSimilarityJoin).
+
+Scale design: both ANN paths turn the O(n²) crossJoin into
+one shuffle keyed by bucket id. Bucket count (or LSH bucketLength ×
+numHashTables) bounds per-task pair fan-out; AQE skew-join splits hot
+buckets. At 100 TB the IVF path is preferred: centroids are trained
+on a deterministic sample (KMeans over ~1M rows), then assignment is
+a broadcast map-side op — no global structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def _to_mllib_vec(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out_col, array_to_vector(F.col(vec_col)))
+
+
+# ------------------------------------------------------------------- LSH
+
+
+def lsh_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+):
+    """V2 (LSH tier): fit BucketedRandomProjectionLSH on the vector
+    column. Returns (model, prepared_df). The model is the Spark
+    analog of the Faiss index object (S6: model.save/.load persists)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    prepared = _to_mllib_vec(df, vec_col, "__features")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__features",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(prepared)
+    return model, prepared
+
+
+def lsh_similarity_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.90,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN flagship: approxSimilarityJoin at cosine ≥ threshold.
+
+    Unit vectors ⇒ cosine τ ≡ L2 distance √(2-2τ); the LSH join
+    filters on that Euclidean threshold, then exact cosine is computed
+    on surviving candidates only (candidate set ≪ n²). Output contract
+    matches operators.knn.similarity_pairs.
+    """
+    dist_threshold = float((2.0 - 2.0 * threshold) ** 0.5)
+    model, prepared = lsh_fit(df, vec_col, bucket_length, num_hash_tables, seed)
+    joined = model.approxSimilarityJoin(
+        prepared, prepared, dist_threshold, distCol="__dist"
+    )
+    a_id = F.col(f"datasetA.{id_col}")
+    b_id = F.col(f"datasetB.{id_col}")
+    return (
+        joined.filter(a_id < b_id)
+        .select(
+            a_id.alias("id1"),
+            b_id.alias("id2"),
+            F.round(
+                V.dot_cosine(
+                    F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}")
+                ),
+                4,
+            ).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+        .orderBy(F.desc("similarity"), F.asc("id1"), F.asc("id2"))
+    )
+
+
+def lsh_nearest_neighbors(
+    df: DataFrame,
+    query_vec,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """V5 point-query tier: approxNearestNeighbors for one query vector
+    (reference: index.search, app/vector_search.py:143-205)."""
+    from pyspark.ml.linalg import Vectors
+
+    model, prepared = lsh_fit(df, vec_col, bucket_length, num_hash_tables, seed)
+    q = Vectors.dense(list(query_vec))
+    res = model.approxNearestNeighbors(prepared, q, k, distCol="__dist")
+    return res.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.round(F.lit(1.0) - (F.col("__dist") * F.col("__dist")) / 2.0, 4).alias(
+            "similarity"
+        ),
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, "object"]:
+    """IVF coarse quantization: KMeans centroids (trained on a seeded
+    sample), every vector assigned to its ``n_probe`` nearest centroids.
+
+    Returns (assigned_df with exploded ``bucket`` column, kmeans_model).
+    Multi-probe on the *build* side implements the recall knob: a pair
+    is found if the two vectors share any probed bucket — the Faiss
+    nprobe analog (reference .env:7 'IVF100,Flat').
+    """
+    from pyspark.ml.clustering import KMeans
+
+    prepared = _to_mllib_vec(df, vec_col, "__features")
+    train = (
+        prepared.sample(train_fraction, seed=seed) if train_fraction else prepared
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features")
+    model = km.fit(train)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = df.sparkSession.createDataFrame(
+        centers, "centroid_id int, centroid array<double>"
+    )
+    # broadcast centroid join + window top-n_probe: map-side assignment
+    scored = df.crossJoin(F.broadcast(centers_df)).withColumn(
+        "__cdist", V.sq_l2_distance(vec_col, "centroid")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.asc("__cdist"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n_probe)
+        .select(*df.columns, F.col("centroid_id").alias("bucket"))
+    )
+    return assigned, model
+
+
+def ivf_similarity_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.90,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-bucketed near-dup pair join: candidates meet only inside a
+    shared probed bucket; exact cosine verifies. One shuffle on
+    ``bucket``; per-bucket fan-out bounded by cluster balance + AQE."""
+    assigned, _ = ivf_assign(df, vec_col, n_centroids, n_probe, seed, id_col=id_col)
+    a = assigned.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("__v1"),
+    )
+    b = assigned.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("__v2"),
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(V.dot_cosine("__v1", "__v2"), 4).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+        .dropDuplicates(["id1", "id2"])
+        .orderBy(F.desc("similarity"), F.asc("id1"), F.asc("id2"))
+    )
+
+
+def index_for_description(description: str):
+    """Map the reference's INDEX_DESCRIPTION strings to a join strategy
+    (reference: app/vector_search.py:42-47): 'Flat' → exact, 'IVF…' →
+    ivf_similarity_join, anything else (HNSW…) → LSH."""
+    from . import knn
+
+    d = description.strip().lower()
+    if d == "flat":
+        return knn.similarity_pairs
+    if d.startswith("ivf"):
+        return ivf_similarity_join
+    return lsh_similarity_join

@@ -67,12 +67,14 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
 
 
 def _shingle_code(s: Column) -> Column:
-    """Stable int64 code for a shingle: first 15 hex chars of md5 → int.
+    """Stable non-negative int64 code for a shingle via xxhash64.
 
-    15 hex chars = 60 bits < int64; conv() is deterministic and DuckDB
-    can reproduce it (from_hex/substr), keeping MinHash oracle-able.
+    xxhash64 is a cheap JVM-side hash (vs md5+hex-decode, which cost
+    ~30× more when Catalyst re-inlines the expression into each of the
+    num_hashes signature lanes). Folded into [0, 2^31-1) for the
+    universal-hash arithmetic.
     """
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    return F.pmod(F.xxhash64(s), F.lit(_MOD))
 
 
 # ----------------------------------------------------------- MinHash+LSH

@@ -1,0 +1,140 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns + typed metadata, with decode/feature-extract/resize/
+frame-sample as Arrow-batched mapInPandas operators.
+
+The Spark-side contract (schemas, partitioning, UDF signatures, batch
+shapes) is real and tested; the actual media decode is STUBBED — this
+container ships no image/audio codecs — behind ``_decode_stub``, a
+deterministic fake that derives "pixels"/"samples" from the payload
+bytes. Swapping in PIL/librosa/pyav changes one function, not the
+plan shape.
+
+Scale notes: binary payloads ride the same parquet row groups as
+their metadata; operators are pure mapInPandas (no shuffle), so media
+transforms scale linearly with input bytes. Keep
+``spark.sql.files.maxPartitionBytes`` at/below 128 MB so a partition
+of large blobs still fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Output schema of decode_features: stable contract for downstream ops.
+MEDIA_FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, "
+    "width int, height int, feature array<float>"
+)
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset long, frame_bytes binary"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build the multimodal table shape from the documents fixture:
+    (id, payload binary, media_type, n_bytes). The payload is the
+    UTF-8 encoding of the text — a deterministic stand-in for real
+    media bytes with the same plumbing."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        (
+            F.when(F.col(id_col) % 3 == 0, "image")
+            .when(F.col(id_col) % 3 == 1, "audio")
+            .otherwise("video")
+        ).alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic fake decoder: payload bytes → fixed-length float
+    'feature'. Replace with PIL/librosa/pyav decode + model features.
+
+    Raises NotImplementedError for unknown media types — the marked
+    stub boundary.
+    """
+    if media_type not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media_type={media_type}")
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    if arr.size == 0:
+        return np.zeros(8, dtype=np.float32)
+    # 8 deterministic moments of the byte stream as the "feature"
+    chunks = np.array_split(arr, 8)
+    return np.asarray([float(c.mean()) if c.size else 0.0 for c in chunks], np.float32)
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """mapInPandas media decode + feature extraction.
+
+    Input: (doc_id, payload, media_type, n_bytes); output:
+    MEDIA_FEATURE_SCHEMA. Arrow-batched; one Python worker pass per
+    partition, no shuffle.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(p, m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    # stub dimensions derived from payload size
+                    "width": (pdf["n_bytes"] % 640 + 1).astype("int32"),
+                    "height": (pdf["n_bytes"] % 480 + 1).astype("int32"),
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(op, MEDIA_FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """mapInPandas frame sampler: emits ≤ max_frames evenly-spaced
+    'frames' (byte windows) per video payload — the row-expanding
+    (UDTF-like) multimodal shape. Real pyav frame extraction drops in
+    at the marked line."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "video":
+                    continue
+                n = len(payload)
+                n_frames = min(max_frames, max(n // every_n_bytes, 1))
+                for i in range(n_frames):
+                    off = i * (n // n_frames) if n_frames else 0
+                    # STUB: real impl decodes the frame at `off` via pyav
+                    rows.append((did, i, off, payload[off : off + every_n_bytes]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_bytes"]
+            )
+
+    return df.mapInPandas(op, FRAME_SAMPLE_SCHEMA)
+
+
+def multimodal_metadata(df: DataFrame) -> DataFrame:
+    """Pure-JVM metadata pass over the binary column (no Python):
+    sizes + content digest — the cheap pre-filter before any decode."""
+    return df.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )

@@ -68,17 +68,34 @@ def quality_score(col: Column | str, lang: str = "en") -> Column:
     0.4·length_score + 0.3·stopword_score + 0.3·(1 - punct_ratio).
 
     The C4/Gopher-style shape: prefer mid-length documents with natural
-    stopword density and low symbol noise. Deterministic arithmetic —
-    oracle-replayable.
+    stopword density and low symbol noise.
+
+    Computed in integer basis points (least/floor over exact int64),
+    divided by 10000 only at the end: every engine produces the
+    identical integer, so the score is bit-reproducible cross-engine
+    (double-accumulation order cannot flip a rounded digit).
     """
     c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(c).cast("double")
-    # length score: ramps 0→1 over 0..50 tokens, flat 1 beyond
-    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    sw_score = F.least(stopword_ratio(c, lang) * 5.0, F.lit(1.0))
-    return F.round(
-        0.4 * length_score + 0.3 * sw_score + 0.3 * (1.0 - punct_ratio(c)), 4
-    )
+    n_tok = token_count(c).cast("long")
+    # length component: 0.4 · min(n_tok/50, 1) → min(n_tok·80, 4000) bp
+    length_bp = F.least(n_tok * 80, F.lit(4000))
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+    n_low = F.size(toks).cast("long")
+    # stopword component: 0.3 · min(5·hits/n, 1) → min(⌊hits·15000/n⌋, 3000) bp
+    sw_bp = F.when(
+        n_low > 0,
+        F.least(F.floor(hits * 15000 / n_low).cast("long"), F.lit(3000)),
+    ).otherwise(F.lit(0))
+    total = F.length(c)
+    punct = (total - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).cast("long")
+    # punctuation component: 0.3 · (1 - punct/total) → 3000 - ⌊punct·3000/total⌋ bp
+    punct_bp = F.when(
+        total > 0,
+        F.lit(3000) - F.floor(punct * 3000 / total.cast("long")).cast("long"),
+    ).otherwise(F.lit(3000))
+    return (length_bp + sw_bp + punct_bp) / F.lit(10000.0)
 
 
 def lang_id(col: Column | str) -> Column:

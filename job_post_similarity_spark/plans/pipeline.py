@@ -1,0 +1,140 @@
+"""Composed end-to-end pipelines — the engine's analog of the
+reference's orchestrators (app/main.py:100-284 run_similarity_pipeline,
+app/evaluation.py:234-291 evaluate_similarity, app/fetech_jd.py report).
+
+Where the reference materializes CSV/.npy/.index between stages and
+skips stages whose files exist (app/main.py:110,130,177), this builds
+ONE lazy plan end-to-end by default — Catalyst sees through all four
+stages — with opt-in parquet checkpoints (sources.io.cached_stage)
+reproducing the memoization contract when reuse across runs matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..functions import embed as E
+from ..functions import strings as S
+from ..operators import ann, knn, preprocess, sampling, topk
+
+
+def embed_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    seed: int = 42,
+    model_name: str | None = None,
+) -> DataFrame:
+    """Stage 2 (reference: app/main.py:126-163): text → embedding table
+    (id, embedding array<float>). Map-side only."""
+    embedder = E.get_embedder(dim=dim, seed=seed, model_name=model_name)
+    return df.select(
+        F.col(id_col), embedder(F.col(text_col)).alias("embedding")
+    )
+
+
+def run_similarity_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    config: EngineConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    embedding_dim: int = 64,
+) -> DataFrame:
+    """The flagship 4-stage pipeline (app/main.py:100-284), one lazy plan:
+
+    1. preprocess: clean text (F5+F6), drop null/empty, dedup exact
+       text (D1) — BEFORE embedding, the reference's load-bearing
+       operator order (SURVEY.md §4).
+    2. embed: deterministic hashing tier (or sentence-transformers
+       where installed) → unit vectors.
+    3. index+search: exact or ANN pair join per INDEX_DESCRIPTION.
+    4. emit: threshold → canonical pairs → sort desc.
+    """
+    cfg = config or EngineConfig()
+    docs = documents.withColumn(text_col, S.clean_text(text_col))
+    docs = docs.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+    docs = preprocess.dedup_keep_first(docs, [text_col], [F.col(id_col)])
+    if cfg.search_sample_size:
+        docs = sampling.sample_exact_n(docs, cfg.search_sample_size, cfg.seed)
+    emb = embed_documents(
+        docs, text_col, id_col, dim=embedding_dim, seed=cfg.seed
+    ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    join = ann.index_for_description(cfg.index_description)
+    return join(
+        emb,
+        id_col=id_col,
+        vec_col="embedding",
+        threshold=cfg.similarity_threshold,
+    )
+
+
+def qualitative_report(
+    emb: DataFrame,
+    meta: DataFrame,
+    id_col: str,
+    title_col: str,
+    k: int = 5,
+    n_queries: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """The evaluation wide report (app/evaluation.py:103-180): sample
+    n_queries, k-NN search, broadcast title lookup (J2), pivot into
+    Neighbor_{j}_{ID,Title,Similarity} slots (W2), null-padded."""
+    queries = sampling.sample_exact_n(emb, n_queries, seed)
+    nn = knn.knn_join(queries, id_col, "embedding", k=k, right=emb)
+    titles = meta.select(
+        F.col(id_col).alias("__tid"), F.col(title_col).alias("__title")
+    )
+    enriched = (
+        nn.join(
+            F.broadcast(titles), nn.neighbor_id == F.col("__tid"), "left"
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__title").alias("neighbor_title"),
+            F.round("similarity", 4).alias("similarity"),
+            "rank",
+        )
+    )
+    wide = topk.neighbor_pivot(
+        enriched,
+        "query_id",
+        "rank",
+        k,
+        {"ID": "neighbor_id", "Title": "neighbor_title", "Similarity": "similarity"},
+    )
+    qtitles = meta.select(
+        F.col(id_col).alias("query_id"), F.col(title_col).alias("Query_Title")
+    )
+    return wide.join(F.broadcast(qtitles), "query_id", "left")
+
+
+def lookup_report(
+    results: DataFrame, docs: DataFrame, id_col: str, text_col: str
+) -> str:
+    """S7: the fetech_jd-style markdown point-lookup report
+    (app/fetech_jd.py:129-184) — presentation layer: broadcast
+    semi-join for the descriptions, render on the driver."""
+    first_last_pairs = results.orderBy(F.desc("similarity")).limit(1).union(
+        results.orderBy(F.asc("similarity")).limit(1)
+    )
+    ids = first_last_pairs.select(F.col("id1").alias("id")).union(
+        first_last_pairs.select(F.col("id2").alias("id"))
+    ).distinct()
+    rows = (
+        docs.join(F.broadcast(ids), docs[id_col] == ids.id, "left_semi")
+        .select(id_col, text_col)
+        .collect()
+    )
+    lines = ["# Similarity lookup report", ""]
+    for r in rows:
+        lines.append(f"## {r[0]}")
+        lines.append("")
+        lines.append(str(r[1])[:500])
+        lines.append("")
+    return "\n".join(lines)

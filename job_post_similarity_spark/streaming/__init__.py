@@ -1,0 +1,5 @@
+from .stream_ops import (  # noqa: F401
+    stream_dedup,
+    stream_event_counts,
+    stream_windowed_agg,
+)

@@ -1,0 +1,93 @@
+"""Unit tests for scalar string/vector functions — the semantic-gap
+decisions called out in SURVEY.md §2.8/§7 each get a regression test."""
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from job_post_similarity_spark.functions import strings as S
+from job_post_similarity_spark.functions import vectors as V
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_strip_html_tags_and_entities(spark):
+    df = spark.createDataFrame(
+        [Row(x="<div><p>Hello &amp; welcome</p>\n<br/>world</div>")]
+    )
+    out = df.select(S.strip_html("x").alias("v")).first()["v"]
+    assert out == "Hello & welcome world"
+
+
+def test_strip_html_pandas_udf_matches_builtin_on_simple_html(spark):
+    rows = [Row(x="<b>Bold</b> text"), Row(x="a &lt;tag&gt; b"), Row(x=None)]
+    df = spark.createDataFrame(rows)
+    got = df.select(
+        S.strip_html("x").alias("builtin"),
+        S.strip_html_pandas_udf()(F.col("x")).alias("fidelity"),
+    ).collect()
+    for r in got[:2]:
+        assert r["builtin"] == r["fidelity"]
+    assert got[2]["fidelity"] is None
+
+
+def test_trailing_comma_and_remote_and_title(spark):
+    df = spark.createDataFrame([Row(st="CA ,", zp="remote", city="new  york")])
+    r = df.select(
+        S.strip_trailing_comma("st").alias("st"),
+        S.normalize_remote("zp").alias("zp"),
+        S.title_trim("city").alias("city"),
+    ).first()
+    assert r["st"] == "CA"
+    assert r["zp"] == "REMOTE"
+    # documented decision: initcap semantics (whitespace-boundary only)
+    assert r["city"] == "New  York".title() or r["city"] == "New  York"
+
+
+def test_clean_text_collapses_and_lowers(spark):
+    df = spark.createDataFrame([Row(x="  A\tB\n\nC  ")])
+    assert df.select(S.clean_text("x").alias("v")).first()["v"] == "a b c"
+
+
+def test_canonical_pair_and_clip(spark):
+    df = spark.createDataFrame([Row(a="zzz", b="aaa", s=1.5)])
+    lo, hi = S.canonical_pair("a", "b")
+    r = df.select(lo.alias("lo"), hi.alias("hi"), S.clip("s", -1, 1).alias("s")).first()
+    assert (r["lo"], r["hi"], r["s"]) == ("aaa", "zzz", 1.0)
+
+
+def test_dot_cosine_norm_identities(spark):
+    df = spark.createDataFrame([Row(a=[3.0, 4.0], b=[4.0, 3.0])])
+    r = df.select(
+        V.dot("a", "b").alias("dot"),
+        V.norm("a").alias("na"),
+        V.cosine("a", "b").alias("cos"),
+        V.norm(V.l2_normalize("a")).alias("unit"),
+    ).first()
+    assert r["dot"] == 24.0
+    assert r["na"] == 5.0
+    assert abs(r["cos"] - 24.0 / 25.0) < 1e-12
+    assert abs(r["unit"] - 1.0) < 1e-12
+
+
+def test_l2_to_cosine_identity_on_unit_vectors(spark):
+    # For unit vectors: 1 - |a-b|²/2 == a·b exactly (algebraically)
+    a = [1.0, 0.0, 0.0]
+    b = [math.sqrt(0.5), math.sqrt(0.5), 0.0]
+    df = spark.createDataFrame([Row(a=a, b=b)])
+    r = df.select(
+        V.dot_cosine("a", "b").alias("dot"),
+        V.l2_to_cosine(F.sqrt(V.sq_l2_distance("a", "b"))).alias("conv"),
+    ).first()
+    assert abs(r["dot"] - r["conv"]) < 1e-12
+    # l2_to_cosine(0) == 1 (reference invariant, app/evaluation.py:24-27)
+    z = spark.createDataFrame([Row(d=0.0)])
+    assert z.select(V.l2_to_cosine("d").alias("v")).first()["v"] == 1.0
+
+
+def test_l2_to_cosine_clips_bounds(spark):
+    df = spark.createDataFrame([Row(d=10.0)])
+    assert df.select(V.l2_to_cosine("d").alias("v")).first()["v"] == -1.0

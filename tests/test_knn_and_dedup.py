@@ -1,0 +1,169 @@
+"""Property tests for the kNN join, pair emission, dedup suite, and the
+ANN tiers — the invariants SURVEY.md §5 lists as the reference's
+implicit expectations, plus ANN recall vs the exact oracle."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from job_post_similarity_spark.operators import ann, dedup, knn, preprocess
+
+
+def test_similarity_pairs_invariants(embeddings):
+    pairs = knn.similarity_pairs(
+        embeddings, "vec_id", "embedding", threshold=0.30
+    ).collect()
+    assert len(pairs) > 0
+    seen = set()
+    for r in pairs:
+        # canonicalization (app/main.py:253-254) + threshold (252) + no dup
+        assert r["id1"] < r["id2"]
+        assert r["similarity"] >= 0.30
+        assert (r["id1"], r["id2"]) not in seen
+        seen.add((r["id1"], r["id2"]))
+    # sorted desc (app/main.py:270)
+    sims = [r["similarity"] for r in pairs]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_blocked_knn_matches_expr_tier(embeddings):
+    """The BLAS-blocked kNN tier must equal the pure-JVM expression
+    tier row-for-row (same tie-break contract)."""
+    sub = embeddings.filter("vec_id < 120")
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["similarity"], 6))
+        for r in knn.knn_join(sub, "vec_id", "embedding", k=3).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["similarity"], 6))
+        for r in knn.knn_join_expr(sub, "vec_id", "embedding", k=3).collect()
+    }
+    assert a == b
+
+
+def test_blocked_pairs_match_expr_tier(embeddings):
+    sub = embeddings.filter("vec_id < 200")
+    a = [tuple(r) for r in knn.similarity_pairs(sub, "vec_id", "embedding", 0.3).collect()]
+    b = [tuple(r) for r in knn.similarity_pairs_expr(sub, "vec_id", "embedding", 0.3).collect()]
+    assert sorted(a) == sorted(b)
+    assert len(a) > 0
+
+
+def test_knn_join_excludes_self_and_is_symmetric_on_mutual_nn(embeddings):
+    nn = knn.knn_join(embeddings, "vec_id", "embedding", k=1).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in nn)
+    assert len(nn) == embeddings.count()
+
+
+def test_knn_join_k_clamp(spark):
+    # k > n-1: every other row returned, no crash (reference clamps k,
+    # app/vector_search.py:159-177)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(3)]
+    )
+    out = knn.knn_join(df, "vec_id", "embedding", k=10).collect()
+    assert len(out) == 6  # 3 queries × 2 available neighbors
+
+
+def test_empty_input_short_circuit(embeddings):
+    empty = embeddings.filter("vec_id < 0")
+    assert knn.similarity_pairs(empty, "vec_id", "embedding", 0.5).count() == 0
+    assert knn.knn_join(empty, "vec_id", "embedding", k=2).count() == 0
+
+
+def test_dedup_keep_first_deterministic_and_idempotent(spark):
+    rows = [
+        Row(k="a", ord=2, v="second"),
+        Row(k="a", ord=1, v="first"),
+        Row(k="b", ord=1, v="only"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = preprocess.dedup_keep_first(df, ["k"], [F.col("ord")])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {"a": "first", "b": "only"}
+    # idempotence
+    again = preprocess.dedup_keep_first(out, ["k"], [F.col("ord")])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_canonicalize_pairs(spark):
+    df = spark.createDataFrame(
+        [Row(a="x", b="c"), Row(a="c", b="x"), Row(a="m", b="m")]
+    )
+    out = knn.canonicalize_pairs(df, "a", "b").collect()
+    assert sorted((r["id1"], r["id2"]) for r in out) == [("c", "x"), ("m", "m")]
+
+
+def test_minhash_estimates_track_exact_jaccard(documents):
+    """MinHash est_jaccard within tolerance of true bigram Jaccard on
+    candidate pairs (32 hashes ⇒ se ≈ 0.09)."""
+    docs = documents.filter(F.col("doc_id") < 120)
+    est = dedup.minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, ngram=2,
+        jaccard_threshold=0.0,
+    )
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.0)
+    j = {(r["id1"], r["id2"]): r["jaccard"] for r in exact.collect()}
+    rows = est.collect()
+    assert len(rows) > 0
+    errs = [abs(r["est_jaccard"] - j[(r["id1"], r["id2"])]) for r in rows]
+    assert sum(errs) / len(errs) < 0.15
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="completely different words entirely unrelated content here"),
+        ]
+    )
+    out = dedup.simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=0)
+    got = [(r["id1"], r["id2"], r["hamming"]) for r in out.collect()]
+    assert got == [(1, 2, 0)]
+
+
+def test_lsh_recall_vs_exact(embeddings):
+    """ANN recall ≥ 0.9 against the exact tier at threshold 0.4
+    (SURVEY.md §5: 'ANN recall ≥ target vs exact oracle')."""
+    exact = {
+        (r["id1"], r["id2"])
+        for r in knn.similarity_pairs(
+            embeddings, "vec_id", "embedding", 0.40
+        ).collect()
+    }
+    approx = {
+        (r["id1"], r["id2"])
+        for r in ann.lsh_similarity_join(
+            embeddings, "vec_id", "embedding", 0.40,
+            bucket_length=2.0, num_hash_tables=6,
+        ).collect()
+    }
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9
+    # no false positives: every reported pair truly passes the threshold
+    assert approx <= exact
+
+
+def test_ivf_recall_vs_exact(embeddings):
+    exact = {
+        (r["id1"], r["id2"])
+        for r in knn.similarity_pairs(
+            embeddings, "vec_id", "embedding", 0.40
+        ).collect()
+    }
+    approx = {
+        (r["id1"], r["id2"])
+        for r in ann.ivf_similarity_join(
+            embeddings, "vec_id", "embedding", 0.40, n_centroids=8, n_probe=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
+    assert approx <= exact
+
+
+def test_index_for_description_dispatch():
+    assert ann.index_for_description("Flat") is knn.similarity_pairs
+    assert ann.index_for_description("IVF100,Flat") is ann.ivf_similarity_join
+    assert ann.index_for_description("HNSW32") is ann.lsh_similarity_join

@@ -1,0 +1,194 @@
+"""End-to-end pipeline, embedder, preprocess composite, streaming,
+multimodal, and sampling tests."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from job_post_similarity_spark.config import EngineConfig
+from job_post_similarity_spark.functions import embed as E
+from job_post_similarity_spark.operators import multimodal, sampling
+from job_post_similarity_spark.plans import pipeline as P
+from job_post_similarity_spark.schemas import (
+    SchemaContractError,
+    require_columns,
+    require_embedding_dim,
+)
+
+
+def test_hashing_embedder_deterministic_and_unit_norm(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, text="hello world again"), Row(id=2, text="hello world again")]
+    )
+    emb = P.embed_documents(df, "text", "id", dim=32)
+    rows = {r["id"]: r["embedding"] for r in emb.collect()}
+    assert rows[1] == rows[2]  # same text ⇒ identical vector
+    norm = sum(x * x for x in rows[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+    # different seed ⇒ different projection
+    e2 = E.hashing_embedder(dim=32, seed=7)
+    other = df.select(e2(F.col("text")).alias("v")).first()["v"]
+    assert list(other) != list(rows[1])
+
+
+def test_embedder_similarity_semantics(spark):
+    """Shared tokens ⇒ higher cosine than disjoint tokens."""
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="data engineer spark python sql"),
+            Row(id=2, text="data engineer spark python airflow"),
+            Row(id=3, text="zebra giraffe lion elephant hippo"),
+        ]
+    )
+    emb = P.embed_documents(df, "text", "id", dim=64).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    from job_post_similarity_spark.operators import knn
+
+    sims = {
+        (r["id1"], r["id2"]): r["similarity"]
+        for r in knn.similarity_pairs(emb, "id", "embedding", -1.0).collect()
+    }
+    assert sims[(1, 2)] > sims[(1, 3)]
+    assert sims[(1, 2)] > sims[(2, 3)]
+
+
+def test_run_similarity_pipeline_end_to_end(spark, documents):
+    cfg = EngineConfig()
+    cfg.index_description = "Flat"
+    cfg.similarity_threshold = 0.90
+    out = P.run_similarity_pipeline(spark, documents, cfg)
+    rows = out.collect()
+    assert out.columns == ["id1", "id2", "similarity"]
+    for r in rows:
+        assert r["id1"] < r["id2"]
+        assert r["similarity"] >= 0.90
+
+
+def test_pipeline_dedups_identical_texts_before_embedding(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="same exact text here"),
+            Row(doc_id=2, text="same exact text here"),
+            Row(doc_id=3, text="other words"),
+            Row(doc_id=4, text=""),
+            Row(doc_id=5, text=None),
+        ]
+    )
+    cfg = EngineConfig()
+    cfg.index_description = "Flat"
+    cfg.similarity_threshold = 0.99
+    out = P.run_similarity_pipeline(spark, docs, cfg).collect()
+    # doc 2 deduped away (same text), empty/null dropped ⇒ no pair at all
+    assert out == []
+
+
+def test_preprocess_jobs_composite(spark):
+    from job_post_similarity_spark.schemas import JOBS_RAW_COLUMNS
+
+    base = {c: "x" for c in JOBS_RAW_COLUMNS}
+    rows = []
+    for i, (desc, date) in enumerate(
+        [
+            ("<p>Senior Engineer</p>", "2025-01-01"),
+            # whitespace-only variant: identical after HTML-clean collapse.
+            # (The reference dedups BEFORE lowercasing — case variants
+            # are NOT dups; preprocess_data.py:124-130 order.)
+            ("<p>Senior   Engineer</p>", "2025-01-02"),
+            ("<p>Data Analyst</p>", None),  # dropped: null date
+            ("<p>ML Engineer</p>", "2025-01-03"),
+        ]
+    ):
+        r = dict(base)
+        r["lid"] = f"{i:02d}"
+        r["jobDescRaw"] = desc
+        r["correctDate"] = date
+        r["finalState"] = "CA ,"
+        r["finalZipcode"] = "remote"
+        r["finalCity"] = "new york"
+        rows.append(Row(**r))
+    df = spark.createDataFrame(rows)
+    out = P.preprocess.preprocess_jobs(df)
+    got = out.orderBy("lid").collect()
+    assert [r["lid"] for r in got] == ["00", "03"]
+    assert got[0]["jobDescClean"] == "senior engineer"
+    assert got[0]["finalState"] == "CA"
+    assert got[0]["finalZipcode"] == "REMOTE"
+    assert set(out.columns) == {
+        "jobTitle", "companyName", "lid", "finalZipcode", "finalState",
+        "finalCity", "correctDate", "jobDescClean",
+    }
+
+
+def test_schema_contract_helpers(spark, embeddings):
+    require_columns(embeddings, ["vec_id", "embedding"])
+    try:
+        require_columns(embeddings, ["nope"])
+        raise AssertionError("should have raised")
+    except SchemaContractError:
+        pass
+    require_embedding_dim(embeddings, "embedding", 64)
+    try:
+        require_embedding_dim(embeddings, "embedding", 384)
+        raise AssertionError("should have raised")
+    except SchemaContractError:
+        pass
+
+
+def test_deterministic_sample_stable_and_sized(spark, sf_dir):
+    from job_post_similarity_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 1_000_000 + F.col("l_linenumber")
+    s1 = sampling.deterministic_sample(li, key, 0.1)
+    s2 = sampling.deterministic_sample(li, key, 0.1)
+    c1, c2, n = s1.count(), s2.count(), li.count()
+    assert c1 == c2  # reproducible
+    assert 0.05 * n < c1 < 0.15 * n  # roughly the asked fraction
+
+
+def test_sample_exact_n_edge_cases(spark, sf_dir):
+    from job_post_similarity_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    assert sampling.sample_exact_n(docs, 10).count() == 10
+    assert sampling.sample_exact_n(docs, n + 100).count() == n  # clamp
+    assert sampling.sample_exact_n(docs, None).count() == n
+    assert sampling.sample_exact_n(docs, -5).count() == n  # warn+full
+
+
+def test_multimodal_plumbing(documents):
+    binary = multimodal.attach_binary_payload(documents)
+    feats = multimodal.decode_features(binary)
+    r = feats.first()
+    assert r["feature"] is not None and len(r["feature"]) == 8
+    frames = multimodal.frame_sample(binary).collect()
+    assert all(f["frame_idx"] >= 0 for f in frames)
+    meta = multimodal.multimodal_metadata(binary).first()
+    assert len(meta["payload_md5"]) == 32
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    from job_post_similarity_spark.sources.io import load_table
+    from job_post_similarity_spark.streaming import (
+        stream_dedup,
+        stream_event_counts,
+        stream_windowed_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["event_type"], r["cnt"])
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    streamed = {
+        (r["event_type"], r["cnt"])
+        for r in stream_event_counts(spark, sf_dir, name="t_counts").collect()
+    }
+    assert streamed == batch
+
+    dd = stream_dedup(spark, sf_dir, name="t_dedup")
+    assert dd.count() == ev.select("user_id", "event_type").distinct().count()
+
+    wa = stream_windowed_agg(spark, sf_dir, name="t_win")
+    assert wa.count() > 0
