@@ -94,17 +94,33 @@ def minhash_signature(
     shingles = word_ngrams(c, n)
     codes = F.transform(shingles, lambda s: _shingle_code(s))
 
-    def h(i: int) -> Column:
-        # deterministic coefficients from the seed (odd a, nonzero)
-        a = (seed * 1_000_003 + i * 7_919) % _MOD or 1
-        b = (seed * 7_907 + i * 104_729) % _MOD
-        return F.array_min(
-            F.transform(
-                codes, lambda x: (x % _MOD * a + b) % _MOD
+    # deterministic coefficients from the seed (odd a, nonzero), as one
+    # literal array of (a, b) structs so ALL lanes update in a single
+    # pass over the codes: aggregate(codes, [p]*H, zip_with lane-min).
+    # The naive formulation — num_hashes independent
+    # array_min(transform(codes, ...)) lanes — re-evaluates the
+    # shingle+hash subtree per lane (Catalyst inlines it), turning
+    # O(S·H) work into O(S·H + S·cost(shingle)·H); this form computes
+    # codes once per row.
+    coeffs = F.array(
+        *[
+            F.struct(
+                F.lit((seed * 1_000_003 + i * 7_919) % _MOD or 1).alias("a"),
+                F.lit((seed * 7_907 + i * 104_729) % _MOD).alias("b"),
             )
-        )
-
-    return F.array(*[F.coalesce(h(i), F.lit(_MOD)) for i in range(num_hashes)])
+            for i in range(num_hashes)
+        ]
+    )
+    init = F.array(*[F.lit(_MOD).cast("long")] * num_hashes)
+    return F.aggregate(
+        codes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            coeffs,
+            lambda m, ab: F.least(m, (x % _MOD * ab["a"] + ab["b"]) % _MOD),
+        ),
+    )
 
 
 def minhash_near_dup_pairs(
@@ -242,20 +258,29 @@ def simhash64(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(F.lower(c)), r"\s+")
     codes = F.transform(toks, lambda t: F.xxhash64(t))
-    # per-bit vote: sum over tokens of (bit set ? 1 : -1)
-    bits = []
-    for b in range(64):
-        vote = F.aggregate(
-            codes,
-            F.lit(0),
-            lambda acc, x: acc
-            + F.when(x.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0, 1).otherwise(-1),
-        )
-        bits.append(F.when(vote > 0, F.lit(1 << b if b < 63 else -(2**63))).otherwise(F.lit(0)))
-    sig = bits[0]
-    for bcol in bits[1:]:
-        sig = sig.bitwiseOR(bcol)
-    return sig
+    # per-bit vote: sum over tokens of (bit set ? +1 : -1), all 64
+    # lanes updated in ONE pass over the token hashes (the per-bit
+    # aggregate formulation re-evaluates split+hash 64×).
+    masks = F.array(
+        *[F.lit(1 << b if b < 63 else -(2**63)).cast("long") for b in range(64)]
+    )
+    votes = F.aggregate(
+        codes,
+        F.array(*[F.lit(0)] * 64),
+        lambda acc, x: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v + F.when(x.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # sign of each vote sets the signature bit; OR-fold the lanes
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_near_dup_pairs(
