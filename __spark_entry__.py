@@ -477,6 +477,81 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def preprocess_jobs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full 7-step preprocess composite
+    (app/preprocess_data.py:122-147) on a deterministic jobs-shaped
+    view of documents: clean_html → fill nulls → drop null dates →
+    dedup keep-first → location clean → text clean → drop unused."""
+    from job_post_similarity_spark.plans.pipeline import jobs_view_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    jobs = jobs_view_from_documents(docs)
+    out = preprocess.preprocess_jobs(jobs, order_column="lid")
+    return out.select(
+        "jobTitle", "companyName", "lid", "finalZipcode",
+        "finalState", "finalCity", "correctDate", "jobDescClean",
+    )
+
+
+def null_fill_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4: constant null-fill on props, subset null-drop on value
+    (reference: app/preprocess_data.py:41-54)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = preprocess.drop_null_rows(
+        preprocess.fill_missing(ev, {"props": "missing"}), ["value"]
+    )
+    return out.select("event_id", "user_id", "event_type", "value", "props")
+
+
+def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F8/F10/F11 scalar surface: initcap title-case, length,
+    canonical least/greatest pair, clip."""
+    p = load_table(spark, sf_dir, "part")
+    lo, hi = S.canonical_pair("p_name", "p_type")
+    return p.select(
+        "p_partkey",
+        S.title_trim("p_name").alias("name_title"),
+        F.length("p_name").alias("name_len"),
+        lo.alias("pair_lo"),
+        hi.alias("pair_hi"),
+        S.clip(F.col("p_retailprice") / 1000.0, 0.5, 1.5).alias("price_clipped"),
+    )
+
+
+def point_lookup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/S2 point lookup: fetch metadata for a fixed id list via
+    broadcast semi-join (reference: df.loc[ids], app/fetech_jd.py:94-98)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = spark.createDataFrame([(0,), (1,), (42,), (100,)], "doc_id long")
+    return (
+        docs.join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def minhash_verified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup chain: MinHash+LSH candidates → exact
+    n-gram-Jaccard verification on candidates only (rows-only; the
+    chain output is a subset of exact Jaccard pairs, property-tested)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    cand = dedup.minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, ngram=2,
+        jaccard_threshold=0.0,
+    )
+    return dedup.ngram_jaccard_on_pairs(
+        cand, docs, "doc_id", "text", n=2, threshold=0.05
+    )
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming rollup; bounded input ⇒
+    equals the batch hourly groupBy (oracle-able)."""
+    from job_post_similarity_spark.streaming.stream_ops import stream_windowed_agg
+
+    return stream_windowed_agg(spark, sf_dir)
+
+
 def stream_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming group-count over the bounded events stream
     (== batch groupBy, oracle-able)."""
@@ -553,6 +628,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_similarity_pipeline": e2e_similarity_pipeline,
         "multimodal_metadata_documents": multimodal_metadata_documents,
         "multimodal_decode_features": multimodal_decode_features,
+        "preprocess_jobs_pipeline": preprocess_jobs_pipeline,
+        "null_fill_drop_events": null_fill_drop_events,
+        "scalar_functions_part": scalar_functions_part,
+        "point_lookup_documents": point_lookup_documents,
+        "minhash_verified_documents": minhash_verified_documents,
+        "stream_windowed_counts": stream_windowed_counts,
         "stream_event_counts": stream_event_counts_q,
         "stream_dedup_keys": stream_dedup_keys,
         "random_pair_baseline": random_pair_baseline_q,
@@ -661,6 +742,75 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS payload_md5
             FROM documents
+        """,
+        "preprocess_jobs_pipeline": """
+            WITH jobs AS (
+                SELECT
+                    concat('Job ', source, ' #', CAST(doc_id % 50 AS VARCHAR)) AS jobTitle,
+                    CASE WHEN doc_id % 7 = 0 THEN NULL
+                         ELSE concat(source, ' Inc') END AS companyName,
+                    md5(CAST(doc_id AS VARCHAR)) AS lid,
+                    CASE WHEN doc_id % 17 = 0 THEN '<p>COMMON  DUPLICATE POSTING</p>'
+                         ELSE concat('<div><p>', text, '</p></div>') END AS jobDescRaw,
+                    CASE WHEN doc_id % 11 = 0 THEN NULL
+                         WHEN doc_id % 3 = 0 THEN 'fully Remote'
+                         ELSE CAST(10000 + doc_id % 89999 AS VARCHAR) END AS finalZipcode,
+                    (['CA,', ' NY', 'tx ,', 'WA'])[CAST(doc_id % 4 AS INT) + 1] AS finalState,
+                    concat('new ', lower(source), ' city') AS finalCity,
+                    CASE WHEN doc_id % 97 = 0 THEN NULL
+                         ELSE concat('2025-01-',
+                                     lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
+                                     ' 00:00:00') END AS correctDate
+                FROM documents),
+            cleaned AS (
+                SELECT *, trim(regexp_replace(
+                           regexp_replace(jobDescRaw, '<[^>]+>', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS jobDescClean
+                FROM jobs),
+            filled AS (
+                SELECT jobTitle, coalesce(companyName, 'Unknown') AS companyName,
+                       lid, coalesce(finalZipcode, 'Unknown') AS finalZipcode,
+                       finalState, finalCity, correctDate, jobDescClean
+                FROM cleaned WHERE correctDate IS NOT NULL),
+            deduped AS (
+                SELECT *, row_number() OVER
+                    (PARTITION BY jobDescClean ORDER BY lid) AS rn
+                FROM filled)
+            SELECT jobTitle, companyName, lid,
+                   regexp_replace(finalZipcode, '(?i)remote', 'REMOTE', 'g') AS finalZipcode,
+                   trim(regexp_replace(finalState, '\\s*,\\s*$', '', 'g')) AS finalState,
+                   array_to_string(list_transform(string_split(trim(finalCity), ' '),
+                       w -> concat(upper(substr(w, 1, 1)), lower(substr(w, 2)))), ' ')
+                       AS finalCity,
+                   correctDate,
+                   trim(regexp_replace(lower(jobDescClean), '\\s+', ' ', 'g')) AS jobDescClean
+            FROM deduped WHERE rn = 1
+        """,
+        "null_fill_drop_events": """
+            SELECT event_id, user_id, event_type, value,
+                   coalesce(props, 'missing') AS props
+            FROM events WHERE value IS NOT NULL
+        """,
+        "scalar_functions_part": """
+            SELECT p_partkey,
+                   array_to_string(list_transform(string_split(trim(p_name), ' '),
+                       w -> concat(upper(substr(w, 1, 1)), lower(substr(w, 2)))), ' ')
+                       AS name_title,
+                   length(p_name) AS name_len,
+                   least(p_name, p_type) AS pair_lo,
+                   greatest(p_name, p_type) AS pair_hi,
+                   least(greatest(p_retailprice / 1000.0, 0.5), 1.5) AS price_clipped
+            FROM part
+        """,
+        "point_lookup_documents": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id IN (0, 1, 42, 100) ORDER BY doc_id
+        """,
+        "stream_windowed_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "stream_event_counts": """
             SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type

@@ -245,6 +245,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_on_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs — the second stage
+    of the production dedup chain (MinHash candidates → exact verify).
+
+    Joins the texts back onto (id1, id2) and computes true n-gram
+    Jaccard only for candidates: O(|candidates|) compares instead of
+    O(n²). At 100 TB both joins shuffle on the id — the candidate set
+    is orders of magnitude smaller than the pair space, which is the
+    whole point of LSH banding.
+    """
+    g = docs.select(
+        F.col(id_col).alias("id"), word_ngrams(text_col, n).alias("grams")
+    )
+    out = (
+        pairs.select("id1", "id2")
+        .join(g.withColumnRenamed("id", "id1").withColumnRenamed("grams", "g1"), "id1")
+        .join(g.withColumnRenamed("id", "id2").withColumnRenamed("grams", "g2"), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.size(F.array_intersect("g1", "g2"))
+                / F.size(F.array_union("g1", "g2")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).orderBy(
+        F.desc("jaccard"), "id1", "id2"
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 

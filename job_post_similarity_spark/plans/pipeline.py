@@ -72,6 +72,51 @@ def run_similarity_pipeline(
     )
 
 
+def jobs_view_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic jobs-shaped view of the ``documents`` fixture —
+    reproduces the reference's raw input schema (FIXTURES.md; notebook
+    cell 0: jobTitle, companyName, lid, jobDescRaw, finalZipcode,
+    finalState, finalCity, correctDate + droppable nlp columns) so the
+    7-step preprocess composite runs on driver testdata.
+
+    Every derived column is engine-agnostic (md5/modulo/concat), so a
+    DuckDB oracle can build the identical view: nulls in companyName /
+    finalZipcode / correctDate, trailing-comma states, 'remote'
+    zipcodes, constant duplicate descriptions every 17th row.
+    """
+    did = F.col("doc_id")
+    return docs.select(
+        F.concat(F.lit("Job "), F.col("source"), F.lit(" #"), (did % 50).cast("string")).alias("jobTitle"),
+        F.when(did % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.col("source"), F.lit(" Inc")))
+        .alias("companyName"),
+        F.md5(did.cast("string")).alias("lid"),
+        F.when(did % 17 == 0, F.lit("<p>COMMON  DUPLICATE POSTING</p>"))
+        .otherwise(F.concat(F.lit("<div><p>"), F.col("text"), F.lit("</p></div>")))
+        .alias("jobDescRaw"),
+        F.when(did % 11 == 0, F.lit(None).cast("string"))
+        .when(did % 3 == 0, F.lit("fully Remote"))
+        .otherwise((F.lit(10000) + did % 89999).cast("string"))
+        .alias("finalZipcode"),
+        F.element_at(
+            F.array(F.lit("CA,"), F.lit(" NY"), F.lit("tx ,"), F.lit("WA")),
+            (did % 4 + 1).cast("int"),
+        ).alias("finalState"),
+        F.concat(F.lit("new "), F.lower(F.col("source")), F.lit(" city")).alias("finalCity"),
+        F.when(did % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("2025-01-"),
+                F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+                F.lit(" 00:00:00"),
+            )
+        )
+        .alias("correctDate"),
+        F.lit("[]").alias("nlpSkills"),
+        F.col("source").alias("scrapedLocation"),
+    )
+
+
 def qualitative_report(
     emb: DataFrame,
     meta: DataFrame,

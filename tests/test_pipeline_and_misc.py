@@ -192,3 +192,49 @@ def test_streaming_matches_batch(spark, sf_dir):
 
     wa = stream_windowed_agg(spark, sf_dir, name="t_win")
     assert wa.count() > 0
+
+
+def test_jobs_view_and_full_preprocess_on_documents(documents):
+    jobs = P.jobs_view_from_documents(documents)
+    out = P.preprocess.preprocess_jobs(jobs, order_column="lid")
+    rows = out.collect()
+    # duplicate constant descriptions collapse to one survivor
+    dupes = [r for r in rows if r["jobDescClean"] == "common duplicate posting"]
+    assert len(dupes) == 1
+    # fills applied: no nulls left in the categorical columns
+    for r in rows:
+        assert r["companyName"] is not None
+        assert r["finalZipcode"] is not None
+        assert r["correctDate"] is not None
+        assert not r["finalState"].endswith(",")
+    # location cleaning: remote normalized, city title-cased
+    assert any(r["finalZipcode"] == "fully REMOTE" for r in rows)
+    assert all(r["finalCity"].startswith("New Src") for r in rows)
+
+
+def test_ngram_jaccard_on_pairs_matches_allpairs(documents):
+    from job_post_similarity_spark.operators import dedup
+
+    docs = documents.filter(F.col("doc_id") < 40)
+    full = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
+    # verification on ALL candidate pairs must reproduce the full join
+    allpairs = (
+        docs.selectExpr("doc_id AS id1")
+        .crossJoin(docs.selectExpr("doc_id AS id2"))
+        .filter(F.col("id1") < F.col("id2"))
+    )
+    verified = dedup.ngram_jaccard_on_pairs(
+        allpairs, docs, "doc_id", "text", n=2, threshold=0.05
+    )
+    a = {(r["id1"], r["id2"], r["jaccard"]) for r in full.collect()}
+    b = {(r["id1"], r["id2"], r["jaccard"]) for r in verified.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_lookup_report_renders(documents, embeddings):
+    from job_post_similarity_spark.operators import knn
+
+    pairs = knn.similarity_pairs(embeddings, "vec_id", "embedding", threshold=0.3)
+    md = P.lookup_report(pairs, documents, "doc_id", "text")
+    assert md.startswith("# Similarity lookup report")
+    assert md.count("## ") >= 1
