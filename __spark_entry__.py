@@ -544,6 +544,24 @@ def minhash_verified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch tier (lag → flag → running sum →
+    group; one shuffle)."""
+    from job_post_similarity_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_minutes=30)
+
+
+def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user session state across micro-batches; bounded flush mode ⇒
+    equals the batch tier (same oracle)."""
+    from job_post_similarity_spark.streaming import stream_sessionize
+
+    return stream_sessionize(spark, sf_dir, gap_minutes=30)
+
+
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window streaming rollup; bounded input ⇒
     equals the batch hourly groupBy (oracle-able)."""
@@ -633,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions_part": scalar_functions_part,
         "point_lookup_documents": point_lookup_documents,
         "minhash_verified_documents": minhash_verified_documents,
+        "sessionize_events": sessionize_events,
+        "stream_sessionize_events": stream_sessionize_events,
         "stream_windowed_counts": stream_windowed_counts,
         "stream_event_counts": stream_event_counts_q,
         "stream_dedup_keys": stream_dedup_keys,
@@ -805,6 +825,44 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id IN (0, 1, 42, 100) ORDER BY doc_id
+        """,
+        "sessionize_events": """
+            WITH flagged AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            , sessed AS (
+                SELECT user_id, us,
+                       sum(new_sess) OVER
+                           (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sess_idx
+                FROM flagged)
+            SELECT user_id, min(us) AS session_start_us,
+                   max(us) AS session_end_us, count(*) AS n_events
+            FROM sessed GROUP BY user_id, sess_idx
+        """,
+        "stream_sessionize_events": """
+            WITH flagged AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            , sessed AS (
+                SELECT user_id, us,
+                       sum(new_sess) OVER
+                           (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sess_idx
+                FROM flagged)
+            SELECT user_id, min(us) AS session_start_us,
+                   max(us) AS session_end_us, count(*) AS n_events
+            FROM sessed GROUP BY user_id, sess_idx
         """,
         "stream_windowed_counts": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     preprocess,
     profiling,
     sampling,
+    sessionize,
     text_analysis,
     topk,
 )

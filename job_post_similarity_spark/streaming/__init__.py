@@ -1,5 +1,6 @@
 from .stream_ops import (  # noqa: F401
     stream_dedup,
     stream_event_counts,
+    stream_sessionize,
     stream_windowed_agg,
 )

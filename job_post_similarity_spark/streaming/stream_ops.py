@@ -96,6 +96,102 @@ def stream_dedup(
     return _run_to_memory(deduped, name, "append")
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    name: str = "stream_sessions",
+    flush_on_batch_end: bool = True,
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — per-user session state carried across
+    micro-batches in the state store.
+
+    ``flush_on_batch_end=True`` (the bounded/smoke mode) emits every
+    session — including the still-open one — at each batch and clears
+    state, so on a bounded source the output equals the batch
+    ``operators.sessionize.sessionize`` (oracle-able). Production mode
+    (``False``) keeps the open session in state and finalizes it on
+    event-time timeout — exactly-once session emission on an unbounded
+    stream.
+
+    Scale shape: state is (last_ts, session_start, count) per user —
+    O(1) per key in the per-partition state store (RocksDB on a real
+    cluster); the only shuffle is the groupBy on the user key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("sess_start", T.LongType()),
+            T.StructField("last_ts", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user,) = key
+        ts_us = []
+        for pdf in pdf_iter:
+            # ts arrives as datetime64[us] after the micros conversion
+            ts_us.extend(
+                (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            )
+        ts_us.sort()
+        if state.exists:
+            sess_start, last_ts, n = state.get
+        else:
+            sess_start = last_ts = None
+            n = 0
+        rows = []
+        for t in ts_us:
+            if last_ts is None:
+                sess_start, last_ts, n = t, t, 1
+            elif t - last_ts > gap_us:
+                rows.append((user, sess_start, last_ts, n))
+                sess_start, last_ts, n = t, t, 1
+            else:
+                last_ts, n = t, n + 1
+        if flush_on_batch_end:
+            if last_ts is not None:
+                rows.append((user, sess_start, last_ts, n))
+            state.remove()
+        elif last_ts is not None:
+            state.update((sess_start, last_ts, n))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "session_start_us", "session_end_us", "n_events",
+                ],
+            )
+
+    sessions = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(sessions, name, "append")
+
+
 def stream_windowed_agg(
     spark: SparkSession,
     sf_dir: str,

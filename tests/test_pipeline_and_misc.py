@@ -238,3 +238,22 @@ def test_lookup_report_renders(documents, embeddings):
     md = P.lookup_report(pairs, documents, "doc_id", "text")
     assert md.startswith("# Similarity lookup report")
     assert md.count("## ") >= 1
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir):
+    from job_post_similarity_spark.operators.sessionize import sessionize
+    from job_post_similarity_spark.sources.io import load_table
+    from job_post_similarity_spark.streaming import stream_sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in sessionize(ev, "user_id", "ts", 30).collect()
+    }
+    streamed = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in stream_sessionize(
+            spark, sf_dir, 30, name="t_sessions"
+        ).collect()
+    }
+    assert batch == streamed and len(batch) > 0
