@@ -544,6 +544,45 @@ def minhash_verified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parse_dates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: to_datetime(errors='coerce') — valid strings parse, garbage
+    coerces to null (notebook cell 20's disabled conversion, done right)."""
+    docs = load_table(spark, sf_dir, "documents")
+    date_str = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit("not-a-date"))
+        .otherwise(
+            F.concat(
+                F.lit("2025-"),
+                F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                F.lit(" 12:30:00"),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id", S.parse_date(date_str).alias("parsed_ts")
+    )
+
+
+def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize + frame-sample plumbing (rows-only: stub
+    decoders; batch shapes and schemas are the contract under test)."""
+    from job_post_similarity_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    resized = multimodal.resize_images(media, 16, 16).select(
+        "doc_id", F.lit("resized").alias("kind"),
+        F.length("resized").cast("long").alias("n_out_bytes"),
+    )
+    frames = multimodal.frame_sample(media).select(
+        "doc_id", F.lit("frame").alias("kind"),
+        F.length("frame_bytes").cast("long").alias("n_out_bytes"),
+    )
+    return resized.union(frames)
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization, batch tier (lag → flag → running sum →
     group; one shuffle)."""
@@ -651,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions_part": scalar_functions_part,
         "point_lookup_documents": point_lookup_documents,
         "minhash_verified_documents": minhash_verified_documents,
+        "parse_dates_documents": parse_dates_documents,
+        "multimodal_resize_frames": multimodal_resize_frames,
         "sessionize_events": sessionize_events,
         "stream_sessionize_events": stream_sessionize_events,
         "stream_windowed_counts": stream_windowed_counts,
@@ -825,6 +866,18 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id IN (0, 1, 42, 100) ORDER BY doc_id
+        """,
+        "parse_dates_documents": """
+            SELECT doc_id,
+                   try_cast(
+                       CASE WHEN doc_id % 13 = 0 THEN 'not-a-date'
+                            ELSE concat('2025-',
+                                        lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0'),
+                                        '-',
+                                        lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
+                                        ' 12:30:00') END
+                       AS TIMESTAMP) AS parsed_ts
+            FROM documents
         """,
         "sessionize_events": """
             WITH flagged AS (

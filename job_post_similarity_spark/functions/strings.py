@@ -146,6 +146,8 @@ def clip(col: Column | str, lo: float, hi: float) -> Column:
 
 def parse_date(col: Column | str) -> Column:
     """F12: pd.to_datetime(errors='coerce') analog — null on failure
-    (reference: notebook cell 20)."""
+    (reference: notebook cell 20). try_to_timestamp keeps the coerce
+    semantics under ANSI mode (Spark 4 default), where to_timestamp
+    would throw."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(c)
+    return F.try_to_timestamp(c)

@@ -129,6 +129,49 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) ->
     return df.mapInPandas(op, FRAME_SAMPLE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "resized binary"
+)
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """mapInPandas image resize: image payloads → fixed (width, height)
+    'thumbnails'. The STUB resamples the payload bytes to width×height
+    by even-stride selection — real PIL ``Image.resize`` drops in at
+    the marked line with the same batch shape. Non-image rows pass
+    through untouched dimensions with a null thumbnail (filterable
+    upstream, so the plan can prune decode work by media_type
+    JVM-side before Python is ever invoked)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                if mtype != "image":
+                    out.append(None)
+                    continue
+                # STUB: real impl = PIL decode + resize + re-encode
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:
+                    out.append(bytes(target))
+                    continue
+                idx = (np.arange(target) * arr.size) // target
+                out.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                    "resized": out,
+                }
+            )
+
+    return df.mapInPandas(op, RESIZE_SCHEMA)
+
+
 def multimodal_metadata(df: DataFrame) -> DataFrame:
     """Pure-JVM metadata pass over the binary column (no Python):
     sizes + content digest — the cheap pre-filter before any decode."""

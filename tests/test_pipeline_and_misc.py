@@ -257,3 +257,66 @@ def test_stream_sessionize_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert batch == streamed and len(batch) > 0
+
+
+def test_lsh_model_save_load_roundtrip(embeddings, tmp_path):
+    from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+
+    from job_post_similarity_spark.operators import ann
+
+    model, prepared = ann.lsh_fit(embeddings, "embedding", 2.0, 4)
+    path = str(tmp_path / "lsh_model")
+    model.write().overwrite().save(path)
+    loaded = BucketedRandomProjectionLSHModel.load(path)
+    orig = model.transform(prepared).select("vec_id", "__hashes").collect()
+    re = loaded.transform(prepared).select("vec_id", "__hashes").collect()
+    assert {(r[0], str(r[1])) for r in orig} == {(r[0], str(r[1])) for r in re}
+
+
+def test_csv_roundtrip_and_schema_peek(spark, documents, tmp_path):
+    from job_post_similarity_spark.sources import io
+
+    path = str(tmp_path / "docs_csv")
+    df = documents.select("doc_id", "source", "n_chars")
+    io.write_csv(df, path)
+    back = io.read_csv(spark, path, schema=df.schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+    assert io.schema_peek(spark, path, fmt="csv") == ["doc_id", "source", "n_chars"]
+
+
+def test_cached_stage_memoizes(spark, documents, tmp_path):
+    from job_post_similarity_spark.sources.io import cached_stage
+
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return documents.select("doc_id")
+
+    path = str(tmp_path / "stage")
+    a = cached_stage(spark, path, compute)
+    b = cached_stage(spark, path, compute)
+    assert len(calls) == 1 and a.count() == b.count() == documents.count()
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    from job_post_similarity_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_orderkey")).first()[0]
+    approx = li.select(F.approx_count_distinct("l_orderkey", 0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_multimodal_resize_and_frames(documents):
+    media = multimodal.attach_binary_payload(documents.limit(60))
+    resized = multimodal.resize_images(media, 8, 8).collect()
+    assert all(
+        (r["resized"] is None) == (r["media_type"] != "image") for r in resized
+    )
+    assert all(
+        len(r["resized"]) == 64 for r in resized if r["media_type"] == "image"
+    )
+    frames = multimodal.frame_sample(media).collect()
+    assert len(frames) > 0
+    assert all(r["frame_idx"] < 4 for r in frames)
