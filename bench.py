@@ -38,7 +38,11 @@ def main() -> None:
 
     headline = [
         "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
         "broadcast_lookup_customers",
+        "preprocess_jobs_pipeline",
+        "sessionize_events",
         "window_topk_orders",
         "dedup_keep_first_events",
         "deterministic_sample_lineitem",

@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     profiling,
     sampling,
     sessionize,
+    skew,
     text_analysis,
     topk,
 )

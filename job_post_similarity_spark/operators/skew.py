@@ -1,0 +1,71 @@
+"""Skew mitigation utilities: salted join + salted aggregation.
+
+AQE's skew-join splitting (on in session defaults) handles most skew
+at runtime by splitting oversized sort-merge partitions. These
+explicit salting operators are the belt-and-braces tier for EXTREME
+hot keys (one key ≫ one executor's memory) or for hash joins AQE
+can't split:
+
+- ``salted_join``: left rows get a random salt in [0, buckets); the
+  right side is exploded ×buckets so every (key, salt) bucket can
+  co-locate. Hot-key rows fan across ``buckets`` tasks instead of one.
+- ``salted_distinct_count``: two-stage distinct count — partial
+  distinct per (key, salt), merge per key — bounds per-task state for
+  keys whose distinct-value set would blow one task's hash table.
+
+Both are semantics-preserving (property-tested equal to the unsalted
+plan); cost is the ×buckets duplication of the right side / an extra
+shuffle stage, which is why they're opt-in per hot relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    buckets: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Inner equi-join on ``on`` with the left (skewed) side salted.
+
+    Output columns = left columns + right non-key columns (Spark's
+    ``join(on=str)`` contract). ``buckets`` bounds the per-task share
+    of any hot key at 1/buckets of its rows.
+    """
+    salt = F.floor(F.rand(seed) * buckets).cast("int")
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return l_salted.join(r_salted, [on, "__salt"]).drop("__salt")
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    key: str,
+    value: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """countDistinct(value) per key via two-stage salting.
+
+    Stage 1 dedups (key, salt-of-value, value) partially; stage 2 sums
+    partial distinct counts. The salt is derived from the VALUE hash
+    (deterministic), so equal values land in the same bucket and the
+    two-stage count is exact.
+    """
+    salted = df.select(
+        F.col(key), F.col(value), (F.pmod(F.xxhash64(F.col(value)), F.lit(buckets))).alias("__salt")
+    )
+    partial = (
+        salted.groupBy(key, "__salt")
+        .agg(F.countDistinct(value).alias("__partial"))
+    )
+    return (
+        partial.groupBy(key)
+        .agg(F.sum("__partial").alias("distinct_count"))
+    )

@@ -167,3 +167,38 @@ def test_index_for_description_dispatch():
     assert ann.index_for_description("Flat") is knn.similarity_pairs
     assert ann.index_for_description("IVF100,Flat") is ann.ivf_similarity_join
     assert ann.index_for_description("HNSW32") is ann.lsh_similarity_join
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from job_post_similarity_spark.operators import skew
+    from job_post_similarity_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("user_tag", F.concat(F.lit("u"), F.col("user_id")))
+    )
+    plain = {(r[0], r[1], r[2]) for r in ev.join(dim, "user_id").collect()}
+    salted = {
+        (r[0], r[1], r[2])
+        for r in skew.salted_join(ev, dim, "user_id", buckets=4).collect()
+    }
+    assert plain == salted and len(plain) > 0
+
+
+def test_salted_distinct_count_exact(spark, sf_dir):
+    from job_post_similarity_spark.operators import skew
+    from job_post_similarity_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        (r[0], r[1])
+        for r in ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("distinct_count"))
+        .collect()
+    }
+    salted = {
+        (r[0], r[1])
+        for r in skew.salted_distinct_count(ev, "user_id", "event_type", 4).collect()
+    }
+    assert exact == salted
