@@ -118,7 +118,6 @@ def knn_join(
                 continue
             lids = pdf[id_col].to_numpy()
             lmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            out_q, out_n, out_s, out_r = [], [], [], []
             # running top-k candidate pool across right blocks
             cand_sims = None
             cand_ids = None
@@ -146,23 +145,24 @@ def knn_join(
                     rows_idx = np.arange(len(lids))[:, None]
                     cand_sims = np.take_along_axis(cand_sims, part, axis=1)
                     cand_ids = np.take_along_axis(cand_ids, part, axis=1)
-            for i in range(len(lids)):
-                sims_i, ids_i = cand_sims[i], cand_ids[i]
-                valid = sims_i > -np.inf
-                sims_i, ids_i = sims_i[valid], ids_i[valid]
-                # order: desc similarity, asc neighbor id (stable)
-                order = np.lexsort((ids_i, -sims_i))[:k]
-                for rank, j in enumerate(order, start=1):
-                    out_q.append(lids[i])
-                    out_n.append(ids_i[j])
-                    out_s.append(sims_i[j])
-                    out_r.append(rank)
+            # vectorized final top-k (no per-row Python loop): a stable
+            # argsort by id then a stable argsort by -sim gives desc
+            # similarity with asc-id tie-break; -inf (masked self) sorts
+            # last, so valid entries form a prefix and rank = position+1
+            ido = np.argsort(cand_ids, axis=1, kind="stable")
+            cs = np.take_along_axis(cand_sims, ido, axis=1)
+            ci = np.take_along_axis(cand_ids, ido, axis=1)
+            so = np.argsort(-cs, axis=1, kind="stable")[:, :k]
+            top_s = np.take_along_axis(cs, so, axis=1)
+            top_i = np.take_along_axis(ci, so, axis=1)
+            n_l, kk = top_s.shape
+            valid = (top_s > -np.inf).ravel()
             yield pd.DataFrame(
                 {
-                    "query_id": out_q,
-                    "neighbor_id": out_n,
-                    "similarity": out_s,
-                    "rank": out_r,
+                    "query_id": np.repeat(lids, kk)[valid],
+                    "neighbor_id": top_i.ravel()[valid],
+                    "similarity": top_s.ravel()[valid],
+                    "rank": np.tile(np.arange(1, kk + 1), n_l)[valid],
                 }
             )
 
