@@ -260,6 +260,15 @@ def similarity_pairs(
     return pairs.orderBy(F.desc("similarity"), F.asc("id1"), F.asc("id2"))
 
 
+def remove_vectors(df: DataFrame, id_col: str, ids: list) -> DataFrame:
+    """V8: vector removal — the op the reference deliberately leaves
+    NotImplementedError (app/vector_search_cpu.py:157-175, 'rebuild
+    instead'). In Spark it's a filter; any downstream LSH/IVF model is
+    re-fit on the filtered frame (the 'rebuild' is a lazy plan, not an
+    index teardown)."""
+    return df.filter(~F.col(id_col).isin(ids))
+
+
 def canonicalize_pairs(
     df: DataFrame, a: str, b: str, keep: list[str] | None = None
 ) -> DataFrame:

@@ -202,3 +202,15 @@ def test_salted_distinct_count_exact(spark, sf_dir):
         for r in skew.salted_distinct_count(ev, "user_id", "event_type", 4).collect()
     }
     assert exact == salted
+
+
+def test_remove_vectors_and_distinct_union(embeddings):
+    out = knn.remove_vectors(embeddings, "vec_id", [0, 1, 2])
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert kept.isdisjoint({0, 1, 2})
+    assert out.count() == embeddings.count() - 3
+
+    a = embeddings.select("vec_id").filter(F.col("vec_id") < 10)
+    b = embeddings.select("vec_id").filter(F.col("vec_id") < 5)
+    u = dedup.distinct_union(a, b)
+    assert u.count() == 10

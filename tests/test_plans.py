@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast, shuffle counts) asserted
+against the actual optimized plans, so a refactor that silently
+de-optimizes a query fails CI, not the 100 TB run."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import re  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _nodes(plan: str, node: str) -> int:
+    """Count physical nodes by their detail headers ("(7) Exchange"),
+    which appear exactly once per node (tree lines duplicate them)."""
+    return len(re.findall(rf"^\(\d+\) {node}$", plan, re.M))
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # the shipdate predicate must reach the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    # partial + final hash aggregation (map-side combine before shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    # 6 needed columns only — no full-row scan
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "broadcast_lookup_customers")
+    assert _nodes(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_point_lookup_broadcasts_ids(spark):
+    plan = _plan(spark, "point_lookup_documents")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_dedup_single_shuffle(spark):
+    plan = _plan(spark, "dedup_keep_first_events")
+    # one exchange for the window partitioning; no second shuffle
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = _plan(spark, "sessionize_events")
+    # lag-window, running-sum window and groupBy all share the
+    # user_id hash partitioning: exactly one shuffle exchange
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_preprocess_prunes_unused_document_columns(spark):
+    plan = _plan(spark, "preprocess_jobs_pipeline")
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    # jobs view needs doc_id/source/text; lang and n_chars must be pruned
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_knn_no_shuffle_left_stream(spark):
+    plan = _plan(spark, "knn_exact_top1")
+    # blocked-BLAS tier: left side streams through mapInPandas —
+    # no exchange anywhere in the plan (right side is a broadcast var)
+    assert "Exchange" not in plan
