@@ -21,6 +21,9 @@ def _nodes(plan: str, node: str) -> int:
 
 
 def _plan(spark, name: str) -> str:
+    # other tests cache fixture tables; a cache hit swaps the parquet
+    # scan for InMemoryRelation and hides the pushdown/pruning under test
+    spark.catalog.clearCache()
     df = entrymod.queries()[name](spark, SF_DIR)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
