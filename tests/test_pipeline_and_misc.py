@@ -320,3 +320,37 @@ def test_multimodal_resize_and_frames(documents):
     frames = multimodal.frame_sample(media).collect()
     assert len(frames) > 0
     assert all(r["frame_idx"] < 4 for r in frames)
+
+
+def test_run_pipeline_cli_stages_and_memoization(spark, documents, tmp_path):
+    import os
+
+    from job_post_similarity_spark.main import run_pipeline
+
+    cfg = EngineConfig()
+    cfg.text_column, cfg.id_column = "jobDescClean", "lid"
+    cfg.index_description, cfg.similarity_threshold = "Flat", 0.90
+    cfg.embedding_dim = 32
+    raw = P.jobs_view_from_documents(documents.limit(200))
+    out = str(tmp_path / "run1")
+    pairs = run_pipeline(spark, raw, out, cfg, write_csv=True)
+    assert {"id1", "id2", "similarity"} <= set(pairs.columns)
+    for stage in ("processed", "embeddings", "similar_pairs"):
+        assert os.path.exists(os.path.join(out, stage, "_SUCCESS"))
+    csv_dir = os.path.join(out, "similarity_results_csv")
+    assert any(f.endswith(".csv") for f in os.listdir(csv_dir))
+    # memoization: second run reads checkpoints (equal result)
+    again = run_pipeline(spark, raw, out, cfg)
+    assert sorted(pairs.collect()) == sorted(again.collect())
+
+
+def test_main_entry_smoke(spark, documents, tmp_path, monkeypatch):
+    from job_post_similarity_spark import main as mainmod
+
+    monkeypatch.setenv("INDEX_DESCRIPTION", "Flat")
+    monkeypatch.setenv("TEXT_COLUMN", "jobDescClean")
+    monkeypatch.setenv("ID_COLUMN", "lid")
+    monkeypatch.setenv("EMBEDDING_DIM", "32")
+    in_path = str(tmp_path / "jobs_in")
+    P.jobs_view_from_documents(documents.limit(100)).write.parquet(in_path)
+    assert mainmod.main([in_path, str(tmp_path / "out")]) == 0
