@@ -354,3 +354,23 @@ def test_main_entry_smoke(spark, documents, tmp_path, monkeypatch):
     in_path = str(tmp_path / "jobs_in")
     P.jobs_view_from_documents(documents.limit(100)).write.parquet(in_path)
     assert mainmod.main([in_path, str(tmp_path / "out")]) == 0
+
+
+def test_run_evaluation_artifacts(spark, documents, embeddings, tmp_path):
+    import os
+
+    from job_post_similarity_spark.evaluate import run_evaluation
+
+    meta = documents.select(F.col("doc_id").alias("vec_id"), "source")
+    out = str(tmp_path / "eval")
+    arts = run_evaluation(
+        spark, embeddings, meta, out,
+        n_queries=10, n_random_pairs=100,
+    )
+    assert set(arts) == {
+        "qualitative", "random_baseline", "histogram", "lookup_report",
+    }
+    for name in ("qualitative", "random_baseline", "histogram"):
+        assert any(f.endswith(".csv") for f in os.listdir(arts[name]))
+    with open(arts["lookup_report"]) as f:
+        assert f.read().startswith("# Similarity lookup report")
