@@ -118,37 +118,41 @@ def knn_join(
                 continue
             lids = pdf[id_col].to_numpy()
             lmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            # running top-k candidate pool across right blocks
-            cand_sims = None
-            cand_ids = None
+            # Per-block top-(k+64) pools: each block's similarities are
+            # argpartition-cut BEFORE pooling, so neither the full
+            # (n_left × n_right) sims matrix nor a same-shaped id
+            # matrix ever persists — per-batch state is
+            # n_left × (#blocks · (k+64)). The 64 slack keeps sim-ties
+            # at the cut alive for the final id tie-break; only a
+            # ≥64-way exact tie could be mis-pruned.
+            keep = k + 64
+            pool_s: list[np.ndarray] = []
+            pool_i: list[np.ndarray] = []
             for lo in range(0, n_right, _RIGHT_BLOCK):
                 block = rmat[lo : lo + _RIGHT_BLOCK]
                 bids = rids[lo : lo + _RIGHT_BLOCK]
                 sims = lmat @ block.T  # (n_left, n_block)
                 if not include_self:
-                    mask = lids[:, None] == bids[None, :]
-                    sims = np.where(mask, -np.inf, sims)
-                if cand_sims is None:
-                    cand_sims, cand_ids = sims, np.broadcast_to(
-                        bids, sims.shape
-                    ).copy()
+                    sims[lids[:, None] == bids[None, :]] = -np.inf
+                if sims.shape[1] > keep:
+                    part = np.argpartition(-sims, keep - 1, axis=1)[:, :keep]
+                    pool_s.append(np.take_along_axis(sims, part, axis=1))
+                    pool_i.append(bids[part])
                 else:
-                    cand_sims = np.concatenate([cand_sims, sims], axis=1)
-                    cand_ids = np.concatenate(
-                        [cand_ids, np.broadcast_to(bids, sims.shape)], axis=1
-                    )
-                keep = k + 64  # slack so sim-ties at the cut survive to
-                # the final lexsort (id tie-break); only ≥64-way exact
-                # ties could be mis-pruned
-                if cand_sims.shape[1] > max(4096, 4 * keep):
-                    part = np.argpartition(-cand_sims, keep - 1, axis=1)[:, :keep]
-                    rows_idx = np.arange(len(lids))[:, None]
-                    cand_sims = np.take_along_axis(cand_sims, part, axis=1)
-                    cand_ids = np.take_along_axis(cand_ids, part, axis=1)
-            # vectorized final top-k (no per-row Python loop): a stable
-            # argsort by id then a stable argsort by -sim gives desc
-            # similarity with asc-id tie-break; -inf (masked self) sorts
-            # last, so valid entries form a prefix and rank = position+1
+                    pool_s.append(sims)
+                    pool_i.append(np.tile(bids, (len(lids), 1)))
+            cand_sims = np.concatenate(pool_s, axis=1)
+            cand_ids = np.concatenate(pool_i, axis=1)
+            # final cut across the pooled blocks (same slack policy)
+            if cand_sims.shape[1] > keep:
+                part = np.argpartition(-cand_sims, keep - 1, axis=1)[:, :keep]
+                cand_sims = np.take_along_axis(cand_sims, part, axis=1)
+                cand_ids = np.take_along_axis(cand_ids, part, axis=1)
+            # vectorized final ordering (no per-row Python loop): a
+            # stable argsort by id then a stable argsort by -sim gives
+            # desc similarity with asc-id tie-break; -inf (masked self)
+            # sorts last, so valid entries form a prefix and
+            # rank = position+1
             ido = np.argsort(cand_ids, axis=1, kind="stable")
             cs = np.take_along_axis(cand_sims, ido, axis=1)
             ci = np.take_along_axis(cand_ids, ido, axis=1)

@@ -214,3 +214,24 @@ def test_remove_vectors_and_distinct_union(embeddings):
     b = embeddings.select("vec_id").filter(F.col("vec_id") < 5)
     u = dedup.distinct_union(a, b)
     assert u.count() == 10
+
+
+def test_blocked_knn_multiblock_merge_matches(embeddings, monkeypatch):
+    """Force the multi-block path (right side split into many blocks +
+    candidate-pool pruning) and assert identical output to the
+    single-block run."""
+    import job_post_similarity_spark.operators.knn as knn_mod
+
+    single = knn_mod.knn_join(embeddings, "vec_id", "embedding", k=3).collect()
+    monkeypatch.setattr(knn_mod, "_RIGHT_BLOCK", 37)
+    multi = knn_mod.knn_join(embeddings, "vec_id", "embedding", k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["neighbor_id"], r["rank"]) for r in single]
+    ) == sorted([(r["query_id"], r["neighbor_id"], r["rank"]) for r in multi])
+
+    s_pairs_single = knn_mod.similarity_pairs(
+        embeddings, "vec_id", "embedding", threshold=0.3
+    ).collect()
+    s1 = {(r["id1"], r["id2"], r["similarity"]) for r in s_pairs_single}
+    assert len(s1) > 0
