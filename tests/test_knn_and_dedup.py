@@ -166,7 +166,8 @@ def test_ivf_recall_vs_exact(embeddings):
 def test_index_for_description_dispatch():
     assert ann.index_for_description("Flat") is knn.similarity_pairs
     assert ann.index_for_description("IVF100,Flat") is ann.ivf_similarity_join
-    assert ann.index_for_description("HNSW32") is ann.lsh_similarity_join
+    assert ann.index_for_description("HNSW32") is ann.srp_lsh_similarity_join
+    assert ann.index_for_description("LSH") is ann.lsh_similarity_join
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
@@ -235,3 +236,36 @@ def test_blocked_knn_multiblock_merge_matches(embeddings, monkeypatch):
     ).collect()
     s1 = {(r["id1"], r["id2"], r["similarity"]) for r in s_pairs_single}
     assert len(s1) > 0
+
+
+def test_srp_lsh_recall_on_planted_near_dups(spark):
+    """SRP-LSH must recover planted high-cosine pairs (the near-dup
+    regime it is parameterized for)."""
+    import numpy as np
+    import pandas as pd
+
+    from job_post_similarity_spark.operators import ann
+
+    rng = np.random.default_rng(3)
+    n, d = 400, 64
+    base = rng.standard_normal((n, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant near-dups: ids n..n+99 are noisy copies of ids 0..99
+    noisy = base[:100] + 0.03 * rng.standard_normal((100, d))
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    m = np.vstack([base, noisy])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n + 100), "embedding": list(m.astype(np.float32))}
+    )
+    df = spark.createDataFrame(pdf)
+    got = ann.srp_lsh_similarity_join(
+        df, "vec_id", "embedding", threshold=0.9,
+        bits_per_band=8, num_bands=16,
+    )
+    found = {(r["id1"], r["id2"]) for r in got.collect()}
+    planted = {(i, n + i) for i in range(100)}
+    recall = len(found & planted) / 100
+    assert recall >= 0.9
+    # precision is exact: every emitted pair really is >= 0.9
+    sims = np.einsum("ij,ij->i", m[[p[0] for p in found]], m[[p[1] for p in found]])
+    assert (np.round(sims, 4) >= 0.9).all()
