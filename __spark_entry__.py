@@ -486,6 +486,19 @@ def srp_lsh_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def srp_topk_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 at scale: relational SRP top-k search (no broadcast matrix)
+    for a fixed query slice against the full embedding table
+    (rows-only; planted-recall property-tested)."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ann.srp_topk_search(
+        queries_df, emb, k=3, bits_per_band=4, num_bands=24
+    )
+
+
 def ivf_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 ANN tier (IVF): KMeans-bucketed pair join at cosine ≥ 0.4
     (rows-only)."""
@@ -759,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_documents": simhash_near_dup_documents,
         "lsh_similarity_pairs": lsh_similarity_pairs,
         "srp_lsh_similarity_pairs": srp_lsh_similarity_pairs,
+        "srp_topk_search": srp_topk_search_q,
         "ivf_similarity_pairs": ivf_similarity_pairs,
         "embed_documents_hashing": embed_documents_hashing,
         "e2e_similarity_pipeline": e2e_similarity_pipeline,

@@ -139,7 +139,7 @@ def lsh_nearest_neighbors(
 def ivf_assign(
     df: DataFrame,
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 2,
     seed: int = 42,
     train_fraction: float | None = None,
@@ -156,6 +156,10 @@ def ivf_assign(
     from pyspark.ml.clustering import KMeans
 
     prepared = _to_mllib_vec(df, vec_col, "__features")
+    if n_centroids is None:
+        # Faiss guidance: C ≈ √n keeps bucket size ≈ √n, so the
+        # per-bucket pair fan-out (bucket²·C = n·√n) stays subquadratic
+        n_centroids = max(16, int(df.count() ** 0.5))
     train = (
         prepared.sample(train_fraction, seed=seed) if train_fraction else prepared
     )
@@ -321,6 +325,73 @@ def srp_lsh_similarity_join(
         )
         .filter(F.col("similarity") >= threshold)
         .orderBy(F.desc("similarity"), F.asc("id1"), F.asc("id2"))
+    )
+
+
+def srp_topk_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_band: int = 8,
+    num_bands: int = 16,
+    include_self: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k search (V5 at scale): for each query row, its
+    k highest-cosine candidates from the corpus — fully relational, no
+    broadcast matrix, so it works when the corpus outgrows the
+    blocked-BLAS tier's driver collect.
+
+    queries/corpus each emit band signatures map-side; candidates meet
+    on (band, bucket); exact dot verifies; window top-k ranks. Queries
+    whose buckets are empty simply return < k rows (the reference pads
+    with None — a LEFT join against the query set restores that if
+    needed; kept dense here).
+    """
+    qsig = srp_band_signatures(
+        queries, id_col, vec_col, bits_per_band, num_bands, seed
+    ).select(F.col(id_col).alias("query_id"), "band", "bucket")
+    csig = srp_band_signatures(
+        corpus, id_col, vec_col, bits_per_band, num_bands, seed
+    ).select(F.col(id_col).alias("neighbor_id"), "band", "bucket")
+    cand = (
+        qsig.join(csig, ["band", "bucket"])
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if not include_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.dot_cosine("__qv", "__cv").alias("similarity"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("similarity", 4).alias("similarity"),
+            "rank",
+        )
     )
 
 

@@ -269,3 +269,28 @@ def test_srp_lsh_recall_on_planted_near_dups(spark):
     # precision is exact: every emitted pair really is >= 0.9
     sims = np.einsum("ij,ij->i", m[[p[0] for p in found]], m[[p[1] for p in found]])
     assert (np.round(sims, 4) >= 0.9).all()
+
+
+def test_srp_topk_search_matches_exact_on_planted(spark):
+    """SRP top-k search must rank a query's planted near-dup first."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 64
+    base = rng.standard_normal((n, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noisy = base[:50] + 0.03 * rng.standard_normal((50, d))
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(base.astype(np.float32))}
+    ))
+    queries = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": np.arange(n, n + 50), "embedding": list(noisy.astype(np.float32))}
+    ))
+    got = ann.srp_topk_search(
+        queries, corpus, k=1, bits_per_band=8, num_bands=16
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    hits = sum(1 for i in range(50) if top1.get(n + i) == i)
+    assert hits >= 45  # ≥90% of queries find their planted source
