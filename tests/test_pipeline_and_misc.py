@@ -374,3 +374,39 @@ def test_run_evaluation_artifacts(spark, documents, embeddings, tmp_path):
         assert any(f.endswith(".csv") for f in os.listdir(arts[name]))
     with open(arts["lookup_report"]) as f:
         assert f.read().startswith("# Similarity lookup report")
+
+
+def test_run_similarity_pipeline_srp_path(spark, documents):
+    """Default HNSW-style config dispatches to the banded SRP tier;
+    its pair output must be a subset of the exact tier's."""
+    cfg = EngineConfig()
+    cfg.index_description = "HNSW32"
+    cfg.similarity_threshold = 0.90
+    approx = {
+        (r["id1"], r["id2"])
+        for r in P.run_similarity_pipeline(spark, documents, cfg).collect()
+    }
+    cfg.index_description = "Flat"
+    exact = {
+        (r["id1"], r["id2"])
+        for r in P.run_similarity_pipeline(spark, documents, cfg).collect()
+    }
+    assert approx <= exact
+
+
+def test_partitioned_write_prunes(spark, documents, tmp_path):
+    from job_post_similarity_spark.sources import io
+
+    path = str(tmp_path / "part_docs")
+    io.write_parquet(
+        documents.select("doc_id", "source", "n_chars"),
+        path,
+        partition_by=["source"],
+    )
+    back = spark.read.parquet(path).filter(F.col("source") == "src3")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # partition filter must prune at the scan, not post-filter
+    assert "PartitionFilters" in plan and "src3" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert back.count() == documents.filter(F.col("source") == "src3").count()
