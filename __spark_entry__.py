@@ -375,6 +375,29 @@ def doc_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_annotate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass text-annotation profile: integer counts (tokens,
+    stopword hits, punct/total chars) + language + fingerprint —
+    the per-document metadata a training-data pipeline attaches
+    before filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sw = F.array(*[F.lit(w) for w in
+                   __import__("job_post_similarity_spark.operators.text_analysis",
+                              fromlist=["_LANG_MARKERS"])._LANG_MARKERS["en"]])
+    return docs.select(
+        "doc_id",
+        text_analysis.token_count("text").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("sw_hits"),
+        (F.length("text")
+         - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+         ).alias("n_punct"),
+        F.length("text").alias("n_chars"),
+        text_analysis.lang_id("text").alias("lang_pred"),
+        text_analysis.doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
 def exact_dup_clusters_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content digest on the repeating events.props."""
     ev = load_table(spark, sf_dir, "events")
@@ -761,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_documents": token_count_documents,
         "quality_score_documents": quality_score_documents,
         "doc_fingerprint_documents": doc_fingerprint_documents,
+        "text_annotate_documents": text_annotate_documents,
         "exact_dup_clusters_props": exact_dup_clusters_props,
         "ngram_jaccard_documents": ngram_jaccard_documents,
         "lang_id_documents": lang_id_documents,
@@ -1237,6 +1261,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "text_annotate_documents": f"""
+            WITH toks AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+            langs AS ({_lang_id_oracle()})
+            SELECT d.doc_id,
+                   CASE WHEN trim(d.text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(d.text), '\\s+'))
+                   END AS n_tokens,
+                   len(list_filter(tk.t, x -> list_contains({_EN_MARKERS_SQL}, x)))
+                       AS sw_hits,
+                   length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g'))
+                       AS n_punct,
+                   length(d.text) AS n_chars,
+                   l.lang_pred,
+                   md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents d
+            JOIN toks tk ON d.doc_id = tk.doc_id
+            JOIN langs l ON d.doc_id = l.doc_id
         """,
         "exact_dup_clusters_props": """
             SELECT md5(props) AS text_hash, count(*) AS cnt

@@ -401,12 +401,21 @@ def index_for_description(description: str):
     ivf_similarity_join, 'LSH' → MLlib BRP-LSH (API-parity tier),
     anything else (HNSW…, the graph-index family) → banded SRP-LSH,
     the cosine-native approximate tier that actually scales."""
+    import functools
+    import re
+
     from . import knn
 
     d = description.strip().lower()
     if d == "flat":
         return knn.similarity_pairs
     if d.startswith("ivf"):
+        # Faiss-style 'IVF100,Flat' → 100 coarse centroids
+        m = re.match(r"ivf(\d+)", d)
+        if m:
+            return functools.partial(
+                ivf_similarity_join, n_centroids=int(m.group(1))
+            )
         return ivf_similarity_join
     if d.startswith("lsh"):
         return lsh_similarity_join

@@ -37,9 +37,11 @@ _RIGHT_BLOCK = 65536
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.asarray([r[0] for r in rows])
-    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    # toPandas rides the Arrow path (columnar transfer) — several times
+    # faster than row-wise collect() for wide array columns
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
     return ids, mat
 
 

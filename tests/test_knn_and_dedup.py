@@ -165,7 +165,10 @@ def test_ivf_recall_vs_exact(embeddings):
 
 def test_index_for_description_dispatch():
     assert ann.index_for_description("Flat") is knn.similarity_pairs
-    assert ann.index_for_description("IVF100,Flat") is ann.ivf_similarity_join
+    ivf = ann.index_for_description("IVF100,Flat")
+    assert ivf.func is ann.ivf_similarity_join  # functools.partial
+    assert ivf.keywords == {"n_centroids": 100}
+    assert ann.index_for_description("IVF") is ann.ivf_similarity_join
     assert ann.index_for_description("HNSW32") is ann.srp_lsh_similarity_join
     assert ann.index_for_description("LSH") is ann.lsh_similarity_join
 
