@@ -695,6 +695,36 @@ def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.union(frames)
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union+window plan, single shuffle): every
+    event enriched with the value of the user's most recent prior
+    'click' event. DuckDB mirrors with native ASOF JOIN."""
+    from job_post_similarity_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "event_type")
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("value").alias("click_value"),
+                F.col("event_id").alias("click_event_id"))
+        # unique (key, ts): keep the max event_id per instant
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id", "ts")
+                .orderBy(F.desc("click_event_id"))
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = asof_join(left, right, "user_id", "ts", ["click_event_id"])
+    return out.select(
+        "event_id", "user_id", "event_type", "click_event_id_asof"
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization, batch tier (lag → flag → running sum →
     group; one shuffle)."""
@@ -809,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_documents": minhash_verified_documents,
         "parse_dates_documents": parse_dates_documents,
         "multimodal_resize_frames": multimodal_resize_frames,
+        "asof_join_events": asof_join_events,
         "sessionize_events": sessionize_events,
         "stream_sessionize_events": stream_sessionize_events,
         "stream_windowed_counts": stream_windowed_counts,
@@ -995,6 +1026,19 @@ def oracle_sql() -> dict[str, str]:
                                         ' 12:30:00') END
                        AS TIMESTAMP) AS parsed_ts
             FROM documents
+        """,
+        "asof_join_events": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id AS click_event_id,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click')
+            SELECT e.event_id, e.user_id, e.event_type,
+                   c.click_event_id AS click_event_id_asof
+            FROM events e
+            ASOF LEFT JOIN (SELECT user_id, ts, click_event_id
+                            FROM clicks WHERE rn = 1) c
+            ON e.user_id = c.user_id AND e.ts >= c.ts
         """,
         "sessionize_events": """
             WITH flagged AS (

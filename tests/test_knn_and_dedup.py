@@ -297,3 +297,26 @@ def test_srp_topk_search_matches_exact_on_planted(spark):
     top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
     hits = sum(1 for i in range(50) if top1.get(n + i) == i)
     assert hits >= 45  # ≥90% of queries find their planted source
+
+
+def test_asof_join_semantics(spark):
+    from pyspark.sql import Row
+
+    from job_post_similarity_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([
+        Row(k="a", ts=5, tag="l1"),
+        Row(k="a", ts=10, tag="l2"),
+        Row(k="a", ts=20, tag="l3"),
+        Row(k="b", ts=7, tag="l4"),   # no right row for key b
+    ])
+    right = spark.createDataFrame([
+        Row(k="a", ts=4, v="r4"),
+        Row(k="a", ts=10, v="r10"),   # equal ts: included (<=)
+        Row(k="a", ts=15, v="r15"),
+    ])
+    out = {
+        r["tag"]: r["v_asof"]
+        for r in asof_join(left, right, "k", "ts", ["v"]).collect()
+    }
+    assert out == {"l1": "r4", "l2": "r10", "l3": "r15", "l4": None}
