@@ -49,6 +49,8 @@ def main() -> None:
         "knn_exact_top1",
         "similarity_pairs_flagship",
         "minhash_near_dup_documents",
+        "srp_lsh_similarity_pairs",
+        "asof_join_events",
         "token_count_documents",
         "doc_fingerprint_documents",
         "embed_documents_hashing",

@@ -1,0 +1,127 @@
+"""Hypothesis property tests for the pure-numpy / pure-expression
+cores — fast (no Spark jobs), they pin the algorithmic invariants the
+Spark tiers rely on."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def brute_topk(lids, lmat, rids, rmat, k, include_self):
+    """Oracle: plain O(n²) loop with the contract's tie-break."""
+    out = []
+    for i, (lid, lv) in enumerate(zip(lids, lmat)):
+        sims = rmat @ lv
+        cand = [
+            (-s, rid) for s, rid in zip(sims, rids)
+            if include_self or rid != lid
+        ]
+        cand.sort()
+        for rank, (negs, rid) in enumerate(cand[:k], start=1):
+            out.append((int(lid), int(rid), round(-negs, 9), rank))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_left=st.integers(1, 12),
+    n_right=st.integers(1, 40),
+    d=st.integers(1, 8),
+    k=st.integers(1, 6),
+    block=st.integers(1, 17),
+    include_self=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+def test_blocked_topk_matches_bruteforce(
+    n_left, n_right, d, k, block, include_self, seed
+):
+    """The per-block argpartition + pooled merge + double-stable-sort
+    selection must equal the brute-force oracle for every block size,
+    including ties (duplicated vectors)."""
+    import job_post_similarity_spark.operators.knn as knn_mod
+
+    rng = np.random.default_rng(seed)
+    rmat = rng.integers(-2, 3, size=(n_right, d)).astype(np.float64)
+    # duplicate some right rows to force similarity ties
+    if n_right >= 4:
+        rmat[1] = rmat[0]
+        rmat[3] = rmat[2]
+    rids = np.arange(n_right)
+    lids = np.arange(min(n_left, n_right))  # overlap ids to hit self-mask
+    lmat = rmat[: len(lids)].copy()
+
+    expected = brute_topk(lids, lmat, rids, rmat, k, include_self)
+
+    # run the same selection the mapInPandas op performs
+    keep = k + 64
+    pool_s, pool_i = [], []
+    for lo in range(0, n_right, block):
+        blk = rmat[lo : lo + block]
+        bids = rids[lo : lo + block]
+        sims = lmat @ blk.T
+        if not include_self:
+            sims[lids[:, None] == bids[None, :]] = -np.inf
+        if sims.shape[1] > keep:
+            part = np.argpartition(-sims, keep - 1, axis=1)[:, :keep]
+            pool_s.append(np.take_along_axis(sims, part, axis=1))
+            pool_i.append(bids[part])
+        else:
+            pool_s.append(sims)
+            pool_i.append(np.tile(bids, (len(lids), 1)))
+    cand_s = np.concatenate(pool_s, axis=1)
+    cand_i = np.concatenate(pool_i, axis=1)
+    if cand_s.shape[1] > keep:
+        part = np.argpartition(-cand_s, keep - 1, axis=1)[:, :keep]
+        cand_s = np.take_along_axis(cand_s, part, axis=1)
+        cand_i = np.take_along_axis(cand_i, part, axis=1)
+    ido = np.argsort(cand_i, axis=1, kind="stable")
+    cs = np.take_along_axis(cand_s, ido, axis=1)
+    ci = np.take_along_axis(cand_i, ido, axis=1)
+    so = np.argsort(-cs, axis=1, kind="stable")[:, :k]
+    top_s = np.take_along_axis(cs, so, axis=1)
+    top_i = np.take_along_axis(ci, so, axis=1)
+    got = []
+    for i in range(len(lids)):
+        rank = 0
+        for j in range(top_s.shape[1]):
+            if top_s[i, j] == -np.inf:
+                continue
+            rank += 1
+            got.append((int(lids[i]), int(top_i[i, j]), round(float(top_s[i, j]), 9), rank))
+    assert got == expected
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(-2, 2, allow_nan=False), min_size=1, max_size=16))
+def test_l2_cosine_bridge_identity(vec):
+    """1 - ||a-b||²/2 == a·b for unit vectors (V3's premise)."""
+    a = np.asarray(vec)
+    if np.linalg.norm(a) < 1e-9:
+        return
+    a = a / np.linalg.norm(a)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(len(a))
+    b = b / np.linalg.norm(b)
+    sq = float(((a - b) ** 2).sum())
+    assert abs((1 - sq / 2) - float(a @ b)) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(0, 2**31 - 2),
+    st.integers(0, 2**31 - 2),
+    st.integers(1, 31),
+)
+def test_minhash_universal_hash_range(x, i, seed):
+    """Universal-hash lane arithmetic stays in [0, p) without overflow
+    for any shingle code (the int64 bound the aggregate relies on)."""
+    p = 2**31 - 1
+    a = (seed * 1_000_003 + i * 7_919) % p or 1
+    b = (seed * 7_907 + i * 104_729) % p
+    v = (x % p * a + b) % p
+    assert 0 <= v < p
+    assert x % p * a + b <= 2**63 - 1  # no int64 overflow
