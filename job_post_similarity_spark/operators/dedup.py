@@ -123,34 +123,24 @@ def minhash_signature(
     )
 
 
-def minhash_near_dup_pairs(
+def banded_minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 8,
     ngram: int = 3,
-    jaccard_threshold: float = 0.5,
     seed: int = 1,
 ) -> DataFrame:
-    """MinHash + LSH banding near-duplicate pairs.
-
-    shingle → minhash (map-side) → explode to (band, band_hash) keys →
-    self-join on the band bucket (the ONLY shuffle) → estimated Jaccard
-    = matching signature positions / num_hashes → threshold → canonical
-    pairs.
-
-    At 100 TB the band join's fan-out is the knob: bands·rows_per_band
-    = num_hashes; raise bands for recall, rows-per-band for precision.
-    Candidate verification against the true n-gram Jaccard can be
-    chained with ``ngram_jaccard_on_pairs``.
-    """
+    """(id, sig, band, bucket) rows — the shuffle key material for the
+    LSH band join, reusable for both the batch self-join and the
+    incremental (streaming foreachBatch) signature store."""
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(text_col, num_hashes, ngram, seed).alias("sig"),
     )
-    banded = sig.select(
+    return sig.select(
         "id",
         "sig",
         F.explode(
@@ -173,6 +163,33 @@ def minhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 1,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs.
+
+    shingle → minhash (map-side) → explode to (band, band_hash) keys →
+    self-join on the band bucket (the ONLY shuffle) → estimated Jaccard
+    = matching signature positions / num_hashes → threshold → canonical
+    pairs.
+
+    At 100 TB the band join's fan-out is the knob: bands·rows_per_band
+    = num_hashes; raise bands for recall, rows-per-band for precision.
+    Candidate verification against the true n-gram Jaccard can be
+    chained with ``ngram_jaccard_on_pairs``.
+    """
+    banded = banded_minhash_signatures(
+        df, id_col, text_col, num_hashes, bands, ngram, seed
+    )
     cand = (
         banded.alias("a")
         .join(

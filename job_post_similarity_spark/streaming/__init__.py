@@ -1,6 +1,7 @@
 from .stream_ops import (  # noqa: F401
     stream_dedup,
     stream_event_counts,
+    stream_near_dup_minhash,
     stream_sessionize,
     stream_windowed_agg,
 )

@@ -111,14 +111,28 @@ def stream_sessionize(
     session — including the still-open one — at each batch and clears
     state, so on a bounded source the output equals the batch
     ``operators.sessionize.sessionize`` (oracle-able). Production mode
-    (``False``) keeps the open session in state and finalizes it on
-    event-time timeout — exactly-once session emission on an unbounded
-    stream.
+    (``False``) keeps the open session in state across micro-batches
+    and emits a session only when a later batch's event closes it
+    (cross-batch stitching is tested in
+    tests/test_pipeline_and_misc.py).
 
     Scale shape: state is (last_ts, session_start, count) per user —
     O(1) per key in the per-partition state store (RocksDB on a real
     cluster); the only shuffle is the groupBy on the user key.
     """
+    sessions = _sessionize_stateful(
+        _events_stream(spark, sf_dir), gap_minutes, flush_on_batch_end
+    )
+    return _run_to_memory(sessions, name, "append")
+
+
+def _sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    flush_on_batch_end: bool = True,
+) -> DataFrame:
+    """The applyInPandasWithState transformation itself (source-
+    agnostic): events (user_id, ts timestamp) → emitted sessions."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -177,9 +191,8 @@ def stream_sessionize(
                 ],
             )
 
-    sessions = (
-        _events_stream(spark, sf_dir)
-        .select("user_id", "ts")
+    return (
+        events.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
@@ -189,7 +202,126 @@ def stream_sessionize(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _run_to_memory(sessions, name, "append")
+
+
+def stream_near_dup_minhash(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    ngram: int = 2,
+    jaccard_threshold: float = 0.5,
+    name: str = "stream_near_dup",
+):
+    """Incremental near-dup detection over a document stream: each
+    micro-batch's MinHash band signatures are joined against the
+    ACCUMULATED signature store (all previous batches), so duplicates
+    are caught across batch boundaries — the streaming counterpart of
+    the batch MinHash self-join.
+
+    foreachBatch pattern: per batch —
+      1. compute banded signatures (map-side, JVM expressions)
+      2. band-bucket join vs the parquet store → candidate pairs →
+         estimated-Jaccard filter → append to <store>/pairs
+      3. within-batch self-join pairs are found the same way
+      4. append this batch's signatures to <store>/sigs
+
+    At scale the store is a bucketed table on (band, bucket) so step 2
+    is a co-located join; state grows with the corpus, not the stream
+    window, and lives in the lake rather than the state store.
+    Returns the streaming query's emitted pairs (read back from
+    <store>/pairs).
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..operators import dedup
+
+    docs_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(text_col, T.StringType()),
+        ]
+    )
+    sigs_path = os.path.join(store_dir, "sigs")
+    pairs_path = os.path.join(store_dir, "pairs")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        banded = dedup.banded_minhash_signatures(
+            batch_df, id_col, text_col, num_hashes, bands, ngram
+        ).cache()
+        store_exists = os.path.exists(os.path.join(sigs_path, "_SUCCESS"))
+        candidates = []
+        # batch vs accumulated store (cross-batch duplicates)
+        if store_exists:
+            store = sp.read.parquet(sigs_path)
+            candidates.append(
+                banded.alias("a").join(
+                    store.alias("b"),
+                    on=[
+                        F.col("a.band") == F.col("b.band"),
+                        F.col("a.bucket") == F.col("b.bucket"),
+                        F.col("a.id") != F.col("b.id"),
+                    ],
+                )
+            )
+        # within-batch self-join
+        candidates.append(
+            banded.alias("a").join(
+                banded.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.bucket") == F.col("b.bucket"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+        )
+        pairs = None
+        for cand in candidates:
+            est = (
+                cand.select(
+                    F.least(F.col("a.id"), F.col("b.id")).alias("id1"),
+                    F.greatest(F.col("a.id"), F.col("b.id")).alias("id2"),
+                    (
+                        F.size(
+                            F.filter(
+                                F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                                lambda m: m,
+                            )
+                        )
+                        / F.lit(float(num_hashes))
+                    ).alias("est_jaccard"),
+                )
+                .filter(F.col("est_jaccard") >= jaccard_threshold)
+                .dropDuplicates(["id1", "id2"])
+            )
+            pairs = est if pairs is None else pairs.unionByName(est)
+        pairs.dropDuplicates(["id1", "id2"]).write.mode("append").parquet(
+            pairs_path
+        )
+        banded.write.mode("append").parquet(sigs_path)
+        banded.unpersist()
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .format("parquet")
+        .option("path", src_dir)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_path)
 
 
 def stream_windowed_agg(

@@ -410,3 +410,94 @@ def test_partitioned_write_prunes(spark, documents, tmp_path):
     # partition filter must prune at the scan, not post-filter
     assert "PartitionFilters" in plan and "src3" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
     assert back.count() == documents.filter(F.col("source") == "src3").count()
+
+
+def test_stream_sessionize_state_carries_across_batches(spark, tmp_path):
+    """Production mode (flush_on_batch_end=False): a session split
+    across two micro-batches must be stitched by the state store and
+    emitted once with the combined event count."""
+    import os
+
+    import pandas as pd
+
+    from job_post_similarity_spark.streaming import stream_ops
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    minute_ns = 60 * 10**9
+    # batch 0: events at minutes 0, 1 — batch 1: minute 2 (continues the
+    # session), then minute 500 (gap > 30min closes it)
+    batches = [[0, 1], [2, 500]]
+    for i, minutes in enumerate(batches):
+        pd.DataFrame(
+            {
+                "event_id": [i * 10 + j for j in range(len(minutes))],
+                "ts": [m * minute_ns for m in minutes],
+                "user_id": [7] * len(minutes),
+                "event_type": ["t"] * len(minutes),
+                "value": [1.0] * len(minutes),
+                "props": ["p"] * len(minutes),
+            }
+        ).to_parquet(os.path.join(src, f"events_{i}.parquet"))
+
+    raw = (
+        spark.readStream.schema(stream_ops.EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("path", src)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sessions = stream_ops._sessionize_stateful(
+        raw, gap_minutes=30, flush_on_batch_end=False
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_carry")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "SELECT user_id, session_start_us, session_end_us, n_events FROM t_carry"
+    ).collect()
+    # exactly one closed session: minutes 0-2, 3 events (2 from batch 0
+    # + 1 from batch 1); the minute-500 session stays open in state
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 7 and r["n_events"] == 3
+    assert r["session_start_us"] == 0
+    assert r["session_end_us"] == 2 * 60 * 10**6
+
+
+def test_stream_near_dup_finds_cross_batch_pairs(spark, tmp_path):
+    """Incremental MinHash: a duplicate arriving in a LATER batch than
+    its original must be caught against the signature store."""
+    import os
+
+    import pandas as pd
+
+    from job_post_similarity_spark.streaming import stream_near_dup_minhash
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten"
+    # batch 0: originals; batch 1: near-copy of text_a + unrelated
+    pd.DataFrame({"doc_id": [1, 2], "text": [text_a, text_b]}).to_parquet(
+        os.path.join(src, "b0.parquet")
+    )
+    pd.DataFrame(
+        {"doc_id": [3, 4], "text": [text_a, "totally different words here now"]}
+    ).to_parquet(os.path.join(src, "b1.parquet"))
+
+    pairs = stream_near_dup_minhash(
+        spark, src, str(tmp_path / "store"),
+        ngram=2, jaccard_threshold=0.5,
+    )
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (1, 3) in got          # cross-batch duplicate caught
+    assert (1, 2) not in got      # unrelated pair not emitted
