@@ -133,6 +133,50 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders in 1997 (relational
+    completeness beyond the reference's three join specializations)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1997
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def rollup_orders_by_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregate (year, priority) with subtotal + grand-total
+    rows — the grouping-sets surface Spark gives for free
+    (SURVEY.md §2.4 notes the reference lacks it)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").alias("order_year"), "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("sum_price"),
+        )
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def token_explode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF surface: posexplode of whitespace tokens into a
+    (doc_id, pos, token) table for a doc slice."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    )
+
+
 def group_count_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: value_counts top-N (notebook cell 13) on o_orderpriority."""
     return profiling.group_count_topn(
@@ -792,6 +836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "customers_without_orders": customers_without_orders,
+        "rollup_orders_by_year_priority": rollup_orders_by_year_priority,
+        "token_explode_documents": token_explode_documents,
         "group_count_topn_orders": group_count_topn_orders,
         "null_profile_events": null_profile_events,
         "distinct_counts_lineitem": distinct_counts_lineitem,
@@ -1134,6 +1181,29 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue DESC, nation ASC
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+            ORDER BY c_custkey
+        """,
+        "rollup_orders_by_year_priority": """
+            SELECT year(o_orderdate) AS order_year, o_orderpriority,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP (1, 2)
+            ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """,
+        "token_explode_documents": """
+            SELECT doc_id,
+                   CAST(pos - 1 AS INT) AS pos,
+                   token
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(text), '\\s+')) AS token,
+                         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+                  FROM documents WHERE doc_id < 10)
         """,
         "group_count_topn_orders": """
             SELECT o_orderpriority, count(*) AS cnt

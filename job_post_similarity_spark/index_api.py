@@ -1,0 +1,148 @@
+"""VectorSearch-compatible class API (reference:
+app/vector_search.py:12-301) so a user of the reference can switch
+without relearning the index object's surface.
+
+Semantics mapping:
+
+| reference                          | here                           |
+|------------------------------------|--------------------------------|
+| __init__(dim, index_desc, use_gpu) | same signature; use_gpu is a   |
+|                                    | no-op (horizontal scale)       |
+| train(embeddings)                  | no-op (IVF centroids train     |
+|                                    | lazily inside the join; kept   |
+|                                    | for API parity)                |
+| add(embeddings, ids)               | add(df) / add_arrays(mat, ids) |
+| search(queries, k) → (D, I)        | search(queries_df, k) →        |
+|                                    | DataFrame, or search_arrays    |
+|                                    | → (distances, ids) ndarrays    |
+| save/load(index_path, id_map_path) | parquet of (id, embedding) —   |
+|                                    | the id map IS a column, the    |
+|                                    | binary index is obsolete       |
+| ntotal                             | ntotal property                |
+
+The 'index' is simply the vector table (parquet-backed, distributed):
+Spark's scan+broadcast replaces Faiss's in-RAM structure, and the
+index_description picks the physical join strategy exactly like the
+reference's Flat/IVF/HNSW switch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import ann, knn
+from .schemas import require_embedding_dim
+
+
+class VectorSearch:
+    """Distributed analog of the reference's Faiss wrapper."""
+
+    def __init__(
+        self,
+        dimension: int,
+        index_description: str = "Flat",
+        use_gpu: bool = False,
+        spark: SparkSession | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.dimension = dimension
+        self.index_description = index_description
+        self.use_gpu = use_gpu  # accepted-and-ignored (reference :53-76)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._df: DataFrame | None = None
+        self._spark = spark
+
+    # -------------------------------------------------- build surface
+
+    def train(self, *_args, **_kwargs) -> None:
+        """API parity no-op: IVF centroids are (re)fit lazily inside
+        the join (reference: train-if-needed, app/vector_search.py:85-106)."""
+
+    def add(self, df: DataFrame) -> None:
+        """Add a (id, embedding) DataFrame to the index. Batching is
+        obsolete (reference batched 10k adds, app/main.py:71-97) —
+        union is lazy and distributed."""
+        require_embedding_dim(df, self.vec_col, self.dimension)
+        self._df = df if self._df is None else self._df.unionByName(df)
+        self._spark = df.sparkSession
+
+    def add_arrays(self, embeddings, ids) -> None:
+        """numpy-compat shim for reference-style callers
+        (app/vector_search.py:108-141)."""
+        import pandas as pd
+
+        assert self._spark is not None, "pass spark= for array-only usage"
+        pdf = pd.DataFrame({self.id_col: list(ids), self.vec_col: list(embeddings)})
+        self.add(self._spark.createDataFrame(pdf))
+
+    # -------------------------------------------------- query surface
+
+    def search(self, queries: DataFrame, k: int = 2) -> DataFrame:
+        """k-NN search: (query_id, neighbor_id, similarity, rank).
+        Strategy follows index_description (Flat → exact blocked-BLAS;
+        HNSW*/other → SRP-LSH candidates + exact verify)."""
+        assert self._df is not None, "index is empty — add() first"
+        d = self.index_description.strip().lower()
+        if d == "flat" or self.ntotal < 10_000:
+            return knn.knn_join(
+                queries, self.id_col, self.vec_col, k=k,
+                include_self=False, right=self._df,
+            )
+        return ann.srp_topk_search(
+            queries, self._df, k=k, id_col=self.id_col, vec_col=self.vec_col
+        )
+
+    def search_arrays(self, query_embeddings, k: int = 2):
+        """Reference-shaped output (app/vector_search.py:143-205):
+        (distances, ids) ndarrays of shape (n, k), L2 distances, -1 /
+        None padding when fewer than k neighbors exist."""
+        import numpy as np
+        import pandas as pd
+
+        assert self._df is not None and self._spark is not None
+        qids = list(range(-len(query_embeddings), 0))  # avoid id clash
+        qdf = self._spark.createDataFrame(
+            pd.DataFrame(
+                {self.id_col: qids, self.vec_col: list(query_embeddings)}
+            )
+        )
+        rows = self.search(qdf, k=k).collect()
+        n = len(query_embeddings)
+        dist = np.full((n, k), np.inf, dtype=np.float64)
+        ids = np.full((n, k), None, dtype=object)
+        for r in rows:
+            qi = int(r["query_id"]) + n  # back to 0-based position
+            rk = int(r["rank"]) - 1
+            # unit vectors: L2 = sqrt(2 - 2 cos) (reference V3 bridge)
+            dist[qi, rk] = float(np.sqrt(max(0.0, 2.0 - 2.0 * r["similarity"])))
+            ids[qi, rk] = r["neighbor_id"]
+        return dist, ids
+
+    # --------------------------------------------------- persistence
+
+    def save(self, index_path: str, id_map_path: str | None = None) -> None:
+        """Persist the index as parquet (id map obsolete — the id IS a
+        column; reference needed a pickled side-car,
+        app/vector_search.py:207-239)."""
+        assert self._df is not None
+        self._df.write.mode("overwrite").parquet(index_path)
+
+    def load(self, index_path: str, id_map_path: str | None = None) -> None:
+        assert self._spark is not None, "pass spark= before load()"
+        df = self._spark.read.parquet(index_path)
+        require_embedding_dim(df, self.vec_col, self.dimension)
+        self._df = df
+
+    @property
+    def ntotal(self) -> int:
+        """Reference: index.ntotal (app/vector_search.py:297-301)."""
+        return 0 if self._df is None else self._df.count()
+
+    def remove(self, ids: list) -> None:
+        """The op the reference refuses (NotImplementedError,
+        app/vector_search_cpu.py:157-175) — trivial here."""
+        assert self._df is not None
+        self._df = knn.remove_vectors(self._df, self.id_col, ids)

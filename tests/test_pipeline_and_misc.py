@@ -501,3 +501,44 @@ def test_stream_near_dup_finds_cross_batch_pairs(spark, tmp_path):
     got = {(r["id1"], r["id2"]) for r in pairs.collect()}
     assert (1, 3) in got          # cross-batch duplicate caught
     assert (1, 2) not in got      # unrelated pair not emitted
+
+
+def test_vector_search_class_api(spark, embeddings, tmp_path):
+    """Reference VectorSearch surface: add/search/save/load/ntotal/
+    remove, incl. the (distances, ids) array shim."""
+    import numpy as np
+
+    from job_post_similarity_spark.index_api import VectorSearch
+
+    dim = len(embeddings.first()["embedding"])
+    vs = VectorSearch(dim, "Flat", spark=spark)
+    vs.add(embeddings)
+    n = vs.ntotal
+    assert n == embeddings.count()
+
+    # DataFrame search
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    out = vs.search(queries, k=2)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(r["rank"] <= 2 for r in rows)
+
+    # array shim: self-queries must return distance ~0 at rank 1
+    q = np.asarray(
+        [r["embedding"] for r in embeddings.filter(F.col("vec_id") < 2).collect()]
+    )
+    dist, ids = vs.search_arrays(q, k=2)
+    assert dist.shape == (2, 2) and ids.shape == (2, 2)
+    assert dist[0, 0] < 1e-3 and ids[0, 0] == 0
+    assert dist[1, 0] < 1e-3 and ids[1, 0] == 1
+
+    # save / load roundtrip
+    path = str(tmp_path / "vsidx")
+    vs.save(path)
+    vs2 = VectorSearch(dim, "Flat", spark=spark)
+    vs2.load(path)
+    assert vs2.ntotal == n
+
+    # remove
+    vs2.remove([0, 1])
+    assert vs2.ntotal == n - 2
