@@ -180,6 +180,42 @@ def knn_join(
     return df.select(id_col, vec_col).mapInPandas(op, schema)
 
 
+def knn_join_passes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    include_self: bool = False,
+    right: DataFrame | None = None,
+    n_passes: int = 2,
+) -> DataFrame:
+    """Exact k-NN for right sides too large for ONE broadcast: the
+    corpus is hash-split into ``n_passes`` disjoint slices, each pass
+    runs the blocked-BLAS join against its slice's broadcast, and a
+    final per-query window merges the per-pass top-k — identical
+    contract to ``knn_join`` (property-tested equal).
+
+    Peak driver/executor memory is |corpus|/n_passes vectors instead
+    of |corpus|; the extra cost is re-scanning the left side per pass.
+    Choose n_passes = ceil(corpus_bytes / broadcast_budget).
+    """
+    right_df = right if right is not None else df
+    partial = None
+    for p in range(n_passes):
+        chunk = right_df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_passes)) == p)
+        res = knn_join(
+            df, id_col, vec_col, k=k, include_self=include_self, right=chunk
+        ).drop("rank")
+        partial = res if partial is None else partial.unionByName(res)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def similarity_pairs_expr(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -320,3 +320,21 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, "k", "ts", ["v"]).collect()
     }
     assert out == {"l1": "r4", "l2": "r10", "l3": "r15", "l4": None}
+
+
+def test_knn_join_passes_matches_single_broadcast(embeddings):
+    """Multi-pass (split-broadcast) exact kNN must equal the
+    single-broadcast tier — the memory-bounded path for corpora that
+    outgrow one broadcast."""
+    sub = embeddings.filter("vec_id < 150")
+    one = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["similarity"], 6))
+        for r in knn.knn_join(sub, "vec_id", "embedding", k=3).collect()
+    }
+    multi = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["similarity"], 6))
+        for r in knn.knn_join_passes(
+            sub, "vec_id", "embedding", k=3, n_passes=3
+        ).collect()
+    }
+    assert one == multi
