@@ -419,6 +419,18 @@ def doc_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gates (word count / mean word length /
+    symbol ratio) over documents — integer measurements + boolean
+    flags, oracle-backed."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_analysis.gopher_quality_flags(docs, "text")
+    return out.select(
+        "doc_id", "n_words", "mean_word_len_x100", "symbol_ratio_x100",
+        "pass_word_count", "pass_mean_word_len", "pass_symbol_ratio", "keep",
+    )
+
+
 def text_annotate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass text-annotation profile: integer counts (tokens,
     stopword hits, punct/total chars) + language + fingerprint —
@@ -861,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_documents": token_count_documents,
         "quality_score_documents": quality_score_documents,
         "doc_fingerprint_documents": doc_fingerprint_documents,
+        "gopher_quality_documents": gopher_quality_documents,
         "text_annotate_documents": text_annotate_documents,
         "exact_dup_clusters_props": exact_dup_clusters_props,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -1375,6 +1388,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "gopher_quality_documents": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_words,
+                       list_sum(list_transform(
+                           string_split_regex(trim(text), '\\s+'),
+                           t -> length(t))) AS total_chars,
+                       length(text) - length(replace(text, '#', '')) AS n_hash,
+                       len(string_split(text, '...')) - 1 AS n_ellipsis
+                FROM documents),
+            m AS (
+                SELECT doc_id, n_words,
+                       CASE WHEN n_words > 0
+                            THEN CAST(floor(total_chars * 100 / n_words) AS BIGINT)
+                            ELSE 0 END AS mean_word_len_x100,
+                       CASE WHEN n_words > 0
+                            THEN CAST(floor((n_hash + n_ellipsis) * 100 / n_words) AS BIGINT)
+                            ELSE 0 END AS symbol_ratio_x100
+                FROM base)
+            SELECT doc_id, n_words, mean_word_len_x100, symbol_ratio_x100,
+                   (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+                   (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
+                       AS pass_mean_word_len,
+                   (symbol_ratio_x100 <= 10) AS pass_symbol_ratio,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
+                    AND (symbol_ratio_x100 <= 10)) AS keep
+            FROM m
         """,
         "text_annotate_documents": f"""
             WITH toks AS (

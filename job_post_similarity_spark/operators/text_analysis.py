@@ -150,6 +150,54 @@ def rolling_fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_ratio_x100: int = 10,
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, §A1.1 —
+    public heuristics used across training-data pipelines): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio. Emits the
+    raw integer measurements plus one boolean per rule and the
+    composite keep flag — all JVM expressions, integer arithmetic only
+    (oracle-hash-stable).
+    """
+    c = F.col(text_col)
+    toks = F.split(F.trim(c), r"\s+")
+    n_words = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(toks))
+    total_word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    # hash/ellipsis symbol count (Gopher counts '#' and '...')
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellipsis = F.size(F.split(c, r"\.\.\.", -1)) - 1
+    mean_len_x100 = F.when(
+        n_words > 0, F.floor(total_word_chars * 100 / n_words)
+    ).otherwise(F.lit(0))
+    symbol_ratio_x100 = F.when(
+        n_words > 0, F.floor((n_hash + n_ellipsis) * 100 / n_words)
+    ).otherwise(F.lit(0))
+    flag_words = (n_words >= min_words) & (n_words <= max_words)
+    flag_mean = (mean_len_x100 >= min_mean_word_len * 100) & (
+        mean_len_x100 <= max_mean_word_len * 100
+    )
+    flag_symbols = symbol_ratio_x100 <= max_symbol_word_ratio_x100
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        mean_len_x100.cast("long").alias("mean_word_len_x100"),
+        symbol_ratio_x100.cast("long").alias("symbol_ratio_x100"),
+        flag_words.alias("pass_word_count"),
+        flag_mean.alias("pass_mean_word_len"),
+        flag_symbols.alias("pass_symbol_ratio"),
+        (flag_words & flag_mean & flag_symbols).alias("keep"),
+    )
+
+
 def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass annotation: token count, quality, language, fingerprint."""
     return df.select(

@@ -10,6 +10,7 @@ sys.path.insert(0, "/root/repo")
 import re  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -84,3 +85,42 @@ def test_knn_no_shuffle_left_stream(spark):
     # blocked-BLAS tier: left side streams through mapInPandas —
     # no exchange anywhere in the plan (right side is a broadcast var)
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """bucketBy co-location: joining two tables bucketed on the same
+    key must plan a SortMergeJoin with NO shuffle exchange — the
+    pre-partitioning strategy for repeated fact-fact joins at scale."""
+    from job_post_similarity_spark.sources.io import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, SF_DIR, "orders")
+        li = load_table(spark, SF_DIR, "lineitem")
+        o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).saveAsTable("orders_b")
+        li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).saveAsTable("lineitem_b")
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert _nodes(plan, "Exchange") == 0
+        assert "SortMergeJoin" in plan
+        # result parity with the unbucketed join
+        assert joined.count() == o.join(
+            li, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
