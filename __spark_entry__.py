@@ -133,6 +133,23 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface: same engine, ANSI SQL text via spark.sql over
+    registered views — proof the DataFrame and SQL planes share one
+    Catalyst plan space."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT c_mktsegment,
+               count(*) AS order_cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                   AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """)
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join: customers with no orders in 1997 (relational
     completeness beyond the reference's three join specializations)."""
@@ -417,6 +434,13 @@ def doc_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         text_analysis.doc_fingerprint("text").alias("fingerprint"),
     )
+
+
+def top_ngram_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition gate: most-frequent word bigram share per document
+    (doc_id < 50 slice)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return text_analysis.top_ngram_fraction(docs, "doc_id", "text", n=2)
 
 
 def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "sql_interface_revenue": sql_interface_revenue,
         "customers_without_orders": customers_without_orders,
         "rollup_orders_by_year_priority": rollup_orders_by_year_priority,
         "token_explode_documents": token_explode_documents,
@@ -873,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_documents": token_count_documents,
         "quality_score_documents": quality_score_documents,
         "doc_fingerprint_documents": doc_fingerprint_documents,
+        "top_ngram_repetition_documents": top_ngram_repetition_documents,
         "gopher_quality_documents": gopher_quality_documents,
         "text_annotate_documents": text_annotate_documents,
         "exact_dup_clusters_props": exact_dup_clusters_props,
@@ -1195,6 +1221,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
             ORDER BY revenue DESC, nation ASC
         """,
+        "sql_interface_revenue": """
+            SELECT c_mktsegment, count(*) AS order_cnt,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                       AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN
@@ -1388,6 +1422,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "top_ngram_repetition_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 50),
+            grams AS (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+1], ' ')
+                               FOR i IN range(1, len(t))]) AS gram
+                FROM toks),
+            counts AS (
+                SELECT doc_id, gram, count(*) AS cnt
+                FROM grams GROUP BY doc_id, gram),
+            agg AS (
+                SELECT doc_id, sum(cnt) AS total, max(cnt) AS max_cnt
+                FROM counts GROUP BY doc_id)
+            SELECT a.doc_id,
+                   min(c.gram) AS top_gram,
+                   a.max_cnt AS top_cnt,
+                   CAST(floor(a.max_cnt * 100 / a.total) AS BIGINT) AS top_gram_pct
+            FROM agg a JOIN counts c
+              ON a.doc_id = c.doc_id AND c.cnt = a.max_cnt
+            GROUP BY a.doc_id, a.max_cnt, a.total
         """,
         "gopher_quality_documents": """
             WITH base AS (

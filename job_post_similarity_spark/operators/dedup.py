@@ -49,8 +49,10 @@ def distinct_union(df1: DataFrame, df2: DataFrame) -> DataFrame:
 # -------------------------------------------------------- shingles/tokens
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>).
+def word_ngrams(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles of a text column (array<string>), distinct
+    by default (the MinHash/Jaccard shingle set); ``distinct=False``
+    keeps multiplicities (repetition profiling).
 
     Built-ins only: split → transform over a sliding index sequence →
     concat_ws → array_distinct. Stays in codegen; no UDF.
@@ -61,9 +63,8 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
         " ", *[F.get(toks, i + j) for j in range(n)]
     )
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0) - 1))
-    return F.array_distinct(
-        F.filter(F.transform(idx, ngram), lambda s: s.isNotNull() & (s != ""))
-    )
+    grams = F.filter(F.transform(idx, ngram), lambda s: s.isNotNull() & (s != ""))
+    return F.array_distinct(grams) if distinct else grams
 
 
 def _shingle_code(s: Column) -> Column:

@@ -198,6 +198,51 @@ def gopher_quality_flags(
     )
 
 
+def top_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Repetition gate (Gopher §A1.1 'fraction of characters in the
+    most common n-gram'): per document, the occurrence share of its
+    most frequent word n-gram, as floor(count·100/total) — integer,
+    oracle-stable.
+
+    Relational shape: explode grams → count per (doc, gram) → window
+    max — two shuffles on the doc key, both tiny (grams aggregate
+    before the window). Highly repetitive machine-generated text
+    scores high and gets filtered upstream.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import word_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n, distinct=False)).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(id_col)
+    return (
+        counts.withColumn("total", F.sum("cnt").over(w))
+        .withColumn("max_cnt", F.max("cnt").over(w))
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .groupBy(id_col, "total", "max_cnt")
+        .agg(F.min("gram").alias("top_gram"))
+        .select(
+            id_col,
+            "top_gram",
+            F.col("max_cnt").alias("top_cnt"),
+            F.floor(F.col("max_cnt") * 100 / F.col("total"))
+            .cast("long")
+            .alias("top_gram_pct"),
+        )
+    )
+
+
 def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass annotation: token count, quality, language, fingerprint."""
     return df.select(

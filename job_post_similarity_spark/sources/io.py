@@ -94,6 +94,33 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", "true").csv(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    out_path: str | None = None,
+) -> str:
+    """Lake maintenance: rewrite a parquet dataset into ~target-sized
+    files. Small-file proliferation (streaming appends, per-batch
+    writes) degrades scan parallelism and NameNode/listing pressure at
+    scale; periodic compaction is the standard fix.
+
+    Sizes by actual on-disk bytes; writes to ``out_path`` (or
+    ``<path>__compacted``) then the caller swaps — never rewrites in
+    place, so a failed compaction can't lose data.
+    """
+    import glob
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total_mb = sum(os.path.getsize(f) for f in files) / (1024 * 1024)
+    n_files = max(1, int(total_mb / target_file_mb) + (total_mb % target_file_mb > 0))
+    out = out_path or (path.rstrip("/") + "__compacted")
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
 def cached_stage(
     spark: SparkSession, path: str, compute, fmt: str = "parquet"
 ) -> DataFrame:

@@ -542,3 +542,17 @@ def test_vector_search_class_api(spark, embeddings, tmp_path):
     # remove
     vs2.remove([0, 1])
     assert vs2.ntotal == n - 2
+
+
+def test_compact_parquet_merges_small_files(spark, documents, tmp_path):
+    import glob
+    import os
+
+    from job_post_similarity_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "frag")
+    documents.select("doc_id", "text").repartition(16).write.parquet(src)
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) >= 16
+    out = compact_parquet(spark, src, target_file_mb=128)
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) == 1
+    assert spark.read.parquet(out).count() == documents.count()
