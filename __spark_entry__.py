@@ -150,6 +150,19 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def event_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set semantics beyond the reference (SURVEY §2.7 notes it has no
+    intersect/except): users who click AND view (INTERSECT) minus
+    users who purchase (EXCEPT), via Spark's set operators."""
+    ev = load_table(spark, sf_dir, "events")
+    u = lambda t, v: (  # noqa: E731
+        ev.filter((F.col("event_type") == t) & (F.col("value") > v))
+        .select("user_id")
+    )
+    both = u("click", 150.0).intersect(u("view", 150.0))
+    return both.exceptAll(u("purchase", 150.0).distinct()).distinct().orderBy("user_id")
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join: customers with no orders in 1997 (relational
     completeness beyond the reference's three join specializations)."""
@@ -873,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "sql_interface_revenue": sql_interface_revenue,
+        "event_user_set_ops": event_user_set_ops,
         "customers_without_orders": customers_without_orders,
         "rollup_orders_by_year_priority": rollup_orders_by_year_priority,
         "token_explode_documents": token_explode_documents,
@@ -1228,6 +1242,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "event_user_set_ops": """
+            SELECT user_id FROM (
+                SELECT user_id FROM events
+                WHERE event_type = 'click' AND value > 150.0
+                INTERSECT
+                SELECT user_id FROM events
+                WHERE event_type = 'view' AND value > 150.0)
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 150.0
+            ORDER BY user_id
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

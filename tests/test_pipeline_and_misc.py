@@ -556,3 +556,15 @@ def test_compact_parquet_merges_small_files(spark, documents, tmp_path):
     out = compact_parquet(spark, src, target_file_mb=128)
     assert len(glob.glob(os.path.join(out, "*.parquet"))) == 1
     assert spark.read.parquet(out).count() == documents.count()
+
+
+def test_summary_stats_approx_within_tolerance(spark, sf_dir):
+    from job_post_similarity_spark.operators import profiling
+    from job_post_similarity_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = profiling.summary_stats(li, "l_extendedprice").first()
+    approx = profiling.summary_stats(li, "l_extendedprice", approx=True).first()
+    assert approx["cnt"] == exact["cnt"]
+    for q in ("p25", "p50", "p75"):
+        assert abs(approx[q] - exact[q]) / exact[q] < 0.01
