@@ -207,6 +207,29 @@ def token_explode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single aggregate — the scan-bound
+    query whose whole plan should be one codegen stage over a pruned,
+    filter-pushed parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(d("l_extendedprice") * d("l_discount"))
+            .cast("decimal(24,8)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
 def group_count_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: value_counts top-N (notebook cell 13) on o_orderpriority."""
     return profiling.group_count_topn(
@@ -890,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": customers_without_orders,
         "rollup_orders_by_year_priority": rollup_orders_by_year_priority,
         "token_explode_documents": token_explode_documents,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "group_count_topn_orders": group_count_topn_orders,
         "null_profile_events": null_profile_events,
         "distinct_counts_lineitem": distinct_counts_lineitem,
@@ -1277,6 +1301,17 @@ def oracle_sql() -> dict[str, str]:
                          unnest(string_split_regex(trim(text), '\\s+')) AS token,
                          generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
                   FROM documents WHERE doc_id < 10)
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(24,8))
+                       AS revenue,
+                   count(*) AS cnt
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.04
+              AND l_quantity < 24
         """,
         "group_count_topn_orders": """
             SELECT o_orderpriority, count(*) AS cnt

@@ -568,3 +568,65 @@ def test_summary_stats_approx_within_tolerance(spark, sf_dir):
     assert approx["cnt"] == exact["cnt"]
     for q in ("p25", "p50", "p75"):
         assert abs(approx[q] - exact[q]) / exact[q] < 0.01
+
+
+def test_stream_windowed_append_late_data_semantics(spark, tmp_path):
+    """Append-mode watermarked window: a window is emitted once the
+    watermark passes it, and an event arriving AFTER the watermark
+    passed its window is dropped — the late-data contract."""
+    import os
+
+    import pandas as pd
+
+    from job_post_similarity_spark.streaming import stream_ops
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    hour_ns = 3600 * 10**9
+
+    def write_batch(i, hours):
+        pd.DataFrame(
+            {
+                "event_id": [i * 10 + j for j in range(len(hours))],
+                "ts": [int(h * hour_ns) for h in hours],
+                "user_id": [1] * len(hours),
+                "event_type": ["t"] * len(hours),
+                "value": [1.0] * len(hours),
+                "props": ["p"] * len(hours),
+            }
+        ).to_parquet(os.path.join(src, f"b{i}.parquet"))
+
+    write_batch(0, [0.1, 0.2])       # window [0,1)
+    write_batch(1, [6.0])            # advances watermark to 4h (2h delay)
+
+    raw = (
+        spark.readStream.schema(stream_ops.EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("path", src)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        raw.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "cnt")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()          # watermark now 4h; [0,1) emitted
+        write_batch(2, [0.5])            # late: watermark already past [0,1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r["ws"].hour: r["cnt"] for r in spark.sql("SELECT * FROM t_late").collect()}
+    # hour-0 window emitted with the ON-TIME count only (2), late event
+    # dropped; hour-6 window still open (not emitted)
+    assert out.get(0) == 2
+    assert 6 not in out
