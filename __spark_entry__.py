@@ -558,6 +558,22 @@ def strip_html_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wrapped.select("doc_id", S.strip_html("html").alias("text_clean"))
 
 
+def strip_html_fidelity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 fidelity tier: stdlib html.parser Pandas UDF (entity-exact
+    BS4 analog; rows-only — Python-side semantics, no SQL twin)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<div><p>Hello &amp; welcome.</p> "), F.col("text"),
+            F.lit(" <br/>&lt;end&gt;</div>"),
+        ).alias("html"),
+    )
+    return wrapped.select(
+        "doc_id", S.strip_html_pandas_udf()(F.col("html")).alias("text_clean")
+    )
+
+
 def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (rows-only: Java-regex lookarounds have no
     RE2/DuckDB equivalent)."""
@@ -944,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": lang_id_documents,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
         "strip_html_documents": strip_html_documents,
+        "strip_html_fidelity_documents": strip_html_fidelity_documents,
         "bpe_token_count_documents": bpe_token_count_documents,
         "similarity_histogram_pairs": similarity_histogram_pairs,
         "minhash_near_dup_documents": minhash_near_dup_documents,

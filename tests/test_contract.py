@@ -1,0 +1,47 @@
+"""Driver-contract guards: the shapes __spark_entry__ promises the
+round driver, so a refactor can't silently break the correctness
+gate."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def test_oracle_keys_subset_of_queries():
+    q = set(entrymod.queries().keys())
+    o = set(entrymod.oracle_sql().keys())
+    assert o <= q, f"oracle-only keys: {o - q}"
+
+
+def test_all_queries_callable_and_named():
+    qs = entrymod.queries()
+    assert len(qs) >= 60
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_entry_returns_lazy_dataframe(spark):
+    df = entrymod.entry(spark)
+    assert set(df.columns) == {"id1", "id2", "similarity"}
+
+
+def test_oracle_sql_parses_in_duckdb():
+    """Every oracle statement must at least PREPARE against the real
+    sf0.001 tables — catches SQL syntax drift without full execution."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"oracle '{name}' failed to parse: {e}")

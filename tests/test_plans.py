@@ -124,3 +124,11 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_q6_single_stage_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    # scan-bound query: no join, single shuffle for the global agg
+    assert _nodes(plan, "Exchange") == 1
