@@ -302,9 +302,12 @@ def srp_lsh_similarity_join(
     joins). Tune bits_per_band ≈ log2(n/target_bucket_size), bands to
     hit recall at the operating threshold.
     """
+    # persist: the signature frame feeds BOTH sides of the self-join;
+    # without it the mapInPandas signature pass runs twice. Size is
+    # n×num_bands × 20 B — negligible, LRU-evicted under pressure.
     sig = srp_band_signatures(
         df, id_col, vec_col, bits_per_band, num_bands, seed
-    )
+    ).persist()
     a = sig.select(F.col(id_col).alias("id1"), "band", "bucket")
     b = sig.select(F.col(id_col).alias("id2"), "band", "bucket")
     cand = (
