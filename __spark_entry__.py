@@ -528,6 +528,15 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
 
 
+def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact bigram-Jaccard pairs (doc_id < 40)
+    → connected components via iterative min-label propagation →
+    (id, component). Oracle: DuckDB recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
+    return dedup.connected_components(pairs)
+
+
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic stopword-marker language-ID over documents."""
     docs = load_table(spark, sf_dir, "documents")
@@ -957,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_annotate_documents": text_annotate_documents,
         "exact_dup_clusters_props": exact_dup_clusters_props,
         "ngram_jaccard_documents": ngram_jaccard_documents,
+        "dedup_clusters_documents": dedup_clusters_documents,
         "lang_id_documents": lang_id_documents,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
         "strip_html_documents": strip_html_documents,
@@ -1055,6 +1065,30 @@ def oracle_sql() -> dict[str, str]:
                            THEN 3000 - CAST(floor(n_punct * 3000 / n_char) AS BIGINT)
                            ELSE 3000 END) / 10000.0 AS quality
             FROM base
+        """,
+        "dedup_clusters_documents": """
+            WITH RECURSIVE grams AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(toks[i:i+1], ' ')
+                                      FOR i IN range(1, len(toks))]) AS g
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\\s+') AS toks
+                      FROM documents WHERE doc_id < 40)),
+            pairs AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2
+                FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+                WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+                            len(list_distinct(a.g || b.g)), 4) >= 0.05),
+            edges AS (
+                SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+            reach(id, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r
+                FROM edges e JOIN reach ON e.dst = reach.id)
+            SELECT id, min(r) AS component
+            FROM reach GROUP BY id ORDER BY id
         """,
         "lang_id_documents": _lang_id_oracle(),
         "rolling_fingerprint_documents": """

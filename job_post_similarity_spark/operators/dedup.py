@@ -412,6 +412,91 @@ def simhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the clustering
+    step between pair detection and keep-one-per-cluster emission.
+
+    Iterative min-label propagation: every vertex starts labeled with
+    its own id; each round every vertex takes the min label in its
+    closed neighborhood; stop when no label changes. Rounds needed =
+    graph diameter (near-dup clusters are small/dense, so 3-5 rounds
+    in practice; ``max_iter`` bounds pathological chains).
+
+    Spark shape: per round, one join (edges ⋈ labels) + one groupBy
+    min — both shuffle on the vertex id and reuse the same hash
+    partitioning. Convergence check is a count on the changed set
+    (a driver-side action per round, like GraphX/GraphFrames do).
+    Output: (id, component) where component = min id reachable.
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id2").alias("src"), F.col("id1").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("id", "dst2"),
+                F.col("dst") == F.col("dst2"),
+            )
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.id == neighbor_min.src, "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("id")
+
+
+def keep_cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup removal: drop every row whose id belongs to a pair
+    cluster but is not the cluster's min id (the deterministic
+    keep-first at cluster granularity). Rows in no cluster pass
+    through."""
+    comp = connected_components(pairs, max_iter)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("__loser")
+    )
+    return df.join(
+        losers, df[id_col] == F.col("__loser"), "left_anti"
+    )
+
+
 # ------------------------------------------------- embedding-cosine tier
 
 

@@ -338,3 +338,32 @@ def test_knn_join_passes_matches_single_broadcast(embeddings):
         ).collect()
     }
     assert one == multi
+
+
+def test_connected_components_and_representatives(spark):
+    from pyspark.sql import Row
+
+    # graph: {1-2, 2-3} one cluster, {10-11} another, 99 isolated (no pair)
+    pairs = spark.createDataFrame(
+        [Row(id1=1, id2=2), Row(id1=2, id2=3), Row(id1=10, id2=11)]
+    )
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"d{i}") for i in (1, 2, 3, 10, 11, 99)]
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.keep_cluster_representatives(docs, pairs).collect()
+    }
+    assert kept == {1, 10, 99}
+
+
+def test_connected_components_long_chain(spark):
+    from pyspark.sql import Row
+
+    # a path graph 0-1-2-...-9: diameter 9, exercises multi-round
+    pairs = spark.createDataFrame([Row(id1=i, id2=i + 1) for i in range(9)])
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 10
