@@ -44,13 +44,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
-    q = (
+def _run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded smoke runner: memory sink + processAllAvailable.
+
+    ``checkpoint_dir`` opts into a durable checkpoint location (state
+    store + offsets survive restarts — the production requirement);
+    default is Spark's session-temp checkpoint, right for tests.
+    """
+    writer = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .start()
     )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:

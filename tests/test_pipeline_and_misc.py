@@ -641,3 +641,12 @@ def test_get_embedder_falls_back_without_model_lib(spark):
     df = spark.createDataFrame([("hello world",)], "text string")
     out = df.select(emb(F.col("text")).alias("e")).first()
     assert len(out["e"]) == 16
+
+
+def test_annotate_one_pass(documents):
+    from job_post_similarity_spark.operators import text_analysis
+
+    out = text_analysis.annotate(documents.limit(20))
+    rows = out.collect()
+    assert {"n_tokens", "quality", "lang_pred", "fingerprint"} <= set(out.columns)
+    assert all(r["n_tokens"] > 0 and 0 <= r["quality"] <= 1 for r in rows)
