@@ -650,3 +650,19 @@ def test_annotate_one_pass(documents):
     rows = out.collect()
     assert {"n_tokens", "quality", "lang_pred", "fingerprint"} <= set(out.columns)
     assert all(r["n_tokens"] > 0 and 0 <= r["quality"] <= 1 for r in rows)
+
+
+def test_evaluate_cli_main_smoke(spark, documents, embeddings, tmp_path):
+    import os
+
+    from job_post_similarity_spark import evaluate as evmod
+
+    emb_path = str(tmp_path / "emb_in")
+    meta_path = str(tmp_path / "meta_in")
+    embeddings.write.parquet(emb_path)
+    documents.select(F.col("doc_id").alias("vec_id"), "source").write.parquet(
+        meta_path
+    )
+    out = str(tmp_path / "eval_out")
+    assert evmod.main([emb_path, meta_path, out]) == 0
+    assert os.path.exists(os.path.join(out, "lookup_report.md"))
