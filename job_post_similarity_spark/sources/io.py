@@ -61,6 +61,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     downstream arithmetic op is double-precision (matches the DuckDB
     oracle, which promotes list elements to double).
     """
+    if name == "events":
+        # the events table is TIMESTAMP(NANOS) parquet, which Spark can
+        # only read as long; set the legacy conf here (it is a runtime
+        # conf) so sessions not built by our factory — e.g. the round
+        # driver's own SparkSession — read it too
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "embeddings":
         df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))

@@ -34,6 +34,9 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # runtime conf: lets driver-owned sessions (not built by our
+    # factory) read the TIMESTAMP(NANOS) parquet as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")

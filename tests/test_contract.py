@@ -45,3 +45,18 @@ def test_oracle_sql_parses_in_duckdb():
             con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
         except Exception as e:  # pragma: no cover
             raise AssertionError(f"oracle '{name}' failed to parse: {e}")
+
+
+def test_load_table_sets_nanos_conf_itself(spark, sf_dir):
+    """The round driver runs queries in ITS OWN SparkSession; events
+    reads must not depend on our session factory having set the
+    nanosAsLong conf."""
+    from job_post_similarity_spark.sources.io import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, sf_dir, "events")
+        assert df.count() > 0
+        assert dict(df.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
