@@ -817,6 +817,7 @@ def minhash_verified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parse_dates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: to_datetime(errors='coerce') — valid strings parse, garbage
     coerces to null (notebook cell 20's disabled conversion, done right)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
     date_str = (
         F.when(F.col("doc_id") % 13 == 0, F.lit("not-a-date"))
@@ -906,6 +907,9 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch hourly groupBy (oracle-able)."""
     from job_post_similarity_spark.streaming.stream_ops import stream_windowed_agg
 
+    # timestamp-valued output: render in UTC so any driver session TZ
+    # matches DuckDB's naive parquet timestamps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return stream_windowed_agg(spark, sf_dir)
 
 
