@@ -207,6 +207,43 @@ def token_explode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q16_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: DISTINCT aggregation behind an anti-subquery —
+    distinct suppliers per return flag, excluding parts of a type
+    family. Distinct-agg plans the two-phase expand+aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    excluded = p.filter(F.col("p_type").startswith("STANDARD")).select(
+        "p_partkey"
+    )
+    return (
+        li.join(excluded, li.l_partkey == excluded.p_partkey, "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into a groupBy + join — revenue from line items below
+    20% of their part's average quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("decimal(24,8)")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: left-outer join + two-level aggregation —
     customers bucketed by how many orders they placed (zero included)."""
@@ -959,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": customers_without_orders,
         "rollup_orders_by_year_priority": rollup_orders_by_year_priority,
         "token_explode_documents": token_explode_documents,
+        "q16_distinct_suppliers": q16_distinct_suppliers,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q13_customer_distribution": q13_customer_distribution,
         "q6_forecast_revenue": q6_forecast_revenue,
         "group_count_topn_orders": group_count_topn_orders,
@@ -1374,6 +1413,23 @@ def oracle_sql() -> dict[str, str]:
                          unnest(string_split_regex(trim(text), '\\s+')) AS token,
                          generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
                   FROM documents WHERE doc_id < 10)
+        """,
+        "q16_distinct_suppliers": """
+            SELECT l_returnflag, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            WHERE l_partkey NOT IN
+                  (SELECT p_partkey FROM part WHERE p_type LIKE 'STANDARD%')
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(24,8))
+                       AS small_qty_revenue,
+                   count(*) AS cnt
+            FROM lineitem l1
+            WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)
         """,
         "q13_customer_distribution": """
             SELECT c_count, count(*) AS custdist
