@@ -77,7 +77,9 @@ def hashing_embedder(dim: int = 64, seed: int = 42):
 
 
 def sentence_transformer_embedder(
-    model_name: str = "all-MiniLM-L6-v2", batch_size: int = 64
+    model_name: str = "all-MiniLM-L6-v2",
+    batch_size: int = 64,
+    _loader=None,
 ):
     """V1 model tier (reference: app/generate_embeddings.py:25-50).
 
@@ -86,14 +88,23 @@ def sentence_transformer_embedder(
     distributed analog of the reference's single in-process model.
     Raises ImportError where sentence-transformers is unavailable
     (this container); callers fall back to ``hashing_embedder``.
+
+    ``_loader`` injects a model factory ``name -> model`` so the UDF
+    body — null fill, batch kwargs, ``normalize_embeddings=True``,
+    float32 conversion — is executable (and contract-tested) without
+    torch in the container; production callers leave it None.
     """
-    import sentence_transformers  # noqa: F401 — import-try gate
+    if _loader is None:
+        import sentence_transformers  # noqa: F401 — import-try gate
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from sentence_transformers import SentenceTransformer
+        if _loader is not None:
+            model = _loader(model_name)
+        else:
+            from sentence_transformers import SentenceTransformer
 
-        model = SentenceTransformer(model_name)
+            model = SentenceTransformer(model_name)
         for s in it:
             vecs = model.encode(
                 s.fillna("").tolist(),

@@ -152,16 +152,29 @@ def ivf_assign(
     Multi-probe on the *build* side implements the recall knob: a pair
     is found if the two vectors share any probed bucket — the Faiss
     nprobe analog (reference .env:7 'IVF100,Flat').
+
+    ``train_fraction=None`` (default) caps KMeans training at ~100k
+    sampled vectors — measured: full-set training dominated the whole
+    operator (85 s at 50k vectors vs SRP's 14 s) while centroid
+    quality at √n clusters saturates far below 100k samples. Pass 1.0
+    to force full-set training.
     """
     from pyspark.ml.clustering import KMeans
 
     prepared = _to_mllib_vec(df, vec_col, "__features")
+    n = None
+    if n_centroids is None or train_fraction is None:
+        n = df.count()
     if n_centroids is None:
         # Faiss guidance: C ≈ √n keeps bucket size ≈ √n, so the
         # per-bucket pair fan-out (bucket²·C = n·√n) stays subquadratic
-        n_centroids = max(16, int(df.count() ** 0.5))
+        n_centroids = max(16, int(n**0.5))
+    if train_fraction is None:
+        train_fraction = min(1.0, 100_000 / max(n, 1))
     train = (
-        prepared.sample(train_fraction, seed=seed) if train_fraction else prepared
+        prepared.sample(train_fraction, seed=seed)
+        if train_fraction < 1.0
+        else prepared
     )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__features")
     model = km.fit(train)
@@ -230,6 +243,7 @@ def srp_band_signatures(
     bits_per_band: int = 8,
     num_bands: int = 16,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Signed-random-projection (hyperplane) LSH signatures for COSINE,
     banded for AND/OR amplification: ``bits_per_band`` sign bits packed
@@ -243,16 +257,23 @@ def srp_band_signatures(
 
     Map-side only: one matmul against the broadcast hyperplane matrix
     per Arrow batch, no shuffle. Output: (id, band, bucket).
+
+    ``dim`` skips the one-row probe job that otherwise discovers the
+    vector width — pass it when known (callers in a loop / streaming).
     """
     import numpy as np
     import pandas as pd
 
-    first = df.select(vec_col).head(1)
-    if not first:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, band int, bucket long"
-        )
-    dim = len(first[0][0])
+    id_type_s = df.schema[id_col].dataType.simpleString()
+    if dim is None:
+        first = df.select(vec_col).head(1)
+        if not first:
+            # schema-consistent empty frame: id keeps the INPUT's type
+            # (a string-keyed table must not come back long-keyed)
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} {id_type_s}, band int, bucket long"
+            )
+        dim = len(first[0][0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bands * bits_per_band, dim))
     bc = df.sparkSession.sparkContext.broadcast(planes)
@@ -277,9 +298,8 @@ def srp_band_signatures(
                 }
             )
 
-    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        op, f"{id_col} {id_type}, band int, bucket long"
+        op, f"{id_col} {id_type_s}, band int, bucket long"
     )
 
 
@@ -431,6 +451,49 @@ def auto_similarity_join(
         )
     return ivf_similarity_join(
         df, id_col, vec_col, threshold, n_centroids=None, seed=seed
+    )
+
+
+def auto_topk_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+    broadcast_row_budget: int = 1_000_000,
+    bits_per_band: int = 8,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Size-dispatched top-k search facade — the default entry point
+    for V5-style queries so no public path reaches the driver-collect
+    broadcast tier on a corpus that can't fit one broadcast:
+
+    - corpus ≤ broadcast_row_budget → exact blocked-BLAS
+      (`knn.knn_join`, f32 broadcast matrix), else
+    - relational SRP-LSH search (`srp_topk_search`) — no driver
+      collect, shuffles (id, band, bucket) triples only.
+
+    Output contract of both tiers: (query_id, neighbor_id,
+    similarity, rank), desc-similarity/asc-id tie-break.
+    """
+    n = corpus.count()
+    if n <= broadcast_row_budget:
+        from . import knn
+
+        out = knn.knn_join(
+            queries, id_col, vec_col, k=k, include_self=include_self,
+            right=corpus,
+        )
+        return out.select(
+            "query_id", "neighbor_id",
+            F.round("similarity", 4).alias("similarity"), "rank",
+        )
+    return srp_topk_search(
+        queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
+        bits_per_band=bits_per_band, num_bands=num_bands,
+        include_self=include_self, seed=seed,
     )
 
 

@@ -41,10 +41,21 @@ def asof_join(
     if (key, ts) is unique on the right — enforce upstream).
     """
     lcols = left.columns
+    # ONE struct carries all value_cols: the matched right row wins or
+    # loses atomically. Per-column last(c, ignorenulls) would (a)
+    # backfill a NULL value from an OLDER right row and (b) mix columns
+    # from different right rows — both diverge from ASOF JOIN semantics.
+    r_struct_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        )
+        + ">"
+    )
     l_tagged = left.select(
-        *lcols, F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in value_cols],
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tagged = right.select(
         *[
@@ -53,7 +64,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
     )
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -67,9 +78,9 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "__side",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__rlast"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col(f"__rlast.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

@@ -62,7 +62,13 @@ def word_ngrams(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
     ngram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.get(toks, i + j) for j in range(n)]
     )
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0) - 1))
+    # guard: texts with < n tokens yield NO shingles. An unguarded
+    # sequence(0, size-n) produces the DESCENDING [0, -1] there,
+    # emitting a truncated partial gram twice — which inflated
+    # multiplicity counts under distinct=False.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.filter(F.transform(idx, ngram), lambda s: s.isNotNull() & (s != ""))
     return F.array_distinct(grams) if distinct else grams
 
@@ -506,9 +512,10 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-dup — delegates to the flagship exact pair
-    join (operators.knn.similarity_pairs); the ANN tier
-    (operators.ann) is the scale path."""
-    from .knn import similarity_pairs
+    """Embedding-cosine near-dup — routes through the size-dispatched
+    facade (operators.ann.auto_similarity_join): exact blocked-BLAS
+    below the broadcast budget, banded SRP-LSH / IVF beyond it — so
+    this public path can never driver-collect an oversized corpus."""
+    from .ann import auto_similarity_join
 
-    return similarity_pairs(df, id_col, vec_col, threshold)
+    return auto_similarity_join(df, id_col, vec_col, threshold)

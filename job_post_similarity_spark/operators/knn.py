@@ -36,12 +36,29 @@ from ..functions import vectors as V
 _RIGHT_BLOCK = 65536
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+# Hard ceiling on rows collected for a broadcast matrix: beyond this
+# the driver collect + broadcast becomes the scale killer (1M × 384
+# f32 ≈ 1.5 GB). Callers needing more route through knn_join_passes
+# (split broadcast) or ann.srp_topk_search / ann.auto_similarity_join.
+_MAX_BROADCAST_ROWS = 1_000_000
+
+
+def _collect_matrix(
+    df: DataFrame, id_col: str, vec_col: str, max_rows: int = _MAX_BROADCAST_ROWS
+):
     # toPandas rides the Arrow path (columnar transfer) — several times
-    # faster than row-wise collect() for wide array columns
-    pdf = df.select(id_col, vec_col).toPandas()
+    # faster than row-wise collect() for wide array columns. float32
+    # matrix: halves the broadcast vs f64; blocks upcast at compute
+    # time so the dot products still run in float64.
+    pdf = df.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"broadcast side exceeds {max_rows} rows — use knn_join_passes "
+            "(split broadcast) or ann.auto_similarity_join / "
+            "ann.srp_topk_search (relational ANN) instead"
+        )
     ids = pdf[id_col].to_numpy()
-    mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+    mat = np.asarray(list(pdf[vec_col]), dtype=np.float32)
     return ids, mat
 
 
@@ -131,7 +148,9 @@ def knn_join(
             pool_s: list[np.ndarray] = []
             pool_i: list[np.ndarray] = []
             for lo in range(0, n_right, _RIGHT_BLOCK):
-                block = rmat[lo : lo + _RIGHT_BLOCK]
+                # broadcast matrix is f32 (half the shipping cost);
+                # upcast per block so the dot runs in f64 (oracle-exact)
+                block = rmat[lo : lo + _RIGHT_BLOCK].astype(np.float64)
                 bids = rids[lo : lo + _RIGHT_BLOCK]
                 sims = lmat @ block.T  # (n_left, n_block)
                 if not include_self:
@@ -268,10 +287,19 @@ def similarity_pairs(
     matrix with BLAS and emits only the surviving pairs. The n² pair
     set is never materialized; output size is governed by the
     threshold.
+
+    Rounding happens in the JVM (``F.round``, HALF_UP on the decimal
+    repr) — NOT in numpy: ``np.round`` is banker's half-even on the
+    binary value, which can differ from ``F.round``/SQL ROUND for
+    similarities landing on a rounding boundary, breaking the
+    identical-output contract between tiers. The UDF emits raw doubles
+    above ``threshold - margin`` (margin = half an ulp of the rounding
+    grid) so no pair that would round up across the threshold is lost.
     """
     ids_r, mat_r = _collect_matrix(df, id_col, vec_col)
     bc = df.sparkSession.sparkContext.broadcast((ids_r, mat_r))
     n_right = len(ids_r)
+    margin = 0.51 * 10.0 ** (-round_digits)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rids, rmat = bc.value
@@ -281,11 +309,13 @@ def similarity_pairs(
             lids = pdf[id_col].to_numpy()
             lmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             for lo in range(0, n_right, _RIGHT_BLOCK):
-                block = rmat[lo : lo + _RIGHT_BLOCK]
+                block = rmat[lo : lo + _RIGHT_BLOCK].astype(np.float64)
                 bids = rids[lo : lo + _RIGHT_BLOCK]
-                sims = np.round(lmat @ block.T, round_digits)
+                sims = lmat @ block.T
                 # canonical enumeration: only id1 < id2 pairs emit
-                hit = (sims >= threshold) & (lids[:, None] < bids[None, :])
+                hit = (sims >= threshold - margin) & (
+                    lids[:, None] < bids[None, :]
+                )
                 li, ri = np.nonzero(hit)
                 if len(li):
                     yield pd.DataFrame(
@@ -299,7 +329,13 @@ def similarity_pairs(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"id1 {id_type}, id2 {id_type}, similarity double"
     pairs = df.select(id_col, vec_col).mapInPandas(op, schema)
-    return pairs.orderBy(F.desc("similarity"), F.asc("id1"), F.asc("id2"))
+    return (
+        pairs.select(
+            "id1", "id2", F.round("similarity", round_digits).alias("similarity")
+        )
+        .filter(F.col("similarity") >= threshold)
+        .orderBy(F.desc("similarity"), F.asc("id1"), F.asc("id2"))
+    )
 
 
 def remove_vectors(df: DataFrame, id_col: str, ids: list) -> DataFrame:
@@ -332,22 +368,37 @@ def random_pair_baseline(
     (reference: app/evaluation.py:182-199, 5000 random pairs) — the
     statistical baseline that justified the 0.90 threshold.
 
-    Seeded rand-keyed pairing: deterministic under a fixed seed and
-    partitioning; O(n) not O(n²).
+    Hash-keyed pairing, fully distributed: every row lands in one of
+    ``n_pairs`` groups via a seeded xxhash64 (a deterministic stand-in
+    for rand() that any engine reproduces); within each group a
+    PARTITIONED window ranks by the same hash and the top two rows
+    form the group's pair. No global sort (the previous
+    ``Window.orderBy(rand)`` funneled every row through ONE task —
+    Spark warns about exactly this), no driver-side count() action,
+    O(n) work.
+
+    Emits up to ``n_pairs`` pairs: a group with fewer than two rows
+    yields none, so the expected yield is
+    n_pairs · (1 - e^-λ(1+λ)), λ = n/n_pairs — ≥ 99% of n_pairs once
+    n ≥ 8·n_pairs, which holds for the reference's regime
+    (90k rows, 5k pairs). Deterministic for a fixed (data, seed).
     """
     keyed = df.select(
         F.col(id_col).alias("pid"), F.col(vec_col).alias("vec")
-    ).withColumn("rk", F.row_number().over(Window.orderBy(F.rand(seed))))
-    n = keyed.count()
-    half = n // 2
-    left = keyed.filter(F.col("rk") <= half)
-    right = keyed.filter(F.col("rk") > half).withColumn(
-        "rk", F.col("rk") - half
+    ).withColumn(
+        "grp", F.pmod(F.xxhash64(F.col("pid"), F.lit(seed)), F.lit(n_pairs))
+    ).withColumn(
+        "subkey", F.xxhash64(F.col("pid"), F.lit(seed + 1))
     )
+    w = Window.partitionBy("grp").orderBy(F.asc("subkey"), F.asc("pid"))
+    ranked = keyed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    left = ranked.filter(F.col("rn") == 1)
+    right = ranked.filter(F.col("rn") == 2)
     return (
         left.alias("a")
-        .join(right.alias("b"), "rk")
-        .limit(n_pairs)
+        .join(right.alias("b"), "grp")
         .select(
             F.col("a.pid").alias("id1"),
             F.col("b.pid").alias("id2"),

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..config import EngineConfig
 from ..functions import embed as E
 from ..functions import strings as S
-from ..operators import ann, knn, preprocess, sampling, topk
+from ..operators import ann, preprocess, sampling, topk
 
 
 def embed_documents(
@@ -130,7 +130,7 @@ def qualitative_report(
     n_queries, k-NN search, broadcast title lookup (J2), pivot into
     Neighbor_{j}_{ID,Title,Similarity} slots (W2), null-padded."""
     queries = sampling.sample_exact_n(emb, n_queries, seed)
-    nn = knn.knn_join(queries, id_col, "embedding", k=k, right=emb)
+    nn = ann.auto_topk_search(queries, emb, k=k, id_col=id_col)
     titles = meta.select(
         F.col(id_col).alias("__tid"), F.col(title_col).alias("__title")
     )

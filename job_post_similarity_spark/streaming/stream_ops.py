@@ -358,15 +358,16 @@ def stream_windowed_agg(
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("decimal(18,4)")
-            .alias("sum_value"),
+            # DECIMAL sum internally (order-independent addition); final
+            # projection is round(double, 4) — driver-hash-safe (Decimal
+            # renders engine-dependently once pandas is involved)
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__sv"),
         )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
             "cnt",
-            "sum_value",
+            F.round(F.col("__sv").cast("double"), 4).alias("sum_value"),
         )
     )
     return _run_to_memory(agg, name, "complete")

@@ -1,15 +1,35 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICTER than the
+driver on purpose.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB over the same parquet tables, then compares row count,
-column names, and an order-insensitive value hash. Usage:
+column names, and an order-insensitive value hash built from
+TYPE-TAGGED, FULL-PRECISION cell renderings (``repr`` for floats, a
+type prefix per cell). Round-1 lesson: a ``%.6g`` float format let 12
+DECIMAL-output queries pass locally while the driver (which pipes
+results through pandas/float64) hash-failed them all.
+
+Two extra hard rules make "local green ⇒ driver green":
+
+1. Any ``decimal.Decimal`` cell on either side fails the query as
+   ``driver-unsafe type`` — Spark DecimalType and DuckDB DECIMAL /
+   HUGEINT render engine-dependently once pandas is involved. Final
+   projections must emit double/bigint (DuckDB results are fetched via
+   Arrow, so HUGEINT surfaces as decimal128 and is caught too).
+2. Floats hash by ``repr`` (shortest round-trip, full precision) —
+   both engines must produce the bit-identical IEEE double.
+
+Usage:
 
     python tools/check_oracles.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import hashlib
+import math
 import sys
 import time
 
@@ -21,21 +41,40 @@ TABLES = [
 
 
 def normalize_cell(v) -> str:
-    import datetime
-    import math
-
+    """Type-tagged, full-precision rendering. Two cells hash equal iff
+    a pandas/Arrow round-trip on the driver would render them equal:
+    ints of any width collapse (the driver hashed Spark int vs DuckDB
+    BIGINT equal in round 1), bools/floats/strings/timestamps are
+    distinct families, Decimal is tagged so it can never silently
+    match a float."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # driver-style stable float rendering
-        return f"{v:.6g}"
+            return "d:NaN"
+        return f"d:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"DEC:{v}"
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
+        return f"t:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(normalize_cell(x) for x in v) + "]"
-    return str(v)
+    return f"s:{v}"
+
+
+def find_unsafe(rows: list[tuple]) -> str | None:
+    """First driver-unsafe cell type in the result, or None."""
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, decimal.Decimal):
+                return f"col #{i} is Decimal ({v})"
+    return None
 
 
 def value_hash(columns: list[str], rows: list[tuple]) -> str:
@@ -44,6 +83,16 @@ def value_hash(columns: list[str], rows: list[tuple]) -> str:
         "\x1f".join(normalize_cell(r[i]) for i in order) for r in rows
     )
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def _duck_rows(con, sql: str) -> tuple[list[str], list[tuple]]:
+    """Fetch DuckDB results via Arrow so HUGEINT (arrow decimal128)
+    and DECIMAL surface as decimal.Decimal for the unsafe-type check
+    instead of silently collapsing to Python int/float."""
+    tbl = con.execute(sql).arrow()
+    cols = list(tbl.schema.names)
+    pyrows = tbl.to_pylist()
+    return cols, [tuple(d[c] for c in cols) for d in pyrows]
 
 
 def main() -> int:
@@ -78,16 +127,24 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        unsafe = find_unsafe(srows)
+        if unsafe:
+            print(f"FAIL {name}: spark output driver-unsafe: {unsafe}")
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"pass {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows = _duck_rows(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        unsafe = find_unsafe(drows)
+        if unsafe:
+            print(f"FAIL {name}: oracle output driver-unsafe: {unsafe}")
             failures.append(name)
             continue
         problems = []
