@@ -822,6 +822,19 @@ def srp_topk_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shard_topk_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 sharded-serving tier (the HNSW-shaped search path): corpus
+    stays on executors, query batch broadcast, per-shard top-k + window
+    merge. The numpy shard index is exact, so this shares
+    cosine_topk_search's oracle — same contract, inverted data
+    movement (reference HNSW32: app/main.py:47)."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ann.shard_topk_search(queries_df, emb, k=3)
+
+
 def ivf_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 ANN tier (IVF): KMeans-bucketed pair join at cosine ≥ 0.4
     (rows-only)."""
@@ -1171,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_similarity_pairs": lsh_similarity_pairs,
         "srp_lsh_similarity_pairs": srp_lsh_similarity_pairs,
         "srp_topk_search": srp_topk_search_q,
+        "shard_topk_search": shard_topk_search_q,
         "ivf_similarity_pairs": ivf_similarity_pairs,
         "embed_documents_hashing": embed_documents_hashing,
         "e2e_similarity_pipeline": e2e_similarity_pipeline,
@@ -1732,6 +1746,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
         """,
         "cosine_topk_search": f"""
+            SELECT query_id, neighbor_id, round(similarity, 4) AS similarity,
+                   rn AS rank
+            FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                         {_COS} AS similarity,
+                         row_number() OVER
+                             (PARTITION BY a.vec_id
+                              ORDER BY {_COS} DESC, b.vec_id ASC) AS rn
+                  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+                  WHERE a.vec_id < 5)
+            WHERE rn <= 3
+        """,
+        "shard_topk_search": f"""
             SELECT query_id, neighbor_id, round(similarity, 4) AS similarity,
                    rn AS rank
             FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -50,6 +50,7 @@ def main() -> None:
         "similarity_pairs_flagship",
         "minhash_near_dup_documents",
         "srp_lsh_similarity_pairs",
+        "ivf_similarity_pairs",
         "asof_join_events",
         "token_count_documents",
         "doc_fingerprint_documents",

@@ -144,6 +144,7 @@ def ivf_assign(
     seed: int = 42,
     train_fraction: float | None = None,
     id_col: str = "vec_id",
+    max_iter: int = 10,
 ) -> tuple[DataFrame, "object"]:
     """IVF coarse quantization: KMeans centroids (trained on a seeded
     sample), every vector assigned to its ``n_probe`` nearest centroids.
@@ -176,7 +177,12 @@ def ivf_assign(
         if train_fraction < 1.0
         else prepared
     )
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features")
+    # coarse quantizer, not a clustering deliverable: capped Lloyd
+    # iterations — bucket assignment quality saturates early and the
+    # verify step downstream is exact anyway
+    km = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__features", maxIter=max_iter
+    )
     model = km.fit(train)
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
@@ -454,6 +460,129 @@ def auto_similarity_join(
     )
 
 
+def shard_topk_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+    use_faiss: str = "auto",
+    hnsw_m: int = 32,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """V5 for corpus-at-scale with a bounded query set — the sharded
+    index-serving shape, and the honest distributed equivalent of the
+    reference's HNSW tier (INDEX_DESCRIPTION=HNSW32, app/main.py:47,
+    app/vector_search.py:42-47): where the reference builds ONE
+    in-RAM graph over the whole corpus, this shards the corpus across
+    partitions, searches each shard independently with a local index,
+    and merges per-shard top-k with a window — queries × shards
+    candidate rows shuffle, the corpus itself never moves.
+
+    Per-shard index: ``use_faiss='auto'`` builds a faiss
+    ``IndexHNSWFlat(dim, hnsw_m)`` per Arrow batch when faiss is
+    importable (absent in this container — the numpy path is the one
+    exercised by tests); otherwise exact BLAS top-k per shard, making
+    the merged result exact (equal to ``knn.knn_join``,
+    property-tested). HNSW recall caveats apply only to the faiss
+    path, per shard.
+
+    Contrast with the broadcast tiers: ``knn.knn_join`` collects the
+    CORPUS (right side) to the driver — inverted here, the QUERY set
+    is the broadcast side (guarded by ``max_query_rows``), which is
+    the regime of interactive/eval search against a huge lake.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_pdf = queries.select(id_col, vec_col).limit(max_query_rows + 1).toPandas()
+    if len(q_pdf) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds {max_query_rows} rows — for pair-join "
+            "workloads use auto_similarity_join; for huge query sets "
+            "use srp_topk_search (fully relational)"
+        )
+    q_ids = q_pdf[id_col].to_numpy()
+    q_mat = np.asarray(list(q_pdf[vec_col]), dtype=np.float32)
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    def op(batches):
+        qids, qmat = bc.value
+        if len(qids) == 0:
+            return
+        qm64 = qmat.astype(np.float64)
+        faiss = None
+        if use_faiss in ("auto", "force"):
+            try:
+                import faiss as _faiss  # noqa: F401
+
+                faiss = _faiss
+            except ImportError:
+                if use_faiss == "force":
+                    raise
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf[id_col].to_numpy()
+            cmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            # +1 survives self-exclusion, +8 keeps equal-similarity
+            # ties alive for the merge's asc-id tie-break (same slack
+            # policy as knn.knn_join)
+            kk = min(k + 9, len(cids))
+            if faiss is not None:
+                index = faiss.IndexHNSWFlat(cmat.shape[1], hnsw_m)
+                index.add(cmat.astype(np.float32))
+                # L2 on unit vectors ≡ cosine ordering (SURVEY §2.9 V3)
+                _, nbr = index.search(qmat, kk)
+                nbr = np.clip(nbr, 0, len(cids) - 1)  # -1 pad slots
+                sims = np.take_along_axis(qm64 @ cmat.T, nbr, axis=1)
+                cand_ids = cids[nbr]
+            else:
+                sims_all = qm64 @ cmat.T  # (n_queries, n_shard)
+                if sims_all.shape[1] > kk:
+                    part = np.argpartition(-sims_all, kk - 1, axis=1)[:, :kk]
+                else:
+                    part = np.tile(np.arange(sims_all.shape[1]), (len(qids), 1))
+                sims = np.take_along_axis(sims_all, part, axis=1)
+                cand_ids = cids[part]
+            n_q, width = sims.shape
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, width),
+                    "neighbor_id": cand_ids.ravel(),
+                    "similarity": sims.ravel(),
+                }
+            )
+            if faiss is not None:
+                # clipped -1 pad slots can duplicate a candidate
+                out = out.drop_duplicates(["query_id", "neighbor_id"])
+            if not include_self:
+                out = out[out["query_id"] != out["neighbor_id"]]
+            yield out
+
+    q_type = queries.schema[id_col].dataType.simpleString()
+    c_type = corpus.schema[id_col].dataType.simpleString()
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        op, f"query_id {q_type}, neighbor_id {c_type}, similarity double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("similarity", 4).alias("similarity"),
+            "rank",
+        )
+    )
+
+
 def auto_topk_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -502,7 +631,10 @@ def index_for_description(description: str):
     (reference: app/vector_search.py:42-47): 'Flat' → exact, 'IVF…' →
     ivf_similarity_join, 'LSH' → MLlib BRP-LSH (API-parity tier),
     anything else (HNSW…, the graph-index family) → banded SRP-LSH,
-    the cosine-native approximate tier that actually scales."""
+    the cosine-native approximate tier that actually scales. For
+    SEARCH-shaped workloads (query set vs corpus) the HNSW analog is
+    ``shard_topk_search`` — per-shard graph index (faiss, when
+    importable) + window merge."""
     import functools
     import re
 

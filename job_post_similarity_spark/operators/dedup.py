@@ -433,9 +433,13 @@ def connected_components(
 
     Spark shape: per round, one join (edges ⋈ labels) + one groupBy
     min — both shuffle on the vertex id and reuse the same hash
-    partitioning. Convergence check is a count on the changed set
-    (a driver-side action per round, like GraphX/GraphFrames do).
-    Output: (id, component) where component = min id reachable.
+    partitioning. The convergence check (a driver-side count on the
+    changed set, as GraphX/GraphFrames do) runs every SECOND round:
+    labels only ever decrease, so a stable round stays stable and the
+    worst case is one redundant propagation round for half the
+    actions. Output: (id, component) where component = min id
+    reachable. For graphs whose DIAMETER is the problem (long chains),
+    use ``connected_components_star`` — O(log n) rounds.
     """
     edges = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
@@ -451,7 +455,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(
                 labels.withColumnRenamed("id", "dst2"),
@@ -472,16 +476,125 @@ def connected_components(
             )
         )
         new_labels = new_labels.localCheckpoint()  # truncate lineage per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        prev = labels
         labels = new_labels
-        if changed == 0:
-            break
+        # batched convergence check: every 2nd round (and the last)
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(prev.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
     return labels.orderBy("id")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("mn"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: edges directed large→small; every node links
+    its smaller neighbors (and itself) to the minimum among them."""
+    dird = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    mins = dird.groupBy("u").agg(F.min("v").alias("mn"))
+    nbr_links = (
+        dird.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    self_links = mins.select("u", F.col("mn").alias("v"))
+    return (
+        nbr_links.unionByName(self_links)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (the MapReduce CC algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the billion-edge
+    tier next to ``connected_components``'s min-label propagation.
+
+    Why a second tier: min-label propagation needs O(diameter) rounds
+    — a 10⁶-node chain takes 10⁶ rounds. Star contraction converges in
+    O(log n) rounds regardless of diameter (each large-star round at
+    least halves the height of every tree), so pathological long-chain
+    dup graphs (crawl mirrors, boilerplate families) finish in ~20
+    rounds at any scale. Per round: two shuffles on the node id (a
+    groupBy-min and a join-back), same partitioning reused.
+
+    Convergence: stop when the small-star edge set is unchanged (the
+    forest is then a two-level star per component). Output matches
+    ``connected_components``: (id, component=min reachable id) —
+    property-tested equal on chains, stars, and random graphs.
+    """
+    labels, _ = _cc_star_with_rounds(pairs, max_iter)
+    return labels
+
+
+def _cc_star_with_rounds(
+    pairs: DataFrame, max_iter: int = 25
+) -> tuple[DataFrame, int]:
+    """Implementation of ``connected_components_star`` that also
+    reports the number of rounds until convergence (what the
+    O(log n) property test asserts)."""
+    edges = (
+        pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    vertices = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    cur = edges.localCheckpoint()
+    rounds = 0
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        rounds += 1
+        # unchanged edge set ⇒ converged (set equality via two anti joins)
+        grew = nxt.join(cur, ["u", "v"], "left_anti").limit(1).count()
+        shrank = cur.join(nxt, ["u", "v"], "left_anti").limit(1).count()
+        cur = nxt
+        if grew == 0 and shrank == 0:
+            break
+    # converged forest: u → component root (min id); roots map to
+    # themselves, so re-attach all vertices with a left join
+    labels = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    out = (
+        vertices.join(labels, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+        .orderBy("id")
+    )
+    return out, rounds
 
 
 def keep_cluster_representatives(

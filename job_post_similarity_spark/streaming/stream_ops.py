@@ -231,6 +231,7 @@ def stream_near_dup_minhash(
     ngram: int = 2,
     jaccard_threshold: float = 0.5,
     name: str = "stream_near_dup",
+    store_buckets: int = 16,
 ):
     """Incremental near-dup detection over a document stream: each
     micro-batch's MinHash band signatures are joined against the
@@ -240,17 +241,21 @@ def stream_near_dup_minhash(
 
     foreachBatch pattern: per batch —
       1. compute banded signatures (map-side, JVM expressions)
-      2. band-bucket join vs the parquet store → candidate pairs →
+      2. band-bucket join vs the signature store → candidate pairs →
          estimated-Jaccard filter → append to <store>/pairs
       3. within-batch self-join pairs are found the same way
-      4. append this batch's signatures to <store>/sigs
+      4. append this batch's signatures to the store
 
-    At scale the store is a bucketed table on (band, bucket) so step 2
-    is a co-located join; state grows with the corpus, not the stream
-    window, and lives in the lake rather than the state store.
-    Returns the streaming query's emitted pairs (read back from
-    <store>/pairs).
+    The store is a BUCKETED external table on (band, bucket) —
+    ``bucketBy(store_buckets)`` + ``sortBy`` at <store>/sigs — so the
+    per-batch candidate join is co-located: the accumulated store (the
+    side that grows with the corpus) is read pre-partitioned with ZERO
+    Exchange; only the small new-batch side shuffles to match. State
+    grows with the corpus, not the stream window, and lives in the
+    lake rather than the state store. Returns the emitted pairs
+    (read back from <store>/pairs).
     """
+    import hashlib
     import os
 
     from pyspark.sql import types as T
@@ -265,19 +270,42 @@ def stream_near_dup_minhash(
     )
     sigs_path = os.path.join(store_dir, "sigs")
     pairs_path = os.path.join(store_dir, "pairs")
+    # per-store table name (bucketing metadata lives in the catalog)
+    sigs_table = (
+        "minhash_sig_store_"
+        + hashlib.md5(sigs_path.encode()).hexdigest()[:12]
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         banded = dedup.banded_minhash_signatures(
             batch_df, id_col, text_col, num_hashes, bands, ngram
         ).cache()
-        store_exists = os.path.exists(os.path.join(sigs_path, "_SUCCESS"))
+        store_exists = sp.catalog.tableExists(sigs_table)
+        if not store_exists and os.path.exists(
+            os.path.join(sigs_path, "_SUCCESS")
+        ):
+            # files outlive the in-memory catalog (new session, same
+            # lake): re-register the bucketed table over the location
+            sp.sql(
+                f"CREATE TABLE {sigs_table} "
+                f"(id BIGINT, sig ARRAY<BIGINT>, band INT, bucket STRING) "
+                f"USING PARQUET CLUSTERED BY (band, bucket) "
+                f"SORTED BY (band, bucket) INTO {store_buckets} BUCKETS "
+                f"LOCATION '{sigs_path}'"
+            )
+            store_exists = True
         candidates = []
         # batch vs accumulated store (cross-batch duplicates)
         if store_exists:
-            store = sp.read.parquet(sigs_path)
+            store = sp.table(sigs_table)
+            # shuffle ONLY the (small) new-batch side into the store's
+            # bucket layout — hash-partitioning with numPartitions ==
+            # bucket count co-locates with the bucketed scan, so the
+            # accumulated store never re-shuffles as it grows
+            batch_side = banded.repartition(store_buckets, "band", "bucket")
             candidates.append(
-                banded.alias("a").join(
+                batch_side.alias("a").join(
                     store.alias("b"),
                     on=[
                         F.col("a.band") == F.col("b.band"),
@@ -320,7 +348,13 @@ def stream_near_dup_minhash(
         pairs.dropDuplicates(["id1", "id2"]).write.mode("append").parquet(
             pairs_path
         )
-        banded.write.mode("append").parquet(sigs_path)
+        (
+            banded.write.mode("append")
+            .bucketBy(store_buckets, "band", "bucket")
+            .sortBy("band", "bucket")
+            .option("path", sigs_path)
+            .saveAsTable(sigs_table)
+        )
         banded.unpersist()
 
     stream = (

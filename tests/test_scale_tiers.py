@@ -1,0 +1,189 @@
+"""Scale-tier properties added in round 2:
+
+- large-star/small-star connected components: equal to min-label
+  propagation on chains/stars/random graphs, and O(log n) rounds on a
+  long chain (min-label would need O(diameter) rounds there).
+- the streaming MinHash signature store is a bucketed table on
+  (band, bucket): the accumulated store side of the per-batch
+  candidate join plans with ZERO Exchange.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_post_similarity_spark.operators import dedup
+
+
+def _labels(df):
+    return {(r["id"], r["component"]) for r in df.collect()}
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id1 long, id2 long")
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 2), (2, 3), (3, 4), (10, 11)],          # two chains
+        [(5, 1), (5, 2), (5, 3), (5, 4)],            # star, hub not min
+        [(1, 2), (3, 4), (2, 3), (7, 8), (8, 9), (4, 1)],  # cycle + chain
+        [(2, 1)],                                    # single edge, reversed
+    ],
+)
+def test_cc_star_matches_min_label(spark, pairs):
+    pdf = _pairs_df(spark, pairs)
+    assert _labels(dedup.connected_components_star(pdf)) == _labels(
+        dedup.connected_components(pdf)
+    )
+
+
+def test_cc_star_random_graph_matches_min_label(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    pdf = _pairs_df(spark, pairs)
+    assert _labels(dedup.connected_components_star(pdf)) == _labels(
+        dedup.connected_components(pdf)
+    )
+
+
+def test_cc_star_long_chain_converges_in_log_rounds(spark):
+    """The tier's reason to exist: a length-N path has diameter N, so
+    min-label needs ~N rounds; star contraction must stay ≤
+    ceil(log2 N) + c."""
+    n = 256
+    chain = _pairs_df(spark, [(i, i + 1) for i in range(n)])
+    labels, rounds = dedup._cc_star_with_rounds(chain, max_iter=30)
+    got = {(r["id"], r["component"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n + 1)}
+    assert rounds <= math.ceil(math.log2(n)) + 4
+
+
+def test_shard_topk_matches_broadcast_knn(spark, embeddings):
+    """The sharded-serving tier (queries broadcast, corpus resident)
+    must return exactly what the broadcast-corpus tier returns on the
+    numpy path — same contract, inverted data movement."""
+    from job_post_similarity_spark.operators import ann, knn
+
+    queries = embeddings.filter(F.col("vec_id") < 7)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["similarity"])
+        for r in ann.shard_topk_search(queries, embeddings, k=3).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["similarity"], 4))
+        for r in knn.knn_join(
+            queries, "vec_id", "embedding", k=3, right=embeddings
+        ).collect()
+    }
+    assert got == want
+
+
+def test_shard_topk_query_budget_guard(spark, embeddings):
+    import pytest as _pytest
+
+    from job_post_similarity_spark.operators import ann
+
+    with _pytest.raises(ValueError, match="query side exceeds"):
+        ann.shard_topk_search(
+            embeddings, embeddings, k=1, max_query_rows=10
+        )
+
+
+def test_stream_minhash_store_is_bucketed_no_exchange_on_store_side(
+    spark, tmp_path
+):
+    """After a stream run, the signature store must be a bucketed table
+    on (band, bucket): a self-join on the bucket keys plans with zero
+    Exchange, and the store⋈new-batch join shuffles ONLY the batch side
+    (exactly one Exchange in the whole plan)."""
+    import hashlib
+
+    import pandas as pd
+
+    from job_post_similarity_spark.streaming import stream_near_dup_minhash
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c d e f", "g h i j k l"]}
+    ).to_parquet(os.path.join(src, "b0.parquet"))
+    pd.DataFrame(
+        {"doc_id": [3], "text": ["a b c d e f"]}
+    ).to_parquet(os.path.join(src, "b1.parquet"))
+
+    store_dir = str(tmp_path / "store")
+    stream_near_dup_minhash(
+        spark, src, store_dir, ngram=2, jaccard_threshold=0.5
+    )
+
+    sigs_path = os.path.join(store_dir, "sigs")
+    table = (
+        "minhash_sig_store_"
+        + hashlib.md5(sigs_path.encode()).hexdigest()[:12]
+    )
+    assert spark.catalog.tableExists(table)
+
+    def n_exchanges(df):
+        import re
+
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # count physical nodes by their detail headers ("(7) Exchange"),
+        # which appear exactly once per node (tree lines duplicate them)
+        return len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        store = spark.table(table)
+        # store ⋈ store on the bucketing keys: fully co-located
+        self_join = store.alias("a").join(
+            store.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+            ],
+        )
+        assert n_exchanges(self_join) == 0
+
+        # store ⋈ new batch, batch repartitioned into the store's
+        # bucket layout (what process_batch does): exactly ONE
+        # Exchange in the whole plan — the batch side's — while the
+        # accumulated store side reads pre-partitioned
+        batch = (
+            dedup.banded_minhash_signatures(
+                spark.createDataFrame(
+                    [(9, "a b c d e f")], "doc_id long, text string"
+                ),
+                "doc_id",
+                "text",
+                32,
+                16,
+                2,
+            )
+            .select("id", "band", "bucket")
+            .repartition(16, "band", "bucket")
+        )
+        one_sided = store.alias("s").join(
+            batch.alias("n"),
+            on=[
+                F.col("s.band") == F.col("n.band"),
+                F.col("s.bucket") == F.col("n.bucket"),
+            ],
+        )
+        assert n_exchanges(one_sided) == 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
