@@ -277,6 +277,53 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-subquery → left-semi join — orders in a
+    window having at least one late lineitem, counted per priority.
+    The semi join shuffles once on the order key and short-circuits
+    per match (no fan-out on multi-lineitem orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.lit("1997-01-15")).select(
+        "l_orderkey"
+    )
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01"))
+        )
+        .join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation —
+    line-status buckets split into high/low priority counts per
+    status. One shuffle for the join, one for the agg; the CASE stays
+    in whole-stage codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(hi).alias("high_line_count"),
+            F.sum(1 - hi).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated MIN subquery decorrelated into a
     per-key min aggregate + join-back — for every part in a type
@@ -837,12 +884,14 @@ def shard_topk_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 ANN tier (IVF): KMeans-bucketed pair join at cosine ≥ 0.4
-    (rows-only)."""
+    (rows-only; recall profile on structureless random vectors is
+    documented at ann.ivf_similarity_join — IVF's regime is clustered
+    corpora, SRP covers this fixture's)."""
     from job_post_similarity_spark.operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.ivf_similarity_join(
-        emb, "vec_id", "embedding", threshold=0.40, n_centroids=8, n_probe=3
+        emb, "vec_id", "embedding", threshold=0.40, n_centroids=None, n_probe=3
     )
 
 
@@ -1173,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_explode_documents": token_explode_documents,
         "q16_distinct_suppliers": q16_distinct_suppliers,
         "q13_customer_distribution": q13_customer_distribution,
+        "q4_order_priority_check": q4_order_priority_check,
+        "q12_shipmode_priority": q12_shipmode_priority,
         "text_annotate_documents": text_annotate_documents,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
         "embedding_norms": embedding_norms,
@@ -1566,6 +1617,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
                                 FROM lineitem l2
                                 WHERE l2.l_partkey = l1.l_partkey)
+        """,
+        "q4_order_priority_check": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > TIMESTAMP '1997-01-15')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q12_shipmode_priority": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
         """,
         "q2_min_cost_supplier": """
             SELECT p_partkey, p_type, l_suppkey,

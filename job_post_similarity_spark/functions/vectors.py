@@ -43,6 +43,33 @@ def dot_cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b)
 
 
+def dot_cosine_arrow(a: Column | str, b: Column | str) -> Column:
+    """V4 bulk path: unit-vector cosine as an Arrow-batched Pandas UDF
+    (row-stacked ``einsum``) — for candidate-VERIFY stages that score
+    millions of pairs, where the JVM fold's per-element expression
+    evaluation dominates (measured ~5× on the IVF verify at sf0.1).
+
+    Not for oracle-gated outputs: numpy's pairwise summation order can
+    differ from the left-to-right fold in the last ulp, so rounded
+    values could flip on a boundary. ``dot_cosine`` (bit-stable vs
+    DuckDB) remains the default.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _dot(va, vb):
+        ma = np.asarray(list(va), dtype=np.float64)
+        mb = np.asarray(list(vb), dtype=np.float64)
+        if len(ma) == 0:
+            return pd.Series([], dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    # positional form: `from __future__ import annotations` stringifies
+    # type hints, which the hint-based pandas_udf API can't infer
+    return F.pandas_udf(_dot, T.DoubleType())(_c(a), _c(b))
+
+
 def l2_normalize(a: Column | str) -> Column:
     """Scale to unit L2 norm (null-safe on zero vectors: returns zeros)."""
     col = _c(a)

@@ -47,6 +47,28 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
+    """Production state-store surface: switch stateful streaming
+    operators (dedup-within-watermark, windowed aggs, sessionize state)
+    onto RocksDB — state spills to local disk instead of living
+    entirely in executor heap, which is the requirement once keyed
+    state outgrows memory (billions of dedup keys / sessions). Bundled
+    with Spark ≥3.2; takes effect for queries STARTED after the call
+    (each query pins its provider at start via the checkpoint)."""
+    if enabled:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def _run_to_memory(
     df: DataFrame,
     name: str,
@@ -372,6 +394,60 @@ def stream_near_dup_minhash(
     )
     q.awaitTermination()
     return spark.read.parquet(pairs_path)
+
+
+def compact_signature_store(
+    spark: SparkSession,
+    store_dir: str,
+    store_buckets: int = 16,
+) -> int:
+    """Maintenance hook for the incremental-dedup signature store:
+    every micro-batch appends one file set per bucket, so a long-lived
+    stream accumulates small files (batches × buckets). This rewrites
+    the store down to O(buckets) files (one per task × bucket pair),
+    preserving the (band, bucket) bucketing + sort the candidate join
+    relies on.
+
+    Rebuild-and-swap, never in-place: the new table is written under a
+    staging location first, so a failed compaction leaves the live
+    store intact. Returns the number of parquet files after
+    compaction. Run it on a cadence (or when files/bucket exceeds a
+    threshold) from whatever schedules lake maintenance.
+    """
+    import glob
+    import hashlib
+    import shutil
+
+    sigs_path = os.path.join(store_dir, "sigs")
+    sigs_table = (
+        "minhash_sig_store_"
+        + hashlib.md5(sigs_path.encode()).hexdigest()[:12]
+    )
+    staging = sigs_path + "__compacting"
+    staging_table = sigs_table + "_staging"
+    data = spark.table(sigs_table)
+    (
+        data.repartition(store_buckets, "band", "bucket")
+        .write.mode("overwrite")
+        .bucketBy(store_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .option("path", staging)
+        .saveAsTable(staging_table)
+    )
+    # swap: drop catalog entries, move files, re-register over the
+    # live location (same re-registration DDL process_batch uses)
+    spark.sql(f"DROP TABLE IF EXISTS {sigs_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {staging_table}")
+    shutil.rmtree(sigs_path)
+    shutil.move(staging, sigs_path)
+    spark.sql(
+        f"CREATE TABLE {sigs_table} "
+        f"(id BIGINT, sig ARRAY<BIGINT>, band INT, bucket STRING) "
+        f"USING PARQUET CLUSTERED BY (band, bucket) "
+        f"SORTED BY (band, bucket) INTO {store_buckets} BUCKETS "
+        f"LOCATION '{sigs_path}'"
+    )
+    return len(glob.glob(os.path.join(sigs_path, "*.parquet")))
 
 
 def stream_windowed_agg(

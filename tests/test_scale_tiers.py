@@ -100,6 +100,37 @@ def test_shard_topk_query_budget_guard(spark, embeddings):
         )
 
 
+def test_rocksdb_state_store_stream_dedup_matches_batch(spark, sf_dir):
+    """Stateful streaming on the RocksDB provider (the state store
+    that survives keyed state outgrowing executor heap) produces the
+    same kept-key set as batch DISTINCT — the provider changes where
+    state lives, never what the operator computes."""
+    from job_post_similarity_spark.sources.io import load_table
+    from job_post_similarity_spark.streaming import (
+        stream_dedup,
+        use_rocksdb_state,
+    )
+
+    use_rocksdb_state(spark)
+    try:
+        got = {
+            (r["user_id"], r["event_type"])
+            for r in stream_dedup(
+                spark, sf_dir, name="rocksdb_dedup_test"
+            ).collect()
+        }
+    finally:
+        use_rocksdb_state(spark, enabled=False)
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_minhash_store_is_bucketed_no_exchange_on_store_side(
     spark, tmp_path
 ):
@@ -145,6 +176,25 @@ def test_stream_minhash_store_is_bucketed_no_exchange_on_store_side(
         # count physical nodes by their detail headers ("(7) Exchange"),
         # which appear exactly once per node (tree lines duplicate them)
         return len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+
+    # --- compaction hook: many small per-batch files → 1 per bucket,
+    # same rows, bucketing metadata (and the zero-Exchange join
+    # property asserted below) preserved across the rebuild-and-swap
+    import glob
+
+    from job_post_similarity_spark.streaming import compact_signature_store
+
+    before_rows = sorted(
+        tuple(r) for r in spark.table(table).select("id", "band").collect()
+    )
+    files_before = len(glob.glob(os.path.join(sigs_path, "*.parquet")))
+    files_after = compact_signature_store(spark, store_dir, store_buckets=16)
+    assert files_after < files_before
+    assert files_after <= 2 * 16  # bounded by tasks × buckets overlap
+    after_rows = sorted(
+        tuple(r) for r in spark.table(table).select("id", "band").collect()
+    )
+    assert after_rows == before_rows
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
