@@ -138,10 +138,13 @@ def lsh_nearest_neighbors(
 
 def _lloyd_kmeans(mat, k: int, iters: int, seed: int):
     """Seeded Lloyd iterations on an in-memory sample — the coarse
-    quantizer trainer. Deterministic; empty clusters are re-seeded to
-    the point farthest from its assigned center."""
+    quantizer trainer. Deterministic; each empty cluster re-seeds to a
+    DISTINCT farthest-from-center point (identical reseeds would
+    permanently collapse effective k)."""
     import numpy as np
 
+    if len(mat) == 0:
+        raise ValueError("cannot train a quantizer on an empty sample")
     k = min(k, len(mat))
     rng = np.random.default_rng(seed)
     centers = mat[rng.choice(len(mat), size=k, replace=False)]
@@ -151,13 +154,16 @@ def _lloyd_kmeans(mat, k: int, iters: int, seed: int):
         d = x2[:, None] - 2.0 * (mat @ centers.T) + c2[None, :]
         assign = d.argmin(axis=1)
         dmin = d[np.arange(len(mat)), assign]
+        farthest = np.argsort(-dmin)  # distinct reseed candidates
+        next_seed = 0
         new_centers = centers.copy()
         for c in range(k):
             members = mat[assign == c]
             if len(members):
                 new_centers[c] = members.mean(axis=0)
             else:
-                new_centers[c] = mat[int(dmin.argmax())]
+                new_centers[c] = mat[int(farthest[next_seed])]
+                next_seed += 1
         if np.allclose(new_centers, centers):
             centers = new_centers
             break
@@ -211,6 +217,12 @@ def ivf_assign(
     )
     sample = train_df.select(vec_col).limit(100_000).toPandas()
     mat = np.asarray(list(sample[vec_col]), dtype=np.float64)
+    if len(mat) == 0:
+        # empty input: schema-consistent empty assignment, no training
+        empty = df.select(
+            *df.columns, F.lit(0).cast("int").alias("bucket")
+        ).limit(0)
+        return empty, np.empty((0, 0))
     centers = _lloyd_kmeans(mat, n_centroids, max_iter, seed)
     centers_df = df.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -567,17 +579,21 @@ def shard_topk_search(
                 continue
             cids = pdf[id_col].to_numpy()
             cmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            # +1 survives self-exclusion, +8 keeps equal-similarity
-            # ties alive for the merge's asc-id tie-break (same slack
-            # policy as knn.knn_join)
-            kk = min(k + 9, len(cids))
+            # +1 survives self-exclusion, +64 keeps equal-similarity
+            # ties at the cut alive for the merge's asc-id tie-break
+            # (same slack policy as knn.knn_join: exact duplicates —
+            # this project's core domain — produce wide sim ties)
+            kk = min(k + 65, len(cids))
             if faiss is not None:
                 index = faiss.IndexHNSWFlat(cmat.shape[1], hnsw_m)
                 index.add(cmat.astype(np.float32))
                 # L2 on unit vectors ≡ cosine ordering (SURVEY §2.9 V3)
                 _, nbr = index.search(qmat, kk)
                 nbr = np.clip(nbr, 0, len(cids) - 1)  # -1 pad slots
-                sims = np.take_along_axis(qm64 @ cmat.T, nbr, axis=1)
+                # score ONLY the kk gathered candidates — a full
+                # query×shard matmul would redo the brute-force work
+                # the graph index exists to avoid
+                sims = np.einsum("qd,qkd->qk", qm64, cmat[nbr])
                 cand_ids = cids[nbr]
             else:
                 sims_all = qm64 @ cmat.T  # (n_queries, n_shard)

@@ -585,8 +585,16 @@ def _cc_star_with_rounds(
         if grew == 0 and shrank == 0:
             break
     # converged forest: u → component root (min id); roots map to
-    # themselves, so re-attach all vertices with a left join
-    labels = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    # themselves, so re-attach all vertices with a left join. The
+    # groupBy-min keeps the one-row-per-id contract even if max_iter
+    # exhausted before the fixpoint (mid-algorithm a node can carry
+    # several edges) — the result is then a valid under-merged
+    # labeling rather than a fanned-out join.
+    labels = (
+        cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
     out = (
         vertices.join(labels, "id", "left")
         .select(

@@ -47,9 +47,15 @@ def _collect_matrix(
     df: DataFrame, id_col: str, vec_col: str, max_rows: int = _MAX_BROADCAST_ROWS
 ):
     # toPandas rides the Arrow path (columnar transfer) — several times
-    # faster than row-wise collect() for wide array columns. float32
-    # matrix: halves the broadcast vs f64; blocks upcast at compute
-    # time so the dot products still run in float64.
+    # faster than row-wise collect() for wide array columns.
+    #
+    # Broadcast dtype FOLLOWS the column's element type: array<float>
+    # sources (the reference's f32 embeddings, our fixtures) ship as
+    # f32 — half the broadcast, losslessly upcast to f64 at compute
+    # time. array<double> sources stay f64: downcasting them would
+    # shift similarities by up to ~6e-8 and flip round-4 boundaries.
+    elem = df.schema[vec_col].dataType.elementType
+    dtype = np.float32 if elem.simpleString() == "float" else np.float64
     pdf = df.select(id_col, vec_col).limit(max_rows + 1).toPandas()
     if len(pdf) > max_rows:
         raise ValueError(
@@ -58,7 +64,7 @@ def _collect_matrix(
             "ann.srp_topk_search (relational ANN) instead"
         )
     ids = pdf[id_col].to_numpy()
-    mat = np.asarray(list(pdf[vec_col]), dtype=np.float32)
+    mat = np.asarray(list(pdf[vec_col]), dtype=dtype)
     return ids, mat
 
 
@@ -148,9 +154,11 @@ def knn_join(
             pool_s: list[np.ndarray] = []
             pool_i: list[np.ndarray] = []
             for lo in range(0, n_right, _RIGHT_BLOCK):
-                # broadcast matrix is f32 (half the shipping cost);
-                # upcast per block so the dot runs in f64 (oracle-exact)
-                block = rmat[lo : lo + _RIGHT_BLOCK].astype(np.float64)
+                # f32-shipped matrices upcast per block so the dot
+                # runs in f64 (oracle-exact); f64 sources pass through
+                block = rmat[lo : lo + _RIGHT_BLOCK]
+                if block.dtype != np.float64:
+                    block = block.astype(np.float64)
                 bids = rids[lo : lo + _RIGHT_BLOCK]
                 sims = lmat @ block.T  # (n_left, n_block)
                 if not include_self:
@@ -309,7 +317,9 @@ def similarity_pairs(
             lids = pdf[id_col].to_numpy()
             lmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             for lo in range(0, n_right, _RIGHT_BLOCK):
-                block = rmat[lo : lo + _RIGHT_BLOCK].astype(np.float64)
+                block = rmat[lo : lo + _RIGHT_BLOCK]
+                if block.dtype != np.float64:
+                    block = block.astype(np.float64)
                 bids = rids[lo : lo + _RIGHT_BLOCK]
                 sims = lmat @ block.T
                 # canonical enumeration: only id1 < id2 pairs emit

@@ -242,6 +242,38 @@ def _sessionize_stateful(
     )
 
 
+def _sigs_table_name(sigs_path: str) -> str:
+    """Catalog table name for a signature store location (bucketing
+    metadata lives in the catalog; the name is derived from the path
+    so concurrent stores can't collide)."""
+    import hashlib
+
+    return (
+        "minhash_sig_store_"
+        + hashlib.md5(sigs_path.encode()).hexdigest()[:12]
+    )
+
+
+def _register_sigs_store(
+    spark: SparkSession, sigs_table: str, sigs_path: str, store_buckets: int
+) -> None:
+    """(Re-)register the bucketed external table over an existing store
+    location — needed whenever the files outlive the in-memory catalog
+    (fresh session over the same lake). Column DDL is derived from the
+    parquet files themselves, so string-keyed stores register with
+    their true id type."""
+    schema = spark.read.parquet(sigs_path).schema
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {sigs_table} ({cols}) "
+        f"USING PARQUET CLUSTERED BY (band, bucket) "
+        f"SORTED BY (band, bucket) INTO {store_buckets} BUCKETS "
+        f"LOCATION '{sigs_path}'"
+    )
+
+
 def stream_near_dup_minhash(
     spark: SparkSession,
     src_dir: str,
@@ -277,7 +309,6 @@ def stream_near_dup_minhash(
     lake rather than the state store. Returns the emitted pairs
     (read back from <store>/pairs).
     """
-    import hashlib
     import os
 
     from pyspark.sql import types as T
@@ -292,11 +323,7 @@ def stream_near_dup_minhash(
     )
     sigs_path = os.path.join(store_dir, "sigs")
     pairs_path = os.path.join(store_dir, "pairs")
-    # per-store table name (bucketing metadata lives in the catalog)
-    sigs_table = (
-        "minhash_sig_store_"
-        + hashlib.md5(sigs_path.encode()).hexdigest()[:12]
-    )
+    sigs_table = _sigs_table_name(sigs_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -309,13 +336,7 @@ def stream_near_dup_minhash(
         ):
             # files outlive the in-memory catalog (new session, same
             # lake): re-register the bucketed table over the location
-            sp.sql(
-                f"CREATE TABLE {sigs_table} "
-                f"(id BIGINT, sig ARRAY<BIGINT>, band INT, bucket STRING) "
-                f"USING PARQUET CLUSTERED BY (band, bucket) "
-                f"SORTED BY (band, bucket) INTO {store_buckets} BUCKETS "
-                f"LOCATION '{sigs_path}'"
-            )
+            _register_sigs_store(sp, sigs_table, sigs_path, store_buckets)
             store_exists = True
         candidates = []
         # batch vs accumulated store (cross-batch duplicates)
@@ -406,23 +427,25 @@ def compact_signature_store(
     stream accumulates small files (batches × buckets). This rewrites
     the store down to O(buckets) files (one per task × bucket pair),
     preserving the (band, bucket) bucketing + sort the candidate join
-    relies on.
+    relies on. Works from a fresh session (re-registers the table over
+    the lake path first) and returns the number of parquet files after
+    compaction.
 
-    Rebuild-and-swap, never in-place: the new table is written under a
-    staging location first, so a failed compaction leaves the live
-    store intact. Returns the number of parquet files after
-    compaction. Run it on a cadence (or when files/bucket exceeds a
-    threshold) from whatever schedules lake maintenance.
+    MUST run with the stream STOPPED (between runs, or in the stream's
+    maintenance window): an append landing between the snapshot and
+    the swap would be dropped from the store. Crash-safety: the new
+    table is staged beside the live one, then the live directory is
+    moved aside, the staging moved in, and only then is the old data
+    deleted — a failure at any step leaves either the live store or
+    the staged copy plus the renamed original on disk, never neither.
     """
     import glob
-    import hashlib
     import shutil
 
     sigs_path = os.path.join(store_dir, "sigs")
-    sigs_table = (
-        "minhash_sig_store_"
-        + hashlib.md5(sigs_path.encode()).hexdigest()[:12]
-    )
+    sigs_table = _sigs_table_name(sigs_path)
+    if not spark.catalog.tableExists(sigs_table):
+        _register_sigs_store(spark, sigs_table, sigs_path, store_buckets)
     staging = sigs_path + "__compacting"
     staging_table = sigs_table + "_staging"
     data = spark.table(sigs_table)
@@ -434,19 +457,19 @@ def compact_signature_store(
         .option("path", staging)
         .saveAsTable(staging_table)
     )
-    # swap: drop catalog entries, move files, re-register over the
-    # live location (same re-registration DDL process_batch uses)
+    # swap: retire catalog entries, move live aside, move staging in,
+    # delete the old files last
     spark.sql(f"DROP TABLE IF EXISTS {sigs_table}")
     spark.sql(f"DROP TABLE IF EXISTS {staging_table}")
-    shutil.rmtree(sigs_path)
-    shutil.move(staging, sigs_path)
-    spark.sql(
-        f"CREATE TABLE {sigs_table} "
-        f"(id BIGINT, sig ARRAY<BIGINT>, band INT, bucket STRING) "
-        f"USING PARQUET CLUSTERED BY (band, bucket) "
-        f"SORTED BY (band, bucket) INTO {store_buckets} BUCKETS "
-        f"LOCATION '{sigs_path}'"
-    )
+    retired = sigs_path + "__old"
+    shutil.move(sigs_path, retired)
+    try:
+        shutil.move(staging, sigs_path)
+    except Exception:
+        shutil.move(retired, sigs_path)  # roll back to the original
+        raise
+    shutil.rmtree(retired)
+    _register_sigs_store(spark, sigs_table, sigs_path, store_buckets)
     return len(glob.glob(os.path.join(sigs_path, "*.parquet")))
 
 

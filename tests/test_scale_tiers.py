@@ -138,11 +138,10 @@ def test_stream_minhash_store_is_bucketed_no_exchange_on_store_side(
     on (band, bucket): a self-join on the bucket keys plans with zero
     Exchange, and the store⋈new-batch join shuffles ONLY the batch side
     (exactly one Exchange in the whole plan)."""
-    import hashlib
-
     import pandas as pd
 
     from job_post_similarity_spark.streaming import stream_near_dup_minhash
+    from job_post_similarity_spark.streaming.stream_ops import _sigs_table_name
 
     src = str(tmp_path / "docs_src")
     os.makedirs(src)
@@ -159,10 +158,7 @@ def test_stream_minhash_store_is_bucketed_no_exchange_on_store_side(
     )
 
     sigs_path = os.path.join(store_dir, "sigs")
-    table = (
-        "minhash_sig_store_"
-        + hashlib.md5(sigs_path.encode()).hexdigest()[:12]
-    )
+    table = _sigs_table_name(sigs_path)
     assert spark.catalog.tableExists(table)
 
     def n_exchanges(df):

@@ -68,12 +68,24 @@ def normalize_cell(v) -> str:
     return f"s:{v}"
 
 
+def _has_decimal(v) -> bool:
+    if isinstance(v, decimal.Decimal):
+        return True
+    if isinstance(v, (list, tuple)):
+        return any(_has_decimal(x) for x in v)
+    if isinstance(v, dict):
+        return any(_has_decimal(x) for x in v.values())
+    return False
+
+
 def find_unsafe(rows: list[tuple]) -> str | None:
-    """First driver-unsafe cell type in the result, or None."""
+    """First driver-unsafe cell type in the result, or None — checks
+    NESTED values too (a list<decimal> renders just as
+    engine-dependently as a top-level Decimal)."""
     for r in rows:
         for i, v in enumerate(r):
-            if isinstance(v, decimal.Decimal):
-                return f"col #{i} is Decimal ({v})"
+            if _has_decimal(v):
+                return f"col #{i} contains Decimal ({v!r:.80s})"
     return None
 
 
