@@ -28,6 +28,41 @@ def brute_topk(lids, lmat, rids, rmat, k, include_self):
 
 @settings(max_examples=25, deadline=None)
 @given(
+    n=st.integers(1, 60),
+    d=st.integers(1, 6),
+    k=st.integers(1, 12),
+    iters=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+    dup_heavy=st.booleans(),
+)
+def test_lloyd_kmeans_invariants(n, d, k, iters, seed, dup_heavy):
+    """The driver-local coarse-quantizer trainer: returns min(k, n)
+    finite centers, is seed-deterministic, and survives duplicate-heavy
+    data (where empty clusters force the distinct-reseed path)."""
+    from job_post_similarity_spark.operators.ann import _lloyd_kmeans
+
+    rng = np.random.default_rng(seed)
+    mat = rng.integers(-2, 3, size=(n, d)).astype(np.float64)
+    if dup_heavy:
+        mat[:] = mat[0]  # all points identical: k-1 clusters go empty
+    c1 = _lloyd_kmeans(mat, k, iters, seed)
+    c2 = _lloyd_kmeans(mat, k, iters, seed)
+    assert c1.shape == (min(k, n), d)
+    assert np.isfinite(c1).all()
+    assert np.array_equal(c1, c2)
+
+
+def test_lloyd_kmeans_empty_raises():
+    import pytest
+
+    from job_post_similarity_spark.operators.ann import _lloyd_kmeans
+
+    with pytest.raises(ValueError, match="empty sample"):
+        _lloyd_kmeans(np.empty((0,)), 4, 5, 1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
     n_left=st.integers(1, 12),
     n_right=st.integers(1, 40),
     d=st.integers(1, 8),

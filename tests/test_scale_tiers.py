@@ -100,6 +100,43 @@ def test_shard_topk_query_budget_guard(spark, embeddings):
         )
 
 
+def test_word_ngrams_short_text_yields_no_partial_grams(spark):
+    """Regression lock: texts with fewer than n tokens produce ZERO
+    shingles (the unguarded descending index sequence used to emit a
+    truncated gram twice, inflating multiplicity counts)."""
+    from job_post_similarity_spark.operators.dedup import word_ngrams
+
+    rows = [(0, ""), (1, "one"), (2, "one two"), (3, "one two three"),
+            (4, "a b c d e")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for n in (2, 3):
+        got = {
+            r["id"]: r["cnt"]
+            for r in df.select(
+                "id", F.size(word_ngrams("text", n, distinct=False)).alias("cnt")
+            ).collect()
+        }
+        for rid, text in rows:
+            n_tok = len(text.split())
+            assert got[rid] == max(0, n_tok - n + 1), (n, text)
+
+
+def test_random_pair_baseline_deterministic_no_self_pairs(spark, embeddings):
+    from job_post_similarity_spark.operators.knn import random_pair_baseline
+
+    a = random_pair_baseline(embeddings, "vec_id", "embedding", n_pairs=50)
+    rows1 = sorted(tuple(r) for r in a.collect())
+    rows2 = sorted(
+        tuple(r)
+        for r in random_pair_baseline(
+            embeddings, "vec_id", "embedding", n_pairs=50
+        ).collect()
+    )
+    assert rows1 == rows2  # seed-deterministic, partition-independent
+    assert 0 < len(rows1) <= 50
+    assert all(r[0] != r[1] for r in rows1)  # never a self-pair
+
+
 def test_rocksdb_state_store_stream_dedup_matches_batch(spark, sf_dir):
     """Stateful streaming on the RocksDB provider (the state store
     that survives keyed state outgrowing executor heap) produces the
