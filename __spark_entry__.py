@@ -1132,6 +1132,45 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup(spark, sf_dir)
 
 
+def id_set_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: id-set union (reference: list(set(a + b)),
+    app/fetech_jd.py:85) — distinct user ids across two event-type
+    slices via union + distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return dedup.distinct_union(clicks, buys).orderBy("user_id")
+
+
+def vector_removal_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8: vector removal — the op the reference leaves
+    NotImplementedError ('rebuild instead',
+    app/vector_search_cpu.py:157-175); in Spark it's a filter and the
+    downstream index re-fit is a lazy plan. Gate emits the surviving
+    id set + count so removal is driver-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = knn.remove_vectors(emb, "vec_id", [0, 1, 2, 17, 42])
+    return kept.select("vec_id").orderBy("vec_id")
+
+
+def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew tier: hot-key-salted inner join (events ⋈ per-user dim) —
+    salting splits each hot key across ``buckets`` tasks; the result
+    equals the plain join, which is exactly what the oracle asserts."""
+    from job_post_similarity_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_event_cnt"))
+    )
+    out = salted_join(ev, dim, "user_id", buckets=8)
+    return out.select("event_id", "user_id", "event_type", "user_event_cnt")
+
+
 def random_pair_baseline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: seeded random-pair similarity baseline (rows-only: Spark
     rand() sequence is engine-specific)."""
@@ -1227,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_annotate_documents": text_annotate_documents,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
         "embedding_norms": embedding_norms,
+        "id_set_union_events": id_set_union_events,
+        "vector_removal_embeddings": vector_removal_embeddings,
+        "salted_join_events": salted_join_events,
         # -- rows-only tiers (no SQL twin by nature) -------------------
         "strip_html_fidelity_documents": strip_html_fidelity_documents,
         "bpe_token_count_documents": bpe_token_count_documents,
@@ -1617,6 +1659,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
                                 FROM lineitem l2
                                 WHERE l2.l_partkey = l1.l_partkey)
+        """,
+        "id_set_union_events": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type IN ('click', 'purchase')
+            ORDER BY user_id
+        """,
+        "vector_removal_embeddings": """
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (0, 1, 2, 17, 42)
+            ORDER BY vec_id
+        """,
+        "salted_join_events": """
+            SELECT e.event_id, e.user_id, e.event_type, d.user_event_cnt
+            FROM events e
+            JOIN (SELECT user_id, count(*) AS user_event_cnt
+                  FROM events GROUP BY user_id) d
+              ON e.user_id = d.user_id
         """,
         "q4_order_priority_check": """
             SELECT o_orderpriority, count(*) AS order_count
