@@ -98,6 +98,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     + revenue agg + top-10. The two fact joins shuffle on the order
     key; the customer side is dim-sized after its filter and AQE picks
     a broadcast."""
+    # timestamp-valued output (o_orderdate): render in UTC so any
+    # driver session TZ matches DuckDB's naive parquet timestamps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")

@@ -29,7 +29,6 @@ reference's Flat/IVF/HNSW switch.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .operators import ann, knn
 from .schemas import require_embedding_dim

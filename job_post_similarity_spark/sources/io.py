@@ -61,11 +61,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     downstream arithmetic op is double-precision (matches the DuckDB
     oracle, which promotes list elements to double).
     """
+    # Session-independence for sessions not built by our factory (e.g.
+    # the round driver's own SparkSession): timestamp rendering, year()
+    # extraction, and timestamp-vs-string-literal comparisons all
+    # follow the session TZ, while the parquet timestamps (and DuckDB's
+    # view of them) are naive — they only agree in UTC. Runtime conf,
+    # same pattern as nanosAsLong below.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # the events table is TIMESTAMP(NANOS) parquet, which Spark can
         # only read as long; set the legacy conf here (it is a runtime
-        # conf) so sessions not built by our factory — e.g. the round
-        # driver's own SparkSession — read it too
+        # conf) so sessions not built by our factory read it too
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "embeddings":
