@@ -51,6 +51,7 @@ def main() -> None:
         "minhash_near_dup_documents",
         "srp_lsh_similarity_pairs",
         "ivf_similarity_pairs",
+        "shard_topk_search",
         "asof_join_events",
         "token_count_documents",
         "doc_fingerprint_documents",

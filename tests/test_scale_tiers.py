@@ -100,6 +100,34 @@ def test_shard_topk_query_budget_guard(spark, embeddings):
         )
 
 
+def test_gate_queries_are_session_independent(spark):
+    """Driver-environment simulation: a session NOT built by our
+    factory — non-UTC timezone, none of get_spark's confs — must
+    produce the same rows as our UTC session for timestamp-sensitive
+    gate queries (load_table pins the runtime confs itself)."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "q3_shipping_priority",       # raw timestamp output
+        "date_extract_orders",        # year() extraction
+        "dedup_keep_first_events",    # nanos events ordering
+        "parse_dates_documents",      # string → timestamp parse
+    ]
+    qs = entry_mod.queries()
+    baseline = {n: sorted(map(tuple, qs[n](spark, sf).collect())) for n in names}
+
+    alien = spark.newSession()
+    alien.conf.set("spark.sql.session.timeZone", "America/New_York")
+    alien.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        for n in names:
+            got = sorted(map(tuple, qs[n](alien, sf).collect()))
+            assert got == baseline[n], n
+    finally:
+        alien.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_word_ngrams_short_text_yields_no_partial_grams(spark):
     """Regression lock: texts with fewer than n tokens produce ZERO
     shingles (the unguarded descending index sequence used to emit a
