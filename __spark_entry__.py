@@ -1135,6 +1135,29 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup(spark, sf_dir)
 
 
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene gate: documents get deterministic
+    synthetic PII spans (email / phone / SSN built from doc_id —
+    fixtures carry none) and the scrubber must replace exactly those
+    spans with typed placeholders. Oracle mirrors both the injection
+    and the scrub in RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), did.cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" :: "), F.col("text"),
+        ).alias("text"),
+    )
+    return salted.select("doc_id", S.scrub_pii("text").alias("text_clean"))
+
+
 def id_set_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: id-set union (reference: list(set(a + b)),
     app/fetech_jd.py:85) — distinct user ids across two event-type
@@ -1172,6 +1195,32 @@ def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = salted_join(ev, dim, "user_id", buckets=8)
     return out.select("event_id", "user_id", "event_type", "user_event_cnt")
+
+
+def pq_compression_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization roundtrip (rows-only: Lloyd codebooks have
+    no SQL twin): every vector encoded to m=8 codes and reconstructed;
+    emits code count + a coarse reconstruction-error bucket per vector.
+    Compression 64-d f32 → 8 codes (32×); distortion properties are
+    pytest-asserted."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = ann.pq_train(emb, "embedding", m=8, bits=6)
+    codes = ann.pq_encode(emb, books, "vec_id", "embedding")
+    approx = ann.pq_decode(codes, books, "vec_id")
+    joined = emb.join(approx, "vec_id")
+    err = F.sqrt(
+        V.sq_l2_distance(
+            F.col("embedding"),
+            F.col("embedding_approx").cast("array<double>"),
+        )
+    )
+    return joined.select(
+        "vec_id",
+        F.size("embedding_approx").alias("dim"),
+        F.floor(err * 10).cast("int").alias("err_decile"),
+    )
 
 
 def random_pair_baseline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_set_union_events": id_set_union_events,
         "vector_removal_embeddings": vector_removal_embeddings,
         "salted_join_events": salted_join_events,
+        "pii_scrub_documents": pii_scrub_documents,
         # -- rows-only tiers (no SQL twin by nature) -------------------
         "strip_html_fidelity_documents": strip_html_fidelity_documents,
         "bpe_token_count_documents": bpe_token_count_documents,
@@ -1287,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_features": multimodal_decode_features,
         "minhash_verified_documents": minhash_verified_documents,
         "multimodal_resize_frames": multimodal_resize_frames,
+        "pq_compression_embeddings": pq_compression_embeddings,
         "random_pair_baseline": random_pair_baseline_q,
         "qualitative_report": qualitative_report_q,
     }
@@ -1662,6 +1713,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
                                 FROM lineitem l2
                                 WHERE l2.l_partkey = l1.l_partkey)
+        """,
+        "pii_scrub_documents": """
+            WITH salted AS (
+                SELECT doc_id,
+                       concat('contact user', CAST(doc_id AS VARCHAR),
+                              '@example.com or call 555-',
+                              lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                              '-',
+                              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              ' ssn 123-45-',
+                              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              ' :: ', text) AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b',
+                               '[EMAIL]', 'g'),
+                           '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+                       '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]', 'g')
+                       AS text_clean
+            FROM salted
         """,
         "id_set_union_events": """
             SELECT DISTINCT user_id FROM events

@@ -151,3 +151,29 @@ def parse_date(col: Column | str) -> Column:
     would throw."""
     c = F.col(col) if isinstance(col, str) else col
     return F.try_to_timestamp(c)
+
+
+# ----------------------------------------------------- PII scrubbing
+
+# Patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB
+# and most engines) evaluate identically: no lookarounds, no
+# backreferences — \b, classes, and bounded repetition only. That
+# keeps the operator oracle-checkable and engine-portable.
+_PII_EMAIL = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+_PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Training-data hygiene: redact email / US-phone / SSN-shaped
+    spans with typed placeholder tokens — the standard preprocessing
+    step before text enters a training corpus. Pure regexp_replace
+    chain: map-side, whole-stage codegen, scrubs 100 TB with zero
+    shuffles. Order matters: SSN before phone (a dashed SSN is a
+    subset-shaped match of neither, but phone-like 3-3-4 digit runs
+    must not consume 3-2-4 SSNs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, _PII_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, _PII_SSN, "[SSN]")
+    out = F.regexp_replace(out, _PII_PHONE, "[PHONE]")
+    return out

@@ -516,6 +516,132 @@ def auto_similarity_join(
     )
 
 
+# ------------------------------------------------------------------- PQ
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    bits: int = 8,
+    sample_rows: int = 100_000,
+    seed: int = 42,
+):
+    """Product-quantization codebooks: the vector-COMPRESSION operator
+    a 100 TB embedding store needs (Faiss IndexPQ's storage model —
+    the reference's index family, app/vector_search.py:42-47, includes
+    the PQ variants by description string).
+
+    The dimension axis is split into ``m`` equal subspaces; each gets
+    a 2^bits-entry codebook trained with the same driver-local seeded
+    Lloyd used by the IVF quantizer, on a ≤``sample_rows`` sample. A
+    d-dim float32 vector then stores as m small ints — e.g. 64-d f32
+    (256 B) → 8 codes (8 B), 32×. Returns ndarray (m, 2^bits, d/m).
+    """
+    import numpy as np
+
+    sample = df.select(vec_col).limit(sample_rows).toPandas()
+    mat = np.asarray(list(sample[vec_col]), dtype=np.float64)
+    if len(mat) == 0:
+        raise ValueError("cannot train PQ codebooks on an empty sample")
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    k = 2**bits
+    books = np.stack(
+        [
+            _lloyd_kmeans(
+                np.ascontiguousarray(mat[:, j * sub : (j + 1) * sub]),
+                k,
+                10,
+                seed + j,
+            )
+            for j in range(m)
+        ]
+    )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to their per-subspace nearest codebook entries:
+    (id, pq_code array<int>). Map-side mapInPandas against the
+    broadcast codebooks — encoding 100 TB is shuffle-free."""
+    import numpy as np
+    import pandas as pd
+
+    m, k, sub = codebooks.shape
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(codebooks))
+
+    def op(batches):
+        books = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                c = books[j]
+                d = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "pq_code": list(codes)}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        op, f"{id_col} {id_type}, pq_code array<bigint>"
+    )
+
+
+def pq_decode(
+    codes: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    out_col: str = "embedding_approx",
+) -> DataFrame:
+    """Reconstruct approximate vectors from PQ codes (concatenate the
+    referenced codebook entries) — the asymmetric side of PQ search
+    and the decompression path for downstream consumers."""
+    import numpy as np
+    import pandas as pd
+
+    m, k, sub = codebooks.shape
+    bc = codes.sparkSession.sparkContext.broadcast(np.asarray(codebooks))
+
+    def op(batches):
+        books = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.asarray(list(pdf[code_col]), dtype=np.int64)
+            out = np.concatenate(
+                [books[j][cmat[:, j]] for j in range(m)], axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    out_col: [r.astype(np.float32) for r in out],
+                }
+            )
+
+    id_type = codes.schema[id_col].dataType.simpleString()
+    return codes.select(id_col, code_col).mapInPandas(
+        op, f"{id_col} {id_type}, {out_col} array<float>"
+    )
+
+
 def shard_topk_search(
     queries: DataFrame,
     corpus: DataFrame,

@@ -165,6 +165,66 @@ def test_random_pair_baseline_deterministic_no_self_pairs(spark, embeddings):
     assert all(r[0] != r[1] for r in rows1)  # never a self-pair
 
 
+def test_pq_roundtrip_shapes_determinism_and_distortion(spark, embeddings):
+    """Product quantization: (a) codes/decoded shapes and determinism,
+    (b) more bits ⇒ lower reconstruction error, (c) reconstruction
+    beats a zero-vector baseline by a wide margin (unit vectors have
+    norm 1, so mean L2 error must be well below 1)."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators import ann
+    from job_post_similarity_spark.functions import vectors as V
+
+    dim = len(embeddings.first()["embedding"])
+    m = 8
+
+    def mean_err(bits):
+        books = ann.pq_train(embeddings, "embedding", m=m, bits=bits)
+        assert books.shape == (m, 2**bits, dim // m)
+        codes = ann.pq_encode(embeddings, books, "vec_id", "embedding")
+        approx = ann.pq_decode(codes, books, "vec_id")
+        row = codes.first()
+        assert len(row["pq_code"]) == m
+        joined = embeddings.join(approx, "vec_id").select(
+            F.sqrt(
+                V.sq_l2_distance(
+                    F.col("embedding"),
+                    F.col("embedding_approx").cast("array<double>"),
+                )
+            ).alias("err")
+        )
+        return joined.agg(F.avg("err")).collect()[0][0]
+
+    e4 = mean_err(4)
+    e6 = mean_err(6)
+    assert e6 < e4  # codebook size buys fidelity
+    assert e6 < 0.9  # unit vectors: decoded ≉ zero baseline
+
+    # determinism: same data + seed → identical codebooks
+    b1 = ann.pq_train(embeddings, "embedding", m=m, bits=4)
+    b2 = ann.pq_train(embeddings, "embedding", m=m, bits=4)
+    assert np.array_equal(b1, b2)
+
+
+def test_scrub_pii_replaces_typed_spans(spark):
+    from job_post_similarity_spark.functions.strings import scrub_pii
+
+    rows = [
+        (0, "mail a.b+c@x-mail.co.uk now"),
+        (1, "call 555-123-4567 late"),
+        (2, "ssn 123-45-6789 leaked"),
+        (3, "clean text, no pii at all"),
+        (4, "dot phone 555.123.4567 and space phone 555 123 4567"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["c"] for r in df.select("id", scrub_pii("text").alias("c")).collect()}
+    assert got[0] == "mail [EMAIL] now"
+    assert got[1] == "call [PHONE] late"
+    assert got[2] == "ssn [SSN] leaked"
+    assert got[3] == rows[3][1]
+    assert got[4] == "dot phone [PHONE] and space phone [PHONE]"
+
+
 def test_rocksdb_state_store_stream_dedup_matches_batch(spark, sf_dir):
     """Stateful streaming on the RocksDB provider (the state store
     that survives keyed state outgrowing executor heap) produces the
