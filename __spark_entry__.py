@@ -1223,6 +1223,32 @@ def pq_compression_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_adc_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over PQ codes (rows-only): the corpus is
+    scanned as 8-byte codes, queries carry precomputed distance
+    tables; planted-duplicate retrieval is pytest-asserted."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = ann.pq_train(emb, "embedding", m=8, bits=6)
+    codes = ann.pq_encode(emb, books, "vec_id", "embedding")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ann.pq_topk_search(queries_df, codes, books, k=3)
+
+
+def ivfpq_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed search (rows-only): coarse-probe buckets, then
+    ADC over 8-byte codes — the compressed-index shape for vector
+    volume at 100 TB. Planted-duplicate retrieval pytest-asserted."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ann.ivfpq_topk_search(
+        queries_df, emb, k=3, n_centroids=8, n_probe=2, m=8, bits=6
+    )
+
+
 def random_pair_baseline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: seeded random-pair similarity baseline (rows-only: Spark
     rand() sequence is engine-specific)."""
@@ -1338,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_documents": minhash_verified_documents,
         "multimodal_resize_frames": multimodal_resize_frames,
         "pq_compression_embeddings": pq_compression_embeddings,
+        "pq_adc_search": pq_adc_search_embeddings,
+        "ivfpq_search": ivfpq_search_embeddings,
         "random_pair_baseline": random_pair_baseline_q,
         "qualitative_report": qualitative_report_q,
     }

@@ -206,6 +206,46 @@ def test_pq_roundtrip_shapes_determinism_and_distortion(spark, embeddings):
     assert np.array_equal(b1, b2)
 
 
+def test_pq_adc_search_finds_planted_duplicates(spark, embeddings):
+    """ADC search over compressed codes: a query identical to a corpus
+    vector must rank that vector top-1 — its approximate distance is
+    just the reconstruction error, far below the ~√2 separation of
+    random unit vectors."""
+    from job_post_similarity_spark.operators import ann
+
+    books = ann.pq_train(embeddings, "embedding", m=8, bits=6)
+    codes = ann.pq_encode(embeddings, books, "vec_id", "embedding")
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    out = ann.pq_topk_search(
+        queries, codes, books, k=3, include_self=True
+    )
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    assert top1 == {i: i for i in range(5)}
+
+
+def test_ivfpq_search_finds_planted_duplicates(spark, embeddings):
+    """The IVF-PQ composition: a query identical to a corpus vector
+    must rank that vector top-1 — the coarse quantizer routes the
+    query to the bucket holding its duplicate (identical vectors get
+    identical assignments), and ADC separates the reconstruction-error
+    floor from random-pair distances."""
+    from job_post_similarity_spark.operators import ann
+
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    out = ann.ivfpq_topk_search(
+        queries, embeddings, k=3, n_centroids=8, n_probe=2, m=8, bits=6,
+        include_self=True,
+    )
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    assert top1 == {i: i for i in range(5)}
+
+
 def test_scrub_pii_replaces_typed_spans(spark):
     from job_post_similarity_spark.functions.strings import scrub_pii
 
