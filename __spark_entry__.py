@@ -1091,6 +1091,32 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval-containment join (chunked equi-join plan, no
+    nested loop): every event attached to the gap-session interval
+    that contains it — per (user, session), the contained-event count
+    must reproduce the session's own n_events. DuckDB mirrors with a
+    plain inequality join."""
+    from job_post_similarity_spark.operators.asof import interval_join
+    from job_post_similarity_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    events_us = ev.select(
+        "event_id", "user_id",
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+    )
+    joined = interval_join(
+        events_us, sessions, "user_id", "ts_us",
+        "session_start_us", "session_end_us",
+    )
+    return (
+        joined.groupBy("user_id", "session_start_us", "n_events")
+        .agg(F.count(F.lit(1)).alias("contained_events"))
+        .orderBy("user_id", "session_start_us")
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization, batch tier (lag → flag → running sum →
     group; one shuffle)."""
@@ -1300,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_dates_documents": parse_dates_documents,
         "asof_join_events": asof_join_events,
         "sessionize_events": sessionize_events,
+        "interval_join_events": interval_join_events,
         "stream_sessionize_events": stream_sessionize_events,
         "stream_windowed_counts": stream_windowed_counts,
         "stream_event_counts": stream_event_counts_q,
@@ -1584,6 +1611,34 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, click_event_id
                             FROM clicks WHERE rn = 1) c
             ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "interval_join_events": """
+            WITH flagged AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            , sessed AS (
+                SELECT user_id, us,
+                       sum(new_sess) OVER
+                           (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sess_idx
+                FROM flagged)
+            , sessions AS (
+                SELECT user_id, min(us) AS session_start_us,
+                       max(us) AS session_end_us, count(*) AS n_events
+                FROM sessed GROUP BY user_id, sess_idx)
+            SELECT s.user_id, s.session_start_us,
+                   CAST(s.n_events AS BIGINT) AS n_events,
+                   count(*) AS contained_events
+            FROM events e JOIN sessions s
+              ON e.user_id = s.user_id
+             AND epoch_us(e.ts) BETWEEN s.session_start_us AND s.session_end_us
+            GROUP BY s.user_id, s.session_start_us, s.n_events
+            ORDER BY s.user_id, s.session_start_us
         """,
         "sessionize_events": """
             WITH flagged AS (

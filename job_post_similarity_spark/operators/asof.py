@@ -1,6 +1,6 @@
-"""As-of (temporal) join — the classic operator the DataFrame API
-lacks as a primitive, composed from a union + window (no UDF, one
-shuffle).
+"""Temporal joins the DataFrame API lacks as primitives: backward
+as-of (union + window, no UDF, one shuffle) and interval containment
+(time-chunk bucketed equi-join, no nested loop).
 
 For each left row, attach the most recent right row with
 ``right.ts <= left.ts`` on the same key (backward as-of; the
@@ -83,4 +83,49 @@ def asof_join(
     return filled.filter(F.col("__side") == 1).select(
         *lcols,
         *[F.col(f"__rlast.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    chunk: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval-containment join: each left row paired with every
+    right interval of the same key satisfying ``start <= ts <= end``
+    (event-to-session, trade-to-auction-window — the range join next
+    to the as-of join above). Timestamps are int64 epoch units (µs by
+    default; ``chunk`` is the bucket width in the same unit).
+
+    Spark plans a raw ``BETWEEN`` theta join as a broadcast nested
+    loop (or a full cartesian per key) — quadratic per key. This
+    rewrites it as an EQUI-join on (key, time_chunk): left rows carry
+    their single chunk, right intervals explode to the chunks they
+    span, candidates meet only inside a chunk, and the exact BETWEEN
+    predicate filters. A (left, right) pair can only meet in the
+    left row's one chunk, so no post-join dedup is needed. Shuffle is
+    keyed by (key, chunk); fan-out per task is bounded by interval
+    density per chunk — pick ``chunk`` near the typical interval
+    length so most intervals span 1-2 chunks.
+    """
+    # integer `div`, not double division: epoch values at exact chunk
+    # boundaries must not float-round into the neighboring chunk
+    lc = left.withColumn("__chunk", F.expr(f"`{ts}` div {chunk}"))
+    rc = right.withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(
+                F.expr(f"`{start}` div {chunk}"),
+                F.expr(f"`{end}` div {chunk}"),
+            )
+        ),
+    )
+    return (
+        lc.join(rc, [key, "__chunk"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("__chunk")
     )

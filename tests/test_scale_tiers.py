@@ -265,6 +265,51 @@ def test_scrub_pii_replaces_typed_spans(spark):
     assert got[4] == "dot phone [PHONE] and space phone [PHONE]"
 
 
+def test_interval_join_matches_theta_join_without_nested_loop(spark, sf_dir):
+    """The chunked interval join must (a) equal the naive BETWEEN
+    theta join row-for-row — including intervals spanning many chunks
+    and boundary-exact timestamps — and (b) plan as an equi-join
+    (no BroadcastNestedLoopJoin / CartesianProduct)."""
+    import re
+
+    from job_post_similarity_spark.operators.asof import interval_join
+
+    events = spark.createDataFrame(
+        [(i, 1 if i < 8 else 2, i * 1_000_000) for i in range(12)],
+        "event_id long, user_id long, ts_us long",
+    )
+    # intervals: multi-chunk span, boundary-exact ends, disjoint keys
+    intervals = spark.createDataFrame(
+        [
+            (1, 0, 3_000_000, 100),          # chunk-spanning, ends on boundary
+            (1, 5_000_000, 5_000_000, 101),  # degenerate single-point
+            (2, 8_000_000, 11_000_000, 102),
+            (2, 500_000, 600_000, 103),      # matches nothing
+        ],
+        "user_id long, s_us long, e_us long, iid long",
+    )
+    got = interval_join(
+        events, intervals, "user_id", "ts_us", "s_us", "e_us",
+        chunk=1_000_000,
+    )
+    want = events.join(
+        intervals,
+        (events.user_id == intervals.user_id)
+        & (events.ts_us >= intervals.s_us)
+        & (events.ts_us <= intervals.e_us),
+    ).select(events.user_id, "event_id", "ts_us", "s_us", "e_us", "iid")
+    g = sorted(tuple(r) for r in got.select("user_id", "event_id", "ts_us", "s_us", "e_us", "iid").collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w and len(g) == 4 + 1 + 4  # 0-3, the point, 8-11
+
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert not re.search(r"NestedLoop|CartesianProduct", plan)
+
+
 def test_rocksdb_state_store_stream_dedup_matches_batch(spark, sf_dir):
     """Stateful streaming on the RocksDB provider (the state store
     that survives keyed state outgrowing executor heap) produces the
