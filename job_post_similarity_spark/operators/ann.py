@@ -19,12 +19,28 @@ the reference's index_description switch:
   high-dim unit vectors any bucketLength either misses neighbors or
   floods candidates — measured degenerate at 50k vectors).
 
+Beyond the pair-join strategies, the SEARCH-shaped and COMPRESSED
+tiers added on top:
+
+- ``shard_topk_search`` — sharded index serving (the distributed HNSW
+  analog): corpus resident on executors, query batch broadcast,
+  per-shard faiss-or-BLAS index, window merge.
+- ``pq_train/pq_encode/pq_decode/pq_topk_search`` — product
+  quantization: vectors stored as m small codes (32× for 64-d f32),
+  searched by asymmetric distance over the code table.
+- ``ivfpq_topk_search`` — the IndexIVFPQ composition: coarse-probe
+  buckets, ADC over the 8-byte codes inside them.
+- ``auto_similarity_join`` / ``auto_topk_search`` — size-dispatched
+  facades; the DEFAULT public surface, so no caller driver-collects
+  an oversized corpus by accident.
+
 Scale design: every ANN path turns the O(n²) crossJoin into one
 shuffle keyed by bucket id. Bits-per-band (SRP) or centroid count
 (IVF) bounds per-task pair fan-out; AQE skew-join splits hot buckets.
-At 100 TB: SRP for near-dup thresholds (≥0.8), IVF when corpus has
-cluster structure — centroids train on a deterministic sample, then
-assignment is a broadcast map-side op, no global structure.
+At 100 TB: SRP for near-dup thresholds (≥0.8), IVF/IVF-PQ when the
+corpus has cluster structure — quantizers train driver-locally on a
+capped deterministic sample (the Faiss train-on-sample shape), then
+assignment/encoding are broadcast map-side ops, no global structure.
 """
 
 from __future__ import annotations
