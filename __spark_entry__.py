@@ -98,9 +98,6 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     + revenue agg + top-10. The two fact joins shuffle on the order
     key; the customer side is dim-sized after its filter and AQE picks
     a broadcast."""
-    # timestamp-valued output (o_orderdate): render in UTC so any
-    # driver session TZ matches DuckDB's naive parquet timestamps
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1023,8 +1020,8 @@ def minhash_verified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def parse_dates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: to_datetime(errors='coerce') — valid strings parse, garbage
-    coerces to null (notebook cell 20's disabled conversion, done right)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    coerces to null (notebook cell 20's disabled conversion, done right).
+    UTC rendering is pinned by load_table (runtime conf)."""
     docs = load_table(spark, sf_dir, "documents")
     date_str = (
         F.when(F.col("doc_id") % 13 == 0, F.lit("not-a-date"))
@@ -1140,9 +1137,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch hourly groupBy (oracle-able)."""
     from job_post_similarity_spark.streaming.stream_ops import stream_windowed_agg
 
-    # timestamp-valued output: render in UTC so any driver session TZ
-    # matches DuckDB's naive parquet timestamps
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # UTC rendering pinned inside _events_stream (runtime conf)
     return stream_windowed_agg(spark, sf_dir)
 
 

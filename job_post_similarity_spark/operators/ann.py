@@ -476,7 +476,11 @@ def srp_topk_search(
         .select(
             "query_id",
             "neighbor_id",
-            V.dot_cosine_arrow("__qv", "__cv").alias("similarity"),
+            # bit-stable JVM fold, NOT the arrow dot: this tier feeds
+            # the oracle-backed srp_recall_vs_exact gate, where a
+            # summation-order ulp on a near-tie could flip the top-1
+            # id vs the exact tier
+            V.dot_cosine("__qv", "__cv").alias("similarity"),
         )
     )
     from pyspark.sql.window import Window
@@ -532,6 +536,53 @@ def auto_similarity_join(
     )
 
 
+# ------------------------------------------- shared search-tier plumbing
+
+
+def _bounded_query_matrix(
+    queries: DataFrame, id_col: str, vec_col: str, max_rows: int, dtype=None
+):
+    """Collect the (bounded) query side as (ids, matrix). Raises when
+    the query set exceeds ``max_rows`` — the broadcast-side budget all
+    search tiers share. Empty input yields a (0, 0) matrix so callers
+    can short-circuit without 2-D-indexing a 1-D empty array."""
+    import numpy as np
+
+    q_pdf = queries.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(q_pdf) > max_rows:
+        raise ValueError(
+            f"query side exceeds {max_rows} rows — for pair-join "
+            "workloads use auto_similarity_join; for huge query sets "
+            "use srp_topk_search (fully relational)"
+        )
+    ids = q_pdf[id_col].to_numpy()
+    mat = np.asarray(list(q_pdf[vec_col]), dtype=dtype or np.float64)
+    if len(ids) == 0:
+        mat = mat.reshape(0, 0)
+    return ids, mat
+
+
+def _merge_topk(local: DataFrame, k: int, sim_col: str) -> DataFrame:
+    """The per-query top-k merge every search tier ends with: window
+    by query, order desc similarity / asc neighbor id (the shared
+    tie-break contract), cut at k, round to 4."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(sim_col), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim_col, 4).alias(sim_col),
+            "rank",
+        )
+    )
+
+
 # ------------------------------------------------------------------- PQ
 
 
@@ -556,7 +607,14 @@ def pq_train(
     """
     import numpy as np
 
-    sample = df.select(vec_col).limit(sample_rows).toPandas()
+    # seeded FRACTION sample before the cap — a bare limit() takes a
+    # partition-ordered prefix, which on clustered/sorted data trains
+    # the codebooks on one region of the space (same policy as
+    # ivf_assign's quantizer sampling)
+    n = df.count()
+    fraction = min(1.0, sample_rows / max(n, 1))
+    train_df = df.sample(fraction, seed=seed) if fraction < 1.0 else df
+    sample = train_df.select(vec_col).limit(sample_rows).toPandas()
     mat = np.asarray(list(sample[vec_col]), dtype=np.float64)
     if len(mat) == 0:
         raise ValueError("cannot train PQ codebooks on an empty sample")
@@ -685,11 +743,17 @@ def pq_topk_search(
     import numpy as np
     import pandas as pd
 
-    q_pdf = queries.select(id_col, vec_col).limit(max_query_rows + 1).toPandas()
-    if len(q_pdf) > max_query_rows:
-        raise ValueError(f"query side exceeds {max_query_rows} rows")
-    q_ids = q_pdf[id_col].to_numpy()
-    q_mat = np.asarray(list(q_pdf[vec_col]), dtype=np.float64)
+    q_type = queries.schema[id_col].dataType.simpleString()
+    c_type = codes.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {q_type}, neighbor_id {c_type}, "
+        "approx_similarity double, rank int"
+    )
+    q_ids, q_mat = _bounded_query_matrix(
+        queries, id_col, vec_col, max_query_rows
+    )
+    if len(q_ids) == 0:
+        return queries.sparkSession.createDataFrame([], out_schema)
     books = np.asarray(codebooks)
     m, kk_entries, sub = books.shape
     # per-query distance tables: (n_q, m, 2^bits)
@@ -734,27 +798,11 @@ def pq_topk_search(
                 out = out[out["query_id"] != out["neighbor_id"]]
             yield out
 
-    q_type = queries.schema[id_col].dataType.simpleString()
-    c_type = codes.schema[id_col].dataType.simpleString()
     local = codes.select(id_col, code_col).mapInPandas(
         op,
         f"query_id {q_type}, neighbor_id {c_type}, approx_similarity double",
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_similarity"), F.asc("neighbor_id")
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("approx_similarity", 4).alias("approx_similarity"),
-            "rank",
-        )
-    )
+    return _merge_topk(local, k, "approx_similarity")
 
 
 def ivfpq_topk_search(
@@ -799,11 +847,17 @@ def ivfpq_topk_search(
 
     # ---- query side: probe n_probe nearest centroids (driver-local:
     # the query set is bounded, the centroid table is tiny)
-    q_pdf = queries.select(id_col, vec_col).limit(max_query_rows + 1).toPandas()
-    if len(q_pdf) > max_query_rows:
-        raise ValueError(f"query side exceeds {max_query_rows} rows")
-    q_ids = q_pdf[id_col].to_numpy()
-    q_mat = np.asarray(list(q_pdf[vec_col]), dtype=np.float64)
+    q_type = queries.schema[id_col].dataType.simpleString()
+    n_type = corpus.schema[id_col].dataType.simpleString()
+    q_ids, q_mat = _bounded_query_matrix(
+        queries, id_col, vec_col, max_query_rows
+    )
+    if len(q_ids) == 0:
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"query_id {q_type}, neighbor_id {n_type}, "
+            "approx_similarity double, rank int",
+        )
     cmat = np.asarray(centers, dtype=np.float64)
     cd = (
         (q_mat * q_mat).sum(axis=1)[:, None]
@@ -817,34 +871,45 @@ def ivfpq_topk_search(
         for qid, bs in zip(q_ids, probe)
         for b in bs
     ]
-    q_type = queries.schema[id_col].dataType.simpleString()
     probes_df = spark.createDataFrame(
         probe_rows, f"query_id {q_type}, bucket int"
     )
 
-    # ---- ADC scoring of candidates in probed buckets
+    # ---- ADC scoring of candidates in probed buckets: one stacked
+    # (n_q, m, 2^bits) table array + a query-id→row index, so the UDF
+    # scores a whole Arrow batch with one fancy-indexed gather (a
+    # per-row Python loop here would dominate — the candidate set is
+    # the probed share of the corpus, IVF-PQ's hot path)
     sub = q_mat.shape[1] // m
-    tables = {
-        (qid.item() if hasattr(qid, "item") else qid): np.stack(
-            [
-                (
-                    (q_mat[i, j * sub : (j + 1) * sub][None, :] - books[j]) ** 2
-                ).sum(axis=1)
-                for j in range(m)
-            ]
-        )
+    tabs_arr = np.stack(
+        [
+            np.stack(
+                [
+                    (
+                        (q_mat[i, j * sub : (j + 1) * sub][None, :] - books[j]) ** 2
+                    ).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+            for i in range(len(q_ids))
+        ]
+    )
+    qid_index = {
+        (qid.item() if hasattr(qid, "item") else qid): i
         for i, qid in enumerate(q_ids)
     }
-    bc = spark.sparkContext.broadcast(tables)
+    bc = spark.sparkContext.broadcast((qid_index, tabs_arr))
 
     def _adc(qid_s, code_s):
-        tabs = bc.value
-        out = np.empty(len(qid_s))
-        for i, (qid, code) in enumerate(zip(qid_s, code_s)):
-            t = tabs[qid]
-            c = np.asarray(code, dtype=np.int64)
-            out[i] = t[np.arange(len(c)), c].sum()
-        return pd.Series(out)
+        idx_map, tabs = bc.value
+        if len(qid_s) == 0:
+            return pd.Series([], dtype=float)
+        qidx = np.fromiter(
+            (idx_map[q] for q in qid_s), dtype=np.int64, count=len(qid_s)
+        )
+        cmat_codes = np.asarray(list(code_s), dtype=np.int64)  # (n, m)
+        picked = tabs[qidx[:, None], np.arange(tabs.shape[1])[None, :], cmat_codes]
+        return pd.Series(picked.sum(axis=1))
 
     adc_udf = F.pandas_udf(_adc, T.DoubleType())
 
@@ -860,21 +925,7 @@ def ivfpq_topk_search(
             "approx_similarity"
         ),
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_similarity"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("approx_similarity", 4).alias("approx_similarity"),
-            "rank",
-        )
-    )
+    return _merge_topk(scored, k, "approx_similarity")
 
 
 def shard_topk_search(
@@ -913,15 +964,9 @@ def shard_topk_search(
     import numpy as np
     import pandas as pd
 
-    q_pdf = queries.select(id_col, vec_col).limit(max_query_rows + 1).toPandas()
-    if len(q_pdf) > max_query_rows:
-        raise ValueError(
-            f"query side exceeds {max_query_rows} rows — for pair-join "
-            "workloads use auto_similarity_join; for huge query sets "
-            "use srp_topk_search (fully relational)"
-        )
-    q_ids = q_pdf[id_col].to_numpy()
-    q_mat = np.asarray(list(q_pdf[vec_col]), dtype=np.float32)
+    q_ids, q_mat = _bounded_query_matrix(
+        queries, id_col, vec_col, max_query_rows, dtype=np.float32
+    )
     bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
     def op(batches):
@@ -987,21 +1032,7 @@ def shard_topk_search(
     local = corpus.select(id_col, vec_col).mapInPandas(
         op, f"query_id {q_type}, neighbor_id {c_type}, similarity double"
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("similarity"), F.asc("neighbor_id")
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("similarity", 4).alias("similarity"),
-            "rank",
-        )
-    )
+    return _merge_topk(local, k, "similarity")
 
 
 def auto_topk_search(

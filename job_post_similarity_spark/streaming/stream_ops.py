@@ -34,9 +34,12 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # runtime conf: lets driver-owned sessions (not built by our
-    # factory) read the TIMESTAMP(NANOS) parquet as long
+    # runtime confs: lets driver-owned sessions (not built by our
+    # factory) read the TIMESTAMP(NANOS) parquet as long, and render
+    # timestamp-valued outputs in UTC (streams bypass load_table,
+    # which pins the same confs for batch reads)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")

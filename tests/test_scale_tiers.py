@@ -246,6 +246,25 @@ def test_ivfpq_search_finds_planted_duplicates(spark, embeddings):
     assert top1 == {i: i for i in range(5)}
 
 
+def test_pq_and_ivfpq_empty_query_sets_short_circuit(spark, embeddings):
+    """Empty query frames return empty results with the right schema
+    instead of crashing on 1-D empty arrays (tier contract shared with
+    test_empty_input_short_circuit)."""
+    from job_post_similarity_spark.operators import ann
+
+    none = embeddings.filter(F.col("vec_id") < 0)
+    books = ann.pq_train(embeddings, "embedding", m=8, bits=4)
+    codes = ann.pq_encode(embeddings, books, "vec_id", "embedding")
+    adc = ann.pq_topk_search(none, codes, books, k=2)
+    assert adc.count() == 0
+    assert adc.columns == ["query_id", "neighbor_id", "approx_similarity", "rank"]
+    ivfpq = ann.ivfpq_topk_search(
+        none, embeddings, k=2, n_centroids=4, m=8, bits=4
+    )
+    assert ivfpq.count() == 0
+    assert ivfpq.columns == ["query_id", "neighbor_id", "approx_similarity", "rank"]
+
+
 def test_scrub_pii_replaces_typed_spans(spark):
     from job_post_similarity_spark.functions.strings import scrub_pii
 
