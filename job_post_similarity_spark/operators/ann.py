@@ -586,6 +586,21 @@ def _merge_topk(local: DataFrame, k: int, sim_col: str) -> DataFrame:
 # ------------------------------------------------------------------- PQ
 
 
+def _nearest_center(mat, centers):
+    """Row-wise nearest-centroid index (squared L2, BLAS form) — the
+    numpy twin of ``ivf_assign``'s n_probe=1 assignment, used wherever
+    residual PQ needs a bucket without a Spark join."""
+    import numpy as np
+
+    c = np.asarray(centers, dtype=np.float64)
+    d = (
+        (mat * mat).sum(axis=1)[:, None]
+        - 2.0 * (mat @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+    return d.argmin(axis=1)
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -593,6 +608,7 @@ def pq_train(
     bits: int = 8,
     sample_rows: int = 100_000,
     seed: int = 42,
+    centers=None,
 ):
     """Product-quantization codebooks: the vector-COMPRESSION operator
     a 100 TB embedding store needs (Faiss IndexPQ's storage model —
@@ -604,6 +620,12 @@ def pq_train(
     Lloyd used by the IVF quantizer, on a ≤``sample_rows`` sample. A
     d-dim float32 vector then stores as m small ints — e.g. 64-d f32
     (256 B) → 8 codes (8 B), 32×. Returns ndarray (m, 2^bits, d/m).
+
+    ``centers`` (ndarray (C, d), the IVF coarse centroids) switches to
+    RESIDUAL training — Faiss IndexIVFPQ's model: each sample vector
+    is replaced by ``x − centers[nearest(x)]`` before codebook
+    training. Residuals have far smaller variance than raw vectors,
+    so the same code budget quantizes them with less distortion.
     """
     import numpy as np
 
@@ -618,6 +640,10 @@ def pq_train(
     mat = np.asarray(list(sample[vec_col]), dtype=np.float64)
     if len(mat) == 0:
         raise ValueError("cannot train PQ codebooks on an empty sample")
+    if centers is not None:
+        mat = mat - np.asarray(centers, dtype=np.float64)[
+            _nearest_center(mat, centers)
+        ]
     dim = mat.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -642,22 +668,42 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centers=None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Encode vectors to their per-subspace nearest codebook entries:
-    (id, pq_code array<int>). Map-side mapInPandas against the
-    broadcast codebooks — encoding 100 TB is shuffle-free."""
+    (id[, bucket], pq_code array<int>). Map-side mapInPandas against
+    the broadcast codebooks — encoding 100 TB is shuffle-free.
+
+    With ``centers`` the codes quantize the RESIDUAL ``x − c_b``
+    (IndexIVFPQ): the bucket ``b`` comes from ``bucket_col`` when the
+    frame already carries an IVF assignment (passed through to the
+    output, saving the join-back), else from a per-batch nearest-
+    centroid computation against the broadcast centers."""
     import numpy as np
     import pandas as pd
 
     m, k, sub = codebooks.shape
-    bc = df.sparkSession.sparkContext.broadcast(np.asarray(codebooks))
+    carry_bucket = bucket_col is not None
+    bc = df.sparkSession.sparkContext.broadcast(
+        (
+            np.asarray(codebooks),
+            None if centers is None else np.asarray(centers, dtype=np.float64),
+        )
+    )
 
     def op(batches):
-        books = bc.value
+        books, cents = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if cents is not None:
+                if carry_bucket:
+                    b = pdf[bucket_col].to_numpy(dtype=np.int64)
+                else:
+                    b = _nearest_center(mat, cents)
+                mat = mat - cents[b]
             codes = np.empty((len(mat), m), dtype=np.int64)
             for j in range(m):
                 x = mat[:, j * sub : (j + 1) * sub]
@@ -668,14 +714,17 @@ def pq_encode(
                     + (c * c).sum(axis=1)[None, :]
                 )
                 codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "pq_code": list(codes)}
-            )
+            out = {id_col: pdf[id_col].to_numpy(), "pq_code": list(codes)}
+            if carry_bucket:
+                out[bucket_col] = pdf[bucket_col].to_numpy()
+            yield pd.DataFrame(out)
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, vec_col).mapInPandas(
-        op, f"{id_col} {id_type}, pq_code array<bigint>"
+    cols = [id_col, vec_col] + ([bucket_col] if carry_bucket else [])
+    out_schema = f"{id_col} {id_type}, pq_code array<bigint>" + (
+        f", {bucket_col} int" if carry_bucket else ""
     )
+    return df.select(*cols).mapInPandas(op, out_schema)
 
 
 def pq_decode(
@@ -818,12 +867,23 @@ def ivfpq_topk_search(
     include_self: bool = False,
     seed: int = 42,
     max_query_rows: int = 100_000,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF-PQ composition — the full compressed-index search shape
     (Faiss IndexIVFPQ; reference index-description family,
     app/vector_search.py:42-47): the corpus lives as (bucket, 8-byte
     PQ code) rows; a query probes its ``n_probe`` nearest coarse
     centroids and ADC-scores ONLY the codes in those buckets.
+
+    ``residual=True`` (IndexIVFPQ's actual model) quantizes
+    ``x − c_bucket`` instead of ``x``: codebooks train on residuals,
+    codes encode residuals (bucket carried through ``pq_encode`` —
+    no join-back), and each (query, probed bucket) pair gets its own
+    ADC table built from ``q − c_bucket``. Residual variance ≪ vector
+    variance, so distortion drops at the same 8-byte code budget; the
+    cost is ``n_probe`` ADC tables per query instead of one
+    (driver-built: pairs × m × 2^bits doubles — keep
+    ``max_query_rows`` modest at high ``bits``).
 
     Data movement at scale: corpus vectors are read once to build
     buckets + codes (map-side against broadcast centroids/codebooks);
@@ -841,9 +901,22 @@ def ivfpq_topk_search(
     assigned, centers = ivf_assign(
         corpus, vec_col, n_centroids, n_probe=1, seed=seed, id_col=id_col
     )
-    books = pq_train(corpus, vec_col, m=m, bits=bits, seed=seed)
-    codes = pq_encode(corpus, books, id_col, vec_col)
-    bucketed_codes = assigned.select(id_col, "bucket").join(codes, id_col)
+    books = pq_train(
+        corpus,
+        vec_col,
+        m=m,
+        bits=bits,
+        seed=seed,
+        centers=centers if residual else None,
+    )
+    if residual:
+        # bucket rides through the encoder — no join-back shuffle
+        bucketed_codes = pq_encode(
+            assigned, books, id_col, vec_col, centers=centers, bucket_col="bucket"
+        )
+    else:
+        codes = pq_encode(corpus, books, id_col, vec_col)
+        bucketed_codes = assigned.select(id_col, "bucket").join(codes, id_col)
 
     # ---- query side: probe n_probe nearest centroids (driver-local:
     # the query set is bounded, the centroid table is tiny)
@@ -876,39 +949,47 @@ def ivfpq_topk_search(
     )
 
     # ---- ADC scoring of candidates in probed buckets: one stacked
-    # (n_q, m, 2^bits) table array + a query-id→row index, so the UDF
-    # scores a whole Arrow batch with one fancy-indexed gather (a
-    # per-row Python loop here would dominate — the candidate set is
-    # the probed share of the corpus, IVF-PQ's hot path)
+    # (pairs, m, 2^bits) table array + a (query, bucket)→row index, so
+    # the UDF scores a whole Arrow batch with one fancy-indexed gather
+    # (a per-row Python loop here would dominate — the candidate set
+    # is the probed share of the corpus, IVF-PQ's hot path). One table
+    # PER PROBE PAIR because under residual encoding the lookup values
+    # depend on the probed centroid: table[p, j, e] =
+    # ‖(q_p − c_bucket(p))_j − books[j][e]‖².
     sub = q_mat.shape[1] // m
+    n_q, p_width = probe.shape
+    qrep = np.repeat(np.arange(n_q), p_width)  # pair → query row
+    brep = probe.ravel()  # pair → bucket
+    resid = q_mat[qrep]
+    if residual:
+        resid = resid - cmat[brep]
     tabs_arr = np.stack(
         [
-            np.stack(
-                [
-                    (
-                        (q_mat[i, j * sub : (j + 1) * sub][None, :] - books[j]) ** 2
-                    ).sum(axis=1)
-                    for j in range(m)
-                ]
-            )
-            for i in range(len(q_ids))
-        ]
-    )
-    qid_index = {
-        (qid.item() if hasattr(qid, "item") else qid): i
-        for i, qid in enumerate(q_ids)
+            (
+                (resid[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :])
+                ** 2
+            ).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (pairs, m, 2^bits)
+    pair_index = {
+        ((qid.item() if hasattr(qid, "item") else qid), int(b)): r
+        for r, (qid, b) in enumerate(zip(q_ids[qrep], brep))
     }
-    bc = spark.sparkContext.broadcast((qid_index, tabs_arr))
+    bc = spark.sparkContext.broadcast((pair_index, tabs_arr))
 
-    def _adc(qid_s, code_s):
+    def _adc(qid_s, bucket_s, code_s):
         idx_map, tabs = bc.value
         if len(qid_s) == 0:
             return pd.Series([], dtype=float)
-        qidx = np.fromiter(
-            (idx_map[q] for q in qid_s), dtype=np.int64, count=len(qid_s)
+        ridx = np.fromiter(
+            (idx_map[(q, b)] for q, b in zip(qid_s, bucket_s)),
+            dtype=np.int64,
+            count=len(qid_s),
         )
         cmat_codes = np.asarray(list(code_s), dtype=np.int64)  # (n, m)
-        picked = tabs[qidx[:, None], np.arange(tabs.shape[1])[None, :], cmat_codes]
+        picked = tabs[ridx[:, None], np.arange(tabs.shape[1])[None, :], cmat_codes]
         return pd.Series(picked.sum(axis=1))
 
     adc_udf = F.pandas_udf(_adc, T.DoubleType())
@@ -921,9 +1002,10 @@ def ivfpq_topk_search(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (F.lit(1.0) - adc_udf(F.col("query_id"), F.col("pq_code")) / 2.0).alias(
-            "approx_similarity"
-        ),
+        (
+            F.lit(1.0)
+            - adc_udf(F.col("query_id"), F.col("bucket"), F.col("pq_code")) / 2.0
+        ).alias("approx_similarity"),
     )
     return _merge_topk(scored, k, "approx_similarity")
 

@@ -246,6 +246,81 @@ def test_ivfpq_search_finds_planted_duplicates(spark, embeddings):
     assert top1 == {i: i for i in range(5)}
 
 
+def test_residual_pq_cuts_distortion_on_clustered_data(spark):
+    """IndexIVFPQ's residual model: on data with cluster structure,
+    quantizing x − c_bucket (residual) must reconstruct with lower
+    mean L2 error than quantizing x directly at the same code budget —
+    residual variance is the within-cluster variance only."""
+    import numpy as np
+
+    from job_post_similarity_spark.functions import vectors as V
+    from job_post_similarity_spark.operators import ann
+
+    # more clusters (40) than codewords per subspace (16): a raw-vector
+    # codebook cannot even represent the between-cluster structure, while
+    # the residual codebook only has to cover the tight within-cluster
+    # scatter — the gap is structural, not a Lloyd-quality accident
+    rng = np.random.default_rng(7)
+    dim, n_clusters = 16, 40
+    centers_true = rng.normal(size=(n_clusters, dim)) * 3.0
+    rows = []
+    for i in range(1200):
+        c = i % n_clusters
+        v = centers_true[c] + rng.normal(scale=0.15, size=dim)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    assigned, centers = ann.ivf_assign(
+        df, "embedding", n_centroids=n_clusters, n_probe=1, seed=11,
+        max_iter=25,
+    )
+
+    def mean_err(with_centers):
+        books = ann.pq_train(
+            df, "embedding", m=4, bits=4,
+            centers=centers if with_centers else None, seed=11,
+        )
+        if with_centers:
+            codes = ann.pq_encode(
+                assigned, books, "vec_id", "embedding",
+                centers=centers, bucket_col="bucket",
+            )
+            # decode residual, add the bucket's centroid back
+            approx = ann.pq_decode(codes, books, "vec_id")
+            cent_df = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+                "bucket int, __cent array<double>",
+            )
+            approx = (
+                approx.join(codes.select("vec_id", "bucket"), "vec_id")
+                .join(F.broadcast(cent_df), "bucket")
+                .select(
+                    "vec_id",
+                    F.zip_with(
+                        F.col("embedding_approx").cast("array<double>"),
+                        "__cent",
+                        lambda a, b: a + b,
+                    ).alias("embedding_approx"),
+                )
+            )
+        else:
+            codes = ann.pq_encode(df, books, "vec_id", "embedding")
+            approx = ann.pq_decode(codes, books, "vec_id")
+        joined = df.join(approx, "vec_id").select(
+            F.sqrt(
+                V.sq_l2_distance(
+                    F.col("embedding"),
+                    F.col("embedding_approx").cast("array<double>"),
+                )
+            ).alias("err")
+        )
+        return joined.agg(F.avg("err")).collect()[0][0]
+
+    e_raw = mean_err(False)
+    e_res = mean_err(True)
+    assert e_res < e_raw * 0.8  # residual coding is decisively better
+
+
 def test_pq_and_ivfpq_empty_query_sets_short_circuit(spark, embeddings):
     """Empty query frames return empty results with the right schema
     instead of crashing on 1-D empty arrays (tier contract shared with
