@@ -87,6 +87,25 @@ def test_knn_no_shuffle_left_stream(spark):
     assert "Exchange" not in plan
 
 
+def test_ivf_assignment_is_shuffle_free(spark):
+    """ivf_assign's bucket assignment must be a map-only pass (Arrow
+    batch against broadcast centroids) — the crossJoin+window form it
+    replaces shuffled n×C rows, a √n× blow-up at the auto C≈√n
+    setting."""
+    from job_post_similarity_spark.operators import ann
+    from job_post_similarity_spark.sources.io import load_table
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, _ = ann.ivf_assign(emb, "embedding", n_centroids=8, n_probe=2)
+    plan = assigned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """bucketBy co-location: joining two tables bucketed on the same
     key must plan a SortMergeJoin with NO shuffle exchange — the

@@ -246,6 +246,27 @@ def test_ivfpq_search_finds_planted_duplicates(spark, embeddings):
     assert top1 == {i: i for i in range(5)}
 
 
+def test_ivfpq_search_string_ids(spark, embeddings):
+    """Id-type generality of the IVF-PQ path: the (query, bucket)→ADC
+    table index and the probe frame must work for string keys, not
+    just bigint — planted duplicates still retrieve top-1."""
+    from job_post_similarity_spark.operators import ann
+
+    named = embeddings.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    queries = named.filter(F.col("vec_id").isin("doc-0", "doc-1", "doc-2"))
+    out = ann.ivfpq_topk_search(
+        queries, named, k=2, n_centroids=8, n_probe=2, m=8, bits=6,
+        include_self=True,
+    )
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    assert top1 == {f"doc-{i}": f"doc-{i}" for i in range(3)}
+
+
 def test_residual_pq_cuts_distortion_on_clustered_data(spark):
     """IndexIVFPQ's residual model: on data with cluster structure,
     quantizing x − c_bucket (residual) must reconstruct with lower
