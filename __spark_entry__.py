@@ -324,6 +324,126 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 3-fact join + dim broadcast + top-20 by an
+    aggregated measure — customers ranked by revenue lost to returned
+    items in a quarter. Order/limit on the exact DECIMAL, project
+    round(double, 4) (the driver-hash contract)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    d = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount")))
+            .alias("__rev")
+        )
+        .orderBy(F.desc("__rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("__rev").cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio — the share of a
+    month's revenue from PROMO parts. Both sums run in DECIMAL; the
+    ratio is computed in double with the same operation order as the
+    oracle ((sp × 100) / st) so the IEEE result is bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    rev = d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)).alias("__sp"),
+            F.sum(rev).alias("__st"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .select(
+            F.round(
+                F.col("__sp").cast("double") * 100.0 / F.col("__st").cast("double"),
+                4,
+            ).alias("promo_revenue_pct"),
+            "line_cnt",
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across both join sides —
+    the disjunction can't be pushed wholesale, but Catalyst extracts
+    the common l_quantity/p_size bounds below the join. One broadcast
+    join, one scalar aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(c1 | c2 | c3)
+        .agg(
+            F.round(
+                F.sum(
+                    d("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,4)") - d("l_discount"))
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+def sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier profiling (rows-only: sketch estimates are
+    engine-specific by construction): mergeable per-group DataSketches
+    HLL with a union rollup row, alongside the one-row HLL++
+    approx-distinct profile — the 100 TB stand-in for exact
+    countDistinct."""
+    from job_post_similarity_spark.operators import profiling as prof
+
+    ev = load_table(spark, sf_dir, "events")
+    per = prof.hll_distinct_by_group(ev, "event_type", "user_id")
+    wide = prof.approx_distinct_counts(ev, ["user_id", "event_type"])
+    return per.crossJoin(F.broadcast(wide)).orderBy(
+        F.col("group_value").asc_nulls_first()
+    )
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated MIN subquery decorrelated into a
     per-key min aggregate + join-back — for every part in a type
@@ -1370,6 +1490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_removal_embeddings": vector_removal_embeddings,
         "salted_join_events": salted_join_events,
         "pii_scrub_documents": pii_scrub_documents,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         # -- rows-only tiers (no SQL twin by nature) -------------------
         "strip_html_fidelity_documents": strip_html_fidelity_documents,
         "bpe_token_count_documents": bpe_token_count_documents,
@@ -1390,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_search": ivfpq_search_embeddings,
         "random_pair_baseline": random_pair_baseline_q,
         "qualitative_report": qualitative_report_q,
+        "sketch_profile_events": sketch_profile_events,
     }
 
 
@@ -1714,6 +1838,53 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY l_orderkey, o_orderdate, o_orderpriority
                   ORDER BY rev DESC, o_orderdate ASC, l_orderkey ASC
                   LIMIT 10)
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   ROUND(CAST(rev AS DOUBLE), 4) AS revenue
+            FROM (SELECT c_custkey, c_name, n_name,
+                         sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                             (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                             AS rev
+                  FROM customer
+                  JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+                    AND o_orderdate < TIMESTAMP '1997-01-01'
+                    AND l_returnflag = 'R'
+                  GROUP BY c_custkey, c_name, n_name
+                  ORDER BY rev DESC, c_custkey ASC
+                  LIMIT 20)
+        """,
+        "q14_promo_revenue": """
+            SELECT ROUND(CAST(sp AS DOUBLE) * 100.0 / CAST(st AS DOUBLE), 4)
+                       AS promo_revenue_pct,
+                   line_cnt
+            FROM (SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                             END) AS sp,
+                         sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                             (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                             AS st,
+                         count(*) AS line_cnt
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                    AND l_shipdate < TIMESTAMP '1997-04-01')
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                              AS DOUBLE), 4) AS revenue,
+                   count(*) AS line_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "q5_local_supplier_volume": """
             SELECT n_name AS nation,

@@ -88,6 +88,61 @@ def summary_stats(df: DataFrame, column: str, approx: bool = False) -> DataFrame
     )
 
 
+def approx_distinct_counts(
+    df: DataFrame, columns: list[str], rsd: float = 0.02
+) -> DataFrame:
+    """A3's 100 TB tier: HLL++ ``approx_count_distinct`` per column.
+
+    Exact ``countDistinct`` re-shuffles every distinct VALUE (Spark
+    plans it as an Expand + two aggregates — n_cols× the scan in
+    flight); the sketch aggregate carries a fixed few-KB state per
+    column per partition and merges map-side, so the shuffle is one
+    row per partition no matter the cardinality. ``rsd`` is the
+    target relative standard deviation (HLL++, Heule et al. 2013).
+    """
+    return df.agg(
+        *[
+            F.approx_count_distinct(c, rsd).alias(f"{c}_approx_distinct")
+            for c in columns
+        ],
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+def hll_distinct_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """MERGEABLE-sketch cardinality profile (Apache DataSketches HLL,
+    Spark 3.5+): one binary sketch per group, then the global estimate
+    is re-aggregated from the per-group sketches with
+    ``hll_union_agg`` — never touching the data again.
+
+    That mergeability is the whole point at 100 TB: per-day /
+    per-slice sketches persist as ~KB binaries, and any rollup
+    (week, month, all-time) is a union of sketches instead of a
+    re-scan. Output: one row per group plus a ``group_value = NULL``
+    total row, ``approx_distinct`` from ``hll_sketch_estimate``.
+    """
+    per_group = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col, lg_k).alias("__sk")
+    )
+    groups = per_group.select(
+        F.col(group_col).cast("string").alias("group_value"),
+        F.hll_sketch_estimate("__sk").alias("approx_distinct"),
+    )
+    total = (
+        per_group.agg(F.hll_union_agg("__sk").alias("__u"))
+        .select(
+            F.lit(None).cast("string").alias("group_value"),
+            F.hll_sketch_estimate("__u").alias("approx_distinct"),
+        )
+    )
+    return groups.unionByName(total)
+
+
 def duplicate_count(df: DataFrame, key: list[str]) -> DataFrame:
     """A5: df.duplicated().sum() on a key subset (notebook cell 11):
     total rows minus distinct keys."""

@@ -308,6 +308,38 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_sketch_profile_tier_within_tolerance(spark, sf_dir):
+    """The sketch profiling operators: HLL++ per-column approx counts
+    and mergeable per-group DataSketches HLL with a union rollup — all
+    estimates within 5% of exact on the fixture cardinalities."""
+    from job_post_similarity_spark.operators import profiling
+    from job_post_similarity_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = profiling.approx_distinct_counts(
+        ev, ["user_id", "event_type"]
+    ).first()
+    exact_users = ev.select(F.countDistinct("user_id")).first()[0]
+    assert abs(row["user_id_approx_distinct"] - exact_users) / exact_users < 0.05
+    assert row["event_type_approx_distinct"] in range(
+        1, 2 * ev.select("event_type").distinct().count() + 1
+    )
+    assert row["row_count"] == ev.count()
+
+    prof = profiling.hll_distinct_by_group(ev, "event_type", "user_id")
+    rows = {r["group_value"]: r["approx_distinct"] for r in prof.collect()}
+    # the NULL row is the union-of-sketches global rollup
+    assert abs(rows[None] - exact_users) / exact_users < 0.05
+    exact_by_type = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for t, exact in exact_by_type.items():
+        assert abs(rows[t] - exact) / exact < 0.05
+
+
 def test_multimodal_resize_and_frames(documents):
     media = multimodal.attach_binary_payload(documents.limit(60))
     resized = multimodal.resize_images(media, 8, 8).collect()
