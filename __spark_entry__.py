@@ -444,6 +444,24 @@ def sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curate_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (FineWeb/Dolma shape): strip →
+    quality gate → lang gate → PII scrub → digest dedup → annotate —
+    the whole composition oracle-verified as one query."""
+    from job_post_similarity_spark.plans import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    return P.curate_corpus(docs)
+
+
+def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage surviving-row counts of the curation pipeline."""
+    from job_post_similarity_spark.plans import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    return P.curation_funnel(docs)
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated MIN subquery decorrelated into a
     per-key min aggregate + join-back — for every part in a type
@@ -1493,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "curate_corpus_documents": curate_corpus_documents,
+        "curation_funnel_documents": curation_funnel_documents,
         # -- rows-only tiers (no SQL twin by nature) -------------------
         "strip_html_fidelity_documents": strip_html_fidelity_documents,
         "bpe_token_count_documents": bpe_token_count_documents,
@@ -1550,6 +1570,101 @@ def _lang_id_oracle() -> str:
         SELECT doc_id,
                CASE WHEN best = 0 THEN 'und' {cases} ELSE 'und' END AS lang_pred
         FROM ranked
+    """
+
+
+def _curation_oracle(
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_words: int = 10,
+    funnel: bool = False,
+) -> str:
+    """DuckDB twin of plans.pipeline.curate_corpus / curation_funnel —
+    generated from the same _LANG_MARKERS so the lang stage stays in
+    sync with the Spark expression (same pattern as _lang_id_oracle)."""
+    from job_post_similarity_spark.operators.text_analysis import _LANG_MARKERS
+
+    score_cols = ",\n".join(
+        f"len(list_filter(lotoks, t -> list_contains("
+        f"[{', '.join(repr(w) for w in words)}], t))) AS s_{lang}"
+        for lang, words in _LANG_MARKERS.items()
+    )
+    best = f"greatest({', '.join('s_' + lang for lang in _LANG_MARKERS)})"
+    cases = "\n".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(_LANG_MARKERS)
+    )
+    lang_list = ", ".join(f"'{lg}'" for lg in langs)
+    en = ", ".join(repr(w) for w in _LANG_MARKERS["en"])
+    ctes = f"""
+        WITH cleaned AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                                       '\\s+', ' ', 'g')) AS tc
+            FROM documents),
+        feat AS (
+            SELECT doc_id, tc,
+                   CASE WHEN trim(tc) = '' THEN 0
+                        ELSE len(string_split_regex(trim(tc), '\\s+')) END AS n_tok,
+                   string_split_regex(trim(lower(tc)), '\\s+') AS lotoks,
+                   length(tc) AS n_char,
+                   length(tc) - length(regexp_replace(tc, '[^\\w\\s]', '', 'g'))
+                       AS n_punct
+            FROM cleaned),
+        feat2 AS (
+            SELECT doc_id, tc, n_tok, n_char, n_punct,
+                   len(list_filter(lotoks, t -> list_contains([{en}], t))) AS hits,
+                   len(lotoks) AS n_low,
+                   {score_cols}
+            FROM feat),
+        scored AS (
+            SELECT doc_id, tc, n_tok,
+                   (least(n_tok * 80, 4000)
+                    + CASE WHEN n_low > 0
+                           THEN least(CAST(floor(hits * 15000 / n_low) AS BIGINT), 3000)
+                           ELSE 0 END
+                    + CASE WHEN n_char > 0
+                           THEN 3000 - CAST(floor(n_punct * 3000 / n_char) AS BIGINT)
+                           ELSE 3000 END) / 10000.0 AS quality,
+                   {best} AS best,
+                   {', '.join('s_' + lang for lang in _LANG_MARKERS)}
+            FROM feat2),
+        lang AS (
+            SELECT doc_id, tc, n_tok, quality,
+                   CASE WHEN best = 0 THEN 'und' {cases} ELSE 'und' END AS lang_pred
+            FROM scored),
+        kept AS (
+            SELECT * FROM lang
+            WHERE quality >= {min_quality} AND lang_pred IN ({lang_list})
+              AND n_tok >= {min_words}),
+        scrubbed AS (
+            SELECT doc_id, lang_pred, quality, n_tok AS n_tokens,
+                   md5(lower(
+                       regexp_replace(regexp_replace(regexp_replace(tc,
+                           '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}\\b',
+                           '[EMAIL]', 'g'),
+                           '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g'),
+                           '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '[PHONE]', 'g')
+                   )) AS text_hash
+            FROM kept),
+        deduped AS (
+            SELECT doc_id, lang_pred, quality, n_tokens, text_hash,
+                   row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+            FROM scrubbed)
+    """
+    if funnel:
+        return f"""{ctes}
+            SELECT '00_raw' AS stage, count(*) AS n_rows FROM documents
+            UNION ALL
+            SELECT '10_quality_lang', count(*) FROM kept
+            UNION ALL
+            SELECT '20_deduped', count(*) FROM deduped WHERE rn = 1
+            ORDER BY stage
+        """
+    return f"""{ctes}
+        SELECT doc_id, lang_pred, ROUND(quality, 4) AS quality,
+               n_tokens, text_hash
+        FROM deduped WHERE rn = 1
+        ORDER BY doc_id
     """
 
 
@@ -1839,6 +1954,8 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY rev DESC, o_orderdate ASC, l_orderkey ASC
                   LIMIT 10)
         """,
+        "curate_corpus_documents": _curation_oracle(),
+        "curation_funnel_documents": _curation_oracle(funnel=True),
         "q10_returned_items": """
             SELECT c_custkey, c_name, n_name,
                    ROUND(CAST(rev AS DOUBLE), 4) AS revenue

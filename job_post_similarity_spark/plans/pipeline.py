@@ -117,6 +117,111 @@ def jobs_view_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _curation_stages(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_words: int = 10,
+) -> dict[str, DataFrame]:
+    """Shared stage graph for curate_corpus / curation_funnel (one lazy
+    plan; Catalyst dedups the common subtrees when both are used)."""
+    from ..operators import text_analysis as TA
+
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"<[^>]+>", " "), r"\s+", " "
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        clean.alias("tc"),
+    ).select(
+        "doc_id",
+        "tc",
+        TA.lang_id("tc").alias("lang_pred"),
+        TA.quality_score("tc").alias("quality"),
+        TA.token_count("tc").alias("n_tokens"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= min_quality)
+        & F.col("lang_pred").isin(*langs)
+        & (F.col("n_tokens") >= min_words)
+    )
+    scrubbed = kept.select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        "n_tokens",
+        F.md5(F.lower(S.scrub_pii("tc"))).alias("text_hash"),
+    )
+    deduped = preprocess.dedup_keep_first(
+        scrubbed, ["text_hash"], [F.asc("doc_id")]
+    )
+    return {"raw": docs, "kept": kept, "deduped": deduped}
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_words: int = 10,
+) -> DataFrame:
+    """FineWeb/Dolma-shaped corpus curation, end to end: HTML-strip →
+    quality gate (basis-point composite) → language gate (marker
+    lang-ID) → PII scrub → exact dedup (keep-first by scrubbed-text
+    digest) → per-doc annotations.
+
+    Every stage is a deterministic JVM expression with a DuckDB twin,
+    so the WHOLE composition is oracle-verified end-to-end (gate
+    `curate_corpus_documents`) — not just each stage in isolation.
+
+    Scale shape: stages 1-4 fuse into ONE map-side scan (no UDFs, no
+    shuffles — Catalyst collapses the selects); the dedup window is
+    the only shuffle, keyed on the 16-byte digest, never the text.
+    """
+    return (
+        _curation_stages(docs, min_quality, langs, min_words)["deduped"]
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.round("quality", 4).alias("quality"),
+            "n_tokens",
+            "text_hash",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_words: int = 10,
+) -> DataFrame:
+    """Stage-by-stage yield of the curation pipeline — the acceptance
+    report a data-curation run ships with (what share of the raw
+    corpus survived each gate). Three scalar aggregates unioned; each
+    is a count over the shared lazy stage graph."""
+    stages = _curation_stages(docs, min_quality, langs, min_words)
+    parts = [
+        stages["raw"].agg(
+            F.lit("00_raw").alias("stage"), F.count(F.lit(1)).alias("n_rows")
+        ),
+        stages["kept"].agg(
+            F.lit("10_quality_lang").alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ),
+        stages["deduped"].agg(
+            F.lit("20_deduped").alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("stage")
+
+
 def qualitative_report(
     emb: DataFrame,
     meta: DataFrame,

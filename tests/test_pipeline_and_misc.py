@@ -308,6 +308,35 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_curate_corpus_planted_fixtures(spark):
+    """Behavioral spec of the curation pipeline on planted documents:
+    HTML is stripped before scoring, non-English and low-quality docs
+    are rejected, PII differences do NOT defeat the dedup (both
+    variants scrub to the same digest, keep-first wins), and the
+    funnel counts every stage."""
+    from job_post_similarity_spark.plans import pipeline as P
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs to the "
+        "forest with a friend for a long day in the sun " * 2
+    )
+    rows = [
+        (0, "<div><p>" + good + "</p></div>"),          # html + survives
+        (1, good + " contact alice@example.com"),        # dup of 2 after scrub
+        (2, good + " contact bob@test.org"),             # dup of 1 after scrub
+        (3, "der die das und ist nicht mit ein zu " * 8),  # German → rejected
+        (4, "!!! ??? *** " * 30),                        # symbol soup → rejected
+        (5, "short text"),                               # < min_words → rejected
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = P.curate_corpus(docs, min_quality=0.5, langs=("en",), min_words=10)
+    got = out.collect()
+    assert [r["doc_id"] for r in got] == [0, 1]  # keep-first: 1 beats 2
+    assert all(r["lang_pred"] == "en" for r in got)
+    funnel = {r["stage"]: r["n_rows"] for r in P.curation_funnel(docs).collect()}
+    assert funnel == {"00_raw": 6, "10_quality_lang": 3, "20_deduped": 2}
+
+
 def test_sketch_profile_tier_within_tolerance(spark, sf_dir):
     """The sketch profiling operators: HLL++ per-column approx counts
     and mergeable per-group DataSketches HLL with a union rollup — all

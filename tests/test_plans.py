@@ -87,6 +87,18 @@ def test_knn_no_shuffle_left_stream(spark):
     assert "Exchange" not in plan
 
 
+def test_curation_pipeline_single_shuffle(spark):
+    """curate_corpus: clean, quality, lang, scrub and digest all fuse
+    into the scan; the only Exchange is the dedup window's hash
+    partitioning on the 16-byte digest. (orderBy adds a range-exchange
+    for output ordering — tolerated; the data-shaping shuffle is 1.)"""
+    plan = _plan(spark, "curate_corpus_documents")
+    # hash exchange for the dedup window + range exchange for the sort
+    assert _nodes(plan, "Exchange") <= 2
+    # no Python workers anywhere: the full stage chain is JVM expressions
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
 def test_ivf_assignment_is_shuffle_free(spark):
     """ivf_assign's bucket assignment must be a map-only pass (Arrow
     batch against broadcast centroids) — the crossJoin+window form it
