@@ -428,6 +428,334 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume — revenue
+    shipped between two nations (either direction) per year. The two
+    nation dims broadcast under distinct aliases; the fact joins
+    shuffle once on custkey and once on orderkey; the year bucket and
+    pair filter stay in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n_supp = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    d = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    pair = (("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == pair[0][0]) & (F.col("cust_nation") == pair[0][1]))
+            | ((F.col("supp_nation") == pair[1][0]) & (F.col("cust_nation") == pair[1][1]))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount")))
+            .alias("__rev")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.round(F.col("__rev").cast("double"), 4).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share — the fraction of ASIA
+    customers' ECONOMY-part revenue supplied by NATION_3, per order
+    year. Numerator and denominator both aggregate in DECIMAL; the
+    ratio divides in double with the oracle's operation order
+    (the q14 contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    d = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    rev = d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount"))
+    n_supp = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    parts = p.filter(F.col("p_type").startswith("ECONOMY")).select("p_partkey")
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)).alias("__num"),
+            F.sum(rev).alias("__den"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.coalesce(F.col("__num").cast("double"), F.lit(0.0))
+                / F.col("__den").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and year.
+    The testdata has no partsupp, so unit supply cost is proxied as
+    10% of the part's retail price: profit = ep·(1−disc) −
+    qty·retail·0.1, aggregated EXACTLY in DECIMAL. Widths are kept
+    narrow (14,4 / 9,4 / 2,1) so the product types stay inside both
+    engines' 38-digit cap with no precision-loss rescale — every term
+    needs ≤ 9 fractional digits and both engines carry ≥ that."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    parts = p.filter(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,4)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    cost = (
+        F.col("l_quantity").cast("decimal(9,4)")
+        * F.col("p_retailprice").cast("decimal(14,4)")
+        * F.lit("0.1").cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
+        )
+        .agg(F.sum(rev - cost).alias("__profit"))
+        .select(
+            "nation",
+            "o_year",
+            F.round(F.col("__profit").cast("double"), 4).alias("profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a fraction of the global total
+    (HAVING against a scalar subquery). No partsupp table, so the
+    measure is per-part revenue; kept are parts above a 0.075% share
+    (1.5× the mean share at 2000 parts), compared EXACTLY in DECIMAL
+    as val·4000 > total·3 (scale-4 integers — no double boundary
+    wobble). Two aggregates over one scan; the scalar total
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    rev = (d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("__val"))
+    total = li.agg(F.sum(rev).alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__val") * 4000 > F.col("__total") * 3)
+        .select(
+            "l_partkey",
+            F.round(F.col("__val").cast("double"), 4).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over an aggregated CTE — the supplier(s)
+    whose quarterly revenue equals the maximum. Revenue stays DECIMAL
+    through the max and the equality join (exact tie semantics), then
+    projects round(double, 4). The one-row max broadcasts back against
+    the per-supplier aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    d = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount")))
+            .alias("__rev")
+        )
+    )
+    mx = per_supp.agg(F.max("__rev").alias("__mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev").cast("double"), 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a per-order aggregate, joined back
+    to its parents — customers whose order totals more than 300 units.
+    One shuffle groups lineitem by order key; the qualifying key set
+    is order-count-sized and broadcasts into orders⋈customer.
+    l_quantity is integer-valued, so the double sum is exact and the
+    HAVING cut is deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 4).alias("totalprice"),
+            F.round(F.col("sum_qty").cast("double"), 4).alias("sum_qty"),
+        )
+    )
+
+
+def q20_heavy_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: semi-join chain gated by a correlated aggregate
+    — suppliers who shipped over 350 units of STANDARD parts in 1997,
+    decorrelated into a filtered groupBy + left-semi join, then
+    annotated with their nation. The part dim prunes before the
+    shuffle; the qualifying supplier set broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    parts = p.filter(F.col("p_type").startswith("STANDARD")).select("p_partkey")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 350)
+    )
+    return (
+        s.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("shipped_qty").cast("double"), 4).alias("shipped_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: multi-EXISTS / NOT-EXISTS correlation folded
+    into conditional distinct aggregates — for multi-supplier orders
+    where EXACTLY ONE supplier shipped late (>90 days after the order
+    date), charge that supplier; rank suppliers by how many orders
+    they alone held up. One shuffle joins lineitem⋈orders on the order
+    key; one groupBy per order computes both existence tests; the
+    supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("__late_supp"),
+        )
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+    )
+    return (
+        per_order.groupBy(F.col("__late_supp").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), "s_suppkey")
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery + anti-join + substring
+    grouping. No phone column in the testdata, so the country code is
+    the deterministic c_custkey % 7 bucket; kept are above-average-
+    balance customers with no order after 1998. The average divides
+    decimal-sum by count in double with the oracle's operation order;
+    balances aggregate in DECIMAL."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    d = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    avg_row = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(d("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__avg")
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01")).select(
+        "o_custkey"
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_custkey") % 7).alias("cust_group"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(d("c_acctbal")).cast("double"), 4).alias("totacctbal"),
+        )
+        .orderBy("cust_group")
+    )
+
+
 def sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier profiling (rows-only: sketch estimates are
     engine-specific by construction): mergeable per-group DataSketches
@@ -1511,6 +1839,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q20_heavy_part_shippers": q20_heavy_part_shippers,
+        "q21_sole_late_shipper": q21_sole_late_shipper,
+        "q22_dormant_high_balance": q22_dormant_high_balance,
         "curate_corpus_documents": curate_corpus_documents,
         "curation_funnel_documents": curation_funnel_documents,
         # -- rows-only tiers (no SQL twin by nature) -------------------
@@ -2002,6 +2339,164 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                              AS DOUBLE), 4) AS revenue
+            FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                         year(l_shipdate) AS l_year, l_extendedprice, l_discount
+                  FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate < TIMESTAMP '1998-01-01'
+                    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   ROUND(COALESCE(CAST(num AS DOUBLE), 0) / CAST(den AS DOUBLE), 6)
+                       AS mkt_share
+            FROM (SELECT year(o_orderdate) AS o_year,
+                         sum(CASE WHEN sn = 'NATION_3'
+                                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                             END) AS num,
+                         sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                             (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                             AS den
+                  FROM (SELECT o_orderdate, l_extendedprice, l_discount,
+                               n1.n_name AS sn
+                        FROM lineitem
+                        JOIN part ON l_partkey = p_partkey
+                        JOIN orders ON l_orderkey = o_orderkey
+                        JOIN customer ON o_custkey = c_custkey
+                        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                        JOIN region ON n2.n_regionkey = r_regionkey
+                        JOIN supplier ON l_suppkey = s_suppkey
+                        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                        WHERE p_type LIKE 'ECONOMY%'
+                          AND r_name = 'ASIA'
+                          AND o_orderdate >= TIMESTAMP '1996-01-01'
+                          AND o_orderdate < TIMESTAMP '1998-01-01')
+                  GROUP BY o_year)
+            ORDER BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT nation, o_year,
+                   ROUND(CAST(profit AS DOUBLE), 4) AS profit
+            FROM (SELECT n_name AS nation, year(l_shipdate) AS o_year,
+                         sum(CAST(l_extendedprice AS DECIMAL(14,4)) *
+                             (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+                             - CAST(l_quantity AS DECIMAL(9,4)) *
+                               CAST(p_retailprice AS DECIMAL(14,4)) *
+                               CAST(0.1 AS DECIMAL(2,1))) AS profit
+                  FROM lineitem
+                  JOIN part ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  WHERE p_name LIKE '%widget%'
+                  GROUP BY 1, 2)
+            ORDER BY nation, o_year DESC
+        """,
+        "q11_important_parts": """
+            SELECT l_partkey,
+                   ROUND(CAST(val AS DOUBLE), 4) AS part_value
+            FROM (SELECT l_partkey,
+                         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                                  AS DECIMAL(28,4))) AS val
+                  FROM lineitem GROUP BY l_partkey),
+                 (SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                                  AS DECIMAL(28,4))) AS total
+                  FROM lineitem)
+            WHERE val * 4000 > total * 3
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "q15_top_supplier": """
+            WITH per_supp AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                           AS rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name,
+                   ROUND(CAST(rev AS DOUBLE), 4) AS total_revenue
+            FROM per_supp
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev = (SELECT max(rev) FROM per_supp)
+            ORDER BY s_suppkey
+        """,
+        "q18_large_volume_customers": """
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   ROUND(CAST(o_totalprice AS DOUBLE), 4) AS totalprice,
+                   ROUND(CAST(sum_qty AS DOUBLE), 4) AS sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 300)
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 50
+        """,
+        "q20_heavy_part_shippers": """
+            SELECT s_suppkey, s_name, n_name AS nation,
+                   ROUND(CAST(shipped_qty AS DOUBLE), 4) AS shipped_qty
+            FROM (SELECT l_suppkey, sum(l_quantity) AS shipped_qty
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_type LIKE 'STANDARD%'
+                    AND l_shipdate >= TIMESTAMP '1997-01-01'
+                    AND l_shipdate < TIMESTAMP '1998-01-01'
+                  GROUP BY l_suppkey
+                  HAVING sum(l_quantity) > 350)
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_suppkey
+        """,
+        "q21_sole_late_shipper": """
+            SELECT late_supp AS s_suppkey, s_name, numwait
+            FROM (SELECT late_supp, count(*) AS numwait
+                  FROM (SELECT l_orderkey,
+                               count(DISTINCT l_suppkey) AS n_supp,
+                               count(DISTINCT CASE WHEN l_shipdate >
+                                       o_orderdate + INTERVAL 90 DAY
+                                     THEN l_suppkey END) AS n_late,
+                               max(CASE WHEN l_shipdate >
+                                       o_orderdate + INTERVAL 90 DAY
+                                   THEN l_suppkey END) AS late_supp
+                        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                        GROUP BY l_orderkey)
+                  WHERE n_supp >= 2 AND n_late = 1
+                  GROUP BY late_supp)
+            JOIN supplier ON late_supp = s_suppkey
+            ORDER BY numwait DESC, s_suppkey
+            LIMIT 20
+        """,
+        "q22_dormant_high_balance": """
+            SELECT c_custkey % 7 AS cust_group,
+                   count(*) AS numcust,
+                   ROUND(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+                       AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                                      / CAST(count(*) AS DOUBLE)
+                               FROM customer WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1998-01-01')
+            GROUP BY cust_group
+            ORDER BY cust_group
         """,
         "q5_local_supplier_volume": """
             SELECT n_name AS nation,
