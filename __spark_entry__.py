@@ -756,6 +756,92 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) order total per customer — explicit ROWS
+    frame, unique (orderdate, orderkey) ordering, DECIMAL accumulation
+    inside the frame, round(double, 4) out. One shuffle on custkey."""
+    from job_post_similarity_spark.operators import windows as W
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    run = W.running_agg(
+        o,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        F.col("o_totalprice").cast("decimal(18,4)"),
+        "__run",
+    )
+    return run.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("__run").cast("double"), 4).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) balance quartiles within each market segment, then a
+    per-(segment, quartile) rollup. Partitioned by segment — the
+    global-ntile single-task trap doesn't apply."""
+    from job_post_similarity_spark.operators import windows as W
+
+    c = load_table(spark, sf_dir, "customer")
+    q = W.ntile_buckets(
+        c,
+        ["c_mktsegment"],
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        4,
+        "quartile",
+    )
+    return (
+        q.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+def order_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of order value within each priority
+    class (customer slice). Tie-stable by definition; the ratios are
+    exact small-integer divisions, identical IEEE on both engines."""
+    from job_post_similarity_spark.operators import windows as W
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    r = W.rank_stats(o, ["o_orderpriority"], [F.asc("o_totalprice")])
+    return r.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("pct_rank"), 6).alias("pct_rank"),
+        F.round(F.col("cume_dist"), 6).alias("cume_dist"),
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+def rolling_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling sum of event value per user — a RANGE frame over
+    integer epoch-µs (tie-deterministic when timestamps collide;
+    integer bounds sidestep engine interval arithmetic). DECIMAL
+    accumulation, round(double, 4) out."""
+    from job_post_similarity_spark.operators import windows as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    roll = W.range_frame_agg(
+        ev,
+        ["user_id"],
+        F.unix_micros(F.col("ts")),
+        F.col("value").cast("decimal(18,4)"),
+        6 * 86400 * 1_000_000,
+        "__roll",
+    )
+    return roll.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("__roll").cast("double"), 4).alias("rolling_value"),
+    ).orderBy("event_id")
+
+
 def sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier profiling (rows-only: sketch estimates are
     engine-specific by construction): mergeable per-group DataSketches
@@ -1848,6 +1934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_heavy_part_shippers": q20_heavy_part_shippers,
         "q21_sole_late_shipper": q21_sole_late_shipper,
         "q22_dormant_high_balance": q22_dormant_high_balance,
+        "running_total_orders": running_total_orders,
+        "ntile_customer_quartiles": ntile_customer_quartiles,
+        "order_rank_stats": order_rank_stats,
+        "rolling_value_events": rolling_value_events,
         "curate_corpus_documents": curate_corpus_documents,
         "curation_funnel_documents": curation_funnel_documents,
         # -- rows-only tiers (no SQL twin by nature) -------------------
@@ -2497,6 +2587,52 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >= TIMESTAMP '1998-01-01')
             GROUP BY cust_group
             ORDER BY cust_group
+        """,
+        "running_total_orders": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                              OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+                              AS DOUBLE), 4) AS running_total
+            FROM orders
+            WHERE o_custkey < 100
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "ntile_customer_quartiles": """
+            SELECT c_mktsegment, quartile,
+                   count(*) AS numcust,
+                   ROUND(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+                       AS sum_bal
+            FROM (SELECT c_mktsegment, c_acctbal,
+                         ntile(4) OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal, c_custkey)
+                             AS quartile
+                  FROM customer)
+            GROUP BY c_mktsegment, quartile
+            ORDER BY c_mktsegment, quartile
+        """,
+        "order_rank_stats": """
+            SELECT o_orderkey, o_orderpriority,
+                   ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                   ROUND(cume_dist() OVER w, 6) AS cume_dist
+            FROM orders
+            WHERE o_custkey < 20
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+            ORDER BY o_orderpriority, o_orderkey
+        """,
+        "rolling_value_events": """
+            SELECT event_id, user_id,
+                   ROUND(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                              OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts)
+                                    RANGE BETWEEN 518400000000 PRECEDING
+                                              AND CURRENT ROW)
+                              AS DOUBLE), 4) AS rolling_value
+            FROM events
+            WHERE user_id < 200
+            ORDER BY event_id
         """,
         "q5_local_supplier_volume": """
             SELECT n_name AS nation,

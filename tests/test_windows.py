@@ -1,0 +1,83 @@
+"""Analytic window family: running/ntile/rank-stats/range-frame
+(operators/windows.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_running_agg_cumulative_per_partition(spark):
+    from job_post_similarity_spark.operators import windows as W
+
+    df = _df(
+        spark,
+        [("a", 1, 10.0), ("a", 2, 5.0), ("a", 3, 1.0), ("b", 1, 7.0)],
+        "k string, seq int, v double",
+    )
+    out = W.running_agg(
+        df, ["k"], [F.asc("seq")], F.col("v"), "run"
+    ).orderBy("k", "seq")
+    got = [(r.k, r.seq, r.run) for r in out.collect()]
+    assert got == [("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 16.0), ("b", 1, 7.0)]
+
+
+def test_ntile_buckets_remainder_to_front(spark):
+    from job_post_similarity_spark.operators import windows as W
+
+    # 5 rows into 4 buckets: sizes 2,1,1,1 (SQL ntile semantics).
+    df = _df(spark, [("a", i) for i in range(5)], "k string, seq int")
+    out = W.ntile_buckets(df, ["k"], [F.asc("seq")], 4, "b")
+    sizes = sorted(
+        (r.b, r.cnt)
+        for r in out.groupBy("b").agg(F.count("*").alias("cnt")).collect()
+    )
+    assert sizes == [(1, 2), (2, 1), (3, 1), (4, 1)]
+
+
+def test_rank_stats_tie_peers_share_values(spark):
+    from job_post_similarity_spark.operators import windows as W
+
+    df = _df(
+        spark,
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 9.0)],
+        "k string, id int, v double",
+    )
+    out = W.rank_stats(df, ["k"], [F.asc("v")]).orderBy("id")
+    rows = out.collect()
+    # The two tied rows share pct_rank 0 and cume_dist 2/3.
+    assert rows[0].pct_rank == rows[1].pct_rank == 0.0
+    assert rows[0].cume_dist == rows[1].cume_dist == pytest.approx(2 / 3)
+    assert rows[2].pct_rank == 1.0 and rows[2].cume_dist == 1.0
+
+
+def test_range_frame_includes_ties_and_bounds(spark):
+    from job_post_similarity_spark.operators import windows as W
+
+    # keys 0,10,10,25 with width 15: row at 25 sees both 10-peers but
+    # not 0; each 10-peer sees the other (RANGE, not ROWS).
+    df = _df(
+        spark,
+        [("a", 1, 0, 1.0), ("a", 2, 10, 2.0), ("a", 3, 10, 4.0), ("a", 4, 25, 8.0)],
+        "k string, id int, key int, v double",
+    )
+    out = W.range_frame_agg(df, ["k"], F.col("key"), F.col("v"), 15, "s")
+    got = {r.id: r.s for r in out.collect()}
+    assert got == {1: 1.0, 2: 7.0, 3: 7.0, 4: 14.0}
+
+
+def test_window_family_single_shuffle(spark):
+    """The running aggregate plans exactly one Exchange (the partition
+    key shuffle) — the 100 TB contract for the whole family."""
+    from job_post_similarity_spark.operators import windows as W
+
+    df = _df(
+        spark,
+        [("a", i, float(i)) for i in range(100)],
+        "k string, seq int, v double",
+    )
+    out = W.running_agg(df, ["k"], [F.asc("seq")], F.col("v"), "run")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
