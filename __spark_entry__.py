@@ -842,6 +842,39 @@ def rolling_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def quantile_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact percentile profile (describe()-style continuous
+    percentiles) of extended price per return flag. Rounded to 4 on
+    both engines; the summary_stats gate established percentile ↔
+    quantile_cont parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = profiling.quantile_profile(li, "l_returnflag", "l_extendedprice")
+    rounded = [
+        F.round(F.col(c), 4).alias(c)
+        for c in prof.columns
+        if c.startswith("p")
+    ]
+    return prof.select("l_returnflag", "cnt", *rounded)
+
+
+def quantile_disc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC per event type — actual data values selected by
+    cume_dist threshold, bit-identical across engines by construction
+    (no interpolation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return profiling.quantile_disc(ev, "event_type", "value")
+
+
+def quantile_profile_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t-digest sketch tier of the percentile profile (rows-only:
+    sketch estimates are engine-specific; the tolerance-vs-exact test
+    carries the accuracy claim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profiling.quantile_profile(
+        li, "l_returnflag", "l_extendedprice", approx=True
+    )
+
+
 def sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier profiling (rows-only: sketch estimates are
     engine-specific by construction): mergeable per-group DataSketches
@@ -1938,6 +1971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_customer_quartiles": ntile_customer_quartiles,
         "order_rank_stats": order_rank_stats,
         "rolling_value_events": rolling_value_events,
+        "quantile_profile_lineitem": quantile_profile_lineitem,
+        "quantile_disc_events": quantile_disc_events,
         "curate_corpus_documents": curate_corpus_documents,
         "curation_funnel_documents": curation_funnel_documents,
         # -- rows-only tiers (no SQL twin by nature) -------------------
@@ -1958,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_compression_embeddings": pq_compression_embeddings,
         "pq_adc_search": pq_adc_search_embeddings,
         "ivfpq_search": ivfpq_search_embeddings,
+        "quantile_profile_approx_lineitem": quantile_profile_approx_lineitem,
         "random_pair_baseline": random_pair_baseline_q,
         "qualitative_report": qualitative_report_q,
         "sketch_profile_events": sketch_profile_events,
@@ -2633,6 +2669,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id < 200
             ORDER BY event_id
+        """,
+        "quantile_profile_lineitem": """
+            SELECT l_returnflag, count(l_extendedprice) AS cnt,
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "quantile_disc_events": """
+            SELECT event_type,
+                   min(CASE WHEN cd >= 0.25 THEN value END) AS p25_disc,
+                   min(CASE WHEN cd >= 0.5 THEN value END) AS p50_disc,
+                   min(CASE WHEN cd >= 0.75 THEN value END) AS p75_disc,
+                   min(CASE WHEN cd >= 0.9 THEN value END) AS p90_disc,
+                   min(CASE WHEN cd >= 0.99 THEN value END) AS p99_disc
+            FROM (SELECT event_type, value,
+                         cume_dist() OVER (PARTITION BY event_type
+                                           ORDER BY value) AS cd
+                  FROM events)
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "q5_local_supplier_volume": """
             SELECT n_name AS nation,

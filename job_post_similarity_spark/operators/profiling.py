@@ -143,6 +143,68 @@ def hll_distinct_by_group(
     return groups.unionByName(total)
 
 
+def quantile_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Grouped percentile profile: one row per group with a column per
+    requested percentile (linear-interpolated continuous percentile,
+    the describe()-style default).
+
+    ``approx=True`` swaps in ``percentile_approx`` — the 100 TB tier:
+    exact percentile materializes and sorts every group's values,
+    while the t-digest sketch is fixed-memory and merges map-side, so
+    the shuffle carries one sketch per (group × partition).
+    """
+    c = F.col(value_col)
+    ps = list(ps)
+    if approx:
+        arr = F.percentile_approx(c, ps, 10_000)
+    else:
+        arr = F.percentile(c, ps)
+    tagged = [
+        F.element_at(arr, i + 1).alias(f"p{int(p * 100):02d}")
+        for i, p in enumerate(ps)
+    ]
+    return (
+        df.groupBy(group_col)
+        .agg(F.count(c).alias("cnt"), *tagged)
+        .orderBy(group_col)
+    )
+
+
+def quantile_disc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Grouped PERCENTILE_DISC: the smallest actual data value whose
+    cume_dist reaches each fraction — no interpolation, so the result
+    is a value that exists in the data and is BIT-IDENTICAL across
+    engines (continuous percentiles interpolate in engine-specific
+    operation order; discrete ones only compare exact rationals k/n
+    against the fraction).
+
+    One window pass (cume_dist over the group) + one hash aggregate —
+    same single-shuffle shape as the rest of the family.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col))
+    cd = df.withColumn("__cd", F.cume_dist().over(w))
+    aggs = [
+        F.min(F.when(F.col("__cd") >= p, F.col(value_col))).alias(
+            f"p{int(p * 100):02d}_disc"
+        )
+        for p in ps
+    ]
+    return cd.groupBy(group_col).agg(*aggs).orderBy(group_col)
+
+
 def duplicate_count(df: DataFrame, key: list[str]) -> DataFrame:
     """A5: df.duplicated().sum() on a key subset (notebook cell 11):
     total rows minus distinct keys."""

@@ -727,3 +727,47 @@ def test_evaluate_cli_main_smoke(spark, documents, embeddings, tmp_path):
     out = str(tmp_path / "eval_out")
     assert evmod.main([emb_path, meta_path, out]) == 0
     assert os.path.exists(os.path.join(out, "lookup_report.md"))
+
+
+def test_quantile_profile_exact_and_approx_tiers(spark, sf_dir):
+    """Grouped percentile profile: the approx (t-digest) tier tracks
+    the exact tier within 2% on every percentile column, and the disc
+    tier returns values that exist in the data at >= the cume_dist
+    threshold."""
+    from job_post_similarity_spark.operators import profiling
+    from job_post_similarity_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in profiling.quantile_profile(
+            li, "l_returnflag", "l_extendedprice"
+        ).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in profiling.quantile_profile(
+            li, "l_returnflag", "l_extendedprice", approx=True
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, er in exact.items():
+        for col in ("p25", "p50", "p75", "p90", "p99"):
+            assert abs(approx[flag][col] - er[col]) / er[col] < 0.02
+
+    ev = load_table(spark, sf_dir, "events")
+    disc = profiling.quantile_disc(ev, "event_type", "value").collect()
+    vals_by_type = {
+        r["event_type"]: sorted(x["value"] for x in ev.collect()
+                                if x["event_type"] == r["event_type"])
+        for r in disc
+    }
+    for r in disc:
+        vals = vals_by_type[r["event_type"]]
+        n = len(vals)
+        for p, col in ((0.25, "p25_disc"), (0.5, "p50_disc"), (0.99, "p99_disc")):
+            assert r[col] in vals
+            # smallest value whose cume_dist reaches p
+            import math
+            idx = vals.index(r[col])
+            assert (idx + 1) / n >= p or vals[idx] == vals[-1]
