@@ -69,18 +69,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # same pattern as nanosAsLong below.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # the events table is TIMESTAMP(NANOS) parquet, which Spark can
-        # only read as long; set the legacy conf here (it is a runtime
-        # conf) so sessions not built by our factory read it too
+        # older driver testdata wrote events.ts as TIMESTAMP(NANOS),
+        # which Spark can only read as long; set the legacy conf here
+        # (it is a runtime conf) so sessions not built by our factory
+        # read that format too — harmless for timestamp[us] files
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "embeddings":
         df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         # TIMESTAMP(NANOS) parquet read via nanosAsLong: ns → µs timestamp
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # timestamp[us] parquet (no UTC adjustment) infers as NTZ;
+        # normalize to TimestampType — the session TZ is pinned UTC
+        # above, so the wall clock is preserved and every downstream
+        # operator sees one canonical ts type across testdata vintages
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

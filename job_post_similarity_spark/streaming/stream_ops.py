@@ -19,8 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events stream schema: ts arrives as long nanos (driver parquet is
-# TIMESTAMP(NANOS), read via nanosAsLong).
+# legacy events shape (ts = long nanos, the TIMESTAMP(NANOS) read via
+# nanosAsLong); kept for fixture-building tests that exercise that path
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
@@ -33,21 +33,34 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Streaming needs an explicit schema; probe the batch footer so
+    the reader tracks the driver testdata's ts physical type across
+    vintages (TIMESTAMP(NANOS)-as-long vs timestamp[us]-as-NTZ)."""
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runtime confs: lets driver-owned sessions (not built by our
-    # factory) read the TIMESTAMP(NANOS) parquet as long, and render
+    # factory) read legacy TIMESTAMP(NANOS) parquet as long, and render
     # timestamp-valued outputs in UTC (streams bypass load_table,
     # which pins the same confs for batch reads)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(spark, sf_dir))
         .format("parquet")
         .option("path", sf_dir)
         .option("pathGlobFilter", "events.parquet")
         .load()
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # session TZ pinned UTC above: wall clock preserved
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 ROCKSDB_PROVIDER = (
