@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from job_post_similarity_spark.functions import strings as S
 from job_post_similarity_spark.functions import vectors as V
 from job_post_similarity_spark.operators import (
+    curation,
     dedup,
     knn,
     preprocess,
@@ -1319,6 +1320,40 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
 
 
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th doc plays the held-out
+    benchmark; training docs sharing >= 2 distinct bigrams with it are
+    flagged with their overlap count. Benchmark gram set is broadcast —
+    the corpus side never shuffles by gram."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out = curation.contaminated_ids(train, bench, n=2, min_shared=2)
+    return out.orderBy("doc_id")
+
+
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling: three sources at
+    distinct target fractions, everything else dropped — map-side LCG
+    hash filter, engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        source_col="source",
+        key="doc_id",
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at a 512-token budget per
+    source shard: (doc, offset, pack) assignment via one partitioned
+    window sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, max_tokens=512).orderBy("doc_id")
+
+
 def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: exact bigram-Jaccard pairs (doc_id < 40)
     → connected components via iterative min-label propagation →
@@ -1915,6 +1950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round -------------------------------------------
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "srp_recall_vs_exact": srp_recall_vs_exact,
+        "decontaminate_documents": decontaminate_documents,
+        "mixture_sample_documents": mixture_sample_documents,
+        "pack_sequences_documents": pack_sequences_documents,
         # -- round-1 green gates (one per SURVEY §2 / LLM-family row) --
         "group_count_topn_orders": group_count_topn_orders,
         "distinct_counts_lineitem": distinct_counts_lineitem,
@@ -1930,18 +1968,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_cosine_conversion": l2_cosine_conversion,
         "cosine_topk_search": cosine_topk_search,
         "token_count_documents": token_count_documents,
-        "quality_score_documents": quality_score_documents,
         "doc_fingerprint_documents": doc_fingerprint_documents,
         "top_ngram_repetition_documents": top_ngram_repetition_documents,
         "gopher_quality_documents": gopher_quality_documents,
         "exact_dup_clusters_props": exact_dup_clusters_props,
         "ngram_jaccard_documents": ngram_jaccard_documents,
         "dedup_clusters_documents": dedup_clusters_documents,
+        # ===== position 51+: oracle-backed, green in r01 (rotate) =====
+        "event_user_set_ops": event_user_set_ops,
+        "quality_score_documents": quality_score_documents,
         "lang_id_documents": lang_id_documents,
         "strip_html_documents": strip_html_documents,
         "similarity_histogram_pairs": similarity_histogram_pairs,
-        # ===== position 51+: oracle-backed, green in r01 (rotate) =====
-        "event_user_set_ops": event_user_set_ops,
         "customers_without_orders": customers_without_orders,
         "token_explode_documents": token_explode_documents,
         "q16_distinct_suppliers": q16_distinct_suppliers,
@@ -2159,6 +2197,57 @@ def oracle_sql() -> dict[str, str]:
                            THEN 3000 - CAST(floor(n_punct * 3000 / n_char) AS BIGINT)
                            ELSE 3000 END) / 10000.0 AS quality
             FROM base
+        """,
+        "decontaminate_documents": """
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(toks[i:i+1], ' ')
+                                      FOR i IN range(1, len(toks))]) AS g
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\\s+') AS toks
+                      FROM documents)),
+            bgrams AS (
+                SELECT DISTINCT unnest(g) AS gram
+                FROM grams WHERE doc_id % 50 = 0),
+            tg AS (
+                SELECT doc_id, unnest(g) AS gram
+                FROM grams WHERE doc_id % 50 <> 0)
+            SELECT tg.doc_id,
+                   CAST(count(DISTINCT tg.gram) AS BIGINT) AS shared_ngrams
+            FROM tg JOIN bgrams USING (gram)
+            GROUP BY tg.doc_id
+            HAVING count(DISTINCT tg.gram) >= 2
+            ORDER BY doc_id
+        """,
+        "mixture_sample_documents": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 <
+                  CASE source
+                       WHEN 'src0' THEN 2147483648
+                       WHEN 'src1' THEN 1073741824
+                       WHEN 'src2' THEN 536870912
+                       WHEN 'src3' THEN 214748364
+                       ELSE 0 END
+            ORDER BY doc_id
+        """,
+        "pack_sequences_documents": """
+            SELECT doc_id, source, n_tokens, token_offset,
+                   CAST(floor(token_offset / 512.0) AS BIGINT) AS pack_id
+            FROM (
+                SELECT doc_id, source, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT)
+                           AS token_offset
+                FROM (
+                    SELECT doc_id, source,
+                           CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                                            '\\s+'))
+                           END AS n_tokens
+                    FROM documents))
+            ORDER BY doc_id
         """,
         "dedup_clusters_documents": """
             WITH RECURSIVE grams AS (

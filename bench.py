@@ -63,11 +63,12 @@ def main() -> None:
     for name in headline:
         if name not in qs:
             continue
-        # min of two runs: the first warms shuffle files/broadcasts and
-        # absorbs host-CPU noise (shared infrastructure), the min is the
-        # reproducible per-query cost
+        # min of three runs: the first warms shuffle files/broadcasts;
+        # host-CPU steal on shared infrastructure swings identical runs
+        # 2-10× (measured), so the min over three is the reproducible
+        # per-query cost
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.count()

@@ -1,0 +1,130 @@
+"""Training-corpus curation operators beyond dedup: benchmark
+decontamination and sequence packing.
+
+These extend the LLM-data-pipeline family (SURVEY.md "beyond the
+reference" scope; the reference itself is a dedup pipeline —
+app/main.py:100-284 — and stops at pair detection). Both operators are
+pure DataFrame expressions: no Python in the row path, shuffles only
+where the semantics force one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import word_ngrams
+from .text_analysis import token_count
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_shared: int = 2,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination scan: training docs sharing at least
+    ``min_shared`` distinct word n-grams with ANY benchmark document.
+
+    Returns ``(id_col, shared_ngrams)`` for flagged docs only.
+
+    Shape at scale: the benchmark side (eval sets — thousands of docs)
+    collapses to a DISTINCT n-gram set and is broadcast, so the
+    training side is a map-side explode + broadcast semi-probe followed
+    by one partial-aggregated groupBy on ``id_col``. The 100 TB corpus
+    is never shuffled by gram — only the (id, matched-gram) survivors
+    reach the aggregation. Set ``broadcast_benchmark=False`` if the
+    benchmark outgrows the driver (falls back to a shuffle hash join).
+    """
+    grams = F.explode(word_ngrams(text_col, n=n, distinct=True)).alias("__g")
+    dg = docs.select(F.col(id_col), grams)
+    bg = benchmark.select(grams).distinct()
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    # plain count, not count_distinct: word_ngrams(distinct=True) makes
+    # (id, gram) unique before the join and the bench side is DISTINCT,
+    # so survivors are already unique — count_distinct would add a
+    # second (id, gram) shuffle for nothing
+    return (
+        dg.join(bg, "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Drop contaminated docs: anti-join against ``contaminated_ids``.
+    Output schema == input schema."""
+    flagged = contaminated_ids(
+        docs, benchmark, text_col, id_col, n, min_shared
+    ).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    tokens_col: Column | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document to the
+    fixed-token-budget training pack that contains its FIRST token when
+    the group's documents are concatenated in ``id_col`` order and the
+    token stream is chunked every ``max_tokens``.
+
+    Output: ``(id_col, group_col, n_tokens, token_offset, pack_id)``
+    where ``token_offset`` is the doc's start position in its group's
+    stream and ``pack_id = floor(token_offset / max_tokens)``. This is
+    the GPT-style pretraining packing (documents may straddle a chunk
+    boundary — the chunker, not this operator, splits them); it is a
+    deterministic closed form over a running sum, so it needs no
+    sequential bin-packing recurrence.
+
+    Shape at scale: one window sum partitioned by ``group_col`` — packs
+    are independent per group (source/shard), so parallelism is the
+    group count and no global ordering exists. A single-group corpus
+    would serialize into one task: shard the group key first (the same
+    rule as any partitioned window).
+    """
+    toks = (tokens_col if tokens_col is not None else token_count(text_col)).alias(
+        "n_tokens"
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("token_offset")
+    base = docs.select(F.col(id_col), F.col(group_col), toks)
+    return base.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        offset,
+    ).withColumn(
+        "pack_id", F.floor(F.col("token_offset") / max_tokens).cast("long")
+    )
+
+
+def pack_stats(packed: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-pack utilization profile over ``pack_sequences`` output:
+    docs per pack and tokens starting in the pack — the fill-factor
+    report a packing job emits for tuning ``max_tokens``."""
+    return packed.groupBy(group_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_in_pack"),
+    )

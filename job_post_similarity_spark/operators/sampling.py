@@ -42,6 +42,35 @@ def deterministic_sample(
     return df.filter(hash_bucket(key) < int(fraction * _MOD))
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key: Column | str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Training-data mixture sampling: keep a per-source deterministic
+    fraction of rows (e.g. up-weight wiki, down-weight web crawl when
+    composing a pretraining mix).
+
+    Pure map-side: one LCG hash per row compared against a per-source
+    threshold resolved by a CASE chain — no shuffle, no RNG state, the
+    same rows survive on every engine and every run, and the filter
+    composes with scan-level pushdown of any source predicate. Sources
+    absent from ``weights`` get ``default_fraction`` (drop by default:
+    an explicit mix should not silently pass unknown sources).
+
+    At 100 TB the alternative (df.sampleBy) draws per-row uniforms —
+    nondeterministic across retries of a failed task unless the seed +
+    partition layout are frozen; the hash filter has no such coupling.
+    """
+    src = F.col(source_col)
+    thr: Column = F.lit(int(default_fraction * _MOD))
+    for name, frac in sorted(weights.items()):
+        thr = F.when(src == name, F.lit(int(frac * _MOD))).otherwise(thr)
+    return df.filter(hash_bucket(key) < thr)
+
+
 def sample_exact_n(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """R1/R2 fidelity tier: exactly-n seeded sample (reference:
     random.sample at app/main.py:215; 50-query / 5000-pair eval samples

@@ -1,0 +1,110 @@
+"""Curation-operator semantics: decontamination, mixture sampling,
+sequence packing — fixture-level checks the sf-gate queries can't
+express (plan shape, edge cases, closed-form invariants)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from job_post_similarity_spark.operators import curation, sampling
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        Row(doc_id=1, source="a", text="alpha beta gamma delta"),
+        Row(doc_id=2, source="a", text="alpha beta epsilon zeta"),
+        Row(doc_id=3, source="a", text="unrelated words entirely here"),
+        Row(doc_id=4, source="b", text="gamma delta alpha beta"),
+        Row(doc_id=5, source="b", text="  "),
+        Row(doc_id=6, source="b", text="solo"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+# ------------------------------------------------------- decontamination
+
+
+def test_contaminated_ids_counts_distinct_shared_bigrams(spark, corpus):
+    bench = corpus.filter(F.col("doc_id") == 1)  # grams: ab, bg, gd
+    train = corpus.filter(F.col("doc_id") != 1)
+    out = curation.contaminated_ids(train, bench, n=2, min_shared=2)
+    got = {r["doc_id"]: r["shared_ngrams"] for r in out.collect()}
+    # doc 2 shares only "alpha beta" (1 gram) -> below min_shared
+    # doc 4 shares "gamma delta" + "alpha beta" = 2
+    assert got == {4: 2}
+
+
+def test_decontaminate_preserves_schema_and_drops_flagged(spark, corpus):
+    bench = corpus.filter(F.col("doc_id") == 1)
+    train = corpus.filter(F.col("doc_id") != 1)
+    out = curation.decontaminate(train, bench, n=2, min_shared=2)
+    assert out.columns == train.columns
+    assert {r["doc_id"] for r in out.collect()} == {2, 3, 5, 6}
+
+
+def test_contaminated_ids_broadcasts_benchmark(spark, corpus):
+    bench = corpus.filter(F.col("doc_id") == 1)
+    train = corpus.filter(F.col("doc_id") != 1)
+    plan = curation.contaminated_ids(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # exactly two hash shuffles total: bench-side DISTINCT (feeds the
+    # broadcast) and the final per-doc count — the corpus side reaches
+    # the join map-side and is never exchanged by gram
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+# ----------------------------------------------------- mixture sampling
+
+
+def test_mixture_sample_full_weight_keeps_all(spark, corpus):
+    out = sampling.mixture_sample(
+        corpus, {"a": 1.0, "b": 1.0}, source_col="source", key="doc_id"
+    )
+    assert out.count() == corpus.count()
+
+
+def test_mixture_sample_drops_unlisted_sources_by_default(spark, corpus):
+    out = sampling.mixture_sample(
+        corpus, {"a": 1.0}, source_col="source", key="doc_id"
+    )
+    assert {r["source"] for r in out.collect()} == {"a"}
+
+
+def test_mixture_sample_deterministic_and_nested(spark, corpus):
+    """The fraction-f sample is a SUBSET of the fraction-g sample for
+    f <= g (nested samples — the property hash-threshold sampling
+    guarantees and rand() sampling does not)."""
+    small = sampling.mixture_sample(corpus, {"a": 0.3, "b": 0.3}, key="doc_id")
+    big = sampling.mixture_sample(corpus, {"a": 0.8, "b": 0.8}, key="doc_id")
+    s = {r["doc_id"] for r in small.collect()}
+    b = {r["doc_id"] for r in big.collect()}
+    assert s <= b
+    assert {r["doc_id"] for r in small.collect()} == s  # stable re-run
+
+
+# ------------------------------------------------------ sequence packing
+
+
+def test_pack_sequences_offsets_and_straddle(spark, corpus):
+    out = curation.pack_sequences(corpus, max_tokens=5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # source a, id order 1,2,3: token counts 4,4,4
+    assert by_id[1]["token_offset"] == 0 and by_id[1]["pack_id"] == 0
+    assert by_id[2]["token_offset"] == 4 and by_id[2]["pack_id"] == 0
+    assert by_id[3]["token_offset"] == 8 and by_id[3]["pack_id"] == 1
+    # source b: counts 4, 0 (blank), 1 — groups pack independently
+    assert by_id[4]["token_offset"] == 0
+    assert by_id[5]["n_tokens"] == 0 and by_id[5]["token_offset"] == 4
+    assert by_id[6]["token_offset"] == 4 and by_id[6]["pack_id"] == 0
+
+
+def test_pack_stats_totals(spark, corpus):
+    packed = curation.pack_sequences(corpus, max_tokens=5)
+    stats = {
+        (r["source"], r["pack_id"]): (r["n_docs"], r["tokens_in_pack"])
+        for r in curation.pack_stats(packed).collect()
+    }
+    assert stats[("a", 0)] == (2, 8)
+    assert stats[("a", 1)] == (1, 4)
+    assert stats[("b", 0)] == (3, 5)
