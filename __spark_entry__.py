@@ -2221,7 +2221,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mixture_sample_documents": """
             SELECT doc_id, source FROM documents
-            WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 <
+            WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648)
+                   * 1103515245 + 12345) % 2147483648 <
                   CASE source
                        WHEN 'src0' THEN 2147483648
                        WHEN 'src1' THEN 1073741824
@@ -3072,7 +3073,8 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample_lineitem": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem
-            WHERE (((l_orderkey * 1000000 + l_linenumber) % 2147483648)
+            WHERE ((((l_orderkey * 1000000 + l_linenumber) % 2147483648
+                     + 2147483648) % 2147483648)
                    * 1103515245 + 12345) % 2147483648
                   < CAST(0.02 * 2147483648 AS BIGINT)
         """,

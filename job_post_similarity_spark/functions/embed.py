@@ -28,12 +28,23 @@ _TOKEN_MOD = 2**31 - 1
 _TOKEN_BASE = 1_000_003
 
 
+# vectorized-hash matrix guard: tokens longer than this hash in a
+# (rare) per-token fallback so the padded char matrix stays bounded at
+# n_tokens × 256 even when one pathological megabyte "token" shows up
+_VEC_MAX_TOKEN_LEN = 256
+
+
 def _token_codes(text: str) -> np.ndarray:
-    """Stable polynomial rolling-hash code per whitespace token."""
+    """Stable polynomial rolling-hash code per whitespace token
+    (scalar reference path; the batch path below is bit-identical)."""
     if not text:
         return np.empty(0, dtype=np.int64)
+    return _poly_hash_scalar(text.lower().split())
+
+
+def _poly_hash_scalar(tokens: list) -> np.ndarray:
     codes = []
-    for tok in text.lower().split():
+    for tok in tokens:
         h = 0
         for ch in tok:
             h = (h * _TOKEN_BASE + ord(ch)) % _TOKEN_MOD
@@ -41,24 +52,81 @@ def _token_codes(text: str) -> np.ndarray:
     return np.asarray(codes, dtype=np.int64)
 
 
+def _poly_hash_batch(tokens: list) -> np.ndarray:
+    """Vectorized polynomial rolling hash over a flat token list.
+
+    Identical values to ``_poly_hash_scalar`` — the per-CHARACTER
+    Python loop is replaced by Horner's rule run column-wise over a
+    front-zero-padded (n_tokens × max_len) code-point matrix: leading
+    zeros contribute nothing to the polynomial, so right-aligning each
+    token preserves the hash exactly while the loop count drops from
+    Σ len(token) Python iterations to max_len numpy passes. Code
+    points come from the UTF-32-LE encoding of the concatenated
+    tokens (exact ``ord`` values, one frombuffer, no per-char work).
+    Intermediates stay < 2^51 (< int64): h < 2^31, base < 2^20.
+    """
+    if not tokens:
+        return np.empty(0, dtype=np.int64)
+    lengths = np.fromiter(map(len, tokens), np.int64, count=len(tokens))
+    out = np.empty(len(tokens), dtype=np.int64)
+    long_mask = lengths > _VEC_MAX_TOKEN_LEN
+    if long_mask.any():
+        long_idx = np.nonzero(long_mask)[0]
+        out[long_idx] = _poly_hash_scalar([tokens[i] for i in long_idx])
+        tokens = [t for t, is_long in zip(tokens, long_mask) if not is_long]
+        lengths = lengths[~long_mask]
+        if not tokens:
+            return out
+    chars = np.frombuffer("".join(tokens).encode("utf-32-le"), dtype="<u4")
+    max_len = int(lengths.max())
+    mat = np.zeros((len(tokens), max_len), dtype=np.int64)
+    # right-align: boolean assignment fills row-major, matching the
+    # concatenation order of `chars` (uint32 widens on assignment)
+    mask = np.arange(max_len)[None, :] >= (max_len - lengths[:, None])
+    mat[mask] = chars
+    # Horner unrolled to one weighted sum: h = Σ c_j·(B^(L-1-j) mod M)
+    # then one final mod. Per-term bound 2^21·2^31 = 2^52, summed over
+    # ≤ _VEC_MAX_TOKEN_LEN=256 columns < 2^60 — no intermediate mod,
+    # no int64 overflow, and ≡ the per-char rolling hash mod M.
+    pows = np.empty(max_len, dtype=np.int64)
+    p = 1
+    for j in range(max_len - 1, -1, -1):
+        pows[j] = p
+        p = (p * _TOKEN_BASE) % _TOKEN_MOD
+    h = (mat @ pows) % _TOKEN_MOD
+    if long_mask.any():
+        out[np.nonzero(~long_mask)[0]] = h
+        return out
+    return h
+
+
 def _hash_embed_batch(texts: pd.Series, dim: int, seed: int) -> pd.Series:
-    out = []
-    for text in texts:
-        vec = np.zeros(dim, dtype=np.float64)
-        if text is not None:
-            codes = _token_codes(text)
-            if codes.size:
-                # seeded second-level mix so different seeds give
-                # different (but still deterministic) projections
-                mixed = (codes * (seed * 2 + 1)) % _TOKEN_MOD
-                buckets = mixed % dim
-                signs = np.where((mixed // dim) % 2 == 0, 1.0, -1.0)
-                np.add.at(vec, buckets, signs)
-        n = np.linalg.norm(vec)
-        if n > 0:
-            vec /= n
-        out.append(vec.astype(np.float32))
-    return pd.Series(out)
+    """Whole-batch embedding: one flat token list for the batch, one
+    vectorized hash pass, one bincount scatter-add into the
+    (n_rows × dim) accumulator — no per-row or per-char Python in the
+    hot path. Bit-identical to the original per-row version: the ±1
+    sums are exact in float64 regardless of accumulation order."""
+    toks_per_row = [
+        t.lower().split() if t is not None else [] for t in texts
+    ]
+    n_rows = len(toks_per_row)
+    row_counts = np.fromiter(map(len, toks_per_row), np.int64, count=n_rows)
+    flat_tokens = [tok for ts in toks_per_row for tok in ts]
+    acc = np.zeros((n_rows, dim), dtype=np.float64)
+    if flat_tokens:
+        codes = _poly_hash_batch(flat_tokens)
+        # seeded second-level mix so different seeds give different
+        # (but still deterministic) projections
+        mixed = (codes * (seed * 2 + 1)) % _TOKEN_MOD
+        buckets = mixed % dim
+        signs = np.where((mixed // dim) % 2 == 0, 1.0, -1.0)
+        row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), row_counts)
+        acc = np.bincount(
+            row_idx * dim + buckets, weights=signs, minlength=n_rows * dim
+        ).reshape(n_rows, dim)
+    norms = np.linalg.norm(acc, axis=1)
+    np.divide(acc, norms[:, None], out=acc, where=norms[:, None] > 0)
+    return pd.Series(list(acc.astype(np.float32)))
 
 
 def hashing_embedder(dim: int = 64, seed: int = 42):

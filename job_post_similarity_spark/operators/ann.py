@@ -196,6 +196,7 @@ def ivf_assign(
     train_fraction: float | None = None,
     id_col: str = "vec_id",
     max_iter: int = 10,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, "object"]:
     """IVF coarse quantization: Lloyd-KMeans centroids trained
     DRIVER-LOCALLY on a seeded sample (capped at 100k vectors), every
@@ -219,11 +220,15 @@ def ivf_assign(
     n=10⁶) where the map form reads each row once and emits n×n_probe
     rows with zero shuffle. ``train_fraction=None`` (default)
     auto-caps the sample; pass an explicit fraction to override.
+
+    ``n_rows`` hands the table size in when the caller already knows
+    it (e.g. a dispatch facade that counted once) — skips this
+    function's own ``df.count()`` driver action.
     """
     import numpy as np
 
-    n = None
-    if n_centroids is None or train_fraction is None:
+    n = n_rows
+    if n is None and (n_centroids is None or train_fraction is None):
         n = df.count()
     if n_centroids is None:
         # Faiss guidance: C ≈ √n keeps bucket size ≈ √n, so the
@@ -286,6 +291,7 @@ def ivf_similarity_join(
     n_centroids: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-bucketed near-dup pair join: candidates meet only inside a
     shared probed bucket; exact cosine verifies. One shuffle on
@@ -304,8 +310,18 @@ def ivf_similarity_join(
     the regime the module docstring routes to SRP-LSH. IVF earns its
     keep on clustered corpora (real embeddings); raise ``n_probe``
     or lower ``n_centroids`` to trade time for recall.
+
+    ``n_rows`` forwards a known table size to ``ivf_assign`` so the
+    dispatch facade's count isn't repeated here.
     """
-    assigned, _ = ivf_assign(df, vec_col, n_centroids, n_probe, seed, id_col=id_col)
+    assigned, _ = ivf_assign(
+        df, vec_col, n_centroids, n_probe, seed, id_col=id_col, n_rows=n_rows
+    )
+    # persist: the assignment feeds BOTH sides of the self-join — the
+    # same double-compute srp_lsh_similarity_join persists against
+    # (its signature frame, above). Without it the mapInPandas centroid
+    # pass AND the scan under it execute twice. Size is n×n_probe rows.
+    assigned = assigned.persist()
     a = assigned.select(
         F.col("bucket"),
         F.col(id_col).alias("id1"),
@@ -538,11 +554,14 @@ def auto_similarity_join(
     - IVF (√n centroids): low-threshold ANN needs partition structure,
       not sign-agreement.
 
-    The one-count cost buys the right physical strategy — the same
-    trade AQE makes with runtime stats.
+    Dispatch cost is a BOUNDED probe — ``limit(budget+1).count()``
+    stops as soon as budget+1 rows exist (LocalLimit short-circuits
+    each partition), so a 100 TB table never pays a full-table
+    aggregate just to learn it is over budget. Only the IVF tier,
+    once chosen, counts for real (it sizes √n centroids from it).
     """
-    n = df.count()
-    if n <= broadcast_row_budget:
+    probe = df.limit(broadcast_row_budget + 1).count()
+    if probe <= broadcast_row_budget:
         from . import knn
 
         return knn.similarity_pairs(df, id_col, vec_col, threshold)
@@ -958,20 +977,14 @@ def ivfpq_topk_search(
     )
     probe = np.argsort(cd, axis=1)[:, : min(n_probe, len(cmat))]
     spark = queries.sparkSession
-    probe_rows = [
-        (qid.item() if hasattr(qid, "item") else qid, int(b))
-        for qid, bs in zip(q_ids, probe)
-        for b in bs
-    ]
-    probes_df = spark.createDataFrame(
-        probe_rows, f"query_id {q_type}, bucket int"
-    )
 
     # ---- ADC scoring of candidates in probed buckets: one stacked
-    # (pairs, m, 2^bits) table array + a (query, bucket)→row index, so
-    # the UDF scores a whole Arrow batch with one fancy-indexed gather
-    # (a per-row Python loop here would dominate — the candidate set
-    # is the probed share of the corpus, IVF-PQ's hot path). One table
+    # (pairs, m, 2^bits) table array, addressed by a DENSE pair-row
+    # index (`__pair`) that rides the probes frame through the bucket
+    # join — the UDF gathers a whole Arrow batch with one
+    # fancy-indexed numpy op and zero per-row Python (no dict hop:
+    # the join already knows which (query, bucket) pair each
+    # candidate came from, so ship the table row id itself). One table
     # PER PROBE PAIR because under residual encoding the lookup values
     # depend on the probed centroid: table[p, j, e] =
     # ‖(q_p − c_bucket(p))_j − books[j][e]‖².
@@ -992,21 +1005,20 @@ def ivfpq_topk_search(
         ],
         axis=1,
     )  # (pairs, m, 2^bits)
-    pair_index = {
-        ((qid.item() if hasattr(qid, "item") else qid), int(b)): r
+    probe_rows = [
+        (qid.item() if hasattr(qid, "item") else qid, int(b), r)
         for r, (qid, b) in enumerate(zip(q_ids[qrep], brep))
-    }
-    bc = spark.sparkContext.broadcast((pair_index, tabs_arr))
+    ]
+    probes_df = spark.createDataFrame(
+        probe_rows, f"query_id {q_type}, bucket int, __pair int"
+    )
+    bc = spark.sparkContext.broadcast(tabs_arr)
 
-    def _adc(qid_s, bucket_s, code_s):
-        idx_map, tabs = bc.value
-        if len(qid_s) == 0:
+    def _adc(pair_s, code_s):
+        tabs = bc.value
+        if len(pair_s) == 0:
             return pd.Series([], dtype=float)
-        ridx = np.fromiter(
-            (idx_map[(q, b)] for q, b in zip(qid_s, bucket_s)),
-            dtype=np.int64,
-            count=len(qid_s),
-        )
+        ridx = pair_s.to_numpy(dtype=np.int64)
         cmat_codes = np.asarray(list(code_s), dtype=np.int64)  # (n, m)
         picked = tabs[ridx[:, None], np.arange(tabs.shape[1])[None, :], cmat_codes]
         return pd.Series(picked.sum(axis=1))
@@ -1022,8 +1034,7 @@ def ivfpq_topk_search(
         "query_id",
         "neighbor_id",
         (
-            F.lit(1.0)
-            - adc_udf(F.col("query_id"), F.col("bucket"), F.col("pq_code")) / 2.0
+            F.lit(1.0) - adc_udf(F.col("__pair"), F.col("pq_code")) / 2.0
         ).alias("approx_similarity"),
     )
     return _merge_topk(scored, k, "approx_similarity")
@@ -1159,8 +1170,11 @@ def auto_topk_search(
 
     Output contract of both tiers: (query_id, neighbor_id,
     similarity, rank), desc-similarity/asc-id tie-break.
+
+    Dispatch cost is a bounded ``limit(budget+1).count()`` probe, not
+    a full-table count (same policy as ``auto_similarity_join``).
     """
-    n = corpus.count()
+    n = corpus.limit(broadcast_row_budget + 1).count()
     if n <= broadcast_row_budget:
         from . import knn
 

@@ -28,9 +28,20 @@ def hash_bucket(key: Column | str, mult: int = _MULT, mod: int = _MOD) -> Column
 
     Pure int64 arithmetic — identical in Spark, DuckDB, or any engine;
     used for engine-agnostic reproducible sampling and test oracles.
+
+    ``pmod`` (not ``%``) at both reduction steps: Spark's ``%``
+    preserves the dividend's sign, so a negative key would land in a
+    negative bucket that compares below EVERY fraction threshold —
+    i.e. kept with probability 1 regardless of the requested rate.
+    pmod keeps the result in [0, mod) for all int64 keys. The widest
+    intermediate stays < 2^62 (mod < 2^31, mult < 2^31), so no int64
+    overflow under ANSI mode.
     """
     c = F.col(key) if isinstance(key, str) else key
-    return ((c.cast("long") % mod) * F.lit(mult) + F.lit(_INC)) % F.lit(mod)
+    return F.pmod(
+        F.pmod(c.cast("long"), F.lit(mod)) * F.lit(mult) + F.lit(_INC),
+        F.lit(mod),
+    )
 
 
 def deterministic_sample(

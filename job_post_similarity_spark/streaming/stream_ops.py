@@ -36,7 +36,13 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """Streaming needs an explicit schema; probe the batch footer so
     the reader tracks the driver testdata's ts physical type across
-    vintages (TIMESTAMP(NANOS)-as-long vs timestamp[us]-as-NTZ)."""
+    vintages (TIMESTAMP(NANOS)-as-long vs timestamp[us]-as-NTZ).
+
+    Sets ``nanosAsLong`` itself: the batch probe fails outright on
+    NANOS-vintage footers without it, and callers other than
+    ``_events_stream`` (which pins the same conf) must not inherit an
+    ordering dependency on who set it first."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
