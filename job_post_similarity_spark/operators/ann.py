@@ -292,6 +292,7 @@ def ivf_similarity_join(
     n_probe: int = 2,
     seed: int = 42,
     n_rows: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed near-dup pair join: candidates meet only inside a
     shared probed bucket; exact cosine verifies. One shuffle on
@@ -312,16 +313,21 @@ def ivf_similarity_join(
     or lower ``n_centroids`` to trade time for recall.
 
     ``n_rows`` forwards a known table size to ``ivf_assign`` so the
-    dispatch facade's count isn't repeated here.
+    dispatch facade's count isn't repeated here. ``assigned`` accepts
+    a precomputed bucket assignment (e.g. loaded via
+    ``index_store.load_or_build_ivf`` — the memoized restart path
+    that skips quantizer training entirely); when given, ``df`` is
+    only consulted lazily as the source the assignment derived from.
     """
-    assigned, _ = ivf_assign(
-        df, vec_col, n_centroids, n_probe, seed, id_col=id_col, n_rows=n_rows
-    )
-    # persist: the assignment feeds BOTH sides of the self-join — the
-    # same double-compute srp_lsh_similarity_join persists against
-    # (its signature frame, above). Without it the mapInPandas centroid
-    # pass AND the scan under it execute twice. Size is n×n_probe rows.
-    assigned = assigned.persist()
+    if assigned is None:
+        assigned, _ = ivf_assign(
+            df, vec_col, n_centroids, n_probe, seed, id_col=id_col, n_rows=n_rows
+        )
+        # persist: the assignment feeds BOTH sides of the self-join —
+        # same reason srp_lsh_similarity_join persists its signature
+        # frame. Without it the mapInPandas centroid pass AND the scan
+        # under it execute twice. Size is n×n_probe rows.
+        assigned = assigned.persist()
     a = assigned.select(
         F.col("bucket"),
         F.col(id_col).alias("id1"),
@@ -647,6 +653,7 @@ def pq_train(
     sample_rows: int = 100_000,
     seed: int = 42,
     centers=None,
+    n_rows: int | None = None,
 ):
     """Product-quantization codebooks: the vector-COMPRESSION operator
     a 100 TB embedding store needs (Faiss IndexPQ's storage model —
@@ -670,8 +677,9 @@ def pq_train(
     # seeded FRACTION sample before the cap — a bare limit() takes a
     # partition-ordered prefix, which on clustered/sorted data trains
     # the codebooks on one region of the space (same policy as
-    # ivf_assign's quantizer sampling)
-    n = df.count()
+    # ivf_assign's quantizer sampling). n_rows skips the count when
+    # the caller already knows the size.
+    n = df.count() if n_rows is None else n_rows
     fraction = min(1.0, sample_rows / max(n, 1))
     train_df = df.sample(fraction, seed=seed) if fraction < 1.0 else df
     sample = train_df.select(vec_col).limit(sample_rows).toPandas()
@@ -936,8 +944,12 @@ def ivfpq_topk_search(
     from pyspark.sql import types as T
 
     # ---- build side: one bucket per corpus vector + PQ codes
+    # (corpus counted ONCE, shared by the quantizer and codebook
+    # training — each would otherwise run its own count job)
+    n_corpus = corpus.count()
     assigned, centers = ivf_assign(
-        corpus, vec_col, n_centroids, n_probe=1, seed=seed, id_col=id_col
+        corpus, vec_col, n_centroids, n_probe=1, seed=seed, id_col=id_col,
+        n_rows=n_corpus,
     )
     books = pq_train(
         corpus,
@@ -946,6 +958,7 @@ def ivfpq_topk_search(
         bits=bits,
         seed=seed,
         centers=centers if residual else None,
+        n_rows=n_corpus,
     )
     if residual:
         # bucket rides through the encoder — no join-back shuffle

@@ -1,0 +1,158 @@
+"""Trained-index persistence: save/load round-trips and the
+load-or-build memoization contract (reference app/main.py:177-194 —
+load if present, rebuild on count mismatch or load failure)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from job_post_similarity_spark.operators import ann, index_store
+
+
+@pytest.fixture()
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((120, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(120), "embedding": list(mat)})
+    )
+
+
+def test_ivf_save_load_roundtrip(spark, vectors, tmp_path):
+    path = str(tmp_path / "ivf")
+    assigned, centers = ann.ivf_assign(
+        vectors, "embedding", n_centroids=8, n_probe=2, n_rows=120
+    )
+    index_store.save_ivf_index(path, centers, assigned, 120)
+    loaded, centers2, meta = index_store.load_ivf_index(spark, path)
+    assert np.array_equal(centers, centers2)
+    assert meta["n_rows"] == 120 and meta["kind"] == "ivf"
+    a = sorted((r["vec_id"], r["bucket"]) for r in assigned.collect())
+    b = sorted((r["vec_id"], r["bucket"]) for r in loaded.collect())
+    assert a == b
+
+
+def test_pq_save_load_roundtrip_and_search_parity(spark, vectors, tmp_path):
+    path = str(tmp_path / "pq")
+    books = ann.pq_train(vectors, "embedding", m=4, bits=4, n_rows=120)
+    codes = ann.pq_encode(vectors, books, "vec_id", "embedding")
+    index_store.save_pq_index(path, books, codes, 120)
+    codes2, books2, centers2, meta = index_store.load_pq_index(spark, path)
+    assert np.array_equal(books, books2)
+    assert centers2 is None and meta["residual"] is False
+    # search through the loaded artifact == search through the build
+    queries = vectors.limit(5)
+    fresh = ann.pq_topk_search(queries, codes, books, k=3).collect()
+    reloaded = ann.pq_topk_search(queries, codes2, books2, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in fresh
+    ) == sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in reloaded)
+
+
+def test_load_or_build_ivf_memoizes(spark, vectors, tmp_path, monkeypatch):
+    path = str(tmp_path / "ivf")
+    _, _, rebuilt = index_store.load_or_build_ivf(
+        spark, vectors, path, n_centroids=8
+    )
+    assert rebuilt is True
+    # second call must LOAD — a retrain would call ivf_assign
+    def boom(*a, **k):
+        raise AssertionError("retrained despite fresh artifact")
+
+    monkeypatch.setattr(ann, "ivf_assign", boom)
+    assigned, centers, rebuilt = index_store.load_or_build_ivf(
+        spark, vectors, path, n_centroids=8
+    )
+    assert rebuilt is False
+    assert assigned.count() > 0 and centers.shape == (8, 16)
+
+
+def test_load_or_build_ivf_rebuilds_on_count_mismatch(spark, vectors, tmp_path):
+    path = str(tmp_path / "ivf")
+    index_store.load_or_build_ivf(spark, vectors, path, n_centroids=8)
+    grown = vectors.unionByName(
+        vectors.selectExpr("vec_id + 1000 as vec_id", "embedding")
+    )
+    _, _, rebuilt = index_store.load_or_build_ivf(
+        spark, grown, path, n_centroids=8
+    )
+    assert rebuilt is True
+    _, _, meta = index_store.load_ivf_index(spark, path)
+    assert meta["n_rows"] == 240
+
+
+def test_load_or_build_pq_memoizes_and_survives_corrupt_meta(
+    spark, vectors, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "pq")
+    codes, books, centers, rebuilt = index_store.load_or_build_pq(
+        spark, vectors, path, m=4, bits=4
+    )
+    assert rebuilt is True and centers is None
+
+    def boom(*a, **k):
+        raise AssertionError("retrained despite fresh artifact")
+
+    monkeypatch.setattr(ann, "pq_train", boom)
+    codes2, books2, _, rebuilt = index_store.load_or_build_pq(
+        spark, vectors, path, m=4, bits=4
+    )
+    assert rebuilt is False
+    assert np.array_equal(books, books2)
+    assert codes2.count() == 120
+    monkeypatch.undo()
+
+    # corrupt meta → load failure → rebuild, not crash
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        f.write("{not json")
+    _, _, _, rebuilt = index_store.load_or_build_pq(
+        spark, vectors, path, m=4, bits=4
+    )
+    assert rebuilt is True
+    with open(os.path.join(path, "meta.json")) as f:
+        assert json.load(f)["n_rows"] == 120
+
+
+def test_load_or_build_pq_residual_saves_centers(spark, vectors, tmp_path):
+    path = str(tmp_path / "ivfpq")
+    codes, books, centers, rebuilt = index_store.load_or_build_pq(
+        spark, vectors, path, m=4, bits=4, residual_centroids=6
+    )
+    assert rebuilt is True and centers is not None
+    codes2, books2, centers2, meta = index_store.load_pq_index(spark, path)
+    assert meta["residual"] is True
+    assert np.array_equal(centers, centers2)
+    assert "bucket" in codes2.columns  # assignment rides the code table
+
+
+def test_kind_mismatch_raises(spark, vectors, tmp_path):
+    path = str(tmp_path / "ivf")
+    assigned, centers = ann.ivf_assign(
+        vectors, "embedding", n_centroids=4, n_rows=120
+    )
+    index_store.save_ivf_index(path, centers, assigned, 120)
+    with pytest.raises(index_store.IndexLoadError):
+        index_store.load_pq_index(spark, path)
+
+
+def test_ivf_similarity_join_from_stored_assignment(spark, vectors, tmp_path):
+    """End-to-end memoized serving: a pair join driven by the loaded
+    artifact equals the join that trains in-process (same seed)."""
+    path = str(tmp_path / "ivf")
+    assigned, _, _ = index_store.load_or_build_ivf(
+        spark, vectors, path, n_centroids=8, n_probe=2
+    )
+    from_store = ann.ivf_similarity_join(
+        vectors, "vec_id", "embedding", threshold=0.2, assigned=assigned
+    ).collect()
+    fresh = ann.ivf_similarity_join(
+        vectors, "vec_id", "embedding", threshold=0.2, n_centroids=8, n_probe=2
+    ).collect()
+    as_set = lambda rows: {(r["id1"], r["id2"], r["similarity"]) for r in rows}
+    assert as_set(from_store) == as_set(fresh)
