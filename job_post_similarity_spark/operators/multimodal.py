@@ -58,7 +58,8 @@ def attach_binary_payload(
 
 def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
     """Deterministic fake decoder: payload bytes → fixed-length float
-    'feature'. Replace with PIL/librosa/pyav decode + model features.
+    'feature'. The real image path is ``_decode_image_pil`` below
+    (import-gated); audio/video codecs (librosa/pyav) remain stubbed.
 
     Raises NotImplementedError for unknown media types — the marked
     stub boundary.
@@ -73,28 +74,80 @@ def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
     return np.asarray([float(c.mean()) if c.size else 0.0 for c in chunks], np.float32)
 
 
-def decode_features(df: DataFrame) -> DataFrame:
+def _decode_image_pil(payload: bytes):
+    """REAL image decode (Pillow): payload → (width, height, feature),
+    feature = 8 chunk-means of the decoded pixel stream — same length
+    contract as the stub, but over actual pixels, not container bytes.
+    Caller handles ImportError (no Pillow in this container) and
+    per-row decode failures (non-image bytes)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+        px = np.asarray(im.convert("L"), dtype=np.float32).ravel()
+    if px.size == 0:
+        return width, height, np.zeros(8, dtype=np.float32)
+    chunks = np.array_split(px, 8)
+    feature = np.asarray(
+        [float(c.mean()) if c.size else 0.0 for c in chunks], np.float32
+    )
+    return width, height, feature
+
+
+def decode_features(df: DataFrame, decoder: str = "stub") -> DataFrame:
     """mapInPandas media decode + feature extraction.
 
     Input: (doc_id, payload, media_type, n_bytes); output:
     MEDIA_FEATURE_SCHEMA. Arrow-batched; one Python worker pass per
     partition, no shuffle.
+
+    ``decoder``:
+    - ``"stub"`` (default) — deterministic byte-stream fake for every
+      media type; no optional deps (the gate queries use this).
+    - ``"auto"`` — image rows decode through Pillow when it imports
+      AND the payload parses as an image; anything else falls back to
+      the stub per row. Same import-gate pattern as the faiss/torch
+      tiers: plan shape identical with or without the dependency.
+    - ``"pil"`` — force Pillow; ImportError where it's absent.
     """
+    if decoder not in ("stub", "auto", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pil":
+        from PIL import Image  # noqa: F401 — import-try gate, driver-side
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil_ok = decoder in ("auto", "pil")
+        if pil_ok:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError:
+                if decoder == "pil":
+                    raise
+                pil_ok = False
         for pdf in batches:
-            feats = [
-                _decode_stub(p, m)
-                for p, m in zip(pdf["payload"], pdf["media_type"])
-            ]
+            widths = (pdf["n_bytes"] % 640 + 1).astype("int32").to_numpy()
+            heights = (pdf["n_bytes"] % 480 + 1).astype("int32").to_numpy()
+            feats = []
+            for i, (p, m) in enumerate(zip(pdf["payload"], pdf["media_type"])):
+                if pil_ok and m == "image":
+                    try:
+                        w, h, feature = _decode_image_pil(p)
+                        widths[i], heights[i] = w, h
+                        feats.append(feature)
+                        continue
+                    except Exception:
+                        if decoder == "pil":
+                            raise
+                feats.append(_decode_stub(p, m))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["n_bytes"],
-                    # stub dimensions derived from payload size
-                    "width": (pdf["n_bytes"] % 640 + 1).astype("int32"),
-                    "height": (pdf["n_bytes"] % 480 + 1).astype("int32"),
+                    "width": widths,
+                    "height": heights,
                     "feature": feats,
                 }
             )
@@ -135,24 +188,51 @@ RESIZE_SCHEMA = (
 )
 
 
-def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32, decoder: str = "stub"
+) -> DataFrame:
     """mapInPandas image resize: image payloads → fixed (width, height)
     'thumbnails'. The STUB resamples the payload bytes to width×height
-    by even-stride selection — real PIL ``Image.resize`` drops in at
-    the marked line with the same batch shape. Non-image rows pass
-    through untouched dimensions with a null thumbnail (filterable
-    upstream, so the plan can prune decode work by media_type
-    JVM-side before Python is ever invoked)."""
+    by even-stride selection; ``decoder="auto"``/``"pil"`` runs a real
+    Pillow decode→``Image.resize``→raw-bytes re-encode for payloads
+    that parse as images (same gate policy as ``decode_features``).
+    Non-image rows pass through untouched dimensions with a null
+    thumbnail (filterable upstream, so the plan can prune decode work
+    by media_type JVM-side before Python is ever invoked)."""
+    if decoder not in ("stub", "auto", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pil":
+        from PIL import Image  # noqa: F401 — import-try gate, driver-side
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
+        pil_ok = decoder in ("auto", "pil")
+        if pil_ok:
+            try:
+                from PIL import Image
+            except ImportError:
+                if decoder == "pil":
+                    raise
+                pil_ok = False
         for pdf in batches:
             out = []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
                 if mtype != "image":
                     out.append(None)
                     continue
-                # STUB: real impl = PIL decode + resize + re-encode
+                if pil_ok:
+                    import io
+
+                    try:
+                        with Image.open(io.BytesIO(payload)) as im:
+                            out.append(
+                                im.convert("L").resize((width, height)).tobytes()
+                            )
+                        continue
+                    except Exception:
+                        if decoder == "pil":
+                            raise
+                # STUB: even-stride byte resample
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 if arr.size == 0:
                     out.append(bytes(target))

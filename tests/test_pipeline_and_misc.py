@@ -1,6 +1,7 @@
 """End-to-end pipeline, embedder, preprocess composite, streaming,
 multimodal, and sampling tests."""
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -771,3 +772,84 @@ def test_quantile_profile_exact_and_approx_tiers(spark, sf_dir):
             import math
             idx = vals.index(r[col])
             assert (idx + 1) / n >= p or vals[idx] == vals[-1]
+
+
+def _tiny_png(width=1, height=1, value=128) -> bytes:
+    """Hand-assembled minimal grayscale PNG — no Pillow needed to
+    BUILD the fixture, only to decode it."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([value] * width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_auto_decoder_falls_back_without_pil(documents):
+    """In a container with no Pillow, decoder='auto' must produce
+    exactly the stub's output (per-row fallback, same plan shape)."""
+    from job_post_similarity_spark.operators import multimodal
+
+    media = multimodal.attach_binary_payload(documents.limit(30))
+    stub = multimodal.decode_features(media, decoder="stub").collect()
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        pytest.skip("Pillow present — fallback-equality check is for bare containers")
+    auto = multimodal.decode_features(media, decoder="auto").collect()
+    key = lambda rows: sorted(
+        (r["doc_id"], r["width"], r["height"], tuple(r["feature"])) for r in rows
+    )
+    assert key(stub) == key(auto)
+
+
+def test_multimodal_decoder_validation(documents):
+    from job_post_similarity_spark.operators import multimodal
+
+    media = multimodal.attach_binary_payload(documents.limit(1))
+    with pytest.raises(ValueError):
+        multimodal.decode_features(media, decoder="bogus")
+    with pytest.raises(ValueError):
+        multimodal.resize_images(media, decoder="bogus")
+
+
+def test_multimodal_pil_real_decode(spark):
+    """REAL Pillow decode over a hand-assembled 1x1 PNG (skips where
+    Pillow is absent): width/height come from the image header, the
+    feature from actual pixel values."""
+    pytest.importorskip("PIL")
+    import pandas as pd
+
+    from job_post_similarity_spark.operators import multimodal
+
+    png = _tiny_png(value=200)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "payload": [png],
+                "media_type": ["image"],
+                "n_bytes": [len(png)],
+            }
+        )
+    )
+    row = multimodal.decode_features(df, decoder="pil").collect()[0]
+    assert (row["width"], row["height"]) == (1, 1)
+    assert abs(row["feature"][0] - 200.0) < 1e-6
+    resized = multimodal.resize_images(df, 4, 4, decoder="pil").collect()[0]
+    assert len(resized["resized"]) == 16
