@@ -163,3 +163,31 @@ def test_q6_single_stage_scan(spark):
     assert "l_shipdate" in pushed and "l_discount" in pushed
     # scan-bound query: no join, single shuffle for the global agg
     assert _nodes(plan, "Exchange") == 1
+
+
+def test_ivf_join_reuses_cached_assignment(spark):
+    """Round-3 regression guard: ivf_similarity_join must serve BOTH
+    sides of its bucket self-join from the persisted assignment — the
+    unpersisted form recomputed the mapInPandas centroid pass (and the
+    scan under it) twice, the r02 bench outlier."""
+    from job_post_similarity_spark.operators import ann
+    from job_post_similarity_spark.sources.io import load_table
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    try:
+        pairs = ann.ivf_similarity_join(
+            emb, "vec_id", "embedding", threshold=0.2, n_centroids=8
+        )
+        plan = pairs._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # both join inputs read the cache, not the Python map
+        assert _nodes(plan, "InMemoryTableScan") == 2
+        # the assignment compute (ArrowEval/mapInPandas) lives inside
+        # the cached relation, not duplicated in the outer plan
+        assert "MapInPandas" not in plan.split("InMemoryRelation")[0]
+    finally:
+        spark.catalog.clearCache()
