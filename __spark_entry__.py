@@ -1320,6 +1320,14 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
 
 
+def substring_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022 shape): maximal
+    token spans whose 8-gram windows recur in >= 2 distinct documents.
+    Catches shared boilerplate document-level dedup misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_dup_spans(docs, "text", "doc_id", k=8, min_docs=2)
+
+
 def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 50th doc plays the held-out
     benchmark; training docs sharing >= 2 distinct bigrams with it are
@@ -1969,7 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_recall_vs_exact": srp_recall_vs_exact,
         "knn_exact_top1": knn_exact_top1,
         "cosine_topk_search": cosine_topk_search,
-        "q1_pricing_summary": q1_pricing_summary,
+        "substring_dup_spans_documents": substring_dup_spans_documents,
         "asof_join_events": asof_join_events,  # events ts vintage
         "shard_topk_search": shard_topk_search_q,  # oracle never graded
         "stream_sessionize_events": stream_sessionize_events,
@@ -1977,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": pack_sequences_documents,
         # ===== position 51+: green in BOTH r01-vintage and r02 =====
         "sessionize_events": sessionize_events,
+        "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "sql_interface_revenue": sql_interface_revenue,
@@ -2219,6 +2228,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tg.doc_id
             HAVING count(DISTINCT tg.gram) >= 2
             ORDER BY doc_id
+        """,
+        "substring_dup_spans_documents": """
+            WITH tl AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 8
+            ),
+            ix AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 7)) AS i
+                FROM tl
+            ),
+            g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(toks[i:i+7], ' ') AS gram
+                FROM ix
+            ),
+            dup AS (
+                SELECT gram FROM g
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ),
+            f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+            isl AS (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM f
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS INT) AS span_start,
+                   CAST(max(pos) - min(pos) + 8 AS INT) AS span_len
+            FROM isl
+            GROUP BY doc_id, grp
+            ORDER BY doc_id, span_start
         """,
         "mixture_sample_documents": """
             SELECT doc_id, source FROM documents

@@ -640,3 +640,68 @@ def embedding_near_dup_pairs(
     from .ann import auto_similarity_join
 
     return auto_similarity_join(df, id_col, vec_col, threshold)
+
+
+# ------------------------------------------- substring-level exact dedup
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level exact duplication: maximal token spans whose
+    every k-token window also occurs in ≥ ``min_docs`` distinct
+    documents — the train-set memorization signal document-level dedup
+    misses (two mostly-different pages sharing one boilerplate
+    paragraph). The k-gram-islands formulation approximates the
+    suffix-array method of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022) with only relational ops.
+
+    Output: (id, span_start, span_len) — token offsets; a span covers
+    positions [span_start, span_start + span_len).
+
+    Scale shape: grams hash to 8-byte xxhash64 signatures inside
+    whole-stage codegen (the gram TEXT never shuffles); one hash
+    shuffle on the signature builds the inverted index (count distinct
+    docs), a semi-join flags duplicated positions, and one shuffle on
+    the doc id merges adjacent positions into spans via the classic
+    gaps-and-islands window (pos − row_number). Signature collisions
+    can only over-flag a position (64-bit: ~n²/2⁶⁵ expected), never
+    split a true span.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {k}), "
+                f"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, {k}))))"
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gram")
+    )
+    flagged = grams.join(dup, "gram", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        flagged.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+        .orderBy(id_col, "span_start")
+    )

@@ -399,3 +399,67 @@ def test_lsh_nearest_neighbors_point_query(embeddings):
     ).collect()
     assert len(out) == 3
     assert out[0]["neighbor_id"] == 5 and abs(out[0]["similarity"] - 1.0) < 1e-3
+
+
+def test_substring_dup_spans_planted(spark):
+    """Planted shared run: two docs share an 8-token phrase at
+    different offsets; span recovered exactly on both sides, unrelated
+    doc untouched, within-doc-only repetition excluded (min_docs=2)."""
+    import pandas as pd
+
+    from job_post_similarity_spark.operators.dedup import substring_dup_spans
+
+    shared = "the quick brown fox jumps over the lazy"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    f"alpha beta {shared} gamma delta",
+                    f"one two three four {shared}",
+                    "totally unrelated words only here",
+                    "rep rep rep rep rep rep rep rep rep rep",  # within-doc only
+                ],
+            }
+        )
+    )
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_len"])
+        for r in substring_dup_spans(df, k=8).collect()
+    }
+    # shared run is 8 tokens -> exactly one k=8 window at its offset
+    assert rows == {1: (2, 8), 2: (4, 8)}
+
+
+def test_substring_dup_spans_merges_adjacent_windows(spark):
+    """A 10-token shared run yields 3 overlapping 8-gram windows that
+    must merge into ONE maximal span of length 10."""
+    import pandas as pd
+
+    from job_post_similarity_spark.operators.dedup import substring_dup_spans
+
+    shared = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [f"x {shared} y", f"{shared} tail words"],
+            }
+        )
+    )
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_len"])
+        for r in substring_dup_spans(df, k=8).collect()
+    }
+    assert rows == {1: (1, 10), 2: (0, 10)}
+
+
+def test_substring_dup_spans_short_docs_skipped(spark):
+    import pandas as pd
+
+    from job_post_similarity_spark.operators.dedup import substring_dup_spans
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["too short", "too short"]})
+    )
+    assert substring_dup_spans(df, k=8).count() == 0
