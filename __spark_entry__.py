@@ -1320,6 +1320,20 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
 
 
+def normalize_unicode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (pre-dedup hygiene). The fixture
+    text is ASCII, so a decomposed-accent + ligature suffix is
+    appended on BOTH engines: NFC must compose e+U+0301 into é while
+    leaving the ﬁ ligature alone (that fold is NFKC's job)."""
+    from job_post_similarity_spark.functions.strings import normalize_unicode
+
+    docs = load_table(spark, sf_dir, "documents")
+    suffixed = F.concat(F.col("text"), F.lit(" cafe\u0301 \ufb01le"))
+    return docs.select(
+        "doc_id", normalize_unicode(suffixed).alias("text_nfc")
+    ).orderBy("doc_id")
+
+
 def substring_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (Lee et al. 2022 shape): maximal
     token spans whose 8-gram windows recur in >= 2 distinct documents.
@@ -1975,7 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample_lineitem": deterministic_sample_lineitem,
         "similarity_pairs_flagship": similarity_pairs_flagship,
         "srp_recall_vs_exact": srp_recall_vs_exact,
-        "knn_exact_top1": knn_exact_top1,
+        "normalize_unicode_documents": normalize_unicode_documents,
         "cosine_topk_search": cosine_topk_search,
         "substring_dup_spans_documents": substring_dup_spans_documents,
         "asof_join_events": asof_join_events,  # events ts vintage
@@ -1985,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": pack_sequences_documents,
         # ===== position 51+: green in BOTH r01-vintage and r02 =====
         "sessionize_events": sessionize_events,
+        "knn_exact_top1": knn_exact_top1,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2227,6 +2242,14 @@ def oracle_sql() -> dict[str, str]:
             FROM tg JOIN bgrams USING (gram)
             GROUP BY tg.doc_id
             HAVING count(DISTINCT tg.gram) >= 2
+            ORDER BY doc_id
+        """,
+        "normalize_unicode_documents": """
+            SELECT doc_id,
+                   nfc_normalize(
+                       text || ' cafe' || chr(769) || ' ' || chr(64257) || 'le'
+                   ) AS text_nfc
+            FROM documents
             ORDER BY doc_id
         """,
         "substring_dup_spans_documents": """

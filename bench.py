@@ -48,6 +48,7 @@ def main() -> None:
         "deterministic_sample_lineitem",
         "knn_exact_top1",
         "similarity_pairs_flagship",
+        "substring_dup_spans_documents",
         "minhash_near_dup_documents",
         "srp_lsh_similarity_pairs",
         "ivf_similarity_pairs",

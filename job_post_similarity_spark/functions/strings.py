@@ -8,6 +8,8 @@ approximation.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -177,3 +179,37 @@ def scrub_pii(col: Column | str) -> Column:
     out = F.regexp_replace(out, _PII_SSN, "[SSN]")
     out = F.regexp_replace(out, _PII_PHONE, "[PHONE]")
     return out
+
+
+# ------------------------------------------------ unicode normalization
+
+
+def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization
+    step an LLM corpus needs before ANY hash-based dedup or
+    fingerprinting: 'café' composed and decomposed are different byte
+    strings, so without this the exact-dedup digests, MinHash shingles
+    and substring grams all silently treat them as distinct text.
+
+    Spark has no built-in normalizer, so this is an Arrow-batched
+    pandas UDF over ``unicodedata.normalize`` — map-side only, no
+    shuffle, and str-accelerated via pandas so the per-row Python is
+    one C call. NFC agrees byte-for-byte with DuckDB's
+    ``nfc_normalize`` (oracle-checked); the compatibility forms
+    (NFKC/NFKD — ligature/width folding) have no DuckDB twin and are
+    covered by unit tests instead.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import unicodedata
+
+        for s in it:
+            yield s.map(
+                lambda t: unicodedata.normalize(form, t) if t is not None else None
+            )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)

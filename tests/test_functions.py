@@ -91,3 +91,31 @@ def test_l2_to_cosine_identity_on_unit_vectors(spark):
 def test_l2_to_cosine_clips_bounds(spark):
     df = spark.createDataFrame([Row(d=10.0)])
     assert df.select(V.l2_to_cosine("d").alias("v")).first()["v"] == -1.0
+
+
+def test_normalize_unicode_forms(spark):
+    """NFC composes decomposed accents but keeps ligatures; NFKC also
+    folds ligatures/width; invalid form raises; nulls pass through."""
+    import pandas as pd
+
+    from job_post_similarity_spark.functions.strings import normalize_unicode
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "t": ["café ﬁle Ａ", None, "plain"],
+            }
+        )
+    )
+    nfc = {r["id"]: r["o"] for r in df.select(
+        df.id, normalize_unicode("t").alias("o")).collect()}
+    assert nfc[1] == "café ﬁle Ａ"  # composed, ligature kept
+    assert nfc[2] is None and nfc[3] == "plain"
+    nfkc = {r["id"]: r["o"] for r in df.select(
+        df.id, normalize_unicode("t", "NFKC").alias("o")).collect()}
+    assert nfkc[1] == "café file A"  # ligature + width folded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_unicode("t", "NFX")
