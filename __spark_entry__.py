@@ -1342,6 +1342,13 @@ def substring_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.substring_dup_spans(docs, "text", "doc_id", k=8, min_docs=2)
 
 
+def strip_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply step of substring dedup (rows-only: output is rebuilt
+    text): min-doc owner keeps each duplicated span, others drop it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.strip_dup_spans(docs, "text", "doc_id", k=8, min_docs=2)
+
+
 def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 50th doc plays the held-out
     benchmark; training docs sharing >= 2 distinct bigrams with it are
@@ -2052,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_similarity_pipeline": e2e_similarity_pipeline,
         "multimodal_decode_features": multimodal_decode_features,
         "minhash_verified_documents": minhash_verified_documents,
+        "strip_dup_spans_documents": strip_dup_spans_documents,
         "multimodal_resize_frames": multimodal_resize_frames,
         "pq_compression_embeddings": pq_compression_embeddings,
         "pq_adc_search": pq_adc_search_embeddings,

@@ -705,3 +705,83 @@ def substring_dup_spans(
         .select(id_col, "span_start", "span_len")
         .orderBy(id_col, "span_start")
     )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The APPLY step of substring-level dedup: rebuild each document
+    with its duplicated spans removed, keeping exactly one copy
+    corpus-wide — the lowest ``id_col`` containing each duplicated
+    k-gram "owns" it and keeps its tokens; every other document drops
+    the covered tokens (Lee et al. 2022 drop-all-but-one policy with a
+    deterministic owner).
+
+    Output: (id, text_deduped, n_tokens_removed).
+
+    Scale shape: same inverted-index shuffle as
+    ``substring_dup_spans`` (8-byte gram signatures); per-doc removal
+    spans come back as a small struct array via one groupBy, and the
+    final token filtering runs entirely in JVM expressions (transform/
+    filter/exists over the token array) — the text is never unpacked
+    in Python.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    with_toks = df.select(F.col(id_col), F.col(text_col), toks.alias("__toks"))
+    base = with_toks.filter(F.size("__toks") >= k)
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {k}), "
+                f"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, {k}))))"
+            )
+        ).alias("pos", "gram"),
+    )
+    owners = (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min(id_col).alias("__owner"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("gram", "__owner")
+    )
+    # non-owner flagged gram starts: these positions' k-token windows
+    # are the material to drop
+    losers = (
+        grams.join(owners, "gram")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        losers.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") - F.min("pos") + k).alias("len"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("start", "len")).alias("__spans")
+        )
+    )
+    joined = with_toks.join(spans, id_col, "left")
+    kept = F.expr(
+        "CASE WHEN __spans IS NULL THEN __toks ELSE "
+        "transform(filter(transform(__toks, (t, i) -> struct(t AS t, i AS i)), "
+        "s -> NOT exists(__spans, sp -> s.i >= sp.start "
+        "AND s.i < sp.start + sp.len)), s -> s.t) END"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_deduped"),
+        (F.size("__toks") - F.size(kept)).cast("int").alias("n_tokens_removed"),
+    )

