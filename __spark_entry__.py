@@ -1342,6 +1342,24 @@ def substring_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.substring_dup_spans(docs, "text", "doc_id", k=8, min_docs=2)
 
 
+def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped linear quality filter (rows-only: weights are a
+    seeded stand-in for an offline-trained model): per-doc sigmoid
+    score over hashed-token bucket weights, map-side."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.text_analysis import (
+        linear_text_classifier,
+    )
+
+    rng = np.random.default_rng(7)
+    scorer = linear_text_classifier(rng.standard_normal(256) * 0.5, bias=0.1)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(scorer(F.col("text")), 4).alias("quality_prob")
+    ).orderBy("doc_id")
+
+
 def strip_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply step of substring dedup (rows-only: output is rebuilt
     text): min-doc owner keeps each duplicated span, others drop it."""
@@ -2060,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_features": multimodal_decode_features,
         "minhash_verified_documents": minhash_verified_documents,
         "strip_dup_spans_documents": strip_dup_spans_documents,
+        "quality_classifier_documents": quality_classifier_documents,
         "multimodal_resize_frames": multimodal_resize_frames,
         "pq_compression_embeddings": pq_compression_embeddings,
         "pq_adc_search": pq_adc_search_embeddings,

@@ -8,6 +8,9 @@ deterministic so the DuckDB oracle can replay it.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -252,3 +255,64 @@ def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         doc_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def linear_text_classifier(
+    weights,
+    bias: float = 0.0,
+    seed: int = 42,
+    out_type: str = "probability",
+):
+    """fastText-shaped linear classifier INFERENCE at corpus scale —
+    the learned-quality-filter step of modern pretraining pipelines
+    (DCLM/FineWeb-style fastText filters), distinct from the heuristic
+    ``quality_score``: score = sigmoid(bias + mean of per-token bucket
+    weights), with tokens hashed into ``len(weights)`` buckets.
+
+    Training happens offline (sklearn/fastText on a labeled sample);
+    this ships the weight vector to every executor ONCE (broadcast by
+    Arrow UDF closure) and scores 100 TB map-side with zero shuffles.
+    Token hashing reuses the embedder's vectorized polynomial hash
+    (functions.embed._poly_hash_batch + the same seeded mix), so a
+    bucket here corresponds 1:1 to a hashing-embedder dimension —
+    weights learned on hashed features transfer directly.
+
+    Returns a pandas UDF: text → double (``probability`` in (0,1), or
+    raw ``logit``). Empty/null text scores sigmoid(bias).
+    """
+    import numpy as np
+
+    from ..functions.embed import _TOKEN_MOD, _poly_hash_batch
+
+    if out_type not in ("probability", "logit"):
+        raise ValueError(f"unknown out_type {out_type!r}")
+    w = np.asarray(weights, dtype=np.float64)
+    dim = len(w)
+
+    @F.pandas_udf("double")
+    def _score(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            toks_per_row = [
+                t.lower().split() if t is not None else [] for t in s
+            ]
+            counts = np.fromiter(
+                map(len, toks_per_row), np.int64, count=len(toks_per_row)
+            )
+            flat = [tok for ts in toks_per_row for tok in ts]
+            logits = np.full(len(toks_per_row), bias, dtype=np.float64)
+            if flat:
+                codes = _poly_hash_batch(flat)
+                mixed = (codes * (seed * 2 + 1)) % _TOKEN_MOD
+                tok_w = w[mixed % dim]
+                row_idx = np.repeat(np.arange(len(toks_per_row)), counts)
+                sums = np.bincount(
+                    row_idx, weights=tok_w, minlength=len(toks_per_row)
+                )
+                nz = counts > 0
+                logits[nz] += sums[nz] / counts[nz]
+            if out_type == "logit":
+                yield pd.Series(logits)
+            else:
+                yield pd.Series(1.0 / (1.0 + np.exp(-logits)))
+
+    return _score

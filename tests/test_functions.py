@@ -119,3 +119,51 @@ def test_normalize_unicode_forms(spark):
 
     with _pytest.raises(ValueError):
         normalize_unicode("t", "NFX")
+
+
+def test_linear_text_classifier_separates_planted_vocab(spark):
+    """Weights planted on the hash buckets of 'good' tokens must rank
+    good-vocab docs above bad-vocab docs; empty text scores
+    sigmoid(bias); probability/logit tiers consistent."""
+    import numpy as np
+    import pandas as pd
+
+    from job_post_similarity_spark.functions.embed import (
+        _TOKEN_MOD,
+        _poly_hash_batch,
+    )
+    from job_post_similarity_spark.operators.text_analysis import (
+        linear_text_classifier,
+    )
+
+    dim, seed = 256, 42
+    good = ["excellent", "informative", "thorough"]
+    bad = ["spam", "clickbait"]
+    w = np.zeros(dim)
+    for toks, val in ((good, 4.0), (bad, -4.0)):
+        mixed = (_poly_hash_batch(toks) * (seed * 2 + 1)) % _TOKEN_MOD
+        w[mixed % dim] = val
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "t": [
+                    "excellent informative thorough writing",
+                    "spam clickbait garbage",
+                    "",
+                ],
+            }
+        )
+    )
+    prob = linear_text_classifier(w, bias=0.0, seed=seed)
+    logit = linear_text_classifier(w, bias=0.0, seed=seed, out_type="logit")
+    rows = df.select("id", prob("t").alias("p"), logit("t").alias("l")).collect()
+    got = {r["id"]: (r["p"], r["l"]) for r in rows}
+    assert got[1][0] > 0.9 and got[2][0] < 0.1
+    assert got[3][0] == 0.5 and got[3][1] == 0.0
+    for p, l in got.values():
+        assert abs(p - 1.0 / (1.0 + np.exp(-l))) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        linear_text_classifier(w, out_type="nope")
