@@ -191,3 +191,20 @@ def test_ivf_join_reuses_cached_assignment(spark):
         assert "MapInPandas" not in plan.split("InMemoryRelation")[0]
     finally:
         spark.catalog.clearCache()
+
+
+def test_strip_dup_spans_token_rebuild_is_jvm_side(spark):
+    """The apply step's token filtering must be JVM expressions — the
+    only acceptable Python in this plan is NONE (detection is pure
+    codegen too)."""
+    from job_post_similarity_spark.operators.dedup import strip_dup_spans
+    from job_post_similarity_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = strip_dup_spans(docs, k=8)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "MapInPandas" not in plan

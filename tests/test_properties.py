@@ -160,3 +160,33 @@ def test_minhash_universal_hash_range(x, i, seed):
     v = (x % p * a + b) % p
     assert 0 <= v < p
     assert x % p * a + b <= 2**63 - 1  # no int64 overflow
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                min_codepoint=1,
+            ),
+            min_size=1,
+            max_size=300,
+        ),
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_poly_hash_batch_equals_scalar(tokens):
+    """The vectorized batch hash (UTF-32 matrix + powers dot product,
+    incl. the >256-char scalar fallback) must equal the per-char
+    rolling hash for ANY unicode token list — the invariant that made
+    the round-3 embedder rewrite safe without re-deriving gates."""
+    from job_post_similarity_spark.functions.embed import (
+        _poly_hash_batch,
+        _poly_hash_scalar,
+    )
+
+    # tokens must be whitespace-free to be real tokenizer output
+    tokens = ["".join(t.split()) for t in tokens]
+    tokens = [t for t in tokens if t]
+    assert np.array_equal(_poly_hash_scalar(tokens), _poly_hash_batch(tokens))
