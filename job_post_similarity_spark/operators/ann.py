@@ -914,6 +914,7 @@ def ivfpq_topk_search(
     seed: int = 42,
     max_query_rows: int = 100_000,
     residual: bool = True,
+    prebuilt: tuple | None = None,
 ) -> DataFrame:
     """IVF-PQ composition — the full compressed-index search shape
     (Faiss IndexIVFPQ; reference index-description family,
@@ -938,36 +939,57 @@ def ivfpq_topk_search(
     volume = probed share of the corpus, each candidate 8 bytes.
     Approximate on two axes (coarse pruning + quantized distances);
     planted-duplicate retrieval is the test contract.
+
+    ``prebuilt`` = (bucketed_codes DataFrame, codebooks, centers)
+    skips the whole build side — the memoized-restart path fed by
+    ``index_store.load_or_build_pq(residual_centroids=...)`` (the
+    reference's load-instead-of-rebuild, app/main.py:177-190). The
+    ``m``/``residual`` args must match how the artifact was built;
+    ``m`` is re-derived from the codebooks to keep them consistent.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    # ---- build side: one bucket per corpus vector + PQ codes
-    # (corpus counted ONCE, shared by the quantizer and codebook
-    # training — each would otherwise run its own count job)
-    n_corpus = corpus.count()
-    assigned, centers = ivf_assign(
-        corpus, vec_col, n_centroids, n_probe=1, seed=seed, id_col=id_col,
-        n_rows=n_corpus,
-    )
-    books = pq_train(
-        corpus,
-        vec_col,
-        m=m,
-        bits=bits,
-        seed=seed,
-        centers=centers if residual else None,
-        n_rows=n_corpus,
-    )
-    if residual:
-        # bucket rides through the encoder — no join-back shuffle
-        bucketed_codes = pq_encode(
-            assigned, books, id_col, vec_col, centers=centers, bucket_col="bucket"
-        )
+    if prebuilt is not None:
+        bucketed_codes, books, centers = prebuilt
+        if centers is None or "bucket" not in bucketed_codes.columns:
+            raise ValueError(
+                "prebuilt IVF-PQ serving needs a RESIDUAL artifact "
+                "(coarse centers + bucketed code table) — build it via "
+                "index_store.load_or_build_pq(residual_centroids=...); "
+                "a plain-PQ artifact is served by pq_topk_search"
+            )
+        books = np.asarray(books)
+        m = books.shape[0]
+        residual = True
     else:
-        codes = pq_encode(corpus, books, id_col, vec_col)
-        bucketed_codes = assigned.select(id_col, "bucket").join(codes, id_col)
+        # ---- build side: one bucket per corpus vector + PQ codes
+        # (corpus counted ONCE, shared by the quantizer and codebook
+        # training — each would otherwise run its own count job)
+        n_corpus = corpus.count()
+        assigned, centers = ivf_assign(
+            corpus, vec_col, n_centroids, n_probe=1, seed=seed, id_col=id_col,
+            n_rows=n_corpus,
+        )
+        books = pq_train(
+            corpus,
+            vec_col,
+            m=m,
+            bits=bits,
+            seed=seed,
+            centers=centers if residual else None,
+            n_rows=n_corpus,
+        )
+        if residual:
+            # bucket rides through the encoder — no join-back shuffle
+            bucketed_codes = pq_encode(
+                assigned, books, id_col, vec_col, centers=centers,
+                bucket_col="bucket",
+            )
+        else:
+            codes = pq_encode(corpus, books, id_col, vec_col)
+            bucketed_codes = assigned.select(id_col, "bucket").join(codes, id_col)
 
     # ---- query side: probe n_probe nearest centroids (driver-local:
     # the query set is bounded, the centroid table is tiny)

@@ -156,3 +156,34 @@ def test_ivf_similarity_join_from_stored_assignment(spark, vectors, tmp_path):
     ).collect()
     as_set = lambda rows: {(r["id1"], r["id2"], r["similarity"]) for r in rows}
     assert as_set(from_store) == as_set(fresh)
+
+
+def test_ivfpq_search_from_stored_artifact(spark, vectors, tmp_path):
+    """Memoized IVF-PQ serving: search through the saved residual
+    artifact equals the search that builds in-process (same seed)."""
+    path = str(tmp_path / "ivfpq")
+    codes, books, centers, _ = index_store.load_or_build_pq(
+        spark, vectors, path, m=4, bits=4, residual_centroids=6
+    )
+    queries = vectors.limit(5)
+    stored = ann.ivfpq_topk_search(
+        queries, vectors, k=3, prebuilt=(codes, books, centers)
+    ).collect()
+    fresh = ann.ivfpq_topk_search(
+        queries, vectors, k=3, n_centroids=6, m=4, bits=4
+    ).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in rows
+    )
+    assert key(stored) == key(fresh)
+
+
+def test_ivfpq_prebuilt_rejects_plain_pq_artifact(spark, vectors, tmp_path):
+    path = str(tmp_path / "pq")
+    codes, books, centers, _ = index_store.load_or_build_pq(
+        spark, vectors, path, m=4, bits=4
+    )
+    with pytest.raises(ValueError, match="RESIDUAL"):
+        ann.ivfpq_topk_search(
+            vectors.limit(2), vectors, prebuilt=(codes, books, centers)
+        )
