@@ -4,6 +4,7 @@ from .stream_ops import (  # noqa: F401
     stream_dedup,
     stream_event_counts,
     stream_near_dup_minhash,
+    stream_near_dup_srp,
     stream_sessionize,
     stream_windowed_agg,
 )

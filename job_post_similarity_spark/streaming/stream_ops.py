@@ -264,14 +264,14 @@ def _sessionize_stateful(
     )
 
 
-def _sigs_table_name(sigs_path: str) -> str:
+def _sigs_table_name(sigs_path: str, prefix: str = "minhash") -> str:
     """Catalog table name for a signature store location (bucketing
     metadata lives in the catalog; the name is derived from the path
     so concurrent stores can't collide)."""
     import hashlib
 
     return (
-        "minhash_sig_store_"
+        f"{prefix}_sig_store_"
         + hashlib.md5(sigs_path.encode()).hexdigest()[:12]
     )
 
@@ -526,3 +526,159 @@ def stream_windowed_agg(
         )
     )
     return _run_to_memory(agg, name, "complete")
+
+
+def stream_near_dup_srp(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    bits_per_band: int = 8,
+    num_bands: int = 16,
+    threshold: float = 0.90,
+    seed: int = 42,
+    name: str = "stream_near_dup_srp",
+    store_buckets: int = 16,
+) -> DataFrame:
+    """Incremental EMBEDDING near-dup over a vector stream — the
+    cosine-tier twin of ``stream_near_dup_minhash`` (continuous-ingest
+    dedup of new embeddings against the whole accumulated corpus).
+
+    Per micro-batch (foreachBatch):
+      1. SRP band signatures for the batch (map-side Arrow pass,
+         ``dim`` passed through so no per-batch probe job)
+      2. band-bucket join vs the accumulated signature store
+         (cross-batch candidates) + within-batch self-join
+      3. exact-dot verify against the vector side-store (signatures
+         propose, vectors decide — the same two-phase contract as the
+         batch join), append pairs ≥ threshold
+      4. append batch signatures (bucketed store) + vectors
+
+    Stores: ``<store>/sigs`` is the bucketed (band, bucket) external
+    table — accumulated side never re-shuffles (only the new-batch
+    side repartitions to its layout); ``<store>/vecs`` holds (id,
+    vector) for the verify join. Candidate sets are signature-
+    deterministic, so the emitted pair set equals the batch
+    ``srp_lsh_similarity_join`` over the union of all batches
+    (asserted in tests) — ingest order only changes WHEN a pair is
+    discovered, never whether.
+    """
+    import os
+
+    from ..functions import vectors as V
+    from ..operators import ann
+
+    batch_schema = spark.read.parquet(src_dir).schema
+    if dim is None:
+        first = spark.read.parquet(src_dir).select(vec_col).head(1)
+        dim = len(first[0][0]) if first else 0
+    sigs_path = os.path.join(store_dir, "sigs")
+    vecs_path = os.path.join(store_dir, "vecs")
+    pairs_path = os.path.join(store_dir, "pairs")
+    sigs_table = _sigs_table_name(sigs_path, prefix="srp")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch_vecs = batch_df.select(id_col, vec_col).cache()
+        sigs = ann.srp_band_signatures(
+            batch_vecs, id_col, vec_col, bits_per_band, num_bands, seed,
+            dim=dim,
+        ).cache()
+        store_exists = sp.catalog.tableExists(sigs_table)
+        if not store_exists and os.path.exists(
+            os.path.join(sigs_path, "_SUCCESS")
+        ):
+            _register_sigs_store(sp, sigs_table, sigs_path, store_buckets)
+            store_exists = True
+        cand = None
+        if store_exists:
+            store = sp.table(sigs_table)
+            batch_side = sigs.repartition(store_buckets, "band", "bucket")
+            cross = (
+                batch_side.alias("a")
+                .join(
+                    store.alias("b"),
+                    on=[
+                        F.col("a.band") == F.col("b.band"),
+                        F.col("a.bucket") == F.col("b.bucket"),
+                        F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+                    ],
+                )
+                .select(
+                    F.least(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("id1"),
+                    F.greatest(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("id2"),
+                )
+            )
+            cand = cross
+        within = (
+            sigs.alias("a")
+            .join(
+                sigs.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.bucket") == F.col("b.bucket"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"),
+            )
+        )
+        cand = within if cand is None else cand.unionByName(within)
+        cand = cand.dropDuplicates(["id1", "id2"])
+        # verify against the union of stored + in-batch vectors
+        all_vecs = batch_vecs
+        if os.path.exists(os.path.join(vecs_path, "_SUCCESS")):
+            all_vecs = all_vecs.unionByName(sp.read.parquet(vecs_path))
+        v1 = all_vecs.select(
+            F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1")
+        )
+        v2 = all_vecs.select(
+            F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2")
+        )
+        (
+            cand.join(v1, "id1")
+            .join(v2, "id2")
+            .select(
+                "id1",
+                "id2",
+                F.round(V.dot_cosine("__v1", "__v2"), 4).alias("similarity"),
+            )
+            .filter(F.col("similarity") >= threshold)
+            .dropDuplicates(["id1", "id2"])
+            .write.mode("append")
+            .parquet(pairs_path)
+        )
+        (
+            sigs.write.mode("append")
+            .bucketBy(store_buckets, "band", "bucket")
+            .sortBy("band", "bucket")
+            .option("path", sigs_path)
+            .saveAsTable(sigs_table)
+        )
+        batch_vecs.write.mode("append").parquet(vecs_path)
+        sigs.unpersist()
+        batch_vecs.unpersist()
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("path", src_dir)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_path)

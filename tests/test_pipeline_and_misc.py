@@ -853,3 +853,64 @@ def test_multimodal_pil_real_decode(spark):
     assert abs(row["feature"][0] - 200.0) < 1e-6
     resized = multimodal.resize_images(df, 4, 4, decoder="pil").collect()[0]
     assert len(resized["resized"]) == 16
+
+
+def test_stream_near_dup_srp_cross_batch_and_batch_parity(spark, tmp_path):
+    """Incremental SRP (embedding tier): a near-identical vector
+    arriving in a LATER batch is caught against the signature store,
+    and the full emitted pair set equals the batch
+    srp_lsh_similarity_join over the union of all batches (candidate
+    sets are signature-deterministic, so ingest order cannot change
+    WHAT is found)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from job_post_similarity_spark.operators.ann import srp_lsh_similarity_join
+    from job_post_similarity_spark.streaming import stream_near_dup_srp
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((6, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    near = base[0] + 0.01 * rng.standard_normal(16)
+    near /= np.linalg.norm(near)
+
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src)
+    pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [r.astype(np.float32) for r in base[:3]]}
+    ).to_parquet(os.path.join(src, "b0.parquet"))
+    pd.DataFrame(
+        {
+            "vec_id": [3, 4, 5],
+            "embedding": [near.astype(np.float32)]
+            + [r.astype(np.float32) for r in base[3:5]],
+        }
+    ).to_parquet(os.path.join(src, "b1.parquet"))
+
+    pairs = stream_near_dup_srp(
+        spark, src, str(tmp_path / "srp_store"), dim=16, threshold=0.9
+    )
+    got = {
+        (r["id1"], r["id2"], r["similarity"]) for r in pairs.collect()
+    }
+    assert any(p[:2] == (0, 3) for p in got)  # cross-batch near-dup
+
+    union = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": list(range(6)),
+                "embedding": [r.astype(np.float32) for r in base[:3]]
+                + [near.astype(np.float32)]
+                + [r.astype(np.float32) for r in base[3:5]],
+            }
+        )
+    )
+    batch = {
+        (r["id1"], r["id2"], r["similarity"])
+        for r in srp_lsh_similarity_join(
+            union, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert got == batch
