@@ -1342,6 +1342,15 @@ def substring_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.substring_dup_spans(docs, "text", "doc_id", k=8, min_docs=2)
 
 
+def chunk_documents_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-bounded chunking: 32-token chunks, 8-token overlap —
+    the split-long-docs complement of pack_sequences."""
+    from job_post_similarity_spark.operators.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", max_tokens=32, overlap=8)
+
+
 def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped linear quality filter (rows-only: weights are a
     seeded stand-in for an offline-trained model): per-doc sigmoid
@@ -2015,7 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pairs_flagship": similarity_pairs_flagship,
         "srp_recall_vs_exact": srp_recall_vs_exact,
         "normalize_unicode_documents": normalize_unicode_documents,
-        "cosine_topk_search": cosine_topk_search,
+        "chunk_documents": chunk_documents_gate,
         "substring_dup_spans_documents": substring_dup_spans_documents,
         "asof_join_events": asof_join_events,  # events ts vintage
         "shard_topk_search": shard_topk_search_q,  # oracle never graded
@@ -2025,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== position 51+: green in BOTH r01-vintage and r02 =====
         "sessionize_events": sessionize_events,
         "knn_exact_top1": knn_exact_top1,
+        "cosine_topk_search": cosine_topk_search,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2278,6 +2288,23 @@ def oracle_sql() -> dict[str, str]:
                    ) AS text_nfc
             FROM documents
             ORDER BY doc_id
+        """,
+        "chunk_documents": """
+            WITH tl AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            ix AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks), 24)) AS start1
+                FROM tl
+            )
+            SELECT doc_id,
+                   CAST((start1 - 1) / 24 AS INT) AS chunk_id,
+                   array_to_string(toks[start1:start1+31], ' ') AS chunk_text,
+                   CAST(least(32, len(toks) - start1 + 1) AS INT) AS n_tokens
+            FROM ix
         """,
         "substring_dup_spans_documents": """
             WITH tl AS (

@@ -128,3 +128,47 @@ def pack_stats(packed: DataFrame, group_col: str = "source") -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("tokens_in_pack"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into ≤``max_tokens``-token chunks with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the row-expanding preprocessing step for context-bounded training
+    and embedding (complement of ``pack_sequences``, which merges
+    SHORT docs; chunking splits LONG ones).
+
+    Output: (id, chunk_id, chunk_text, n_tokens), chunk_id 0-based
+    per document, chunk starts every ``max_tokens − overlap`` tokens.
+
+    Pure JVM expressions: sequence() generates the stride starts,
+    posexplode expands, slice+concat_ws rebuilds chunk text — one
+    Generate node, no shuffle, no Python; chunking 100 TB rides the
+    same scan that reads it.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}")
+    step = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    return base.select(
+        id_col,
+        F.posexplode(
+            F.expr(f"sequence(0, size(__toks) - 1, {step})")
+        ).alias("chunk_id", "__start"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(
+            " ", F.expr(f"slice(__toks, __start + 1, {max_tokens})")
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(max_tokens), F.size("__toks") - F.col("__start")
+        ).cast("int").alias("n_tokens"),
+    )

@@ -443,6 +443,7 @@ def compact_signature_store(
     spark: SparkSession,
     store_dir: str,
     store_buckets: int = 16,
+    prefix: str = "minhash",
 ) -> int:
     """Maintenance hook for the incremental-dedup signature store:
     every micro-batch appends one file set per bucket, so a long-lived
@@ -465,7 +466,7 @@ def compact_signature_store(
     import shutil
 
     sigs_path = os.path.join(store_dir, "sigs")
-    sigs_table = _sigs_table_name(sigs_path)
+    sigs_table = _sigs_table_name(sigs_path, prefix=prefix)
     if not spark.catalog.tableExists(sigs_table):
         _register_sigs_store(spark, sigs_table, sigs_path, store_buckets)
     staging = sigs_path + "__compacting"

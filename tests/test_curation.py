@@ -108,3 +108,32 @@ def test_pack_stats_totals(spark, corpus):
     assert stats[("a", 0)] == (2, 8)
     assert stats[("a", 1)] == (1, 4)
     assert stats[("b", 0)] == (3, 5)
+
+
+def test_chunk_documents_offsets_overlap_and_validation(spark):
+    import pandas as pd
+    import pytest
+
+    from job_post_similarity_spark.operators.curation import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [" ".join(toks), "short doc"]})
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+    )
+    # doc 1: starts 0,3,6,9 -> 4 chunks; consecutive chunks share 1 token
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2, 3]
+    assert d1[0][2] == "t0 t1 t2 t3" and d1[1][2] == "t3 t4 t5 t6"
+    assert d1[3][2] == "t9" and d1[3][3] == 1
+    # every token appears in at least one chunk
+    covered = set(" ".join(r[2] for r in d1).split())
+    assert covered == set(toks)
+    # doc 2 fits one chunk
+    d2 = [r for r in rows if r[0] == 2]
+    assert d2 == [(2, 0, "short doc", 2)]
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
