@@ -177,7 +177,9 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"pass {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    ran = sum(1 for n in qs if not only or n in only)
+    scope = "" if not only else f" (subset of {len(qs)})"
+    print(f"\n{ran - len(failures)}/{ran} ok{scope}")
     return 1 if failures else 0
 
 
