@@ -93,13 +93,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def write_parquet(
-    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
     """Parquet sink. At 100 TB scale: partition by a low-cardinality key
-    (date/source) so downstream scans prune partitions."""
+    (date/source) so downstream scans prune partitions.
+
+    ``dynamic_overwrite=True`` switches overwrite to DYNAMIC partition
+    mode for this write: only partitions present in ``df`` are
+    replaced, the rest of the lake is untouched — the incremental
+    backfill/update pattern (static mode, Spark's default, would drop
+    EVERY existing partition first). Scoped per-write via the
+    DataFrameWriter option, not a session-wide conf flip."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.parquet(path)
 
 

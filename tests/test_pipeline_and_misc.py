@@ -914,3 +914,32 @@ def test_stream_near_dup_srp_cross_batch_and_batch_parity(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_write_parquet_dynamic_partition_overwrite(spark, tmp_path):
+    """dynamic_overwrite replaces ONLY the partitions present in the
+    incoming frame; static overwrite (the default) drops the rest."""
+    import pandas as pd
+
+    from job_post_similarity_spark.sources import io
+
+    path = str(tmp_path / "lake")
+    full = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "part": ["a", "a", "b", "c"]})
+    )
+    io.write_parquet(full, path, partition_by=["part"])
+    # incremental update touching only partition 'a'
+    update = spark.createDataFrame(
+        pd.DataFrame({"k": [10, 11], "part": ["a", "a"]})
+    )
+    io.write_parquet(
+        update, path, partition_by=["part"], dynamic_overwrite=True
+    )
+    got = {
+        (r["k"], r["part"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(10, "a"), (11, "a"), (3, "b"), (4, "c")}
+    # static overwrite semantics: everything else gone
+    io.write_parquet(update, path, partition_by=["part"])
+    got2 = {(r["k"], r["part"]) for r in spark.read.parquet(path).collect()}
+    assert got2 == {(10, "a"), (11, "a")}
