@@ -1320,6 +1320,34 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
 
 
+def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (score rounded BEFORE ranking so the
+    chosen set is libm-independent; token asc tie-break)."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        tf_idf_top_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, "text", "doc_id", top_n=3)
+
+
+def keep_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert compaction: latest event per (user_id, event_type)
+    by ts, event_id tie-break — the apply-changes-to-snapshot shape."""
+    from job_post_similarity_spark.operators.preprocess import keep_latest
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        keep_latest(
+            ev,
+            ["user_id", "event_type"],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        )
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    )
+
+
 def normalize_unicode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (pre-dedup hygiene). The fixture
     text is ASCII, so a decomposed-accent + ligature suffix is
@@ -2029,9 +2057,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": asof_join_events,  # events ts vintage
         "shard_topk_search": shard_topk_search_q,  # oracle never graded
         "stream_sessionize_events": stream_sessionize_events,
+        "keep_latest_events": keep_latest_events,
+        "tfidf_top_terms_documents": tfidf_top_terms_documents,
+        # ===== position 51+: green in BOTH r01-vintage and r02 =====
         "decontaminate_documents": decontaminate_documents,
         "pack_sequences_documents": pack_sequences_documents,
-        # ===== position 51+: green in BOTH r01-vintage and r02 =====
         "sessionize_events": sessionize_events,
         "knn_exact_top1": knn_exact_top1,
         "cosine_topk_search": cosine_topk_search,
@@ -2288,6 +2318,52 @@ def oracle_sql() -> dict[str, str]:
                    ) AS text_nfc
             FROM documents
             ORDER BY doc_id
+        """,
+        "keep_latest_events": """
+            SELECT user_id, event_type, event_id
+            FROM (
+                SELECT user_id, event_type, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            )
+            WHERE rn = 1
+            ORDER BY user_id, event_type
+        """,
+        "tfidf_top_terms_documents": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM tok GROUP BY 1, 2
+            ),
+            dfreq AS (
+                SELECT token, count(DISTINCT doc_id) AS df_t
+                FROM tf GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT doc_id, token,
+                       round(tf * ln(CAST(n.n AS DOUBLE) / df_t), 4) AS score
+                FROM tf JOIN dfreq USING (token) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT doc_id, token, score,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, token ASC
+                       ) AS INT) AS rank
+                FROM scored
+            )
+            SELECT doc_id, token, score, rank
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank
         """,
         "chunk_documents": """
             WITH tl AS (

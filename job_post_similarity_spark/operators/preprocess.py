@@ -142,3 +142,21 @@ def preprocess_jobs(df: DataFrame, order_column: str = "lid") -> DataFrame:
     df = clean_text_column(df)
     df = drop_columns(df)
     return df
+
+
+def keep_latest(
+    df: DataFrame, key: list[str], order: list[Column | str]
+) -> DataFrame:
+    """CDC/upsert compaction: one row per ``key`` — the LATEST by the
+    explicit ``order`` columns (pass descending columns, e.g.
+    ``[F.col("ts").desc(), F.col("event_id").desc()]``; the last
+    order column should be a unique tie-break so the survivor is
+    deterministic). Applying a change stream onto a snapshot is
+    ``snapshot.unionByName(changes)`` piped through this.
+
+    Same single-shuffle row_number shape as ``dedup_keep_first`` —
+    the two are one operator with opposite order polarity, kept as
+    separate names because upsert-compaction and dedup read
+    differently at call sites.
+    """
+    return dedup_keep_first(df, key, order)

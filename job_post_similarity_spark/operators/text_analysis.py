@@ -316,3 +316,46 @@ def linear_text_classifier(
                 yield pd.Series(1.0 / (1.0 + np.exp(-logits)))
 
     return _score
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 5,
+) -> DataFrame:
+    """Per-document top-N terms by TF-IDF (tf × ln(N/df)) — the
+    classic characteristic-terms profile, used for corpus exploration
+    and near-dup triage. Output: (id, token, score, rank).
+
+    Cross-engine determinism: the score is ROUNDED to 4 digits BEFORE
+    ranking, and ties break on token asc — so the chosen top-N cannot
+    depend on sub-round-off libm differences between engines (the
+    DuckDB oracle replays the same pipeline in SQL).
+
+    Scale shape: tokenize/explode map-side; two hash aggregations
+    (doc-term tf, term document-frequency), one term-keyed join, one
+    per-doc window. The document count is a single count() action —
+    the same one-scalar price the IDF definition itself demands.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_docs = df.count()
+    tok = df.select(id_col, F.explode(toks).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.countDistinct(id_col).alias("df_t"))
+    scored = tf.join(dfreq, "token").select(
+        id_col,
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "token", "score", "rank")
+        .orderBy(id_col, "rank")
+    )

@@ -943,3 +943,31 @@ def test_write_parquet_dynamic_partition_overwrite(spark, tmp_path):
     io.write_parquet(update, path, partition_by=["part"])
     got2 = {(r["k"], r["part"]) for r in spark.read.parquet(path).collect()}
     assert got2 == {(10, "a"), (11, "a")}
+
+
+def test_keep_latest_upsert_semantics(spark):
+    """Apply-changes shape: union snapshot + change stream, keep the
+    latest version per key (deterministic tie-break)."""
+    import pandas as pd
+
+    from job_post_similarity_spark.operators.preprocess import keep_latest
+
+    snapshot = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 2], "v": ["old1", "old2"], "ver": [1, 1], "seq": [10, 11]}
+        )
+    )
+    changes = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [2, 3, 2], "v": ["new2", "new3", "tie2"], "ver": [2, 1, 2],
+             "seq": [12, 13, 14]}
+        )
+    )
+    merged = keep_latest(
+        snapshot.unionByName(changes),
+        ["k"],
+        [F.col("ver").desc(), F.col("seq").desc()],
+    )
+    got = {r["k"]: r["v"] for r in merged.collect()}
+    # key 2: ver 2 twice -> seq tie-break picks the later change
+    assert got == {1: "old1", 2: "tie2", 3: "new3"}
