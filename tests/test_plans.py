@@ -208,3 +208,22 @@ def test_strip_dup_spans_token_rebuild_is_jvm_side(spark):
     )
     assert "Python" not in plan and "ArrowEval" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Chunking must ride the scan: one Generate, zero Exchange, zero
+    Python."""
+    from job_post_similarity_spark.operators.curation import chunk_documents
+    from job_post_similarity_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = chunk_documents(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan
+    # codegen suffixes the detail header ("(4) Generate [codegen id :
+    # 1]"), so match the header prefix rather than _nodes' exact form
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    assert "Python" not in plan and "ArrowEval" not in plan
