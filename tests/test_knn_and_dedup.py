@@ -513,3 +513,33 @@ def test_strip_dup_spans_total_token_conservation(spark, documents):
     removed2 = again.agg(F.sum("n_tokens_removed")).collect()[0][0]
     assert removed2 <= removed
     out.unpersist()
+
+
+def test_auto_dispatch_probe_is_bounded(embeddings, monkeypatch):
+    """VERDICT r02 #7 'done' criterion: the dispatch facades must not
+    run a full-table aggregate to pick a tier — the first count() they
+    issue has to sit on top of a GlobalLimit (limit(budget+1))."""
+    # Spark 4: local sessions use the classic DataFrame subclass,
+    # which overrides count — patch there, not on the abstract base
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from job_post_similarity_spark.operators import ann
+
+    plans = []
+    orig = DataFrame.count
+
+    def spy(self):
+        plans.append(self._jdf.queryExecution().optimizedPlan().toString())
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    ann.auto_similarity_join(
+        embeddings, "vec_id", "embedding", 0.95, broadcast_row_budget=10
+    )
+    assert plans and "GlobalLimit" in plans[0]
+
+    plans.clear()
+    ann.auto_topk_search(
+        embeddings.limit(3), embeddings, k=1, broadcast_row_budget=10
+    )
+    assert plans and "GlobalLimit" in plans[0]
