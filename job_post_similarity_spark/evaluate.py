@@ -136,3 +136,67 @@ def main(argv: list[str]) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
+
+
+def srp_recall_sweep(
+    df,
+    param_grid=((4, 8), (8, 16), (8, 32)),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    n_queries: int = 50,
+    seed: int = 42,
+):
+    """Operating-point tuner for the SRP-LSH tier: for each
+    (bits_per_band, num_bands) pair, measure top-k recall of
+    ``srp_topk_search`` against the exact tier on a seeded query
+    sample. Returns a list of dicts (bits, bands, recall, n_queries) —
+    the table you consult before committing an operating point for a
+    100 TB run (the banding formula gives the theoretical curve; this
+    measures it on YOUR vectors).
+
+    Cost: one exact kNN over the sample (the ground truth, computed
+    once) + one relational SRP search per grid point. The corpus is
+    never collected; recall is a small join-and-agg per point.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators import ann, knn
+    from .operators.sampling import sample_exact_n
+
+    queries = sample_exact_n(df, n_queries, seed=seed).cache()
+    try:
+        truth = (
+            knn.knn_join(
+                queries, id_col, vec_col, k=k, include_self=False, right=df
+            )
+            .select(
+                F.col("query_id"), F.col("neighbor_id").alias("__true_nbr")
+            )
+            .cache()
+        )
+        n_truth = truth.count()
+        results = []
+        for bits, bands in param_grid:
+            approx = ann.srp_topk_search(
+                queries, df, k=k, id_col=id_col, vec_col=vec_col,
+                bits_per_band=bits, num_bands=bands, seed=seed,
+            ).alias("s")
+            hits = approx.join(
+                truth.alias("t"),
+                on=[
+                    F.col("s.query_id") == F.col("t.query_id"),
+                    F.col("s.neighbor_id") == F.col("t.__true_nbr"),
+                ],
+            ).count()
+            results.append(
+                {
+                    "bits_per_band": bits,
+                    "num_bands": bands,
+                    "recall": round(hits / n_truth, 4) if n_truth else 0.0,
+                    "n_queries": n_queries,
+                }
+            )
+        return results
+    finally:
+        queries.unpersist()

@@ -227,3 +227,26 @@ def test_chunk_documents_is_map_only(spark):
     # 1]"), so match the header prefix rather than _nodes' exact form
     assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_srp_recall_sweep_orders_operating_points(spark):
+    """More bands at fixed bits ⇒ recall must not DECREASE (OR-
+    amplification is monotone); values land in [0, 1]."""
+    import numpy as np
+    import pandas as pd
+
+    from job_post_similarity_spark.evaluate import srp_recall_sweep
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((300, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": list(mat)})
+    )
+    res = srp_recall_sweep(
+        df, param_grid=((8, 4), (8, 16), (8, 48)), n_queries=20
+    )
+    recalls = [r["recall"] for r in res]
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert recalls == sorted(recalls)  # monotone in bands
+    assert recalls[-1] >= 0.5  # 48 bands on 300 vecs finds most top-1s
