@@ -645,6 +645,27 @@ def embedding_near_dup_pairs(
 # ------------------------------------------- substring-level exact dedup
 
 
+def _k_gram_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, gram) — 8-byte xxhash64 of each k-token window,
+    entirely in whole-stage codegen (the gram TEXT never leaves the
+    expression): shared by the detect and apply substring-dedup ops."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    return base.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {k}), "
+                f"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, {k}))))"
+            )
+        ).alias("pos", "gram"),
+    )
+
+
 def substring_dup_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -674,19 +695,13 @@ def substring_dup_spans(
     """
     from pyspark.sql.window import Window
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
-        F.size("__toks") >= k
-    )
-    grams = base.select(
-        id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(__toks) - {k}), "
-                f"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, {k}))))"
-            )
-        ).alias("pos", "gram"),
-    )
+    # persist: the gram table feeds BOTH the inverted-index aggregate
+    # and the probe side of the semi-join — unpersisted, the tokenize+
+    # hash explosion (and the scan under it) runs twice (the same
+    # double-compute srp_lsh_similarity_join persists against). Rows
+    # are (id, pos, 8-byte hash) — comparable to input text size,
+    # LRU-evicted under pressure.
+    grams = _k_gram_hashes(df, text_col, id_col, k).persist()
     dup = (
         grams.groupBy("gram")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -734,16 +749,8 @@ def strip_dup_spans(
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     with_toks = df.select(F.col(id_col), F.col(text_col), toks.alias("__toks"))
-    base = with_toks.filter(F.size("__toks") >= k)
-    grams = base.select(
-        id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(__toks) - {k}), "
-                f"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, {k}))))"
-            )
-        ).alias("pos", "gram"),
-    )
+    # persisted for the same both-sides reason as substring_dup_spans
+    grams = _k_gram_hashes(df, text_col, id_col, k).persist()
     owners = (
         grams.groupBy("gram")
         .agg(
