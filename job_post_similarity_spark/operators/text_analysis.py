@@ -343,7 +343,12 @@ def tf_idf_top_terms(
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n_docs = df.count()
     tok = df.select(id_col, F.explode(toks).alias("token"))
-    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: tf feeds both the document-frequency aggregate and the
+    # scoring join — unpersisted, the tokenize+explode+count pipeline
+    # (and the scan) runs twice. Rows = distinct (doc, term) pairs.
+    tf = (
+        tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    ).persist()
     dfreq = tf.groupBy("token").agg(F.countDistinct(id_col).alias("df_t"))
     scored = tf.join(dfreq, "token").select(
         id_col,
