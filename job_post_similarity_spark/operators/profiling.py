@@ -213,3 +213,31 @@ def duplicate_count(df: DataFrame, key: list[str]) -> DataFrame:
             "duplicate_rows"
         )
     )
+
+
+def cube_counts(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str | None = None,
+) -> DataFrame:
+    """OLAP CUBE aggregate: counts (and optionally a sum) for EVERY
+    subset of ``dims``, subtotal rows marked by null dims — the
+    all-margins companion of the rollup gate (which produces only the
+    hierarchy's prefixes). One expand+aggregate plan: Spark's Expand
+    emits 2^|dims| grouping-set rows map-side, then a single hash
+    aggregation — no per-subset re-scan.
+    """
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if value_col is not None:
+        # DECIMAL sum internally (order-independent), double out —
+        # the engine-wide driver-hash-safe aggregation policy
+        aggs.append(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double"), 4
+            ).alias(f"sum_{value_col}")
+        )
+    return (
+        df.cube(*[F.col(d) for d in dims])
+        .agg(*aggs)
+        .orderBy(*[F.col(d).asc_nulls_first() for d in dims])
+    )

@@ -502,16 +502,20 @@ def stream_windowed_agg(
     window: str = "1 hour",
     watermark: str = "2 hours",
     name: str = "stream_windowed",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregate over the event stream —
-    the late-data-tolerant rollup shape. Complete-mode memory sink for
-    the bounded smoke path (append mode would emit a window only after
-    the watermark passes it, i.e. nothing on a single bounded batch);
-    production kafka sinks run append + finalized windows."""
+    """Watermarked window aggregate over the event stream — tumbling
+    by default, HOPPING/sliding when ``slide`` < ``window`` is given
+    (each event lands in window/slide overlapping windows; state per
+    key grows by the same factor — the watermark still bounds it).
+    Complete-mode memory sink for the bounded smoke path (append mode
+    would emit a window only after the watermark passes it, i.e.
+    nothing on a single bounded batch); production kafka sinks run
+    append + finalized windows."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), "event_type")
+        .groupBy(F.window("ts", window, slide or window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             # DECIMAL sum internally (order-independent addition); final

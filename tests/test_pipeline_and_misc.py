@@ -971,3 +971,18 @@ def test_keep_latest_upsert_semantics(spark):
     got = {r["k"]: r["v"] for r in merged.collect()}
     # key 2: ver 2 twice -> seq tie-break picks the later change
     assert got == {1: "old1", 2: "tie2", 3: "new3"}
+
+
+def test_stream_sliding_window_agg(spark, sf_dir):
+    """Hopping window: each event lands in window/slide windows, so
+    summed counts across windows = window/slide x tumbling total."""
+    from job_post_similarity_spark.streaming import stream_windowed_agg
+
+    tumb = stream_windowed_agg(spark, sf_dir, name="t_tumb2")
+    hop = stream_windowed_agg(
+        spark, sf_dir, window="1 hour", slide="30 minutes", name="t_hop"
+    )
+    total_tumb = sum(r["cnt"] for r in tumb.collect())
+    total_hop = sum(r["cnt"] for r in hop.collect())
+    assert total_hop == 2 * total_tumb
+    assert hop.count() > tumb.count()

@@ -81,3 +81,47 @@ def test_window_family_single_shuffle(spark):
     out = W.running_agg(df, ["k"], [F.asc("seq")], F.col("v"), "run")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_cube_counts_covers_all_grouping_sets(spark, sf_dir):
+    """CUBE must equal the union of plain groupBys over every dim
+    subset (subtotals null-marked), in ONE expand+aggregate plan."""
+    from job_post_similarity_spark.operators.profiling import cube_counts
+    from job_post_similarity_spark.sources.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    out = cube_counts(
+        o, ["o_orderstatus", "o_orderpriority"], value_col="o_totalprice"
+    ).collect()
+    got = {
+        (r["o_orderstatus"], r["o_orderpriority"]): r["cnt"] for r in out
+    }
+    # grand total
+    assert got[(None, None)] == o.count()
+    # one-dim subtotals match plain groupBy
+    per_status = {
+        r["o_orderstatus"]: r["count"]
+        for r in o.groupBy("o_orderstatus").count().collect()
+    }
+    for s, c in per_status.items():
+        assert got[(s, None)] == c
+    per_prio = {
+        r["o_orderpriority"]: r["count"]
+        for r in o.groupBy("o_orderpriority").count().collect()
+    }
+    for p, c in per_prio.items():
+        assert got[(None, p)] == c
+    # finest level
+    fine = o.groupBy("o_orderstatus", "o_orderpriority").count().collect()
+    for r in fine:
+        assert got[(r["o_orderstatus"], r["o_orderpriority"])] == r["count"]
+    # single Expand + aggregation, not 2^n scans
+    plan = cube_counts(o, ["o_orderstatus", "o_orderpriority"])._jdf \
+        .queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+    import re
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Scan", plan, re.M)) == 1
