@@ -10,14 +10,19 @@ the reference's index_description switch:
   the Spark-native analog of Faiss IVF: vectors are assigned to
   their nearest of C centroids, candidates only meet inside a
   bucket (+ optional multi-probe to neighboring centroids).
-- ``HNSW*``/anything else → banded signed-random-projection LSH
-  (``srp_lsh_similarity_join``): multi-bit hyperplane signatures with
-  AND-within-band / OR-across-bands amplification — the cosine-native
-  scale path (52k-vector probe: 14s, 0.994 recall at cosine 0.9).
-- ``LSH`` → MLlib BucketedRandomProjectionLSH (API-parity tier only:
-  one projection per hash table means no AND-amplification, so on
-  high-dim unit vectors any bucketLength either misses neighbors or
-  floods candidates — measured degenerate at 50k vectors).
+- ``LSH``/``HNSW*``/anything else → banded signed-random-projection
+  LSH (``srp_lsh_similarity_join``): multi-bit hyperplane signatures
+  with AND-within-band / OR-across-bands amplification — the
+  cosine-native scale path (52k-vector probe: 14s, 0.994 recall at
+  cosine 0.9).
+
+MLlib's BucketedRandomProjectionLSH (``lsh_fit``/
+``lsh_similarity_join``) is kept for API parity but FENCED: nothing
+routes to it (``index_for_description`` sends 'LSH…' to SRP) and
+calling it warns — one projection per hash table means no
+AND-amplification, so on high-dim unit vectors any bucketLength
+either misses neighbors or floods candidates (measured degenerate at
+50k vectors).
 
 Beyond the pair-join strategies, the SEARCH-shaped and COMPRESSED
 tiers added on top:
@@ -60,6 +65,22 @@ def _to_mllib_vec(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
 # ------------------------------------------------------------------- LSH
 
 
+_BRP_LSH_WARNING = (
+    "BucketedRandomProjectionLSH is DEGENERATE on high-dimensional unit "
+    "vectors: one projection per hash table (no AND-amplification) means "
+    "any bucketLength either misses neighbors or floods candidates "
+    "(measured at 50k vectors). This tier exists for MLlib API parity "
+    "only — use srp_lsh_similarity_join / srp_topk_search (banded "
+    "signed-random-projection, the cosine-native tier) instead."
+)
+
+
+def _warn_brp_degenerate() -> None:
+    import warnings
+
+    warnings.warn(_BRP_LSH_WARNING, UserWarning, stacklevel=3)
+
+
 def lsh_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -69,7 +90,11 @@ def lsh_fit(
 ):
     """V2 (LSH tier): fit BucketedRandomProjectionLSH on the vector
     column. Returns (model, prepared_df). The model is the Spark
-    analog of the Faiss index object (S6: model.save/.load persists)."""
+    analog of the Faiss index object (S6: model.save/.load persists).
+
+    .. warning:: emits ``UserWarning`` — see ``_BRP_LSH_WARNING``. The
+       supported approximate cosine tier is SRP-LSH."""
+    _warn_brp_degenerate()
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
     prepared = _to_mllib_vec(df, vec_col, "__features")
@@ -1231,9 +1256,12 @@ def auto_topk_search(
 def index_for_description(description: str):
     """Map the reference's INDEX_DESCRIPTION strings to a join strategy
     (reference: app/vector_search.py:42-47): 'Flat' → exact, 'IVF…' →
-    ivf_similarity_join, 'LSH' → MLlib BRP-LSH (API-parity tier),
-    anything else (HNSW…, the graph-index family) → banded SRP-LSH,
-    the cosine-native approximate tier that actually scales. For
+    ivf_similarity_join, anything else (LSH, HNSW…, the graph-index
+    family) → banded SRP-LSH, the cosine-native approximate tier that
+    actually scales. 'LSH…' deliberately does NOT route to MLlib's
+    BucketedRandomProjectionLSH: that tier is degenerate on high-dim
+    unit vectors (see ``_BRP_LSH_WARNING``) and is reachable only by
+    explicitly calling ``lsh_similarity_join``, which warns. For
     SEARCH-shaped workloads (query set vs corpus) the HNSW analog is
     ``shard_topk_search`` — per-shard graph index (faiss, when
     importable) + window merge."""
@@ -1253,6 +1281,4 @@ def index_for_description(description: str):
                 ivf_similarity_join, n_centroids=int(m.group(1))
             )
         return ivf_similarity_join
-    if d.startswith("lsh"):
-        return lsh_similarity_join
     return srp_lsh_similarity_join

@@ -138,6 +138,19 @@ def knn_join(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rids, rmat = bc.value
+        # f32-shipped matrices upcast to f64 ONCE PER TASK (the dot
+        # must run in f64 to stay oracle-exact): the block views are
+        # cached here, outside the batch loop — a long left side was
+        # re-paying the same astype allocation for every Arrow batch
+        # (~3 GB of churn per task at 1M×384). Holds one f64 copy of
+        # the broadcast per task, bounded by the same 1M-row budget as
+        # the broadcast itself; f64 sources pass through zero-copy.
+        blocks: list[tuple[np.ndarray, np.ndarray]] = []
+        for lo in range(0, n_right, _RIGHT_BLOCK):
+            blk = rmat[lo : lo + _RIGHT_BLOCK]
+            if blk.dtype != np.float64:
+                blk = blk.astype(np.float64)
+            blocks.append((blk, rids[lo : lo + _RIGHT_BLOCK]))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -153,13 +166,7 @@ def knn_join(
             keep = k + 64
             pool_s: list[np.ndarray] = []
             pool_i: list[np.ndarray] = []
-            for lo in range(0, n_right, _RIGHT_BLOCK):
-                # f32-shipped matrices upcast per block so the dot
-                # runs in f64 (oracle-exact); f64 sources pass through
-                block = rmat[lo : lo + _RIGHT_BLOCK]
-                if block.dtype != np.float64:
-                    block = block.astype(np.float64)
-                bids = rids[lo : lo + _RIGHT_BLOCK]
+            for block, bids in blocks:
                 sims = lmat @ block.T  # (n_left, n_block)
                 if not include_self:
                     sims[lids[:, None] == bids[None, :]] = -np.inf

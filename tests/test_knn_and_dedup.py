@@ -170,7 +170,24 @@ def test_index_for_description_dispatch():
     assert ivf.keywords == {"n_centroids": 100}
     assert ann.index_for_description("IVF") is ann.ivf_similarity_join
     assert ann.index_for_description("HNSW32") is ann.srp_lsh_similarity_join
-    assert ann.index_for_description("LSH") is ann.lsh_similarity_join
+    # 'LSH…' is fenced away from the degenerate MLlib BRP tier: it
+    # routes to SRP (the cosine-native LSH) like every other non-IVF
+    # approximate description
+    assert ann.index_for_description("LSH") is ann.srp_lsh_similarity_join
+    assert ann.index_for_description("LSH4,Flat") is ann.srp_lsh_similarity_join
+
+
+def test_brp_lsh_tier_warns_degenerate(embeddings):
+    """The fenced MLlib BRP-LSH tier must LOUDLY warn any explicit
+    caller (VERDICT r3 'weak' item): no silent path to the degenerate
+    bucketing remains."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ann.lsh_fit(embeddings, "embedding", 2.0, 2)
+    msgs = [str(w.message) for w in caught if w.category is UserWarning]
+    assert any("DEGENERATE" in m and "srp_lsh_similarity_join" in m for m in msgs)
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
