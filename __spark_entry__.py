@@ -2116,7 +2116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== rotated IN: parked 51+ in round 2, ungraded there =====
         "strip_html_documents": strip_html_documents,
         "similarity_histogram_pairs": similarity_histogram_pairs,
-        "customers_without_orders": customers_without_orders,
         "token_explode_documents": token_explode_documents,
         "q16_distinct_suppliers": q16_distinct_suppliers,
         "q13_customer_distribution": q13_customer_distribution,
@@ -2161,6 +2160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_unicode_documents": normalize_unicode_documents,
         "chunk_documents": chunk_documents_gate,
         "substring_dup_spans_documents": substring_dup_spans_documents,
+        # -- new r4: apply step of substring dedup, now oracle-backed
+        "strip_dup_spans_documents": strip_dup_spans_documents,
         "asof_join_events": asof_join_events,  # events ts vintage
         "shard_topk_search": shard_topk_search_q,  # oracle never graded
         "stream_sessionize_events": stream_sessionize_events,
@@ -2170,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_user_set_ops": event_user_set_ops,
         "quality_score_documents": quality_score_documents,
         "lang_id_documents": lang_id_documents,
+        "customers_without_orders": customers_without_orders,
         "decontaminate_documents": decontaminate_documents,
         "pack_sequences_documents": pack_sequences_documents,
         "sessionize_events": sessionize_events,
@@ -2227,7 +2229,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_similarity_pipeline": e2e_similarity_pipeline,
         "multimodal_decode_features": multimodal_decode_features,
         "minhash_verified_documents": minhash_verified_documents,
-        "strip_dup_spans_documents": strip_dup_spans_documents,
         "quality_classifier_documents": quality_classifier_documents,
         "multimodal_resize_frames": multimodal_resize_frames,
         "pq_compression_embeddings": pq_compression_embeddings,
@@ -2526,6 +2527,70 @@ def oracle_sql() -> dict[str, str]:
             FROM isl
             GROUP BY doc_id, grp
             ORDER BY doc_id, span_start
+        """,
+        "strip_dup_spans_documents": """
+            -- apply step of substring dedup: same gram/island algebra
+            -- as the detector (gram TEXT here vs 64-bit hash in Spark
+            -- — equivalent modulo ~n²/2⁶⁵ collisions), then each
+            -- non-owner doc drops its covered token positions and the
+            -- text is rebuilt token-by-token (Spark's concat_ws over
+            -- the filtered token array == string_agg ORDER BY pos)
+            WITH tl AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(toks[i:i+7], ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 7)) AS i
+                      FROM tl WHERE len(toks) >= 8)
+            ),
+            owners AS (
+                SELECT gram, min(doc_id) AS owner FROM g
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ),
+            losers AS (
+                SELECT g.doc_id, g.pos FROM g
+                JOIN owners USING (gram) WHERE g.doc_id <> owner
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM losers
+            ),
+            spans AS (
+                SELECT doc_id, min(pos) AS start,
+                       max(pos) - min(pos) + 8 AS len
+                FROM isl GROUP BY doc_id, grp
+            ),
+            cover AS (
+                SELECT DISTINCT doc_id,
+                       unnest(generate_series(start, start + len - 1)) AS i
+                FROM spans
+            ),
+            tok AS (
+                SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks))) AS i
+                      FROM tl)
+            ),
+            keptagg AS (
+                SELECT t.doc_id,
+                       string_agg(t.tok, ' ' ORDER BY t.pos) AS text_deduped,
+                       count(*) AS n_kept
+                FROM tok t LEFT JOIN cover c
+                  ON t.doc_id = c.doc_id AND t.pos = c.i
+                WHERE c.doc_id IS NULL
+                GROUP BY t.doc_id
+            )
+            SELECT tl.doc_id,
+                   coalesce(k.text_deduped, '') AS text_deduped,
+                   CAST(len(tl.toks) - coalesce(k.n_kept, 0) AS INT)
+                       AS n_tokens_removed
+            FROM tl LEFT JOIN keptagg k USING (doc_id)
         """,
         "mixture_sample_documents": """
             SELECT doc_id, source FROM documents
