@@ -53,6 +53,15 @@ def dot_cosine_arrow(a: Column | str, b: Column | str) -> Column:
     differ from the left-to-right fold in the last ulp, so rounded
     values could flip on a boundary. ``dot_cosine`` (bit-stable vs
     DuckDB) remains the default.
+
+    Marked ``asNondeterministic`` ON PURPOSE (it is deterministic):
+    verify stages both project AND filter on this column, and
+    Catalyst pushes a deterministic filter below the projection,
+    planning the Arrow UDF TWICE — the whole candidate set was being
+    scored two times (visible as two ArrowEvalPython nodes). The
+    nondeterministic mark pins the filter above the single
+    evaluation; the only optimizations lost are reorderings that
+    would re-run the UDF anyway.
     """
     import numpy as np
     import pandas as pd
@@ -67,7 +76,7 @@ def dot_cosine_arrow(a: Column | str, b: Column | str) -> Column:
 
     # positional form: `from __future__ import annotations` stringifies
     # type hints, which the hint-based pandas_udf API can't infer
-    return F.pandas_udf(_dot, T.DoubleType())(_c(a), _c(b))
+    return F.pandas_udf(_dot, T.DoubleType()).asNondeterministic()(_c(a), _c(b))
 
 
 def l2_normalize(a: Column | str) -> Column:

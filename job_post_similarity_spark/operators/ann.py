@@ -513,14 +513,13 @@ def srp_band_signatures(
     import pandas as pd
 
     id_type_s = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type_s}, band int, bucket long"
     if dim is None:
         first = df.select(vec_col).head(1)
         if not first:
             # schema-consistent empty frame: id keeps the INPUT's type
             # (a string-keyed table must not come back long-keyed)
-            return df.sparkSession.createDataFrame(
-                [], f"{id_col} {id_type_s}, band int, bucket long"
-            )
+            return df.sparkSession.createDataFrame([], out_schema)
         dim = len(first[0][0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bands * bits_per_band, dim))
@@ -546,9 +545,7 @@ def srp_band_signatures(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        op, f"{id_col} {id_type_s}, band int, bucket long"
-    )
+    return df.select(id_col, vec_col).mapInPandas(op, out_schema)
 
 
 def srp_lsh_similarity_join(
@@ -569,6 +566,15 @@ def srp_lsh_similarity_join(
     never the vectors; vectors rejoin candidates by id (two hash
     joins). Tune bits_per_band ≈ log2(n/target_bucket_size), bands to
     hit recall at the operating threshold.
+
+    Candidate dedup is a ``dropDuplicates`` shuffle of (id1, id2)
+    pairs. The tempting zero-shuffle alternative — carry each row's
+    full per-band signature vector and emit a pair only from its
+    FIRST matching band — was measured 3× SLOWER here: the per-row
+    ``exists(sequence(...))`` higher-order filter costs far more CPU
+    on the joined candidate stream than the 16-byte-row shuffle it
+    replaces (Catalyst lambdas allocate per row; the shuffle is
+    columnar). Kept the shuffle.
     """
     # persist: the signature frame feeds BOTH sides of the self-join;
     # without it the mapInPandas signature pass runs twice. Size is

@@ -165,6 +165,20 @@ def test_q6_single_stage_scan(spark):
     assert _nodes(plan, "Exchange") == 1
 
 
+def test_verify_stages_score_candidates_once(spark):
+    """The Arrow-batched verify dot must appear EXACTLY ONCE in the
+    SRP and IVF pair-join plans: these stages project AND filter on
+    the same UDF column, and a deterministic pandas_udf gets its
+    filter pushed below the projection — Catalyst then plans TWO
+    ArrowEvalPython nodes and the whole candidate set is scored
+    twice (the asNondeterministic mark on dot_cosine_arrow pins a
+    single evaluation)."""
+    plan = _plan(spark, "srp_lsh_similarity_pairs")
+    assert _nodes(plan, "ArrowEvalPython") == 1
+    plan = _plan(spark, "ivf_similarity_pairs")
+    assert _nodes(plan, "ArrowEvalPython") == 1
+
+
 def test_ivf_join_reuses_cached_assignment(spark):
     """Round-3 regression guard: ivf_similarity_join must serve BOTH
     sides of its bucket self-join from the persisted assignment — the
