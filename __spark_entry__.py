@@ -1088,6 +1088,28 @@ def ivfpq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (dedup.semantic_dedup, Abbas et al. 2023)
+    made driver-gradable by the planted-twin contract: the corpus is
+    embeddings ∪ re-keyed copies of the first 50 vectors
+    (vec_id+100000). At threshold 0.99 the ONLY within-cluster pairs
+    are the 50 twin pairs (max natural cosine ≈ 0.55), identical
+    vectors always share an IVF bucket, and min-id representatives
+    are the originals — so the survivor set is exactly the original
+    table with component = own id, derivable in SQL without running
+    the pipeline. Proves cluster routing, within-cluster verify,
+    connected components, and the keep-one policy in one hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    out = dedup.semantic_dedup(
+        emb.unionByName(twins), "vec_id", "embedding",
+        threshold=0.99, n_centroids=16,
+    )
+    return out.select("vec_id", "semdedup_component").orderBy("vec_id")
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: left-outer join + two-level aggregation —
     customers bucketed by how many orders they placed (zero included)."""
@@ -2115,7 +2137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ===== rotated IN: parked 51+ in round 2, ungraded there =====
         "strip_html_documents": strip_html_documents,
-        "similarity_histogram_pairs": similarity_histogram_pairs,
         "token_explode_documents": token_explode_documents,
         "q16_distinct_suppliers": q16_distinct_suppliers,
         "q13_customer_distribution": q13_customer_distribution,
@@ -2157,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_vs_exact": ivf_recall_vs_exact,
         "pq_recall_vs_exact": pq_recall_vs_exact,
         "ivfpq_recall_vs_exact": ivfpq_recall_vs_exact,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "normalize_unicode_documents": normalize_unicode_documents,
         "chunk_documents": chunk_documents_gate,
         "substring_dup_spans_documents": substring_dup_spans_documents,
@@ -2172,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": quality_score_documents,
         "lang_id_documents": lang_id_documents,
         "customers_without_orders": customers_without_orders,
+        "similarity_histogram_pairs": similarity_histogram_pairs,
         "decontaminate_documents": decontaminate_documents,
         "pack_sequences_documents": pack_sequences_documents,
         "sessionize_events": sessionize_events,
@@ -3351,6 +3374,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_found,
                    CAST(100 AS BIGINT) AS recall_x100
             FROM q
+        """,
+        "semantic_dedup_embeddings": """
+            -- planted-twin SemDeDup contract: at threshold 0.99 the
+            -- only semantic-dup pairs in emb ∪ twins are the 50
+            -- (i, i+100000) twin pairs (max natural cosine ≈ 0.55);
+            -- identical vectors share an IVF bucket by construction
+            -- and min-id representatives are the originals — the
+            -- survivor set is the original table labeling itself
+            SELECT vec_id, vec_id AS semdedup_component
+            FROM embeddings
+            ORDER BY vec_id
         """,
         "q13_customer_distribution": """
             SELECT c_count, count(*) AS custdist

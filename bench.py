@@ -21,6 +21,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "broadcast_lookup_customers",
+    "preprocess_jobs_pipeline",
+    "sessionize_events",
+    "window_topk_orders",
+    "dedup_keep_first_events",
+    "deterministic_sample_lineitem",
+    "knn_exact_top1",
+    "similarity_pairs_flagship",
+    "substring_dup_spans_documents",
+    "minhash_near_dup_documents",
+    "srp_lsh_similarity_pairs",
+    "ivf_similarity_pairs",
+    "shard_topk_search",
+    "asof_join_events",
+    "token_count_documents",
+    "doc_fingerprint_documents",
+    "embed_documents_hashing",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -36,28 +60,7 @@ def main() -> None:
     # query timings measure the plan, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
-    headline = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "broadcast_lookup_customers",
-        "preprocess_jobs_pipeline",
-        "sessionize_events",
-        "window_topk_orders",
-        "dedup_keep_first_events",
-        "deterministic_sample_lineitem",
-        "knn_exact_top1",
-        "similarity_pairs_flagship",
-        "substring_dup_spans_documents",
-        "minhash_near_dup_documents",
-        "srp_lsh_similarity_pairs",
-        "ivf_similarity_pairs",
-        "shard_topk_search",
-        "asof_join_events",
-        "token_count_documents",
-        "doc_fingerprint_documents",
-        "embed_documents_hashing",
-    ]
+    headline = HEADLINE
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     total = 0.0

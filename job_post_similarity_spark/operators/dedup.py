@@ -642,6 +642,55 @@ def embedding_near_dup_pairs(
     return auto_similarity_join(df, id_col, vec_col, threshold)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal over an embedding column — cluster with
+    the IVF coarse quantizer, compare pairs only WITHIN a cluster,
+    connect above-threshold pairs, keep ONE representative per
+    near-dup component. The LLM-curation step between exact/MinHash
+    dedup (surface text) and quality filtering: catches paraphrases
+    and re-renderings that share no n-grams.
+
+    Returns the SURVIVING rows of ``df`` (all columns) plus
+    ``semdedup_component`` — the component label the row represents
+    (its own id for rows with no semantic duplicate). Representative
+    policy: minimum id per component (deterministic; the paper keeps
+    the member farthest from its centroid — the dedup RATE is
+    policy-independent, and min-id is reproducible across runs).
+
+    Scale shape (the paper's own motivation): within-cluster pairing
+    is ``ivf_similarity_join`` with n_probe=1 — every vector lives in
+    exactly one bucket, so candidate fan-out is Σ bucket² ≈ n·√n at
+    auto-√n centroids, never n²; components over the above-threshold
+    edge set only (near-dup components are tiny); one final join
+    brings survivors back. No driver-side state beyond the Lloyd
+    sample the quantizer already bounds.
+    """
+    from .ann import ivf_similarity_join
+
+    pairs = ivf_similarity_join(
+        df, id_col, vec_col, threshold,
+        n_centroids=n_centroids, n_probe=1, seed=seed,
+    )
+    comp = connected_components(pairs.select("id1", "id2"))
+    out = df.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "semdedup_component",
+        F.coalesce(F.col("component"), F.col(id_col)),
+    )
+    return out.filter(
+        F.col(id_col) == F.col("semdedup_component")
+    ).drop("component")
+
+
 # ------------------------------------------- substring-level exact dedup
 
 

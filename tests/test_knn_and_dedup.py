@@ -386,6 +386,36 @@ def test_connected_components_long_chain(spark):
     assert set(comp.values()) == {0} and len(comp) == 10
 
 
+def test_semantic_dedup_planted_twins_and_chain(spark, embeddings):
+    """SemDeDup keeps one representative per semantic component:
+    3-way identical group collapses to its min id (transitivity via
+    CC, not just pairs), twins collapse to the original, uniques
+    survive labeled with their own id."""
+    emb = embeddings.filter(F.col("vec_id") < 100)
+    trip = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    trip2 = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 2000).alias("vec_id"), "embedding", "label"
+    )
+    out = dedup.semantic_dedup(
+        emb.unionByName(trip).unionByName(trip2),
+        "vec_id", "embedding", threshold=0.99, n_centroids=4,
+    ).collect()
+    got = {r["vec_id"]: r["semdedup_component"] for r in out}
+    # survivors: exactly the 100 originals, each its own representative
+    assert got == {i: i for i in range(100)}
+
+
+def test_semantic_dedup_no_dups_is_identity(spark, embeddings):
+    emb = embeddings.filter(F.col("vec_id") < 40)
+    out = dedup.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.99, n_centroids=4
+    )
+    assert out.count() == 40
+    assert set(out.columns) == set(emb.columns) | {"semdedup_component"}
+
+
 def test_auto_similarity_join_dispatch_and_output(embeddings):
     # small table -> exact tier; result equals similarity_pairs
     exact = {

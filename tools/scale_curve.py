@@ -1,0 +1,191 @@
+"""Empirical scale curve for the bench suite: measure each headline
+query at sf0.001 / sf0.01 / sf0.1 and at a synthetic 10×-sf0.1
+("sf1x"), then report the per-query scaling exponent over the one
+step where EVERY table grows exactly 10× (sf0.1 → sf1x).
+
+The sf1x dataset is generated on first use under .scale_sf1x/ (never
+committed): each fact table is 10 shifted copies of its sf0.1 self —
+join keys shifted per copy so key relationships (and join
+selectivities) are preserved; document texts are token-ROTATED per
+copy and embeddings circularly shifted per copy so the text/vector
+corpora gain genuinely new content with the same distribution (plain
+replication would plant 10-way exact duplicates and near-dup /
+similarity queries would measure the synthetic artifact, not the
+workload). Dimension tables (region, nation) keep their real-world
+shape: they don't grow with corpus size.
+
+Exponent reading guide (printed table): e ≈ 1 → linear scan/shuffle
+behavior, the 100 TB-safe shape; e ≈ 2 → the output itself is
+quadratic (threshold pair joins over a FIXED similarity distribution
+have Θ(n²) qualifying pairs — LSH/IVF cut the constant, not the
+exponent; at real scale the threshold rises with corpus size);
+e < 1 → fixed-cost-dominated at these sizes.
+
+Usage:  python tools/scale_curve.py [--skip-sf1x] [--runs N]
+Writes SCALING.md at the repo root and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF1X_DIR = os.path.join(REPO, ".scale_sf1x")
+COPIES = 10
+KEY_OFFSET = 1_000_000_000  # > any sf0.1 key
+
+# per-table integer key columns shifted by copy_idx * KEY_OFFSET
+SHIFT_KEYS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation"]  # copied as-is: dims don't scale with SF
+
+
+def _generate_sf1x(spark, src_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1X_DIR, exist_ok=True)
+    for table in DIMS:
+        df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
+        df.write.mode("overwrite").parquet(
+            os.path.join(SF1X_DIR, f"{table}.parquet")
+        )
+    for table, keys in SHIFT_KEYS.items():
+        df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
+        parts = []
+        for i in range(COPIES):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+            if table == "documents" and i > 0:
+                # rotate the token sequence by i: same length/vocab/
+                # dup-density per copy, but k-gram content differs
+                # across copies (no synthetic 10-way exact dups)
+                toks = F.split(F.trim(F.col("text")), r"\s+")
+                rot = F.concat(
+                    F.slice(toks, i + 1, F.size(toks) - F.lit(i)),
+                    F.slice(toks, 1, i),
+                )
+                c = c.withColumn(
+                    "text",
+                    F.when(F.size(toks) > i, F.concat_ws(" ", rot)).otherwise(
+                        F.col("text")
+                    ),
+                )
+            if table == "embeddings" and i > 0:
+                # circular shift: still a unit vector from the same
+                # distribution, but uncorrelated with the original
+                emb = F.col("embedding")
+                c = c.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(emb, i + 1, F.size(emb) - F.lit(i)),
+                        F.slice(emb, 1, i),
+                    ),
+                )
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(SF1X_DIR, f"{table}.parquet")
+        )
+
+
+def main() -> None:
+    skip_sf1x = "--skip-sf1x" in sys.argv
+    runs = 3
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE as headline  # the driver's bench list
+    from job_post_similarity_spark.session import get_spark
+
+    spark = get_spark("scale-curve", cpus=32)
+    qs = entrymod.queries()
+
+    sf_dirs = [
+        ("sf0.001", "/root/testdata/sf0.001"),
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+    ]
+    if not skip_sf1x:
+        if not os.path.isdir(os.path.join(SF1X_DIR, "lineitem.parquet")):
+            print("generating sf1x (10x sf0.1) ...", file=sys.stderr)
+            _generate_sf1x(spark, "/root/testdata/sf0.1")
+        sf_dirs.append(("sf1x", SF1X_DIR))
+
+    results: dict[str, dict[str, float]] = {}
+    for label, d in sf_dirs:
+        spark.catalog.clearCache()
+        spark.read.parquet(os.path.join(d, "nation.parquet")).count()
+        n_runs = max(2, runs - 1) if label == "sf1x" else runs
+        for name in headline:
+            best = float("inf")
+            for _ in range(n_runs):
+                t0 = time.time()
+                qs[name](spark, d).count()
+                best = min(best, time.time() - t0)
+            results.setdefault(name, {})[label] = round(best, 3)
+            print(f"{label} {name}: {best:.2f}s", file=sys.stderr)
+
+    lines = [
+        "# SCALING — empirical scale curve (generated by tools/scale_curve.py)",
+        "",
+        "Per-query wall-clock (min-of-N, local[32]) at the three driver",
+        "scale factors plus a synthetic uniform 10x of sf0.1 (`sf1x`,",
+        "key-shifted copies; texts token-rotated, embeddings circularly",
+        "shifted — see tools/scale_curve.py docstring). The exponent is",
+        "log10(t_sf1x / t_sf0.1): the one step where every input grows",
+        "exactly 10x. Host CPU steal swings absolute numbers (documented",
+        "in NOTES.md); exponents from min-of-N are the stable signal.",
+        "",
+        "| query | sf0.001 | sf0.01 | sf0.1 | sf1x (10x) | exponent |",
+        "|---|---|---|---|---|---|",
+    ]
+    exps = {}
+    for name in headline:
+        r = results[name]
+        if "sf1x" in r and r["sf0.1"] > 0:
+            e = math.log10(max(r["sf1x"], 1e-3) / max(r["sf0.1"], 1e-3))
+            exps[name] = round(e, 2)
+            e_s = f"{e:.2f}"
+        else:
+            e_s = "—"
+        lines.append(
+            f"| {name} | {r.get('sf0.001', '—')} | {r.get('sf0.01', '—')} "
+            f"| {r.get('sf0.1', '—')} | {r.get('sf1x', '—')} | {e_s} |"
+        )
+    lines += [
+        "",
+        "Reading: e≈0 fixed-cost-dominated at these sizes; e≈1 linear",
+        "(scan/shuffle-bound — the shape that survives 100 TB); e≈2 the",
+        "OUTPUT is quadratic (fixed-threshold pair joins have Θ(n²)",
+        "qualifying pairs by the similarity distribution — LSH/IVF cut",
+        "the constant, not the exponent; at real scale the operating",
+        "threshold rises with corpus size, which is the knob that",
+        "controls the output mass).",
+        "",
+    ]
+    with open(os.path.join(REPO, "SCALING.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"metric": "scale_curve", "exponents": exps}))
+
+
+if __name__ == "__main__":
+    main()
