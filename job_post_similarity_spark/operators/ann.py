@@ -556,6 +556,7 @@ def srp_lsh_similarity_join(
     bits_per_band: int = 8,
     num_bands: int = 16,
     seed: int = 42,
+    verify: str = "auto",
 ) -> DataFrame:
     """Cosine ANN pair join via banded SRP-LSH: band-bucket self-join
     proposes candidates, exact dot product verifies (precision is
@@ -563,9 +564,8 @@ def srp_lsh_similarity_join(
 
     Scale shape: signature emission is map-side; the band join
     shuffles (id, band, bucket) triples — 16 bytes/row × num_bands,
-    never the vectors; vectors rejoin candidates by id (two hash
-    joins). Tune bits_per_band ≈ log2(n/target_bucket_size), bands to
-    hit recall at the operating threshold.
+    never the vectors. Tune bits_per_band ≈ log2(n/target_bucket_size),
+    bands to hit recall at the operating threshold.
 
     Candidate dedup is a ``dropDuplicates`` shuffle of (id1, id2)
     pairs. The tempting zero-shuffle alternative — carry each row's
@@ -575,7 +575,24 @@ def srp_lsh_similarity_join(
     on the joined candidate stream than the 16-byte-row shuffle it
     replaces (Catalyst lambdas allocate per row; the shuffle is
     columnar). Kept the shuffle.
+
+    ``verify`` picks how candidates are scored:
+    - ``'broadcast'``: gather both vectors from a broadcast id-sorted
+      matrix inside one mapInPandas pass — candidate rows stay
+      16-byte (id1, id2) pairs end-to-end, no vector join. At
+      near-threshold operating points the candidate set runs to
+      n²-scale, and the relational form ships 2 × vec_bytes per
+      candidate through two hash joins (~30 GB at 5k×384 f32 before
+      AQE trims) — the gather ships the corpus ONCE per executor.
+      Requires the corpus under the knn broadcast budget (1M rows).
+    - ``'relational'``: two hash joins re-attach vectors by id, the
+      Arrow-batched dot scores — unbounded corpus size.
+    - ``'auto'`` (default): broadcast when the corpus fits the
+      budget, else relational.
     """
+    import numpy as np
+    import pandas as pd
+
     # persist: the signature frame feeds BOTH sides of the self-join;
     # without it the mapInPandas signature pass runs twice. Size is
     # n×num_bands × 20 B — negligible, LRU-evicted under pressure.
@@ -590,6 +607,59 @@ def srp_lsh_similarity_join(
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
+
+    if verify in ("auto", "broadcast"):
+        from .knn import _collect_matrix
+
+        try:
+            ids, mat = _collect_matrix(df, id_col, vec_col)
+        except ValueError:
+            if verify == "broadcast":
+                raise
+            ids = None
+        if ids is not None:
+            order = np.argsort(ids, kind="stable")
+            bc = df.sparkSession.sparkContext.broadcast(
+                (ids[order], mat[order])
+            )
+            id_t = df.schema[id_col].dataType.simpleString()
+            # margin pre-filter: only rows that can survive the JVM
+            # round-then-threshold filter cross Arrow (knn.similarity_
+            # pairs' trick); final rounding stays JVM HALF_UP
+            lo = threshold - 1e-4
+
+            def op(batches):
+                sid, m32 = bc.value
+                # once per task, not per batch; no-op for f64 sources
+                M = m32.astype(np.float64, copy=False)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    i1 = np.searchsorted(sid, pdf["id1"].to_numpy())
+                    i2 = np.searchsorted(sid, pdf["id2"].to_numpy())
+                    sims = np.einsum("ij,ij->i", M[i1], M[i2])
+                    keep = sims >= lo
+                    yield pd.DataFrame(
+                        {
+                            "id1": pdf["id1"].to_numpy()[keep],
+                            "id2": pdf["id2"].to_numpy()[keep],
+                            "similarity": sims[keep],
+                        }
+                    )
+
+            scored = cand.mapInPandas(
+                op, f"id1 {id_t}, id2 {id_t}, similarity double"
+            )
+            return (
+                scored.select(
+                    "id1",
+                    "id2",
+                    F.round(F.col("similarity"), 4).alias("similarity"),
+                )
+                .filter(F.col("similarity") >= threshold)
+                .orderBy(F.desc("similarity"), F.asc("id1"), F.asc("id2"))
+            )
+
     v1 = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
     v2 = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
     return (

@@ -65,13 +65,10 @@ def test_load_table_sets_nanos_conf_itself(spark, sf_dir):
 def test_bench_headline_queries_exist():
     """Every bench.py headline name must resolve in queries() — guards
     against rename drift silently shrinking the bench suite."""
-    import re
-
+    import bench
     import __spark_entry__ as entrymod
 
-    src = open("/root/repo/bench.py").read()
-    block = src.split("headline = [", 1)[1].split("]", 1)[0]
-    names = re.findall(r'"([a-z0-9_]+)"', block)
+    names = bench.HEADLINE
     assert len(names) >= 19
     missing = [n for n in names if n not in entrymod.queries()]
     assert not missing, f"bench names missing from queries(): {missing}"

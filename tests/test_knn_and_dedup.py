@@ -291,6 +291,35 @@ def test_srp_lsh_recall_on_planted_near_dups(spark):
     assert (np.round(sims, 4) >= 0.9).all()
 
 
+def test_srp_verify_tiers_agree(spark):
+    """The broadcast-matrix verify (candidates stay 16-byte pairs, no
+    vector rejoin) must emit exactly the relational verify's output —
+    same pairs, same round-4 similarities."""
+    import numpy as np
+    import pandas as pd
+
+    from job_post_similarity_spark.operators import ann
+
+    rng = np.random.default_rng(7)
+    n, d = 300, 64
+    m = rng.standard_normal((n, d))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(m.astype(np.float32))}
+    )
+    df = spark.createDataFrame(pdf)
+    kw = dict(threshold=0.2, bits_per_band=4, num_bands=12)
+    bcast = ann.srp_lsh_similarity_join(
+        df, "vec_id", "embedding", verify="broadcast", **kw
+    ).collect()
+    rel = ann.srp_lsh_similarity_join(
+        df, "vec_id", "embedding", verify="relational", **kw
+    ).collect()
+    as_set = lambda rows: {(r["id1"], r["id2"], r["similarity"]) for r in rows}
+    assert len(bcast) > 0
+    assert as_set(bcast) == as_set(rel)
+
+
 def test_srp_topk_search_matches_exact_on_planted(spark):
     """SRP top-k search must rank a query's planted near-dup first."""
     import numpy as np

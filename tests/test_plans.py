@@ -174,7 +174,11 @@ def test_verify_stages_score_candidates_once(spark):
     twice (the asNondeterministic mark on dot_cosine_arrow pins a
     single evaluation)."""
     plan = _plan(spark, "srp_lsh_similarity_pairs")
-    assert _nodes(plan, "ArrowEvalPython") == 1
+    # r4: SRP verify moved to the broadcast-matrix gather (one
+    # mapInPandas; candidates stay 16-byte rows — no vector rejoin,
+    # so no ArrowEvalPython dot at all and no __v1/__v2 join columns)
+    assert _nodes(plan, "ArrowEvalPython") == 0
+    assert "__v1" not in plan and "__v2" not in plan
     plan = _plan(spark, "ivf_similarity_pairs")
     assert _nodes(plan, "ArrowEvalPython") == 1
 
