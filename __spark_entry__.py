@@ -2123,6 +2123,108 @@ def qualitative_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_perplexity_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-shaped perplexity filter signal: add-k bigram LM trained
+    on the corpus itself, per-doc perplexity (integer-summed log-probs
+    so both engines reduce exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.bigram_perplexity(docs).orderBy("doc_id")
+
+
+def frequent_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters with EXACT counts: Misra-Gries
+    candidates per partition, exact recount of candidates only — the
+    full token stream is never shuffled. Output is exact, so the
+    oracle is a plain GROUP BY / HAVING."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.frequent_tokens(docs, min_share=0.005)
+
+
+def bloom_decontaminate_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter decontamination: corpus probes a broadcast bitset
+    built distributedly over the dirty-id set; only probable hits pay
+    the exact anti-join. Output is exact anti-join semantics (false
+    positives verified away), so a NOT IN oracle replays it. Dirty
+    set: event user ids folded into the doc-id domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    dirty = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(F.pmod(F.col("user_id"), F.lit(700)).alias("doc_id"))
+        .distinct()
+    )
+    out = curation.bloom_decontaminate(
+        docs.select("doc_id", "source"), dirty, "doc_id", num_bits=1 << 16
+    )
+    return out.orderBy("doc_id")
+
+
+def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over hash-BUCKETED tables: both sides written
+    bucketed by the join key (the pay-the-shuffle-once-at-write-time
+    layout), joined with zero runtime Exchange (plan-asserted in
+    tests), then aggregated. Values match the plain-join oracle."""
+    import os
+    import tempfile
+
+    from job_post_similarity_spark.sources.io import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"jpss_bucketed_{sf_tag}")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        f"gate_orders_b_{sf_tag}",
+        "o_custkey",
+        num_buckets=4,
+        path=os.path.join(base, "orders"),
+    )
+    write_bucketed(
+        cust.select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        f"gate_cust_b_{sf_tag}",
+        "o_custkey",
+        num_buckets=4,
+        path=os.path.join(base, "cust"),
+    )
+    j = bucketed_join(
+        spark, f"gate_orders_b_{sf_tag}", f"gate_cust_b_{sf_tag}", "o_custkey"
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 stratified: up to 5 orders per order-priority stratum, ranked
+    by the engine-agnostic LCG hash — deterministic reservoir semantics
+    an ORDER BY hash window can replay in any engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = sampling.stratified_sample(orders, "o_orderpriority", 5, "o_orderkey")
+    return out.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-3 rotation: the 38
@@ -2161,11 +2263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_heavy_part_shippers": q20_heavy_part_shippers,
         "q21_sole_late_shipper": q21_sole_late_shipper,
         "q22_dormant_high_balance": q22_dormant_high_balance,
-        "running_total_orders": running_total_orders,
-        "ntile_customer_quartiles": ntile_customer_quartiles,
-        "order_rank_stats": order_rank_stats,
-        "rolling_value_events": rolling_value_events,
-        "quantile_profile_lineitem": quantile_profile_lineitem,
+        # -- new r4: corpus-scale ops (perplexity LM, heavy hitters,
+        # -- bloom decontamination, bucketed join, stratified sample)
+        "bigram_perplexity_documents": bigram_perplexity_documents,
+        "frequent_tokens_documents": frequent_tokens_documents,
+        "bloom_decontaminate_documents": bloom_decontaminate_documents,
+        "bucketed_join_orders": bucketed_join_orders,
+        "stratified_sample_orders": stratified_sample_orders,
         "quantile_disc_events": quantile_disc_events,
         "curate_corpus_documents": curate_corpus_documents,
         "curation_funnel_documents": curation_funnel_documents,
@@ -2190,6 +2294,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_latest_events": keep_latest_events,
         "tfidf_top_terms_documents": tfidf_top_terms_documents,
         # ===== position 51+: green in two-plus prior rounds =====
+        # (r4: window/quantile gates below displaced by the five new
+        # corpus-scale gates — all five displaced entries green in r03)
+        "running_total_orders": running_total_orders,
+        "ntile_customer_quartiles": ntile_customer_quartiles,
+        "order_rank_stats": order_rank_stats,
+        "rolling_value_events": rolling_value_events,
+        "quantile_profile_lineitem": quantile_profile_lineitem,
         "event_user_set_ops": event_user_set_ops,
         "quality_score_documents": quality_score_documents,
         "lang_id_documents": lang_id_documents,
@@ -2400,6 +2511,71 @@ _EN_MARKERS_SQL = "['the','and','of','to','in','is','that','for','with','a']"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bigram_perplexity_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+            big AS (
+                SELECT doc_id,
+                       unnest([{'w1': t[i], 'w2': t[i + 1]}
+                               FOR i IN range(1, len(t))]) AS p
+                FROM toks WHERE len(t) >= 2),
+            bigf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM big),
+            c1 AS (SELECT w1, count(*) AS c1 FROM bigf GROUP BY w1),
+            c12 AS (SELECT w1, w2, count(*) AS c12
+                    FROM bigf GROUP BY w1, w2),
+            v AS (SELECT count(DISTINCT w2) AS vv FROM bigf),
+            lp AS (SELECT w1, w2,
+                          CAST(round(ln((c12 + 0.5) / (c1 + 0.5 * vv)) * 1e6)
+                               AS BIGINT) AS lp6
+                   FROM c12 JOIN c1 USING (w1), v),
+            per AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp6) AS s6
+                    FROM bigf JOIN lp USING (w1, w2) GROUP BY doc_id)
+            SELECT doc_id, n_bigrams,
+                   round(exp(-(CAST(s6 AS DOUBLE) / (n_bigrams * 1e6))), 4)
+                       AS ppl
+            FROM per ORDER BY doc_id
+        """,
+        "frequent_tokens_documents": """
+            WITH tok AS (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents),
+            tot AS (SELECT count(*) AS total FROM tok),
+            c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+            SELECT token, cnt FROM c, tot
+            WHERE cnt >= CAST(ceil(0.005 * total) AS BIGINT)
+            ORDER BY cnt DESC, token
+        """,
+        "bloom_decontaminate_documents": """
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (
+                SELECT DISTINCT ((user_id % 700) + 700) % 700
+                FROM events WHERE user_id IS NOT NULL)
+            ORDER BY doc_id
+        """,
+        "bucketed_join_orders": """
+            SELECT c_mktsegment, count(*) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                              AS DOUBLE), 4) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "stratified_sample_orders": """
+            WITH h AS (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       (((o_orderkey % 2147483648 + 2147483648) % 2147483648)
+                        * 1103515245 + 12345) % 2147483648 AS hb
+                FROM orders),
+            r AS (SELECT *, row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY hb, o_orderkey) AS rk
+                  FROM h)
+            SELECT o_orderpriority, o_orderkey, o_totalprice
+            FROM r WHERE rk <= 5
+            ORDER BY o_orderpriority, o_orderkey
+        """,
         "quality_score_documents": f"""
             WITH base AS (
                 SELECT doc_id, text,

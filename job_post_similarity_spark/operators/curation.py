@@ -172,3 +172,126 @@ def chunk_documents(
             F.lit(max_tokens), F.size("__toks") - F.col("__start")
         ).cast("int").alias("n_tokens"),
     )
+
+
+def bloom_build_bits(
+    ids: DataFrame,
+    id_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+):
+    """Build a Bloom-filter bitset over ``ids[id_col]`` distributedly
+    and return it as a numpy uint64 word array (length num_bits/64).
+
+    The JVM computes the k bit positions (``xxhash64(id, i)`` mod
+    num_bits), folds them into per-word masks, and a single
+    ``bit_or`` hash aggregation merges them — the driver only ever
+    holds the final num_bits/64 words (16 KiB per Mi-bit), never the
+    id stream. This is the same shape Spark's own
+    ``DataFrameStatFunctions.bloomFilter`` uses (treeAggregate over
+    partition-local bitsets), expressed as a DataFrame aggregation so
+    it rides AQE/whole-stage codegen.
+    """
+    import numpy as np
+
+    words = num_bits // 64
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(i)), F.lit(num_bits))
+                for i in range(num_hashes)
+            ]
+        )
+    ).alias("pos")
+    rows = (
+        ids.select(pos)
+        .select(
+            (F.col("pos") / F.lit(64)).cast("long").alias("word_idx"),
+            # shiftleft needs a literal numBits in the Python API;
+            # the SQL form takes a column
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    bits = np.zeros(words, dtype=np.uint64)
+    for r in rows:
+        bits[r["word_idx"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+    return bits
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    contaminated: DataFrame,
+    id_col: str = "doc_id",
+    contam_col: str | None = None,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Remove corpus rows whose ``id_col`` appears in ``contaminated``
+    — exact anti-join semantics, Bloom-filter execution: the
+    contaminated set (which may be FAR too big to broadcast as rows —
+    think every id ever served, or every benchmark n-gram hash)
+    compresses to ``num_bits`` bits; the corpus probes the broadcast
+    bitset map-side, and only probable hits (true hits + the ~fpp
+    false-positive sliver) pay the exact verification anti-join.
+    The corpus itself is never shuffled; output is EXACT (the verify
+    join removes Bloom false positives).
+
+    fpp ~= (1 - e^(-k·n/m))^k; size num_bits ~= 10 bits per
+    contaminated id for ~1% at k=5. Probe positions use the same JVM
+    ``xxhash64(id, i)`` expression as the build, so build and probe
+    agree bit-for-bit. The corpus scan runs twice (clean branch +
+    candidate branch) — both map-side; persist the input upstream if
+    the scan dominates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ccol = contam_col or id_col
+    bits = bloom_build_bits(
+        contaminated.select(F.col(ccol).alias(id_col)).distinct(),
+        id_col,
+        num_bits,
+        num_hashes,
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast(bits)
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(i)), F.lit(num_bits)).cast(
+            "long"
+        )
+        for i in range(num_hashes)
+    ]
+    probed = corpus.withColumn("__pos", F.array(*pos_cols))
+
+    out_cols = [f for f in corpus.columns]
+    schema_s = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema.fields
+    ) + ", __hit boolean"
+
+    def probe(batches):
+        w = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            P = np.stack(pdf["__pos"].to_numpy())  # (n, k)
+            hit = np.ones(len(pdf), dtype=bool)
+            for j in range(P.shape[1]):
+                pj = P[:, j]
+                word = w[pj // 64]
+                shift = (pj % 64).astype(np.uint64)
+                hit &= ((word >> shift) & np.uint64(1)) != 0
+            out = pdf[out_cols].copy()
+            out["__hit"] = hit
+            yield out
+
+    flagged = probed.mapInPandas(probe, schema_s)
+    clean = flagged.filter(~F.col("__hit")).drop("__hit")
+    cand = flagged.filter(F.col("__hit")).drop("__hit")
+    verified_clean = cand.join(
+        contaminated.select(F.col(ccol).alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    return clean.unionByName(verified_clean)

@@ -241,3 +241,73 @@ def cube_counts(
         .agg(*aggs)
         .orderBy(*[F.col(d).asc_nulls_first() for d in dims])
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    column: str,
+    min_share: float = 0.001,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Frequent-items (heavy hitters) with EXACT final counts: every
+    value whose frequency is at least ``min_share`` of the non-null
+    rows, found without ever shuffling the full value column.
+
+    Two stages:
+    1. A Misra-Gries summary per partition (mapInPandas, batch
+       ``value_counts`` merged under a bounded dictionary; on
+       overflow the (capacity+1)-th largest count is subtracted from
+       every entry — each such round removes >= capacity+1 units of
+       mass per surviving slot, so a partition's total decrement is
+       <= n_p/(capacity+1)). Any value with global count
+       N*min_share > N/(capacity+1) therefore survives in at least
+       one partition's summary (pigeonhole over partitions) —
+       candidates are a SUPERSET of the true heavy hitters.
+    2. Exact counting of candidates only: a broadcast semi-join
+       prunes the column to candidate values BEFORE the groupBy, so
+       the count shuffle carries candidate rows only.
+
+    The output is exact (stage 2 recounts precisely and applies the
+    threshold), so it admits a plain GROUP BY / HAVING oracle. At
+    100 TB the full-shuffle groupBy alternative moves the whole
+    column; this moves <= capacity values per partition plus the
+    candidate rows. Nulls are excluded (pandas value_counts and a
+    SQL GROUP BY disagree on null groups; excluding matches the
+    frequent-items definition). Default capacity 4/min_share leaves
+    a 4x margin between the MG guarantee and the threshold.
+    """
+    import math
+
+    import pandas as pd
+
+    cap = capacity if capacity is not None else int(math.ceil(4.0 / min_share))
+    typ = df.schema[column].dataType.simpleString()
+    src = df.select(column).filter(F.col(column).isNotNull())
+
+    def mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for val, c in pdf[column].value_counts().items():
+                counts[val] = counts.get(val, 0) + int(c)
+            if len(counts) > cap:
+                import numpy as np
+
+                vals = np.sort(
+                    np.fromiter(counts.values(), dtype=np.int64)
+                )
+                d = int(vals[-(cap + 1)])
+                counts = {k: v - d for k, v in counts.items() if v > d}
+        if counts:
+            yield pd.DataFrame({column: list(counts.keys())})
+
+    cand = src.mapInPandas(mg, f"{column} {typ}").distinct()
+    total = src.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        src.join(F.broadcast(cand), column, "left_semi")
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(min_share) * F.col("__total")))
+        .select(column, "cnt")
+        .orderBy(F.desc("cnt"), F.asc(column))
+    )

@@ -94,3 +94,38 @@ def sample_exact_n(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     if n is None or n <= 0:
         return df
     return df.orderBy(F.rand(seed)).limit(n)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key: str,
+) -> DataFrame:
+    """R1/R2 at scale, stratified: up to ``n_per_stratum`` rows from
+    EVERY stratum — the mixture-building primitive when sources are
+    wildly imbalanced (uniform sampling starves small strata).
+
+    Deterministic reservoir semantics without a reservoir: rank rows
+    inside each stratum by the engine-agnostic LCG hash of ``key``
+    (ties broken by the key itself) and keep the first n. The same
+    rows are selected on every run, every engine, and every
+    partitioning — so a DuckDB oracle can replay it exactly, which a
+    ``sampleBy``/reservoir implementation cannot.
+
+    One shuffle (the stratum window). For single-digit n per stratum
+    at 100 TB, pre-filtering with ``hash_bucket(key) < c·mod·n/|s|``
+    before the window would cut the shuffle to ~c·n rows per stratum;
+    left out here because the stratum sizes are unknown without a
+    first pass.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(key).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

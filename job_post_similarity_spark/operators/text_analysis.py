@@ -318,6 +318,84 @@ def linear_text_classifier(
     return _score
 
 
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """CCNet-shaped perplexity scoring: train an add-k-smoothed bigram
+    LM on the corpus itself, then score each document's perplexity
+    under it — the classic signal for perplexity-based quality
+    filtering (CCNet buckets a corpus into head/middle/tail by LM
+    perplexity; here the LM is the corpus's own bigram model, so the
+    score flags documents whose token transitions are atypical for
+    the corpus). Documents with fewer than 2 tokens are dropped (no
+    bigram evidence). Output: (id, n_bigrams, ppl).
+
+    Cross-engine determinism: per-bigram log-probs are rounded to
+    millionths and summed as INTEGERS (a double sum is
+    order-dependent in the last ulp, and Spark and DuckDB reduce in
+    different orders); the exp/division happens once per doc on the
+    exact integer sum.
+
+    Scale shape: bigram explode is map-side; the LM is two hash
+    aggregations (context counts, bigram counts) + one broadcast-able
+    1-row vocab aggregate; scoring is one bigram-keyed join + one
+    per-doc aggregation. The bigram table is persisted — it feeds the
+    two LM aggregates AND the scoring join, and unpersisted the
+    tokenize+explode (and the scan under it) would run three times.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+    )
+    big = (
+        df.filter(F.size(toks) >= 2)
+        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    ).persist()
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = big.agg(F.countDistinct("w2").alias("vv"))
+    lp = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c12") + F.lit(add_k))
+                    / (F.col("c1") + F.lit(add_k) * F.col("vv"))
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("lp6"),
+        )
+    )
+    per = big.join(lp, ["w1", "w2"]).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp6").alias("s6"),
+    )
+    return per.select(
+        id_col,
+        "n_bigrams",
+        F.round(
+            F.exp(
+                -(
+                    F.col("s6").cast("double")
+                    / (F.col("n_bigrams").cast("double") * F.lit(1e6))
+                )
+            ),
+            4,
+        ).alias("ppl"),
+    )
+
+
 def tf_idf_top_terms(
     df: DataFrame,
     text_col: str = "text",
@@ -364,3 +442,22 @@ def tf_idf_top_terms(
         .select(id_col, "token", "score", "rank")
         .orderBy(id_col, "rank")
     )
+
+
+def frequent_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    min_share: float = 0.001,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Corpus-level frequent-token table (vocabulary heavy hitters):
+    tokens appearing in at least ``min_share`` of all token
+    occurrences, with exact counts. Tokenize/explode is map-side; the
+    counting goes through ``profiling.heavy_hitters`` (Misra-Gries
+    candidates per partition, exact count of candidates only), so the
+    full token stream is never shuffled. Output: (token, cnt)."""
+    from .profiling import heavy_hitters
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = df.select(F.explode(toks).alias("token"))
+    return heavy_hitters(tok, "token", min_share=min_share, capacity=capacity)

@@ -167,3 +167,51 @@ def cached_stage(
         df = compute()
         df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-BUCKETED (and within-bucket sorted)
+    parquet table — the co-location primitive for repeated large-table
+    joins: two tables bucketed by the same key into the same bucket
+    count join with ZERO shuffle on either side (the scan itself
+    reports the hash partitioning to the planner).
+
+    At 100 TB this is the difference between re-shuffling a fact
+    table on every join and paying the shuffle ONCE at write time —
+    the same trade the streaming signature store makes
+    (streaming/stream_ops.py). ``sortBy`` makes the merge join
+    sort-free too. Catalog-backed (``saveAsTable``): bucketing
+    metadata lives in the metastore, so a fresh session picks the
+    layout up by table name.
+    """
+    w = df.write.format("parquet").mode(mode)
+    if path is not None:
+        w = w.option("path", path)
+    w.bucketBy(num_buckets, bucket_col).sortBy(bucket_col).saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two catalog tables previously written with
+    ``write_bucketed`` on their bucket key. With matching bucket
+    counts the plan is a shuffle-free sort-merge join (assert: no
+    ``Exchange hashpartitioning`` in the plan — tests do). Broadcast
+    is disabled for this join so the co-location actually exercises
+    (a broadcast would also avoid the shuffle, but only while one
+    side fits in memory — bucketing is the any-size path).
+    """
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table).hint("merge")
+    return left.join(right, on, how)

@@ -1,0 +1,237 @@
+"""Round-4 corpus-scale operators: bigram-LM perplexity, exact heavy
+hitters, Bloom-filter decontamination, bucketed co-located joins,
+stratified sampling."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- perplexity
+def test_bigram_perplexity_matches_numpy_reference(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        bigram_perplexity,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "a completely different sentence here"),
+        (3, "the cat sat"),
+        (4, "single"),  # < 2 tokens: dropped
+        (5, "  the   cat  sat  "),  # whitespace noise == doc 3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl"])
+        for r in bigram_perplexity(df).collect()
+    }
+    assert 4 not in got  # no bigram evidence
+    assert set(got) == {0, 1, 2, 3, 5}
+
+    # independent reference implementation
+    toks = {i: t.lower().split() for i, t in docs if len(t.split()) >= 2}
+    bigs = {i: list(zip(t, t[1:])) for i, t in toks.items()}
+    allb = [b for bs in bigs.values() for b in bs]
+    c1: dict = {}
+    c12: dict = {}
+    for w1, w2 in allb:
+        c1[w1] = c1.get(w1, 0) + 1
+        c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+    V = len({w2 for _, w2 in allb})
+    k = 0.5
+    for i, bs in bigs.items():
+        lp6 = [
+            int(np.round(math.log((c12[b] + k) / (c1[b[0]] + k * V)) * 1e6))
+            for b in bs
+        ]
+        ppl = round(math.exp(-sum(lp6) / (len(bs) * 1e6)), 4)
+        assert got[i] == (len(bs), pytest.approx(ppl)), i
+    # identical token streams => identical perplexity
+    assert got[3] == got[5]
+
+
+def test_bigram_perplexity_flags_atypical_docs(documents):
+    from job_post_similarity_spark.operators.text_analysis import (
+        bigram_perplexity,
+    )
+
+    out = bigram_perplexity(documents).collect()
+    assert len(out) > 0
+    assert all(r["ppl"] > 0 for r in out)
+
+
+# ------------------------------------------------------------- heavy hitters
+def test_heavy_hitters_exact_vs_groupby(spark):
+    from job_post_similarity_spark.operators.profiling import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: a few heavy values in a sea of uniques
+    vals = (
+        ["hot"] * 500
+        + ["warm"] * 200
+        + ["tepid"] * 80
+        + [f"cold{i}" for i in rng.integers(0, 5000, size=4000)]
+    )
+    rng.shuffle(vals)
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": vals})
+    ).repartition(7)  # multiple partitions: the MG merge must hold
+    min_share = 0.01
+    # small capacity to force MG evictions (still > 1/min_share margin)
+    got = {
+        (r["v"], r["cnt"])
+        for r in heavy_hitters(df, "v", min_share, capacity=400).collect()
+    }
+    n = len(vals)
+    thresh = math.ceil(min_share * n)
+    exact = {
+        (r["v"], r["cnt"])
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thresh)
+        .collect()
+    }
+    assert got == exact
+    assert ("hot", 500) in got
+
+
+def test_heavy_hitters_excludes_nulls(spark):
+    from job_post_similarity_spark.operators.profiling import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,), ("b",)], "v string"
+    )
+    got = {(r["v"], r["cnt"]) for r in heavy_hitters(df, "v", 0.3).collect()}
+    # 3 non-null rows; threshold ceil(0.9)=1 -> both a and b qualify
+    assert got == {("a", 2), ("b", 1)}
+
+
+def test_frequent_tokens_on_documents(documents):
+    from job_post_similarity_spark.operators.text_analysis import (
+        frequent_tokens,
+    )
+
+    out = frequent_tokens(documents, min_share=0.01).collect()
+    assert len(out) > 0
+    # descending by count, ties by token
+    cnts = [r["cnt"] for r in out]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+# ------------------------------------------------------------------- bloom
+def test_bloom_decontaminate_equals_anti_join(spark):
+    from job_post_similarity_spark.operators.curation import (
+        bloom_decontaminate,
+    )
+
+    corpus = spark.range(0, 3000).withColumn(
+        "payload", F.col("id") * 2
+    ).withColumnRenamed("id", "doc_id")
+    contam = spark.createDataFrame(
+        [(int(i),) for i in range(0, 3000, 7)], "doc_id long"
+    )
+    # tiny filter: forces false positives, which the verify join must kill
+    got = bloom_decontaminate(
+        corpus, contam, "doc_id", num_bits=1 << 10, num_hashes=3
+    )
+    expect = corpus.join(contam, "doc_id", "left_anti")
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expect.collect()}
+    assert g == e
+    assert len(g) == 3000 - len(range(0, 3000, 7))
+
+
+def test_bloom_probe_prunes_most_clean_rows(spark):
+    """With a well-sized filter the candidate branch (rows that pay
+    the exact join) must be close to the true contaminated count."""
+    from job_post_similarity_spark.operators.curation import (
+        bloom_build_bits,
+    )
+
+    corpus_n, contam_n = 5000, 200
+    contam = spark.range(0, contam_n).withColumnRenamed("id", "doc_id")
+    bits = bloom_build_bits(contam, "doc_id", num_bits=1 << 14, num_hashes=5)
+    # probe all corpus ids driver-side with the same JVM hash
+    probe = spark.range(0, corpus_n).select(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(1 << 14))
+                for i in range(5)
+            ]
+        ).alias("pos")
+    ).collect()
+    hits = 0
+    for r in probe:
+        if all(
+            (int(bits[p // 64]) >> (p % 64)) & 1 for p in r["pos"]
+        ):
+            hits += 1
+    # 200 true + a small fp sliver (fpp ~ (1-e^{-5*200/16384})^5 ~ 1e-6)
+    assert contam_n <= hits <= contam_n + 25
+
+
+# ----------------------------------------------------------- bucketed join
+def test_bucketed_join_is_shuffle_free_and_correct(spark, tmp_path):
+    from job_post_similarity_spark.sources.io import (
+        bucketed_join,
+        load_table,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "t_orders_b",
+        "o_custkey",
+        num_buckets=4,
+        path=str(tmp_path / "orders_b"),
+    )
+    write_bucketed(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+        "t_cust_b",
+        "o_custkey",
+        num_buckets=4,
+        path=str(tmp_path / "cust_b"),
+    )
+    joined = bucketed_join(spark, "t_orders_b", "t_cust_b", "o_custkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    expect = (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(
+            cust.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+            "o_custkey",
+        )
+        .count()
+    )
+    assert joined.count() == expect
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+# ------------------------------------------------------- stratified sample
+def test_stratified_sample_counts_and_determinism(spark):
+    from job_post_similarity_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3] if i < 900 else "rare") for i in range(903)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    got = stratified_sample(df, "grp", 5, "id")
+    per = {
+        r["grp"]: r["cnt"]
+        for r in got.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert per == {"a": 5, "b": 5, "c": 5, "rare": 3}
+    # deterministic under different partitioning
+    a = {tuple(r) for r in got.collect()}
+    b = {
+        tuple(r)
+        for r in stratified_sample(df.repartition(11), "grp", 5, "id").collect()
+    }
+    assert a == b
