@@ -2225,6 +2225,87 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "o_orderkey")
 
 
+def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill + forward-fill: hourly buckets
+    per event type, empty buckets carry the last observed bucket-max
+    forward (integer epoch buckets — engine-agnostic)."""
+    from job_post_similarity_spark.operators import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return windows.resample_ffill(ev, "ts", "event_type", "value").orderBy(
+        "grp", "bucket"
+    )
+
+
+def group_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature scaling over event values; moments
+    from DECIMAL sums so both engines agree to the rounded digit."""
+    from job_post_similarity_spark.operators import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.group_zscore(ev, "event_type", "value")
+    return out.select("event_id", "event_type", "value", "z").orderBy(
+        "event_id"
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: one from_json parse of the props
+    JSON column into a typed field, then a grouped aggregate over
+    it — integer outputs, no float hashing risk."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = preprocess.parse_json_fields(ev, "props", "k int")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("k").alias("k_present"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def melt_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long): part numeric attributes into
+    (key, val) rows — one Expand node, map-side."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return preprocess.melt(
+        wide, ["p_partkey"], ["p_size", "p_retailprice"]
+    ).orderBy("p_partkey", "key")
+
+
+def full_outer_monthly_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-outer reconciliation: order months vs event months,
+    unmatched sides surfaced with zero counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    om = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    ).agg(F.count(F.lit(1)).alias("cnt_orders"))
+    em = events.filter(F.col("ts").isNotNull()).groupBy(
+        F.date_format("ts", "yyyy-MM").alias("ym")
+    ).agg(F.count(F.lit(1)).alias("cnt_events"))
+    return (
+        om.join(em, "ym", "full_outer")
+        .select(
+            "ym",
+            F.coalesce("cnt_orders", F.lit(0)).alias("cnt_orders"),
+            F.coalesce("cnt_events", F.lit(0)).alias("cnt_events"),
+        )
+        .orderBy("ym")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-3 rotation: the 38
@@ -2260,9 +2341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "q15_top_supplier": q15_top_supplier,
         "q18_large_volume_customers": q18_large_volume_customers,
-        "q20_heavy_part_shippers": q20_heavy_part_shippers,
-        "q21_sole_late_shipper": q21_sole_late_shipper,
-        "q22_dormant_high_balance": q22_dormant_high_balance,
         # -- new r4: corpus-scale ops (perplexity LM, heavy hitters,
         # -- bloom decontamination, bucketed join, stratified sample)
         "bigram_perplexity_documents": bigram_perplexity_documents,
@@ -2270,7 +2348,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate_documents": bloom_decontaminate_documents,
         "bucketed_join_orders": bucketed_join_orders,
         "stratified_sample_orders": stratified_sample_orders,
-        "quantile_disc_events": quantile_disc_events,
+        "resample_ffill_events": resample_ffill_events,
+        "group_zscore_events": group_zscore_events,
+        "json_extract_events": json_extract_events,
+        "melt_part_attrs": melt_part_attrs,
+        "full_outer_monthly_counts": full_outer_monthly_counts,
         "curate_corpus_documents": curate_corpus_documents,
         "curation_funnel_documents": curation_funnel_documents,
         # -- kept in-window: representatives of round-3-touched code --
@@ -2297,6 +2379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r4: window/quantile gates below displaced by the five new
         # corpus-scale gates — all five displaced entries green in r03)
         "running_total_orders": running_total_orders,
+        "q20_heavy_part_shippers": q20_heavy_part_shippers,
+        "q21_sole_late_shipper": q21_sole_late_shipper,
+        "q22_dormant_high_balance": q22_dormant_high_balance,
+        "quantile_disc_events": quantile_disc_events,
         "ntile_customer_quartiles": ntile_customer_quartiles,
         "order_rank_stats": order_rank_stats,
         "rolling_value_events": rolling_value_events,
@@ -2554,6 +2640,91 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT ((user_id % 700) + 700) % 700
                 FROM events WHERE user_id IS NOT NULL)
             ORDER BY doc_id
+        """,
+        "resample_ffill_events": """
+            WITH ep AS (
+                SELECT event_type AS grp,
+                       (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                           AS bucket,
+                       value AS v
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            obs AS (SELECT grp, bucket, count(*) AS cnt, max(v) AS vmax
+                    FROM ep GROUP BY grp, bucket),
+            rng AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM ep),
+            spine AS (
+                SELECT grp, unnest(generate_series(lo, hi, 3600)) AS bucket
+                FROM (SELECT DISTINCT grp FROM ep), rng),
+            j AS (SELECT s.grp, s.bucket,
+                         coalesce(o.cnt, 0) AS cnt, o.vmax
+                  FROM spine s LEFT JOIN obs o
+                       ON s.grp = o.grp AND s.bucket = o.bucket),
+            seg AS (SELECT *, count(vmax) OVER (
+                        PARTITION BY grp ORDER BY bucket) AS sg
+                    FROM j)
+            SELECT grp, bucket, cnt, vmax,
+                   max(vmax) OVER (PARTITION BY grp, sg) AS filled
+            FROM seg ORDER BY grp, bucket
+        """,
+        "group_zscore_events": """
+            WITH stats AS (
+                SELECT event_type,
+                       count(*) AS n,
+                       sum(CAST(value AS DECIMAL(28,10))) AS s1,
+                       sum(CAST(value * value AS DECIMAL(28,10))) AS s2
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN s.n > 1 AND e.value IS NOT NULL
+                             AND sqrt(greatest(
+                                 (CAST(s.s2 AS DOUBLE)
+                                  - CAST(s.s1 AS DOUBLE)
+                                    * CAST(s.s1 AS DOUBLE) / s.n)
+                                 / (s.n - 1.0), 0.0)) > 0
+                        THEN round((e.value - CAST(s.s1 AS DOUBLE) / s.n)
+                                   / sqrt(greatest(
+                                       (CAST(s.s2 AS DOUBLE)
+                                        - CAST(s.s1 AS DOUBLE)
+                                          * CAST(s.s1 AS DOUBLE) / s.n)
+                                       / (s.n - 1.0), 0.0)), 4)
+                   END AS z
+            FROM events e LEFT JOIN stats s
+                 ON e.event_type = s.event_type
+            ORDER BY e.event_id
+        """,
+        "json_extract_events": """
+            WITH p AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS INT) AS k
+                FROM events)
+            SELECT event_type, count(*) AS cnt, count(k) AS k_present,
+                   CAST(sum(k) AS BIGINT) AS k_sum,
+                   min(k) AS k_min, max(k) AS k_max
+            FROM p GROUP BY event_type ORDER BY event_type
+        """,
+        "melt_part_attrs": """
+            WITH wide AS (
+                SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+                       p_retailprice
+                FROM part WHERE p_partkey < 100)
+            SELECT p_partkey, 'p_size' AS key, p_size AS val FROM wide
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice' AS key, p_retailprice AS val
+            FROM wide
+            ORDER BY p_partkey, key
+        """,
+        "full_outer_monthly_counts": """
+            WITH om AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+                               count(*) AS cnt_orders
+                        FROM orders GROUP BY 1),
+            em AS (SELECT strftime(ts, '%Y-%m') AS ym,
+                          count(*) AS cnt_events
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1)
+            SELECT coalesce(om.ym, em.ym) AS ym,
+                   coalesce(cnt_orders, 0) AS cnt_orders,
+                   coalesce(cnt_events, 0) AS cnt_events
+            FROM om FULL OUTER JOIN em ON om.ym = em.ym
+            ORDER BY ym
         """,
         "bucketed_join_orders": """
             SELECT c_mktsegment, count(*) AS cnt,

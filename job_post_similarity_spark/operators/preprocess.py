@@ -160,3 +160,46 @@ def keep_latest(
     differently at call sites.
     """
     return dedup_keep_first(df, key, order)
+
+
+def parse_json_fields(
+    df: DataFrame,
+    json_col: str,
+    schema: str,
+    drop_source: bool = False,
+) -> DataFrame:
+    """Semi-structured projection: parse a JSON string column into
+    typed top-level fields (``schema`` like ``"k int, name string"``).
+
+    ``from_json`` parses ONCE per row into a struct and Catalyst
+    prunes unreferenced fields — vs ``get_json_object``, which
+    re-parses the document per extracted field. Malformed JSON and
+    missing keys yield typed nulls (PERMISSIVE), the right semantics
+    for web-scraped metadata at scale. Map-side only.
+    """
+    parsed = F.from_json(F.col(json_col), schema)
+    out = df.withColumn("__j", parsed)
+    names = [f.strip().split()[0] for f in schema.split(",")]
+    for name in names:
+        out = out.withColumn(name, F.col(f"__j.{name}"))
+    out = out.drop("__j")
+    return out.drop(json_col) if drop_source else out
+
+
+def melt(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "key",
+    value_name: str = "val",
+) -> DataFrame:
+    """Unpivot/melt: wide → long. Columns in ``value_cols`` must share
+    (or be castable to) one type — Spark's native ``unpivot`` (an
+    Expand node: k output rows per input row, map-side, no shuffle)
+    enforces least-common-type at analysis."""
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )

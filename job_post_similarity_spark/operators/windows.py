@@ -96,3 +96,121 @@ def range_frame_agg(
         .rangeBetween(-preceding, 0)
     )
     return df.withColumn(out_col, F.sum(value).over(w))
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Fixed-step time-series resampling with gap filling and
+    forward-fill: per group, one row per ``step_seconds`` bucket from
+    the corpus's first bucket to its last — empty buckets appear with
+    cnt=0 and carry the most recent observed value forward (the
+    standard resample().ffill() shape, as a distributed query).
+
+    Per-bucket value is ``max`` (order-independent — an avg would sum
+    doubles in engine-specific order and break cross-engine hashing).
+    Buckets are integer epoch seconds: interval arithmetic differs
+    across engines, integer floor-division doesn't.
+
+    Scale shape: one partial-aggregated groupBy for the observations,
+    a broadcast 1-row range + distinct-groups spine (groups ×
+    range/step rows — spine mass is schedule-bounded, not data-
+    bounded), one left join keyed (group, bucket), one per-group
+    ordered window for the fill. Null ts / null group rows are
+    excluded (they belong to no bucket).
+    """
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds)
+        * step_seconds
+    ).cast("long")
+    ep = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            bucket.alias("bucket"),
+            F.col(value_col).alias("__v"),
+        )
+    )
+    obs = ep.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("__v").alias("vmax")
+    )
+    rng = ep.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = (
+        ep.select("grp")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "grp",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(step_seconds).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("bucket")
+    return (
+        spine.join(obs, ["grp", "bucket"], "left")
+        .select(
+            "grp",
+            "bucket",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            "vmax",
+        )
+        .withColumn("filled", F.last("vmax", ignorenulls=True).over(w))
+    )
+
+
+def group_zscore(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group z-score normalization (feature scaling): sample mean
+    and stddev per group, z = (x − mean)/sd rounded to 4 digits.
+
+    The moments come from DECIMAL sums (Σx, Σx² — order-independent
+    addition, so Spark's partial-agg order can't flip a rounded
+    digit) via the one-pass identity var = (Σx² − (Σx)²/n)/(n−1),
+    clamped at 0 against truncation-level negatives. Groups with
+    n = 1 or sd = 0 emit null (no scale to normalize by).
+
+    Scale shape: one partial-aggregated groupBy producing one row per
+    group, broadcast back onto the rows — the table itself is never
+    shuffled (vs the window formulation, which re-shuffles every row
+    by group). Null values pass through with a null score.
+    """
+    x = F.col(value_col)
+    stats = (
+        df.filter(x.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(x.cast("decimal(28,10)")).alias("__s1"),
+            F.sum((x * x).cast("decimal(28,10)")).alias("__s2"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s1 / n
+    var = F.greatest(
+        (s2 - (s1 * s1) / n) / (n - F.lit(1.0)), F.lit(0.0)
+    )
+    sd = F.sqrt(var)
+    return (
+        df.join(F.broadcast(stats), group_col, "left")
+        .withColumn(
+            out_col,
+            F.when(
+                (F.col("__n") > 1) & (sd > 0.0) & x.isNotNull(),
+                F.round((x - mean) / sd, 4),
+            ),
+        )
+        .drop("__n", "__s1", "__s2")
+    )

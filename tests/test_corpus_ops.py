@@ -235,3 +235,99 @@ def test_stratified_sample_counts_and_determinism(spark):
         for r in stratified_sample(df.repartition(11), "grp", 5, "id").collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------- resample / ffill
+def test_resample_ffill_fills_gaps_and_carries_forward(spark):
+    from job_post_similarity_spark.operators.windows import resample_ffill
+
+    rows = [
+        (0, "2024-01-01 00:10:00", "a", 1.0),
+        (1, "2024-01-01 00:50:00", "a", 3.0),   # same bucket, max wins
+        (2, "2024-01-01 03:10:00", "a", 7.0),   # 2-bucket gap before
+        (3, "2024-01-01 01:05:00", "b", 5.0),
+        (4, None, "a", 9.9),                     # null ts excluded
+        (5, "2024-01-01 02:00:00", None, 1.1),   # null group excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["grp"], r["bucket"]): (r["cnt"], r["vmax"], r["filled"])
+        for r in resample_ffill(df, "ts", "event_type", "value").collect()
+    }
+    h0 = 1704067200  # 2024-01-01 00:00 UTC
+    # spine spans global min..max bucket for every group
+    assert {g for g, _ in out} == {"a", "b"}
+    assert len(out) == 8  # 2 groups x 4 hourly buckets
+    assert out[("a", h0)] == (2, 3.0, 3.0)
+    assert out[("a", h0 + 3600)] == (0, None, 3.0)   # gap: carried
+    assert out[("a", h0 + 7200)] == (0, None, 3.0)
+    assert out[("a", h0 + 3 * 3600)] == (1, 7.0, 7.0)
+    assert out[("b", h0)] == (0, None, None)         # before first obs
+    assert out[("b", h0 + 3600)] == (1, 5.0, 5.0)
+    assert out[("b", h0 + 3 * 3600)] == (0, None, 5.0)
+
+
+# ------------------------------------------------------------ z-score
+def test_group_zscore_matches_numpy(spark):
+    from job_post_similarity_spark.operators.windows import group_zscore
+
+    rng = np.random.default_rng(2)
+    vals = rng.normal(10, 3, size=200).round(2)
+    rows = [
+        (i, "g1" if i % 2 == 0 else "g2", float(v))
+        for i, v in enumerate(vals)
+    ] + [(200, "solo", 5.0), (201, "g1", None)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {r["id"]: r["z"] for r in group_zscore(df, "grp", "v").collect()}
+    assert got[200] is None  # n=1: no scale
+    assert got[201] is None  # null value
+    for grp in ("g1", "g2"):
+        sel = [v for i, v in enumerate(vals) if (i % 2 == 0) == (grp == "g1")]
+        mu, sd = np.mean(sel), np.std(sel, ddof=1)
+        for i, v in enumerate(vals):
+            if (i % 2 == 0) == (grp == "g1"):
+                assert got[i] == pytest.approx(
+                    round((v - mu) / sd, 4), abs=1e-4
+                )
+
+
+# --------------------------------------------------------------- json
+def test_parse_json_fields_types_and_malformed(spark):
+    from job_post_similarity_spark.operators.preprocess import (
+        parse_json_fields,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, '{"k": 1, "name": "x"}'),
+            (1, '{"k": "not-an-int", "name": "y"}'),
+            (2, "not json at all"),
+            (3, None),
+            (4, '{"name": "only"}'),
+        ],
+        "id long, props string",
+    )
+    out = {
+        r["id"]: (r["k"], r["name"])
+        for r in parse_json_fields(df, "props", "k int, name string").collect()
+    }
+    assert out[0] == (1, "x")
+    assert out[1] == (None, "y")  # type mismatch -> typed null
+    assert out[2] == (None, None)  # malformed -> nulls (PERMISSIVE)
+    assert out[3] == (None, None)
+    assert out[4] == (None, "only")
+
+
+# --------------------------------------------------------------- melt
+def test_melt_round_trip(spark):
+    from job_post_similarity_spark.operators.preprocess import melt
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 3.0), (2, 4.0, None)], "id long, a double, b double"
+    )
+    out = {(r["id"], r["key"]): r["val"] for r in melt(df, ["id"], ["a", "b"]).collect()}
+    assert out == {
+        (1, "a"): 2.0, (1, "b"): 3.0, (2, "a"): 4.0, (2, "b"): None,
+    }
