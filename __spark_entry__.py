@@ -2306,6 +2306,31 @@ def full_outer_monthly_counts(
     )
 
 
+def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance ≤ 1 fuzzy self-join (FastSS deletion-
+    neighborhood blocking + levenshtein verify). The oracle is the
+    quadratic cross join — same output, different plan: the blocking
+    is provably 100%-recall for dist ≤ 1."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return dedup.fuzzy_join_dist1(sup, "s_suppkey", "s_name")
+
+
+def order_arrays_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type aggregation surface: per customer, the SORTED array
+    of order keys (deterministic nested output) + count."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 200
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-3 rotation: the 38
@@ -2353,6 +2378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_events": json_extract_events,
         "melt_part_attrs": melt_part_attrs,
         "full_outer_monthly_counts": full_outer_monthly_counts,
+        "fuzzy_join_suppliers": fuzzy_join_suppliers,
+        "order_arrays_by_customer": order_arrays_by_customer,
         "curate_corpus_documents": curate_corpus_documents,
         "curation_funnel_documents": curation_funnel_documents,
         # -- kept in-window: representatives of round-3-touched code --
@@ -2640,6 +2667,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT ((user_id % 700) + 700) % 700
                 FROM events WHERE user_id IS NOT NULL)
             ORDER BY doc_id
+        """,
+        "fuzzy_join_suppliers": """
+            SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+                   a.s_name AS s1, b.s_name AS s2,
+                   CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+            FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
+            ORDER BY id1, id2
+        """,
+        "order_arrays_by_customer": """
+            SELECT o_custkey, list_sort(array_agg(o_orderkey)) AS order_keys,
+                   count(*) AS cnt
+            FROM orders WHERE o_custkey < 200
+            GROUP BY o_custkey ORDER BY o_custkey
         """,
         "resample_ffill_events": """
             WITH ep AS (

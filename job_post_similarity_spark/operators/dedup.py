@@ -841,3 +841,67 @@ def strip_dup_spans(
         F.concat_ws(" ", kept).alias("text_deduped"),
         (F.size("__toks") - F.size(kept)).cast("int").alias("n_tokens_removed"),
     )
+
+
+def fuzzy_join_dist1(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+) -> DataFrame:
+    """Exact edit-distance ≤ 1 self-join via deletion-neighborhood
+    blocking — the FastSS / SymSpell construction: each string emits
+    itself plus its |s| single-character-deletion variants, pairs meet
+    on a shared variant, exact ``levenshtein`` verifies.
+
+    The blocking has 100% recall for distance ≤ 1 (not a heuristic):
+    equal strings share the string itself; a substitution at position
+    i shares both-minus-position-i; an insertion/deletion shares the
+    shorter string verbatim. So the output is EXACTLY the pairs at
+    distance ≤ 1 — a quadratic cross-join oracle can verify it while
+    the plan stays an explode + equi-join.
+
+    Scale shape: the variant table is |s|+1 rows per string, map-side;
+    one hash join keyed by variant (never all-pairs); a pair-dedup
+    shuffle; per-pair levenshtein only on candidates. This is the
+    fuzzy-matching analog of the MinHash band join — same
+    bucket-then-verify discipline.
+
+    Output: (id1, id2, s1, s2, dist), dist ∈ {0, 1} — distance-0 rows
+    are exact duplicate strings under different ids.
+    """
+    s = F.col(str_col)
+    variants = F.when(
+        F.length(s) > 0,
+        F.array_union(
+            F.array(s),
+            F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.concat(
+                    s.substr(F.lit(1), i - F.lit(1)),
+                    s.substr(i + F.lit(1), F.length(s)),
+                ),
+            ),
+        ),
+    ).otherwise(F.array(s))
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        s.alias("__s"),
+        F.explode(variants).alias("__v"),
+    )
+    a = sig.select(
+        F.col("__id").alias("id1"), F.col("__s").alias("s1"), "__v"
+    )
+    b = sig.select(
+        F.col("__id").alias("id2"), F.col("__s").alias("s2"), "__v"
+    )
+    cand = (
+        a.join(b, "__v")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s1", "s2"))
+        .filter(F.col("dist") <= 1)
+        .orderBy("id1", "id2")
+    )

@@ -331,3 +331,48 @@ def test_melt_round_trip(spark):
     assert out == {
         (1, "a"): 2.0, (1, "b"): 3.0, (2, "a"): 4.0, (2, "b"): None,
     }
+
+
+# ----------------------------------------------------------- fuzzy join
+def test_fuzzy_join_dist1_equals_brute_force(spark):
+    """Deletion-neighborhood blocking must be 100%-recall for
+    edit distance <= 1: output equals the quadratic cross join."""
+    from job_post_similarity_spark.operators.dedup import fuzzy_join_dist1
+
+    names = [
+        "kitten", "sitten", "kitte", "kittens", "mitten",  # dist-1 cluster
+        "apple", "aple", "appl", "apples",
+        "zebra", "zebra",  # exact dup under two ids -> dist 0
+        "", "a",           # empty-string edges
+        "xyzzy",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "id long, s string"
+    )
+    got = {
+        (r["id1"], r["id2"], r["dist"])
+        for r in fuzzy_join_dist1(df, "id", "s").collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expect = {
+        (i, j, lev(names[i], names[j]))
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == expect
+    assert (9, 10, 0) in got  # exact-dup pair surfaced at dist 0
+    assert (11, 12, 1) in got  # "" vs "a"
