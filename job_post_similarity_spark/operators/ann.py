@@ -323,11 +323,13 @@ def ivf_similarity_join(
     shared probed bucket; exact cosine verifies. One shuffle on
     ``bucket``; per-bucket fan-out bounded by cluster balance + AQE.
 
-    The verify stage scores candidates with the Arrow-batched dot
-    (``dot_cosine_arrow``): IVF's candidate sets are orders of
+    The verify stage routes through ``_verify_pair_candidates``
+    (broadcast-matrix gather under the knn budget, relational vector
+    rejoin + Arrow dot beyond it): IVF's candidate sets are orders of
     magnitude larger than SRP's at equal recall on unstructured data,
-    so per-pair JVM expression folding dominated wall-clock (measured
-    ~5× at sf0.1).
+    so keeping candidates as 16-byte id pairs (and deduping the
+    multi-probe pair copies BEFORE scoring) is worth more here than
+    anywhere.
 
     Recall profile (rows-only gate; measured on the synthetic RANDOM
     unit vectors at threshold 0.40, auto √n centroids): 0.95 at
@@ -353,28 +355,20 @@ def ivf_similarity_join(
         # frame. Without it the mapInPandas centroid pass AND the scan
         # under it execute twice. Size is n×n_probe rows.
         assigned = assigned.persist()
-    a = assigned.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id1"),
-        F.col(vec_col).alias("__v1"),
-    )
-    b = assigned.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id2"),
-        F.col(vec_col).alias("__v2"),
-    )
-    return (
+    a = assigned.select("bucket", F.col(id_col).alias("id1"))
+    b = assigned.select("bucket", F.col(id_col).alias("id2"))
+    # candidates stay (id1, id2) pairs: the multi-probe duplicate pairs
+    # are deduped BEFORE scoring (n_probe copies of a pair used to be
+    # verified independently and deduped after), and vectors never ride
+    # the bucket join — the shared verify gathers them from a broadcast
+    # matrix (or rejoins relationally past the broadcast budget)
+    cand = (
         a.join(b, ["bucket"])
         .filter(F.col("id1") < F.col("id2"))
-        .select(
-            "id1",
-            "id2",
-            F.round(V.dot_cosine_arrow("__v1", "__v2"), 4).alias("similarity"),
-        )
-        .filter(F.col("similarity") >= threshold)
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
-        .orderBy(F.desc("similarity"), F.asc("id1"), F.asc("id2"))
     )
+    return _verify_pair_candidates(df, cand, id_col, vec_col, threshold)
 
 
 def ivf_topk_search(
@@ -590,9 +584,6 @@ def srp_lsh_similarity_join(
     - ``'auto'`` (default): broadcast when the corpus fits the
       budget, else relational.
     """
-    import numpy as np
-    import pandas as pd
-
     # persist: the signature frame feeds BOTH sides of the self-join;
     # without it the mapInPandas signature pass runs twice. Size is
     # n×num_bands × 20 B — negligible, LRU-evicted under pressure.
@@ -607,6 +598,31 @@ def srp_lsh_similarity_join(
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
+    return _verify_pair_candidates(df, cand, id_col, vec_col, threshold, verify)
+
+
+def _verify_pair_candidates(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    verify: str = "auto",
+) -> DataFrame:
+    """Shared exact-cosine verify for bucket-proposed (id1, id2)
+    candidate pairs (SRP bands, IVF buckets, any blocking scheme).
+
+    ``'broadcast'``: gather both vectors from a broadcast id-sorted
+    matrix in one mapInPandas pass — candidates stay 16-byte rows
+    end-to-end (the relational form ships 2 × vec_bytes per candidate
+    through two hash joins). Bounded by the knn broadcast budget.
+    ``'relational'``: vector rejoin by id + Arrow-batched dot —
+    unbounded corpus size. ``'auto'``: broadcast if it fits, else
+    relational. Output: (id1, id2, similarity round 4 ≥ threshold),
+    ordered for deterministic driver hashing.
+    """
+    import numpy as np
+    import pandas as pd
 
     if verify in ("auto", "broadcast"):
         from .knn import _collect_matrix
