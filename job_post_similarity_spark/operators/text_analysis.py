@@ -461,3 +461,82 @@ def frequent_tokens(
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tok = df.select(F.explode(toks).alias("token"))
     return heavy_hitters(tok, "token", min_share=min_share, capacity=capacity)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information:
+    PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) over adjacent token
+    pairs, for bigrams seen at least ``min_count`` times — the classic
+    phrase-mining signal (high PMI = tokens that co-occur far more
+    than chance: "new york", "machine learning").
+
+    Cross-engine determinism: PMI is computed in integer millionths
+    (one ln per bigram row — per-value libm agreement, no
+    order-dependent double accumulation) and RANKED on the integer,
+    ties broken lexicographically, so the top-N cannot depend on
+    sub-round-off differences. Output: (w1, w2, n12, pmi, rank).
+
+    Scale shape: same plan family as ``bigram_perplexity`` — map-side
+    bigram explode, two hash aggregations (bigram counts, unigram
+    counts), one broadcast-able totals row; the min_count filter
+    prunes the long tail BEFORE the join; one global top-N sort over
+    the surviving (rare) collocation rows.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+    )
+    big = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    ).persist()
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .filter(F.col("n12") >= min_count)
+    )
+    # unigram counts over bigram SLOTS (left occurrences for w1, right
+    # for w2) so p's share one normalizer N = total bigram count
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    tot = big.agg(F.count(F.lit(1)).alias("nn"))
+    pmi6 = (
+        F.round(
+            F.log(
+                (F.col("n12").cast("double") * F.col("nn").cast("double"))
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("pmi6")
+    )
+    scored = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n12", pmi6)
+    )
+    w = Window.orderBy(F.desc("pmi6"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            (F.col("pmi6").cast("double") / 1e6).alias("pmi"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -376,3 +376,25 @@ def test_fuzzy_join_dist1_equals_brute_force(spark):
     assert got == expect
     assert (9, 10, 0) in got  # exact-dup pair surfaced at dist 0
     assert (11, 12, 1) in got  # "" vs "a"
+
+
+# --------------------------------------------------------------- PMI
+def test_pmi_collocations_finds_planted_phrase(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(60):
+        words = list(rng.choice(vocab, size=20))
+        # plant a rigid collocation in every doc: "zeta prime"
+        words[5:5] = ["zeta", "prime"]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, top_n=10).collect()
+    assert out[0]["w1"] == "zeta" and out[0]["w2"] == "prime"
+    assert out[0]["rank"] == 1 and out[0]["pmi"] > 0
+    ranks = [r["rank"] for r in out]
+    assert ranks == list(range(1, len(out) + 1))
