@@ -2341,6 +2341,19 @@ def pmi_collocations_documents(
     return text_analysis.pmi_collocations(docs, min_count=5, top_n=50)
 
 
+def stream_keep_latest_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDC compaction (applyInPandasWithState upsert
+    changelog, folded to the latest-per-key snapshot). On the bounded
+    file the snapshot equals the batch keep_latest — the oracle."""
+    from job_post_similarity_spark.streaming import stream_keep_latest
+
+    return stream_keep_latest(
+        spark, sf_dir, name="g_stream_keep_latest"
+    ).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-3 rotation: the 38
@@ -2391,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_suppliers": fuzzy_join_suppliers,
         "order_arrays_by_customer": order_arrays_by_customer,
         "pmi_collocations_documents": pmi_collocations_documents,
+        "stream_keep_latest_events": stream_keep_latest_events,
         "curate_corpus_documents": curate_corpus_documents,
         "curation_funnel_documents": curation_funnel_documents,
         # -- kept in-window: representatives of round-3-touched code --
@@ -2678,6 +2692,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT ((user_id % 700) + 700) % 700
                 FROM events WHERE user_id IS NOT NULL)
             ORDER BY doc_id
+        """,
+        "stream_keep_latest_events": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts_us DESC, event_id DESC) AS rk
+                  FROM e)
+            SELECT user_id, ts_us, event_id, value
+            FROM r WHERE rk = 1 ORDER BY user_id
         """,
         "pmi_collocations_documents": """
             WITH toks AS (

@@ -3,8 +3,10 @@ from .stream_ops import (  # noqa: F401
     use_rocksdb_state,
     stream_dedup,
     stream_event_counts,
+    stream_keep_latest,
     stream_near_dup_minhash,
     stream_near_dup_srp,
     stream_sessionize,
+    stream_static_enrich,
     stream_windowed_agg,
 )

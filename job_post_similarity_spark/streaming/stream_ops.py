@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 # legacy events shape (ts = long nanos, the TIMESTAMP(NANOS) read via
 # nanosAsLong); kept for fixture-building tests that exercise that path
@@ -687,3 +688,114 @@ def stream_near_dup_srp(
     )
     q.awaitTermination()
     return spark.read.parquet(pairs_path)
+
+
+def _keep_latest_stateful(events: DataFrame) -> DataFrame:
+    """CDC/upsert compaction as a stateful streaming operator — the
+    streaming twin of ``preprocess.keep_latest``: per key, track the
+    (ts, event_id)-max row across micro-batches and emit the running
+    winner whenever a batch CHANGES it (an upsert changelog: the last
+    emission per key is the current latest row).
+
+    State per key is one row (ts, event_id, value) — bounded by key
+    cardinality, not stream length. Downstream consumers apply the
+    batch ``keep_latest`` to the emitted changelog to materialize the
+    final snapshot (tested equal to batch ``keep_latest`` over the
+    whole input, for any micro-batch split — the running max is
+    associative, so arrival order cannot change the final winner).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user,) = key
+        best = state.get if state.exists else None
+        for pdf in pdf_iter:
+            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000)
+            for t, eid, v in zip(
+                ts_us.tolist(),
+                pdf["event_id"].tolist(),
+                pdf["value"].tolist(),
+            ):
+                v = None if pd.isna(v) else float(v)
+                # keep_latest order: (ts, event_id) lexicographic max
+                if best is None or (t, eid) > (best[0], best[1]):
+                    best = (t, eid, v)
+        if best is not None and (
+            not state.exists or tuple(state.get) != tuple(best)
+        ):
+            state.update(best)
+            yield pd.DataFrame(
+                [(user, best[0], best[1], best[2])],
+                columns=["user_id", "ts_us", "event_id", "value"],
+            )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_keep_latest(
+    spark: SparkSession, sf_dir: str, name: str = "stream_keep_latest"
+) -> DataFrame:
+    """Streaming CDC compaction over the bounded events file: emits the
+    upsert changelog, returns the materialized latest-per-key snapshot
+    (changelog folded by the batch rule)."""
+    changelog = _run_to_memory(
+        _keep_latest_stateful(_events_stream(spark, sf_dir)), name, "append"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        changelog.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    static_df: DataFrame,
+    on: str = "event_type",
+    name: str = "stream_enrich",
+) -> DataFrame:
+    """Stream–static join: enrich a stream with a slowly-changing
+    dimension table. The static side is re-planned per micro-batch
+    (Structured Streaming's stream-static contract) and broadcast
+    under AQE's threshold — the stream side never shuffles for the
+    join. Inner-join semantics: unmatched stream rows drop."""
+    enriched = _events_stream(spark, sf_dir).join(
+        F.broadcast(static_df), on
+    )
+    return _run_to_memory(
+        enriched.groupBy(on).agg(F.count(F.lit(1)).alias("cnt")),
+        name,
+        "complete",
+    )

@@ -398,3 +398,99 @@ def test_pmi_collocations_finds_planted_phrase(spark):
     assert out[0]["rank"] == 1 and out[0]["pmi"] > 0
     ranks = [r["rank"] for r in out]
     assert ranks == list(range(1, len(out) + 1))
+
+
+# ------------------------------------------------------ streaming CDC
+def test_stream_keep_latest_folds_out_of_order_batches(spark, tmp_path):
+    """An older row arriving in a LATER micro-batch must not displace
+    the newer state row; a newer one must. The folded snapshot equals
+    batch keep_latest over the union, regardless of batch split."""
+    import os
+
+    import pandas as pd
+
+    from job_post_similarity_spark.streaming import stream_ops
+
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    s = 10**9  # ns per second
+    batches = [
+        # (event_id, ts_ns, user, value)
+        [(0, 100 * s, 1, 1.0), (1, 200 * s, 2, 2.0)],
+        [(2, 50 * s, 1, 9.9), (3, 300 * s, 2, 3.5)],  # user1: OLDER row
+        [(4, 400 * s, 1, 7.0)],
+    ]
+    for i, rows in enumerate(batches):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["t"] * len(rows),
+                "value": [r[3] for r in rows],
+                "props": ["p"] * len(rows),
+            }
+        ).to_parquet(os.path.join(src, f"e_{i}.parquet"))
+
+    raw = (
+        spark.readStream.schema(stream_ops.EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("path", src)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    changelog = stream_ops._keep_latest_stateful(raw)
+    q = (
+        changelog.writeStream.format("memory")
+        .queryName("t_cdc")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM t_cdc").collect()
+    # user 1: emitted at batch 0 (eid 0) and batch 2 (eid 4) — batch 1's
+    # older row must NOT have been emitted. user 2: batches 0 and 1.
+    emitted = {(r["user_id"], r["event_id"]) for r in rows}
+    assert emitted == {(1, 0), (1, 4), (2, 1), (2, 3)}
+    # folded snapshot = global latest per key
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    snap = {
+        (r["user_id"], r["event_id"], r["value"])
+        for r in spark.sql("SELECT * FROM t_cdc")
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .collect()
+    }
+    assert snap == {(1, 4, 7.0), (2, 3, 3.5)}
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir):
+    from job_post_similarity_spark.sources.io import load_table
+    from job_post_similarity_spark.streaming import stream_static_enrich
+
+    static = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("error", 3)], "event_type string, code int"
+    )
+    got = {
+        (r["event_type"], r["cnt"])
+        for r in stream_static_enrich(
+            spark, sf_dir, static, name="t_enrich"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    expect = {
+        (r["event_type"], r["cnt"])
+        for r in ev.join(F.broadcast(static), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expect and len(got) == 3
