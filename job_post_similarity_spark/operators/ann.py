@@ -470,6 +470,14 @@ def ivf_topk_search(
     )
     if not include_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    # a prebuilt assignment may be multi-probe (load_or_build_ivf
+    # defaults to n_probe=2 for the pair-join use): a corpus vector
+    # then lives in several buckets, and a query probing two of them
+    # would see the SAME neighbor twice — row_number in _merge_topk
+    # would hand it two ranks and push a true top-k entry out. One
+    # pair-dedup before scoring keeps serving correct for any
+    # artifact; it is a no-op for the n_probe=1 build path.
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.join(F.broadcast(qv), "query_id").select(
         "query_id",
         "neighbor_id",
@@ -620,6 +628,13 @@ def _verify_pair_candidates(
     unbounded corpus size. ``'auto'``: broadcast if it fits, else
     relational. Output: (id1, id2, similarity round 4 ≥ threshold),
     ordered for deterministic driver hashing.
+
+    Note the broadcast tier is EAGER at plan-construction time (the
+    matrix collect runs a Spark job before the returned DataFrame is
+    ever executed) and each call ships its own broadcast, which lives
+    until the session ends — callers scoring the same corpus many
+    times in one session should build the plan once and reuse it,
+    or pass verify='relational' to stay fully lazy.
     """
     import numpy as np
     import pandas as pd

@@ -194,7 +194,9 @@ def bloom_build_bits(
     """
     import numpy as np
 
-    words = num_bits // 64
+    # ceil-divide: positions run to num_bits-1, so a non-multiple-of-64
+    # size must still allocate the final partial word
+    words = (num_bits + 63) // 64
     pos = F.explode(
         F.array(
             *[

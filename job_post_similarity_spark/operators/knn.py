@@ -35,6 +35,10 @@ from ..functions import vectors as V
 # memory at |block| × dim × 8B regardless of total right-side size.
 _RIGHT_BLOCK = 65536
 
+# per-task ceiling for caching an f64 upcast of an f32 broadcast matrix
+# (beyond it, matmul promotes per block transiently — see knn_join.op)
+_F64_CACHE_BYTES = 512 * 1024 * 1024
+
 
 # Hard ceiling on rows collected for a broadcast matrix: beyond this
 # the driver collect + broadcast becomes the scale killer (1M × 384
@@ -138,17 +142,24 @@ def knn_join(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rids, rmat = bc.value
-        # f32-shipped matrices upcast to f64 ONCE PER TASK (the dot
-        # must run in f64 to stay oracle-exact): the block views are
-        # cached here, outside the batch loop — a long left side was
-        # re-paying the same astype allocation for every Arrow batch
-        # (~3 GB of churn per task at 1M×384). Holds one f64 copy of
-        # the broadcast per task, bounded by the same 1M-row budget as
-        # the broadcast itself; f64 sources pass through zero-copy.
+        # f32-shipped matrices upcast to f64 once per task (the dot
+        # must run in f64 to stay oracle-exact) — but ONLY while the
+        # f64 copy stays under _F64_CACHE_BYTES: a resident full-size
+        # upcast per concurrent task would multiply the broadcast's
+        # footprint by task parallelism at the 1M-row budget (the
+        # round-3 "hoist the per-batch astype" fix overshot). Past
+        # the cap, blocks stay f32 and numpy's matmul promotion
+        # upcasts transiently per (batch, block) — bit-identical
+        # result (f32→f64 is exact; accumulation is f64 either way),
+        # peak extra memory one block, at the price of re-paying the
+        # conversion per batch. f64 sources pass through zero-copy.
+        cache_f64 = (
+            rmat.dtype == np.float64 or rmat.nbytes * 2 <= _F64_CACHE_BYTES
+        )
         blocks: list[tuple[np.ndarray, np.ndarray]] = []
         for lo in range(0, n_right, _RIGHT_BLOCK):
             blk = rmat[lo : lo + _RIGHT_BLOCK]
-            if blk.dtype != np.float64:
+            if blk.dtype != np.float64 and cache_f64:
                 blk = blk.astype(np.float64)
             blocks.append((blk, rids[lo : lo + _RIGHT_BLOCK]))
         for pdf in batches:
@@ -167,6 +178,11 @@ def knn_join(
             pool_s: list[np.ndarray] = []
             pool_i: list[np.ndarray] = []
             for block, bids in blocks:
+                if block.dtype != np.float64:
+                    # uncached tier: transient per-(batch, block)
+                    # upcast — mixed-dtype matmul would skip BLAS and
+                    # differ in the last ulp from the f64 path
+                    block = block.astype(np.float64)
                 sims = lmat @ block.T  # (n_left, n_block)
                 if not include_self:
                     sims[lids[:, None] == bids[None, :]] = -np.inf

@@ -177,11 +177,16 @@ def parse_json_fields(
     missing keys yield typed nulls (PERMISSIVE), the right semantics
     for web-scraped metadata at scale. Map-side only.
     """
+    from pyspark.sql import types as T
+
     parsed = F.from_json(F.col(json_col), schema)
     out = df.withColumn("__j", parsed)
-    names = [f.strip().split()[0] for f in schema.split(",")]
+    # parse the DDL properly for field names — naive comma-splitting
+    # breaks on parameterized/nested types ("m map<string,int>",
+    # "d decimal(10,2)")
+    names = T._parse_datatype_string(schema).fieldNames()
     for name in names:
-        out = out.withColumn(name, F.col(f"__j.{name}"))
+        out = out.withColumn(name, F.col("__j").getField(name))
     out = out.drop("__j")
     return out.drop(json_col) if drop_source else out
 

@@ -282,7 +282,11 @@ def heavy_hitters(
 
     cap = capacity if capacity is not None else int(math.ceil(4.0 / min_share))
     typ = df.schema[column].dataType.simpleString()
-    src = df.select(column).filter(F.col(column).isNotNull())
+    # persist: src feeds THREE consumers (the MG candidate pass, the
+    # total-count aggregate, the exact recount join) — unpersisted,
+    # the upstream pipeline (often a tokenize+explode over the whole
+    # corpus, via frequent_tokens) runs three times
+    src = df.select(column).filter(F.col(column).isNotNull()).persist()
 
     def mg(batches):
         counts: dict = {}

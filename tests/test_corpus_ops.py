@@ -494,3 +494,56 @@ def test_stream_static_enrich_matches_batch_join(spark, sf_dir):
         .collect()
     }
     assert got == expect and len(got) == 3
+
+
+# ------------------------------------------------- knn f64-cache tiers
+def test_knn_join_uncached_upcast_path_is_bit_identical(spark, monkeypatch):
+    """Past the f64-cache ceiling, blocks stay f32 and matmul promotes
+    transiently — the output must be bit-identical to the cached
+    path (f32->f64 is exact, accumulation is f64 either way)."""
+    import numpy as np
+    import pandas as pd
+
+    from job_post_similarity_spark.operators import knn
+
+    rng = np.random.default_rng(13)
+    m = rng.standard_normal((300, 32)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    pdf = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(m)})
+    df = spark.createDataFrame(pdf)
+    cached = knn.knn_join(df, "vec_id", "embedding", k=3).collect()
+    monkeypatch.setattr(knn, "_F64_CACHE_BYTES", 0)
+    streamed = knn.knn_join(df, "vec_id", "embedding", k=3).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["similarity"])
+        for r in rows
+    )
+    assert key(cached) == key(streamed) and len(cached) == 900
+
+
+def test_ivf_topk_prebuilt_multiprobe_assignment_dedups(spark):
+    """A multi-probe prebuilt assignment places corpus vectors in
+    several buckets; serving must not list a neighbor twice."""
+    import numpy as np
+    import pandas as pd
+
+    from job_post_similarity_spark.operators import ann
+
+    rng = np.random.default_rng(21)
+    m = rng.standard_normal((120, 16)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    pdf = pd.DataFrame({"vec_id": np.arange(120), "embedding": list(m)})
+    corpus = spark.createDataFrame(pdf)
+    assigned, centers = ann.ivf_assign(
+        corpus, "embedding", n_centroids=4, n_probe=3, id_col="vec_id"
+    )
+    queries = corpus.filter(F.col("vec_id") < 5)
+    out = ann.ivf_topk_search(
+        queries, corpus, k=4, n_probe=3, prebuilt=(assigned, centers)
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q, ns in per_q.items():
+        assert len(ns) == len(set(ns)), (q, ns)  # no duplicate neighbors
+        assert len(ns) == 4

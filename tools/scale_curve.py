@@ -125,7 +125,10 @@ def main() -> None:
         ("sf0.1", "/root/testdata/sf0.1"),
     ]
     if not skip_sf1x:
-        if not os.path.isdir(os.path.join(SF1X_DIR, "lineitem.parquet")):
+        # embeddings is the LAST table _generate_sf1x writes — checking
+        # it (not lineitem, written third) means a crash mid-generation
+        # regenerates instead of silently reusing a partial dataset
+        if not os.path.isdir(os.path.join(SF1X_DIR, "embeddings.parquet")):
             print("generating sf1x (10x sf0.1) ...", file=sys.stderr)
             _generate_sf1x(spark, "/root/testdata/sf0.1")
         sf_dirs.append(("sf1x", SF1X_DIR))
