@@ -42,6 +42,11 @@ HEADLINE = [
     "token_count_documents",
     "doc_fingerprint_documents",
     "embed_documents_hashing",
+    # round-4 corpus-scale additions
+    "bigram_perplexity_documents",
+    "frequent_tokens_documents",
+    "bloom_decontaminate_documents",
+    "fuzzy_join_suppliers",
 ]
 
 

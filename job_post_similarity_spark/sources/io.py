@@ -215,3 +215,33 @@ def bucketed_join(
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table).hint("merge")
     return left.join(right, on, how)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """Read newline-delimited JSON — the lingua franca of LLM training
+    corpora (one document object per line).
+
+    Pass ``schema`` (DDL string) whenever it is known: schemaless JSON
+    reads cost a FULL extra pass over the data just to infer types,
+    and at 100 TB that doubles the scan bill. With a schema the read
+    is single-pass and Catalyst prunes unreferenced fields during
+    parsing. Malformed lines land in nulls (PERMISSIVE), matching
+    ``preprocess.parse_json_fields``.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Write newline-delimited JSON (one object per row). Column types
+    serialize per Spark's JSON rules (timestamps ISO-8601, arrays as
+    JSON arrays). ``single_file`` coalesces to one part — export
+    convenience only; keep the default for anything large."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)

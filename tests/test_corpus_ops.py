@@ -547,3 +547,27 @@ def test_ivf_topk_prebuilt_multiprobe_assignment_dedups(spark):
     for q, ns in per_q.items():
         assert len(ns) == len(set(ns)), (q, ns)  # no duplicate neighbors
         assert len(ns) == 4
+
+
+# --------------------------------------------------------------- jsonl
+def test_jsonl_round_trip_and_schema_pushdown(spark, tmp_path, documents):
+    from job_post_similarity_spark.sources.io import read_jsonl, write_jsonl
+
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(documents.select("doc_id", "text", "lang"), path)
+    back = read_jsonl(
+        spark, path, schema="doc_id long, text string, lang string"
+    )
+    a = {tuple(r) for r in back.collect()}
+    b = {
+        tuple(r) for r in documents.select("doc_id", "text", "lang").collect()
+    }
+    assert a == b
+    # malformed line -> PERMISSIVE nulls
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": 1, "text": "ok"}\nnot json\n')
+    rows = read_jsonl(
+        spark, str(bad), schema="doc_id long, text string"
+    ).collect()
+    assert len(rows) == 2
+    assert {r["doc_id"] for r in rows} == {1, None}
