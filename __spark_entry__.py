@@ -2354,6 +2354,33 @@ def stream_keep_latest_events(
     ).orderBy("user_id")
 
 
+def perplexity_buckets_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet's head/middle/tail split: corpus bucketed into perplexity
+    tertiles (ntile over the bigram-LM score) — the composition that
+    turns the LM signal into a filtering decision. Counts + per-bucket
+    ppl range per tertile."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        bigram_perplexity,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppl = bigram_perplexity(docs)
+    w = Window.orderBy(F.asc("ppl"), F.asc("doc_id"))
+    return (
+        ppl.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("ppl").alias("ppl_min"),
+            F.max("ppl").alias("ppl_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -2407,8 +2434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_arrays_by_customer": order_arrays_by_customer,
         "pmi_collocations_documents": pmi_collocations_documents,
         "stream_keep_latest_events": stream_keep_latest_events,
+        "perplexity_buckets_documents": perplexity_buckets_documents,
         "curate_corpus_documents": curate_corpus_documents,
-        "curation_funnel_documents": curation_funnel_documents,
         # -- r3-green representatives of round-4-touched code --
         "mixture_sample_documents": mixture_sample_documents,  # pmod
         "deterministic_sample_lineitem": deterministic_sample_lineitem,
@@ -2426,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_spans_documents": strip_dup_spans_documents,  # pos 50
         # ===== position 51+: every entry here green in a prior =====
         # ===== round's CORRECTNESS file (machine-checked)       =====
+        "curation_funnel_documents": curation_funnel_documents,
         "asof_join_events": asof_join_events,
         "shard_topk_search": shard_topk_search_q,
         "stream_sessionize_events": stream_sessionize_events,
@@ -2648,9 +2676,7 @@ def _curation_oracle(
 _EN_MARKERS_SQL = "['the','and','of','to','in','is','that','for','with','a']"
 
 
-def oracle_sql() -> dict[str, str]:
-    return {
-        "bigram_perplexity_documents": """
+_PPL_CORE = """
             WITH toks AS (
                 SELECT doc_id,
                        string_split_regex(trim(lower(text)), '\\s+') AS t
@@ -2670,11 +2696,26 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS lp6
                    FROM c12 JOIN c1 USING (w1), v),
             per AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp6) AS s6
-                    FROM bigf JOIN lp USING (w1, w2) GROUP BY doc_id)
-            SELECT doc_id, n_bigrams,
-                   round(exp(-(CAST(s6 AS DOUBLE) / (n_bigrams * 1e6))), 4)
-                       AS ppl
-            FROM per ORDER BY doc_id
+                    FROM bigf JOIN lp USING (w1, w2) GROUP BY doc_id),
+            ppl_t AS (SELECT doc_id, n_bigrams,
+                             round(exp(-(CAST(s6 AS DOUBLE)
+                                         / (n_bigrams * 1e6))), 4) AS ppl
+                      FROM per)
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "bigram_perplexity_documents": _PPL_CORE + """
+            SELECT doc_id, n_bigrams, ppl FROM ppl_t ORDER BY doc_id
+        """,
+        "perplexity_buckets_documents": _PPL_CORE + """
+            , b AS (SELECT ppl, ntile(3) OVER (
+                        ORDER BY ppl ASC, doc_id ASC) AS bucket
+                    FROM ppl_t)
+            SELECT bucket, count(*) AS cnt,
+                   min(ppl) AS ppl_min, max(ppl) AS ppl_max
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         "frequent_tokens_documents": """
             WITH tok AS (
