@@ -1532,6 +1532,15 @@ def strip_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.strip_dup_spans(docs, "text", "doc_id", k=8, min_docs=2)
 
 
+def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide segment dedup: keep the first occurrence
+    of each 6-token segment, rebuild docs from survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.segment_dedup(docs, "text", "doc_id", seg_tokens=6).orderBy(
+        "doc_id"
+    )
+
+
 def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 50th doc plays the held-out
     benchmark; training docs sharing >= 2 distinct bigrams with it are
@@ -2417,7 +2426,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "q11_important_parts": q11_important_parts,
         "q15_top_supplier": q15_top_supplier,
-        "q18_large_volume_customers": q18_large_volume_customers,
         # -- new r4: corpus-scale ops (perplexity LM, heavy hitters,
         # -- bloom decontamination, bucketed join, stratified sample)
         "bigram_perplexity_documents": bigram_perplexity_documents,
@@ -2450,9 +2458,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": chunk_documents_gate,
         "substring_dup_spans_documents": substring_dup_spans_documents,
         # -- new r4: apply step of substring dedup, now oracle-backed
-        "strip_dup_spans_documents": strip_dup_spans_documents,  # pos 50
+        "strip_dup_spans_documents": strip_dup_spans_documents,
+        # -- new r4 (late batch): C4 segment dedup
+        "line_dedup_documents": line_dedup_documents,  # pos 50
         # ===== position 51+: every entry here green in a prior =====
         # ===== round's CORRECTNESS file (machine-checked)       =====
+        "q18_large_volume_customers": q18_large_volume_customers,
         "curation_funnel_documents": curation_funnel_documents,
         "asof_join_events": asof_join_events,
         "shard_topk_search": shard_topk_search_q,
@@ -3042,6 +3053,36 @@ def oracle_sql() -> dict[str, str]:
             FROM isl
             GROUP BY doc_id, grp
             ORDER BY doc_id, span_start
+        """,
+        "line_dedup_documents": """
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS arr
+                FROM documents WHERE text IS NOT NULL),
+            expl AS (
+                SELECT doc_id, arr, len(arr) AS n_tok,
+                       unnest(range(CAST(ceil(len(arr) / 6.0) AS BIGINT)))
+                           AS seg_idx
+                FROM base),
+            segs AS (
+                SELECT doc_id, seg_idx,
+                       CAST(ceil(n_tok / 6.0) AS BIGINT) AS segs_total,
+                       array_to_string(
+                           list_slice(arr, seg_idx * 6 + 1, seg_idx * 6 + 6),
+                           ' ') AS seg
+                FROM expl),
+            kept AS (
+                SELECT doc_id, seg_idx, seg, segs_total,
+                       row_number() OVER (
+                           PARTITION BY seg
+                           ORDER BY doc_id, seg_idx) AS rn
+                FROM segs)
+            SELECT doc_id,
+                   string_agg(seg, ' ' ORDER BY seg_idx) AS text,
+                   count(*) AS segs_kept,
+                   min(segs_total) AS segs_total
+            FROM kept WHERE rn = 1
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "strip_dup_spans_documents": """
             -- apply step of substring dedup: same gram/island algebra

@@ -905,3 +905,77 @@ def fuzzy_join_dist1(
         .filter(F.col("dist") <= 1)
         .orderBy("id1", "id2")
     )
+
+
+# ------------------------------------------------- segment (line) dedup
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 6,
+    sep: str = " ",
+) -> DataFrame:
+    """C4-style corpus-wide duplicate-line removal (Raffel et al. 2020
+    §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once"), re-expressed for token-stream
+    documents: the unit of dedup is a fixed ``seg_tokens``-token
+    segment instead of a sentence line (the testdata corpus has no
+    newline/sentence structure).
+
+    Semantics: split each doc into consecutive non-overlapping
+    segments; keep the FIRST occurrence of each distinct segment
+    corpus-wide (ordered by ``(id_col, seg_idx)``); rebuild every doc
+    from its surviving segments in original order. Docs whose every
+    segment was seen earlier vanish (C4 drops emptied pages too).
+
+    Returns ``(id_col, text_col, segs_kept, segs_total)``.
+
+    Scale: segmentation is a pure map (``split`` → ``transform`` over
+    a ``sequence`` of slice offsets — no explode until the segment
+    rows are needed). The only wide stages are the keep-first window
+    (one shuffle, keyed on the segment content — the same payload any
+    engine's line-dedup shuffles, incl. C4's own implementation) and
+    the per-doc rebuild. ``segs_total`` comes from the map-side
+    expression, not a second aggregate.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_tokens + F.lit(1), seg_tokens), sep
+        ),
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), segs.alias("__segs")
+    )
+    seg_rows = base.select(
+        id_col,
+        F.size("__segs").alias("segs_total"),
+        F.posexplode("__segs").alias("seg_idx", "seg"),
+    )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("seg").orderBy(F.asc(id_col), F.asc("seg_idx"))
+    kept = (
+        seg_rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy(id_col, "segs_total")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("segs_kept"),
+        )
+        .select(id_col, text_col, "segs_kept", "segs_total")
+    )

@@ -619,3 +619,73 @@ def test_auto_dispatch_probe_is_bounded(embeddings, monkeypatch):
         embeddings.limit(3), embeddings, k=1, broadcast_row_budget=10
     )
     assert plans and "GlobalLimit" in plans[0]
+
+
+def test_segment_dedup_planted(spark):
+    """C4 segment dedup: a 6-token segment repeated in a later doc is
+    dropped there but kept in its first (doc_id, seg_idx) home; a doc
+    made entirely of earlier segments vanishes."""
+    from job_post_similarity_spark.operators.dedup import segment_dedup
+
+    seg_a = "a b c d e f"  # 6 tokens = exactly one segment
+    seg_b = "g h i j k l"
+    df = spark.createDataFrame(
+        [
+            (1, seg_a + " " + seg_b),  # owns both segments
+            (2, seg_b + " x y z w v u"),  # loses seg_b, keeps its own
+            (3, seg_a),  # fully duplicate -> vanishes
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df, seg_tokens=6).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == seg_a + " " + seg_b
+    assert (out[1]["segs_kept"], out[1]["segs_total"]) == (2, 2)
+    assert out[2]["text"] == "x y z w v u"
+    assert (out[2]["segs_kept"], out[2]["segs_total"]) == (1, 2)
+
+
+def test_segment_dedup_idempotent_and_conserving(spark):
+    """Running segment_dedup on its own output changes nothing, and
+    total kept segments == distinct segments in the corpus."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [
+            (i, " ".join(f"t{(i * 7 + j) % 11}" for j in range(13)))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    once = segment_dedup(df, seg_tokens=4)
+    n_distinct = (
+        df.select(
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(F.split(F.col("text"), " ")) / 4).cast(
+                            "int"
+                        )
+                        - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.split(F.col("text"), " "), i * 4 + 1, 4),
+                        " ",
+                    ),
+                )
+            )
+        )
+        .select("col")
+        .distinct()
+        .count()
+    )
+    rows1 = sorted(tuple(r) for r in once.collect())
+    assert sum(r[2] for r in rows1) == n_distinct
+    twice = segment_dedup(once, seg_tokens=4)
+    rows2 = sorted(
+        (r["doc_id"], r["text"]) for r in twice.collect()
+    )
+    assert [(r[0], r[1]) for r in rows1] == rows2
