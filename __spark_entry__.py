@@ -1476,6 +1476,39 @@ def keep_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over snapshots: target = events below id
+    8000, changelog = events from id 6000 up ('error' rows are
+    tombstones, others full-row upserts with a value bump). Matched
+    rows update, new keys insert, tombstones delete."""
+    from job_post_similarity_spark.operators.cdc import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    target = ev.filter(F.col("event_id") < 8000)
+    source = (
+        ev.filter(F.col("event_id") >= 6000)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+        .withColumn("is_del", F.col("event_type").eqNullSafe("error"))
+    )
+    return merge_upsert(target, source, "event_id", "is_del").orderBy(
+        "event_id"
+    )
+
+
+def scd2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build: per-user runs of consecutive equal
+    event_type collapsed into validity ranges (gaps-and-islands, one
+    Exchange)."""
+    from job_post_similarity_spark.operators.cdc import scd2_build
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_build(
+        ev, key="user_id", attr="event_type", ts="ts", tiebreak="event_id"
+    ).orderBy("user_id", "valid_from_us")
+
+
 def normalize_unicode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (pre-dedup hygiene). The fixture
     text is ASCII, so a decomposed-accent + ligature suffix is
@@ -2420,12 +2453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": pii_scrub_documents,
         "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q11_important_parts": q11_important_parts,
-        "q15_top_supplier": q15_top_supplier,
         # -- new r4: corpus-scale ops (perplexity LM, heavy hitters,
         # -- bloom decontamination, bucketed join, stratified sample)
         "bigram_perplexity_documents": bigram_perplexity_documents,
@@ -2459,11 +2490,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans_documents": substring_dup_spans_documents,
         # -- new r4: apply step of substring dedup, now oracle-backed
         "strip_dup_spans_documents": strip_dup_spans_documents,
-        # -- new r4 (late batch): C4 segment dedup
-        "line_dedup_documents": line_dedup_documents,  # pos 50
+        # -- new r4 (late batch): C4 segment dedup + batch CDC family
+        "line_dedup_documents": line_dedup_documents,
+        "merge_upsert_events": merge_upsert_events,
+        "scd2_user_events": scd2_user_events,  # pos 50
         # ===== position 51+: every entry here green in a prior =====
         # ===== round's CORRECTNESS file (machine-checked)       =====
         "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q15_top_supplier": q15_top_supplier,
         "curation_funnel_documents": curation_funnel_documents,
         "asof_join_events": asof_join_events,
         "shard_topk_search": shard_topk_search_q,
@@ -3053,6 +3088,61 @@ def oracle_sql() -> dict[str, str]:
             FROM isl
             GROUP BY doc_id, grp
             ORDER BY doc_id, span_start
+        """,
+        "merge_upsert_events": """
+            WITH t AS (
+                SELECT event_id, user_id, event_type, value
+                FROM events WHERE event_id < 8000),
+            s AS (
+                SELECT event_id, user_id, event_type,
+                       value + 1000.0 AS value,
+                       (event_type IS NOT DISTINCT FROM 'error') AS is_del
+                FROM events WHERE event_id >= 6000),
+            kept AS (
+                SELECT t.* FROM t
+                WHERE t.event_id NOT IN (SELECT event_id FROM s)),
+            ins AS (
+                SELECT event_id, user_id, event_type, value
+                FROM s WHERE NOT is_del)
+            SELECT * FROM kept
+            UNION ALL SELECT * FROM ins
+            ORDER BY event_id
+        """,
+        "scd2_user_events": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            lg AS (
+                SELECT *, lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+                FROM e),
+            fl AS (
+                SELECT *, CASE WHEN prev IS NULL
+                                 OR prev <> event_type
+                               THEN 1 ELSE 0 END AS chg
+                FROM lg),
+            rn AS (
+                SELECT *, sum(chg) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS run_id
+                FROM fl),
+            runs AS (
+                SELECT user_id, run_id,
+                       min(event_type) AS event_type,
+                       min(ts_us) AS valid_from_us,
+                       count(*) AS n_events
+                FROM rn GROUP BY user_id, run_id),
+            fin AS (
+                SELECT user_id, event_type, valid_from_us,
+                       lead(valid_from_us) OVER (
+                           PARTITION BY user_id
+                           ORDER BY valid_from_us) AS valid_to_us,
+                       n_events
+                FROM runs)
+            SELECT user_id, event_type, valid_from_us, valid_to_us,
+                   (valid_to_us IS NULL) AS is_current, n_events
+            FROM fin ORDER BY user_id, valid_from_us
         """,
         "line_dedup_documents": """
             WITH base AS (

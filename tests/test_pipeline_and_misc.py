@@ -986,3 +986,78 @@ def test_stream_sliding_window_agg(spark, sf_dir):
     total_hop = sum(r["cnt"] for r in hop.collect())
     assert total_hop == 2 * total_tumb
     assert hop.count() > tumb.count()
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE: matched rows update, new keys insert, tombstones delete,
+    tombstones for absent keys are no-ops."""
+    from job_post_similarity_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "B", False),   # update
+            (3, None, True),   # delete
+            (4, "d", False),   # insert
+            (9, None, True),   # tombstone for absent key: no-op
+        ],
+        "k long, v string, is_del boolean",
+    )
+    out = sorted(
+        tuple(r) for r in merge_upsert(target, source, "k", "is_del").collect()
+    )
+    assert out == [(1, "a"), (2, "B"), (4, "d")]
+
+    # without a delete column every source row is an upsert
+    out2 = sorted(
+        tuple(r)
+        for r in merge_upsert(
+            target, source.drop("is_del").filter("v is not null"), "k"
+        ).collect()
+    )
+    assert out2 == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+
+
+def test_scd2_build_runs_and_ranges(spark):
+    """Consecutive equal attrs collapse into one validity range;
+    valid_to chains to the next run's start; last run is current;
+    equal timestamps resolve by the tiebreak column."""
+    from job_post_similarity_spark.operators.cdc import scd2_build
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, "x", ts(0), 10),
+        (1, "x", ts(5), 11),   # same run
+        (1, "y", ts(9), 12),   # new run
+        (1, "x", ts(20), 13),  # x again -> third run, not merged with first
+        (2, "a", ts(0), 14),
+        (2, "b", ts(0), 15),   # same ts: event_id orders a before b
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, attr string, ts timestamp, event_id long"
+    )
+    out = [
+        tuple(r)
+        for r in scd2_build(df, "user_id", "attr", "ts", "event_id")
+        .orderBy("user_id", "valid_from_us")
+        .collect()
+    ]
+
+    def us(m):
+        return int(ts(m).timestamp() * 1_000_000)
+
+    assert out == [
+        (1, "x", us(0), us(9), False, 2),
+        (1, "y", us(9), us(20), False, 1),
+        (1, "x", us(20), None, True, 1),
+        (2, "a", us(0), us(0), False, 1),
+        (2, "b", us(0), None, True, 1),
+    ]
