@@ -571,3 +571,55 @@ def test_jsonl_round_trip_and_schema_pushdown(spark, tmp_path, documents):
     ).collect()
     assert len(rows) == 2
     assert {r["doc_id"] for r in rows} == {1, None}
+
+
+def test_pagerank_cycle_is_fixed_point(spark):
+    """On a cycle every node keeps exactly RANK_UNIT: in_sum == pr of
+    the single predecessor, so base + d*pr//unit == pr."""
+    from job_post_similarity_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    out = {r["node"]: r["pr"] for r in pagerank(edges, iterations=4).collect()}
+    assert out == {"a": 1_000_000, "b": 1_000_000, "c": 1_000_000}
+
+
+def test_pagerank_star_hand_computed(spark):
+    """a->{b,c} with dangling b, c: iter1 b=c=575000, a=150000;
+    iter2 b=c=150000+850000*(150000//2)//1e6=213750."""
+    from job_post_similarity_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    one = {r["node"]: r["pr"] for r in pagerank(edges, iterations=1).collect()}
+    assert one == {"a": 150_000, "b": 575_000, "c": 575_000}
+    two = {r["node"]: r["pr"] for r in pagerank(edges, iterations=2).collect()}
+    assert two == {"a": 150_000, "b": 213_750, "c": 213_750}
+
+
+def test_bipartite_edges_symmetric_and_prefixed(spark):
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators.graph import bipartite_edges
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 10)], "l long, r long"
+    )
+    e = bipartite_edges(df, "l", "r", ("L", "R"))
+    rows = sorted(tuple(x) for x in e.collect())
+    assert rows == [
+        ("L1", "R10"),
+        ("L2", "R10"),
+        ("R10", "L1"),
+        ("R10", "L2"),
+    ]
+    # symmetric edges => no dangling nodes => rank mass is conserved
+    from job_post_similarity_spark.operators.graph import pagerank
+
+    pr = pagerank(e, iterations=3)
+    total = pr.agg(F.sum("pr")).first()[0]
+    # floor-div loses at most (outdeg-1)+999999/1e6 ppm per node/iter;
+    # with 3 nodes the conserved mass stays within a few ppm of 3e6
+    assert abs(total - 3_000_000) < 10
