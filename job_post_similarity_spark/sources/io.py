@@ -245,3 +245,84 @@ def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
     convenience only; keep the default for anything large."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar lake format (Hive-lineage
+    warehouses). Same pushdown/pruning properties as parquet; Spark's
+    native vectorized ORC reader handles it without extra packages."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (snappy by default, like the parquet sink)."""
+    df.write.mode(mode).orc(path)
+
+
+def morton_key(col_a, col_b, bits: int = 16):
+    """Z-order (Morton) key of two integer columns as a pure JVM
+    column expression: bit ``i`` of each input lands at output bits
+    ``2i`` / ``2i+1``, so sorting by the key clusters rows that are
+    close in BOTH dimensions. Inputs are masked to ``bits`` low bits
+    (non-negative keys assumed — mask first, so negative values
+    degrade to their low bits rather than poisoning the sign).
+
+    The expression is ``2*bits`` shift-and-mask terms OR'd together —
+    whole-stage-codegen folds it into straight-line JVM code; no UDF.
+    """
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).cast("long")
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).cast("long")
+    mask = (1 << bits) - 1
+    a = a.bitwiseAND(F.lit(mask))
+    b = b.bitwiseAND(F.lit(mask))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def morton_key_sql(col_a: str, col_b: str, bits: int = 16) -> str:
+    """ANSI-SQL rendering of ``morton_key`` (same shift-and-mask
+    terms) so oracles can compute the identical integer key."""
+    mask = (1 << bits) - 1
+    # every term fully parenthesized: bitwise <<, >>, &, | share one
+    # precedence level (left-assoc) in several engines, so an unwrapped
+    # `a << 10 | b << 11` would parse as `((a << 10) | b) << 11`
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({col_a} & {mask}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({col_b} & {mask}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    bits: int = 16,
+    num_files: int = 8,
+) -> None:
+    """Z-order-clustered parquet write: range-partition and sort by
+    the Morton key of two filter columns, WITHOUT materializing the
+    key into the data.
+
+    Why it matters at 100 TB: parquet readers skip files/row-groups
+    whose min/max column stats exclude the predicate. A sort on one
+    column makes only that column's stats selective; sorting on the
+    interleaved key bounds every file to a small rectangle in BOTH
+    dimensions, so point/range filters on either column prune most
+    files (the Delta/Iceberg OPTIMIZE ZORDER layout, done with plain
+    open-source Spark primitives). ``repartitionByRange`` samples the
+    key distribution, so skew in the raw keys does not skew files.
+    """
+    z = morton_key(cols[0], cols[1], bits)
+    (
+        df.repartitionByRange(num_files, z)
+        .sortWithinPartitions(z)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

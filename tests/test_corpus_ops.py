@@ -623,3 +623,86 @@ def test_bipartite_edges_symmetric_and_prefixed(spark):
     # floor-div loses at most (outdeg-1)+999999/1e6 ppm per node/iter;
     # with 3 nodes the conserved mass stays within a few ppm of 3e6
     assert abs(total - 3_000_000) < 10
+
+
+def test_orc_roundtrip_preserves_types(spark, tmp_path):
+    """ORC sink/scan roundtrip including nested array<double> and
+    timestamp columns (Spark's native vectorized ORC path)."""
+    import datetime as dt
+
+    from job_post_similarity_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [0.1, 0.2], dt.datetime(2024, 1, 1, 12, 0)),
+            (2, None, [], dt.datetime(2024, 1, 2)),
+        ],
+        "id long, s string, v array<double>, ts timestamp",
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_morton_key_hand_values(spark):
+    """morton_key interleaves bits: (a=0b11, b=0b00)->0b0101=5,
+    (a=0, b=0b11)->0b1010=10, (3,3)->15; masks to `bits` low bits."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.sources.io import morton_key
+
+    df = spark.createDataFrame(
+        [(3, 0), (0, 3), (3, 3), (2, 1), (4 + 16, 0)],
+        "a long, b long",
+    )
+    out = [
+        r["z"]
+        for r in df.select(morton_key("a", "b", bits=2).alias("z")).collect()
+    ]
+    # bits=2 masks inputs to 2 bits: 4+16 -> 0
+    assert out == [5, 10, 15, 6, 0]
+
+
+def test_write_zordered_improves_two_dim_file_locality(spark, tmp_path):
+    """Each z-ordered file must cover a small rectangle in BOTH
+    dimensions: summed per-file spans of x AND y are each well below
+    the spans of a single-column-sorted layout's unsorted dimension."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.sources.io import write_zordered
+
+    n = 64
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+
+    zpath = str(tmp_path / "zord")
+    write_zordered(df, zpath, ("x", "y"), bits=6, num_files=16)
+
+    # baseline: sort by x only -> y stats are useless per file
+    xpath = str(tmp_path / "xsort")
+    (
+        df.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+
+    def spans(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        return [r["span"] for r in per_file.collect()]
+
+    z_y_spans = spans(zpath, "y")
+    x_y_spans = spans(xpath, "y")
+    # x-sorted files each see (almost) the full y range; z-ordered
+    # files see a bounded rectangle
+    assert max(x_y_spans) >= n - 2
+    assert max(z_y_spans) <= n / 2
+    assert max(spans(zpath, "x")) <= n / 2
