@@ -1545,6 +1545,52 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who did signup -> click -> purchase as an
+    in-order subsequence. Array arithmetic, no regex/UDF."""
+    from job_post_similarity_spark.operators.windows import funnel_counts
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+        )
+    )
+    return funnel_counts(
+        ev,
+        key="user_id",
+        step_col="event_type",
+        order_cols=["ts_us", "event_id"],
+        steps=["signup", "click", "purchase"],
+    ).orderBy("stage")
+
+
+def table_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: events vs a mutated copy (ids < 500
+    dropped, clicks' value bumped, 100 renumbered rows added) —
+    keyed added/removed/changed diff, null-safe, no row hashing."""
+    from job_post_similarity_spark.operators.profiling import table_diff
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mutated = ev.filter(F.col("event_id") >= 500).withColumn(
+        "value",
+        F.when(
+            F.col("event_type").eqNullSafe("click"), F.col("value") + 1.0
+        ).otherwise(F.col("value")),
+    )
+    added = ev.filter(F.col("event_id") < 100).withColumn(
+        "event_id", F.col("event_id") + 1_000_000
+    )
+    right = mutated.unionByName(added)
+    return table_diff(ev, right, ["event_id"]).orderBy("event_id")
+
+
 def normalize_unicode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (pre-dedup hygiene). The fixture
     text is ASCII, so a decomposed-accent + ligature suffix is
@@ -2474,10 +2520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ===== graded window (first 50) =====
         # r3-green gates re-cycled through the window:
-        "strip_html_documents": strip_html_documents,
         "token_explode_documents": token_explode_documents,
         "q16_distinct_suppliers": q16_distinct_suppliers,
-        "q13_customer_distribution": q13_customer_distribution,
         "q4_order_priority_check": q4_order_priority_check,
         "text_annotate_documents": text_annotate_documents,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
@@ -2529,10 +2573,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_events": merge_upsert_events,
         "scd2_user_events": scd2_user_events,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
-        "zorder_key_orders": zorder_key_orders,  # pos 50
+        "zorder_key_orders": zorder_key_orders,
+        "funnel_conversion_events": funnel_conversion_events,
+        "table_diff_events": table_diff_events,  # pos 50
         # ===== position 51+: every entry here green in a prior =====
         # ===== round's CORRECTNESS file (machine-checked)       =====
         "q18_large_volume_customers": q18_large_volume_customers,
+        "strip_html_documents": strip_html_documents,
+        "q13_customer_distribution": q13_customer_distribution,
         "q12_shipmode_priority": q12_shipmode_priority,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -3135,6 +3183,66 @@ def oracle_sql() -> dict[str, str]:
             FROM isl
             GROUP BY doc_id, grp
             ORDER BY doc_id, span_start
+        """,
+        "funnel_conversion_events": """
+            WITH seq AS (
+                SELECT user_id,
+                       list(event_type ORDER BY epoch_us(ts), event_id)
+                           AS arr
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY user_id),
+            p1 AS (
+                SELECT user_id, arr,
+                       list_position(arr, 'signup') AS i1
+                FROM seq),
+            p2 AS (
+                SELECT user_id, arr, i1,
+                       CASE WHEN i1 > 0
+                            THEN list_position(arr[i1 + 1:], 'click')
+                            ELSE 0 END AS r2
+                FROM p1),
+            p3 AS (
+                SELECT user_id, i1, r2,
+                       CASE WHEN r2 > 0
+                            THEN list_position(arr[i1 + r2 + 1:], 'purchase')
+                            ELSE 0 END AS r3
+                FROM p2)
+            SELECT * FROM (
+                SELECT 1 AS stage, 'signup' AS step,
+                       count(CASE WHEN i1 > 0 THEN 1 END) AS entities
+                FROM p3
+                UNION ALL
+                SELECT 2, 'click',
+                       count(CASE WHEN r2 > 0 THEN 1 END) FROM p3
+                UNION ALL
+                SELECT 3, 'purchase',
+                       count(CASE WHEN r3 > 0 THEN 1 END) FROM p3)
+            ORDER BY stage
+        """,
+        "table_diff_events": """
+            WITH l AS (
+                SELECT event_id, user_id, event_type, value FROM events),
+            r AS (
+                SELECT event_id, user_id, event_type,
+                       CASE WHEN event_type IS NOT DISTINCT FROM 'click'
+                            THEN value + 1.0 ELSE value END AS value
+                FROM events WHERE event_id >= 500
+                UNION ALL
+                SELECT event_id + 1000000, user_id, event_type, value
+                FROM events WHERE event_id < 100),
+            j AS (
+                SELECT coalesce(l.event_id, r.event_id) AS event_id,
+                       CASE WHEN l.event_id IS NULL THEN 'added'
+                            WHEN r.event_id IS NULL THEN 'removed'
+                            WHEN (l.user_id IS DISTINCT FROM r.user_id)
+                              OR (l.event_type
+                                  IS DISTINCT FROM r.event_type)
+                              OR (l.value IS DISTINCT FROM r.value)
+                            THEN 'changed' END AS status
+                FROM l FULL OUTER JOIN r ON l.event_id = r.event_id)
+            SELECT event_id, status FROM j
+            WHERE status IS NOT NULL ORDER BY event_id
         """,
         "pagerank_lineitem_graph": """
             WITH pairs AS (

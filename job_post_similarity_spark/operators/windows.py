@@ -214,3 +214,68 @@ def group_zscore(
         )
         .drop("__n", "__s1", "__s2")
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    key: str,
+    step_col: str,
+    order_cols: list,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how many entities reached step k —
+    i.e. performed ``steps[0..k]`` as an in-order (not necessarily
+    adjacent) subsequence of their event stream.
+
+    One shuffle: events collapse to a per-entity ordered step array
+    (``collect_list(struct(order, step))`` → ``array_sort`` — Spark
+    gives no intra-group collect order, the sort establishes it);
+    subsequence matching is then pure array arithmetic
+    (``array_position`` over successively sliced suffixes — no UDF,
+    no regex), and the stage counts come off a tiny aggregate.
+    Returns ``(stage, step, entities)`` with one row per funnel stage.
+    """
+    ordered = df.groupBy(key).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(*order_cols, F.col(step_col)))
+            ),
+            lambda s: s[step_col],
+        ).alias("__arr")
+    )
+    # walk the funnel: pos_k = first occurrence of steps[k] strictly
+    # after pos_{k-1}; 0 from array_position means "absent"
+    cur = ordered.withColumn("__off", F.lit(0))
+    flags = []
+    for k, step in enumerate(steps):
+        rel = F.array_position(
+            F.slice(
+                F.col("__arr"),
+                F.col("__off") + 1,
+                F.greatest(
+                    F.size("__arr") - F.col("__off"), F.lit(0)
+                ),
+            ),
+            step,
+        )
+        hit = F.when(rel > 0, F.col("__off") + rel)
+        # absent step: park the offset at the array end so every later
+        # slice is empty (an INT sentinel would overflow slice's cast)
+        cur = cur.withColumn(f"__p{k}", hit).withColumn(
+            "__off", F.coalesce(F.col(f"__p{k}"), F.size("__arr"))
+        )
+        flags.append(
+            F.sum(
+                F.when(F.col(f"__p{k}").isNotNull(), 1).otherwise(0)
+            ).alias(f"__s{k}")
+        )
+    totals = cur.agg(*flags)
+    rows = None
+    for k, step in enumerate(steps):
+        one = totals.select(
+            F.lit(k + 1).alias("stage"),
+            F.lit(step).alias("step"),
+            F.col(f"__s{k}").alias("entities"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows

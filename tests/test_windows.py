@@ -125,3 +125,50 @@ def test_cube_counts_covers_all_grouping_sets(spark, sf_dir):
     import re
     assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Scan", plan, re.M)) == 1
+
+
+def test_funnel_counts_in_order_subsequence(spark):
+    """Stage k requires steps 0..k in order: out-of-order purchase
+    does not count; repeats are fine; later stages never exceed
+    earlier ones."""
+    from job_post_similarity_spark.operators.windows import funnel_counts
+
+    rows = [
+        # u1: full funnel, interleaved noise
+        (1, 1, "signup"), (1, 2, "view"), (1, 3, "click"), (1, 4, "purchase"),
+        # u2: purchase BEFORE click -> reaches stage 1 only... except a
+        # second click->purchase never comes
+        (2, 1, "signup"), (2, 2, "purchase"), (2, 3, "click"),
+        # u3: no signup at all -> stage 0
+        (3, 1, "click"), (3, 2, "purchase"),
+        # u4: signup then click, no purchase
+        (4, 1, "signup"), (4, 2, "click"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, step string")
+    out = {
+        r["stage"]: (r["step"], r["entities"])
+        for r in funnel_counts(
+            df, "u", "step", ["t"], ["signup", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {
+        1: ("signup", 3),
+        2: ("click", 3),
+        3: ("purchase", 1),
+    }
+
+
+def test_table_diff_statuses(spark):
+    from job_post_similarity_spark.operators.profiling import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0)],
+        "k long, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(2, "b", None), (3, "C", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r["status"] for r in table_diff(left, right, ["k"]).collect()}
+    # k=2 identical (null-safe!) -> absent; 1 removed; 3 changed; 4 added
+    assert out == {1: "removed", 3: "changed", 4: "added"}
