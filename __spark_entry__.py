@@ -1521,7 +1521,7 @@ def pagerank_lineitem_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = bipartite_edges(li, "l_orderkey", "l_suppkey", ("O", "S"))
     return (
-        pagerank(edges, iterations=3)
+        pagerank(edges, iterations=3, every_node_receives=True)
         .orderBy(F.desc("pr"), F.asc("node"))
         .limit(20)
     )

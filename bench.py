@@ -47,6 +47,8 @@ HEADLINE = [
     "frequent_tokens_documents",
     "bloom_decontaminate_documents",
     "fuzzy_join_suppliers",
+    "line_dedup_documents",
+    "pagerank_lineitem_graph",
 ]
 
 

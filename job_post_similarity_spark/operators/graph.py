@@ -32,6 +32,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping_ppm: int = 850_000,
+    every_node_receives: bool = False,
 ) -> DataFrame:
     """PageRank in integer ppm units: every node starts at
     ``RANK_UNIT``; each iteration a node emits ``pr div outdeg`` along
@@ -45,6 +46,12 @@ def pagerank(
     Dangling nodes (no out-edges) leak their mass — the standard
     simplification; feed symmetric edge pairs (as the bipartite
     builders do) when you need none.
+
+    ``every_node_receives=True`` (safe exactly when every node has at
+    least one IN-edge, e.g. any symmetric graph): skips the
+    per-iteration left join against the node list — the contribution
+    aggregate already yields one row per node — removing one join
+    stage per iteration.
     """
     e_src = F.col(src).alias("src")
     e_dst = F.col(dst).alias("dst")
@@ -53,6 +60,7 @@ def pagerank(
         ed.select(F.col("src").alias("node"))
         .union(ed.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()  # referenced in every iteration's rebuild join
     )
     deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e = ed.join(deg, "src").persist()
@@ -67,7 +75,9 @@ def pagerank(
                 F.expr("pr div outdeg").alias("__c"),
             )
             sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
-            ranks = nodes.join(sums, "node", "left").select(
+            if not every_node_receives:
+                sums = nodes.join(sums, "node", "left")
+            ranks = sums.select(
                 "node",
                 (
                     F.lit(base).cast("long")
@@ -82,6 +92,7 @@ def pagerank(
         ranks = ranks.localCheckpoint(eager=True)
     finally:
         e.unpersist()
+        nodes.unpersist()
     return ranks
 
 

@@ -706,3 +706,23 @@ def test_write_zordered_improves_two_dim_file_locality(spark, tmp_path):
     assert max(x_y_spans) >= n - 2
     assert max(z_y_spans) <= n / 2
     assert max(spans(zpath, "x")) <= n / 2
+
+
+def test_pagerank_every_node_receives_fast_path_equal(spark):
+    """On a symmetric graph the no-nodes-join fast path returns
+    exactly the generic result."""
+    from job_post_similarity_spark.operators.graph import (
+        bipartite_edges,
+        pagerank,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, i % 3) for i in range(30)], "l long, r long"
+    )
+    e = bipartite_edges(df, "l", "r", ("L", "R"))
+    slow = sorted(tuple(r) for r in pagerank(e, iterations=2).collect())
+    fast = sorted(
+        tuple(r)
+        for r in pagerank(e, iterations=2, every_node_receives=True).collect()
+    )
+    assert slow == fast
