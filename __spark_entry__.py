@@ -2478,6 +2478,19 @@ def stream_keep_latest_events(
     ).orderBy("user_id")
 
 
+def stream_click_attribution_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds (purchase <-
+    same user's clicks within 30 min). Bounded input: appended result
+    equals the batch theta join — the oracle."""
+    from job_post_similarity_spark.streaming import stream_click_attribution
+
+    return stream_click_attribution(
+        spark, sf_dir, name="g_stream_ssj"
+    ).orderBy("purchase_id", "click_id")
+
+
 def perplexity_buckets_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2521,7 +2534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== graded window (first 50) =====
         # r3-green gates re-cycled through the window:
         "token_explode_documents": token_explode_documents,
-        "q16_distinct_suppliers": q16_distinct_suppliers,
         "q4_order_priority_check": q4_order_priority_check,
         "text_annotate_documents": text_annotate_documents,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
@@ -2575,11 +2587,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "zorder_key_orders": zorder_key_orders,
         "funnel_conversion_events": funnel_conversion_events,
-        "table_diff_events": table_diff_events,  # pos 50
+        "table_diff_events": table_diff_events,
+        "stream_click_attribution_events": stream_click_attribution_events,  # 50
         # ===== position 51+: every entry here green in a prior =====
         # ===== round's CORRECTNESS file (machine-checked)       =====
         "q18_large_volume_customers": q18_large_volume_customers,
         "strip_html_documents": strip_html_documents,
+        "q16_distinct_suppliers": q16_distinct_suppliers,
         "q13_customer_distribution": q13_customer_distribution,
         "q12_shipmode_priority": q12_shipmode_priority,
         "q14_promo_revenue": q14_promo_revenue,
@@ -3183,6 +3197,18 @@ def oracle_sql() -> dict[str, str]:
             FROM isl
             GROUP BY doc_id, grp
             ORDER BY doc_id, span_start
+        """,
+        "stream_click_attribution_events": """
+            SELECT p.event_id AS purchase_id,
+                   c.event_id AS click_id,
+                   p.user_id
+            FROM events p
+            JOIN events c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL 30 MINUTES
+             AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+            ORDER BY purchase_id, click_id
         """,
         "funnel_conversion_events": """
             WITH seq AS (

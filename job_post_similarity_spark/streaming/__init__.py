@@ -1,6 +1,7 @@
 from .stream_ops import (  # noqa: F401
     compact_signature_store,
     use_rocksdb_state,
+    stream_click_attribution,
     stream_dedup,
     stream_event_counts,
     stream_keep_latest,

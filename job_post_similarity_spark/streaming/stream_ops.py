@@ -799,3 +799,58 @@ def stream_static_enrich(
         name,
         "complete",
     )
+
+
+def stream_click_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "stream_ssj",
+    attribution_minutes: int = 30,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range condition:
+    every purchase paired with the same user's clicks in the
+    preceding ``attribution_minutes`` — the classic ad-attribution
+    join, and the one streaming surface where Spark must buffer BOTH
+    sides in keyed state.
+
+    The watermarks plus the ``c_ts BETWEEN p_ts - interval AND p_ts``
+    bound are what let the state store evict: a click older than
+    (max event time - watermark - interval) can never match a future
+    purchase, so state is bounded by the time window — not the stream
+    length. Without the range condition Spark would (rightly) refuse
+    to run the join unbounded.
+
+    Bounded parquet input arrives as one micro-batch, so no row is
+    ever late past the watermark and the appended result equals the
+    batch theta join — which keeps this oracle-checkable.
+    """
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id"
+            f" AND c_ts >= p_ts - interval {attribution_minutes} minutes"
+            " AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return _run_to_memory(joined, name, "append")

@@ -726,3 +726,41 @@ def test_pagerank_every_node_receives_fast_path_equal(spark):
         for r in pagerank(e, iterations=2, every_node_receives=True).collect()
     )
     assert slow == fast
+
+
+def test_stream_click_attribution_window_bounds(spark, tmp_path):
+    """Stream-stream join: clicks exactly 30 min before and exactly at
+    the purchase both attach; later clicks and other users don't."""
+    import os
+
+    import pandas as pd
+
+    from job_post_similarity_spark.streaming import stream_click_attribution
+
+    src = str(tmp_path / "ssj_src")
+    os.makedirs(src)
+    m = 60 * 10**9  # ns per minute
+    base = 10_000
+    rows = [
+        # (event_id, ts_min, user_id, event_type)
+        (0, base + 20, 1, "purchase"),
+        (1, base + 0, 1, "click"),    # 20 min before -> attributed
+        (2, base + 100, 1, "click"),  # after purchase -> no
+        (3, base + 19, 2, "click"),   # other user -> no
+        (4, base - 10, 1, "click"),   # exactly 30 min before -> yes
+        (5, base + 20, 1, "click"),   # same instant -> yes
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] * m for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [0.0] * len(rows),
+            "props": ["p"] * len(rows),
+        }
+    ).to_parquet(os.path.join(src, "events.parquet"))
+
+    out = stream_click_attribution(spark, src, name="t_ssj")
+    pairs = {(r["purchase_id"], r["click_id"]) for r in out.collect()}
+    assert pairs == {(0, 1), (0, 4), (0, 5)}
