@@ -270,12 +270,19 @@ def funnel_counts(
             ).alias(f"__s{k}")
         )
     totals = cur.agg(*flags)
-    rows = None
-    for k, step in enumerate(steps):
-        one = totals.select(
-            F.lit(k + 1).alias("stage"),
-            F.lit(step).alias("step"),
-            F.col(f"__s{k}").alias("entities"),
-        )
-        rows = one if rows is None else rows.unionByName(one)
-    return rows
+    # ONE aggregate row exploded into the per-stage rows — a union of
+    # per-stage selects would re-run the whole collapse+count subplan
+    # once per funnel stage (measured: 3x the scans at 3 stages)
+    stage_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).alias("stage"),
+                F.lit(step).alias("step"),
+                F.col(f"__s{k}").alias("entities"),
+            )
+            for k, step in enumerate(steps)
+        ]
+    )
+    return totals.select(F.explode(stage_structs).alias("__r")).select(
+        "__r.stage", "__r.step", "__r.entities"
+    )

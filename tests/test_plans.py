@@ -269,3 +269,52 @@ def test_srp_recall_sweep_orders_operating_points(spark):
     assert all(0.0 <= r <= 1.0 for r in recalls)
     assert recalls == sorted(recalls)  # monotone in bands
     assert recalls[-1] >= 0.5  # 48 bands on 300 vecs finds most top-1s
+
+
+def test_segment_dedup_two_exchanges(spark):
+    """line_dedup: keep-first window (hash by segment) + per-doc
+    rebuild — exactly two Exchanges; segmentation itself must ride
+    the scan (transform/slice, no explode before the window key)."""
+    plan = _plan(spark, "line_dedup_documents")
+    # 2 core shuffles + the gate's orderBy range partition
+    assert _nodes(plan, "Exchange") <= 3
+
+
+def test_scd2_single_exchange(spark):
+    """Both windows and the run aggregate share the entity-key hash
+    partitioning: one Exchange (plus the gate's sort)."""
+    plan = _plan(spark, "scd2_user_events")
+    srt = _nodes(plan, "Sort")
+    ex = _nodes(plan, "Exchange")
+    assert ex <= 2, f"expected <=2 Exchange (1 hash + 1 range), got {ex}"
+    assert srt >= 1
+
+
+def test_funnel_single_shuffle(spark):
+    """Funnel: one shuffle to collapse events per entity; the stage
+    counts come off a tiny final aggregate."""
+    plan = _plan(spark, "funnel_conversion_events")
+    # 1 hash (collect per user) + 1 single-partition final agg; the
+    # events scan must appear ONCE (stages come from one explode, not
+    # a union that re-runs the collapse per stage)
+    assert _nodes(plan, "Exchange") <= 2
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_table_diff_single_join(spark):
+    """Reconciliation is ONE full-outer hash join — no second pass,
+    no row-hash recompute join."""
+    plan = _plan(spark, "table_diff_events")
+    assert _nodes(plan, "SortMergeJoin FullOuter") + _nodes(
+        plan, "ShuffledHashJoin FullOuter BuildRight"
+    ) + _nodes(plan, "ShuffledHashJoin FullOuter BuildLeft") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_zorder_key_is_codegen(spark):
+    """The Morton key must be pure JVM expressions inside codegen —
+    no Python evaluation node in the plan."""
+    plan = _plan(spark, "zorder_key_orders")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "codegen id" in plan
