@@ -1527,6 +1527,35 @@ def pagerank_lineitem_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical inverted index: token -> df + sorted capped posting
+    list (nested-array output)."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=5, max_postings=50).orderBy("token")
+
+
+def bm25_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query [spark, join, window]: per-term
+    integer-micro contributions, integer-summed per doc."""
+    from job_post_similarity_spark.operators.text_analysis import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_rank(docs, ["spark", "join", "window"], top_n=20)
+
+
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics on events.user_id: cardinality, hottest
+    key, top-5 mass, exact discrete Gini in millionths."""
+    from job_post_similarity_spark.operators.skew import skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_profile(ev, "user_id", top_n=5)
+
+
 def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) interleave key over (o_custkey, o_orderkey) —
     the clustering key behind write_zordered's multi-dimensional data
@@ -2533,9 +2562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ===== graded window (first 50) =====
         # r3-green gates re-cycled through the window:
-        "token_explode_documents": token_explode_documents,
-        "q4_order_priority_check": q4_order_priority_check,
-        "text_annotate_documents": text_annotate_documents,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
         "embedding_norms": embedding_norms,
         "id_set_union_events": id_set_union_events,
@@ -2588,11 +2614,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_orders": zorder_key_orders,
         "funnel_conversion_events": funnel_conversion_events,
         "table_diff_events": table_diff_events,
-        "stream_click_attribution_events": stream_click_attribution_events,  # 50
+        "stream_click_attribution_events": stream_click_attribution_events,
+        "inverted_index_documents": inverted_index_documents,
+        "bm25_rank_documents": bm25_rank_documents,
+        "skew_profile_events": skew_profile_events,  # pos 50
         # ===== position 51+: every entry here green in a prior =====
         # ===== round's CORRECTNESS file (machine-checked)       =====
         "q18_large_volume_customers": q18_large_volume_customers,
         "strip_html_documents": strip_html_documents,
+        "token_explode_documents": token_explode_documents,
+        "q4_order_priority_check": q4_order_priority_check,
+        "text_annotate_documents": text_annotate_documents,
         "q16_distinct_suppliers": q16_distinct_suppliers,
         "q13_customer_distribution": q13_customer_distribution,
         "q12_shipmode_priority": q12_shipmode_priority,
@@ -3197,6 +3229,82 @@ def oracle_sql() -> dict[str, str]:
             FROM isl
             GROUP BY doc_id, grp
             ORDER BY doc_id, span_start
+        """,
+        "inverted_index_documents": """
+            WITH t AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents WHERE text IS NOT NULL)
+            SELECT token, count(*) AS df,
+                   list_slice(list(doc_id ORDER BY doc_id), 1, 50)
+                       AS postings
+            FROM t GROUP BY token
+            HAVING count(*) >= 5
+            ORDER BY token
+        """,
+        "bm25_rank_documents": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents WHERE text IS NOT NULL),
+            dl_t AS (SELECT doc_id, len(t) AS dl, t FROM d),
+            stats AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(len(t)) AS BIGINT) AS sum_dl
+                FROM d),
+            tok AS (SELECT doc_id, dl, unnest(t) AS token FROM dl_t),
+            tf AS (
+                SELECT doc_id, dl, token, count(*) AS tf
+                FROM tok WHERE token IN ('spark', 'join', 'window')
+                GROUP BY doc_id, dl, token),
+            dfq AS (SELECT token, count(*) AS dfreq FROM tf
+                    GROUP BY token),
+            c AS (
+                SELECT tf.doc_id,
+                       CAST(round(
+                           (ln((CAST(n_docs AS DOUBLE)
+                                - CAST(dfreq AS DOUBLE) + 0.5)
+                               / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0)
+                            * (CAST(tf AS DOUBLE) * (1.2 + 1.0)))
+                           / (CAST(tf AS DOUBLE)
+                              + 1.2 * (1.0 - 0.75
+                                       + 0.75 * CAST(dl AS DOUBLE)
+                                         / (CAST(sum_dl AS DOUBLE)
+                                            / CAST(n_docs AS DOUBLE))))
+                           * 1000000.0) AS BIGINT) AS c6
+                FROM tf JOIN dfq ON tf.token = dfq.token, stats)
+            SELECT doc_id, count(*) AS terms_matched,
+                   CAST(CAST(sum(c6) AS BIGINT) AS DOUBLE) / 1000000.0
+                       AS score
+            FROM c GROUP BY doc_id
+            ORDER BY CAST(sum(c6) AS BIGINT) DESC, doc_id
+            LIMIT 20
+        """,
+        "skew_profile_events": """
+            WITH c AS (
+                SELECT user_id, count(*) AS cnt
+                FROM events GROUP BY user_id),
+            r AS (
+                SELECT *,
+                       row_number() OVER (
+                           ORDER BY cnt ASC, user_id ASC) AS i,
+                       row_number() OVER (
+                           ORDER BY cnt DESC, user_id ASC) AS j
+                FROM c)
+            SELECT count(*) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS total_rows,
+                   max(cnt) AS max_cnt,
+                   CAST(sum(CASE WHEN j <= 5 THEN cnt ELSE 0 END)
+                        AS BIGINT) AS top5_cnt,
+                   CAST(round(
+                       (2.0 * CAST(sum(i * cnt) AS DOUBLE)
+                        / (CAST(count(*) AS DOUBLE)
+                           * CAST(sum(cnt) AS DOUBLE))
+                        - (CAST(count(*) AS DOUBLE) + 1.0)
+                          / CAST(count(*) AS DOUBLE))
+                       * 1000000.0) AS BIGINT) AS gini6
+            FROM r
         """,
         "stream_click_attribution_events": """
             SELECT p.event_id AS purchase_id,

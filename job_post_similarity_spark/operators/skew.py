@@ -69,3 +69,53 @@ def salted_distinct_count(
         partial.groupBy(key)
         .agg(F.sum("__partial").alias("distinct_count"))
     )
+
+
+def skew_profile(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
+    """Key-distribution diagnostics that drive the salting decision:
+    one row with key cardinality, total rows, the hottest key's count,
+    the top-``top_n`` keys' combined count, and the Gini coefficient
+    of the per-key counts in integer millionths.
+
+    Gini here is the exact discrete form over per-key counts sorted
+    ascending (ties broken by key for determinism):
+    ``G = (2·Σ i·c_i) / (n·Σc) − (n+1)/n``. The Σ i·c_i accumulates
+    as exact integers; only the final ratio touches doubles, so the
+    number is engine-exact. Everything is two hash aggregates over
+    (key → count) — the profile costs one pass however large the
+    table; run it BEFORE choosing join strategies (a gini near 1 or a
+    max_cnt ≫ total/n_keys says: salt or broadcast).
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w_asc = Window.orderBy(F.asc("cnt"), F.asc(key_col))
+    w_desc = Window.orderBy(F.desc("cnt"), F.asc(key_col))
+    ranked = counts.withColumn("i", F.row_number().over(w_asc)).withColumn(
+        "j", F.row_number().over(w_desc)
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(
+            F.when(F.col("j") <= top_n, F.col("cnt")).otherwise(F.lit(0))
+        ).alias(f"top{top_n}_cnt"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("i").cast("long") * F.col("cnt")).cast(
+                    "double"
+                )
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.sum("cnt").cast("double")
+                )
+                - (F.count(F.lit(1)).cast("double") + 1.0)
+                / F.count(F.lit(1)).cast("double")
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("gini6"),
+    )

@@ -540,3 +540,118 @@ def pmi_collocations(
         )
         .orderBy("rank")
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_postings: int = 100,
+) -> DataFrame:
+    """Build an inverted index: token → document frequency + sorted
+    (capped) posting list — the lexical-retrieval counterpart of the
+    ANN index tiers.
+
+    One explode of DISTINCT per-doc tokens (``array_distinct`` rides
+    the scan, so a token repeated inside a doc costs one row), one
+    hash aggregate on token. Posting lists are sorted then capped at
+    ``max_postings`` AFTER the sort, so the cap is deterministic (the
+    lowest ids survive). At 100 TB posting lists for stopword-grade
+    tokens explode past any row budget — ``min_df`` prunes hapaxes
+    and the cap bounds the hot tokens; a full-fidelity index would
+    bucket postings into (token, shard) rows instead.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.explode(F.array_distinct(toks)).alias("token")
+    )
+    return (
+        t.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(
+                F.array_sort(F.collect_list(F.col(id_col))),
+                1,
+                max_postings,
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_tokens: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 lexical ranking of documents against a token query
+    (Robertson/Sparck Jones; the Lucene ``+1`` idf form so scores stay
+    positive): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    b·dl/avgdl)).
+
+    Cross-engine determinism, same policy as ``pmi_collocations``:
+    each per-(doc, term) contribution takes ONE ln and a fixed
+    parenthesization, is rounded to integer millionths, and only the
+    INTEGERS are summed per doc — no order-dependent double
+    accumulation; ranking ties break on the doc id.
+
+    Scale shape: the token explode filters to the query vocabulary
+    map-side (the corpus never shuffles by token); the tf table is
+    |matching docs| × |query| rows; document frequencies and the
+    (N, avgdl) stats row broadcast back onto it.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    docs = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.size(toks).alias("dl"), toks.alias("__toks")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        docs.select(id_col, "dl", F.explode("__toks").alias("token"))
+        .filter(F.col("token").isin(list(query_tokens)))
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("dfreq").cast("double") + 0.5)
+        / (F.col("dfreq").cast("double") + 0.5)
+        + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    contrib6 = (
+        F.round(
+            (idf * (tfd * (k1 + 1.0)))
+            / (tfd + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("c6")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, contrib6)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("terms_matched"),
+            F.sum("c6").alias("score6"),
+        )
+        .orderBy(F.desc("score6"), F.asc(id_col))
+        .limit(top_n)
+        .select(
+            id_col,
+            "terms_matched",
+            (F.col("score6").cast("double") / 1e6).alias("score"),
+        )
+    )

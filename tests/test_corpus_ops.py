@@ -764,3 +764,84 @@ def test_stream_click_attribution_window_bounds(spark, tmp_path):
     out = stream_click_attribution(spark, src, name="t_ssj")
     pairs = {(r["purchase_id"], r["click_id"]) for r in out.collect()}
     assert pairs == {(0, 1), (0, 4), (0, 5)}
+
+
+def test_inverted_index_caps_and_sorts_postings(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [(3, "a b"), (1, "a a b"), (2, "a x"), (4, "b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["token"]: (r["df"], r["postings"])
+        for r in inverted_index(df, min_df=2, max_postings=2).collect()
+    }
+    # within-doc repeats count once; postings sorted, capped at 2
+    assert out == {"a": (3, [1, 2]), "b": (3, [1, 3])}
+
+
+def test_bm25_matches_numpy_reference(spark):
+    import math
+
+    from job_post_similarity_spark.operators.text_analysis import bm25_rank
+
+    docs = {
+        1: "spark join spark table",
+        2: "join window",
+        3: "table scan row",
+        4: "spark spark spark window join",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    query, k1, b = ["spark", "join", "window"], 1.2, 0.75
+    toks = {d: t.split() for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {
+        q: sum(1 for t in toks.values() if q in t) for q in query
+    }
+    expect = {}
+    for d, t in toks.items():
+        s = 0
+        for q in query:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+            s += round(
+                (idf * (tf * (k1 + 1.0)))
+                / (tf + k1 * (1.0 - b + b * len(t) / avgdl))
+                * 1e6
+            )
+        if s:
+            expect[d] = s / 1e6
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_rank(df, query, k1=k1, b=b).collect()
+    }
+    assert got == expect
+
+
+def test_skew_profile_gini_extremes(spark):
+    from job_post_similarity_spark.operators.skew import skew_profile
+
+    # uniform: 4 keys x 3 rows -> gini 0
+    uni = spark.createDataFrame(
+        [(k,) for k in range(4) for _ in range(3)], "k long"
+    )
+    r = skew_profile(uni, "k", top_n=2).first()
+    assert (r["n_keys"], r["total_rows"], r["max_cnt"], r["top2_cnt"]) == (
+        4, 12, 3, 6,
+    )
+    assert r["gini6"] == 0
+    # one hot key dominating: gini near (n-1)/n-ish, strictly positive
+    hot = spark.createDataFrame(
+        [(0,)] * 97 + [(1,), (2,), (3,)], "k long"
+    )
+    r2 = skew_profile(hot, "k", top_n=1).first()
+    assert r2["max_cnt"] == 97 and r2["top1_cnt"] == 97
+    assert r2["gini6"] > 700_000
