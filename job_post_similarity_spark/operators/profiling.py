@@ -369,3 +369,38 @@ def table_diff(
         .filter(F.col("status").isNotNull())
         .select(*keys, "status")
     )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [lo, hi] exact continuous percentiles — the outlier-taming step
+    before scaling/featurization (complement of ``group_zscore``).
+
+    One grouped percentile aggregate (tiny: one row per group,
+    broadcast back onto the table — the table itself never shuffles),
+    then a map-side clip. Percentile ↔ DuckDB ``quantile_cont``
+    parity is established by the quantile gates. Null values pass
+    through unclipped (greatest/least null-skipping differs across
+    engines — don't rely on it; filter upstream if needed).
+    """
+    bounds = df.groupBy(key).agg(
+        F.percentile(value_col, F.lit(lo)).alias("__blo"),
+        F.percentile(value_col, F.lit(hi)).alias("__bhi"),
+    )
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(
+            F.greatest(F.col(value_col), F.col("__blo")), F.col("__bhi")
+        ),
+    )
+    return (
+        df.join(F.broadcast(bounds), key)
+        .withColumn(f"{value_col}_w", clipped)
+        .drop("__blo", "__bhi")
+    )

@@ -129,3 +129,38 @@ def stratified_sample(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Deterministic train/val/test split: each row lands in exactly
+    one named split by its ``hash_bucket`` — map-side, no shuffle, no
+    seed state, reproducible across engines and across runs even if
+    the table is re-partitioned or rows are appended (a row's split
+    depends only on its key — the property random `randomSplit` lacks,
+    and the one that stops train/test leakage when the corpus grows).
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the last split). Adds a ``split`` column.
+    """
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {total} > 1")
+    b = hash_bucket(key)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < int(acc * _MOD)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)

@@ -845,3 +845,45 @@ def test_skew_profile_gini_extremes(spark):
     r2 = skew_profile(hot, "k", top_n=1).first()
     assert r2["max_cnt"] == 97 and r2["top1_cnt"] == 97
     assert r2["gini6"] > 700_000
+
+
+def test_hash_split_partition_exhaustive_and_stable(spark):
+    """Every row lands in exactly one split; membership depends only
+    on the key (stable under append/repartition); weights sum check."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(df, "k", w)
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(counts.values()) == 5000
+    assert counts["train"] > 3500 and counts["val"] > 200 and counts["test"] > 200
+    # stability: a subset keeps identical assignments
+    sub = hash_split(df.filter("k < 100").repartition(7), "k", w)
+    full = {r["k"]: r["split"] for r in out.filter("k < 100").collect()}
+    assert {r["k"]: r["split"] for r in sub.collect()} == full
+    with pytest.raises(ValueError):
+        hash_split(df, "k", {"a": 0.9, "b": 0.2})
+
+
+def test_winsorize_by_group_clips_to_group_bounds(spark):
+    import pytest
+
+    from job_post_similarity_spark.operators.profiling import (
+        winsorize_by_group,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("h", 5.0), ("h", 6.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = winsorize_by_group(df, "grp", "v", lo=0.10, hi=0.90)
+    g = [r["v_w"] for r in out.filter("grp = 'g'").collect()]
+    # exact continuous p10 of 1..100 = 10.9, p90 = 90.1 (IEEE)
+    assert min(g) == pytest.approx(10.9) and max(g) == pytest.approx(90.1)
+    # group h is untouched within its own (tiny) bounds
+    h = sorted(r["v_w"] for r in out.filter("grp = 'h'").collect())
+    assert h == pytest.approx([5.1, 5.9])
