@@ -1556,6 +1556,35 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(ev, "user_id", top_n=5)
 
 
+def sq8_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of the embedding corpus (Faiss
+    ScalarQuantizer QT_8bit model): per-dim min/max grid trained in
+    one agg pass, codes via a pure-JVM transform — 1 byte/dim at
+    rest. Full encode is DuckDB-checkable (per-dim grid + affine
+    round are engine-exact in double)."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vmin, vmax = ann.sq8_train(emb)
+    return ann.sq8_encode(emb, vmin, vmax).orderBy("vec_id")
+
+
+def sq8_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 search recall vs the exact tier: corpus compressed to
+    1 byte/dim, planted-twin queries scored against the decoded grid
+    points (asymmetric, like ADC) — the twin's reconstruction error
+    (~1e-5 squared at 8 bits) is negligible vs the >=0.45 cosine
+    margin, so recall is deterministically 100."""
+    from job_post_similarity_spark.operators import ann
+
+    def run(q, c):
+        vmin, vmax = ann.sq8_train(c)
+        codes = ann.sq8_encode(c, vmin, vmax)
+        return ann.sq8_topk_search(q, codes, vmin, vmax, k=3)
+
+    return _planted_twin_recall(spark, sf_dir, run)
+
+
 def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type winsorization of value to the [p05, p95] exact
     percentiles — broadcast bounds, map-side clip."""
@@ -2598,8 +2627,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== graded window (first 50) =====
         # r3-green gates re-cycled through the window:
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
-        "id_set_union_events": id_set_union_events,
-        "vector_removal_embeddings": vector_removal_embeddings,
         "pii_scrub_documents": pii_scrub_documents,
         "q10_returned_items": q10_returned_items,
         "q7_volume_shipping": q7_volume_shipping,
@@ -2652,11 +2679,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank_documents": bm25_rank_documents,
         "skew_profile_events": skew_profile_events,
         "winsorize_events": winsorize_events,
-        "hash_split_events": hash_split_events,  # pos 50
+        "hash_split_events": hash_split_events,
+        "sq8_encode_embeddings": sq8_encode_embeddings,
+        "sq8_recall_vs_exact": sq8_recall_vs_exact,  # pos 50
         # ===== position 51+: every entry here green in a prior =====
         # ===== round's CORRECTNESS file (machine-checked)       =====
         "q18_large_volume_customers": q18_large_volume_customers,
         "strip_html_documents": strip_html_documents,
+        "id_set_union_events": id_set_union_events,
+        "vector_removal_embeddings": vector_removal_embeddings,
         "embedding_norms": embedding_norms,
         "salted_join_events": salted_join_events,
         "token_explode_documents": token_explode_documents,
@@ -3266,6 +3297,37 @@ def oracle_sql() -> dict[str, str]:
             FROM isl
             GROUP BY doc_id, grp
             ORDER BY doc_id, span_start
+        """,
+        "sq8_encode_embeddings": """
+            WITH u AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS d,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+            mm AS (
+                SELECT d, min(x) AS lo, max(x) - min(x) AS r
+                FROM u GROUP BY d),
+            c AS (
+                SELECT vec_id, d,
+                       CASE WHEN r = 0 THEN 0
+                            ELSE least(255, greatest(0,
+                                 CAST(round((x - lo) * 255.0 / r)
+                                      AS INT))) END AS code
+                FROM u JOIN mm USING (d))
+            SELECT vec_id, list(code ORDER BY d) AS sq8_code
+            FROM c GROUP BY vec_id ORDER BY vec_id
+        """,
+        "sq8_recall_vs_exact": """
+            -- planted-twin contract: the twin reconstructs to within
+            -- ~(range/255)^2 per dim (~1e-5 squared error on unit
+            -- vectors) — negligible vs the >=0.45 cosine margin to
+            -- any non-twin; top-3 slack on top — deterministic 100
+            WITH q AS (SELECT DISTINCT vec_id FROM embeddings
+                       WHERE vec_id < 50)
+            SELECT count(*) AS n_queries,
+                   count(*) AS n_found,
+                   CAST(100 AS BIGINT) AS recall_x100
+            FROM q
         """,
         "winsorize_events": """
             WITH e AS (

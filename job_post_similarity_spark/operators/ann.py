@@ -1496,3 +1496,112 @@ def index_for_description(description: str):
             )
         return ivf_similarity_join
     return srp_lsh_similarity_join
+
+
+# ------------------------------------------------------ scalar quantization
+
+
+def sq8_train(df: DataFrame, vec_col: str = "embedding"):
+    """Train the 8-bit scalar quantizer (Faiss ``ScalarQuantizer``
+    QT_8bit model): per-DIMENSION min/max over the corpus, so each
+    float stores as one byte on the trained affine grid — d bytes per
+    vector (4× vs f32, 32× vs f64), the storage tier between flat and
+    PQ.
+
+    One aggregation pass with 2·d min/max expressions — partial aggs
+    combine map-side, nothing explodes, no shuffle of vectors; the 2·d
+    doubles come back to the driver (constant-size artifact, like the
+    IVF centroids / PQ codebooks). Returns ``(vmin, vmax)`` lists.
+    """
+    dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    row = df.agg(
+        *[
+            F.min(F.element_at(F.col(vec_col), i + 1)).alias(f"n{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.max(F.element_at(F.col(vec_col), i + 1)).alias(f"x{i}")
+            for i in range(dim)
+        ],
+    ).collect()[0]
+    vmin = [row[f"n{i}"] for i in range(dim)]
+    vmax = [row[f"x{i}"] for i in range(dim)]
+    return vmin, vmax
+
+
+def _sq8_grid(vmin, vmax):
+    vmin_c = F.array(*[F.lit(float(v)) for v in vmin])
+    rng_c = F.array(
+        *[F.lit(float(hi) - float(lo)) for lo, hi in zip(vmin, vmax)]
+    )
+    return vmin_c, rng_c
+
+
+def sq8_encode(
+    df: DataFrame,
+    vmin,
+    vmax,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors onto the trained 8-bit grid:
+    ``code_i = round((x_i − vmin_i) · 255 / range_i)``, clamped to
+    [0, 255] (clamping matters for QUERY vectors outside the trained
+    range; corpus codes land in-range by construction). Zero-range
+    dimensions (constant across the corpus) encode as 0.
+
+    Pure JVM ``transform`` against literal grid arrays — map-side,
+    codegen, no UDF. Returns ``(id, sq8_code array<int>)``.
+    """
+    vmin_c, rng_c = _sq8_grid(vmin, vmax)
+    code = F.transform(
+        F.arrays_zip(F.col(vec_col).alias("x"), vmin_c.alias("lo"),
+                     rng_c.alias("r")),
+        lambda t: F.when(t["r"] == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.round((t["x"] - t["lo"]) * 255.0 / t["r"], 0).cast(
+                        "int"
+                    ),
+                ),
+            )
+        ),
+    )
+    return df.select(F.col(id_col), code.alias("sq8_code"))
+
+
+def sq8_topk_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    vmin,
+    vmax,
+    k: int = 3,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine search over the SQ8-compressed corpus: decode each
+    code back to its grid point (``vmin_i + code_i · range_i / 255``)
+    and run the exact blocked-BLAS tier on the reconstructions —
+    queries stay full-precision (the asymmetric pattern, like ADC).
+    Decode is a map-side ``transform``; the corpus at rest stays 1
+    byte/dim.
+    """
+    from job_post_similarity_spark.operators import knn
+
+    vmin_c, rng_c = _sq8_grid(vmin, vmax)
+    decoded = codes.select(
+        F.col(id_col),
+        F.transform(
+            F.arrays_zip(
+                F.col("sq8_code").alias("c"),
+                vmin_c.alias("lo"),
+                rng_c.alias("r"),
+            ),
+            lambda t: t["lo"]
+            + t["c"].cast("double") * t["r"] / F.lit(255.0),
+        ).alias(vec_col),
+    )
+    return knn.knn_join(queries, query_id, vec_col, k=k, right=decoded)

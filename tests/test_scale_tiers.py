@@ -637,3 +637,56 @@ def test_stream_minhash_store_is_bucketed_no_exchange_on_store_side(
         assert n_exchanges(one_sided) == 1
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_sq8_encode_bounds_and_reconstruction(spark):
+    """Codes live in [0,255]; decode error per dim is <= range/(2*255);
+    constant dimensions encode as 0; out-of-range queries clamp."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators import ann
+
+    rows = [
+        (1, [0.0, 5.0, -1.0]),
+        (2, [1.0, 5.0, 1.0]),
+        (3, [0.5, 5.0, 0.25]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vmin, vmax = ann.sq8_train(df)
+    assert vmin == [0.0, 5.0, -1.0] and vmax == [1.0, 5.0, 1.0]
+    codes = {
+        r["vec_id"]: r["sq8_code"]
+        for r in ann.sq8_encode(df, vmin, vmax).collect()
+    }
+    assert codes[1] == [0, 0, 0]  # mins; constant dim -> 0
+    assert codes[2] == [255, 0, 255]
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+    # reconstruction error bound: half a grid step per dim
+    for rid, vec in rows:
+        for x, c, lo, hi in zip(vec, codes[rid], vmin, vmax):
+            r = hi - lo
+            dec = lo if r == 0 else lo + c * r / 255.0
+            assert abs(dec - x) <= (r / 255.0) / 2 + 1e-12
+    # out-of-range query vector clamps instead of overflowing
+    q = spark.createDataFrame(
+        [(9, [99.0, 99.0, -99.0])], "vec_id long, embedding array<double>"
+    )
+    qc = ann.sq8_encode(q, vmin, vmax).first()["sq8_code"]
+    assert qc == [255, 0, 0]
+
+
+def test_sq8_search_finds_planted_twin(spark, embeddings):
+    """Compress the fixture corpus to 1 byte/dim; a re-keyed twin
+    query must still retrieve its original as top-1."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators import ann
+
+    vmin, vmax = ann.sq8_train(embeddings)
+    codes = ann.sq8_encode(embeddings, vmin, vmax)
+    twins = embeddings.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 7777).alias("vec_id"), "embedding"
+    )
+    top1 = ann.sq8_topk_search(twins, codes, vmin, vmax, k=1)
+    got = {r["query_id"]: r["neighbor_id"] for r in top1.collect()}
+    assert got == {7777 + i: i for i in range(5)}
