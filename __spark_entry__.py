@@ -2611,6 +2611,117 @@ def perplexity_buckets_documents(
     )
 
 
+def bpe_merge_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-training merge step: top-30 adjacent character pairs
+    weighted by word frequency (Sennrich et al. 2016) — the
+    tokenizer-training prep op. Distinct-word aggregate FIRST, gram
+    explode over vocabulary only; exact integer counts."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_merge_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_pairs(docs, top_n=30, min_count=2)
+
+
+def chi2_token_label_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token↔lang association, top-30 by rounded score —
+    the feature-selection table for a corpus-quality classifier."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        chi2_token_label,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_token_label(docs, min_df=5, top_n=30)
+
+
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers of value per event_type (3×MAD
+    rule) — the robust twin of group_zscore_events. Flagged rows
+    only, rounded to 4 on both engines."""
+    from job_post_similarity_spark.operators.profiling import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = mad_outliers(ev, "event_type", "value", k=3.0)
+    return (
+        out.filter(F.col("is_outlier"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round("__med", 4).alias("med"),
+            F.round("__mad", 4).alias("mad"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def basket_lift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over order baskets of part BRANDS (lineitem
+    ⋈ broadcast part): top-50 brand pairs by (support, lift) with
+    lift in integer ppm — floor div outside the distributed sums."""
+    from job_post_similarity_spark.operators.association import (
+        basket_pair_lift,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return basket_pair_lift(
+        baskets, "l_orderkey", "p_brand", min_pair_count=2, top_n=50
+    )
+
+
+def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote auto-labeling (k=5, cosine, self excluded;
+    ties on votes desc → label asc) joined back to the true label —
+    the label-propagation step of a data-curation pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = knn.knn_classify(emb, "vec_id", "embedding", "label", k=5)
+    return (
+        emb.select("vec_id", "label")
+        .join(pred, "vec_id")
+        .select("vec_id", "label", "pred_label", "votes")
+        .orderBy("vec_id")
+    )
+
+
+def prefix_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard ≥ 0.8 self-join via prefix filtering
+    (PPJoin/AllPairs blocking) over a fixed doc subset (doc_id < 150
+    — the corpus is synthetically self-similar, so an unbounded
+    threshold join has quadratic OUTPUT by construction; the oracle
+    is the quadratic token join, so a green gate is a machine-checked
+    completeness proof of the prefix blocking)."""
+    from job_post_similarity_spark.operators.dedup import (
+        prefix_jaccard_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    return prefix_jaccard_join(
+        docs, "doc_id", "text", threshold_ppm=800_000
+    )
+
+
+def triangle_counts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the top-500 co-supplier edges
+    (suppliers sharing a part, weighted by shared-part count — the
+    deterministic sparsification cut), a < b < c wedge-join
+    enumeration."""
+    from job_post_similarity_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_partkey", "l_suppkey", top_edges=500)
+    return triangle_counts(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -2625,14 +2736,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round: every oracle-backed query green in r01∪r02∪r03∪r04."""
     return {
         # ===== graded window (first 50) =====
-        # r3-green gates re-cycled through the window:
-        "rolling_fingerprint_documents": rolling_fingerprint_documents,
-        "pii_scrub_documents": pii_scrub_documents,
-        "q10_returned_items": q10_returned_items,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_parts": q11_important_parts,
+        # never-graded gates new this session:
+        "bpe_merge_pairs_documents": bpe_merge_pairs_documents,
+        "chi2_token_label_documents": chi2_token_label_documents,
+        "mad_outliers_events": mad_outliers_events,
+        "basket_lift_lineitem": basket_lift_lineitem,
+        "knn_classify_embeddings": knn_classify_embeddings,
+        "prefix_jaccard_docs": prefix_jaccard_docs,
+        "triangle_counts_suppliers": triangle_counts_suppliers,
         # -- new r4: corpus-scale ops (perplexity LM, heavy hitters,
         # -- bloom decontamination, bucketed join, stratified sample)
         "bigram_perplexity_documents": bigram_perplexity_documents,
@@ -2684,6 +2795,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_recall_vs_exact": sq8_recall_vs_exact,  # pos 50
         # ===== position 51+: every entry here green in a prior =====
         # ===== round's CORRECTNESS file (machine-checked)       =====
+        "rolling_fingerprint_documents": rolling_fingerprint_documents,
+        "pii_scrub_documents": pii_scrub_documents,
+        "q10_returned_items": q10_returned_items,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
         "q18_large_volume_customers": q18_large_volume_customers,
         "strip_html_documents": strip_html_documents,
         "id_set_union_events": id_set_union_events,
@@ -2955,6 +3073,193 @@ def oracle_sql() -> dict[str, str]:
 
     _zkey = morton_key_sql("o_custkey", "o_orderkey", 16)
     return {
+        "bpe_merge_pairs_documents": """
+            WITH w AS (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS w
+                FROM documents WHERE text IS NOT NULL),
+            f AS (
+                SELECT w, count(*) AS wcnt FROM w
+                WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+                GROUP BY w),
+            g AS (
+                SELECT unnest(list_transform(
+                           generate_series(1, length(w) - 1),
+                           i -> substring(w, i, 2))) AS pair,
+                       wcnt
+                FROM f)
+            SELECT pair, CAST(sum(wcnt) AS BIGINT) AS pair_count
+            FROM g GROUP BY pair
+            HAVING CAST(sum(wcnt) AS BIGINT) >= 2
+            ORDER BY pair_count DESC, pair ASC LIMIT 30
+        """,
+        "chi2_token_label_documents": """
+            WITH base AS (
+                SELECT doc_id, lang, text FROM documents
+                WHERE text IS NOT NULL AND lang IS NOT NULL),
+            nd AS (SELECT count(*) AS n FROM base),
+            dt AS (
+                SELECT DISTINCT doc_id, lang AS label,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM base),
+            dt2 AS (SELECT * FROM dt WHERE token <> ''),
+            tl AS (
+                SELECT token, label, count(*) AS a
+                FROM dt2 GROUP BY token, label),
+            tm AS (
+                SELECT token, CAST(sum(a) AS BIGINT) AS df_t
+                FROM tl GROUP BY token),
+            lm AS (
+                SELECT lang AS label, count(*) AS n_l
+                FROM base GROUP BY lang),
+            j AS (
+                SELECT tl.token, tl.label,
+                       CAST(tl.a AS DOUBLE) AS da,
+                       CAST(tm.df_t - tl.a AS DOUBLE) AS db,
+                       CAST(lm.n_l - tl.a AS DOUBLE) AS dc,
+                       CAST(nd.n - tm.df_t - lm.n_l + tl.a AS DOUBLE)
+                           AS dd,
+                       tm.df_t, lm.n_l, nd.n
+                FROM tl
+                JOIN tm ON tm.token = tl.token AND tm.df_t >= 5
+                JOIN lm ON lm.label = tl.label
+                CROSS JOIN nd
+                WHERE tm.df_t < nd.n AND lm.n_l > 0 AND lm.n_l < nd.n),
+            scored AS (
+                SELECT token, label,
+                       round(CAST(n AS DOUBLE)
+                             * (da * dd - db * dc)
+                             * (da * dd - db * dc)
+                             / ((da + db) * (dc + dd)
+                                * (da + dc) * (db + dd)), 4) AS chi2
+                FROM j)
+            SELECT token, label, chi2,
+                   CAST(row_number() OVER
+                        (ORDER BY chi2 DESC, token ASC, label ASC)
+                        AS BIGINT) AS rank
+            FROM scored
+            ORDER BY chi2 DESC, token ASC, label ASC LIMIT 30
+        """,
+        "mad_outliers_events": """
+            WITH e AS (
+                SELECT event_id, event_type, value FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            m AS (
+                SELECT event_type, median(value) AS med
+                FROM e GROUP BY event_type),
+            d AS (
+                SELECT e.event_id, e.event_type, e.value, m.med,
+                       abs(e.value - m.med) AS adev
+                FROM e JOIN m USING (event_type)),
+            md AS (
+                SELECT event_type, median(adev) AS mad
+                FROM d GROUP BY event_type)
+            SELECT d.event_id, d.event_type,
+                   round(d.value, 4) AS value,
+                   round(d.med, 4) AS med,
+                   round(md.mad, 4) AS mad
+            FROM d JOIN md USING (event_type)
+            WHERE d.adev > 3.0 * md.mad
+            ORDER BY d.event_id
+        """,
+        "basket_lift_lineitem": """
+            WITH bi AS (
+                SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+                FROM lineitem l JOIN part p
+                  ON l.l_partkey = p.p_partkey),
+            nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+            supp AS (SELECT i, count(*) AS cnt FROM bi GROUP BY i),
+            pairs AS (
+                SELECT a.i AS item_a, c.i AS item_b,
+                       count(*) AS pair_count
+                FROM bi a JOIN bi c
+                  ON a.b = c.b AND a.i < c.i
+                GROUP BY a.i, c.i
+                HAVING count(*) >= 2)
+            SELECT p.item_a, p.item_b, p.pair_count,
+                   (1000000 * nb.n * p.pair_count)
+                       // (sa.cnt * sb.cnt) AS lift_ppm
+            FROM pairs p
+            JOIN supp sa ON sa.i = p.item_a
+            JOIN supp sb ON sb.i = p.item_b
+            CROSS JOIN nb
+            ORDER BY p.pair_count DESC, lift_ppm DESC,
+                     p.item_a ASC, p.item_b ASC
+            LIMIT 50
+        """,
+        "knn_classify_embeddings": f"""
+            WITH p AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       b.label AS nl,
+                       {_COS} AS sim,
+                       row_number() OVER
+                           (PARTITION BY a.vec_id
+                            ORDER BY {_COS} DESC, b.vec_id ASC) AS rn
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id),
+            v AS (
+                SELECT query_id, nl, count(*) AS votes
+                FROM p WHERE rn <= 5 GROUP BY query_id, nl),
+            best AS (
+                SELECT query_id, nl AS pred_label, votes,
+                       row_number() OVER
+                           (PARTITION BY query_id
+                            ORDER BY votes DESC, nl ASC) AS rk
+                FROM v)
+            SELECT e.vec_id, e.label, b.pred_label, b.votes
+            FROM embeddings e
+            JOIN best b ON b.query_id = e.vec_id AND b.rk = 1
+            ORDER BY e.vec_id
+        """,
+        "prefix_jaccard_docs": """
+            WITH t AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id < 150),
+            t2 AS (SELECT * FROM t WHERE token <> ''),
+            n AS (SELECT doc_id, count(*) AS n FROM t2 GROUP BY doc_id),
+            p AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2,
+                       count(*) AS inter
+                FROM t2 a JOIN t2 b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT p.id1, p.id2,
+                   (1000000 * p.inter) // (na.n + nb.n - p.inter)
+                       AS jaccard_ppm
+            FROM p
+            JOIN n na ON na.doc_id = p.id1
+            JOIN n nb ON nb.doc_id = p.id2
+            WHERE (1000000 * p.inter) // (na.n + nb.n - p.inter)
+                  >= 800000
+            ORDER BY id1, id2
+        """,
+        "triangle_counts_suppliers": """
+            WITH gn AS (
+                SELECT DISTINCT l_partkey AS g, l_suppkey AS node
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+            e AS (
+                SELECT a.node AS src, b.node AS dst, count(*) AS w
+                FROM gn a JOIN gn b ON a.g = b.g AND a.node < b.node
+                GROUP BY a.node, b.node
+                ORDER BY w DESC, src ASC, dst ASC
+                LIMIT 500),
+            tri AS (
+                SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+                FROM e ab
+                JOIN e bc ON bc.src = ab.dst
+                JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+            nodes AS (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+            SELECT node, count(*) AS n_tri
+            FROM nodes GROUP BY node ORDER BY node
+        """,
         "zorder_key_orders": f"""
             SELECT o_orderkey, o_custkey,
                    CAST({_zkey} AS BIGINT) AS zvalue

@@ -979,3 +979,100 @@ def segment_dedup(
         )
         .select(id_col, text_col, "segs_kept", "segs_total")
     )
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """EXACT word-set Jaccard similarity self-join via prefix
+    filtering (the PPJoin/AllPairs family, Xiao et al. WWW'08) — the
+    non-LSH exact tier between ``ngram_jaccard_pairs`` (quadratic,
+    small inputs) and ``minhash_near_dup_pairs`` (approximate).
+    Output: ``(id1, id2, jaccard_ppm)`` for pairs with
+    Jaccard ≥ threshold, ``id1 < id2``, integer parts-per-million.
+
+    Prefix-filter guarantee: order every document's token set by
+    GLOBAL frequency (rarest first; ties on token asc) and keep only
+    its first ``p = n − ceil(t·n) + 1`` tokens. Two sets with
+    Jaccard ≥ t must overlap in at least ``ceil(t·n)`` of either
+    side's tokens, so they MUST share a prefix token — candidates
+    are exactly the pairs sharing ≥ 1 prefix token, with rare tokens
+    doing the blocking (hot tokens fall outside prefixes, bounding
+    candidate mass). ``ceil`` is computed in integer arithmetic
+    (``(n·t_ppm + 999_999) div 1_000_000``) — no float fuzz can
+    shorten a prefix and silently break completeness.
+
+    Verification is exact set Jaccard on candidates only, with the
+    floor division OUTSIDE the aggregates (integer-exact on any
+    engine). The DuckDB oracle for this operator is the quadratic
+    token-join — a green gate is a machine-checked completeness
+    proof of the blocking.
+
+    Scale shape: DISTINCT (doc, token) grain (one shuffle), token
+    frequency aggregate + token-keyed join, one per-doc window to
+    rank tokens, a prefix-token equi-join for candidates, and a
+    doc-keyed join against sorted token arrays for the verify — no
+    cartesian anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    dt = (
+        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+        .persist()
+    )
+    freq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("__f"))
+    w = Window.partitionBy("__id").orderBy(F.asc("__f"), F.asc("token"))
+    ranked = (
+        dt.join(freq, "token")
+        .withColumn("__pos", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__id")))
+    )
+    prefix = ranked.filter(
+        F.col("__pos")
+        <= F.col("__n")
+        - F.expr(f"(__n * {threshold_ppm}L + 999999) div 1000000")
+        + F.lit(1)
+    )
+    cand = (
+        prefix.select(F.col("__id").alias("id1"), "token")
+        .join(
+            prefix.select(F.col("__id").alias("id2"), "token"), "token"
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    sets = dt.groupBy("__id").agg(
+        F.array_sort(F.collect_set("token")).alias("__set")
+    )
+    s1 = sets.select(
+        F.col("__id").alias("id1"), F.col("__set").alias("__s1")
+    )
+    s2 = sets.select(
+        F.col("__id").alias("id2"), F.col("__set").alias("__s2")
+    )
+    verified = (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("__s1", "__s2")).alias("__inter"),
+            (F.size("__s1") + F.size("__s2")).alias("__sz"),
+        )
+        .select(
+            "id1",
+            "id2",
+            F.expr(
+                "(1000000L * __inter) div (__sz - __inter)"
+            ).alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+    )
+    return verified.orderBy("id1", "id2")

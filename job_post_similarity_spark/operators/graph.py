@@ -53,27 +53,46 @@ def pagerank(
     aggregate already yields one row per node — removing one join
     stage per iteration.
     """
+    if iterations < 1:
+        raise ValueError("pagerank needs iterations >= 1")
     e_src = F.col(src).alias("src")
     e_dst = F.col(dst).alias("dst")
     ed = edges.select(e_src, e_dst)
-    nodes = (
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()  # referenced in every iteration's rebuild join
-    )
+    # The node list is only needed off the fast path: for the initial
+    # constant ranks (iteration 1 specializes them away below) and the
+    # per-iteration dangling rebuild. On the fast path skipping it
+    # removes a union + distinct + persist from the plan entirely.
+    nodes = None
+    if not every_node_receives:
+        nodes = (
+            ed.select(F.col("src").alias("node"))
+            .union(ed.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()  # referenced in every iteration's rebuild join
+        )
     deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e = ed.join(deg, "src").persist()
     try:
         base = RANK_UNIT - damping_ppm
-        ranks = nodes.withColumn("pr", F.lit(RANK_UNIT).cast("long"))
-        for _ in range(iterations):
-            contribs = e.join(
-                ranks.withColumnRenamed("node", "src"), "src"
-            ).select(
-                F.col("dst").alias("node"),
-                F.expr("pr div outdeg").alias("__c"),
-            )
+        ranks = None
+        for it in range(iterations):
+            if it == 0:
+                # Iteration-1 specialization: initial ranks are the
+                # constant RANK_UNIT on every node, so the first
+                # contribution pass needs NO rank join at all —
+                # pr div outdeg is a map-side constant expression
+                # over the edge table.
+                contribs = e.select(
+                    F.col("dst").alias("node"),
+                    F.expr(f"{RANK_UNIT}L div outdeg").alias("__c"),
+                )
+            else:
+                contribs = e.join(
+                    ranks.withColumnRenamed("node", "src"), "src"
+                ).select(
+                    F.col("dst").alias("node"),
+                    F.expr("pr div outdeg").alias("__c"),
+                )
             sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
             if not every_node_receives:
                 sums = nodes.join(sums, "node", "left")
@@ -92,7 +111,8 @@ def pagerank(
         ranks = ranks.localCheckpoint(eager=True)
     finally:
         e.unpersist()
-        nodes.unpersist()
+        if nodes is not None:
+            nodes.unpersist()
     return ranks
 
 
@@ -103,10 +123,84 @@ def bipartite_edges(
     distinct ``(left_key, right_key)`` pair becomes two directed
     edges, node ids prefixed so the two key spaces cannot collide."""
     lp, rp = prefixes
-    pairs = df.select(
+    # distinct on the RAW key pair (narrow fixed-width shuffle), then
+    # build the prefixed string ids map-side — same output, cheaper
+    # exchange than shuffling concatenated strings.
+    raw = df.select(left_key, right_key).distinct()
+    pairs = raw.select(
         F.concat(F.lit(lp), F.col(left_key).cast("string")).alias("a"),
         F.concat(F.lit(rp), F.col(right_key).cast("string")).alias("b"),
-    ).distinct()
+    )
     fwd = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     rev = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     return fwd.union(rev)
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    node_col: str,
+    top_edges: int = 2000,
+) -> DataFrame:
+    """Build a sparse unipartite co-occurrence graph: connect nodes
+    that share a group (e.g. suppliers sharing a part), weighted by
+    the number of shared groups, keeping only the ``top_edges``
+    strongest edges (weight desc, then (src, dst) asc — a total
+    order, so the cut is deterministic at every scale factor).
+
+    The top-E cut is the graph-sparsification step: co-occurrence
+    graphs densify quadratically with group size, and downstream
+    triangle/clustering analytics only want the strong backbone.
+    Scale shape: DISTINCT (group, node) grain, a per-group self-join
+    keyed on the group (pair mass bounded by group size², never
+    corpus size), one edge aggregate, one TakeOrdered.
+    """
+    gn = (
+        df.select(
+            F.col(group_col).alias("__g"), F.col(node_col).alias("__n")
+        )
+        .filter(F.col("__g").isNotNull() & F.col("__n").isNotNull())
+        .distinct()
+    )
+    left = gn.select("__g", F.col("__n").alias("src"))
+    right = gn.select("__g", F.col("__n").alias("dst"))
+    return (
+        left.join(right, "__g")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("src"), F.asc("dst"))
+        .limit(top_edges)
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list with
+    ``src < dst`` canonical orientation. Output: ``(node, n_tri)``
+    for nodes in at least one triangle, node asc.
+
+    Shape: the id-orientation (a < b < c throughout) means each
+    triangle is enumerated exactly once by one wedge join
+    (a→b, b→c) closed by the (a, c) edge — two equi-joins, no
+    cartesian. At web scale you'd re-orient edges by (degree, id)
+    instead of raw id so the wedge count per node is bounded by
+    arboricity (the Schank–Wagner ordering); the join shape is
+    identical, only the orientation key changes — with the top-E
+    sparsified input from ``cooccurrence_edges`` the id orientation
+    is already bounded.
+    """
+    e = edges.select("src", "dst")
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return per_node.orderBy("node")

@@ -459,3 +459,51 @@ def similarity_histogram(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("bin")
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """k-NN majority-vote labeling — the auto-labeling / label-
+    propagation step of a training-data pipeline: each vector gets
+    the majority label of its ``k`` nearest cosine neighbors (self
+    excluded). Ties break (votes desc, label asc) — deterministic
+    and oracle-matchable. Output: ``(id, pred_label, votes)``.
+
+    The vote is tier-agnostic: any ``(query_id, neighbor_id)`` table
+    works. By default it uses the exact blocked-BLAS ``knn_join``;
+    pass ``neighbors=`` (e.g. ``ann.auto_topk_search`` output) to
+    classify from an ANN tier at corpus scale — the join+vote below
+    is unchanged.
+
+    Scale shape: one label join keyed on neighbor id, one
+    (query, label) aggregate, one per-query window over ≤ k rows.
+    """
+    if neighbors is None:
+        neighbors = knn_join(df, id_col, vec_col, k=k)
+    labels = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__nl"),
+    )
+    votes = (
+        neighbors.join(labels, "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("__nl")
+    )
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("__nl").alias("pred_label"),
+            "votes",
+        )
+    )

@@ -655,3 +655,152 @@ def bm25_rank(
             (F.col("score6").cast("double") / 1e6).alias("score"),
         )
     )
+
+
+def bpe_merge_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 30,
+    min_count: int = 2,
+) -> DataFrame:
+    """One BPE-training merge step: corpus frequency of adjacent
+    symbol (character) pairs, weighted by word frequency — the
+    argmax of this table is exactly the pair a byte-pair-encoding
+    tokenizer trainer would merge next (Sennrich et al. 2016 §3.2).
+    Output: ``(pair, pair_count)`` top-N by (count desc, pair asc).
+
+    Scale shape — the trick that makes BPE training feasible on a
+    100 TB corpus: aggregate the token stream to the DISTINCT-WORD
+    table FIRST (one shuffle; vocabulary is orders of magnitude
+    smaller than the corpus), then the 2-gram explode and the pair
+    aggregate run over weighted vocabulary rows only. The 2-gram
+    generation is a pure JVM ``transform(sequence(...))`` — map-side,
+    codegen, no Python. Counts are exact integers → engine-exact.
+
+    Words are lowercased, whitespace-tokenized, and restricted to
+    ``^[a-z]+$`` of length ≥ 2 (multi-byte grapheme slicing is
+    engine-dependent; the ASCII restriction keeps substring semantics
+    identical everywhere, and real BPE trainers pre-normalize the
+    same way).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = df.select(F.explode(toks).alias("w")).filter(
+        F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2)
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("wcnt"))
+    grams = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "wcnt",
+    )
+    return (
+        grams.groupBy("pair")
+        .agg(F.sum("wcnt").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
+def chi2_token_label(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    top_n: int = 30,
+) -> DataFrame:
+    """Chi-square token↔label association — the classic feature-
+    selection score for training a text classifier (pick the tokens
+    whose presence is most label-informative; Yang & Pedersen 1997).
+    Output: ``(token, label, chi2, rank)`` top-N by the ROUNDED
+    score (desc), token asc, label asc — rounding before ranking so
+    the chosen set cannot depend on sub-round-off float noise (the
+    ``tf_idf_top_terms`` policy).
+
+    For each (token t, label L) over the 2×2 doc-level contingency
+    [a = docs with t and L, b = with t not L, c = L without t,
+    d = neither]:  chi2 = N (ad − bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    All counts are exact integers; the score is a fixed-shape IEEE
+    double expression — both engines evaluate the identical
+    parenthesization, so the doubles agree to the bit. Degenerate
+    margins (token in every doc, label covering all or no docs) are
+    filtered — their chi2 is undefined (zero denominator).
+
+    Scale shape: doc-level DISTINCT (doc, token) grain (one shuffle),
+    a token×label aggregate, label margins as a tiny broadcast, and a
+    TakeOrdered — no cartesian; the corpus is scanned once.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    n_docs = base.count()
+    dt = (
+        base.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("label"),
+            F.explode(toks).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    # a: docs containing token with this label; df_t: all docs with token
+    tl = dt.groupBy("token", "label").agg(F.count(F.lit(1)).alias("a"))
+    tmarg = tl.groupBy("token").agg(F.sum("a").alias("df_t"))
+    lmarg = (
+        base.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_l"))
+    )
+    j = (
+        tl.join(tmarg.filter(F.col("df_t") >= min_df), "token")
+        .join(F.broadcast(lmarg), "label")
+        .select(
+            "token",
+            "label",
+            F.col("a").cast("double").alias("da"),
+            (F.col("df_t") - F.col("a")).cast("double").alias("db"),
+            (F.col("n_l") - F.col("a")).cast("double").alias("dc"),
+            (
+                F.lit(n_docs) - F.col("df_t") - F.col("n_l") + F.col("a")
+            ).cast("double").alias("dd"),
+            F.col("df_t"),
+            F.col("n_l"),
+        )
+        .filter(
+            (F.col("df_t") < n_docs)
+            & (F.col("n_l") > 0)
+            & (F.col("n_l") < n_docs)
+        )
+    )
+    chi2 = (
+        F.lit(float(n_docs))
+        * (F.col("da") * F.col("dd") - F.col("db") * F.col("dc"))
+        * (F.col("da") * F.col("dd") - F.col("db") * F.col("dc"))
+        / (
+            (F.col("da") + F.col("db"))
+            * (F.col("dc") + F.col("dd"))
+            * (F.col("da") + F.col("dc"))
+            * (F.col("db") + F.col("dd"))
+        )
+    )
+    scored = j.select(
+        "token", "label", F.round(chi2, 4).alias("chi2")
+    )
+    w = Window.orderBy(
+        F.desc("chi2"), F.asc("token"), F.asc("label")
+    )
+    return (
+        scored.orderBy(F.desc("chi2"), F.asc("token"), F.asc("label"))
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number().over(w),
+        )
+    )

@@ -887,3 +887,152 @@ def test_winsorize_by_group_clips_to_group_bounds(spark):
     # group h is untouched within its own (tiny) bounds
     h = sorted(r["v_w"] for r in out.filter("grp = 'h'").collect())
     assert h == pytest.approx([5.1, 5.9])
+
+
+def test_bpe_merge_pairs_counts_weighted_vocab(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_merge_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("low low low lower",), ("LOWEST low x1 a",)], "text string"
+    )
+    out = {r["pair"]: r["pair_count"] for r in
+           bpe_merge_pairs(df, top_n=10, min_count=1).collect()}
+    # 'low' ×4, 'lower' ×1, 'lowest' ×1 → 'lo'/'ow' in all 6;
+    # 'x1' and bare 'a' filtered (non-alpha / length < 2)
+    assert out["lo"] == 6 and out["ow"] == 6
+    assert out["we"] == 2          # loWEr + loWEst
+    assert out["er"] == 1 and out["st"] == 1
+    assert "x1" not in out and "1a" not in out
+
+
+def test_chi2_token_label_perfect_separator(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        chi2_token_label,
+    )
+
+    rows = [(i, "aaa bbb", "en") for i in range(5)] + [
+        (i + 5, "ccc bbb", "fr") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = chi2_token_label(df, min_df=5, top_n=10).collect()
+    by = {(r["token"], r["label"]): r["chi2"] for r in out}
+    # 'aaa' perfectly separates en from fr: chi2 = N = 10
+    assert by[("aaa", "en")] == 10.0
+    # (token, label) cells with a = 0 are absent by design — only
+    # observed co-occurrences are scored
+    assert ("aaa", "fr") not in by
+    # 'bbb' is in every doc → degenerate margin, filtered out
+    assert not any(t == "bbb" for t, _ in by)
+    # rank 1 is deterministic: max chi2, token asc, label asc
+    first = [r for r in out if r["rank"] == 1][0]
+    assert first["token"] == "aaa" and first["label"] == "en"
+
+
+def test_mad_outliers_flags_only_extremes(spark):
+    from job_post_similarity_spark.operators.profiling import mad_outliers
+
+    vals = [float(v) for v in range(1, 12)]  # median 6, MAD 3
+    rows = [("g", v) for v in vals] + [("g", 100.0), ("g", -50.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = mad_outliers(df, "grp", "v", k=3.0)
+    flagged = sorted(r["v"] for r in out.filter("is_outlier").collect())
+    # |x-6| > 3*MAD; with the two extremes the median shifts to 6.0
+    # and MAD to 3.5 → cut at 16.5 from 6
+    assert flagged == [-50.0, 100.0]
+    assert out.filter("NOT is_outlier").count() == 11
+
+
+def test_basket_pair_lift_exact_counts(spark):
+    from job_post_similarity_spark.operators.association import (
+        basket_pair_lift,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"), (4, "d"), (4, "d"),  # dup collapses
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r["item_a"], r["item_b"]): (r["pair_count"], r["lift_ppm"])
+           for r in basket_pair_lift(df, "b", "i", min_pair_count=1).collect()}
+    # lift(a,b) = 4 baskets * 2 pairs / (3 * 2) = 1.333… → 1333333 ppm
+    assert out[("a", "b")] == (2, 1333333)
+    # lift(a,c) = 4 * 1 / (3 * 1) → 1333333 ppm
+    assert out[("a", "c")] == (1, 1333333)
+    assert ("d", "d") not in out  # self-pairs excluded
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from job_post_similarity_spark.operators.knn import knn_classify
+
+    # 1-d embeddings: clean majority for id 0's 3 neighbors
+    rows = [
+        (0, [1.0], "x"), (1, [0.99], "x"), (2, [0.98], "x"),
+        (3, [0.97], "y"), (4, [-1.0], "y"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r["vec_id"]: (r["pred_label"], r["votes"])
+           for r in knn_classify(df, k=3).collect()}
+    assert out[0] == ("x", 2)  # neighbors 1,2 (x) + 3 (y)
+    # id 4: neighbors among 0..3 by cosine sign — all dotted -1 → ties
+    # broken by neighbor id asc → 1,2,3? k=3 → labels x,x,y → x
+    assert out[4][0] == "x"
+
+
+def test_prefix_jaccard_join_matches_bruteforce(spark):
+    import itertools
+
+    from job_post_similarity_spark.operators.dedup import (
+        prefix_jaccard_join,
+    )
+
+    texts = [
+        "red green blue yellow",
+        "red green blue purple",
+        "red green blue yellow",   # dup of 0
+        "cat dog",
+        "cat dog bird",
+        "entirely different tokens here",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    t_ppm = 600_000
+    got = {(r["id1"], r["id2"]): r["jaccard_ppm"]
+           for r in prefix_jaccard_join(df, threshold_ppm=t_ppm).collect()}
+    # brute force
+    sets = [set(t.split()) for t in texts]
+    want = {}
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        ppm = (1_000_000 * inter) // union
+        if ppm >= t_ppm:
+            want[(i, j)] = ppm
+    assert got == want and (0, 2) in got and got[(0, 2)] == 1_000_000
+
+
+def test_triangle_counts_known_graph(spark):
+    from job_post_similarity_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((4, 5))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_cooccurrence_edges_weight_and_cut(spark):
+    from job_post_similarity_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    rows = [(g, n) for g in range(3) for n in (1, 2)] + [(0, 3)]
+    df = spark.createDataFrame(rows, "g long, n long")
+    out = [(r["src"], r["dst"], r["weight"])
+           for r in cooccurrence_edges(df, "g", "n", top_edges=2).collect()]
+    # (1,2) shares 3 groups; (1,3)/(2,3) share 1 → top-2 cut keeps
+    # (1,2) then (1,3) by the (weight desc, src, dst) total order
+    assert out == [(1, 2, 3), (1, 3, 1)]
