@@ -2722,6 +2722,47 @@ def triangle_counts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids, long form) with
+    DECIMAL(27,10) component accumulation — order-independent sums,
+    engine-exact after the single double conversion + round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn.label_centroids(emb, "embedding", "label", decimals=6)
+
+
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over events (first-active-week
+    cohorts × week offset, exact distinct-user counts) — all-integer,
+    Monday-start ISO weeks on both engines."""
+    from job_post_similarity_spark.operators.windows import (
+        cohort_retention,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ('table hash') via positional token joins —
+    per-word posting lists filtered map-side, consecutive positions
+    equi-joined; per-doc occurrence counts."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        phrase_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "table hash")
+
+
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global top-10 users by running event count
+    (complete-mode sort over the streaming aggregate; bounded input
+    ⇒ equals the batch top-k oracle)."""
+    from job_post_similarity_spark.streaming import stream_topk
+
+    return stream_topk(spark, sf_dir, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -2761,10 +2802,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations_documents": pmi_collocations_documents,
         "stream_keep_latest_events": stream_keep_latest_events,
         "perplexity_buckets_documents": perplexity_buckets_documents,
-        "curate_corpus_documents": curate_corpus_documents,
+        # -- never-graded gates new this session (batch 2) --
+        "label_centroids_embeddings": label_centroids_embeddings,
+        "cohort_retention_events": cohort_retention_events,
+        "phrase_search_documents": phrase_search_documents,
+        "stream_topk_users": stream_topk_users,
         # -- r3-green representatives of round-4-touched code --
-        "mixture_sample_documents": mixture_sample_documents,  # pmod
-        "deterministic_sample_lineitem": deterministic_sample_lineitem,
         "similarity_pairs_flagship": similarity_pairs_flagship,
         "srp_recall_vs_exact": srp_recall_vs_exact,
         # -- new r4: ANN tiers made driver-visible (planted-twin) ----
@@ -2772,7 +2815,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_vs_exact": pq_recall_vs_exact,
         "ivfpq_recall_vs_exact": ivfpq_recall_vs_exact,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "normalize_unicode_documents": normalize_unicode_documents,
         "chunk_documents": chunk_documents_gate,
         "substring_dup_spans_documents": substring_dup_spans_documents,
         # -- new r4: apply step of substring dedup, now oracle-backed
@@ -2795,6 +2837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_recall_vs_exact": sq8_recall_vs_exact,  # pos 50
         # ===== position 51+: every entry here green in a prior =====
         # ===== round's CORRECTNESS file (machine-checked)       =====
+        "curate_corpus_documents": curate_corpus_documents,
+        "mixture_sample_documents": mixture_sample_documents,  # pmod
+        "deterministic_sample_lineitem": deterministic_sample_lineitem,
+        "normalize_unicode_documents": normalize_unicode_documents,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
         "pii_scrub_documents": pii_scrub_documents,
         "q10_returned_items": q10_returned_items,
@@ -3073,6 +3119,62 @@ def oracle_sql() -> dict[str, str]:
 
     _zkey = morton_key_sql("o_custkey", "o_orderkey", 16)
     return {
+        "label_centroids_embeddings": """
+            WITH p AS (
+                SELECT label,
+                       unnest(generate_series(1, len(embedding))) AS i,
+                       embedding
+                FROM embeddings),
+            a AS (
+                SELECT label, i - 1 AS pos,
+                       sum(CAST(CAST(embedding[i] AS DOUBLE)
+                                AS DECIMAL(27,10))) AS s,
+                       count(*) AS n
+                FROM p GROUP BY label, i)
+            SELECT label, CAST(pos AS INTEGER) AS pos,
+                   round(CAST(s AS DOUBLE) / n, 6) AS centroid
+            FROM a ORDER BY label, pos
+        """,
+        "cohort_retention_events": """
+            WITH uw AS (
+                SELECT DISTINCT user_id AS u,
+                       CAST(date_trunc('week', ts) AS DATE) AS w
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            f AS (
+                SELECT u, min(w) AS cohort_week FROM uw GROUP BY u)
+            SELECT f.cohort_week,
+                   date_diff('day', f.cohort_week, uw.w) // 7
+                       AS week_offset,
+                   count(*) AS active_users
+            FROM uw JOIN f USING (u)
+            GROUP BY f.cohort_week, week_offset
+            ORDER BY cohort_week, week_offset
+        """,
+        "phrase_search_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)),
+                                          '\\s+') AS toks
+                FROM documents WHERE text IS NOT NULL),
+            p AS (
+                SELECT doc_id,
+                       unnest(toks) AS token,
+                       unnest(generate_series(0, len(toks) - 1)) AS pos
+                FROM t)
+            SELECT a.doc_id, count(*) AS n_hits
+            FROM p a JOIN p b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             AND b.token = 'hash'
+            WHERE a.token = 'table'
+            GROUP BY a.doc_id ORDER BY a.doc_id
+        """,
+        "stream_topk_users": """
+            SELECT user_id, count(*) AS cnt
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+            ORDER BY cnt DESC, user_id ASC LIMIT 10
+        """,
         "bpe_merge_pairs_documents": """
             WITH w AS (
                 SELECT unnest(string_split_regex(trim(lower(text)),

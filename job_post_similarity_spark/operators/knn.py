@@ -507,3 +507,46 @@ def knn_classify(
             "votes",
         )
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-label mean vector (class centroids) in long form —
+    ``(label, pos, centroid)`` — the training step of a nearest-
+    centroid classifier and the summary behind per-class drift
+    monitoring. Output ordered (label, pos).
+
+    Cross-engine exactness: each component is accumulated in
+    DECIMAL(27,10) (decimal addition is associative, so the sum is
+    bit-identical at any parallelism/engine — the repo's standard
+    order-independent-aggregation policy), converted to double once,
+    divided by the exact count, rounded to ``decimals``.
+
+    Scale shape: one posexplode (map-side Generate) + one hash
+    aggregate on (label, pos) — dim × |labels| output rows, corpus
+    scanned once, no collect.
+    """
+    pos = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "__x"),
+    )
+    agg = pos.groupBy("label", "pos").agg(
+        F.sum(
+            F.col("__x").cast("double").cast("decimal(27,10)")
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        agg.select(
+            "label",
+            "pos",
+            F.round(
+                F.col("__s").cast("double") / F.col("__n"), decimals
+            ).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )

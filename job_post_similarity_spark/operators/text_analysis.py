@@ -804,3 +804,44 @@ def chi2_token_label(
             F.row_number().over(w),
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase query via positional token joins — the positional-
+    postings merge a lexical IR engine runs (complements
+    ``inverted_index``/``bm25_rank``, which are bag-of-words only).
+    Output: ``(id, n_hits)`` for documents containing the phrase,
+    with the exact occurrence count, id asc.
+
+    Each phrase word selects its (doc, position) posting list
+    map-side (filter BEFORE any shuffle); consecutive words are
+    equi-joined on ``(doc, pos + k)``. With a pre-materialized
+    positional index the same joins run against the index table —
+    the match path never regex-scans raw text, which is the property
+    that scales: per-word posting lists are tiny next to the corpus.
+    """
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("phrase must contain at least one word")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(toks).alias("pos", "token"),
+    )
+    base = pos.filter(F.col("token") == words[0]).select("__id", "pos")
+    for k, wd in enumerate(words[1:], start=1):
+        nxt = pos.filter(F.col("token") == wd).select(
+            "__id", (F.col("pos") - k).alias("pos")
+        )
+        base = base.join(nxt, ["__id", "pos"])
+    return (
+        base.groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("__id").alias(id_col), "n_hits")
+        .orderBy(id_col)
+    )

@@ -286,3 +286,47 @@ def funnel_counts(
     return totals.select(F.explode(stage_structs).alias("__r")).select(
         "__r.stage", "__r.step", "__r.entities"
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort-retention matrix — the classic product-analytics
+    rollup: users are assigned to the cohort of their first active
+    ISO week (``date_trunc('week')``, Monday start — identical in
+    Spark and DuckDB), and each cell counts the cohort's users active
+    ``week_offset`` weeks later. Output:
+    ``(cohort_week, week_offset, active_users)``, ordered.
+
+    All-integer: week offsets are ``datediff div 7`` (truncation of
+    week-aligned diffs is exact) and cells are exact counts — no
+    float anywhere, engine-exact by construction.
+
+    Scale shape: one DISTINCT to the (user, week) grain, one tiny
+    first-week aggregate joined back on the user key, one cell
+    aggregate — three key-partitioned Exchanges, no window over the
+    raw fact table, no collect.
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    uw = (
+        df.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(F.col(user_col).alias("__u"), wk.alias("__w"))
+        .distinct()
+    )
+    first = uw.groupBy("__u").agg(F.min("__w").alias("cohort_week"))
+    cells = (
+        uw.join(first, "__u")
+        .select(
+            "cohort_week",
+            F.expr("datediff(__w, cohort_week) div 7").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return cells.orderBy("cohort_week", "week_offset")

@@ -9,5 +9,6 @@ from .stream_ops import (  # noqa: F401
     stream_near_dup_srp,
     stream_sessionize,
     stream_static_enrich,
+    stream_topk,
     stream_windowed_agg,
 )

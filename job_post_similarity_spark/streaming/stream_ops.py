@@ -854,3 +854,30 @@ def stream_click_attribution(
         "inner",
     ).select("purchase_id", "click_id", "user_id")
     return _run_to_memory(joined, name, "append")
+
+
+def stream_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    name: str = "stream_topk",
+) -> DataFrame:
+    """Streaming global top-k: a running per-user event-count
+    aggregate with ``orderBy + limit`` on top — legal ONLY in
+    complete output mode (Structured Streaming forbids sorting in
+    append/update because a sort over an unbounded result is
+    undefined; over the complete aggregate it re-emits the exact
+    top-k each trigger). State is the per-key aggregate — bounded by
+    key cardinality, not stream length. Ties break (cnt desc,
+    user_id asc), a total order, so the emitted set is deterministic.
+    Bounded input ⇒ equals the batch groupBy + top-k (the oracle).
+    """
+    agg = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(k)
+    )
+    return _run_to_memory(agg, name, "complete")

@@ -1036,3 +1036,80 @@ def test_cooccurrence_edges_weight_and_cut(spark):
     # (1,2) shares 3 groups; (1,3)/(2,3) share 1 → top-2 cut keeps
     # (1,2) then (1,3) by the (weight desc, src, dst) total order
     assert out == [(1, 2, 3), (1, 3, 1)]
+
+
+def test_label_centroids_exact_means(spark):
+    from job_post_similarity_spark.operators.knn import label_centroids
+
+    rows = [
+        (0, [1.0, 0.0], "a"), (1, [0.0, 1.0], "a"), (2, [0.5, 0.5], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {(r["label"], r["pos"]): r["centroid"]
+           for r in label_centroids(df).collect()}
+    assert out == {("a", 0): 0.5, ("a", 1): 0.5,
+                   ("b", 0): 0.5, ("b", 1): 0.5}
+
+
+def test_cohort_retention_counts(spark):
+    import datetime as dt
+
+    from job_post_similarity_spark.operators.windows import (
+        cohort_retention,
+    )
+
+    # mondays: 2024-01-01, -08, -15
+    rows = [
+        (1, dt.datetime(2024, 1, 2)),   # cohort w0
+        (1, dt.datetime(2024, 1, 10)),  # w0 + 1
+        (2, dt.datetime(2024, 1, 3)),   # cohort w0 only
+        (3, dt.datetime(2024, 1, 9)),   # cohort w1
+        (3, dt.datetime(2024, 1, 16)),  # w1 + 1
+        (3, dt.datetime(2024, 1, 17)),  # same week, collapses
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(str(r["cohort_week"]), r["week_offset"]): r["active_users"]
+           for r in cohort_retention(df, "user_id", "ts").collect()}
+    assert out == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
+    }
+
+
+def test_phrase_search_positions_and_counts(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        phrase_search,
+    )
+
+    rows = [
+        (0, "big table hash join"),           # 1 hit
+        (1, "table hash table hash"),         # 2 hits
+        (2, "hash table"),                    # reversed — no hit
+        (3, "table x hash"),                  # gap — no hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_hits"]
+           for r in phrase_search(df, "table hash").collect()}
+    assert out == {0: 1, 1: 2}
+    # three-word phrase exercises the chained join
+    out3 = {r["doc_id"]: r["n_hits"]
+            for r in phrase_search(df, "big table hash").collect()}
+    assert out3 == {0: 1}
+
+
+def test_stream_topk_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.sources.io import load_table
+    from job_post_similarity_spark.streaming import stream_topk
+
+    got = [(r["user_id"], r["cnt"]) for r in
+           stream_topk(spark, sf_dir, k=5, name="st_topk_test").collect()]
+    want = [(r["user_id"], r["cnt"]) for r in
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("user_id")).limit(5).collect()]
+    assert got == want and len(got) == 5
