@@ -49,6 +49,11 @@ HEADLINE = [
     "fuzzy_join_suppliers",
     "line_dedup_documents",
     "pagerank_lineitem_graph",
+    # round-4 continuation additions
+    "bpe_merge_pairs_documents",
+    "basket_lift_lineitem",
+    "prefix_jaccard_docs",
+    "cohort_retention_events",
 ]
 
 
