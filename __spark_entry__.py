@@ -2782,7 +2782,14 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     cut = F.col("o_orderdate") < F.lit("1997-01-01")
     summary = cdc.partial_agg(orders.filter(cut), keys, meas)
-    merged = cdc.incremental_agg(summary, orders.filter(~cut), keys, meas)
+    # NULL dates must land in exactly one half — a bare ~cut silently
+    # drops them from BOTH (NULL predicate), undercounting vs rescan
+    merged = cdc.incremental_agg(
+        summary,
+        orders.filter(~cut | F.col("o_orderdate").isNull()),
+        keys,
+        meas,
+    )
     return (
         merged.select(
             *keys,
@@ -3240,15 +3247,19 @@ _PPL_CORE = """
 # this dict into oracle_sql().
 _PENDING_ORACLES: dict[str, str] = {
     "referential_profile_lineitem": """
+        -- NOT EXISTS (not NOT IN): a NULL fk is an orphan under
+        -- left-anti-join semantics, and NOT IN would let one NULL
+        -- parent key poison the whole predicate
         WITH ck AS (SELECT l_orderkey AS k FROM lineitem),
         pk AS (SELECT DISTINCT o_orderkey AS k FROM orders)
         SELECT (SELECT count(*) FROM ck) AS n_child,
                (SELECT count(*) FROM ck
-                WHERE k NOT IN (SELECT k FROM pk)) AS n_orphans,
+                WHERE NOT EXISTS (SELECT 1 FROM pk
+                                  WHERE pk.k = ck.k)) AS n_orphans,
                (SELECT count(*) FROM pk) AS n_parents,
                (SELECT count(*) FROM pk
-                WHERE k NOT IN (SELECT DISTINCT k FROM ck))
-                   AS n_childless
+                WHERE NOT EXISTS (SELECT 1 FROM ck
+                                  WHERE ck.k = pk.k)) AS n_childless
     """,
     "vocab_coverage_documents": """
         WITH tok AS (
@@ -3310,7 +3321,7 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY ts ASC, event_id ASC) AS prev
                 FROM events
                 WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-                  AND ts IS NOT NULL),
+                  AND ts IS NOT NULL AND event_id IS NOT NULL),
             c AS (
                 SELECT prev AS prev_type, event_type AS next_type,
                        count(*) AS cnt
@@ -3338,10 +3349,11 @@ def oracle_sql() -> dict[str, str]:
         "token_windows_udtf_documents": """
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(trim(lower(text)),
-                                          '\\s+') AS toks
+                       list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           tk -> tk <> '') AS toks
                 FROM documents
-                WHERE text IS NOT NULL AND trim(text) <> ''),
+                WHERE text IS NOT NULL),
             w AS (
                 SELECT doc_id,
                        unnest(generate_series(0,

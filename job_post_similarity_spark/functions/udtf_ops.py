@@ -22,14 +22,23 @@ from pyspark.sql.functions import udtf
 class TokenWindows:
     """Lateral token windower: whitespace-tokenize the input and emit
     one row per fixed-size window (non-overlapping, last window
-    ragged). Deterministic, so it stays oracle-checkable."""
+    ragged). Deterministic, so it stays oracle-checkable.
+
+    Tokenization matches the repo contract exactly (the JVM/RE2
+    ``\\s+`` regex split): ASCII whitespace only — Python's bare
+    ``str.split()`` would also split on U+00A0 etc. and silently
+    diverge from the DuckDB twin — with empty tokens dropped on both
+    sides. ``str.lower`` equals SQL ``lower`` on ASCII corpora (the
+    documented scope)."""
 
     def eval(self, text: str, size: int):  # noqa: D102
+        import re
+
         if text is None or size is None or size <= 0:
             return
-        toks = text.strip().lower().split()
-        if not toks or toks == [""]:
-            return
+        toks = [
+            w for w in re.split(r"[ \t\n\r\f\v]+", text.lower()) if w
+        ]
         for i in range(0, len(toks), size):
             win = toks[i : i + size]
             yield i // size, " ".join(win), len(win)

@@ -49,31 +49,35 @@ def basket_pair_lift(
     price the lift definition itself demands (same pattern as
     ``tf_idf_top_terms``'s document count).
     """
+    from .graph import group_pair_counts
+
     bi = (
         df.select(
-            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+            F.col(basket_col).alias("__g"), F.col(item_col).alias("__n")
         )
-        .filter(F.col("__i").isNotNull() & F.col("__b").isNotNull())
+        .filter(F.col("__n").isNotNull() & F.col("__g").isNotNull())
         .distinct()
         .persist()
     )
-    n_baskets = bi.select("__b").distinct().count()
-    support = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__cnt"))
+    n_baskets = bi.select("__g").distinct().count()
+    support = bi.groupBy("__n").agg(F.count(F.lit(1)).alias("__cnt"))
 
-    left = bi.select(F.col("__b"), F.col("__i").alias("item_a"))
-    right = bi.select(F.col("__b"), F.col("__i").alias("item_b"))
+    # pair-count core shared with graph.cooccurrence_edges — one
+    # blocking/counting implementation to keep in sync, not two
     pairs = (
-        left.join(right, "__b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
+        group_pair_counts(bi)
+        .select(
+            F.col("src").alias("item_a"),
+            F.col("dst").alias("item_b"),
+            F.col("weight").alias("pair_count"),
+        )
         .filter(F.col("pair_count") >= min_pair_count)
     )
     sa = support.select(
-        F.col("__i").alias("item_a"), F.col("__cnt").alias("__ca")
+        F.col("__n").alias("item_a"), F.col("__cnt").alias("__ca")
     )
     sb = support.select(
-        F.col("__i").alias("item_b"), F.col("__cnt").alias("__cb")
+        F.col("__n").alias("item_b"), F.col("__cnt").alias("__cb")
     )
     scored = (
         pairs.join(sa, "item_a")

@@ -136,6 +136,24 @@ def bipartite_edges(
     return fwd.union(rev)
 
 
+def group_pair_counts(gn: DataFrame) -> DataFrame:
+    """Pair-count core shared by the co-occurrence graph builder and
+    market-basket mining: from a ``(__g, __n)`` DataFrame ALREADY at
+    distinct grain, count how many groups each canonical node pair
+    (src < dst) shares. One per-group self-join keyed on the group
+    (pair mass bounded by group size², never corpus size) + one pair
+    aggregate. Output: ``(src, dst, weight)``.
+    """
+    left = gn.select("__g", F.col("__n").alias("src"))
+    right = gn.select("__g", F.col("__n").alias("dst"))
+    return (
+        left.join(right, "__g")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def cooccurrence_edges(
     df: DataFrame,
     group_col: str,
@@ -151,9 +169,8 @@ def cooccurrence_edges(
     The top-E cut is the graph-sparsification step: co-occurrence
     graphs densify quadratically with group size, and downstream
     triangle/clustering analytics only want the strong backbone.
-    Scale shape: DISTINCT (group, node) grain, a per-group self-join
-    keyed on the group (pair mass bounded by group size², never
-    corpus size), one edge aggregate, one TakeOrdered.
+    Scale shape: DISTINCT (group, node) grain, then the shared
+    ``group_pair_counts`` core, one TakeOrdered.
     """
     gn = (
         df.select(
@@ -162,13 +179,8 @@ def cooccurrence_edges(
         .filter(F.col("__g").isNotNull() & F.col("__n").isNotNull())
         .distinct()
     )
-    left = gn.select("__g", F.col("__n").alias("src"))
-    right = gn.select("__g", F.col("__n").alias("dst"))
     return (
-        left.join(right, "__g")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("weight"))
+        group_pair_counts(gn)
         .orderBy(F.desc("weight"), F.asc("src"), F.asc("dst"))
         .limit(top_edges)
     )

@@ -881,31 +881,30 @@ def vocab_coverage(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("__cum"),
     ).persist()
-    total = ranked.agg(F.max("__cum").alias("t"))
-    out = None
-    for t_ppm in thresholds_ppm:
-        need = (
-            ranked.crossJoin(F.broadcast(total))
-            .filter(
-                F.col("__cum")
-                >= F.expr(f"(t * {t_ppm}L + 999999) div 1000000")
-            )
-            .agg(
-                F.min("__r").alias("vocab_size"),
-            )
-            .crossJoin(F.broadcast(total))
-            .select(
-                F.lit(t_ppm).alias("threshold_ppm"),
-                "vocab_size",
-            )
+    total = ranked.agg(F.max("__cum").alias("__t"))
+    # one pass for ALL thresholds: explode them against the (1-row)
+    # total, broadcast onto the ranked vocab, take min rank per cut
+    targets = total.select(
+        F.explode(
+            F.array(*[F.lit(int(t)) for t in thresholds_ppm])
+        ).alias("threshold_ppm"),
+        "__t",
+    )
+    cuts = (
+        ranked.crossJoin(F.broadcast(targets))
+        .filter(
+            F.col("__cum")
+            >= F.expr("(__t * threshold_ppm + 999999) div 1000000")
         )
-        out = need if out is None else out.unionByName(need)
+        .groupBy("threshold_ppm")
+        .agg(F.min("__r").alias("vocab_size"))
+    )
     # re-attach the exact covered mass at the chosen cut
     cum = ranked.select(
         F.col("__r").alias("vocab_size"), F.col("__cum").alias("covered_mass")
     )
     return (
-        out.join(cum, "vocab_size")
+        cuts.join(cum, "vocab_size")
         .select("threshold_ppm", "vocab_size", "covered_mass")
         .orderBy("threshold_ppm")
     )

@@ -358,7 +358,13 @@ def event_transitions(
     )
     steps = (
         df.filter(
-            F.col(key_col).isNotNull() & F.col(type_col).isNotNull()
+            F.col(key_col).isNotNull()
+            & F.col(type_col).isNotNull()
+            # the ordering columns must be non-null for the claimed
+            # total order — NULL placement differs across engines
+            # (Spark ASC: nulls first; DuckDB default: nulls last)
+            & F.col(ts_col).isNotNull()
+            & F.col(tie_col).isNotNull()
         )
         .withColumn("__prev", F.lag(type_col).over(w))
         .filter(F.col("__prev").isNotNull())

@@ -1242,3 +1242,38 @@ def test_vocab_coverage_cuts(spark):
     assert out[500000] == (1, 6)    # 50% of 10 = 5 <= 6
     assert out[900000] == (2, 9)    # 90% -> x+y
     assert out[990000] == (3, 10)   # 99% -> ceil(9.9)=10 -> all
+
+
+def test_referential_profile_null_keys_are_orphans(spark):
+    from job_post_similarity_spark.operators.profiling import (
+        referential_profile,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (None,), (9,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (None,)], "pk long")
+    r = referential_profile(child, parent, "fk", "pk").collect()[0]
+    # left-anti semantics: NULL fk never matches -> orphan; NULL
+    # parent key matches no child -> childless
+    assert (r["n_child"], r["n_orphans"]) == (3, 2)
+    assert (r["n_parents"], r["n_childless"]) == (2, 1)
+
+
+def test_token_windows_udtf_edge_whitespace(spark):
+    from job_post_similarity_spark.functions.udtf_ops import (
+        token_windows,
+    )
+
+    rows = [(0, "\tfoo  bar\nbaz "), (1, "A\xa0B c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["win_idx"], r["win_text"], r["n_tokens"])
+           for r in token_windows(spark, df, size=2)
+           .orderBy("doc_id", "win_idx").collect()]
+    # tab/newline split + empties dropped; NBSP (U+00A0) is NOT a
+    # separator (ASCII-whitespace contract, matching the RE2/Java
+    # \s+ oracle) -> "a\xa0b" stays one token
+    assert got == [
+        (0, 0, "foo bar", 2), (0, 1, "baz", 1),
+        (1, 0, "a\xa0b c", 2),
+    ]
