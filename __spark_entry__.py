@@ -2881,6 +2881,59 @@ def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs)
 
 
+def negative_samples_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic contrastive negative sampling: 5 stride-hash
+    negatives per embedding id — map-side, no RNG state, replayable
+    in SQL. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    return negative_samples(emb, "vec_id", k=5, n=n).orderBy(
+        "vec_id", "neg_rank"
+    )
+
+
+def equi_depth_histogram_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact 10-bucket equi-depth histogram of l_extendedprice
+    (ntile over a (value, tie) total order). (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.profiling import (
+        equi_depth_histogram,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__tie",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    out = equi_depth_histogram(li, "l_extendedprice", "__tie", buckets=10)
+    return out.select(
+        "bucket",
+        "cnt",
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+    )
+
+
+def time_weighted_avg_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user time-weighted average of value (step-function TWA,
+    DECIMAL-weighted sums). (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.windows import (
+        time_weighted_avg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -3074,6 +3127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pending-oracle (window full this round; see _PENDING_ORACLES)
         "referential_profile_lineitem": referential_profile_lineitem,
         "vocab_coverage_documents": vocab_coverage_documents,
+        "negative_samples_embeddings": negative_samples_embeddings,
+        "equi_depth_histogram_lineitem": equi_depth_histogram_lineitem,
+        "time_weighted_avg_events": time_weighted_avg_events,
     }
 
 
@@ -3260,6 +3316,55 @@ _PENDING_ORACLES: dict[str, str] = {
                (SELECT count(*) FROM pk
                 WHERE NOT EXISTS (SELECT 1 FROM ck
                                   WHERE ck.k = pk.k)) AS n_childless
+    """,
+    "negative_samples_embeddings": """
+        WITH n AS (SELECT count(*) AS n FROM embeddings),
+        j AS (SELECT unnest(generate_series(0, 4)) AS neg_rank),
+        raw AS (
+            SELECT e.vec_id, j.neg_rank,
+                   ((e.vec_id % n.n + n.n) % n.n * 2654435761
+                    + (j.neg_rank + 1) * 40503) % n.n AS r,
+                   n.n AS nn
+            FROM embeddings e CROSS JOIN j CROSS JOIN n)
+        SELECT vec_id, neg_rank,
+               CASE WHEN r = vec_id THEN (r + 1) % nn
+                    ELSE r END AS neg_id
+        FROM raw ORDER BY vec_id, neg_rank
+    """,
+    "equi_depth_histogram_lineitem": """
+        WITH b AS (
+            SELECT l_extendedprice AS v,
+                   ntile(10) OVER
+                       (ORDER BY l_extendedprice ASC,
+                                 l_orderkey * 10 + l_linenumber ASC)
+                       AS bucket
+            FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        SELECT bucket, count(*) AS cnt,
+               round(min(v), 4) AS vmin, round(max(v), 4) AS vmax
+        FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "time_weighted_avg_events": """
+        WITH s AS (
+            SELECT user_id AS key, ts, value,
+                   lead(ts) OVER
+                       (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS nxt
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL AND event_id IS NOT NULL),
+        d AS (
+            SELECT key,
+                   CAST(value AS DECIMAL(18,6)) AS v,
+                   date_diff('second', ts, nxt) AS dt
+            FROM s WHERE nxt IS NOT NULL),
+        a AS (
+            SELECT key, sum(v * dt) AS wsum,
+                   CAST(sum(dt) AS BIGINT) AS total_seconds
+            FROM d GROUP BY key)
+        SELECT key,
+               round(CAST(wsum AS DOUBLE) / total_seconds, 6) AS twa,
+               total_seconds
+        FROM a WHERE total_seconds > 0 ORDER BY key
     """,
     "vocab_coverage_documents": """
         WITH tok AS (

@@ -489,3 +489,39 @@ def referential_profile(
     return (
         n_child.crossJoin(n_orph).crossJoin(n_par).crossJoin(n_cless)
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Exact equi-depth histogram: rank every non-null value into
+    ``buckets`` equal-population bins (ntile over the (value, tie)
+    total order — the tie column makes duplicate values place
+    deterministically) and emit per-bin count and [min, max] bounds.
+    Output: ``(bucket, cnt, vmin, vmax)``.
+
+    This is the EXACT tier (a global sort — single-partition window,
+    the price of exact equal-population cuts); at 100 TB use
+    ``quantile_profile(approx=True)`` boundaries + a map-side
+    ``width_bucket``-style assignment instead — sketch cuts, linear
+    scan, no global sort. The exact tier is the oracle for that one.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v"), F.col(tie_col).alias("__t")
+    )
+    w = Window.orderBy(F.asc("__v"), F.asc("__t"))
+    return (
+        base.withColumn("bucket", F.ntile(buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("__v").alias("vmin"),
+            F.max("__v").alias("vmax"),
+        )
+        .orderBy("bucket")
+    )

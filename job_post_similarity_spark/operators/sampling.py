@@ -164,3 +164,44 @@ def hash_split(
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", split)
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    n: int | None = None,
+    mult: int = 2654435761,
+    step: int = 40503,
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling for contrastive
+    training: each anchor id gets ``k`` negatives drawn by a fixed
+    multiplicative-hash stride over the DENSE id space [0, n) —
+    ``neg_j = (id·mult + (j+1)·step) mod n``, bumped by one (mod n)
+    when it collides with the anchor. Map-side only (one
+    ``sequence`` explode, no join, no shuffle, no RNG state), and
+    the same integer expression replays in any engine — the property
+    that makes the sample reproducible across re-runs and appends,
+    which random()-based sampling cannot give. Ids are reduced mod n
+    BEFORE the multiply so the product stays far from int64 overflow
+    at any id magnitude (the hash_bucket policy). Output:
+    ``(id, neg_rank, neg_id)``.
+
+    Complements ``knn.hard_negatives`` (similarity-ranked): uniform
+    negatives are the cheap bulk of a contrastive batch; hard
+    negatives the expensive tail.
+    """
+    if n is None:
+        n = df.count()
+    if n < 2:
+        raise ValueError("need at least 2 ids to sample negatives")
+    j = F.explode(F.expr(f"sequence(0, {k - 1})")).alias("neg_rank")
+    out = df.select(F.col(id_col), j)
+    raw = F.expr(
+        f"pmod(pmod({id_col}, {n}L) * {mult}L"
+        f" + (neg_rank + 1) * {step}L, {n}L)"
+    )
+    neg = F.when(raw == F.col(id_col), (raw + 1) % F.lit(n)).otherwise(raw)
+    return out.select(
+        id_col, "neg_rank", neg.cast("long").alias("neg_id")
+    )

@@ -387,3 +387,68 @@ def event_transitions(
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Per-key time-weighted average: each observation is weighted by
+    the seconds it was "in effect" (until the key's next event; the
+    final observation has no duration and is excluded — the standard
+    step-function TWA over a finite window). Output:
+    ``(key, twa, total_seconds)``.
+
+    Cross-engine exactness: value × duration products and their sum
+    run in DECIMAL (value cast DECIMAL(18,6), duration an exact
+    int64 of epoch seconds) — order-independent — with ONE double
+    conversion + round at the end. Keys whose events all share one
+    timestamp (total duration 0) are dropped rather than divided by
+    zero.
+
+    Scale shape: one key-partitioned window (lead) + one aggregate —
+    a single Exchange on the key.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(tie_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc(ts_col), F.asc(tie_col)
+    )
+    stepped = (
+        base.withColumn("__next", F.lead(ts_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            (
+                F.unix_timestamp("__next")
+                - F.unix_timestamp(ts_col)
+            ).alias("__dt"),
+            F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        )
+    )
+    agg = stepped.groupBy("key").agg(
+        F.sum(F.col("__v") * F.col("__dt")).alias("__wsum"),
+        F.sum("__dt").alias("total_seconds"),
+    )
+    return (
+        agg.filter(F.col("total_seconds") > 0)
+        .select(
+            "key",
+            F.round(
+                F.col("__wsum").cast("double")
+                / F.col("total_seconds"),
+                6,
+            ).alias("twa"),
+            "total_seconds",
+        )
+        .orderBy("key")
+    )

@@ -326,3 +326,36 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction — the data-lake maintenance job that
+    keeps a 100 TB table scannable: streaming sinks and per-partition
+    writers leave thousands of KB-sized parquet files, and every
+    downstream scan then pays one task + one footer read per file.
+    Rewrites ``src_path`` into ``ceil(total_bytes / target)`` files
+    at ``dst_path`` and returns that file count.
+
+    Sizing comes from the filesystem listing (no data pass);
+    ``repartition(n)`` is one round-robin shuffle — the rewrite cost
+    is the data size, the win is every future scan. Compact into a
+    NEW path and swap atomically (the crash-safe move-aside pattern
+    compact_signature_store already uses for its bucketed lake).
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -1277,3 +1277,78 @@ def test_token_windows_udtf_edge_whitespace(spark):
         (0, 0, "foo bar", 2), (0, 1, "baz", 1),
         (1, 0, "a\xa0b c", 2),
     ]
+
+def test_negative_samples_properties(spark):
+    import pytest
+
+    from job_post_similarity_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.range(0, 40).withColumnRenamed("id", "vid")
+    out = negative_samples(df, "vid", k=4, n=40).collect()
+    assert len(out) == 160
+    for r in out:
+        assert 0 <= r["neg_id"] < 40 and r["neg_id"] != r["vid"]
+    # deterministic across invocations/partitionings
+    again = negative_samples(df.repartition(7), "vid", k=4, n=40).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        negative_samples(spark.range(0, 1), "id", n=1)
+
+
+def test_equi_depth_histogram_exact_cuts(spark):
+    from job_post_similarity_spark.operators.profiling import (
+        equi_depth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v), v) for v in range(1, 21)], "v double, t long"
+    )
+    out = [(r["bucket"], r["cnt"], r["vmin"], r["vmax"])
+           for r in equi_depth_histogram(df, "v", "t", buckets=4).collect()]
+    assert out == [
+        (1, 5, 1.0, 5.0), (2, 5, 6.0, 10.0),
+        (3, 5, 11.0, 15.0), (4, 5, 16.0, 20.0),
+    ]
+
+
+def test_time_weighted_avg_step_function(spark):
+    import datetime as dt
+
+    from job_post_similarity_spark.operators.windows import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # value 10 for 10s, then 20 for 30s -> twa = (100+600)/40 = 17.5
+        (1, t0, 10.0, 1),
+        (1, t0 + dt.timedelta(seconds=10), 20.0, 2),
+        (1, t0 + dt.timedelta(seconds=40), 99.0, 3),  # last: no duration
+        (2, t0, 5.0, 4),  # single event -> no duration -> dropped
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double, eid long")
+    out = {r["key"]: (r["twa"], r["total_seconds"])
+           for r in time_weighted_avg(df, "u", "ts", "v", "eid").collect()}
+    assert out == {1: (17.5, 40)}
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.sources.io import compact_files
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 10_000).withColumn(
+        "payload", F.col("id").cast("string")
+    ).repartition(64).write.parquet(src)
+    import glob as g
+    assert len(g.glob(src + "/*.parquet")) == 64
+    n = compact_files(spark, src, dst, target_file_mb=128)
+    assert n == 1  # tiny data -> single file
+    assert len(g.glob(dst + "/*.parquet")) == 1
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
