@@ -138,14 +138,27 @@ def banded_minhash_signatures(
     bands: int = 8,
     ngram: int = 3,
     seed: int = 1,
+    sig_table: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig, band, bucket) rows — the shuffle key material for the
     LSH band join, reusable for both the batch self-join and the
-    incremental (streaming foreachBatch) signature store."""
+    incremental (streaming foreachBatch) signature store.
+
+    ``sig_table`` (columns ``(id, sig)``) lets a caller that ALSO
+    needs the raw signatures (e.g. the verify step of the pair join)
+    compute them once, persist, and share — the signature is the
+    operator's dominant map-side cost (shingling + H universal
+    hashes per doc)."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, ngram, seed).alias("sig"),
+    sig = (
+        sig_table
+        if sig_table is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(text_col, num_hashes, ngram, seed).alias(
+                "sig"
+            ),
+        )
     )
     return sig.select(
         "id",
@@ -200,8 +213,16 @@ def minhash_near_dup_pairs(
     # table (never dedup the exploded frame: that shuffles n×bands
     # array payloads). At 21k docs / 128 hashes this cut the whole
     # operator from ~105s to ~13s.
+    # The signature table is computed ONCE and persisted: it feeds
+    # both sides of the band self-join AND the estimate verify —
+    # unshared, the shingle+H-hash pass ran three times per call.
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, ngram, seed).alias("sig"),
+    ).persist()
     slim = banded_minhash_signatures(
-        df, id_col, text_col, num_hashes, bands, ngram, seed
+        df, id_col, text_col, num_hashes, bands, ngram, seed,
+        sig_table=sigs,
     ).select("id", "band", "bucket")
     cand = (
         slim.alias("a")
@@ -215,10 +236,6 @@ def minhash_near_dup_pairs(
         )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
-    )
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, ngram, seed).alias("sig"),
     )
     est = (
         cand.join(sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1")), "id1")

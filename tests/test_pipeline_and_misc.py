@@ -1061,3 +1061,27 @@ def test_scd2_build_runs_and_ranges(spark):
         (2, "a", us(0), us(0), False, 1),
         (2, "b", us(0), None, True, 1),
     ]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema-evolution read: two parquet batches with different
+    column sets union under mergeSchema=true (late columns null-fill
+    for old files) — the additive-evolution contract a long-lived
+    lake table needs. Default reads keep the cheap single-footer
+    behavior; evolution is opt-in per read."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(0, 5).select(
+        F.col("id"), F.lit("v1").alias("tag")
+    ).write.parquet(p + "/batch=1")
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("v2").alias("tag"),
+        (F.col("id") * 2).alias("extra"),
+    ).write.parquet(p + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "tag", "extra", "batch"}
+    rows = {r["id"]: (r["tag"], r["extra"]) for r in merged.collect()}
+    assert rows[0] == ("v1", None)      # old files null-fill
+    assert rows[7] == ("v2", 14)
+    assert merged.count() == 8
