@@ -2934,6 +2934,74 @@ def time_weighted_avg_events(
     return time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
 
 
+def monthly_revenue_change_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Month-over-month revenue with percent change — monthly DECIMAL
+    revenue in exact integer cents, lag window, double percent
+    rounded to 4 (exact int64 inputs ⇒ IEEE-deterministic).
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+            ).cast("long").alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return (
+        monthly.withColumn(
+            "change_pct",
+            F.when(
+                prev.isNotNull() & (prev != 0),
+                F.round(
+                    (F.col("rev_cents") - prev)
+                    / prev.cast("double")
+                    * 100.0,
+                    4,
+                ),
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+def top_tokens_by_lang_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language top-5 frequent tokens (grouped heavy terms).
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        top_tokens_by_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_tokens_by_group(docs, "lang", "text", top_n=5)
+
+
+def nearest_centroid_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification against the
+    DECIMAL-exact per-label centroids — map-side literal-array dot
+    folds, no join, no shuffle. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn.nearest_centroid_classify(emb)
+    return out.select(
+        "vec_id",
+        F.col("label").cast("string").alias("label"),
+        "pred_label",
+        "score",
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -3130,6 +3198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples_embeddings": negative_samples_embeddings,
         "equi_depth_histogram_lineitem": equi_depth_histogram_lineitem,
         "time_weighted_avg_events": time_weighted_avg_events,
+        "monthly_revenue_change_orders": monthly_revenue_change_orders,
+        "top_tokens_by_lang_documents": top_tokens_by_lang_documents,
+        "nearest_centroid_embeddings": nearest_centroid_embeddings,
     }
 
 
@@ -3365,6 +3436,78 @@ _PENDING_ORACLES: dict[str, str] = {
                round(CAST(wsum AS DOUBLE) / total_seconds, 6) AS twa,
                total_seconds
         FROM a WHERE total_seconds > 0 ORDER BY key
+    """,
+    "nearest_centroid_embeddings": """
+        WITH p AS (
+            SELECT label,
+                   unnest(generate_series(1, len(embedding))) AS i,
+                   embedding
+            FROM embeddings),
+        a AS (
+            SELECT label, i - 1 AS pos,
+                   sum(CAST(CAST(embedding[i] AS DOUBLE)
+                            AS DECIMAL(27,10))) AS s,
+                   count(*) AS n
+            FROM p GROUP BY label, i),
+        cent AS (
+            SELECT label,
+                   list(round(CAST(s AS DOUBLE) / n, 6)
+                        ORDER BY pos) AS cvec
+            FROM a GROUP BY label),
+        sc AS (
+            SELECT e.vec_id, e.label, c.label AS clab,
+                   list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                       AS score
+            FROM embeddings e CROSS JOIN cent c),
+        best AS (
+            SELECT vec_id, label, clab, score,
+                   row_number() OVER
+                       (PARTITION BY vec_id
+                        ORDER BY score DESC, clab ASC) AS rk
+            FROM sc)
+        SELECT vec_id, CAST(label AS VARCHAR) AS label,
+               CAST(clab AS VARCHAR) AS pred_label,
+               round(score, 4) AS score
+        FROM best WHERE rk = 1 ORDER BY vec_id
+    """,
+    "monthly_revenue_change_orders": """
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS rev_cents
+            FROM orders WHERE o_orderdate IS NOT NULL
+            GROUP BY date_trunc('month', o_orderdate))
+        SELECT month, rev_cents,
+               CASE WHEN lag(rev_cents) OVER (ORDER BY month)
+                         IS NOT NULL
+                     AND lag(rev_cents) OVER (ORDER BY month) <> 0
+                    THEN round(
+                        (rev_cents - lag(rev_cents) OVER
+                             (ORDER BY month))
+                        / CAST(lag(rev_cents) OVER (ORDER BY month)
+                               AS DOUBLE) * 100.0, 4)
+               END AS change_pct
+        FROM m ORDER BY month
+    """,
+    "top_tokens_by_lang_documents": """
+        WITH tok AS (
+            SELECT lang AS "group",
+                   unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS token
+            FROM documents
+            WHERE lang IS NOT NULL AND text IS NOT NULL),
+        c AS (
+            SELECT "group", token, count(*) AS cnt
+            FROM tok WHERE token <> ''
+            GROUP BY "group", token),
+        r AS (
+            SELECT "group", token, cnt,
+                   row_number() OVER
+                       (PARTITION BY "group"
+                        ORDER BY cnt DESC, token ASC) AS rank
+            FROM c)
+        SELECT "group", token, cnt, rank
+        FROM r WHERE rank <= 5 ORDER BY "group", rank
     """,
     "vocab_coverage_documents": """
         WITH tok AS (

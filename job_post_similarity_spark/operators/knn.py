@@ -599,3 +599,58 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def nearest_centroid_classify(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: score every vector
+    against each label's mean embedding (from ``label_centroids``,
+    so the centroids are DECIMAL-exact and rounded identically on
+    any engine) and predict the best-scoring label, ties broken
+    label asc. Output: ``(id, label, pred_label, score)``.
+
+    The centroid table is |labels| × dim — collected once and
+    inlined as literal arrays (the broadcast-small-model pattern;
+    same shape as IVF's broadcast coarse quantizer), so
+    classification is a pure map-side JVM fold per label: no join,
+    no shuffle, codegen end-to-end. The per-label dot runs the same
+    sequential fold DuckDB's list_dot_product uses — bit-identical
+    scores.
+    """
+    cents: dict = {}
+    for r in label_centroids(df, vec_col, label_col, decimals=6).collect():
+        cents.setdefault(r["label"], {})[r["pos"]] = r["centroid"]
+    labels = sorted(cents)
+    scores = {
+        lab: F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.array(
+                    *[
+                        F.lit(float(cents[lab][p]))
+                        for p in sorted(cents[lab])
+                    ]
+                ),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for lab in labels
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lab in sorted(labels, reverse=True):
+        pred = F.when(
+            scores[lab] == best, F.lit(str(lab))
+        ).otherwise(pred)
+    return df.select(
+        id_col,
+        label_col,
+        pred.alias("pred_label"),
+        F.round(best, 4).alias("score"),
+    )

@@ -908,3 +908,41 @@ def vocab_coverage(
         .select("threshold_ppm", "vocab_size", "covered_mass")
         .orderBy("threshold_ppm")
     )
+
+
+def top_tokens_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_n: int = 5,
+) -> DataFrame:
+    """Per-group frequent terms: top-N tokens per group value by
+    (count desc, token asc) — the grouped counterpart of
+    ``frequent_tokens`` (which is corpus-global). Output:
+    ``(group, token, cnt, rank)``, ordered.
+
+    Scale shape: tokenize/explode map-side, one (group, token)
+    aggregate, one per-group window over the aggregated counts
+    (|group×vocab| rows, not corpus rows)."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("group"),
+            F.explode(toks).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    cnt = tok.groupBy("group", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .orderBy("group", "rank")
+    )

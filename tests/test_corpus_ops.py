@@ -1352,3 +1352,37 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(dst).orderBy("id").collect()
     assert a == b
+
+
+def test_top_tokens_by_group_ranks(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        top_tokens_by_group,
+    )
+
+    rows = [("en", "a a a b"), ("en", "b c"), ("fr", "z z y")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = [(r["group"], r["token"], r["cnt"], r["rank"])
+           for r in top_tokens_by_group(df, "lang", top_n=2).collect()]
+    assert out == [
+        ("en", "a", 3, 1), ("en", "b", 2, 2),
+        ("fr", "z", 2, 1), ("fr", "y", 1, 2),
+    ]
+
+
+def test_nearest_centroid_classify_separable(spark):
+    from job_post_similarity_spark.operators.knn import (
+        nearest_centroid_classify,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], "x"), (1, [0.9, 0.1], "x"),
+        (2, [0.0, 1.0], "y"), (3, [0.1, 0.9], "y"),
+        (4, [0.8, 0.2], "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r["vec_id"]: r["pred_label"]
+           for r in nearest_centroid_classify(df).collect()}
+    # perfectly separable clusters -> every vector classified right
+    assert out == {0: "x", 1: "x", 2: "y", 3: "y", 4: "x"}
