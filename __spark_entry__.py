@@ -3002,6 +3002,39 @@ def nearest_centroid_embeddings(
     ).orderBy("vec_id")
 
 
+def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained BPE merge list over the corpus (rows-only: the
+    iterative merge loop is not SQL-expressible — property-tested
+    against the hand-computed Sennrich example instead). Distributed
+    word-count shuffle + driver-local loop over the bounded vocab
+    (the IVF Lloyd-on-a-sample shape)."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=30)
+    return spark.createDataFrame(
+        [(i, m[0], m[1]) for i, m in enumerate(merges)],
+        "merge_rank int, left string, right string",
+    ).orderBy("merge_rank")
+
+
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword token counts from the trained BPE merges
+    (rows-only: greedy rank-ordered merge application is a
+    data-dependent loop — Arrow-batched pandas UDF, broadcast merge
+    table; round-trip property-tested)."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=30)
+    return bpe_apply(docs, merges).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -3201,6 +3234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_change_orders": monthly_revenue_change_orders,
         "top_tokens_by_lang_documents": top_tokens_by_lang_documents,
         "nearest_centroid_embeddings": nearest_centroid_embeddings,
+        # rows-only by nature (iterative merge loop / greedy encode)
+        "bpe_train_documents": bpe_train_documents,
+        "bpe_encode_documents": bpe_encode_documents,
     }
 
 

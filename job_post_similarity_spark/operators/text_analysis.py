@@ -946,3 +946,142 @@ def top_tokens_by_group(
         .filter(F.col("rank") <= top_n)
         .orderBy("group", "rank")
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    max_vocab: int = 200_000,
+) -> list[tuple[str, str]]:
+    """Train a byte-pair-encoding merge list (Sennrich et al. 2016)
+    over the corpus: the distributed step aggregates the token
+    stream to the weighted DISTINCT-WORD table (one shuffle; the
+    vocabulary is orders of magnitude smaller than the corpus —
+    same argument as ``bpe_merge_pairs``), then the merge loop runs
+    driver-local over that bounded table — the Lloyd-on-a-sample
+    shape IVF training uses: the iterative state (pair counts over
+    ≤ ``max_vocab`` words) is kilobytes-to-megabytes at ANY corpus
+    size, so iterating it distributed would pay a shuffle per merge
+    for no benefit. ``max_vocab`` caps driver memory by keeping the
+    most frequent words (count desc, word asc — deterministic).
+
+    Returns the ordered merge list ``[(left, right), ...]`` —
+    deterministic: ties in pair count break on (left, right) asc.
+    Words are lowercased ``^[a-z]+$`` (the bpe_merge_pairs
+    normalization) with an end-of-word marker ``</w>`` on the last
+    symbol, the standard boundary treatment.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = df.select(F.explode(toks).alias("w")).filter(
+        F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 1)
+    )
+    wc = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(max_vocab)
+        .collect()
+    )
+    # driver-local merge loop over symbol tuples
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in wc:
+        syms = tuple(r["w"][:-1]) + (r["w"][-1] + "</w>",)
+        vocab[syms] = vocab.get(syms, 0) + r["cnt"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        # deterministic argmax: max count, ties on LOWEST (left, right)
+        bc = max(pairs.values())
+        left, right = min(p for p, c in pairs.items() if c == bc)
+        if bc < 2:
+            break
+        merges.append((left, right))
+        merged = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a trained BPE merge list: per word,
+    greedily apply the LOWEST-RANK applicable merge until none fits
+    (the standard BPE encode), then count subword tokens per doc.
+    Output: ``(id, n_bpe_tokens)``.
+
+    The merge table is broadcast (kilobytes); encoding is an
+    Arrow-batched pandas UDF — necessarily Python (the merge loop is
+    data-dependent iteration no SQL expression covers), batched so
+    the interpreter cost amortizes per Arrow batch. Words outside
+    the trained normalization (``^[a-z]+$``) count 1 token each.
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(rank)
+
+    @pandas_udf("int")
+    def encode_count(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        rk = bc.value
+
+        def enc_word(w: str) -> int:
+            syms = list(w[:-1]) + [w[-1] + "</w>"]
+            while len(syms) > 1:
+                cand = [
+                    (rk.get((a, b)), i)
+                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                    if (a, b) in rk
+                ]
+                if not cand:
+                    break
+                _r, i = min(cand)
+                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+            return len(syms)
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                continue
+            n = 0
+            for w in _re.split(r"[ \t\n\r\f\v]+", t.strip().lower()):
+                if not w:
+                    continue
+                n += enc_word(w) if _re.fullmatch(r"[a-z]+", w) else 1
+            out.append(n)
+        return pd.Series(out, dtype="int32")
+
+    return df.select(
+        F.col(id_col), encode_count(F.col(text_col)).alias("n_bpe_tokens")
+    )

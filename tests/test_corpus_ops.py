@@ -1386,3 +1386,53 @@ def test_nearest_centroid_classify_separable(spark):
            for r in nearest_centroid_classify(df).collect()}
     # perfectly separable clusters -> every vector classified right
     assert out == {0: "x", 1: "x", 2: "y", 3: "y", 4: "x"}
+
+
+def test_bpe_train_sennrich_example(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_train,
+    )
+
+    # the classic corpus: low x5, lower x2, newest x6, widest x3
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    merges = bpe_train(df, num_merges=4)
+    # (e,s) and (s,t</w>) tie at 9 -> pair-asc tie-break picks (e,s);
+    # after merging, (es,t</w>) hits 9; (l,o) leads the low family at
+    # 7; then (e,w) at 6 beats (lo,w</w>) at 5 — "low" ends in w</w>,
+    # so the lo+w pair only occurs in "lower" (hand-verified)
+    assert merges == [
+        ("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")
+    ]
+
+
+def test_bpe_roundtrip_token_counts(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6)
+    train = spark.createDataFrame([(text,)], "text string")
+    merges = bpe_train(train, num_merges=10)
+    docs = spark.createDataFrame(
+        [
+            (0, "low low newest"),   # all fully merged -> 3 tokens
+            (1, "lowest"),           # unseen word: partial merges
+            (2, "x9!"),              # outside normalization -> 1
+            (3, None),               # null -> 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_apply(docs, merges).collect()}
+    assert out[0] == 3 and out[2] == 1 and out[3] == 0
+    # 'lowest' shares 'lo'+'w' and 'est</w>' pieces -> fewer than
+    # its 6 characters, more than 1
+    assert 1 < out[1] < 7
+    # determinism across repartition
+    again = {r["doc_id"]: r["n_bpe_tokens"]
+             for r in bpe_apply(docs.repartition(3), merges).collect()}
+    assert out == again
