@@ -1093,3 +1093,78 @@ def prefix_jaccard_join(
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
     )
     return verified.orderBy("id1", "id2")
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_ppm: int = 800_000,
+) -> DataFrame:
+    """Directed word-set CONTAINMENT self-join: emit ``(id_a, id_b,
+    containment_ppm)`` where ``|A∩B| / |A| ≥ t`` — detects documents
+    that are (near-)SUBSETS of another (boilerplate swallowed by a
+    longer page, quote-and-extend duplication), which symmetric
+    Jaccard under-scores when |B| ≫ |A|.
+
+    Blocking (the overlap/JOSIE shape): only the PROBE side is
+    prefix-filtered — order A's tokens by global frequency (rarest
+    first) and keep its first ``|A| − ceil(t·|A|) + 1``; the
+    candidate side is indexed on ALL its tokens. Pigeonhole
+    completeness: overlap ≥ ceil(t·|A|) forces at least one shared
+    token into that prefix. Ceil is integer-exact (the
+    ``prefix_jaccard_join`` policy), and the DuckDB oracle is the
+    quadratic token join — a green gate machine-checks the blocking.
+
+    Scale shape: DISTINCT grain + frequency join + one per-doc
+    window (shared with the Jaccard join), a prefix→full-token
+    equi-join for candidates, verify on candidates only.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    dt = (
+        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+        .persist()
+    )
+    freq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("__f"))
+    w = Window.partitionBy("__id").orderBy(F.asc("__f"), F.asc("token"))
+    ranked = (
+        dt.join(freq, "token")
+        .withColumn("__pos", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__id")))
+    )
+    prefix = ranked.filter(
+        F.col("__pos")
+        <= F.col("__n")
+        - F.expr(f"(__n * {threshold_ppm}L + 999999) div 1000000")
+        + F.lit(1)
+    )
+    cand = (
+        prefix.select(F.col("__id").alias("id_a"), "token")
+        .join(dt.select(F.col("__id").alias("id_b"), "token"), "token")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = dt.groupBy("__id").agg(
+        F.array_sort(F.collect_set("token")).alias("__set")
+    )
+    sa = sets.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
+    sb = sets.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "(1000000L * size(array_intersect(__sa, __sb)))"
+                " div size(__sa)"
+            ).alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+        .orderBy("id_a", "id_b")
+    )

@@ -654,3 +654,125 @@ def nearest_centroid_classify(
         pred.alias("pred_label"),
         F.round(best, 4).alias("score"),
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+):
+    """Distributed PCA fit: accumulate the d×d Gram matrix and the
+    mean with ONE pass over the corpus, eigendecompose driver-side.
+
+    Scale shape — the standard distributed-PCA factoring: per Arrow
+    batch, a partial Gram (d×d) + sum + count ride out of
+    ``mapInPandas`` as ONE row each (d² floats — batch-count rows
+    total, corpus never collected); a posexplode + hash aggregate
+    reduces them to the global Gram. The d×d eigenproblem (d=384 →
+    1.1 MB) is solved with ``numpy.linalg.eigh`` on the driver —
+    corpus-size-independent, the Lloyd/BPE bounded-state shape.
+    Components get a deterministic sign (largest-|coefficient|
+    coordinate made positive; ties → lowest index).
+
+    Returns ``(components, mean, explained_var)`` as numpy arrays
+    (k×d, d, k), eigenvalues descending.
+    """
+    import numpy as np
+
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_fit on an empty DataFrame")
+    d = len(first[0])
+
+    schema = f"gram array<double>, s array<double>, n long"
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]]
+            )
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "gram": [g.reshape(-1).tolist()],
+                    "s": [x.sum(axis=0).tolist()],
+                    "n": [len(x)],
+                }
+            )
+
+    # persisted: the batch-partials table feeds three tiny reductions
+    # (gram, sum, count) — unpersisted, the corpus pass runs thrice
+    parts = df.select(vec_col).mapInPandas(partial, schema).persist()
+    gram_rows = (
+        parts.select(F.posexplode("gram").alias("pos", "g"))
+        .groupBy("pos")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    sn = parts.select(
+        F.posexplode("s").alias("pos", "v")
+    ).groupBy("pos").agg(F.sum("v").alias("v")).collect()
+    n_total = parts.agg(F.sum("n").alias("n")).collect()[0]["n"]
+    parts.unpersist()
+    gram = np.zeros(d * d)
+    for r in gram_rows:
+        gram[r["pos"]] = r["g"]
+    gram = gram.reshape(d, d)
+    mean = np.zeros(d)
+    for r in sn:
+        mean[r["pos"]] = r["v"]
+    mean = mean / n_total
+    cov = gram / n_total - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k×d
+    # deterministic sign: make the largest-|coef| coordinate positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, mean, vals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    mean,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto fitted PCA components: broadcast the k×d
+    matrix + mean, map-side Arrow-batched matmul — no join, no
+    shuffle; the reduced column replaces megabytes/vector-day with
+    k floats."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (np.asarray(components, dtype=np.float64),
+         np.asarray(mean, dtype=np.float64))
+    )
+    cols = df.columns
+
+    def proj(batches):
+        comps, mu = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            y = (x - mu) @ comps.T
+            out = pdf.drop(columns=[vec_col])
+            out[out_col] = [row.tolist() for row in y]
+            yield out
+
+    keep = [c for c in cols if c != vec_col]
+    schema_parts = []
+    for f_ in df.schema.fields:
+        if f_.name != vec_col:
+            schema_parts.append(f"{f_.name} {f_.dataType.simpleString()}")
+    schema_parts.append(f"{out_col} array<double>")
+    return df.mapInPandas(proj, ", ".join(schema_parts))

@@ -1436,3 +1436,78 @@ def test_bpe_roundtrip_token_counts(spark):
     again = {r["doc_id"]: r["n_bpe_tokens"]
              for r in bpe_apply(docs.repartition(3), merges).collect()}
     assert out == again
+
+
+def test_pca_fit_recovers_planted_directions(spark):
+    import numpy as np
+
+    from job_post_similarity_spark.operators.knn import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    # rank-2 structure in 6-d: strong axis e0, weaker axis e1
+    n = 400
+    a = rng.normal(0, 3.0, n)
+    b = rng.normal(0, 1.0, n)
+    noise = rng.normal(0, 0.01, (n, 6))
+    x = np.zeros((n, 6))
+    x[:, 0] = a
+    x[:, 1] = b
+    x += noise + np.array([5.0, -2.0, 0, 0, 0, 0])  # nonzero mean
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+    comps, mean, ev = pca_fit(df, k=2)
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+    # top component ~ e0, second ~ e1 (deterministic positive sign)
+    assert abs(comps[0][0]) > 0.99 and comps[0][0] > 0
+    assert abs(comps[1][1]) > 0.99 and comps[1][1] > 0
+    assert ev[0] > ev[1] > 0
+    # projection matches numpy
+    proj = {r["vec_id"]: r["pca"]
+            for r in pca_project(df, comps, mean).collect()}
+    want = (x - x.mean(axis=0)) @ comps.T
+    got0 = np.array(proj[0])
+    assert np.allclose(got0, want[0], atol=1e-9)
+    # exact partial-sum equality across partitionings (decimal-free
+    # but double sums of identical addends in different order — allow
+    # tiny tolerance)
+    comps2, mean2, ev2 = pca_fit(df.repartition(11), k=2)
+    assert np.allclose(comps, comps2, atol=1e-8)
+
+
+def test_containment_join_detects_subsets(spark):
+    import itertools
+
+    from job_post_similarity_spark.operators.dedup import (
+        containment_join,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon",   # superset
+        "alpha beta gamma delta",           # 4/4 contained in 0
+        "alpha beta",                       # 2/2 contained in 0,1
+        "zeta eta theta",
+        "zeta eta theta iota kappa",        # 3 contains... no: 3 in 4
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    t_ppm = 800_000
+    got = {(r["id_a"], r["id_b"]): r["containment_ppm"]
+           for r in containment_join(df, threshold_ppm=t_ppm).collect()}
+    sets = [set(t.split()) for t in texts]
+    want = {}
+    for i, j in itertools.permutations(range(len(texts)), 2):
+        ppm = (1_000_000 * len(sets[i] & sets[j])) // len(sets[i])
+        if ppm >= t_ppm:
+            want[(i, j)] = ppm
+    assert got == want
+    assert got[(1, 0)] == 1_000_000 and got[(3, 4)] == 1_000_000
+    # direction matters: the superset scores lower than the subset
+    # (4 of its 5 tokens land in doc 1 — exactly at the threshold)
+    assert got[(0, 1)] == 800_000
+    assert (4, 3) not in got  # 3/5 = 0.6 < 0.8
