@@ -708,6 +708,84 @@ def semantic_dedup(
     ).drop("component")
 
 
+def stratified_semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup with a DETERMINISTIC, cross-engine-reproducible coarse
+    quantizer — the verification twin of ``semantic_dedup``.
+
+    Quantizer: the DECIMAL-exact mean vectors of the ``pmod(id, k)``
+    strata (a deterministic stratified centroid init — no Lloyd
+    iterations), assignment by argmax dot against the k inlined
+    centroid literals (ties → lowest cluster id; the broadcast-small-
+    model shape shared with ``knn.nearest_centroid_classify``).
+    Every step downstream of the quantizer — within-cluster pair
+    scoring (sequential JVM dot fold == DuckDB ``list_dot_product``),
+    min-label connected components, keep-min-id — is a fixed-shape
+    IEEE/DECIMAL computation, so an independent engine reproduces the
+    EXACT output; this is the tier the DuckDB oracle grades.
+    ``semantic_dedup`` (Lloyd-trained quantizer, identical downstream
+    shape) is the production path: better clusters, but its quantizer
+    is a trained artifact no SQL oracle can re-derive.
+
+    Scale shape: assignment is map-side (k×d literals, no join); the
+    only corpus shuffles are the cluster-keyed self-join (fan-out
+    Σ bucket², never n²) and the component rounds over the tiny
+    above-threshold edge set.
+
+    Output: one row per input id — ``(id, cluster, component, keep)``,
+    ordered by id; ``keep`` marks the component representative
+    (min id) exactly as ``semantic_dedup`` keeps survivors.
+    """
+    from .knn import nearest_centroid_classify
+
+    tagged = df.withColumn(
+        "__lab", F.pmod(F.col(id_col).cast("long"), F.lit(k))
+    )
+    asg = nearest_centroid_classify(
+        tagged, id_col, vec_col, "__lab"
+    ).select(
+        F.col(id_col), F.col("pred_label").cast("int").alias("cluster")
+    )
+    vec = asg.join(df.select(id_col, vec_col), id_col)
+    a = vec.select(
+        F.col(id_col).alias("id1"),
+        F.col("cluster").alias("__c"),
+        F.col(vec_col).alias("__v1"),
+    )
+    b = vec.select(
+        F.col(id_col).alias("id2"),
+        F.col("cluster").alias("__c"),
+        F.col(vec_col).alias("__v2"),
+    )
+    from ..functions import vectors as V
+
+    pairs = (
+        a.join(b, "__c")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(V.dot_cosine("__v1", "__v2") >= F.lit(float(threshold)))
+        .select("id1", "id2")
+    )
+    comp = connected_components(pairs, max_iter)
+    return (
+        asg.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            (
+                F.coalesce("component", F.col(id_col)) == F.col(id_col)
+            ).alias("keep"),
+        )
+        .orderBy(id_col)
+    )
+
+
 # ------------------------------------------- substring-level exact dedup
 
 

@@ -1511,3 +1511,62 @@ def test_containment_join_detects_subsets(spark):
     # (4 of its 5 tokens land in doc 1 — exactly at the threshold)
     assert got[(0, 1)] == 800_000
     assert (4, 3) not in got  # 3/5 = 0.6 < 0.8
+
+
+# ------------------------------------------------ deterministic SemDeDup
+def test_stratified_semantic_dedup_planted_duplicates(spark):
+    """Planted near-identical vectors must land in one component with
+    exactly one keeper (the min id); isolated vectors keep themselves."""
+    from job_post_similarity_spark.operators.dedup import (
+        stratified_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # plant two near-duplicates of vector 3 (tiny rotation, renormed)
+    for nid in (20, 21):
+        v = base[3] + rng.normal(scale=1e-3, size=16)
+        v /= np.linalg.norm(v)
+        rows.append((nid, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           stratified_semantic_dedup(df, k=4, threshold=0.95).collect()}
+    assert len(out) == 22  # one row per input id, dup or not
+    # the planted trio shares a component rooted at min id 3
+    assert out[3]["component"] == 3 and out[3]["keep"]
+    for nid in (20, 21):
+        assert out[nid]["component"] == 3 and not out[nid]["keep"]
+    # every component has exactly one keeper, and it's the min id
+    comps: dict = {}
+    for r in out.values():
+        comps.setdefault(r["component"], []).append(r)
+    for comp, members in comps.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1
+        assert keepers[0]["vec_id"] == comp == min(m["vec_id"] for m in members)
+    # near-identical vectors must agree on the cluster assignment
+    assert out[20]["cluster"] == out[3]["cluster"] == out[21]["cluster"]
+
+
+def test_stratified_semantic_dedup_matches_lloyd_survivor_count(spark):
+    """The deterministic tier and the Lloyd production tier agree on
+    WHICH ids survive when the duplicate structure is unambiguous
+    (dups are ~identical, everything else is far below threshold)."""
+    from job_post_similarity_spark.operators.dedup import (
+        semantic_dedup,
+        stratified_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 12))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    rows += [(30 + j, base[j].tolist()) for j in range(5)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    det = stratified_semantic_dedup(df, k=4, threshold=0.999)
+    det_kept = {r["vec_id"] for r in det.collect() if r["keep"]}
+    prod = semantic_dedup(df, threshold=0.999, n_centroids=4)
+    prod_kept = {r["vec_id"] for r in prod.collect()}
+    assert det_kept == prod_kept == set(range(30))

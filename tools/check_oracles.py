@@ -114,8 +114,10 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from job_post_similarity_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DIR
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--pending"]
+    with_pending = "--pending" in sys.argv[1:]
+    sf_dir = argv[0] if argv else SF_DIR
+    only = set(argv[1:])
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -126,6 +128,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if with_pending:
+        # --pending: ALSO grade the oracles staged for the next window
+        # rotation (kept out of oracle_sql() so the parked-means-
+        # prior-green invariant holds until the driver grades them)
+        oracles = {**oracles, **entrymod._PENDING_ORACLES}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
