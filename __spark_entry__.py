@@ -3018,6 +3018,21 @@ def semantic_dedup_embeddings(
     )
 
 
+def dsir_weights_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance weights: hashed-unigram
+    target-vs-raw LM log-ratio per document — target corpus = the
+    English slice, raw = everything. Integer micro-log sums, so the
+    whole data-selection signal is cross-engine exact. (Oracle staged
+    in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.curation import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_weights(docs, target).orderBy("doc_id")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3294,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pending-oracle (window full this round)
         "containment_join_docs": containment_join_docs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "dsir_weights_documents": dsir_weights_documents,
     }
 
 
@@ -3714,6 +3730,52 @@ _PENDING_ORACLES: dict[str, str] = {
                coalesce(c.component, a3.vec_id) = a3.vec_id AS keep
         FROM asg a3 LEFT JOIN comp c ON c.id = a3.vec_id
         ORDER BY a3.vec_id
+    """,
+    "dsir_weights_documents": """
+        -- DSIR hashed-unigram importance weights: integer micro-log
+        -- target/raw ratio; the md5-prefix bucket hash is positive so
+        -- % == pmod; sums of BIGINT cast back from HUGEINT
+        WITH tokr AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)
+                       % 1024 AS b
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(
+                             trim(lower(text)), '\\s+')) AS t
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE t <> ''),
+        tokt AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)
+                       % 1024 AS b
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(
+                             trim(lower(text)), '\\s+')) AS t
+                  FROM documents
+                  WHERE text IS NOT NULL AND lang = 'en')
+            WHERE t <> ''),
+        r AS (SELECT b, count(*) AS c FROM tokr GROUP BY b),
+        rn AS (SELECT count(*) AS n FROM tokr),
+        t AS (SELECT b, count(*) AS c FROM tokt GROUP BY b),
+        tn AS (SELECT count(*) AS n FROM tokt),
+        model AS (
+            SELECT coalesce(r.b, t.b) AS b,
+                   coalesce(
+                       CAST(round(ln((r.c + 0.5) / (rn.n + 512.0))
+                                  * 1e6, 0) AS BIGINT),
+                       CAST(round(ln(0.5 / (rn.n + 512.0))
+                                  * 1e6, 0) AS BIGINT)) AS lp6_raw,
+                   coalesce(
+                       CAST(round(ln((t.c + 0.5) / (tn.n + 512.0))
+                                  * 1e6, 0) AS BIGINT),
+                       CAST(round(ln(0.5 / (tn.n + 512.0))
+                                  * 1e6, 0) AS BIGINT)) AS lp6_tgt
+            FROM r FULL OUTER JOIN t ON r.b = t.b
+            CROSS JOIN rn CROSS JOIN tn)
+        SELECT tokr.doc_id, count(*) AS n_tokens,
+               CAST(sum(m.lp6_tgt - m.lp6_raw) AS BIGINT) AS w6
+        FROM tokr JOIN model m ON tokr.b = m.b
+        GROUP BY tokr.doc_id ORDER BY tokr.doc_id
     """,
 }
 

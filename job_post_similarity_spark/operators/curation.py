@@ -297,3 +297,129 @@ def bloom_decontaminate(
         "left_anti",
     )
     return clean.unionByName(verified_clean)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how much more likely its tokens are
+    under a TARGET-domain language model than under the raw-corpus
+    model — the data-selection signal behind domain-matched
+    pretraining mixes. Both models are hashed-unigram bag-of-words
+    LMs (the paper's hashed n-gram estimator): token → md5-prefix
+    bucket in ``[0, n_buckets)``, add-k smoothed bucket probabilities.
+
+    Cross-engine exactness (the repo's integer micro-log policy, as
+    in ``bigram_perplexity``): per-bucket log-probs are rounded to
+    millionths and stored as integers, so the per-doc sum
+    ``w6 = Σ (lp6_target[b] − lp6_raw[b])`` is order-independent and
+    bit-identical on any engine/parallelism. Select by ``w6`` desc
+    (ties → id asc) to take the top slice.
+
+    Scale shape: two hash aggregates reduce BOTH corpora to one
+    ``n_buckets``-row model table (broadcastable at any corpus size —
+    the bounded-model shape shared with the Lloyd/BPE trainers);
+    scoring is a map-side explode + broadcast join + one per-doc
+    aggregation. The raw corpus is scanned twice (model + scoring) —
+    persist upstream if it is an expensive derivation.
+
+    Output: ``(id, n_tokens, w6)`` — one row per raw doc that has at
+    least one whitespace token; ``w6`` is the micro-log importance
+    ratio (positive = more target-like).
+    """
+    def _buckets(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).alias("__id"),
+                F.explode(toks).alias("__t"),
+            )
+            .filter(F.col("__t") != "")
+            .select(
+                "__id",
+                F.pmod(
+                    F.conv(F.substring(F.md5("__t"), 1, 14), 16, 10)
+                    .cast("long"),
+                    F.lit(n_buckets),
+                ).alias("__b"),
+            )
+        )
+
+    raw_b = _buckets(raw).persist()
+    tgt_b = _buckets(target)
+
+    def _lp6(bucketed: DataFrame, out: str) -> DataFrame:
+        cnt = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+        tot = bucketed.agg(F.count(F.lit(1)).alias("__n"))
+        return (
+            cnt.crossJoin(F.broadcast(tot))
+            .select(
+                "__b",
+                F.round(
+                    F.log(
+                        (F.col("__c") + F.lit(add_k))
+                        / (F.col("__n") + F.lit(add_k * n_buckets))
+                    )
+                    * F.lit(1e6),
+                    0,
+                )
+                .cast("long")
+                .alias(out),
+                F.col("__n").alias(f"__n_{out}"),
+            )
+        )
+
+    # full-outer on bucket: a bucket absent from one corpus still has
+    # a smoothed floor probability there (add_k / (N + add_k*B))
+    raw_lp = _lp6(raw_b, "lp6_raw")
+    tgt_lp = _lp6(tgt_b, "lp6_tgt")
+    n_raw = raw_lp.agg(F.max("__n_lp6_raw").alias("n")).crossJoin(
+        tgt_lp.agg(F.max("__n_lp6_tgt").alias("m"))
+    )
+    model = (
+        raw_lp.select("__b", "lp6_raw")
+        .join(tgt_lp.select("__b", "lp6_tgt"), "__b", "full_outer")
+        .crossJoin(F.broadcast(n_raw))
+        .select(
+            "__b",
+            F.coalesce(
+                "lp6_raw",
+                F.round(
+                    F.log(
+                        F.lit(add_k)
+                        / (F.col("n") + F.lit(add_k * n_buckets))
+                    )
+                    * F.lit(1e6),
+                    0,
+                ).cast("long"),
+            ).alias("lp6_raw"),
+            F.coalesce(
+                "lp6_tgt",
+                F.round(
+                    F.log(
+                        F.lit(add_k)
+                        / (F.col("m") + F.lit(add_k * n_buckets))
+                    )
+                    * F.lit(1e6),
+                    0,
+                ).cast("long"),
+            ).alias("lp6_tgt"),
+        )
+    )
+    out = (
+        raw_b.join(F.broadcast(model), "__b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("lp6_tgt") - F.col("lp6_raw")).alias("w6"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "w6")
+    )
+    return out

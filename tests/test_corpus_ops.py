@@ -1570,3 +1570,53 @@ def test_stratified_semantic_dedup_matches_lloyd_survivor_count(spark):
     prod = semantic_dedup(df, threshold=0.999, n_centroids=4)
     prod_kept = {r["vec_id"] for r in prod.collect()}
     assert det_kept == prod_kept == set(range(30))
+
+
+# --------------------------------------------------------------- DSIR
+def test_dsir_weights_matches_python_reference(spark):
+    """w6 must equal an independently-computed integer micro-log
+    importance ratio, and target-like docs must outrank off-domain
+    ones."""
+    import hashlib
+
+    from job_post_similarity_spark.operators.curation import dsir_weights
+
+    docs = [
+        (0, "the quick brown fox jumps"),
+        (1, "the lazy dog sleeps"),
+        (2, "uno dos tres cuatro cinco"),
+        (3, "seis siete ocho nueve"),
+        (4, "the quick dog"),
+        (5, None),  # null text: dropped
+        (6, "   "),  # whitespace-only: no tokens, dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 2)  # "english" slice
+    got = {r["doc_id"]: (r["n_tokens"], r["w6"])
+           for r in dsir_weights(df, target, n_buckets=64).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:14], 16) % 64
+
+    toks = {i: t.lower().split() for i, t in docs if t and t.split()}
+    rawb = [bucket(t) for ts in toks.values() for t in ts]
+    tgtb = [bucket(t) for i in (0, 1) for t in toks[i]]
+    k, B = 0.5, 64
+
+    def lp6(bs, b):
+        c = bs.count(b)
+        return int(np.round(math.log((c + k) / (len(bs) + k * B)) * 1e6))
+
+    for i, ts in toks.items():
+        w6 = sum(lp6(tgtb, bucket(t)) - lp6(rawb, bucket(t)) for t in ts)
+        assert got[i] == (len(ts), w6), i
+    # ranking property (robust even at this tiny smoothing-dominated
+    # scale): every in-domain doc outranks every off-domain doc
+    # per-token, and off-domain docs are strongly negative (their
+    # tokens hit the target floor probability)
+    per_tok = {i: got[i][1] / got[i][0] for i in got}
+    assert min(per_tok[i] for i in (0, 1, 4)) > max(
+        per_tok[i] for i in (2, 3)
+    )
+    assert got[2][1] < 0 and got[3][1] < 0
