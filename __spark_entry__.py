@@ -3033,6 +3033,20 @@ def dsir_weights_documents(
     return dsir_weights(docs, target).orderBy("doc_id")
 
 
+def quantize_int8_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Symmetric per-dim int8 scalar quantization (the faiss SQ8
+    model) — scale = order-independent per-dim max|x|, codes a
+    fixed-shape IEEE expression rounded HALF_UP, so the compressed
+    representation is bit-exactly reproducible by an independent
+    engine. (Oracle staged in _PENDING_ORACLES.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn.quantize_int8(emb).select("vec_id", "codes").orderBy(
+        "vec_id"
+    )
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3310,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_join_docs": containment_join_docs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "dsir_weights_documents": dsir_weights_documents,
+        "quantize_int8_embeddings": quantize_int8_embeddings,
     }
 
 
@@ -3776,6 +3791,28 @@ _PENDING_ORACLES: dict[str, str] = {
                CAST(sum(m.lp6_tgt - m.lp6_raw) AS BIGINT) AS w6
         FROM tokr JOIN model m ON tokr.b = m.b
         GROUP BY tokr.doc_id ORDER BY tokr.doc_id
+    """,
+    "quantize_int8_embeddings": """
+        -- SQ8: per-dim max|x| scale (order-independent max), then
+        -- clamp(round(x/s*127)); both engines round half away from 0
+        WITH p AS (
+            SELECT unnest(generate_series(1, len(embedding))) AS i,
+                   embedding
+            FROM embeddings),
+        s AS (
+            SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS mx
+            FROM p GROUP BY i),
+        sv AS (SELECT list(mx ORDER BY i) AS sl FROM s)
+        SELECT vec_id,
+               list_transform(
+                   generate_series(1, len(embedding)),
+                   i -> CASE WHEN sv.sl[i] = 0.0 THEN 0
+                             ELSE CAST(least(127.0, greatest(-127.0,
+                                      round(CAST(embedding[i] AS DOUBLE)
+                                            / sv.sl[i] * 127.0, 0)))
+                                  AS INT) END) AS codes
+        FROM embeddings CROSS JOIN sv
+        ORDER BY vec_id
     """,
 }
 

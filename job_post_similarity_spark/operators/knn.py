@@ -776,3 +776,84 @@ def pca_project(
             schema_parts.append(f"{f_.name} {f_.dataType.simpleString()}")
     schema_parts.append(f"{out_col} array<double>")
     return df.mapInPandas(proj, ", ".join(schema_parts))
+
+
+def int8_scales(
+    df: DataFrame, vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension symmetric int8 quantization scales:
+    ``scale[pos] = max(|x[pos]|)`` over the corpus. ``max`` is
+    order-independent, so the scales are bit-identical at any
+    parallelism/engine. One posexplode + hash aggregate; the result
+    is d doubles — the bounded-model shape (collected once, inlined
+    as literals by the encoder)."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "__x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("__x").cast("double"))).alias("mx"))
+        .collect()
+    )
+    by_pos = {r["pos"]: r["mx"] for r in rows}
+    return [float(by_pos[p]) for p in sorted(by_pos)]
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scales: list[float] | None = None,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Symmetric per-dimension int8 scalar quantization of an
+    embedding column — the 4× storage/bandwidth compressor for
+    embedding lakes (the faiss ``SQ8`` model): ``code = clamp(round(
+    x / scale * 127))`` with ``scale = max|x|`` per dimension.
+
+    Cross-engine exactness: the scale max is order-independent, the
+    code expression is a fixed-shape IEEE computation rounded HALF_UP
+    in the JVM (== DuckDB ``round``), so codes are integers an
+    independent engine reproduces exactly — unlike PQ (trained
+    codebooks), scalar quantization is fully oracle-checkable.
+
+    Scale shape: one aggregate pass for scales (d-row model,
+    broadcast as literals), then a pure map-side zip_with — no
+    shuffle, no Python, whole-stage codegen. A zero scale (a
+    dimension that is 0 everywhere) emits code 0.
+
+    Output: input row + ``out_col array<int>``. Pair with
+    ``dequantize_int8`` for serving and recall checks.
+    """
+    if scales is None:
+        scales = int8_scales(df, vec_col)
+    sv = F.array(*[F.lit(s) for s in scales])
+    codes = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        sv,
+        lambda x, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(127.0),
+                F.greatest(F.lit(-127.0), F.round(x / s * 127.0, 0)),
+            ).cast("int")
+        ),
+    )
+    return df.withColumn(out_col, codes)
+
+
+def dequantize_int8(
+    df: DataFrame,
+    scales: list[float],
+    codes_col: str = "codes",
+    out_col: str = "embedding_sq8",
+) -> DataFrame:
+    """Inverse of ``quantize_int8``: ``x̂ = code / 127 * scale``.
+    Map-side zip_with; reconstruction error per component is bounded
+    by ``scale / 254`` (half a quantization step)."""
+    sv = F.array(*[F.lit(s) for s in scales])
+    return df.withColumn(
+        out_col,
+        F.zip_with(
+            F.col(codes_col),
+            sv,
+            lambda c, s: c.cast("double") / F.lit(127.0) * s,
+        ),
+    )

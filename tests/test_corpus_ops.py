@@ -1620,3 +1620,67 @@ def test_dsir_weights_matches_python_reference(spark):
         per_tok[i] for i in (2, 3)
     )
     assert got[2][1] < 0 and got[3][1] < 0
+
+
+# ------------------------------------------------- int8 quantization
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Codes stay in [-127,127]; per-component reconstruction error
+    is at most half a quantization step (scale/254 + fp slack); the
+    max-|x| component of every dimension hits ±127 exactly."""
+    from job_post_similarity_spark.operators.knn import (
+        dequantize_int8,
+        int8_scales,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(50, 8))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    scales = int8_scales(df)
+    assert scales == [float(m) for m in np.abs(x).max(axis=0)]
+    out = dequantize_int8(quantize_int8(df, scales=scales), scales)
+    rows = {r["vec_id"]: (r["codes"], r["embedding_sq8"])
+            for r in out.collect()}
+    hit_extreme = [False] * 8
+    for i, (codes, recon) in rows.items():
+        assert all(-127 <= c <= 127 for c in codes)
+        for p, (c, xh) in enumerate(zip(codes, recon)):
+            assert abs(xh - x[i][p]) <= scales[p] / 254 + 1e-12
+            if abs(c) == 127:
+                hit_extreme[p] = True
+    assert all(hit_extreme)
+
+
+def test_quantize_int8_search_parity(spark):
+    """Top-1 cosine neighbor over dequantized SQ8 vectors matches the
+    exact top-1 for the overwhelming majority of queries (the serving
+    guarantee the 4x compression is traded against)."""
+    from job_post_similarity_spark.functions import vectors as V
+    from job_post_similarity_spark.operators.knn import (
+        dequantize_int8,
+        int8_scales,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(80, 24))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    scales = int8_scales(df)
+    deq = dequantize_int8(quantize_int8(df, scales=scales), scales)
+    xr = np.array(
+        [r["embedding_sq8"] for r in deq.orderBy("vec_id").collect()]
+    )
+    sims_exact = x @ x.T
+    sims_sq8 = xr @ xr.T
+    np.fill_diagonal(sims_exact, -2)
+    np.fill_diagonal(sims_sq8, -2)
+    agree = (sims_exact.argmax(axis=1) == sims_sq8.argmax(axis=1)).mean()
+    assert agree >= 0.9
