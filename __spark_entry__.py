@@ -3047,6 +3047,33 @@ def quantize_int8_embeddings(
     )
 
 
+def leakage_safe_split_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe train/val/test split: fold keyed on the content
+    digest (exact-dup group), so duplicate documents can never
+    straddle train and eval (Lee et al. 2022 §5). Map-side md5
+    bucket + cumulative fold thresholds — cross-engine exact.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    from job_post_similarity_spark.operators.text_analysis import (
+        doc_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = docs.withColumn("dup_group", doc_fingerprint(F.col("text")))
+    return (
+        leakage_safe_split(
+            grouped, "dup_group",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        .select("doc_id", "dup_group", "split")
+        .orderBy("doc_id")
+    )
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3325,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
+        "leakage_safe_split_documents": leakage_safe_split_documents,
     }
 
 
@@ -3813,6 +3841,27 @@ _PENDING_ORACLES: dict[str, str] = {
                                   AS INT) END) AS codes
         FROM embeddings CROSS JOIN sv
         ORDER BY vec_id
+    """,
+    "leakage_safe_split_documents": """
+        -- group-keyed fold: md5 digest of normalized text is the dup
+        -- group; fold bucket = md5-prefix of the GROUP key mod 2^31;
+        -- thresholds are int(cum_weight * 2^31) with float
+        -- accumulation (0.8, 0.8+0.1) exactly as the Spark side
+        WITH g AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                           'g'))) AS dup_group
+            FROM documents),
+        b AS (
+            SELECT doc_id, dup_group,
+                   CAST(concat('0x', substr(md5(dup_group), 1, 14))
+                        AS BIGINT) % 2147483648 AS bucket
+            FROM g)
+        SELECT doc_id, dup_group,
+               CASE WHEN bucket < 1717986918 THEN 'train'
+                    WHEN bucket < 1932735283 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
     """,
 }
 

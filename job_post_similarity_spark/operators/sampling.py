@@ -146,24 +146,63 @@ def hash_split(
     ``weights`` maps split name → fraction (must sum to ≤ 1; any
     remainder falls into the last split). Adds a ``split`` column.
     """
+    return df.withColumn(
+        "split", _cumulative_split_expr(hash_bucket(key), weights)
+    )
+
+
+def _cumulative_split_expr(
+    bucket: Column, weights: dict[str, float]
+) -> Column:
+    """Named-fold expression over a uniform bucket in [0, _MOD):
+    first fold whose cumulative fraction exceeds the bucket; any
+    remainder falls into the last fold."""
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"weights sum to {total} > 1")
-    b = hash_bucket(key)
     expr = None
     acc = 0.0
     names = list(weights)
     for name in names[:-1]:
         acc += weights[name]
-        cond = b < int(acc * _MOD)
+        cond = bucket < int(acc * _MOD)
         expr = (
             F.when(cond, F.lit(name))
             if expr is None
             else expr.when(cond, F.lit(name))
         )
     last = F.lit(names[-1])
-    split = last if expr is None else expr.otherwise(last)
-    return df.withColumn("split", split)
+    return last if expr is None else expr.otherwise(last)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: Column | str,
+    weights: dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split keyed on a GROUP — near-dup component,
+    content digest, user/document family — so every member of a
+    group lands in the SAME fold. Splitting by row id leaves
+    near-duplicate train/test leakage in place (Lee et al. 2022,
+    arXiv:2107.06499 §5: duplicate train/eval overlap inflates eval
+    scores); splitting by the dup-cluster key removes it by
+    construction.
+
+    Accepts any key type: the group key is rendered to a string and
+    reduced to a uniform bucket via the md5-prefix hash (the repo's
+    cross-engine string hash — ``hash_bucket`` needs an int64 key),
+    then routed through the same cumulative-fraction fold expression
+    as ``hash_split``. Map-side, no shuffle, reproducible under
+    repartitioning and corpus growth.
+    """
+    c = F.col(group_col) if isinstance(group_col, str) else group_col
+    b = F.pmod(
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 14), 16, 10)
+        .cast("long"),
+        F.lit(_MOD),
+    )
+    return df.withColumn(out_col, _cumulative_split_expr(b, weights))
 
 
 def negative_samples(

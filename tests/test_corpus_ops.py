@@ -1684,3 +1684,32 @@ def test_quantize_int8_search_parity(spark):
     np.fill_diagonal(sims_sq8, -2)
     agree = (sims_exact.argmax(axis=1) == sims_sq8.argmax(axis=1)).mean()
     assert agree >= 0.9
+
+
+# ------------------------------------------- leakage-safe splitting
+def test_leakage_safe_split_group_cohesion(spark):
+    """All members of a group land in one fold; fold proportions are
+    near the weights; the split is stable under repartitioning and
+    row-order changes."""
+    from job_post_similarity_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    rows = [(i, f"g{i % 200}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "row_id long, fam string")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(df, "fam", w).collect()
+    by_fam: dict = {}
+    for r in out:
+        by_fam.setdefault(r["fam"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_fam.values())
+    from collections import Counter
+    fold_of = {fam: next(iter(s)) for fam, s in by_fam.items()}
+    frac = Counter(fold_of.values())
+    assert 0.6 < frac["train"] / 200 < 0.95
+    assert frac["val"] > 0 and frac["test"] > 0
+    # order/partitioning independence
+    again = leakage_safe_split(df.repartition(7).orderBy(F.desc("row_id")), "fam", w)
+    assert {(r["row_id"], r["split"]) for r in again.collect()} == {
+        (r["row_id"], r["split"]) for r in out
+    }
