@@ -3074,6 +3074,51 @@ def leakage_safe_split_documents(
     )
 
 
+def expectation_report_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-quality expectation suite (Deequ shape): six named
+    row-level contracts evaluated in ONE scan — conditional counts
+    inside a single aggregate, report exploded from the one result
+    row. The tax_low rule is intentionally violated by the data so
+    both report branches are exercised. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.profiling import (
+        expectation_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return expectation_report(
+        li,
+        {
+            "qty_range": "l_quantity BETWEEN 1 AND 50",
+            "price_positive": "l_extendedprice > 0",
+            "discount_range": "l_discount <= 0.1",
+            "tax_low": "l_tax < 0.05",
+            "flag_domain": "l_returnflag IN ('A','N','R')",
+            "shipdate_present": "l_shipdate IS NOT NULL",
+        },
+    )
+
+
+def truncate_tokens_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget truncation to the first 32 whitespace tokens —
+    map-side split/slice/join, codegen end-to-end. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.preprocess import (
+        truncate_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        truncate_tokens(docs, "text", max_tokens=32)
+        .select("doc_id", "n_tokens_kept", "text_trunc")
+        .orderBy("doc_id")
+    )
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3353,6 +3398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
+        "expectation_report_lineitem": expectation_report_lineitem,
+        "truncate_tokens_documents": truncate_tokens_documents,
     }
 
 
@@ -3862,6 +3909,55 @@ _PENDING_ORACLES: dict[str, str] = {
                     WHEN bucket < 1932735283 THEN 'val'
                     ELSE 'test' END AS split
         FROM b ORDER BY doc_id
+    """,
+    "expectation_report_lineitem": """
+        -- one-scan conditional counts; violation = NOT pred OR NULL;
+        -- DuckDB sum(int) is HUGEINT — cast back to BIGINT
+        WITH a AS (
+            SELECT count(*) AS n,
+                   CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                                   OR (l_quantity BETWEEN 1 AND 50) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+                   CAST(sum(CASE WHEN NOT (l_extendedprice > 0)
+                                   OR (l_extendedprice > 0) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+                   CAST(sum(CASE WHEN NOT (l_discount <= 0.1)
+                                   OR (l_discount <= 0.1) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+                   CAST(sum(CASE WHEN NOT (l_tax < 0.05)
+                                   OR (l_tax < 0.05) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+                   CAST(sum(CASE WHEN NOT (l_returnflag IN ('A','N','R'))
+                                   OR (l_returnflag IN ('A','N','R')) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+                   CAST(sum(CASE WHEN l_shipdate IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+            FROM lineitem)
+        SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS pass
+        FROM (
+            SELECT 'qty_range' AS rule, n, v_qty AS v FROM a
+            UNION ALL SELECT 'price_positive', n, v_price FROM a
+            UNION ALL SELECT 'discount_range', n, v_disc FROM a
+            UNION ALL SELECT 'tax_low', n, v_tax FROM a
+            UNION ALL SELECT 'flag_domain', n, v_flag FROM a
+            UNION ALL SELECT 'shipdate_present', n, v_ship FROM a)
+        ORDER BY rule
+    """,
+    "truncate_tokens_documents": """
+        WITH t AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(trim(lower(text)),
+                                                  '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN text IS NOT NULL
+                    THEN least(len(toks), 32) ELSE 0 END
+                   AS n_tokens_kept,
+               CASE WHEN text IS NOT NULL
+                    THEN array_to_string(toks[1:32], ' ') END
+                   AS text_trunc
+        FROM t ORDER BY doc_id
     """,
 }
 

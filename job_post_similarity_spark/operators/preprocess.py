@@ -208,3 +208,42 @@ def melt(
         var_name,
         value_name,
     )
+
+
+def truncate_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 512,
+    out_col: str = "text_trunc",
+) -> DataFrame:
+    """Token-budget truncation: keep the first ``max_tokens``
+    whitespace tokens of ``text_col`` — the context-window clipper
+    applied before tokenization-expensive stages (a doc that will be
+    cut to 512 tokens anyway should not pay BPE/embedding cost for
+    its tail). Adds ``out_col`` (tokens rejoined with single spaces —
+    the repo's canonical whitespace normalization, identical in any
+    engine) and ``n_tokens_kept``; NULL text stays NULL with 0 kept.
+
+    Map-side split/slice/join — no shuffle, no Python, codegen
+    end-to-end (complements ``curation.chunk_documents``, which
+    SPLITS the tail into more rows instead of dropping it).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    kept = F.slice(toks, 1, max_tokens)
+    # NB: F.least SKIPS nulls (least(NULL, k) == k), so the null-text
+    # case must be handled by the outer when, not a coalesce
+    return df.withColumn(
+        "n_tokens_kept",
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.least(F.size(toks), F.lit(max_tokens)),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        out_col,
+        F.when(
+            F.col(text_col).isNotNull(), F.array_join(kept, " ")
+        ),
+    )

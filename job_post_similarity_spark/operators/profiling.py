@@ -525,3 +525,56 @@ def equi_depth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def expectation_report(
+    df: DataFrame, rules: dict[str, "F.Column | str"]
+) -> DataFrame:
+    """Data-quality expectation suite (the Deequ/Great-Expectations
+    shape): evaluate named row-level predicates in ONE scan and
+    report violations per rule — the contract gate a 100 TB ingest
+    runs before promoting a partition.
+
+    ``rules`` maps rule name → boolean Column (or SQL string); a row
+    VIOLATES a rule when the predicate is false or NULL (null-hostile
+    on purpose: an unevaluable expectation is a failed one, matching
+    Deequ's completeness semantics).
+
+    Scale shape: every rule compiles to a conditional count inside a
+    single aggregate — one scan, no joins, no shuffle beyond the
+    1-row final aggregate; the report is |rules| rows (exploded from
+    the single aggregate row, the funnel-counts pattern, so the scan
+    subplan is never re-run per rule).
+
+    Output: ``(rule, n_rows, n_violations, pass)`` ordered by rule.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names = sorted(rules)
+    for name in names:
+        pred = rules[name]
+        c = F.expr(pred) if isinstance(pred, str) else pred
+        aggs.append(
+            F.sum(
+                F.when(c.isNull() | ~c, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{name}").alias("n_violations"),
+            )
+            for name in names
+        ]
+    )
+    return (
+        one.select(F.col("__n"), F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.rule").alias("rule"),
+            F.col("__n").alias("n_rows"),
+            F.col("p.n_violations").alias("n_violations"),
+            (F.col("p.n_violations") == 0).alias("pass"),
+        )
+        .orderBy("rule")
+    )

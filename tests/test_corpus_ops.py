@@ -1713,3 +1713,55 @@ def test_leakage_safe_split_group_cohesion(spark):
     assert {(r["row_id"], r["split"]) for r in again.collect()} == {
         (r["row_id"], r["split"]) for r in out
     }
+
+
+# --------------------------------------------- expectation report
+def test_expectation_report_rules_and_null_hostility(spark):
+    from job_post_similarity_spark.operators.profiling import (
+        expectation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (4, 100.0)],
+        "id long, amount double",
+    )
+    out = {r["rule"]: r for r in expectation_report(
+        df,
+        {
+            "amount_positive": F.col("amount") > 0,
+            "amount_small": "amount < 50",
+            "id_present": "id IS NOT NULL",
+        },
+    ).collect()}
+    # NULL predicate counts as a violation (null-hostile semantics)
+    assert out["amount_positive"]["n_violations"] == 2  # -3 and NULL
+    assert out["amount_small"]["n_violations"] == 2     # 100 and NULL
+    assert out["id_present"]["n_violations"] == 0
+    assert out["id_present"]["pass"] is True
+    assert out["amount_positive"]["pass"] is False
+    assert all(r["n_rows"] == 4 for r in out.values())
+    # single-scan shape: no join, exactly one aggregate pair
+    plan = expectation_report(df, {"a": "amount > 0"})._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_truncate_tokens_budget_and_nulls(spark):
+    from job_post_similarity_spark.operators.preprocess import (
+        truncate_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "A  b\tc d e"), (1, "one two"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           truncate_tokens(df, max_tokens=3).collect()}
+    assert out[0]["text_trunc"] == "a b c"
+    assert out[0]["n_tokens_kept"] == 3
+    assert out[1]["text_trunc"] == "one two"
+    assert out[1]["n_tokens_kept"] == 2
+    assert out[2]["text_trunc"] is None
+    assert out[2]["n_tokens_kept"] == 0  # least() null-skip guarded
+    assert out[3]["text_trunc"] == ""
+    assert out[3]["n_tokens_kept"] == 0
