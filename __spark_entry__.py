@@ -3119,6 +3119,37 @@ def truncate_tokens_documents(
     )
 
 
+def stream_expectation_monitor_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming data-quality monitor: per-day windowed expectation
+    violations over the event stream (null-hostile conditional
+    counts in windowed state). Bounded input ⇒ equals the batch
+    windowed report — the oracle. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.streaming import (
+        stream_expectation_monitor,
+    )
+
+    return stream_expectation_monitor(spark, sf_dir).orderBy(
+        "window_start"
+    )
+
+
+def psi_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution drift of l_extendedprice: pre-1998 shipments
+    as the reference population vs 1998+ as the new one — equal-width
+    bins over the reference min/max, per-bin PSI terms in integer
+    micro units. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.profiling import psi_drift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    ref = li.filter(F.col("l_shipdate") < cutoff)
+    new = li.filter(F.col("l_shipdate") >= cutoff)
+    return psi_drift(ref, new, "l_extendedprice", n_bins=10)
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3400,6 +3431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split_documents": leakage_safe_split_documents,
         "expectation_report_lineitem": expectation_report_lineitem,
         "truncate_tokens_documents": truncate_tokens_documents,
+        "stream_expectation_monitor_events": stream_expectation_monitor_events,
+        "psi_drift_lineitem": psi_drift_lineitem,
     }
 
 
@@ -3958,6 +3991,79 @@ _PENDING_ORACLES: dict[str, str] = {
                     THEN array_to_string(toks[1:32], ' ') END
                    AS text_trunc
         FROM t ORDER BY doc_id
+    """,
+    "stream_expectation_monitor_events": """
+        -- batch twin of the per-day windowed violation counters;
+        -- 1-day event-time windows are epoch-aligned == date_trunc
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                   AS window_start,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS viol_user_present,
+               CAST(sum(CASE WHEN NOT (value <= 400)
+                               OR (value <= 400) IS NULL
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT) AS viol_value_below_400,
+               CAST(sum(CASE WHEN NOT (value > 0)
+                               OR (value > 0) IS NULL
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT) AS viol_value_positive
+        FROM events
+        GROUP BY date_trunc('day', ts)
+        ORDER BY window_start
+    """,
+    "psi_drift_lineitem": """
+        -- PSI in integer micro units: same double-arithmetic shapes
+        -- as the Spark side (width = (mx-mn)/10 computed once; bin =
+        -- clamp(floor((x-mn)/width)); term = (q-p)*ln(q/p))
+        WITH ref AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_extendedprice IS NOT NULL),
+        nw AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_extendedprice IS NOT NULL),
+        st AS (
+            SELECT min(x) AS mn, (max(x) - min(x)) / 10 AS width
+            FROM ref),
+        rb AS (
+            SELECT least(9, greatest(0,
+                       CAST(floor((x - st.mn) / st.width) AS INT)))
+                       AS bin,
+                   count(*) AS cnt_ref
+            FROM ref CROSS JOIN st GROUP BY 1),
+        nb AS (
+            SELECT least(9, greatest(0,
+                       CAST(floor((x - st.mn) / st.width) AS INT)))
+                       AS bin,
+                   count(*) AS cnt_new
+            FROM nw CROSS JOIN st GROUP BY 1),
+        spine AS (
+            SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin),
+        j AS (
+            SELECT s.bin,
+                   coalesce(rb.cnt_ref, 0) AS cnt_ref,
+                   coalesce(nb.cnt_new, 0) AS cnt_new
+            FROM spine s
+            LEFT JOIN rb ON rb.bin = s.bin
+            LEFT JOIN nb ON nb.bin = s.bin),
+        tot AS (
+            SELECT CAST(sum(cnt_ref) AS BIGINT) AS nr,
+                   CAST(sum(cnt_new) AS BIGINT) AS nn
+            FROM j)
+        SELECT j.bin,
+               st.mn + j.bin * st.width AS lo,
+               st.mn + (j.bin + 1) * st.width AS hi,
+               j.cnt_ref, j.cnt_new,
+               CAST(round(
+                   ((j.cnt_new + 0.5) / (tot.nn + 5.0)
+                    - (j.cnt_ref + 0.5) / (tot.nr + 5.0))
+                   * ln(((j.cnt_new + 0.5) / (tot.nn + 5.0))
+                        / ((j.cnt_ref + 0.5) / (tot.nr + 5.0)))
+                   * 1e6, 0) AS BIGINT) AS psi6
+        FROM j CROSS JOIN st CROSS JOIN tot
+        ORDER BY j.bin
     """,
 }
 

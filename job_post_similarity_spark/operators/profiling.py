@@ -578,3 +578,94 @@ def expectation_report(
         )
         .orderBy("rule")
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    new: DataFrame,
+    column: str,
+    n_bins: int = 10,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between a reference and a new
+    corpus over a numeric column — the standard ML-ops drift gate
+    (PSI = Σ_bins (q − p) · ln(q / p), p = reference share, q = new
+    share; < 0.1 stable, > 0.25 drifted).
+
+    Determinism: bin edges are equal-width over the REFERENCE
+    min/max (order-independent aggregates); new-corpus values clamp
+    into the edge bins; NULLs are excluded on both sides. add-k
+    smoothing keeps empty bins finite. Each bin's PSI term is a
+    fixed-shape IEEE expression rounded to micro units (BIGINT), so
+    the total is an order-independent integer sum an independent
+    engine reproduces exactly (the repo's integer-micro policy).
+
+    Scale shape: two scans (one per corpus) reduced to n_bins-row
+    aggregates; the bin spine is ``spark.range(n_bins)`` so all bins
+    appear even when empty on both sides; everything after the two
+    hash aggregates is bins-sized. Output:
+    ``(bin, lo, hi, cnt_ref, cnt_new, psi6)`` ordered by bin —
+    ``sum(psi6)/1e6`` is the headline PSI.
+    """
+    spark = ref.sparkSession
+    mn, mx = ref.agg(
+        F.min(F.col(column).cast("double")),
+        F.max(F.col(column).cast("double")),
+    ).first()
+    if mn is None or mx == mn:
+        raise ValueError(
+            f"reference column {column!r} is empty or constant"
+        )
+    width = (mx - mn) / n_bins
+
+    def _bin(df: DataFrame, out: str) -> DataFrame:
+        x = F.col(column).cast("double")
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((x - F.lit(mn)) / F.lit(width)).cast("int"),
+            ),
+        )
+        return (
+            df.filter(x.isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    rc = _bin(ref, "cnt_ref")
+    nc = _bin(new, "cnt_new")
+    joined = (
+        spine.join(rc, "bin", "left")
+        .join(nc, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("cnt_ref", F.lit(0)).alias("cnt_ref"),
+            F.coalesce("cnt_new", F.lit(0)).alias("cnt_new"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("cnt_ref").alias("__nr"), F.sum("cnt_new").alias("__nn")
+    )
+    p = (F.col("cnt_ref") + F.lit(add_k)) / (
+        F.col("__nr") + F.lit(add_k * n_bins)
+    )
+    q = (F.col("cnt_new") + F.lit(add_k)) / (
+        F.col("__nn") + F.lit(add_k * n_bins)
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            (F.lit(mn) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(mn) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            "cnt_ref",
+            "cnt_new",
+            F.round((q - p) * F.log(q / p) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("psi6"),
+        )
+        .orderBy("bin")
+    )

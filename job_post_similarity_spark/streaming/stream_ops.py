@@ -881,3 +881,54 @@ def stream_topk(
         .limit(k)
     )
     return _run_to_memory(agg, name, "complete")
+
+
+def stream_expectation_monitor(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    name: str = "stream_dq",
+    rules: "dict[str, F.Column] | None" = None,
+) -> DataFrame:
+    """Streaming data-quality monitor: the ``expectation_report``
+    contracts evaluated per event-time window over the stream — the
+    continuous twin of the batch one-scan report (violation = false
+    OR NULL, same null-hostile semantics). Per window it emits
+    ``n_rows`` plus one ``viol_<rule>`` conditional count per rule
+    (rule names sorted, so the schema is deterministic).
+
+    Scale shape: conditional counts are algebraic aggregates —
+    partial per micro-batch, merged in windowed state; state per
+    window is one row of counters, expired by the watermark.
+    Complete-mode memory sink on the bounded smoke path (same
+    rationale as ``stream_windowed_agg``); production sinks run
+    append on finalized windows. Bounded input ⇒ the final table
+    equals the batch windowed report (the oracle).
+    """
+    if rules is None:
+        rules = {
+            "value_positive": F.col("value") > 0,
+            "value_below_400": F.col("value") <= 400,
+            "user_present": F.col("user_id").isNotNull(),
+        }
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    names = sorted(rules)
+    for rname in names:
+        c = rules[rname]
+        aggs.append(
+            F.sum(
+                F.when(c.isNull() | ~c, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"viol_{rname}")
+        )
+    agg = (
+        ev.groupBy(F.window("ts", window))
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_rows",
+            *[f"viol_{rname}" for rname in names],
+        )
+    )
+    return _run_to_memory(agg, name, "complete")

@@ -1765,3 +1765,53 @@ def test_truncate_tokens_budget_and_nulls(spark):
     assert out[2]["n_tokens_kept"] == 0  # least() null-skip guarded
     assert out[3]["text_trunc"] == ""
     assert out[3]["n_tokens_kept"] == 0
+
+
+# ------------------------------------------------------- PSI drift
+def test_psi_drift_detects_shift(spark):
+    """Identical distributions score ~0; a shifted distribution
+    scores high; psi6 matches an independent numpy computation."""
+    from job_post_similarity_spark.operators.profiling import psi_drift
+
+    rng = np.random.default_rng(9)
+    ref_vals = rng.uniform(0, 100, 2000)
+    same_vals = rng.uniform(0, 100, 2000)
+    shifted_vals = rng.uniform(50, 150, 2000)
+    mk = lambda v: spark.createDataFrame(
+        [(float(x),) for x in v], "x double"
+    )
+    ref = mk(ref_vals)
+
+    out_same = psi_drift(ref, mk(same_vals), "x", n_bins=10).collect()
+    out_shift = psi_drift(ref, mk(shifted_vals), "x", n_bins=10).collect()
+    psi_same = sum(r["psi6"] for r in out_same) / 1e6
+    psi_shift = sum(r["psi6"] for r in out_shift) / 1e6
+    assert psi_same < 0.02
+    assert psi_shift > 0.25  # industry "drifted" threshold
+
+    # independent reference for the shifted case
+    mn, mx = ref_vals.min(), ref_vals.max()
+    width = (mx - mn) / 10
+    k = 0.5
+
+    def bins(v):
+        b = np.clip(((v - mn) / width).astype(int), 0, 9)
+        return np.bincount(b, minlength=10)
+
+    cr, cn = bins(ref_vals), bins(shifted_vals)
+    p = (cr + k) / (cr.sum() + k * 10)
+    q = (cn + k) / (cn.sum() + k * 10)
+    want = np.round((q - p) * np.log(q / p) * 1e6).astype(int)
+    got = {r["bin"]: r["psi6"] for r in out_shift}
+    for b in range(10):
+        assert got[b] == want[b], b
+    # all bins present even when one side is empty there
+    assert sorted(got) == list(range(10))
+
+
+def test_psi_drift_rejects_degenerate_reference(spark):
+    from job_post_similarity_spark.operators.profiling import psi_drift
+
+    const = spark.createDataFrame([(1.0,), (1.0,)], "x double")
+    with pytest.raises(ValueError):
+        psi_drift(const, const, "x")

@@ -172,3 +172,40 @@ def test_table_diff_statuses(spark):
     out = {r["k"]: r["status"] for r in table_diff(left, right, ["k"]).collect()}
     # k=2 identical (null-safe!) -> absent; 1 removed; 3 changed; 4 added
     assert out == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_stream_expectation_monitor_equals_batch(spark, sf_dir):
+    """The streaming windowed DQ report on bounded input equals the
+    batch windowed conditional counts."""
+    from job_post_similarity_spark.sources.io import load_table
+    from job_post_similarity_spark.streaming import (
+        stream_expectation_monitor,
+    )
+
+    got = {
+        tuple(r)
+        for r in stream_expectation_monitor(
+            spark, sf_dir, name="dq_eq_test"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy(
+        F.date_trunc("day", "ts").alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("user_id").isNull(), 1).otherwise(0)
+        ).alias("viol_user_present"),
+        F.sum(
+            F.when(
+                F.col("value").isNull() | ~(F.col("value") <= 400), 1
+            ).otherwise(0)
+        ).alias("viol_value_below_400"),
+        F.sum(
+            F.when(
+                F.col("value").isNull() | ~(F.col("value") > 0), 1
+            ).otherwise(0)
+        ).alias("viol_value_positive"),
+    )
+    assert got == {tuple(r) for r in batch.collect()}
+    assert got  # non-empty
