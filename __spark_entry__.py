@@ -3150,6 +3150,42 @@ def psi_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, new, "l_extendedprice", n_bins=10)
 
 
+def temperature_mixture_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled (α=0.7) source-mixing weights per language
+    — n^α rounded to micro ints BEFORE the normalization sum, floor
+    divisions outside the aggregates, so the mixing table is
+    bit-exact cross-engine. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_weights(docs, "lang", alpha=0.7)
+
+
+def sentence_split_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sentence segmentation over synthesized punctuation (the
+    word-soup corpus has none: a period is inserted after each
+    'spark'/'window' token first — the multimodal-gate synthesis
+    precedent). Java∩RE2 extract-all pattern, dense sent_idx.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        sentence_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"), r" (spark|window) ", r" $1. "
+        ),
+    )
+    return sentence_split(docs).orderBy("doc_id", "sent_idx")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3433,6 +3469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_tokens_documents": truncate_tokens_documents,
         "stream_expectation_monitor_events": stream_expectation_monitor_events,
         "psi_drift_lineitem": psi_drift_lineitem,
+        "temperature_mixture_documents": temperature_mixture_documents,
+        "sentence_split_documents": sentence_split_documents,
     }
 
 
@@ -4064,6 +4102,47 @@ _PENDING_ORACLES: dict[str, str] = {
                    * 1e6, 0) AS BIGINT) AS psi6
         FROM j CROSS JOIN st CROSS JOIN tot
         ORDER BY j.bin
+    """,
+    "temperature_mixture_documents": """
+        -- n^alpha as exp(0.7 ln n) rounded to micro ints BEFORE the
+        -- normalizer sum (order-independent); floor div for ppm
+        WITH c AS (
+            SELECT lang AS source, count(*) AS n_rows
+            FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        t AS (
+            SELECT source, n_rows,
+                   CAST(round(exp(0.7 * ln(CAST(n_rows AS DOUBLE)))
+                              * 1e6, 0) AS BIGINT) AS t6
+            FROM c),
+        tot AS (
+            SELECT CAST(sum(t6) AS BIGINT) AS s6,
+                   CAST(sum(n_rows) AS BIGINT) AS n
+            FROM t)
+        SELECT source, n_rows,
+               (1000000 * t6) // s6 AS weight_ppm,
+               least(1000000,
+                     (((1000000 * t6) // s6) * n) // n_rows)
+                   AS rate_ppm
+        FROM t CROSS JOIN tot ORDER BY source
+    """,
+    "sentence_split_documents": """
+        WITH punct AS (
+            SELECT doc_id,
+                   regexp_replace(text, ' (spark|window) ', ' \\1. ',
+                                  'g') AS text
+            FROM documents WHERE text IS NOT NULL),
+        sents AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                           s -> trim(s)),
+                       s -> s <> '') AS sl
+            FROM punct)
+        SELECT doc_id,
+               unnest(generate_series(0, len(sl) - 1)) AS sent_idx,
+               unnest(sl) AS sentence
+        FROM sents ORDER BY doc_id, sent_idx
     """,
 }
 

@@ -244,3 +244,58 @@ def negative_samples(
     return out.select(
         id_col, "neg_rank", neg.cast("long").alias("neg_id")
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled source mixing weights — the multilingual /
+    multi-source rebalancing rule (p_i ∝ n_i^α; α = 1 keeps natural
+    proportions, α → 0 flattens to uniform; the Llama/XLM-R mixing
+    policy). For each source emits its row count, its mixing weight,
+    and the sampling rate that realizes the weight on that source.
+
+    Determinism (integer-micro policy): each ``n_i^α`` is a
+    fixed-shape IEEE ``exp(α·ln n)`` rounded to micro units (BIGINT)
+    BEFORE the normalization sum — the sum of integers is
+    order-independent, so weights are bit-identical on any engine at
+    any parallelism. Final weights in integer ppm with the floor
+    division outside the aggregates.
+
+    Scale shape: one hash aggregate to |sources| rows; the
+    normalizer is a 1-row broadcast. ``rate_ppm`` =
+    weight_i / natural_share_i (clipped to 1e6) — the per-source
+    keep/repeat rate a downstream ``mixture_sample`` can consume.
+
+    Output: ``(source, n_rows, weight_ppm, rate_ppm)`` ordered by
+    source; NULL sources are excluded.
+    """
+    cnt = (
+        df.filter(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    t6 = F.round(
+        F.exp(F.lit(alpha) * F.log(F.col("n_rows").cast("double")))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    scored = cnt.withColumn("__t6", t6)
+    tot = scored.agg(
+        F.sum("__t6").alias("__s6"), F.sum("n_rows").alias("__n")
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_rows",
+            F.expr("(1000000L * __t6) div __s6").alias("weight_ppm"),
+            F.expr(
+                "least(1000000L,"
+                " (((1000000L * __t6) div __s6) * __n) div n_rows)"
+            ).alias("rate_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1085,3 +1085,40 @@ def bpe_apply(
     return df.select(
         F.col(id_col), encode_count(F.col(text_col)).alias("n_bpe_tokens")
     )
+
+
+def sentence_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence segmentation: split ``text_col`` into sentences at
+    ``.!?`` terminators, emitting one row per sentence with its
+    0-based index — the granularity layer under sentence-level dedup
+    and citation-span extraction.
+
+    Pattern policy (the PII-scrub rule): ``[^.!?]+[.!?]*`` — a run of
+    non-terminators plus its trailing terminators — lives in the
+    Java∩RE2 regex intersection (no lookbehind, which RE2 rejects),
+    so a DuckDB oracle replays the exact splits. Sentences are
+    trimmed; empty fragments (e.g. between ``..``) are dropped
+    BEFORE indexing, so ``sent_idx`` is dense. NULL text yields no
+    rows.
+
+    Map-side Generate — no shuffle, no Python.
+    """
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0)
+            ),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            id_col, F.posexplode(sents).alias("sent_idx", "sentence")
+        )
+    )

@@ -1815,3 +1815,63 @@ def test_psi_drift_rejects_degenerate_reference(spark):
     const = spark.createDataFrame([(1.0,), (1.0,)], "x double")
     with pytest.raises(ValueError):
         psi_drift(const, const, "x")
+
+
+# --------------------------------------- temperature mixture weights
+def test_temperature_mixture_weights_properties(spark):
+    from job_post_similarity_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i, "mid") for i in range(90)]
+        + [(i, "small") for i in range(10)]
+        + [(0, None)]  # null source excluded
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = {r["source"]: r for r in
+           temperature_mixture_weights(df, "src", alpha=0.7).collect()}
+    assert set(out) == {"big", "mid", "small"}
+    # weights sum to ~1e6 (floor-div remainder only)
+    total = sum(r["weight_ppm"] for r in out.values())
+    assert 1_000_000 - 3 <= total <= 1_000_000
+    # temperature flattens: small source gets MORE than natural share,
+    # big gets less
+    assert out["small"]["weight_ppm"] > 10_000
+    assert out["big"]["weight_ppm"] < 900_000
+    # big source is downsampled (rate < 1), small is saturated
+    assert out["big"]["rate_ppm"] < 1_000_000
+    assert out["small"]["rate_ppm"] == 1_000_000
+    # alpha=1 recovers natural proportions exactly (ppm floor)
+    nat = {r["source"]: r["weight_ppm"] for r in
+           temperature_mixture_weights(df, "src", alpha=1.0).collect()}
+    assert nat["big"] == 1_000_000 * 900_000_000 // 1_000_000_000
+
+
+def test_sentence_split_segmentation(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        sentence_split,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "Hello world. How are you? Fine!"),
+            (1, "no terminator here"),
+            (2, "a.. b"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in sentence_split(df).orderBy("doc_id", "sent_idx").collect()
+    ]
+    assert got == [
+        (0, 0, "Hello world."),
+        (0, 1, "How are you?"),
+        (0, 2, "Fine!"),
+        (1, 0, "no terminator here"),
+        (2, 0, "a.."),
+        (2, 1, "b"),
+    ]
