@@ -54,6 +54,9 @@ HEADLINE = [
     "basket_lift_lineitem",
     "prefix_jaccard_docs",
     "cohort_retention_events",
+    # round-4 third-session additions
+    "semantic_dedup_embeddings",
+    "dsir_weights_documents",
 ]
 
 
