@@ -3186,6 +3186,26 @@ def sentence_split_documents(
     return sentence_split(docs).orderBy("doc_id", "sent_idx")
 
 
+def pivot_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide, the inverse of the melt gate): yearly
+    order-priority revenue matrix — ONE hash aggregate of
+    conditional DECIMAL sums, explicit value list so the schema is a
+    stable contract. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.preprocess import pivot_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    return pivot_table(
+        orders.filter(F.col("o_orderdate").isNotNull()),
+        "order_year",
+        "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        agg_col="o_totalprice",
+        agg="sum",
+    )
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3471,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_lineitem": psi_drift_lineitem,
         "temperature_mixture_documents": temperature_mixture_documents,
         "sentence_split_documents": sentence_split_documents,
+        "pivot_orders_priority": pivot_orders_priority,
     }
 
 
@@ -4143,6 +4164,29 @@ _PENDING_ORACLES: dict[str, str] = {
                unnest(generate_series(0, len(sl) - 1)) AS sent_idx,
                unnest(sl) AS sentence
         FROM sents ORDER BY doc_id, sent_idx
+    """,
+    "pivot_orders_priority": """
+        -- conditional DECIMAL sums (order-independent), rendered as
+        -- round(double, 2); absent cells are exact 0
+        SELECT year(o_orderdate) AS order_year,
+               round(CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                     AS DOUBLE), 2) AS "1-URGENT",
+               round(CAST(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                     AS DOUBLE), 2) AS "2-HIGH",
+               round(CAST(coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                     AS DOUBLE), 2) AS "3-MEDIUM",
+               round(CAST(coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                     AS DOUBLE), 2) AS "4-NOT SPECIFIED",
+               round(CAST(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                     AS DOUBLE), 2) AS "5-LOW"
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY year(o_orderdate)
+        ORDER BY order_year
     """,
 }
 

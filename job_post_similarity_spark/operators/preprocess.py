@@ -210,6 +210,58 @@ def melt(
     )
 
 
+def pivot_table(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    values: list[str],
+    agg_col: str | None = None,
+    agg: str = "count",
+) -> DataFrame:
+    """Pivot: long → wide (the inverse of ``melt``). One output row
+    per ``row_col`` value, one column per entry of ``values`` named
+    after it.
+
+    ``values`` is REQUIRED (Spark's values-less ``pivot`` runs an
+    extra distinct job to discover columns AND makes the output
+    schema data-dependent — a schema that changes when the data does
+    breaks every downstream consumer; an explicit list is both the
+    fast path and the stable-contract path). Unlisted pivot values
+    are dropped, like Spark's native pivot.
+
+    ``agg``: ``count`` (exact integers, nulls→0) or ``sum`` over
+    ``agg_col`` (DECIMAL(18,2) accumulation — order-independent —
+    emitted as round(double, 2); absent combinations emit 0).
+
+    Scale shape: compiles to ONE hash aggregate with |values|
+    conditional aggregates — no Expand, no per-value scans, no
+    second job.
+    """
+    if agg == "count":
+        cell = lambda v: F.sum(  # noqa: E731
+            F.when(F.col(pivot_col) == v, 1).otherwise(0)
+        )
+    elif agg == "sum":
+        if agg_col is None:
+            raise ValueError("agg='sum' needs agg_col")
+        cell = lambda v: F.round(  # noqa: E731
+            F.sum(
+                F.when(
+                    F.col(pivot_col) == v,
+                    F.col(agg_col).cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).cast("double"),
+            2,
+        )
+    else:
+        raise ValueError(f"unsupported agg {agg!r}")
+    return (
+        df.groupBy(row_col)
+        .agg(*[cell(v).alias(str(v)) for v in values])
+        .orderBy(row_col)
+    )
+
+
 def truncate_tokens(
     df: DataFrame,
     text_col: str = "text",

@@ -1875,3 +1875,34 @@ def test_sentence_split_segmentation(spark):
         (2, 0, "a.."),
         (2, 1, "b"),
     ]
+
+
+# ------------------------------------------------------------ pivot
+def test_pivot_table_count_and_sum(spark):
+    from job_post_similarity_spark.operators.preprocess import pivot_table
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x", 1.5),
+            ("a", "x", 2.5),
+            ("a", "y", 10.0),
+            ("b", "y", 3.0),
+            ("b", "z", 99.0),  # z not in values list: dropped
+        ],
+        "row string, col string, v double",
+    )
+    cnt = {r["row"]: (r["x"], r["y"]) for r in
+           pivot_table(df, "row", "col", ["x", "y"]).collect()}
+    assert cnt == {"a": (2, 1), "b": (0, 1)}
+    sm = {r["row"]: (r["x"], r["y"]) for r in
+          pivot_table(df, "row", "col", ["x", "y"],
+                      agg_col="v", agg="sum").collect()}
+    assert sm == {"a": (4.0, 10.0), "b": (0.0, 3.0)}
+    with pytest.raises(ValueError):
+        pivot_table(df, "row", "col", ["x"], agg="sum")
+    with pytest.raises(ValueError):
+        pivot_table(df, "row", "col", ["x"], agg="median")
+    # single-aggregate shape: no Expand, no join
+    plan = pivot_table(df, "row", "col", ["x", "y"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan and "Expand" not in plan
