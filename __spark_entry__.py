@@ -3206,6 +3206,19 @@ def pivot_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def analyze_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE stats collection: per-column nulls / exact NDV /
+    numeric min-max in ONE scan (multi-distinct Expand aggregate),
+    report exploded from the single result row. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.profiling import (
+        analyze_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return analyze_table(ev)
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3492,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_documents": temperature_mixture_documents,
         "sentence_split_documents": sentence_split_documents,
         "pivot_orders_priority": pivot_orders_priority,
+        "analyze_table_events": analyze_table_events,
     }
 
 
@@ -4187,6 +4201,53 @@ _PENDING_ORACLES: dict[str, str] = {
         FROM orders WHERE o_orderdate IS NOT NULL
         GROUP BY year(o_orderdate)
         ORDER BY order_year
+    """,
+    "analyze_table_events": """
+        -- per-column catalog stats; numeric min/max as double, NULL
+        -- for strings/timestamps (engine-dependent rendering)
+        WITH n AS (SELECT count(*) AS n_rows FROM events)
+        SELECT * FROM (
+            SELECT 'event_id' AS "column", n.n_rows,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_nulls,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(min(event_id) AS DOUBLE) AS min_d,
+                   CAST(max(event_id) AS DOUBLE) AS max_d
+            FROM events CROSS JOIN n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'event_type', n.n_rows,
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT),
+                   count(DISTINCT event_type), NULL, NULL
+            FROM events CROSS JOIN n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'props', n.n_rows,
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT),
+                   count(DISTINCT props), NULL, NULL
+            FROM events CROSS JOIN n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'ts', n.n_rows,
+                   CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT),
+                   count(DISTINCT ts), NULL, NULL
+            FROM events CROSS JOIN n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'user_id', n.n_rows,
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT),
+                   count(DISTINCT user_id),
+                   CAST(min(user_id) AS DOUBLE),
+                   CAST(max(user_id) AS DOUBLE)
+            FROM events CROSS JOIN n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'value', n.n_rows,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT),
+                   count(DISTINCT value),
+                   min(value), max(value)
+            FROM events CROSS JOIN n GROUP BY n.n_rows)
+        ORDER BY "column"
     """,
 }
 

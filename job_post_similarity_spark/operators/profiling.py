@@ -669,3 +669,82 @@ def psi_drift(
         )
         .orderBy("bin")
     )
+
+
+def _is_numeric(dtype: str | None) -> bool:
+    return dtype in {
+        "int", "bigint", "smallint", "tinyint", "float", "double"
+    } or (dtype or "").startswith("decimal")
+
+
+def analyze_table(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Catalog statistics collection (the ``ANALYZE TABLE`` shape):
+    per-column row count, null count, exact distinct count, and — for
+    numeric columns — min/max as doubles, all gathered in ONE scan.
+    These are the stats a cost-based optimizer (or a human doing
+    join-order/broadcast planning) wants per table; pair with
+    ``approx_distinct_counts`` when exact NDV is too hot at 100 TB.
+
+    Scale shape: one ``agg`` with count/count-distinct/min/max per
+    column — Spark expands multi-distinct into one Expand + two-phase
+    aggregate (rows × |columns| intermediate, one logical scan, no
+    joins); the report is |columns| rows exploded from the single
+    result row (the expectation_report pattern).
+
+    Output: ``(column, n_rows, n_nulls, n_distinct, min_d, max_d)``
+    ordered by column; ``min_d/max_d`` are NULL for non-numeric
+    columns (strings/timestamps render engine-dependently — a typed
+    stats store should widen the schema instead).
+    """
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(
+                F.when(F.col(c).isNull(), 1).otherwise(0)
+            ).alias(f"__nl_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        if _is_numeric(dtypes.get(c)):
+            aggs.append(
+                F.min(F.col(c).cast("double")).alias(f"__mn_{c}")
+            )
+            aggs.append(
+                F.max(F.col(c).cast("double")).alias(f"__mx_{c}")
+            )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nl_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (
+                    F.col(f"__mn_{c}")
+                    if _is_numeric(dtypes.get(c))
+                    else F.lit(None).cast("double")
+                ).alias("min_d"),
+                (
+                    F.col(f"__mx_{c}")
+                    if _is_numeric(dtypes.get(c))
+                    else F.lit(None).cast("double")
+                ).alias("max_d"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        one.select(F.col("__n"), F.explode(rows).alias("s"))
+        .select(
+            F.col("s.column").alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col("s.n_nulls").alias("n_nulls"),
+            F.col("s.n_distinct").alias("n_distinct"),
+            F.col("s.min_d").alias("min_d"),
+            F.col("s.max_d").alias("max_d"),
+        )
+        .orderBy("column")
+    )

@@ -1906,3 +1906,28 @@ def test_pivot_table_count_and_sum(spark):
     plan = pivot_table(df, "row", "col", ["x", "y"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Join" not in plan and "Expand" not in plan
+
+
+# --------------------------------------------------- analyze table
+def test_analyze_table_stats(spark):
+    from job_post_similarity_spark.operators.profiling import (
+        analyze_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", None), (3, None, -1.5), (3, "b", 2.0)],
+        "id long, s string, v double",
+    )
+    out = {r["column"]: r for r in analyze_table(df).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out["id"]["n_nulls"] == 0 and out["id"]["n_distinct"] == 3
+    assert out["id"]["min_d"] == 1.0 and out["id"]["max_d"] == 3.0
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_d"] is None and out["s"]["max_d"] is None
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+    assert out["v"]["min_d"] == -1.5 and out["v"]["max_d"] == 2.0
+    # one-scan shape: no joins
+    plan = analyze_table(df)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "Join" not in plan
