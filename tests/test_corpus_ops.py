@@ -1931,3 +1931,25 @@ def test_analyze_table_stats(spark):
     plan = analyze_table(df)._jdf.queryExecution().executedPlan(
     ).toString()
     assert "Join" not in plan
+
+
+def test_connected_components_driver_tier_equals_distributed(spark):
+    """The small-graph union-find fast tier must produce exactly the
+    distributed min-label fixpoint (driver_budget=0 forces it)."""
+    from job_post_similarity_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = np.random.default_rng(13)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 60, (80, 2))
+             if a != b}
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges],
+        "id1 long, id2 long",
+    )
+    fast = {(r["id"], r["component"])
+            for r in connected_components(pairs).collect()}
+    dist = {(r["id"], r["component"])
+            for r in connected_components(
+                pairs, driver_budget=0).collect()}
+    assert fast == dist and fast
