@@ -3219,6 +3219,22 @@ def analyze_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_table(ev)
 
 
+def grouped_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDAF surface: exact per-group median via an
+    Arrow-batched aggregate UDF — completes the scalar / iterator /
+    UDTF / aggregate UDF quartet. np.median's even-count
+    (a+b)/2 midpoint is the same IEEE computation as DuckDB's exact
+    median. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.functions.udaf_ops import median_udaf
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(median_udaf("value").alias("median_value"))
+        .orderBy("event_type")
+    )
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3506,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split_documents": sentence_split_documents,
         "pivot_orders_priority": pivot_orders_priority,
         "analyze_table_events": analyze_table_events,
+        "grouped_median_events": grouped_median_events,
     }
 
 
@@ -4248,6 +4265,12 @@ _PENDING_ORACLES: dict[str, str] = {
                    min(value), max(value)
             FROM events CROSS JOIN n GROUP BY n.n_rows)
         ORDER BY "column"
+    """,
+    "grouped_median_events": """
+        -- DuckDB median is exact; even-count midpoint (a+b)/2 is the
+        -- same IEEE computation np.median performs in the UDAF
+        SELECT event_type, median(value) AS median_value
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
 

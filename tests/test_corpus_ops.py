@@ -1953,3 +1953,36 @@ def test_connected_components_driver_tier_equals_distributed(spark):
             for r in connected_components(
                 pairs, driver_budget=0).collect()}
     assert fast == dist and fast
+
+
+# ------------------------------------------------------- UDAF tier
+def test_grouped_agg_udafs(spark):
+    """GROUPED_AGG pandas UDFs: exact median + trimmed mean, SQL null
+    semantics, and composition with Window partitions."""
+    from pyspark.sql.window import Window
+
+    from job_post_similarity_spark.functions.udaf_ops import (
+        median_udaf,
+        trimmed_mean_udaf,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 100.0), ("a", None),
+         ("b", 5.0), ("b", 7.0), ("c", None)],
+        "g string, v double",
+    )
+    med = {r["g"]: r["m"] for r in
+           df.groupBy("g").agg(median_udaf("v").alias("m")).collect()}
+    assert med["a"] == 3.0          # nulls skipped
+    assert med["b"] == 6.0          # even count: (5+7)/2
+    assert med["c"] is None         # all-null group
+    tm = {r["g"]: r["m"] for r in
+          df.groupBy("g").agg(
+              trimmed_mean_udaf("v").alias("m")).collect()}
+    assert tm["b"] == 6.0
+    assert tm["c"] is None
+    # window composition: per-partition constant
+    w = Window.partitionBy("g")
+    out = df.withColumn("gm", median_udaf("v").over(w)).collect()
+    for r in out:
+        assert r["gm"] == med[r["g"]]
