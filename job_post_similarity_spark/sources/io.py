@@ -359,3 +359,51 @@ def compact_files(
     df = spark.read.parquet(src_path)
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def read_text_lines(
+    spark: SparkSession,
+    path: str,
+    with_file: bool = False,
+) -> DataFrame:
+    """Line-delimited raw-text source: one row per line in ``value``
+    (the ingest format of most web-crawl/text dumps before any
+    schema exists). ``with_file=True`` adds ``source_file`` — the
+    provenance column a curation pipeline carries through to
+    attribute survivors back to their dump shard. Splittable scan:
+    line boundaries are found per HDFS block, so a 100 TB dump
+    parallelizes without a repartition."""
+    df = spark.read.text(path)
+    if with_file:
+        df = df.withColumn(
+            "source_file", F.input_file_name()
+        )
+    return df
+
+
+def write_text_lines(df: DataFrame, path: str, column: str = "value") -> None:
+    """Inverse of ``read_text_lines``: one line per row from a single
+    string column."""
+    df.select(F.col(column).cast("string").alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Binary-file source (``binaryFile`` format): one row per file
+    with ``(path, modificationTime, length, content binary)`` — the
+    ingestion edge of the multimodal family (image/audio/video
+    payloads land here, then flow through
+    ``operators.multimodal.decode_features`` etc. as opaque binary +
+    typed metadata). ``glob`` filters by pattern
+    (e.g. ``*.png``). Driver lists files, executors read contents —
+    at 100 TB pair with ``spark.sql.files.maxPartitionBytes`` so
+    many small payloads pack into one task."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

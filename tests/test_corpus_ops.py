@@ -1986,3 +1986,43 @@ def test_grouped_agg_udafs(spark):
     out = df.withColumn("gm", median_udaf("v").over(w)).collect()
     for r in out:
         assert r["gm"] == med[r["g"]]
+
+
+# ---------------------------------------------- text & binary sources
+def test_text_lines_roundtrip(spark, tmp_path):
+    from job_post_similarity_spark.sources.io import (
+        read_text_lines,
+        write_text_lines,
+    )
+
+    df = spark.createDataFrame(
+        [("first line",), ("second line",), ("",)], "value string"
+    )
+    p = str(tmp_path / "lines")
+    write_text_lines(df, p)
+    back = read_text_lines(spark, p)
+    assert sorted(r["value"] for r in back.collect()) == [
+        "", "first line", "second line",
+    ]
+    withf = read_text_lines(spark, p, with_file=True)
+    assert set(withf.columns) == {"value", "source_file"}
+    assert all(r["source_file"] for r in withf.collect())
+
+
+def test_binary_files_source(spark, tmp_path):
+    from job_post_similarity_spark.sources.io import read_binary_files
+
+    payload_a = b"\x89PNG\r\n\x1a\n" + bytes(range(32))
+    payload_b = b"RIFFxxxxWAVE" + bytes(64)
+    (tmp_path / "a.png").write_bytes(payload_a)
+    (tmp_path / "b.wav").write_bytes(payload_b)
+    (tmp_path / "note.txt").write_text("not binary media")
+    df = read_binary_files(spark, str(tmp_path))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.wav", "note.txt"}
+    assert bytes(rows["a.png"]["content"]) == payload_a
+    assert rows["b.wav"]["length"] == len(payload_b)
+    only_png = read_binary_files(spark, str(tmp_path), glob="*.png")
+    assert [r["path"].rsplit("/", 1)[-1] for r in only_png.collect()] == [
+        "a.png"
+    ]
