@@ -932,3 +932,100 @@ def stream_expectation_monitor(
         )
     )
     return _run_to_memory(agg, name, "complete")
+
+
+def stream_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    name: str = "stream_parquet_sink",
+) -> int:
+    """Durable streaming sink: event stream → parquet files, append
+    mode, with a REAL checkpoint location — the exactly-once file
+    sink (offsets in the checkpoint + the sink's transaction log in
+    ``_spark_metadata`` commit each micro-batch atomically; a restart
+    resumes from the last committed offset and re-emits NOTHING —
+    the durability contract the memory-sink smoke paths don't
+    exercise). Returns the number of micro-batches this invocation
+    processed; 0 on a restart over an already-drained checkpoint,
+    which is exactly the no-reprocessing guarantee the test pins.
+    """
+    ev = _events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sum(
+            int(p["numInputRows"]) for p in q.recentProgress
+        )
+    finally:
+        q.stop()
+    return rows
+
+
+def stream_upsert_foreach_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+) -> None:
+    """Streaming upsert via ``foreachBatch`` — the escape hatch that
+    runs arbitrary BATCH logic (here: compact the micro-batch to one
+    row per key with ``keep_latest``, then ``cdc.merge_upsert`` into
+    a parquet target) once per micro-batch. foreachBatch is the
+    production bridge for sinks Structured Streaming lacks natively
+    (JDBC upserts, MERGE INTO a lake table): the batch DataFrame is
+    exactly the micro-batch, and the checkpoint makes delivery
+    at-least-once — the MERGE's idempotence (same key, same row →
+    same target) upgrades it to effectively-once.
+
+    The target is read+overwritten per batch via a move-aside swap
+    (the ``compact_files`` crash-safety pattern); a real lake format
+    (Delta/Iceberg) would do this transactionally.
+    """
+    import os
+    import shutil
+
+    from ..operators.cdc import merge_upsert
+    from ..operators.preprocess import keep_latest
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        compact = keep_latest(
+            batch_df,
+            [key],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        )
+        if os.path.isdir(target_dir):
+            target = spark.read.parquet(target_dir)
+            merged = merge_upsert(target, compact.select(*target.columns), key)
+        else:
+            merged = compact
+        tmp = target_dir + f".__batch{batch_id}__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_dir):
+            old = target_dir + ".__old__"
+            os.rename(target_dir, old)
+            os.rename(tmp, target_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, target_dir)
+
+    ev = _events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -209,3 +209,51 @@ def test_stream_expectation_monitor_equals_batch(spark, sf_dir):
     )
     assert got == {tuple(r) for r in batch.collect()}
     assert got  # non-empty
+
+
+def test_stream_to_parquet_checkpoint_no_reprocess(spark, sf_dir, tmp_path):
+    """The durable parquet sink: first run drains the source and
+    writes every event exactly once; a RESTART over the same
+    checkpoint processes zero new batches and appends nothing."""
+    from job_post_similarity_spark.sources.io import load_table
+    from job_post_similarity_spark.streaming import stream_to_parquet
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = stream_to_parquet(spark, sf_dir, out, ckpt)
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert rows1 == n_src
+    first = spark.read.parquet(out)
+    assert first.count() == n_src
+    # restart: same checkpoint, nothing new to process
+    rows2 = stream_to_parquet(spark, sf_dir, out, ckpt)
+    assert rows2 == 0
+    assert spark.read.parquet(out).count() == n_src
+
+
+def test_stream_upsert_foreach_batch_keeps_latest(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE sink: the target ends with one row per key —
+    the latest by ts — matching the batch keep_latest of the whole
+    source."""
+    from job_post_similarity_spark.operators.preprocess import keep_latest
+    from job_post_similarity_spark.sources.io import load_table
+    from job_post_similarity_spark.streaming import (
+        stream_upsert_foreach_batch,
+    )
+
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt2")
+    stream_upsert_foreach_batch(spark, sf_dir, target, ckpt)
+    got = spark.read.parquet(target)
+    ev = load_table(spark, sf_dir, "events")
+    want = keep_latest(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    assert got.count() == want.count()
+    # one row per key, and each key's ts is the max for that key
+    mx = {r["user_id"]: r["ts"] for r in
+          ev.groupBy("user_id").agg(F.max("ts").alias("ts")).collect()}
+    rows = got.collect()
+    assert len({r["user_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["ts"] == mx[r["user_id"]]
