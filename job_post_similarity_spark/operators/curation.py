@@ -355,62 +355,35 @@ def dsir_weights(
     raw_b = _buckets(raw).persist()
     tgt_b = _buckets(target)
 
-    def _lp6(bucketed: DataFrame, out: str) -> DataFrame:
-        cnt = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
-        tot = bucketed.agg(F.count(F.lit(1)).alias("__n"))
+    # full-outer on bucket: a bucket absent from one corpus gets
+    # count 0 there, and the SAME smoothing formula yields its floor
+    # probability add_k / (N + add_k·B) — no separate floor branch
+    def _lp6(c: Column, n: Column) -> Column:
         return (
-            cnt.crossJoin(F.broadcast(tot))
-            .select(
-                "__b",
-                F.round(
-                    F.log(
-                        (F.col("__c") + F.lit(add_k))
-                        / (F.col("__n") + F.lit(add_k * n_buckets))
-                    )
-                    * F.lit(1e6),
-                    0,
+            F.round(
+                F.log(
+                    (c + F.lit(add_k))
+                    / (n + F.lit(add_k * n_buckets))
                 )
-                .cast("long")
-                .alias(out),
-                F.col("__n").alias(f"__n_{out}"),
-            )
+                * F.lit(1e6),
+                0,
+            ).cast("long")
         )
 
-    # full-outer on bucket: a bucket absent from one corpus still has
-    # a smoothed floor probability there (add_k / (N + add_k*B))
-    raw_lp = _lp6(raw_b, "lp6_raw")
-    tgt_lp = _lp6(tgt_b, "lp6_tgt")
-    n_raw = raw_lp.agg(F.max("__n_lp6_raw").alias("n")).crossJoin(
-        tgt_lp.agg(F.max("__n_lp6_tgt").alias("m"))
-    )
+    rc = raw_b.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tc = tgt_b.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    rn = raw_b.agg(F.count(F.lit(1)).alias("__nr"))
+    tn = tgt_b.agg(F.count(F.lit(1)).alias("__nt"))
     model = (
-        raw_lp.select("__b", "lp6_raw")
-        .join(tgt_lp.select("__b", "lp6_tgt"), "__b", "full_outer")
-        .crossJoin(F.broadcast(n_raw))
+        rc.join(tc, "__b", "full_outer")
+        .crossJoin(F.broadcast(rn))
+        .crossJoin(F.broadcast(tn))
         .select(
             "__b",
-            F.coalesce(
-                "lp6_raw",
-                F.round(
-                    F.log(
-                        F.lit(add_k)
-                        / (F.col("n") + F.lit(add_k * n_buckets))
-                    )
-                    * F.lit(1e6),
-                    0,
-                ).cast("long"),
-            ).alias("lp6_raw"),
-            F.coalesce(
-                "lp6_tgt",
-                F.round(
-                    F.log(
-                        F.lit(add_k)
-                        / (F.col("m") + F.lit(add_k * n_buckets))
-                    )
-                    * F.lit(1e6),
-                    0,
-                ).cast("long"),
-            ).alias("lp6_tgt"),
+            _lp6(F.coalesce("__cr", F.lit(0)), F.col("__nr"))
+            .alias("lp6_raw"),
+            _lp6(F.coalesce("__ct", F.lit(0)), F.col("__nt"))
+            .alias("lp6_tgt"),
         )
     )
     out = (
