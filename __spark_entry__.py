@@ -3235,6 +3235,94 @@ def grouped_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan Pearson correlation matrix over the lineitem numeric
+    columns — DECIMAL(27,10) moment accumulation (order-independent),
+    one fixed-shape double expression per pair, rounded to 6. (Oracle
+    staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.profiling import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _corr_oracle(table: str, columns: list[str]) -> str:
+    """DuckDB twin of ``profiling.corr_matrix``: same DECIMAL moments,
+    same fixed-shape r expression, rounded to 6."""
+    import itertools
+
+    parts = []
+    for a, b in itertools.combinations(columns, 2):
+        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        dx = f"CAST({a} AS DOUBLE)"
+        dy = f"CAST({b} AS DOUBLE)"
+        dec = "DECIMAL(27,10)"
+        parts.append(f"""
+            SELECT '{a}' AS col_a, '{b}' AS col_b,
+                   count(CASE WHEN {both} THEN 1 END) AS n_pairs,
+                   CASE WHEN
+                       sqrt(CAST(count(CASE WHEN {both} THEN 1 END)
+                                 AS DOUBLE)
+                            * CAST(sum(CASE WHEN {both} THEN
+                                  CAST({dx} * {dx} AS {dec}) END)
+                                  AS DOUBLE)
+                            - CAST(sum(CASE WHEN {both} THEN
+                                  CAST({dx} AS {dec}) END) AS DOUBLE)
+                              * CAST(sum(CASE WHEN {both} THEN
+                                  CAST({dx} AS {dec}) END) AS DOUBLE))
+                       * sqrt(CAST(count(CASE WHEN {both} THEN 1 END)
+                                   AS DOUBLE)
+                              * CAST(sum(CASE WHEN {both} THEN
+                                    CAST({dy} * {dy} AS {dec}) END)
+                                    AS DOUBLE)
+                              - CAST(sum(CASE WHEN {both} THEN
+                                    CAST({dy} AS {dec}) END) AS DOUBLE)
+                                * CAST(sum(CASE WHEN {both} THEN
+                                    CAST({dy} AS {dec}) END)
+                                    AS DOUBLE)) > 0
+                   THEN round(
+                       (CAST(count(CASE WHEN {both} THEN 1 END)
+                             AS DOUBLE)
+                        * CAST(sum(CASE WHEN {both} THEN
+                              CAST({dx} * {dy} AS {dec}) END)
+                              AS DOUBLE)
+                        - CAST(sum(CASE WHEN {both} THEN
+                              CAST({dx} AS {dec}) END) AS DOUBLE)
+                          * CAST(sum(CASE WHEN {both} THEN
+                              CAST({dy} AS {dec}) END) AS DOUBLE))
+                       / (sqrt(CAST(count(CASE WHEN {both} THEN 1 END)
+                                    AS DOUBLE)
+                               * CAST(sum(CASE WHEN {both} THEN
+                                     CAST({dx} * {dx} AS {dec}) END)
+                                     AS DOUBLE)
+                               - CAST(sum(CASE WHEN {both} THEN
+                                     CAST({dx} AS {dec}) END)
+                                     AS DOUBLE)
+                                 * CAST(sum(CASE WHEN {both} THEN
+                                     CAST({dx} AS {dec}) END)
+                                     AS DOUBLE))
+                          * sqrt(CAST(count(CASE WHEN {both} THEN 1
+                                      END) AS DOUBLE)
+                                 * CAST(sum(CASE WHEN {both} THEN
+                                       CAST({dy} * {dy} AS {dec}) END)
+                                       AS DOUBLE)
+                                 - CAST(sum(CASE WHEN {both} THEN
+                                       CAST({dy} AS {dec}) END)
+                                       AS DOUBLE)
+                                   * CAST(sum(CASE WHEN {both} THEN
+                                       CAST({dy} AS {dec}) END)
+                                       AS DOUBLE))), 6)
+                   END AS corr
+            FROM {table}""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY col_a, col_b"
+    )
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3523,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_orders_priority": pivot_orders_priority,
         "analyze_table_events": analyze_table_events,
         "grouped_median_events": grouped_median_events,
+        "corr_matrix_lineitem": corr_matrix_lineitem,
     }
 
 
@@ -4272,6 +4361,10 @@ _PENDING_ORACLES: dict[str, str] = {
         SELECT event_type, median(value) AS median_value
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "corr_matrix_lineitem": _corr_oracle(
+        "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ),
 }
 
 

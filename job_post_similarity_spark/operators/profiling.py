@@ -748,3 +748,77 @@ def analyze_table(
         )
         .orderBy("column")
     )
+
+
+def corr_matrix(
+    df: DataFrame, columns: list[str], decimals: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE scan —
+    the EDA companion to ``analyze_table`` (feature redundancy, drift
+    of relationships, join-key sanity).
+
+    Cross-engine exactness: the five moments per pair (Σx, Σy, Σxy,
+    Σx², Σy², n) accumulate in DECIMAL(27,10) — each per-row product
+    is a single IEEE double op (bit-identical on any engine), and
+    decimal addition is order-independent — then one fixed-shape
+    double expression computes r, rounded to ``decimals``. Spark's
+    builtin ``corr`` (and DuckDB's) reduce doubles in engine order —
+    last-ulp nondeterminism this formulation removes.
+
+    Rows with a NULL in either column of a pair are excluded from
+    that pair (SQL corr semantics). Degenerate pairs (zero variance)
+    emit NULL. One aggregate, |pairs| result columns, report exploded
+    from the single row (the expectation_report pattern).
+
+    Output: ``(col_a, col_b, n_pairs, corr)`` for a < b in the given
+    order, sorted (col_a, col_b).
+    """
+    import itertools
+
+    dec = "decimal(27,10)"
+    aggs = []
+    pairs = list(itertools.combinations(columns, 2))
+    for a, b in pairs:
+        x = F.col(a).cast("double")
+        y = F.col(b).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        xx = F.when(both, x)
+        yy = F.when(both, y)
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"__n_{tag}"),
+            F.sum(xx.cast(dec)).alias(f"__sx_{tag}"),
+            F.sum(yy.cast(dec)).alias(f"__sy_{tag}"),
+            F.sum(F.when(both, x * y).cast(dec)).alias(f"__sxy_{tag}"),
+            F.sum(F.when(both, x * x).cast(dec)).alias(f"__sxx_{tag}"),
+            F.sum(F.when(both, y * y).cast(dec)).alias(f"__syy_{tag}"),
+        ]
+    one = df.agg(*aggs)
+
+    def _corr(tag: str) -> Column:
+        n = F.col(f"__n_{tag}").cast("double")
+        sx = F.col(f"__sx_{tag}").cast("double")
+        sy = F.col(f"__sy_{tag}").cast("double")
+        sxy = F.col(f"__sxy_{tag}").cast("double")
+        sxx = F.col(f"__sxx_{tag}").cast("double")
+        syy = F.col(f"__syy_{tag}").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        return F.when(den > 0, F.round(num / den, decimals))
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__n_{a}__{b}").alias("n_pairs"),
+                _corr(f"{a}__{b}").alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("s"))
+        .select("s.col_a", "s.col_b", "s.n_pairs", "s.corr")
+        .orderBy("col_a", "col_b")
+    )

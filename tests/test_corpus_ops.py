@@ -2026,3 +2026,57 @@ def test_binary_files_source(spark, tmp_path):
     assert [r["path"].rsplit("/", 1)[-1] for r in only_png.collect()] == [
         "a.png"
     ]
+
+
+# ------------------------------------------------ correlation matrix
+def test_corr_matrix_matches_numpy(spark):
+    from job_post_similarity_spark.operators.profiling import corr_matrix
+
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=200)
+    y = 2.0 * x + rng.normal(scale=0.1, size=200)   # strongly correlated
+    z = rng.normal(size=200)                         # independent
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)]
+    rows.append((None, 1.0, 1.0))  # null excluded pairwise
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r["col_a"], r["col_b"]): r for r in
+           corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")]["n_pairs"] == 200
+    assert got[("y", "z")]["n_pairs"] == 201
+    want_xy = np.corrcoef(x, y)[0, 1]
+    assert abs(got[("x", "y")]["corr"] - round(want_xy, 6)) < 2e-6
+    assert abs(got[("x", "z")]["corr"]) < 0.2
+    # constant column: degenerate variance -> NULL
+    cdf = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "a double, b double"
+    )
+    out = corr_matrix(cdf, ["a", "b"]).collect()[0]
+    assert out["corr"] is None
+
+
+# ------------------------------------------------ versioned tables
+def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
+    from job_post_similarity_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    d1 = spark.range(3).withColumnRenamed("id", "k")
+    d2 = spark.range(5).withColumnRenamed("id", "k")
+    assert write_version(d1, t, note="initial") == 1
+    assert write_version(d2, t) == 2
+    assert read_version(spark, t).count() == 5       # latest
+    assert read_version(spark, t, 1).count() == 3    # time travel
+    hist = list_versions(t)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["note"] == "initial"
+    assert vacuum(t, keep_last=1) == [1]
+    with pytest.raises(ValueError):
+        read_version(spark, t, 1)
+    assert read_version(spark, t).count() == 5
+    # next write continues the version sequence after vacuum
+    assert write_version(d1, t) == 3
+    assert read_version(spark, t).count() == 3
