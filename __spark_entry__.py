@@ -3323,6 +3323,40 @@ def _corr_oracle(table: str, columns: list[str]) -> str:
     )
 
 
+def sorted_neighborhood_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking over supplier
+    names (window 4) with Levenshtein ≤ 2 verify — candidates from a
+    frame-bounded collect over the (key, id) total order, no
+    self-join. (Oracle staged in _PENDING_ORACLES.)"""
+    sup = load_table(spark, sf_dir, "supplier")
+    return dedup.sorted_neighborhood_pairs(
+        sup, "s_name", "s_suppkey", window=4, max_dist=2
+    )
+
+
+def weighted_sample_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic A-ES weighted sampling: 50 docs drawn
+    proportionally to text length via ln(u)/w competition keys from
+    the engine-agnostic LCG uniform — same winners on any engine.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.length("text").cast("double")
+    )
+    return (
+        weighted_sample(docs, "w", 50, "doc_id")
+        .select("doc_id", "w", "sample_key")
+        .orderBy("doc_id")
+    )
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3612,6 +3646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_table_events": analyze_table_events,
         "grouped_median_events": grouped_median_events,
         "corr_matrix_lineitem": corr_matrix_lineitem,
+        "sorted_neighborhood_suppliers": sorted_neighborhood_suppliers,
+        "weighted_sample_documents": weighted_sample_documents,
     }
 
 
@@ -4365,6 +4401,41 @@ _PENDING_ORACLES: dict[str, str] = {
         "lineitem",
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     ),
+    "sorted_neighborhood_suppliers": """
+        WITH o AS (
+            SELECT s_suppkey AS id, s_name AS k,
+                   row_number() OVER (ORDER BY s_name, s_suppkey)
+                       AS rn
+            FROM supplier WHERE s_name IS NOT NULL)
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.k AS key_a, b.k AS key_b,
+               levenshtein(a.k, b.k) AS dist
+        FROM o a JOIN o b
+          ON b.rn > a.rn AND b.rn <= a.rn + 3
+        WHERE levenshtein(a.k, b.k) <= 2
+        ORDER BY id_a, id_b
+    """,
+    "weighted_sample_documents": """
+        -- A-ES with the LCG uniform: same ln(u)/w keys, top-50 by
+        -- (key desc, id asc)
+        WITH w AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0),
+        sk AS (
+            SELECT doc_id, w,
+                   ln(CAST((((doc_id % 2147483648) + 2147483648)
+                            % 2147483648 * 1103515245 + 12345)
+                           % 2147483648 + 1 AS DOUBLE)
+                      / 2147483648.0) / w AS skey
+            FROM w),
+        top AS (
+            SELECT doc_id, w, skey
+            FROM sk ORDER BY skey DESC, doc_id ASC LIMIT 50)
+        SELECT doc_id, w, round(skey, 6) AS sample_key
+        FROM top ORDER BY doc_id
+    """,
 }
 
 

@@ -299,3 +299,46 @@ def temperature_mixture_weights(
         )
         .orderBy("source")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key: Column | str,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, A-ES): each row draws a reproducible
+    uniform from its key's hash bucket and competes with sampling key
+    ``ln(u) / w`` — the top ``n`` keys are a weight-proportional
+    sample (u^(1/w) ordering, in log form so huge weights don't
+    underflow). The corpus-curation use: sample training docs
+    proportionally to a quality score, reproducibly.
+
+    Determinism: u = (hash_bucket + 1) / 2^31 ∈ (0, 1] from the
+    engine-agnostic LCG, and ln/divide are fixed-shape IEEE ops —
+    the same rows win on any engine / partitioning / run (the same
+    replay argument as ``hash_split``; a rand()-based A-ES resample
+    differs per task retry). Ties (identical sample keys) break by
+    key asc. Rows with NULL or non-positive weight are excluded —
+    zero-weight rows can never win under A-ES anyway.
+
+    Scale shape: the sample key is map-side; selection is one
+    TakeOrdered(n) — no global sort materialization.
+
+    Output: the sampled rows plus ``sample_key`` (rounded to 6 for a
+    stable display contract; ordering used raw doubles).
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(c) + F.lit(1)).cast("double") / F.lit(float(_MOD))
+    skey = F.log(u) / w
+    out = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__sk", skey)
+        .orderBy(F.desc("__sk"), c.asc())
+        .limit(n)
+    )
+    return out.withColumn(
+        "sample_key", F.round(F.col("__sk"), 6)
+    ).drop("__sk")

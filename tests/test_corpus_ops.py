@@ -2080,3 +2080,54 @@ def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
     # next write continues the version sequence after vacuum
     assert write_version(d1, t) == 3
     assert read_version(spark, t).count() == 3
+
+
+# ------------------------------------- sorted-neighborhood blocking
+def test_sorted_neighborhood_window_and_verify(spark):
+    from job_post_similarity_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    names = ["anna", "annb", "annz", "bob", "bobb", "zed"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "rid long, name string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           sorted_neighborhood_pairs(
+               df, "name", "rid", window=3, max_dist=2).collect()}
+    # anna-annb adjacent (dist 1); annb-annz (1); anna-annz window 2
+    assert got[(0, 1)] == 1 and got[(1, 2)] == 1 and got[(0, 2)] == 1
+    assert got[(3, 4)] == 1  # bob-bobb
+    # annz-bob adjacent in sort order but dist 4 -> filtered
+    assert (2, 3) not in got
+    # zed only neighbors bobb at dist>2
+    assert not any(5 in p for p in got)
+    # without verify: all window pairs present
+    allp = sorted_neighborhood_pairs(df, "name", "rid", window=3)
+    assert allp.count() == 4 + 3 + 2  # n-1 + n-2 window-2 chains
+    assert "dist" not in allp.columns
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from job_post_similarity_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    out = weighted_sample(df, "w", 100, "k")
+    got = {r["k"] for r in out.collect()}
+    assert len(got) == 100
+    # heavy keys (w=100, 5% of rows) should be strongly over-represented
+    heavy = sum(1 for k in got if k < 50)
+    assert heavy >= 30
+    # stable under repartitioning
+    again = {r["k"] for r in
+             weighted_sample(df.repartition(13), "w", 100, "k").collect()}
+    assert got == again
+    # zero/null weights excluded
+    z = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, 2.0)], "k long, w double"
+    )
+    assert {r["k"] for r in
+            weighted_sample(z, "w", 10, "k").collect()} == {3}
