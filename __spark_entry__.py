@@ -3357,6 +3357,48 @@ def weighted_sample_documents(
     )
 
 
+def asof_forward_tolerance_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORWARD as-of with tolerance (pandas merge_asof parity): every
+    event enriched with the user's NEXT purchase event id, but only
+    when it lands within 6 hours — same union+window plan as the
+    backward tier, reversed time order. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from pyspark.sql.window import Window as W_
+
+    from job_post_similarity_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "event_type")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts",
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        # unique (key, ts): keep the MIN event_id per instant (the
+        # forward tie policy takes the first)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W_.partitionBy("user_id", "ts").orderBy(
+                    F.asc("purchase_event_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = asof_join(
+        left, right, "user_id", "ts", ["purchase_event_id"],
+        direction="forward", tolerance_seconds=6 * 3600,
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "purchase_event_id_asof"
+    ).orderBy("event_id")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3648,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix_lineitem": corr_matrix_lineitem,
         "sorted_neighborhood_suppliers": sorted_neighborhood_suppliers,
         "weighted_sample_documents": weighted_sample_documents,
+        "asof_forward_tolerance_events": asof_forward_tolerance_events,
     }
 
 
@@ -4435,6 +4478,25 @@ _PENDING_ORACLES: dict[str, str] = {
             FROM sk ORDER BY skey DESC, doc_id ASC LIMIT 50)
         SELECT doc_id, w, round(skey, 6) AS sample_key
         FROM top ORDER BY doc_id
+    """,
+    "asof_forward_tolerance_events": """
+        -- forward ASOF (e.ts <= p.ts picks the nearest following) +
+        -- 6h tolerance applied on the matched ts
+        WITH purch AS (
+            SELECT user_id, ts, event_id AS purchase_event_id,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id ASC) AS rn
+            FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id, e.event_type,
+               CASE WHEN epoch_us(p.ts) - epoch_us(e.ts)
+                         <= 21600000000
+                    THEN p.purchase_event_id
+               END AS purchase_event_id_asof
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id, ts, purchase_event_id
+                        FROM purch WHERE rn = 1) p
+          ON e.user_id = p.user_id AND e.ts <= p.ts
+        ORDER BY e.event_id
     """,
 }
 

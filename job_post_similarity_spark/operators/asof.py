@@ -31,26 +31,42 @@ def asof_join(
     ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: left rows enriched with the latest right
-    ``value_cols`` at or before their timestamp (null when no right
-    row precedes).
+    """As-of join (the pandas ``merge_asof`` surface): left rows
+    enriched with the nearest right ``value_cols`` — the latest at or
+    before their timestamp (``direction='backward'``, default) or the
+    earliest at or after it (``'forward'``); null when no right row
+    qualifies. ``tolerance_seconds`` bounds the match's time gap:
+    a matched right row further away is treated as no match (the
+    whole struct nulls atomically, same as an unmatched row).
 
     Both inputs must carry ``key`` and ``ts``; left keeps all its
-    columns. Right-side ties on ts: the last one wins (deterministic
-    if (key, ts) is unique on the right — enforce upstream).
+    columns. Right-side ties on ts: backward takes the last,
+    forward the first (deterministic if (key, ts) is unique on the
+    right — enforce upstream).
+
+    Plan shape is direction-independent: tag, union, one running
+    ``last(struct) over (partition by key order by ±ts)`` — forward
+    is the same window over the REVERSED time order, so both
+    directions cost one shuffle and one sort, never a range join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     lcols = left.columns
-    # ONE struct carries all value_cols: the matched right row wins or
-    # loses atomically. Per-column last(c, ignorenulls) would (a)
-    # backfill a NULL value from an OLDER right row and (b) mix columns
-    # from different right rows — both diverge from ASOF JOIN semantics.
+    # ONE struct carries all value_cols (plus the matched right ts,
+    # for the tolerance check): the matched right row wins or loses
+    # atomically. Per-column last(c, ignorenulls) would (a) backfill
+    # a NULL value from an OLDER right row and (b) mix columns from
+    # different right rows — both diverge from ASOF JOIN semantics.
+    ts_type = right.schema[ts].dataType.simpleString()
     r_struct_type = (
         "struct<"
         + ",".join(
             f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
         )
-        + ">"
+        + f",__rts:{ts_type}>"
     )
     l_tagged = left.select(
         *lcols,
@@ -64,15 +80,20 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            F.col(ts).alias("__rts"),
+        ).alias("__r"),
     )
 
     unioned = l_tagged.unionByName(r_tagged)
-    # right rows (side 0) sort before left rows at equal ts, so a left
-    # row sees right values up to AND INCLUDING its own timestamp
+    # right rows (side 0) sort before left rows at equal ts under both
+    # directions, so a left row sees right values up to AND INCLUDING
+    # its own timestamp
+    order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
@@ -80,9 +101,18 @@ def asof_join(
         "__side",
         F.last("__r", ignorenulls=True).over(w).alias("__rlast"),
     )
+    matched = F.col("__rlast")
+    if tolerance_seconds is not None:
+        gap = (
+            F.unix_micros(F.col(ts))
+            - F.unix_micros(F.col("__rlast.__rts"))
+        ) / F.lit(1e6)
+        if direction == "forward":
+            gap = -gap
+        matched = F.when(gap <= F.lit(float(tolerance_seconds)), matched)
     return filled.filter(F.col("__side") == 1).select(
         *lcols,
-        *[F.col(f"__rlast.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[matched[c].alias(f"{c}{suffix}") for c in value_cols],
     )
 
 

@@ -2131,3 +2131,40 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     )
     assert {r["k"] for r in
             weighted_sample(z, "w", 10, "k").collect()} == {3}
+
+
+# ---------------------------------------- asof forward / tolerance
+def test_asof_join_forward_and_tolerance(spark):
+    import datetime as dt
+
+    from job_post_similarity_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda s: t0 + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, "u", mk(0)), (2, "u", mk(100)), (3, "u", mk(500)),
+         (4, "v", mk(0))],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", mk(50), 10.0), ("u", mk(200), 20.0)],
+        "k string, ts timestamp, val double",
+    )
+    fwd = {r["lid"]: r["val_asof"] for r in asof_join(
+        left, right, "k", "ts", ["val"], direction="forward"
+    ).collect()}
+    assert fwd == {1: 10.0, 2: 20.0, 3: None, 4: None}
+    # tolerance: lid 2 -> next right at +100s; tolerance 50s kills it
+    tol = {r["lid"]: r["val_asof"] for r in asof_join(
+        left, right, "k", "ts", ["val"],
+        direction="forward", tolerance_seconds=50,
+    ).collect()}
+    assert tol == {1: 10.0, 2: None, 3: None, 4: None}
+    # backward with tolerance: lid 3 matched right at -300s, cut at 60
+    back = {r["lid"]: r["val_asof"] for r in asof_join(
+        left, right, "k", "ts", ["val"],
+        tolerance_seconds=60,
+    ).collect()}
+    assert back == {1: None, 2: 10.0, 3: None, 4: None}
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts", ["val"], direction="nearest")
