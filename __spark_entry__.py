@@ -3399,6 +3399,41 @@ def asof_forward_tolerance_events(
     ).orderBy("event_id")
 
 
+def transitive_closure_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Depth-bounded transitive closure (the recursive-CTE surface
+    Spark lacks): ancestor paths over a synthesized part hierarchy
+    (parent = key div 5 — a branching-5 tree, the multimodal-gate
+    synthesis precedent). Frontier expansion with shortest-depth
+    dedup; DuckDB replays it with WITH RECURSIVE. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    edges = part.select(
+        F.expr("p_partkey div 5").alias("src"),
+        F.col("p_partkey").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return transitive_closure(edges, max_depth=20)
+
+
+def linear_fit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of order value over order year —
+    DECIMAL-exact moments, fixed-shape slope/intercept doubles
+    rounded to 6. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.profiling import linear_fit
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .withColumn("x", (F.year("o_orderdate") - F.lit(1995)))
+    )
+    return linear_fit(orders, "o_orderpriority", "x", "o_totalprice")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3691,6 +3726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood_suppliers": sorted_neighborhood_suppliers,
         "weighted_sample_documents": weighted_sample_documents,
         "asof_forward_tolerance_events": asof_forward_tolerance_events,
+        "transitive_closure_parts": transitive_closure_parts,
+        "linear_fit_orders": linear_fit_orders,
     }
 
 
@@ -4497,6 +4534,56 @@ _PENDING_ORACLES: dict[str, str] = {
                         FROM purch WHERE rn = 1) p
           ON e.user_id = p.user_id AND e.ts <= p.ts
         ORDER BY e.event_id
+    """,
+    "transitive_closure_parts": """
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT p_partkey // 5 AS src,
+                   p_partkey AS dst
+            FROM part
+            WHERE p_partkey // 5 <> p_partkey),
+        r(src, dst, depth) AS (
+            SELECT src, dst, 1 FROM e
+            UNION ALL
+            SELECT r.src, e.dst, r.depth + 1
+            FROM r JOIN e ON r.dst = e.src
+            WHERE r.depth < 20 AND r.src <> e.dst)
+        SELECT src, dst, CAST(min(depth) AS INT) AS depth
+        FROM r GROUP BY src, dst ORDER BY src, dst
+    """,
+    "linear_fit_orders": """
+        WITH b AS (
+            SELECT o_orderpriority AS "group",
+                   CAST(year(o_orderdate) - 1995 AS DOUBLE) AS x,
+                   CAST(o_totalprice AS DOUBLE) AS y
+            FROM orders WHERE o_orderdate IS NOT NULL),
+        m AS (
+            SELECT "group",
+                   count(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                         THEN 1 END) AS n,
+                   CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)
+                       AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(27,10))) AS DOUBLE)
+                       AS sy,
+                   CAST(sum(CAST(x * y AS DECIMAL(27,10))) AS DOUBLE)
+                       AS sxy,
+                   CAST(sum(CAST(x * x AS DECIMAL(27,10))) AS DOUBLE)
+                       AS sxx
+            FROM b GROUP BY "group")
+        SELECT "group", n,
+               CASE WHEN n >= 2 AND
+                         CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                    THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                               / (CAST(n AS DOUBLE) * sxx - sx * sx),
+                               6) END AS slope,
+               CASE WHEN n >= 2 AND
+                         CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                    THEN round((sy - (CAST(n AS DOUBLE) * sxy
+                                      - sx * sy)
+                                     / (CAST(n AS DOUBLE) * sxx
+                                        - sx * sx) * sx)
+                               / CAST(n AS DOUBLE), 6)
+               END AS intercept
+        FROM m ORDER BY "group"
     """,
 }
 

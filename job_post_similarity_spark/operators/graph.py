@@ -216,3 +216,63 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
     return per_node.orderBy("node")
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_depth: int = 20,
+) -> DataFrame:
+    """Depth-bounded transitive closure of a DAG edge list
+    ``(src, dst)`` — the recursive-CTE surface Spark lacks natively
+    (org charts, BOM explosions, category trees): emits
+    ``(src, dst, depth)`` for every path with ``depth`` = path
+    length, depth ≤ ``max_depth``, keeping the SHORTEST depth per
+    (src, dst) pair.
+
+    Iterative frontier expansion: frontier_{d+1} = frontier_d ⋈
+    edges, anti-joined against everything already reached (so each
+    pair is emitted once at its first depth — this also terminates
+    cycles: a revisited node is never re-expanded). Each round is
+    one equi-join + one anti-join shuffling only the FRONTIER, and
+    the frontier is localCheckpoint-truncated (the connected-
+    components lineage lesson). Rounds = graph depth, bounded by
+    ``max_depth``; an early-exit count stops at the fixpoint.
+
+    At 100 TB the frontier join shuffles on dst — the same shape as
+    one PageRank round; deep skinny hierarchies iterate cheaply,
+    and the anti-join keeps dense DAGs from exponential re-expansion.
+    """
+    base = (
+        edges.select(F.col("src"), F.col("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    # distinct column names on the edge side: a same-named self join
+    # through localCheckpointed lineage trips Catalyst attribute
+    # resolution (key-not-found on the checkpointed attrs)
+    hop = base.select(
+        F.col("src").alias("__hs"), F.col("dst").alias("__hd")
+    )
+    reached = base.withColumn("depth", F.lit(1)).localCheckpoint()
+    frontier = reached
+    for _ in range(1, max_depth):
+        nxt = (
+            frontier.join(hop, frontier["dst"] == hop["__hs"])
+            .select(
+                "src",
+                F.col("__hd").alias("dst"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.min("depth").alias("depth"))
+            .join(reached.select("src", "dst"), ["src", "dst"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    base.unpersist()
+    return reached.orderBy("src", "dst")

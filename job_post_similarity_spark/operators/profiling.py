@@ -822,3 +822,61 @@ def corr_matrix(
         .select("s.col_a", "s.col_b", "s.n_pairs", "s.corr")
         .orderBy("col_a", "col_b")
     )
+
+
+def linear_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line ``y = slope·x +
+    intercept`` — the trend-per-segment profile (revenue vs time per
+    region, quality vs length per source). Same DECIMAL(27,10)
+    moment accumulation as ``corr_matrix`` (order-independent sums,
+    per-row products a single IEEE op), one fixed-shape double
+    expression per group, rounded to ``decimals`` — engine-exact.
+
+    Rows with a NULL in x or y are excluded; groups with < 2 points
+    or zero x-variance emit NULLs. One hash aggregate —
+    |groups|-sized output, single scan.
+
+    Output: ``(group, n, slope, intercept)`` ordered by group.
+    """
+    dec = "decimal(27,10)"
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.when(both, 1)).alias("__n"),
+        F.sum(F.when(both, x).cast(dec)).alias("__sx"),
+        F.sum(F.when(both, y).cast(dec)).alias("__sy"),
+        F.sum(F.when(both, x * y).cast(dec)).alias("__sxy"),
+        F.sum(F.when(both, x * x).cast(dec)).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(
+        (F.col("__n") >= 2) & (den != 0),
+        F.round((n * sxy - sx * sy) / den, decimals),
+    )
+    intercept = F.when(
+        (F.col("__n") >= 2) & (den != 0),
+        F.round(
+            (sy - (n * sxy - sx * sy) / den * sx) / n, decimals
+        ),
+    )
+    return (
+        agg.select(
+            "group",
+            F.col("__n").alias("n"),
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+        )
+        .orderBy("group")
+    )

@@ -2168,3 +2168,53 @@ def test_asof_join_forward_and_tolerance(spark):
     assert back == {1: None, 2: 10.0, 3: None, 4: None}
     with pytest.raises(ValueError):
         asof_join(left, right, "k", "ts", ["val"], direction="nearest")
+
+
+# ---------------------------------------------- transitive closure
+def test_transitive_closure_paths_and_cycles(spark):
+    from job_post_similarity_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    # chain 1->2->3->4 plus a cycle 10<->11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)],
+        "src long, dst long",
+    )
+    got = {(r["src"], r["dst"]): r["depth"]
+           for r in transitive_closure(edges).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 2 and got[(1, 4)] == 3
+    assert got[(2, 4)] == 2
+    # cycle: each reaches the other at depth 1, never itself
+    assert got[(10, 11)] == 1 and got[(11, 10)] == 1
+    assert (10, 10) not in got and (11, 11) not in got
+    # shortest depth wins when a shortcut exists
+    sc = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    got2 = {(r["src"], r["dst"]): r["depth"]
+            for r in transitive_closure(sc).collect()}
+    assert got2[(1, 3)] == 1
+    # max_depth truncates
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    got3 = transitive_closure(chain, max_depth=2).collect()
+    assert max(r["depth"] for r in got3) == 2
+
+
+def test_linear_fit_recovers_planted_line(spark):
+    from job_post_similarity_spark.operators.profiling import linear_fit
+
+    rows = [("a", float(x), 3.0 * x + 7.0) for x in range(20)]
+    rows += [("b", float(x), -0.5 * x + 2.0) for x in range(10)]
+    rows += [("c", 1.0, 5.0)]            # single point: NULLs
+    rows += [("d", 2.0, 1.0), ("d", 2.0, 9.0)]  # zero x-variance
+    rows += [("a", None, 99.0)]          # null x excluded
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["group"]: r for r in linear_fit(df, "g", "x", "y").collect()}
+    assert got["a"]["n"] == 20
+    assert got["a"]["slope"] == 3.0 and got["a"]["intercept"] == 7.0
+    assert got["b"]["slope"] == -0.5 and got["b"]["intercept"] == 2.0
+    assert got["c"]["slope"] is None
+    assert got["d"]["slope"] is None and got["d"]["n"] == 2
