@@ -407,3 +407,45 @@ def read_binary_files(
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Error-tolerant CSV scan: PERMISSIVE mode with an explicit
+    corrupt-record column — malformed rows land whole in
+    ``corrupt_col`` (other fields null) instead of killing the job or
+    silently vanishing (DROPMALFORMED). The ingest contract for
+    crawled/third-party dumps at 100 TB: the pipeline quarantines
+    ``corrupt_col IS NOT NULL`` rows to a dead-letter table and the
+    clean rows flow on, one scan, no retry loop.
+
+    The schema is REQUIRED (corrupt-record capture needs a schema to
+    disagree with) and ``corrupt_col`` is appended to it here.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .csv(path)
+    )
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every parquet file
+    under ``path`` (``mergeSchema``) — columns added by newer writers
+    surface as nulls on old files instead of being silently dropped
+    (the default reads ONE random footer). The lake-evolution
+    contract: additive columns are safe; type CHANGES still fail the
+    merge loudly, which is the correct failure. Costs a footer read
+    per file at planning — at 100 TB keep evolved tables compacted or
+    carry the merged schema in a catalog instead."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

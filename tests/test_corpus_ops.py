@@ -2218,3 +2218,48 @@ def test_linear_fit_recovers_planted_line(spark):
     assert got["b"]["slope"] == -0.5 and got["b"]["intercept"] == 2.0
     assert got["c"]["slope"] is None
     assert got["d"]["slope"] is None and got["d"]["n"] == 2
+
+
+# ------------------------------------------- ingest robustness
+def test_read_csv_robust_quarantines_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from job_post_similarity_spark.sources.io import read_csv_robust
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,qty,name\n"
+        "1,10,alpha\n"
+        "2,notanumber,beta\n"   # qty fails the int cast
+        "3,30,gamma\n"
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("qty", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+    ])
+    df = read_csv_robust(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    brows = bad.collect()
+    assert len(brows) == 1
+    assert "notanumber" in brows[0]["_corrupt_record"]
+    assert brows[0]["qty"] is None
+
+
+def test_read_parquet_evolved_merges_added_column(spark, tmp_path):
+    from job_post_similarity_spark.sources.io import read_parquet_evolved
+
+    base = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        base + "/part=old"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(base + "/part=new")
+    df = read_parquet_evolved(spark, base)
+    assert set(df.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None   # old file: evolved column nulls
+    assert rows[2]["score"] == 9.5
