@@ -3434,6 +3434,40 @@ def linear_fit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_fit(orders, "o_orderpriority", "x", "o_totalprice")
 
 
+def mean_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→embed→pool: DECIMAL-exact mean vector per synthesized
+    group (pmod(vec_id, 16) — the chunk-family synthesis precedent),
+    arrays reassembled in position order. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "grp", F.pmod(F.col("vec_id"), F.lit(16))
+    )
+    return knn.mean_pool(emb, "grp", "embedding")
+
+
+def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of exact top-8 candidate pools
+    (queries = vec_id < 20), k=4, λ=0.7 — greedy per-query
+    applyInPandas over bounded pools (rows-only: the greedy pick
+    loop is not SQL-expressible; property-tested against a
+    hand-rolled reference)."""
+    from job_post_similarity_spark.operators.knn import knn_join, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    nbrs = knn_join(
+        queries, k=8, id_col="vec_id", vec_col="embedding",
+        include_self=False, right=emb,
+    )
+    cand = nbrs.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        ),
+        "neighbor_id",
+    )
+    return mmr_rerank(cand, k=4, lam=0.7)
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3728,6 +3762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_tolerance_events": asof_forward_tolerance_events,
         "transitive_closure_parts": transitive_closure_parts,
         "linear_fit_orders": linear_fit_orders,
+        "mean_pool_embeddings": mean_pool_embeddings,
+        # rows-only: greedy MMR pick loop is not SQL-expressible
+        "mmr_rerank_embeddings": mmr_rerank_embeddings,
     }
 
 
@@ -4584,6 +4621,24 @@ _PENDING_ORACLES: dict[str, str] = {
                                / CAST(n AS DOUBLE), 6)
                END AS intercept
         FROM m ORDER BY "group"
+    """,
+    "mean_pool_embeddings": """
+        WITH p AS (
+            SELECT ((vec_id % 16) + 16) % 16 AS grp,
+                   unnest(generate_series(1, len(embedding))) AS i,
+                   embedding
+            FROM embeddings),
+        a AS (
+            SELECT grp, i - 1 AS pos,
+                   sum(CAST(CAST(embedding[i] AS DOUBLE)
+                            AS DECIMAL(27,10))) AS s,
+                   count(*) AS n
+            FROM p GROUP BY grp, i)
+        SELECT grp AS "group",
+               CAST(max(n) AS BIGINT) AS n_vecs,
+               list(round(CAST(s AS DOUBLE) / n, 6)
+                    ORDER BY pos) AS pooled
+        FROM a GROUP BY grp ORDER BY "group"
     """,
 }
 

@@ -857,3 +857,151 @@ def dequantize_int8(
             lambda c, s: c.cast("double") / F.lit(127.0) * s,
         ),
     )
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    normalize: bool = False,
+) -> DataFrame:
+    """Mean-pool vectors per group — the chunk→embed→pool step that
+    turns chunk embeddings back into one document vector (and the
+    aggregation behind user/session embedding profiles). DECIMAL
+    (27,10) component sums (order-independent — the label_centroids
+    policy), divided by the exact count, rounded to ``decimals``;
+    ``normalize=True`` L2-normalizes AFTER rounding (fixed-shape
+    double math, still engine-exact).
+
+    One posexplode + one (group, pos) hash aggregate + one
+    collect_list reassembly per group — dim × |groups| intermediate
+    rows, corpus scanned once.
+
+    Output: ``(group, n_vecs, pooled array<double>)`` ordered by
+    group.
+    """
+    pos = df.select(
+        F.col(group_col).alias("group"),
+        F.posexplode(vec_col).alias("pos", "__x"),
+    )
+    agg = pos.groupBy("group", "pos").agg(
+        F.sum(
+            F.col("__x").cast("double").cast("decimal(27,10)")
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    comp = agg.select(
+        "group",
+        "pos",
+        F.round(
+            F.col("__s").cast("double") / F.col("__n"), decimals
+        ).alias("__m"),
+        "__n",
+    )
+    pooled = (
+        comp.groupBy("group")
+        .agg(
+            F.max("__n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "__m"))
+                ),
+                lambda s: s["__m"],
+            ).alias("pooled"),
+        )
+    )
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                "pooled", F.lit(0.0), lambda a, x: a + x * x
+            )
+        )
+        pooled = pooled.select(
+            "group",
+            "n_vecs",
+            F.when(
+                norm > 0,
+                F.transform(F.col("pooled"), lambda x: x / norm),
+            ).otherwise(F.col("pooled")).alias("pooled"),
+        )
+    return pooled.orderBy("group")
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    vec_col: str = "embedding",
+    score_col: str = "similarity",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's candidate pool, greedily pick the item
+    maximizing ``λ·relevance − (1−λ)·max_sim_to_already_picked`` —
+    the diversity-aware top-k that keeps near-duplicate hits from
+    crowding a result page (or a RAG context window).
+
+    Scale shape: the greedy loop is inherently sequential per query
+    but the POOL is small by construction (an upstream top-M search
+    bounds it), so it runs as ``applyInPandas`` per query group —
+    queries parallelize across tasks, each group is a bounded
+    in-memory problem (the Lloyd/BPE bounded-state argument). Ties
+    (equal MMR score) break by id asc; unit-normalized vectors
+    assumed (the repo-wide contract).
+
+    Output: ``(query_id, neighbor_id, similarity, mmr_rank)`` with
+    ``mmr_rank`` 1-based in pick order, ≤ k rows per query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = candidates.schema[id_col].dataType.simpleString()
+    q_t = candidates.schema[query_col].dataType.simpleString()
+    out_schema = (
+        f"{query_col} {q_t}, {id_col} {id_t},"
+        f" {score_col} double, mmr_rank int"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        remaining = list(range(n))
+        max_sim = np.full(n, -np.inf)
+        while remaining and len(chosen) < k:
+            if chosen:
+                scores = lam * rel - (1 - lam) * max_sim
+            else:
+                scores = lam * rel
+            best = min(
+                remaining,
+                key=lambda i: (-scores[i], pdf[id_col].iloc[i]),
+            )
+            chosen.append(best)
+            remaining.remove(best)
+            if remaining:
+                sims = vecs[remaining] @ vecs[best]
+                idx = np.asarray(remaining)
+                max_sim[idx] = np.maximum(max_sim[idx], sims)
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[chosen].to_numpy(),
+                id_col: pdf[id_col].iloc[chosen].to_numpy(),
+                score_col: rel[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1),
+            }
+        )
+
+    return (
+        candidates.groupBy(query_col)
+        .applyInPandas(pick, out_schema)
+        .orderBy(query_col, "mmr_rank")
+    )

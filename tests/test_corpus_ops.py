@@ -2263,3 +2263,54 @@ def test_read_parquet_evolved_merges_added_column(spark, tmp_path):
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None   # old file: evolved column nulls
     assert rows[2]["score"] == 9.5
+
+
+# --------------------------------------------- pooling & MMR rerank
+def test_mean_pool_exact_and_normalized(spark):
+    from job_post_similarity_spark.operators.knn import mean_pool
+
+    rows = [
+        ("a", [1.0, 2.0, 3.0]),
+        ("a", [3.0, 2.0, 1.0]),
+        ("b", [0.0, 0.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "g string, embedding array<double>")
+    got = {r["group"]: r for r in mean_pool(df, "g").collect()}
+    assert got["a"]["n_vecs"] == 2 and got["a"]["pooled"] == [2.0, 2.0, 2.0]
+    assert got["b"]["pooled"] == [0.0, 0.0, 2.0]
+    normed = {r["group"]: r["pooled"]
+              for r in mean_pool(df, "g", normalize=True).collect()}
+    assert abs(sum(x * x for x in normed["a"]) - 1.0) < 1e-12
+    assert normed["b"] == [0.0, 0.0, 1.0]
+
+
+def test_mmr_rerank_diversifies(spark):
+    from job_post_similarity_spark.operators.knn import mmr_rerank
+
+    # candidate pool for one query: two near-identical high scorers
+    # and one diverse mid scorer; MMR at low lambda must interleave
+    v1 = [1.0, 0.0]
+    v1b = [0.9999, 0.0141]  # ~same direction as v1
+    v2 = [0.0, 1.0]
+    rows = [
+        (1, 10, v1, 0.95),
+        (1, 11, v1b, 0.94),
+        (1, 12, v2, 0.80),
+    ]
+    cand = spark.createDataFrame(
+        rows,
+        "query_id long, neighbor_id long, embedding array<double>,"
+        " similarity double",
+    )
+    picks = [r["neighbor_id"] for r in
+             mmr_rerank(cand, k=3, lam=0.5).collect()]
+    # first pick: best relevance; second: the DIVERSE item despite
+    # lower relevance; duplicate direction drops to last
+    assert picks == [10, 12, 11]
+    # high lambda reduces to plain relevance order
+    rel = [r["neighbor_id"] for r in
+           mmr_rerank(cand, k=3, lam=1.0).collect()]
+    assert rel == [10, 11, 12]
+    ranks = [r["mmr_rank"] for r in
+             mmr_rerank(cand, k=2, lam=0.5).collect()]
+    assert ranks == [1, 2]
