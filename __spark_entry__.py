@@ -3468,6 +3468,54 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cand, k=4, lam=0.7)
 
 
+def ranking_metrics_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrieval eval: hit@10 / RR / DCG / NDCG per query (integer
+    micro policy) over exact top-10 neighbor lists, relevance =
+    shared pmod-8 stratum. (Oracle staged in _PENDING_ORACLES —
+    registered after _COS.)"""
+    from job_post_similarity_spark.operators.knn import knn_join
+    from job_post_similarity_spark.operators.metrics import (
+        ranking_metrics,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    nbrs = knn_join(
+        queries, k=10, id_col="vec_id", vec_col="embedding",
+        include_self=False, right=emb,
+    )
+    ranked = nbrs.select(
+        "query_id",
+        "rank",
+        (
+            F.pmod(F.col("neighbor_id"), F.lit(8))
+            == F.pmod(F.col("query_id"), F.lit(8))
+        ).alias("relevant"),
+    )
+    return ranking_metrics(ranked, "query_id", "rank", "relevant", k=10)
+
+
+def classification_report_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 (integer ppm, F1 from raw
+    tp/fp/fn — no double rounding) over the Rocchio classifier's
+    predictions. (Oracle staged in _PENDING_ORACLES — registered
+    after _COS.)"""
+    from job_post_similarity_spark.operators.metrics import (
+        classification_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = knn.nearest_centroid_classify(emb)
+    return classification_report(
+        pred.select(F.col("label").cast("string").alias("label"),
+                    "pred_label")
+    )
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3765,6 +3813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_pool_embeddings": mean_pool_embeddings,
         # rows-only: greedy MMR pick loop is not SQL-expressible
         "mmr_rerank_embeddings": mmr_rerank_embeddings,
+        "ranking_metrics_embeddings": ranking_metrics_embeddings,
+        "classification_report_embeddings": classification_report_embeddings,
     }
 
 
@@ -6779,3 +6829,108 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY jaccard DESC, id1, id2
         """,
     }
+
+
+# Oracles that need _COS (defined above) — registered post-definition
+# so the module-level _PENDING_ORACLES literal stays import-safe.
+_PENDING_ORACLES.update({
+    "ranking_metrics_embeddings": f"""
+        WITH p AS (
+            SELECT a.vec_id AS query, b.vec_id AS nb,
+                   row_number() OVER
+                       (PARTITION BY a.vec_id
+                        ORDER BY {_COS} DESC, b.vec_id ASC) AS rn
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 50),
+        r AS (
+            SELECT query, rn,
+                   CASE WHEN ((nb % 8) + 8) % 8
+                             = ((query % 8) + 8) % 8
+                        THEN 1 ELSE 0 END AS rel
+            FROM p WHERE rn <= 10),
+        per AS (
+            SELECT query,
+                   count(*) AS n_retrieved,
+                   CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+                   CAST(sum(rel) AS BIGINT) AS n_rel_total,
+                   max(rel) AS hit_at_k,
+                   max(CASE WHEN rel = 1
+                            THEN CAST(round(1e6 / rn, 0) AS BIGINT)
+                            ELSE 0 END) AS rr_ppm,
+                   CAST(sum(CASE WHEN rel = 1
+                            THEN CAST(round(1e6 / log2(rn + 1.0), 0)
+                                 AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS dcg6
+            FROM r GROUP BY query)
+        SELECT query, n_retrieved, n_rel_at_k, n_rel_total,
+               hit_at_k, rr_ppm, dcg6,
+               (CASE least(n_rel_total, 10) WHEN 0 THEN 0 WHEN 1 THEN 1000000 WHEN 2 THEN 1630930 WHEN 3 THEN 2130930 WHEN 4 THEN 2561607 WHEN 5 THEN 2948460 WHEN 6 THEN 3304667 WHEN 7 THEN 3638000 WHEN 8 THEN 3953465 WHEN 9 THEN 4254495 WHEN 10 THEN 4543560 END) AS idcg6,
+               CASE WHEN (CASE least(n_rel_total, 10) WHEN 0 THEN 0 WHEN 1 THEN 1000000 WHEN 2 THEN 1630930 WHEN 3 THEN 2130930 WHEN 4 THEN 2561607 WHEN 5 THEN 2948460 WHEN 6 THEN 3304667 WHEN 7 THEN 3638000 WHEN 8 THEN 3953465 WHEN 9 THEN 4254495 WHEN 10 THEN 4543560 END) > 0
+                    THEN (1000000 * dcg6) // (CASE least(n_rel_total, 10) WHEN 0 THEN 0 WHEN 1 THEN 1000000 WHEN 2 THEN 1630930 WHEN 3 THEN 2130930 WHEN 4 THEN 2561607 WHEN 5 THEN 2948460 WHEN 6 THEN 3304667 WHEN 7 THEN 3638000 WHEN 8 THEN 3953465 WHEN 9 THEN 4254495 WHEN 10 THEN 4543560 END)
+                    ELSE 0 END AS ndcg_ppm
+        FROM per ORDER BY query
+    """,
+    "classification_report_embeddings": f"""
+        WITH posx AS (
+            SELECT label,
+                   unnest(generate_series(1, len(embedding))) AS i,
+                   embedding
+            FROM embeddings),
+        a AS (
+            SELECT label, i - 1 AS pos,
+                   sum(CAST(CAST(embedding[i] AS DOUBLE)
+                            AS DECIMAL(27,10))) AS sm,
+                   count(*) AS n
+            FROM posx GROUP BY label, i),
+        cent AS (
+            SELECT label,
+                   list(round(CAST(sm AS DOUBLE) / n, 6)
+                        ORDER BY pos) AS cvec
+            FROM a GROUP BY label),
+        sc AS (
+            SELECT e.vec_id, e.label, c.label AS clab,
+                   list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                       AS score
+            FROM embeddings e CROSS JOIN cent c),
+        pred AS (
+            SELECT CAST(label AS VARCHAR) AS label,
+                   CAST(clab AS VARCHAR) AS pred_label
+            FROM (SELECT vec_id, label, clab,
+                         row_number() OVER
+                             (PARTITION BY vec_id
+                              ORDER BY score DESC, clab ASC) AS rk
+                  FROM sc)
+            WHERE rk = 1),
+        bt AS (
+            SELECT label AS class, count(*) AS support,
+                   CAST(sum(CASE WHEN label = pred_label THEN 1
+                            ELSE 0 END) AS BIGINT) AS tp_t
+            FROM pred GROUP BY 1),
+        bp AS (
+            SELECT pred_label AS class, count(*) AS n_pred,
+                   CAST(sum(CASE WHEN label = pred_label THEN 1
+                            ELSE 0 END) AS BIGINT) AS tp_p
+            FROM pred GROUP BY 1),
+        j AS (
+            SELECT coalesce(bt.class, bp.class) AS class,
+                   coalesce(bt.support, 0) AS support,
+                   coalesce(bt.tp_t, bp.tp_p, 0) AS tp,
+                   coalesce(bp.n_pred, 0) - coalesce(bp.tp_p, 0)
+                       AS fp,
+                   coalesce(bt.support, 0) - coalesce(bt.tp_t, 0)
+                       AS fn
+            FROM bt FULL OUTER JOIN bp ON bt.class = bp.class)
+        SELECT class, support, tp, fp, fn,
+               CASE WHEN tp + fp > 0
+                    THEN (1000000 * tp) // (tp + fp) ELSE 0 END
+                   AS precision_ppm,
+               CASE WHEN tp + fn > 0
+                    THEN (1000000 * tp) // (tp + fn) ELSE 0 END
+                   AS recall_ppm,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN (2 * 1000000 * tp) // (2 * tp + fp + fn)
+                    ELSE 0 END AS f1_ppm
+        FROM j ORDER BY class
+    """,
+})

@@ -2314,3 +2314,59 @@ def test_mmr_rerank_diversifies(spark):
     ranks = [r["mmr_rank"] for r in
              mmr_rerank(cand, k=2, lam=0.5).collect()]
     assert ranks == [1, 2]
+
+
+# --------------------------------------------- evaluation metrics
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from job_post_similarity_spark.operators.metrics import (
+        ranking_metrics,
+    )
+
+    rows = [
+        # q1: relevant at ranks 1 and 3 of 4
+        (1, 1, True), (1, 2, False), (1, 3, True), (1, 4, False),
+        # q2: nothing relevant
+        (2, 1, False), (2, 2, False),
+        # q3: relevant only at rank 2
+        (3, 1, False), (3, 2, True),
+    ]
+    df = spark.createDataFrame(rows, "query_id long, rank int, relevant boolean")
+    got = {r["query"]: r for r in
+           ranking_metrics(df, k=10).collect()}
+    g = lambda r: int(round(1e6 / math.log2(r + 1)))
+    assert got[1]["hit_at_k"] == 1 and got[1]["rr_ppm"] == 1_000_000
+    assert got[1]["dcg6"] == g(1) + g(3)
+    assert got[1]["idcg6"] == g(1) + g(2)
+    assert got[1]["ndcg_ppm"] == (
+        1_000_000 * (g(1) + g(3)) // (g(1) + g(2))
+    )
+    assert got[2]["hit_at_k"] == 0 and got[2]["rr_ppm"] == 0
+    assert got[2]["ndcg_ppm"] == 0 and got[2]["idcg6"] == 0
+    assert got[3]["rr_ppm"] == 500_000
+    assert got[3]["dcg6"] == g(2) and got[3]["idcg6"] == g(1)
+
+
+def test_classification_report_per_class(spark):
+    from job_post_similarity_spark.operators.metrics import (
+        classification_report,
+    )
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),   # a: tp 2, fn 1
+        ("b", "b"),                           # b: tp 1, fp 1 (from a)
+        ("c", "a"),                           # c: never predicted
+    ]
+    df = spark.createDataFrame(rows, "label string, pred_label string")
+    got = {r["class"]: r for r in classification_report(df).collect()}
+    assert got["a"]["tp"] == 2 and got["a"]["fn"] == 1 and got["a"]["fp"] == 1
+    assert got["a"]["precision_ppm"] == 1_000_000 * 2 // 3
+    assert got["a"]["recall_ppm"] == 1_000_000 * 2 // 3
+    assert got["b"]["precision_ppm"] == 500_000
+    assert got["b"]["recall_ppm"] == 1_000_000
+    # never-predicted class: precision 0 by zero-division convention
+    assert got["c"]["tp"] == 0 and got["c"]["precision_ppm"] == 0
+    assert got["c"]["recall_ppm"] == 0 and got["c"]["support"] == 1
+    # F1 from raw counts
+    assert got["a"]["f1_ppm"] == 2 * 1_000_000 * 2 // (2 * 2 + 1 + 1)
