@@ -3516,6 +3516,32 @@ def classification_report_embeddings(
     )
 
 
+def label_propagation_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semi-supervised label propagation (2 rounds) over the
+    synthesized part tree: seeds = part keys < 10 labeled pmod-3;
+    majority vote with (votes desc, label asc) total order — oracle
+    replays the rounds unrolled (the PageRank oracle pattern).
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.graph import (
+        label_propagation,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    edges = part.select(
+        F.expr("p_partkey div 5").alias("src"),
+        F.col("p_partkey").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = part.filter(F.col("p_partkey") < 10).select(
+        F.col("p_partkey").alias("id"),
+        F.pmod(F.col("p_partkey"), F.lit(3)).cast("string").alias(
+            "label"
+        ),
+    )
+    return label_propagation(edges, seeds, rounds=2)
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3815,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank_embeddings": mmr_rerank_embeddings,
         "ranking_metrics_embeddings": ranking_metrics_embeddings,
         "classification_report_embeddings": classification_report_embeddings,
+        "label_propagation_parts": label_propagation_parts,
     }
 
 
@@ -6932,5 +6959,60 @@ _PENDING_ORACLES.update({
                     THEN (2 * 1000000 * tp) // (2 * tp + fp + fn)
                     ELSE 0 END AS f1_ppm
         FROM j ORDER BY class
+    """,
+    "label_propagation_parts": """
+        WITH e AS (
+            SELECT DISTINCT p_partkey // 5 AS src, p_partkey AS dst
+            FROM part WHERE p_partkey // 5 <> p_partkey),
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e
+                UNION ALL SELECT dst, src FROM e)
+            WHERE src <> dst),
+        l0 AS (
+            SELECT p_partkey AS id,
+                   CAST(((p_partkey % 3) + 3) % 3 AS VARCHAR)
+                       AS label,
+                   0 AS hops
+            FROM part WHERE p_partkey < 10),
+        v1 AS (
+            SELECT s.src AS nid, l.label, count(*) AS v
+            FROM sym s JOIN l0 l ON s.dst = l.id
+            GROUP BY s.src, l.label),
+        p1 AS (
+            SELECT nid AS id, label, 1 AS hops
+            FROM (SELECT nid, label,
+                         row_number() OVER
+                             (PARTITION BY nid
+                              ORDER BY v DESC, label ASC) AS rk
+                  FROM v1)
+            WHERE rk = 1),
+        n1 AS (
+            SELECT p1.* FROM p1
+            WHERE NOT EXISTS (SELECT 1 FROM l0 x
+                              WHERE x.id = p1.id)),
+        l1 AS (
+            SELECT * FROM l0
+            UNION ALL SELECT * FROM n1),
+        v2 AS (
+            SELECT s.src AS nid, l.label, count(*) AS v
+            FROM sym s JOIN l1 l ON s.dst = l.id
+            GROUP BY s.src, l.label),
+        p2 AS (
+            SELECT nid AS id, label, 2 AS hops
+            FROM (SELECT nid, label,
+                         row_number() OVER
+                             (PARTITION BY nid
+                              ORDER BY v DESC, label ASC) AS rk
+                  FROM v2)
+            WHERE rk = 1),
+        n2 AS (
+            SELECT p2.* FROM p2
+            WHERE NOT EXISTS (SELECT 1 FROM l1 x
+                              WHERE x.id = p2.id)),
+        l2 AS (
+            SELECT * FROM l1
+            UNION ALL SELECT * FROM n2)
+        SELECT id, label, hops FROM l2 ORDER BY id
     """,
 })

@@ -276,3 +276,69 @@ def transitive_closure(
         frontier = nxt
     base.unpersist()
     return reached.orderBy("src", "dst")
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation over an undirected edge list:
+    seed nodes carry fixed labels; each round every node adopts the
+    majority label among its already-labeled neighbors (ties → the
+    lexicographically smallest label; seeds never change). The
+    graph-side twin of ``knn.knn_classify`` — labels flow through
+    co-occurrence structure instead of embedding space.
+
+    Determinism: the majority vote orders by (votes desc, label asc)
+    — a total order — and rounds are a fixed count, so the result is
+    engine-exact and an oracle can replay it with ``rounds`` unrolled
+    CTE rounds (the PageRank oracle pattern).
+
+    Scale shape: per round one join (edges ⋈ labels, shuffling the
+    labeled frontier) + one (node, label) vote aggregate + one
+    window pick; labels localCheckpointed per round (the CC lineage
+    lesson). Output: ``(id, label, hops)`` — hops = round the node
+    first acquired its label (0 for seeds); unlabeled (unreachable)
+    nodes are absent.
+    """
+    from pyspark.sql.window import Window
+
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    labels = seeds.select(
+        F.col("id"), F.col("label"), F.lit(0).alias("hops")
+    ).localCheckpoint()
+    for r in range(1, rounds + 1):
+        votes = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy(F.col("src").alias("nid"), "label")
+            .agg(F.count(F.lit(1)).alias("__v"))
+        )
+        w = Window.partitionBy("nid").orderBy(
+            F.desc("__v"), F.asc("label")
+        )
+        picked = (
+            votes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(
+                F.col("nid").alias("id"),
+                "label",
+                F.lit(r).alias("hops"),
+            )
+        )
+        # already-labeled nodes keep their label (seeds immutable,
+        # earlier hops win)
+        new = picked.join(labels.select("id"), "id", "left_anti")
+        labels = labels.unionByName(new).localCheckpoint()
+    sym.unpersist()
+    return labels.orderBy("id")

@@ -2370,3 +2370,29 @@ def test_classification_report_per_class(spark):
     assert got["c"]["recall_ppm"] == 0 and got["c"]["support"] == 1
     # F1 from raw counts
     assert got["a"]["f1_ppm"] == 2 * 1_000_000 * 2 // (2 * 2 + 1 + 1)
+
+
+# ---------------------------------------------- label propagation
+def test_label_propagation_majority_and_seeds(spark):
+    from job_post_similarity_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # star: center 0 connected to seeds 1('a'), 2('a'), 3('b');
+    # leaf 4 hangs off center
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, label string"
+    )
+    got = {r["id"]: (r["label"], r["hops"]) for r in
+           label_propagation(edges, seeds, rounds=2).collect()}
+    assert got[1] == ("a", 0) and got[3] == ("b", 0)  # seeds immutable
+    assert got[0] == ("a", 1)   # majority a over b
+    assert got[4] == ("a", 2)   # second hop through center
+    # tie-break: equal votes -> smallest label
+    t_edges = spark.createDataFrame([(9, 1), (9, 3)], "src long, dst long")
+    t = {r["id"]: r["label"] for r in
+         label_propagation(t_edges, seeds, rounds=1).collect()}
+    assert t[9] == "a"
