@@ -3542,6 +3542,23 @@ def label_propagation_parts(
     return label_propagation(edges, seeds, rounds=2)
 
 
+def feature_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick categorical vectorizer: (event_type, user
+    bucket) features md5-hashed into 32 namespaced buckets, dense
+    count vector per event — map-side, no vocabulary, no fit state.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.functions.features import feature_hash
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket",
+        F.pmod(F.col("user_id"), F.lit(50)).cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        feature_hash(["event_type", "user_bucket"], 32).alias("fvec"),
+    ).orderBy("event_id")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3842,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_metrics_embeddings": ranking_metrics_embeddings,
         "classification_report_embeddings": classification_report_embeddings,
         "label_propagation_parts": label_propagation_parts,
+        "feature_hash_events": feature_hash_events,
     }
 
 
@@ -7014,5 +7032,27 @@ _PENDING_ORACLES.update({
             SELECT * FROM l1
             UNION ALL SELECT * FROM n2)
         SELECT id, label, hops FROM l2 ORDER BY id
+    """,
+    "feature_hash_events": """
+        WITH b AS (
+            SELECT event_id, event_type,
+                   CAST(((user_id % 50) + 50) % 50 AS VARCHAR) AS ub
+            FROM events)
+        SELECT event_id,
+               list_transform(generate_series(0, 31), i ->
+                   CAST(
+                     (CASE WHEN event_type IS NOT NULL
+                           AND CAST(concat('0x',
+                                 substr(md5('event_type='
+                                            || event_type), 1, 14))
+                               AS BIGINT) % 32 = i
+                           THEN 1 ELSE 0 END)
+                   + (CASE WHEN ub IS NOT NULL
+                           AND CAST(concat('0x',
+                                 substr(md5('user_bucket=' || ub),
+                                        1, 14))
+                               AS BIGINT) % 32 = i
+                           THEN 1 ELSE 0 END) AS INT)) AS fvec
+        FROM b ORDER BY event_id
     """,
 })

@@ -2396,3 +2396,29 @@ def test_label_propagation_majority_and_seeds(spark):
     t = {r["id"]: r["label"] for r in
          label_propagation(t_edges, seeds, rounds=1).collect()}
     assert t[9] == "a"
+
+
+# ------------------------------------------------- feature hashing
+def test_feature_hash_namespaces_and_nulls(spark):
+    import hashlib
+
+    from job_post_similarity_spark.functions.features import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "x", "x"), (2, None, "x"), (3, "x", None)],
+        "rid long, a string, b string",
+    )
+    out = {r["rid"]: r["v"] for r in df.select(
+        "rid", feature_hash(["a", "b"], 16).alias("v")).collect()}
+
+    def bucket(name, val):
+        return int(hashlib.md5(
+            f"{name}={val}".encode()).hexdigest()[:14], 16) % 16
+
+    ba, bb = bucket("a", "x"), bucket("b", "x")
+    # same VALUE in different columns -> independent namespaced buckets
+    assert ba != bb  # (holds for this fixture; namespacing property)
+    assert sum(out[1]) == 2 and out[1][ba] == 1 and out[1][bb] == 1
+    assert sum(out[2]) == 1 and out[2][bb] == 1  # null a drops out
+    assert sum(out[3]) == 1 and out[3][ba] == 1
+    assert all(len(v) == 16 for v in out.values())
