@@ -3559,6 +3559,18 @@ def feature_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality index of event value (integer cents, ISO
+    weekday via the portable epoch-day formula, one floor div).
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.windows import (
+        seasonality_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonality_profile(ev, "ts", "value")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3860,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_report_embeddings": classification_report_embeddings,
         "label_propagation_parts": label_propagation_parts,
         "feature_hash_events": feature_hash_events,
+        "seasonality_events": seasonality_events,
     }
 
 
@@ -7054,5 +7067,22 @@ _PENDING_ORACLES.update({
                                AS BIGINT) % 32 = i
                            THEN 1 ELSE 0 END) AS INT)) AS fvec
         FROM b ORDER BY event_id
+    """,
+    "seasonality_events": """
+        WITH base AS (
+            SELECT ((datediff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) + 3) % 7 + 7) % 7 + 1
+                       AS dow,
+                   CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                        AS BIGINT) AS cents
+            FROM events WHERE ts IS NOT NULL),
+        per AS (
+            SELECT dow, count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM base GROUP BY dow),
+        g AS (SELECT CAST(sum(total_cents) AS BIGINT) AS gt FROM per)
+        SELECT dow, n_events, total_cents,
+               (7 * 1000000 * total_cents) // g.gt AS index_ppm
+        FROM per CROSS JOIN g ORDER BY dow
     """,
 })

@@ -452,3 +452,64 @@ def time_weighted_avg(
         )
         .orderBy("key")
     )
+
+
+def seasonality_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Weekly seasonality index: per day-of-week activity (row count,
+    or DECIMAL-exact value sum when ``value_col`` is given) relative
+    to the uniform expectation, as integer ppm — the classical
+    seasonal-index decomposition step (index > 1e6 ⇒ that weekday
+    runs hot). NULL timestamps excluded.
+
+    ``index_ppm = (7 · PPM · dow_total) div grand_total`` — exact
+    integer counts (or integer cents for values), one floor division
+    at the end, so the profile is engine-exact. One hash aggregate +
+    a 1-row broadcast for the grand total.
+
+    Output: ``(dow, n_events, total_cents?, index_ppm)`` — ``dow``
+    1=Monday…7=Sunday (ISO, ``dayofweek``-independent across
+    engines via the weekday formula), ordered by dow.
+    """
+    ts = F.col(ts_col)
+    # ISO weekday from the epoch-day: 1970-01-01 was a Thursday (=4);
+    # DATEDIFF-based formula is engine-portable (Spark dayofweek is
+    # Sunday-first, DuckDB isodow is ISO — sidestep both)
+    epoch_day = F.datediff(
+        F.to_date(ts), F.to_date(F.lit("1970-01-01"))
+    )
+    dow = F.pmod(epoch_day + F.lit(3), F.lit(7)) + F.lit(1)
+    base = df.filter(ts.isNotNull()).select(
+        dow.alias("dow"),
+        *(
+            [
+                F.round(F.col(value_col).cast("double") * 100, 0)
+                .cast("long")
+                .alias("__cents")
+            ]
+            if value_col
+            else []
+        ),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.sum("__cents").alias("total_cents"))
+    per = base.groupBy("dow").agg(*aggs)
+    metric = "total_cents" if value_col else "n_events"
+    tot = per.agg(F.sum(metric).alias("__g"))
+    out_cols = ["dow", "n_events"] + (
+        ["total_cents"] if value_col else []
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            *out_cols,
+            F.expr(f"(7 * 1000000L * {metric}) div __g").alias(
+                "index_ppm"
+            ),
+        )
+        .orderBy("dow")
+    )

@@ -257,3 +257,33 @@ def test_stream_upsert_foreach_batch_keeps_latest(spark, sf_dir, tmp_path):
     assert len({r["user_id"] for r in rows}) == len(rows)
     for r in rows:
         assert r["ts"] == mx[r["user_id"]]
+
+
+def test_seasonality_profile_index(spark):
+    import datetime as dt
+
+    from job_post_similarity_spark.operators.windows import (
+        seasonality_profile,
+    )
+
+    # 2024-01-01 is a Monday; plant double volume on Mondays
+    rows = []
+    for d in range(14):
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        n = 2 if day.weekday() == 0 else 1
+        for i in range(n):
+            rows.append((day + dt.timedelta(hours=i), 10.0))
+    rows.append((None, 99.0))  # null ts excluded
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["dow"]: r for r in
+           seasonality_profile(df, "ts", "value").collect()}
+    assert set(out) == set(range(1, 8))
+    assert out[1]["n_events"] == 4          # doubled Mondays
+    assert all(out[d]["n_events"] == 2 for d in range(2, 8))
+    # grand total 16 events * 1000 cents; Monday index = 7*4/16
+    assert out[1]["index_ppm"] == 7 * 1_000_000 * 4000 // 16000
+    assert out[2]["index_ppm"] == 7 * 1_000_000 * 2000 // 16000
+    # count-only mode
+    cnt = {r["dow"]: r["index_ppm"] for r in
+           seasonality_profile(df, "ts").collect()}
+    assert cnt[1] == 7 * 1_000_000 * 4 // 16
