@@ -3571,6 +3571,20 @@ def seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonality_profile(ev, "ts", "value")
 
 
+def stream_psi_drift_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming PSI drift: each day's value distribution vs the
+    whole-corpus reference — windowed histogram state on the stream,
+    micro-integer PSI batch-side on the snapshot. Bounded input ⇒
+    equals the batch windowed PSI (the oracle). (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.streaming import stream_psi_drift
+
+    ref = load_table(spark, sf_dir, "events")
+    return stream_psi_drift(spark, sf_dir, ref, "value", n_bins=10)
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3873,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_parts": label_propagation_parts,
         "feature_hash_events": feature_hash_events,
         "seasonality_events": seasonality_events,
+        "stream_psi_drift_events": stream_psi_drift_events,
     }
 
 
@@ -7084,5 +7099,63 @@ _PENDING_ORACLES.update({
         SELECT dow, n_events, total_cents,
                (7 * 1000000 * total_cents) // g.gt AS index_ppm
         FROM per CROSS JOIN g ORDER BY dow
+    """,
+    "stream_psi_drift_events": """
+        WITH st AS (
+            SELECT min(CAST(value AS DOUBLE)) AS mn,
+                   (max(CAST(value AS DOUBLE))
+                    - min(CAST(value AS DOUBLE))) / 10 AS width
+            FROM events),
+        rb AS (
+            SELECT least(9, greatest(0,
+                       CAST(floor((CAST(value AS DOUBLE) - st.mn)
+                                  / st.width) AS INT))) AS bin,
+                   count(*) AS cnt_ref
+            FROM events CROSS JOIN st
+            WHERE value IS NOT NULL GROUP BY 1),
+        spine AS (
+            SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin),
+        ref AS (
+            SELECT s.bin, coalesce(rb.cnt_ref, 0) AS cnt_ref
+            FROM spine s LEFT JOIN rb ON rb.bin = s.bin),
+        nr AS (SELECT CAST(sum(cnt_ref) AS BIGINT) AS nr FROM ref),
+        ev AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                       AS window_start,
+                   least(9, greatest(0,
+                       CAST(floor((CAST(value AS DOUBLE) - st.mn)
+                                  / st.width) AS INT))) AS bin
+            FROM events CROSS JOIN st
+            WHERE value IS NOT NULL AND ts IS NOT NULL),
+        sn AS (
+            SELECT window_start, bin, count(*) AS cnt_new
+            FROM ev GROUP BY window_start, bin),
+        wins AS (SELECT DISTINCT window_start FROM sn),
+        cells AS (
+            SELECT w.window_start, s.bin,
+                   coalesce(sn.cnt_new, 0) AS cnt_new
+            FROM wins w CROSS JOIN spine s
+            LEFT JOIN sn ON sn.window_start = w.window_start
+                        AND sn.bin = s.bin),
+        tn AS (
+            SELECT window_start,
+                   CAST(sum(cnt_new) AS BIGINT) AS nn
+            FROM cells GROUP BY window_start),
+        terms AS (
+            SELECT c.window_start, c.cnt_new,
+                   CAST(round(
+                       ((c.cnt_new + 0.5) / (tn.nn + 5.0)
+                        - (r.cnt_ref + 0.5) / (nr.nr + 5.0))
+                       * ln(((c.cnt_new + 0.5) / (tn.nn + 5.0))
+                            / ((r.cnt_ref + 0.5) / (nr.nr + 5.0)))
+                       * 1e6, 0) AS BIGINT) AS t6
+            FROM cells c
+            JOIN ref r ON r.bin = c.bin
+            JOIN tn ON tn.window_start = c.window_start
+            CROSS JOIN nr)
+        SELECT window_start,
+               CAST(sum(cnt_new) AS BIGINT) AS n_new,
+               CAST(sum(t6) AS BIGINT) AS psi6
+        FROM terms GROUP BY window_start ORDER BY window_start
     """,
 })

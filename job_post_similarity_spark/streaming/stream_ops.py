@@ -1029,3 +1029,129 @@ def stream_upsert_foreach_batch(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_psi_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    reference: DataFrame,
+    column: str = "value",
+    n_bins: int = 10,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    name: str = "stream_psi",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: per event-time window,
+    the PSI of the window's ``column`` distribution against a BATCH
+    reference — ``profiling.psi_drift`` continuously (alerting when a
+    day's traffic stops looking like the corpus).
+
+    Shape: reference min/max/bin-counts are computed batch-side once
+    (order-independent aggregates) and inlined/broadcast; the stream
+    keeps one (window, bin) counter grid in windowed state (bin =
+    the same clamped equal-width expression, map-side); the PSI math
+    runs batch-side on the tiny snapshot — per-bin terms micro-
+    rounded to BIGINT then integer-summed per window, so the
+    monitor's numbers are engine-exact (the psi_drift policy).
+
+    Output: ``(window_start, n_new, psi6)`` per window —
+    ``psi6 / 1e6`` is the window's PSI against the reference.
+    """
+    ref_x = F.col(column).cast("double")
+    mn, mx = reference.agg(F.min(ref_x), F.max(ref_x)).first()
+    if mn is None or mx == mn:
+        raise ValueError(f"reference column {column!r} degenerate")
+    width = (mx - mn) / n_bins
+
+    def _bin(x):
+        return F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((x - F.lit(mn)) / F.lit(width)).cast("int"),
+            ),
+        )
+
+    rc = (
+        reference.filter(ref_x.isNotNull())
+        .select(_bin(ref_x).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt_ref"))
+    )
+    spine = spark.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    ref_tbl = (
+        spine.join(rc, "bin", "left")
+        .select("bin", F.coalesce("cnt_ref", F.lit(0)).alias("cnt_ref"))
+        .crossJoin(
+            F.broadcast(
+                rc.agg(F.sum("cnt_ref").alias("__nr"))
+            )
+        )
+    )
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    x = F.col(column).cast("double")
+    grid = (
+        ev.filter(x.isNotNull())
+        .groupBy(F.window("ts", window), _bin(x).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt_new"))
+    )
+    snap = _run_to_memory(
+        grid.select(
+            F.col("window.start").alias("window_start"), "bin", "cnt_new"
+        ),
+        name,
+        "complete",
+    )
+    # batch-side PSI over the snapshot: every (window × bin) cell via
+    # the spine so empty bins carry the smoothing floor
+    # window spine rebuilt from a driver collect: the memory view pins
+    # its output attribute ids, so ANY two scans of it in one join
+    # tree conflict in the resolver; the spine is |windows|-sized
+    # (bounded by the stream's event-time span), so the collect is a
+    # snapshot-side constant, not a data move
+    wins = spark.createDataFrame(
+        [(r["window_start"],) for r in
+         snap.select("window_start").distinct().collect()],
+        "window_start timestamp",
+    )
+    cells = (
+        wins.crossJoin(spine)
+        .join(snap, ["window_start", "bin"], "left")
+        .select(
+            "window_start",
+            "bin",
+            F.coalesce("cnt_new", F.lit(0)).alias("cnt_new"),
+        )
+    )
+    tot_new = cells.groupBy("window_start").agg(
+        F.sum("cnt_new").alias("__nn")
+    )
+    p = (F.col("cnt_ref") + F.lit(add_k)) / (
+        F.col("__nr") + F.lit(add_k * n_bins)
+    )
+    q = (F.col("cnt_new") + F.lit(add_k)) / (
+        F.col("__nn") + F.lit(add_k * n_bins)
+    )
+    terms = (
+        cells.join(F.broadcast(ref_tbl), "bin")
+        .join(tot_new, "window_start")
+        .select(
+            "window_start",
+            "cnt_new",
+            F.round((q - p) * F.log(q / p) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("__t6"),
+        )
+    )
+    return (
+        terms.groupBy("window_start")
+        .agg(
+            F.sum("cnt_new").alias("n_new"),
+            F.sum("__t6").alias("psi6"),
+        )
+        .orderBy("window_start")
+    )
