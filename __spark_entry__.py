@@ -3585,6 +3585,40 @@ def stream_psi_drift_events(
     return stream_psi_drift(spark, sf_dir, ref, "value", n_bins=10)
 
 
+def sql_registered_udaf_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL-interface UDAF registration: the pandas GROUPED_AGG median
+    registered via spark.udf.register and invoked from spark.sql —
+    the SQL-side twin of grouped_median_events proving the
+    registration path. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.functions.udaf_ops import median_udaf
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_sql_udaf")
+    spark.udf.register("exact_median", median_udaf)
+    return spark.sql(
+        """
+        SELECT event_type, exact_median(value) AS median_value
+        FROM events_sql_udaf
+        GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+def utf8_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface: per-doc UTF-8 byte vs char counts through
+    Arrow compute kernels, no pandas round-trip (JVM twin:
+    octet_length/char_length — documented production path). (Oracle
+    staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.functions.arrow_ops import (
+        utf8_byte_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return utf8_byte_stats(docs).orderBy("doc_id")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3888,6 +3922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash_events": feature_hash_events,
         "seasonality_events": seasonality_events,
         "stream_psi_drift_events": stream_psi_drift_events,
+        "sql_registered_udaf_events": sql_registered_udaf_events,
+        "utf8_stats_documents": utf8_stats_documents,
     }
 
 
@@ -7157,5 +7193,16 @@ _PENDING_ORACLES.update({
                CAST(sum(cnt_new) AS BIGINT) AS n_new,
                CAST(sum(t6) AS BIGINT) AS psi6
         FROM terms GROUP BY window_start ORDER BY window_start
+    """,
+    "sql_registered_udaf_events": """
+        SELECT event_type, median(value) AS median_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "utf8_stats_documents": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents WHERE text IS NOT NULL
+        ORDER BY doc_id
     """,
 })

@@ -167,3 +167,17 @@ def test_linear_text_classifier_separates_planted_vocab(spark):
 
     with _pytest.raises(ValueError):
         linear_text_classifier(w, out_type="nope")
+
+
+def test_utf8_byte_stats_arrow(spark):
+    from job_post_similarity_spark.functions.arrow_ops import (
+        utf8_byte_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, "héllo"), (2, None), (3, "日本")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_bytes"], r["n_chars"])
+           for r in utf8_byte_stats(df).collect()}
+    assert got == {0: (3, 3), 1: (6, 5), 3: (6, 2)}  # null dropped
