@@ -2422,3 +2422,40 @@ def test_feature_hash_namespaces_and_nulls(spark):
     assert sum(out[2]) == 1 and out[2][bb] == 1  # null a drops out
     assert sum(out[3]) == 1 and out[3][ba] == 1
     assert all(len(v) == 16 for v in out.values())
+
+
+# ------------------------------------------ custom Python DataSource
+def test_custom_python_datasource(spark):
+    from job_post_similarity_spark.sources.pyds import (
+        SyntheticDocsDataSource,
+        SyntheticDocsReader,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 100)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.schema.simpleString() == "struct<doc_id:bigint,text:string>"
+    rows = df.collect()
+    assert len(rows) == 100
+    assert {r["doc_id"] for r in rows} == set(range(100))
+    assert df.rdd.getNumPartitions() == 4
+    # deterministic: re-read produces identical content
+    again = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 100)
+        .option("partitions", 7)  # different parallelism, same rows
+        .load()
+        .collect()
+    )
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again}
+    # local generator agrees with the distributed read
+    local = list(
+        SyntheticDocsReader({"rows": "100", "partitions": "1"}).read(
+            type("P", (), {"start": 0, "end": 100})()
+        )
+    )
+    assert {tuple(r) for r in rows} == set(local)
