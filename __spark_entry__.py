@@ -3619,6 +3619,23 @@ def utf8_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return utf8_byte_stats(docs).orderBy("doc_id")
 
 
+def dense_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable global row numbering: range-partition + per-partition
+    offsets instead of the single-reducer global window — ids equal
+    row_number() − 1 over the total order exactly. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.preprocess import (
+        assign_dense_ids,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return assign_dense_ids(orders, ["o_orderkey"]).orderBy(
+        "o_orderkey"
+    )
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3924,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_psi_drift_events": stream_psi_drift_events,
         "sql_registered_udaf_events": sql_registered_udaf_events,
         "utf8_stats_documents": utf8_stats_documents,
+        "dense_ids_orders": dense_ids_orders,
     }
 
 
@@ -7204,5 +7222,10 @@ _PENDING_ORACLES.update({
                CAST(length(text) AS INT) AS n_chars
         FROM documents WHERE text IS NOT NULL
         ORDER BY doc_id
+    """,
+    "dense_ids_orders": """
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+        FROM orders ORDER BY o_orderkey
     """,
 })

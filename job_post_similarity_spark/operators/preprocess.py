@@ -299,3 +299,51 @@ def truncate_tokens(
             F.col(text_col).isNotNull(), F.array_join(kept, " ")
         ),
     )
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "row_id",
+) -> DataFrame:
+    """Global dense 0-based row ids in ``order_cols`` order WITHOUT a
+    single-task global sort — the scalable ``row_number() OVER
+    (ORDER BY …)`` replacement (an un-partitioned window funnels the
+    entire table through ONE reducer; ``monotonically_increasing_id``
+    is sparse and partition-dependent).
+
+    Two-pass shape: range-repartition on the order key (the sort
+    shuffle Spark would do anyway), sort within partitions, count
+    rows per partition, broadcast the cumulative offsets, then assign
+    ``offset + local_rank`` map-side. The count pass touches only
+    partition sizes (one number per partition); no row moves twice.
+
+    Determinism: ``order_cols`` must be a total order (make it unique
+    with a tie-break column) — then ids are engine-exact and an
+    oracle can replay them with a plain ``row_number()``.
+    """
+    ordered = df.repartitionByRange(*order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    sizes = ordered.rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, sum(1 for _ in it))]
+    ).collect()
+    offsets = {}
+    acc = 0
+    for i, n in sorted(sizes):
+        offsets[i] = acc
+        acc += n
+    spark = df.sparkSession
+    boff = spark.sparkContext.broadcast(offsets)
+    schema_parts = [
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ] + [f"{out_col} long"]
+
+    def tag(idx, it):
+        base = boff.value.get(idx, 0)
+        for j, row in enumerate(it):
+            yield (*row, base + j)
+
+    return spark.createDataFrame(
+        ordered.rdd.mapPartitionsWithIndex(tag), ", ".join(schema_parts)
+    )

@@ -2459,3 +2459,24 @@ def test_custom_python_datasource(spark):
         )
     )
     assert {tuple(r) for r in rows} == set(local)
+
+
+# ---------------------------------------------------- dense ids
+def test_assign_dense_ids_total_order_and_partitioning(spark):
+    from job_post_similarity_spark.operators.preprocess import (
+        assign_dense_ids,
+    )
+
+    rng = np.random.default_rng(31)
+    keys = rng.permutation(500).tolist()
+    df = spark.createDataFrame(
+        [(int(k), f"v{k}") for k in keys], "k long, v string"
+    ).repartition(11)
+    out = assign_dense_ids(df, ["k"]).collect()
+    assert len(out) == 500
+    by_key = {r["k"]: r["row_id"] for r in out}
+    # dense 0..n-1 in key order regardless of input partitioning
+    assert sorted(by_key.values()) == list(range(500))
+    assert all(by_key[k] == k for k in range(500))
+    # payload columns ride through
+    assert all(r["v"] == f"v{r['k']}" for r in out)
