@@ -123,3 +123,49 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
         if os.path.exists(vdir):
             shutil.rmtree(vdir)
     return drop
+
+
+def optimize_version(
+    spark: "SparkSession",  # noqa: F821
+    table_dir: str,
+    zorder_by: "tuple[str, str] | None" = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE for versioned tables: rewrite the CURRENT snapshot as
+    a new compacted version — optionally Z-ORDER clustered on two
+    columns (``sources.io.write_zordered``'s Morton key) so scans
+    filtered on either column prune files. The Delta ``OPTIMIZE …
+    ZORDER BY`` shape, expressed as an append-only snapshot commit:
+    readers of the old version are untouched, and ``vacuum`` reclaims
+    it later. Returns the new version number.
+    """
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .io import morton_key
+
+    df = read_version(spark, table_dir)
+    man = _load_manifest(table_dir)
+    vdir = os.path.join(table_dir, f"v={man['current']}")
+    size = sum(
+        os.path.getsize(os.path.join(vdir, f))
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_bytes))
+    if zorder_by is not None:
+        a, b = zorder_by
+        df = (
+            df.withColumn("__z", morton_key(a, b))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.repartition(n_files)
+    note = (
+        f"optimize zorder={zorder_by}" if zorder_by else "optimize compact"
+    )
+    return write_version(df, table_dir, note=note)

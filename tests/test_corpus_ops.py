@@ -2480,3 +2480,32 @@ def test_assign_dense_ids_total_order_and_partitioning(spark):
     assert all(by_key[k] == k for k in range(500))
     # payload columns ride through
     assert all(r["v"] == f"v{r['k']}" for r in out)
+
+
+def test_optimize_version_and_metadata_column(spark, tmp_path):
+    """OPTIMIZE commits a new compacted snapshot (old version still
+    readable); parquet scans expose file provenance via the hidden
+    _metadata column."""
+    from job_post_similarity_spark.sources.versioned import (
+        list_versions,
+        optimize_version,
+        read_version,
+        write_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (999 - F.col("id")).alias("b")
+    ).repartition(16)
+    assert write_version(df, t) == 1
+    v2 = optimize_version(spark, t, zorder_by=("a", "b"))
+    assert v2 == 2
+    assert read_version(spark, t).count() == 1000
+    assert read_version(spark, t, 1).count() == 1000
+    assert "zorder" in list_versions(t)[-1]["note"]
+    # hidden _metadata: file provenance on any parquet scan
+    meta = read_version(spark, t).select(
+        "a", F.col("_metadata.file_path").alias("src")
+    ).limit(5).collect()
+    assert all(r["src"].endswith(".parquet") for r in meta)
+    assert all("v=2" in r["src"] for r in meta)
