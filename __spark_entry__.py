@@ -3636,6 +3636,86 @@ def dense_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (the built-in gap-session
+    surface; the hand-rolled window twin is `sessionize_events`).
+    Semantics note the oracle encodes: a session's window end is
+    last_event + gap, and a new session starts when the gap is >= 30
+    minutes (window-overlap rule), vs the lag-based formulation's
+    strict >. (Oracle staged in _PENDING_ORACLES.)"""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    agg = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.col("session_window.end")).alias(
+            "session_end_us"
+        ),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")
+
+
+def bitmap_distinct_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact distinct counting via the bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position / construct_agg /
+    bitmap_count) — the roaring-bitmap-shaped exact tier between
+    countDistinct (full value shuffle) and HLL (approximate):
+    per-bucket fixed-size bitmaps merge map-side. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("__bkt"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position("user_id")
+        ).alias("__bm")
+    )
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.sum(F.bitmap_count("__bm")).cast("long").alias(
+                "n_distinct_users"
+            )
+        )
+        .orderBy("event_type")
+    )
+
+
+def try_divide_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: try_divide yields NULL (never an
+    error, never inf) on zero denominators — here price per
+    incremental unit, where l_quantity == 1 makes real zeros.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            # floor(x * 1e4) not round(x, 4): the division produces
+            # doubles whose 4-decimal rounding straddles the .5
+            # boundary differently under Java BigDecimal vs DuckDB's
+            # multiply-round — floor of the identical double is exact
+            F.floor(
+                F.try_divide(
+                    F.col("l_extendedprice"),
+                    F.col("l_quantity") - F.lit(1.0),
+                )
+                * F.lit(1e4)
+            ).alias("price_per_extra_unit_e4"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -3942,6 +4022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_registered_udaf_events": sql_registered_udaf_events,
         "utf8_stats_documents": utf8_stats_documents,
         "dense_ids_orders": dense_ids_orders,
+        "session_window_events": session_window_events,
+        "bitmap_distinct_events": bitmap_distinct_events,
+        "try_divide_lineitem": try_divide_lineitem,
     }
 
 
@@ -7227,5 +7310,44 @@ _PENDING_ORACLES.update({
         SELECT o_orderkey, o_custkey,
                row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
         FROM orders ORDER BY o_orderkey
+    """,
+    "session_window_events": """
+        -- native session_window semantics: new session when the gap
+        -- is >= the 30-minute window (window-overlap rule), session
+        -- end = last event + gap
+        WITH flagged AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                >= 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessed AS (
+            SELECT user_id, us,
+                   sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sess_idx
+            FROM flagged)
+        SELECT user_id,
+               min(us) AS session_start_us,
+               max(us) + 30 * 60 * 1000000 AS session_end_us,
+               count(*) AS n_events
+        FROM sessed GROUP BY user_id, sess_idx
+        ORDER BY user_id, session_start_us
+    """,
+    "bitmap_distinct_events": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_distinct_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "try_divide_lineitem": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                          / nullif(CAST(l_quantity AS DOUBLE) - 1.0,
+                                   0.0)
+                          * 1e4) AS BIGINT)
+                   AS price_per_extra_unit_e4
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
 })
