@@ -3716,6 +3716,32 @@ def try_divide_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_lookup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup: each event resolved against the
+    Type-2 dimension AS OF its own timestamp (disjoint validity
+    ranges ⇒ the backward as-of plan, not a range join). Self-
+    consistency makes the expected value the event's own run attr.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.cdc import (
+        scd2_build,
+        scd2_lookup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    dim = scd2_build(
+        ev, key="user_id", attr="event_type", ts="ts",
+        tiebreak="event_id",
+    )
+    facts = ev.select("event_id", "user_id", "ts")
+    out = scd2_lookup(dim, facts, "user_id", "ts", "event_type")
+    return out.select(
+        "event_id", "user_id",
+        F.col("event_type_asof"),
+    ).orderBy("event_id")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -4025,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_events": session_window_events,
         "bitmap_distinct_events": bitmap_distinct_events,
         "try_divide_lineitem": try_divide_lineitem,
+        "scd2_lookup_events": scd2_lookup_events,
     }
 
 
@@ -7349,5 +7376,38 @@ _PENDING_ORACLES.update({
                           * 1e4) AS BIGINT)
                    AS price_per_extra_unit_e4
         FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    "scd2_lookup_events": """
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                   event_id
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        lg AS (
+            SELECT *, lag(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+            FROM e),
+        fl AS (
+            SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                           THEN 1 ELSE 0 END AS chg
+            FROM lg),
+        rn AS (
+            SELECT *, sum(chg) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM fl),
+        runs AS (
+            SELECT user_id, run_id, min(event_type) AS event_type,
+                   min(ts_us) AS valid_from_us
+            FROM rn GROUP BY user_id, run_id),
+        f AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        SELECT f.event_id, f.user_id,
+               d.event_type AS event_type_asof
+        FROM f ASOF LEFT JOIN runs d
+          ON f.user_id = d.user_id AND f.ts_us >= d.valid_from_us
+        ORDER BY f.event_id
     """,
 })

@@ -174,3 +174,42 @@ def incremental_agg(
     for out, (fn, _col) in measures.items():
         merged_aggs.append(_MERGE_FN[fn](out).alias(out))
     return summary.unionByName(dp).groupBy(*keys).agg(*merged_aggs)
+
+
+def scd2_lookup(
+    dim: DataFrame,
+    facts: DataFrame,
+    key: str,
+    ts: str,
+    attr: str = "attr",
+) -> DataFrame:
+    """Point-in-time dimension lookup: resolve each fact row's
+    ``attr`` value AS OF its timestamp against an ``scd2_build``
+    dimension (``valid_from_us <= ts < valid_to_us``; the open
+    current run has NULL valid_to). The query every Type-2 dimension
+    exists to answer.
+
+    Plan shape: NOT a range join — the validity ranges per key are
+    disjoint by construction, so the as-of semantics reduce to
+    "latest valid_from at or before ts", which is exactly the
+    backward as-of union+window plan (one shuffle). The range bound
+    is then a residual check: a fact BEFORE the key's first version
+    gets NULL.
+
+    Output: the fact rows plus ``{attr}_asof``.
+    """
+    from .asof import asof_join
+
+    d = dim.select(
+        F.col(key),
+        F.col("valid_from_us"),
+        F.col(attr),
+    ).withColumn(
+        "__dts",
+        F.timestamp_micros(F.col("valid_from_us")),
+    ).drop("valid_from_us")
+    f = facts.withColumn("__dts", F.col(ts))
+    out = asof_join(
+        f, d, key, "__dts", [attr], suffix="_asof"
+    )
+    return out.drop("__dts")

@@ -2509,3 +2509,35 @@ def test_optimize_version_and_metadata_column(spark, tmp_path):
     ).limit(5).collect()
     assert all(r["src"].endswith(".parquet") for r in meta)
     assert all("v=2" in r["src"] for r in meta)
+
+
+# ------------------------------------------------ SCD2 point-in-time
+def test_scd2_lookup_resolves_versions(spark):
+    import datetime as dt
+
+    from job_post_similarity_spark.operators.cdc import (
+        scd2_build,
+        scd2_lookup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)
+    # user u: type A at t0..t10, B from t10
+    chg = spark.createDataFrame(
+        [(1, "u", "A", mk(0)), (2, "u", "A", mk(5)),
+         (3, "u", "B", mk(10)), (4, "v", "C", mk(0))],
+        "event_id long, k string, state string, ts timestamp",
+    )
+    dim = scd2_build(chg, "k", "state", "ts", "event_id")
+    facts = spark.createDataFrame(
+        [(100, "u", mk(7)), (101, "u", mk(10)), (102, "u", mk(99)),
+         (103, "v", mk(1)), (104, "w", mk(1))],
+        "fid long, k string, ts timestamp",
+    )
+    got = {r["fid"]: r["state_asof"] for r in
+           scd2_lookup(dim, facts, "k", "ts", "state").collect()}
+    assert got[100] == "A"     # inside first validity range
+    assert got[101] == "B"     # boundary: new version starts AT ts
+    assert got[102] == "B"     # open current run
+    assert got[103] == "C"
+    assert got[104] is None    # unknown key
