@@ -3742,6 +3742,44 @@ def scd2_lookup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def calendar_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date dimension 1995-1997 — range over epoch days,
+    portable ISO weekday formula, no driver loop. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.sources.io import calendar_table
+
+    return calendar_table(spark, "1995-01-01", "1997-12-31")
+
+
+def ks_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic (bin-free drift twin of psi_drift):
+    pre- vs post-1998 extended price, integer-exact CDF-difference
+    max in ppm. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.profiling import (
+        ks_statistic,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    ref = li.filter(F.col("l_shipdate") < cutoff)
+    new = li.filter(F.col("l_shipdate") >= cutoff)
+    return ks_statistic(ref, new, "l_extendedprice")
+
+
+def entropy_profile_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shannon entropy per categorical column in integer micro-nats
+    (per-value terms micro-rounded before the sum). (Oracle staged
+    in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.profiling import (
+        entropy_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return entropy_profile(ev, ["event_type", "user_id"])
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -4052,6 +4090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct_events": bitmap_distinct_events,
         "try_divide_lineitem": try_divide_lineitem,
         "scd2_lookup_events": scd2_lookup_events,
+        "calendar_dimension": calendar_dimension,
+        "ks_drift_lineitem": ks_drift_lineitem,
+        "entropy_profile_events": entropy_profile_events,
     }
 
 
@@ -7409,5 +7450,72 @@ _PENDING_ORACLES.update({
         FROM f ASOF LEFT JOIN runs d
           ON f.user_id = d.user_id AND f.ts_us >= d.valid_from_us
         ORDER BY f.event_id
+    """,
+    "calendar_dimension": """
+        WITH d AS (
+            SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                                DATE '1997-12-31',
+                                INTERVAL 1 DAY)) AS DATE) AS date)
+        SELECT date,
+               year(date) AS year,
+               quarter(date) AS quarter,
+               month(date) AS month,
+               day(date) AS day,
+               CAST(((datediff('day', DATE '1970-01-01', date) + 3)
+                     % 7 + 7) % 7 + 1 AS INT) AS iso_dow,
+               ((datediff('day', DATE '1970-01-01', date) + 3)
+                % 7 + 7) % 7 + 1 >= 6 AS is_weekend,
+               strftime(date, '%Y-%m') AS year_month
+        FROM d ORDER BY date
+    """,
+    "ks_drift_lineitem": """
+        WITH u AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+                   CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                        THEN 1 ELSE 0 END AS r
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_shipdate IS NOT NULL),
+        cum AS (
+            SELECT CAST(sum(r) OVER w AS BIGINT) AS cr,
+                   CAST(sum(1 - r) OVER w AS BIGINT) AS cn
+            FROM u
+            WINDOW w AS (ORDER BY x
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)),
+        t AS (
+            SELECT CAST(sum(r) AS BIGINT) AS nr,
+                   CAST(sum(1 - r) AS BIGINT) AS nn
+            FROM u)
+        SELECT t.nr AS n_ref, t.nn AS n_new,
+               CAST((1000000 * max(abs(cr * t.nn - cn * t.nr)))
+                    // (t.nr * t.nn) AS BIGINT) AS ks_ppm
+        FROM cum CROSS JOIN t GROUP BY t.nr, t.nn
+    """,
+    "entropy_profile_events": """
+        WITH c1 AS (
+            SELECT CAST(event_type AS VARCHAR) AS v, count(*) AS c
+            FROM events GROUP BY 1),
+        t1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
+        e1 AS (
+            SELECT 'event_type' AS "column",
+                   count(*) AS n_values,
+                   CAST(sum(CAST(round(
+                       -(c * 1.0 / t1.n) * ln(c * 1.0 / t1.n) * 1e6,
+                       0) AS BIGINT)) AS BIGINT)
+                       AS entropy_micro_nats
+            FROM c1 CROSS JOIN t1 GROUP BY t1.n),
+        c2 AS (
+            SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS c
+            FROM events GROUP BY 1),
+        t2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c2),
+        e2 AS (
+            SELECT 'user_id', count(*),
+                   CAST(sum(CAST(round(
+                       -(c * 1.0 / t2.n) * ln(c * 1.0 / t2.n) * 1e6,
+                       0) AS BIGINT)) AS BIGINT)
+            FROM c2 CROSS JOIN t2 GROUP BY t2.n)
+        SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        ORDER BY "column"
     """,
 })

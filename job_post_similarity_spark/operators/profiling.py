@@ -880,3 +880,114 @@ def linear_fit(
         )
         .orderBy("group")
     )
+
+
+def ks_statistic(
+    ref: DataFrame,
+    new: DataFrame,
+    column: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — the bin-free drift
+    test next to ``psi_drift`` (PSI needs bin edges; KS compares the
+    full empirical CDFs): ``D = max |F_ref(x) − F_new(x)|`` over the
+    pooled sample points, reported in integer ppm.
+
+    Integer exactness: at each pooled point the CDF difference is
+    ``|cum_ref·n_new − cum_new·n_ref|`` over ``n_ref·n_new`` — pure
+    int64 products of exact counts (bounded: both cums ≤ n ≤ 2^31
+    keeps the product < 2^62), one floor division at the very end.
+
+    Shape: one union, one sort-window pass for running counts (the
+    equi-depth histogram shuffle), one max aggregate. NULLs excluded.
+
+    Output: one row ``(n_ref, n_new, ks_ppm)``.
+    """
+    from pyspark.sql.window import Window
+
+    r = ref.select(
+        F.col(column).cast("double").alias("__x"),
+        F.lit(1).alias("__r"),
+        F.lit(0).alias("__n"),
+    ).filter(F.col("__x").isNotNull())
+    n = new.select(
+        F.col(column).cast("double").alias("__x"),
+        F.lit(0).alias("__r"),
+        F.lit(1).alias("__n"),
+    ).filter(F.col("__x").isNotNull())
+    u = r.unionByName(n)
+    # RANGE frame over the value: all rows with __x <= current __x
+    # count, so tied values share one CDF point on both sides
+    w = Window.orderBy("__x").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = u.select(
+        F.sum("__r").over(w).alias("__cr"),
+        F.sum("__n").over(w).alias("__cn"),
+    )
+    tot = u.agg(
+        F.sum("__r").alias("__nr"), F.sum("__n").alias("__nn")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("__cr").cast("long") * F.col("__nn")
+                    - F.col("__cn").cast("long") * F.col("__nr")
+                )
+            ).alias("__d"),
+            F.max("__nr").alias("n_ref"),
+            F.max("__nn").alias("n_new"),
+        )
+        .select(
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.expr("(1000000L * __d) div (n_ref * n_new)").alias(
+                "ks_ppm"
+            ),
+        )
+    )
+
+
+def entropy_profile(
+    df: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Shannon entropy per (low-cardinality) column in integer
+    micro-nats — the concentration profile (0 = constant column;
+    ln(k) = uniform over k values): per-value terms
+    ``−p·ln p`` micro-rounded BEFORE the integer sum (the repo's
+    micro-log policy). NULL is counted as a regular category (a
+    mostly-null column is informative). One aggregate per column
+    over a |values|-sized table.
+
+    Output: ``(column, n_values, entropy_micro_nats)`` ordered by
+    column.
+    """
+    outs = []
+    for c in columns:
+        cnt = df.groupBy(
+            F.col(c).cast("string").alias("__v")
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        tot = cnt.agg(F.sum("__c").alias("__n"))
+        term = F.round(
+            -(F.col("__c") / F.col("__n"))
+            * F.log(F.col("__c") / F.col("__n"))
+            * F.lit(1e6),
+            0,
+        ).cast("long")
+        outs.append(
+            cnt.crossJoin(F.broadcast(tot))
+            .agg(
+                F.count(F.lit(1)).alias("n_values"),
+                F.sum(term).alias("entropy_micro_nats"),
+            )
+            .select(
+                F.lit(c).alias("column"),
+                "n_values",
+                "entropy_micro_nats",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("column")

@@ -449,3 +449,41 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     per file at planning — at 100 TB keep evolved tables compacted or
     carry the merged schema in a catalog instead."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def calendar_table(
+    spark: SparkSession,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Date-dimension generator: one row per day in [start, end]
+    (ISO strings) with the standard warehouse attributes — the
+    conformed dimension time-series joins hang off. Generated from
+    ``spark.range`` over epoch days (no driver loop), weekday via
+    the engine-portable epoch-day formula (``seasonality_profile``'s
+    trick). Columns: date, year, quarter, month, day, iso_dow,
+    is_weekend, year_month.
+    """
+    from datetime import date
+
+    d0 = date.fromisoformat(start)
+    d1 = date.fromisoformat(end)
+    n = (d1 - d0).days + 1
+    if n <= 0:
+        raise ValueError(f"empty calendar range {start}..{end}")
+    base = spark.range(n).select(
+        F.date_add(F.lit(start).cast("date"), F.col("id").cast("int"))
+        .alias("date")
+    )
+    epoch_day = F.datediff(F.col("date"), F.lit("1970-01-01").cast("date"))
+    iso_dow = F.pmod(epoch_day + F.lit(3), F.lit(7)) + F.lit(1)
+    return base.select(
+        "date",
+        F.year("date").alias("year"),
+        F.quarter("date").alias("quarter"),
+        F.month("date").alias("month"),
+        F.dayofmonth("date").alias("day"),
+        iso_dow.cast("int").alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.date_format("date", "yyyy-MM").alias("year_month"),
+    )

@@ -2541,3 +2541,65 @@ def test_scd2_lookup_resolves_versions(spark):
     assert got[102] == "B"     # open current run
     assert got[103] == "C"
     assert got[104] is None    # unknown key
+
+
+# ------------------------------------ calendar / KS / entropy
+def test_calendar_table_attributes(spark):
+    from job_post_similarity_spark.sources.io import calendar_table
+
+    cal = calendar_table(spark, "2024-02-27", "2024-03-03").collect()
+    assert len(cal) == 6  # leap day included
+    by = {str(r["date"]): r for r in cal}
+    assert by["2024-02-29"]["month"] == 2
+    assert by["2024-02-29"]["iso_dow"] == 4      # a Thursday
+    assert by["2024-03-02"]["is_weekend"] is True
+    assert by["2024-03-02"]["year_month"] == "2024-03"
+    assert by["2024-03-01"]["quarter"] == 1
+    with pytest.raises(ValueError):
+        calendar_table(spark, "2024-01-02", "2024-01-01")
+
+
+def test_ks_statistic_identical_and_shifted(spark):
+    from job_post_similarity_spark.operators.profiling import (
+        ks_statistic,
+    )
+
+    rng = np.random.default_rng(17)
+    a = [(float(x),) for x in rng.uniform(0, 100, 1000)]
+    b = [(float(x),) for x in rng.uniform(50, 150, 1000)]
+    mk = lambda v: spark.createDataFrame(v, "x double")
+    same = ks_statistic(mk(a), mk(a), "x").collect()[0]
+    assert same["ks_ppm"] == 0          # identical samples: D = 0
+    shift = ks_statistic(mk(a), mk(b), "x").collect()[0]
+    assert shift["ks_ppm"] > 400_000    # half-shifted uniforms: D~0.5
+    assert shift["n_ref"] == shift["n_new"] == 1000
+
+    # scipy-free exact reference on a tiny case
+    ra, rb = [1.0, 2.0, 3.0], [2.5, 3.5]
+    d = ks_statistic(
+        mk([(x,) for x in ra]), mk([(x,) for x in rb]), "x"
+    ).collect()[0]
+    # max |F_a - F_b|: at x=2 F_a=2/3, F_b=0 -> D = 2/3
+    assert d["ks_ppm"] == 1_000_000 * 4 // 6
+
+
+def test_entropy_profile_bounds(spark):
+    import math
+
+    from job_post_similarity_spark.operators.profiling import (
+        entropy_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 1), ("c", 1)],
+        "cat string, const int",
+    )
+    got = {r["column"]: r for r in
+           entropy_profile(df, ["cat", "const"]).collect()}
+    assert got["const"]["entropy_micro_nats"] == 0   # constant column
+    assert got["const"]["n_values"] == 1
+    # cat: p = [.5, .25, .25] -> H = 1.5 ln 2
+    want = int(round(-0.5 * math.log(0.5) * 1e6)) + 2 * int(
+        round(-0.25 * math.log(0.25) * 1e6)
+    )
+    assert got["cat"]["entropy_micro_nats"] == want
