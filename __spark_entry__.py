@@ -3780,6 +3780,44 @@ def entropy_profile_events(
     return entropy_profile(ev, ["event_type", "user_id"])
 
 
+def impute_group_mean_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Group-mean null imputation (DECIMAL-exact means broadcast
+    back; synthesized nulls — event_id % 37 == 0, the synthesis
+    precedent — since the corpus has none). (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.preprocess import (
+        impute_group_mean,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 37 != 0, F.col("value")),
+    )
+    out = impute_group_mean(ev, "value", "event_type", decimals=None)
+    return out.select(
+        "event_id",
+        "event_type",
+        # floor-micro, not round(double, N) — the engine-exact render
+        F.floor(F.col("value_imputed") * F.lit(1e6))
+        .alias("value_imputed_e6"),
+    ).orderBy("event_id")
+
+
+def one_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-vocabulary one-hot of event_type (fixed 5-wide
+    contract; unseen/NULL → zeros). (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.preprocess import one_hot
+
+    ev = load_table(spark, sf_dir, "events")
+    return one_hot(
+        ev, "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    ).select("event_id", "event_type_onehot").orderBy("event_id")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -4093,6 +4131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_dimension": calendar_dimension,
         "ks_drift_lineitem": ks_drift_lineitem,
         "entropy_profile_events": entropy_profile_events,
+        "impute_group_mean_events": impute_group_mean_events,
+        "one_hot_events": one_hot_events,
     }
 
 
@@ -7517,5 +7557,37 @@ _PENDING_ORACLES.update({
             FROM c2 CROSS JOIN t2 GROUP BY t2.n)
         SELECT * FROM e1 UNION ALL SELECT * FROM e2
         ORDER BY "column"
+    """,
+    "impute_group_mean_events": """
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 37 <> 0 THEN value END AS v
+            FROM events),
+        gm AS (
+            SELECT event_type,
+                   CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE)
+                       / count(v) AS m
+            FROM ev GROUP BY event_type),
+        gg AS (
+            SELECT CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE)
+                       / count(v) AS m
+            FROM ev)
+        SELECT ev.event_id, ev.event_type,
+               CAST(floor(coalesce(ev.v, gm.m, gg.m) * 1e6)
+                    AS BIGINT) AS value_imputed_e6
+        FROM ev
+        LEFT JOIN gm ON gm.event_type = ev.event_type
+        CROSS JOIN gg
+        ORDER BY ev.event_id
+    """,
+    "one_hot_events": """
+        SELECT event_id,
+               [CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
+                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
+                CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END,
+                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END]
+                   AS event_type_onehot
+        FROM events ORDER BY event_id
     """,
 })

@@ -347,3 +347,78 @@ def assign_dense_ids(
     return spark.createDataFrame(
         ordered.rdd.mapPartitionsWithIndex(tag), ", ".join(schema_parts)
     )
+
+
+def impute_group_mean(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    decimals: int | None = 6,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Null imputation by group mean — the standard feature-cleanup
+    step, DECIMAL-exact so the imputed values are engine-reproducible
+    (the label_centroids policy: DECIMAL(27,10) sums, one divide,
+    round to ``decimals``). Groups that are entirely null impute the
+    GLOBAL mean; an all-null column raises.
+
+    Shape: one grouped aggregate + one global aggregate broadcast
+    back — the fact table never shuffles (the winsorize/mad_outliers
+    pattern). Adds ``out_col`` (default ``{value_col}_imputed``);
+    non-null values pass through unchanged. ``decimals=None``
+    skips the mean's rounding — the fully engine-exact path (the
+    DECIMAL-sum-over-count division of identical doubles is bit-
+    identical anywhere; rounding a double to N decimals is NOT — see
+    the try_divide NOTES footnote).
+    """
+    out_col = out_col or f"{value_col}_imputed"
+    dec = "decimal(27,10)"
+    x = F.col(value_col).cast("double")
+
+    def _mean():
+        m = F.sum(x.cast(dec)).cast("double") / F.count(x)
+        return m if decimals is None else F.round(m, decimals)
+
+    gm = df.groupBy(F.col(group_col).alias("__g")).agg(
+        _mean().alias("__gmean")
+    )
+    glob = df.agg(_mean().alias("__gg"))
+    if glob.first()["__gg"] is None:
+        raise ValueError(f"column {value_col!r} is entirely null")
+    return (
+        df.join(
+            F.broadcast(gm), df[group_col] == gm["__g"], "left"
+        )
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            out_col,
+            F.coalesce(x, F.col("__gmean"), F.col("__gg")),
+        )
+        .drop("__g", "__gmean", "__gg")
+    )
+
+
+def one_hot(
+    df: DataFrame,
+    column: str,
+    vocabulary: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Explicit-vocabulary one-hot encoding: ``array<int>`` with a 1
+    at the value's vocabulary position — the fixed-contract encoder
+    for LOW-cardinality categoricals (schema stability is the point:
+    unseen values and NULL encode to all-zeros instead of growing
+    the width; ``functions.features.feature_hash`` is the unbounded-
+    cardinality tier). Pure map-side array expression.
+    """
+    out_col = out_col or f"{column}_onehot"
+    c = F.col(column).cast("string")
+    return df.withColumn(
+        out_col,
+        F.array(
+            *[
+                F.when(c == v, F.lit(1)).otherwise(F.lit(0))
+                for v in vocabulary
+            ]
+        ),
+    )

@@ -2603,3 +2603,40 @@ def test_entropy_profile_bounds(spark):
         round(-0.25 * math.log(0.25) * 1e6)
     )
     assert got["cat"]["entropy_micro_nats"] == want
+
+
+# ------------------------------------------ imputation & one-hot
+def test_impute_group_mean_fallbacks(spark):
+    from job_post_similarity_spark.operators.preprocess import (
+        impute_group_mean,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None),
+         ("b", 10.0), ("c", None)],  # c: whole group null -> global
+        "g string, v double",
+    )
+    out = {(r["g"], r["v"]): r["v_imputed"] for r in
+           impute_group_mean(df, "v", "g").collect()}
+    assert out[("a", None)] == 2.0          # group mean
+    assert out[("a", 1.0)] == 1.0           # pass-through
+    assert out[("c", None)] == round((1 + 3 + 10) / 3, 6)  # global
+    allnull = spark.createDataFrame(
+        [("a", None)], "g string, v double"
+    )
+    with pytest.raises(ValueError):
+        impute_group_mean(allnull, "v", "g")
+
+
+def test_one_hot_contract(spark):
+    from job_post_similarity_spark.operators.preprocess import one_hot
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "zzz"), (4, None)],
+        "rid long, c string",
+    )
+    got = {r["rid"]: r["c_onehot"] for r in
+           one_hot(df, "c", ["x", "y"]).collect()}
+    assert got[1] == [1, 0] and got[2] == [0, 1]
+    assert got[3] == [0, 0]   # unseen value: zeros, width stable
+    assert got[4] == [0, 0]   # NULL: zeros
