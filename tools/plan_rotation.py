@@ -1,0 +1,89 @@
+"""Next-round graded-window rotation planner.
+
+The driver grades exactly the FIRST 50 ``queries()`` entries. The
+rotation policy (NOTES.md): every oracle-backed entry must be green in
+some round's CORRECTNESS file; never-graded oracle gates get window
+priority; prior-green gates park at 51+; rows-only tiers trail.
+
+This tool computes the recommended next-round ordering from the
+current registry + CORRECTNESS history:
+
+1. never-graded oracle-backed gates (including _PENDING_ORACLES,
+   whose SQL must move into oracle_sql() when they enter the window)
+   — window priority, oldest-staged first;
+2. prior-green canaries fill any window slack;
+3. everything else keeps relative order.
+
+Prints the plan; ``--emit-order`` prints the full python list literal
+to paste into queries().
+
+Usage: python tools/plan_rotation.py [--emit-order]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    import __spark_entry__ as m
+
+    queries = list(m.queries())
+    oracles = set(m.oracle_sql())
+    pending = list(m._PENDING_ORACLES)
+    graded: set = set()
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        graded |= set(json.load(open(f)))
+
+    never_graded = [
+        q for q in queries
+        if (q in oracles or q in pending) and q not in graded
+    ]
+    prior_green = [
+        q for q in queries if q in oracles and q in graded
+    ]
+    rows_only = [
+        q for q in queries
+        if q not in oracles and q not in pending
+    ]
+
+    window = never_graded[:50]
+    slack = 50 - len(window)
+    canaries = prior_green[:slack] if slack > 0 else []
+    rest = (
+        never_graded[50:]
+        + [q for q in prior_green if q not in canaries]
+        + rows_only
+    )
+    order = window + canaries + rest
+
+    print(f"queries: {len(queries)}  oracle-backed: "
+          f"{len(oracles) + len(pending)} ({len(pending)} pending)  "
+          f"graded-green history: {len(graded & set(queries))}")
+    print(f"never-graded oracle gates: {len(never_graded)}")
+    print(f"  -> window: {len(window)} never-graded"
+          f" + {len(canaries)} canaries")
+    overflow = never_graded[50:]
+    if overflow:
+        print(f"  !! {len(overflow)} never-graded gates OVERFLOW the "
+              f"window and wait another round: {overflow}")
+    pend_in_window = [q for q in window if q in pending]
+    if pend_in_window:
+        print(f"  move {len(pend_in_window)} _PENDING_ORACLES entries "
+              "into oracle_sql() as they enter the window")
+    if "--emit-order" in sys.argv:
+        print("\nORDER = [")
+        for q in order:
+            print(f"    {q!r},")
+        print("]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
