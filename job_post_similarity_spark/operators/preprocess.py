@@ -325,7 +325,10 @@ def assign_dense_ids(
     ordered = df.repartitionByRange(*order_cols).sortWithinPartitions(
         *order_cols
     )
-    sizes = ordered.rdd.mapPartitionsWithIndex(
+    # persist across the two passes: the size probe and the tag pass
+    # would otherwise each re-run the range shuffle + sort
+    rdd = ordered.rdd.persist()
+    sizes = rdd.mapPartitionsWithIndex(
         lambda i, it: [(i, sum(1 for _ in it))]
     ).collect()
     offsets = {}
@@ -344,9 +347,12 @@ def assign_dense_ids(
         for j, row in enumerate(it):
             yield (*row, base + j)
 
-    return spark.createDataFrame(
-        ordered.rdd.mapPartitionsWithIndex(tag), ", ".join(schema_parts)
+    out = spark.createDataFrame(
+        rdd.mapPartitionsWithIndex(tag), ", ".join(schema_parts)
     )
+    out = out.localCheckpoint(eager=True)
+    rdd.unpersist()
+    return out
 
 
 def impute_group_mean(
