@@ -2640,3 +2640,28 @@ def test_one_hot_contract(spark):
     assert got[1] == [1, 0] and got[2] == [0, 1]
     assert got[3] == [0, 0]   # unseen value: zeros, width stable
     assert got[4] == [0, 0]   # NULL: zeros
+
+
+def test_stratified_semantic_dedup_relational_fallback(
+    spark, monkeypatch
+):
+    """Past the broadcast budget the candidate verify falls back to
+    the relational Arrow path — output must be identical."""
+    from job_post_similarity_spark.operators import dedup, knn
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 12))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows += [(40 + j, base[j].tolist()) for j in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {tuple(r) for r in dedup.stratified_semantic_dedup(
+        df, k=4, threshold=0.999).collect()}
+
+    def boom(*a, **k):
+        raise ValueError("forced over-budget")
+
+    monkeypatch.setattr(knn, "_collect_matrix", boom)
+    got = {tuple(r) for r in dedup.stratified_semantic_dedup(
+        df, k=4, threshold=0.999).collect()}
+    assert got == want and got
