@@ -190,3 +190,98 @@ def test_poly_hash_batch_equals_scalar(tokens):
     tokens = ["".join(t.split()) for t in tokens]
     tokens = [t for t in tokens if t]
     assert np.array_equal(_poly_hash_scalar(tokens), _poly_hash_batch(tokens))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a=st.lists(st.floats(-50, 50, allow_nan=False), min_size=1,
+               max_size=40),
+    b=st.lists(st.floats(-50, 50, allow_nan=False), min_size=1,
+               max_size=40),
+)
+def test_ks_statistic_symmetry_and_bounds(spark, a, b):
+    """KS is symmetric in its two samples, bounded in [0, 1e6] ppm,
+    and zero on identical samples."""
+    from job_post_similarity_spark.operators.profiling import (
+        ks_statistic,
+    )
+
+    mk = lambda v: spark.createDataFrame(  # noqa: E731
+        [(float(x),) for x in v], "x double"
+    )
+    d_ab = ks_statistic(mk(a), mk(b), "x").collect()[0]["ks_ppm"]
+    d_ba = ks_statistic(mk(b), mk(a), "x").collect()[0]["ks_ppm"]
+    assert d_ab == d_ba
+    assert 0 <= d_ab <= 1_000_000
+    assert ks_statistic(mk(a), mk(a), "x").collect()[0]["ks_ppm"] == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\N{NO-BREAK SPACE}x"),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    budget=st.integers(1, 6),
+)
+def test_truncate_tokens_prefix_property(spark, texts, budget):
+    """Kept text is always the first-N prefix of the normalized
+    token stream and n_tokens_kept == min(n_tokens, budget)."""
+    import re
+
+    from job_post_similarity_spark.operators.preprocess import (
+        truncate_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           truncate_tokens(df, max_tokens=budget).collect()}
+    for i, t in enumerate(texts):
+        # ASCII-whitespace reference (the Java/RE2 \s contract: NBSP
+        # stays INSIDE tokens — the repo-wide tokenizer policy)
+        stripped = t.strip(" \t\n\r\f\v").lower()
+        toks = [x for x in re.split(r"\s+", stripped, flags=re.ASCII)
+                if x]
+        r = out[i]
+        assert r["n_tokens_kept"] == min(len(toks), budget)
+        assert r["text_trunc"] == " ".join(toks[:budget])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 500), min_size=1, max_size=5),
+    alpha=st.sampled_from([0.3, 0.5, 0.7, 1.0]),
+)
+def test_temperature_mixture_invariants(spark, counts, alpha):
+    """Weights sum to ~PPM (floor-div slack only), every source gets
+    a positive weight, rates never exceed PPM, and flattening is
+    monotone: smaller sources always gain share vs natural."""
+    from job_post_similarity_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    rows = [
+        (i * 10_000 + j, f"s{i}")
+        for i, n in enumerate(counts)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "rid long, src string")
+    out = {r["source"]: r for r in
+           temperature_mixture_weights(df, "src", alpha=alpha).collect()}
+    total = sum(r["weight_ppm"] for r in out.values())
+    assert 1_000_000 - len(counts) <= total <= 1_000_000
+    n_all = sum(counts)
+    for i, n in enumerate(counts):
+        r = out[f"s{i}"]
+        assert r["n_rows"] == n and r["weight_ppm"] > 0
+        assert 0 < r["rate_ppm"] <= 1_000_000
+        if alpha < 1.0 and n * len(counts) < n_all:
+            # flattening moves shares toward uniform: sources BELOW
+            # 1/k natural share can only gain (floor-div slack)
+            assert r["weight_ppm"] * n_all >= n * (1_000_000 - len(counts))
