@@ -1375,43 +1375,56 @@ def sorted_neighborhood_pairs(
     on the key (blocking → verify, the MinHash/PPJoin pipeline shape).
 
     Determinism: the sort order is the total order ``(key, id)``, so
-    the candidate set is reproducible on any engine. Implementation:
-    one global-sort window (rank), then each row gathers its
-    ``window − 1`` FOLLOWING rows with a frame-bounded collect_list —
-    map-side explode, no self-join, no block-boundary misses.
+    the candidate set is reproducible on any engine.
 
-    Scale note: the rank window is a single global sort — the
-    documented cost of the method itself (its original form sorts the
-    file). At 100 TB run multi-pass sorted-neighborhood: range-
-    partition by the key (rangeBetween-free — Spark's sort-shuffle
-    range partitioner), with one overlap pass per partition boundary,
-    or simply union several passes with different sorting keys (the
-    standard multi-key variant, which also fixes prefix-typo misses).
+    Scale shape — NO single-task global window (the method's naive
+    formulation): global positions come from
+    ``preprocess.assign_dense_ids`` (range partition + offset pass),
+    then the sliding window becomes a BLOCK-BAND equi-join — rows
+    join their own ``rank div window`` block and the next one, and a
+    rank-difference filter keeps exactly the window pairs. Every
+    stage is range/hash-partitioned; nothing funnels through one
+    reducer, no boundary misses (the adjacent-block join covers
+    cross-block neighbors).
 
     Output: ``(id_a, id_b, key_a, key_b[, dist])`` — ``dist`` only
     when ``max_dist`` is set; ordered (id_a, id_b).
     """
-    from pyspark.sql.window import Window
+    from .preprocess import assign_dense_ids
 
     base = df.select(
         F.col(id_col).alias("__id"), F.col(key_col).alias("__k")
     ).filter(F.col("__k").isNotNull())
-    w = Window.orderBy(F.asc("__k"), F.asc("__id"))
-    neigh = base.withColumn(
-        "__nbrs",
-        F.collect_list(F.struct("__id", "__k")).over(
-            w.rowsBetween(1, window - 1)
-        ),
-    )
-    pairs = neigh.select(
+    ranked = assign_dense_ids(base, ["__k", "__id"], out_col="__rn")
+    a = ranked.select(
         F.col("__id").alias("id_a"),
         F.col("__k").alias("key_a"),
-        F.explode("__nbrs").alias("__n"),
-    ).select(
-        "id_a",
-        "key_a",
-        F.col("__n.__id").alias("id_b"),
-        F.col("__n.__k").alias("key_b"),
+        F.col("__rn").alias("__ra"),
+        F.expr(f"__rn div {window}").alias("__blk"),
+    )
+    b_base = ranked.select(
+        F.col("__id").alias("id_b"),
+        F.col("__k").alias("key_b"),
+        F.col("__rn").alias("__rb"),
+    )
+    # each b row lands in its own block AND the preceding one, so an
+    # (a, b) pair within `window` positions always shares a join key
+    b = b_base.withColumn(
+        "__blk",
+        F.explode(
+            F.array(
+                F.expr(f"__rb div {window}"),
+                F.expr(f"__rb div {window} - 1"),
+            )
+        ),
+    ).filter(F.col("__blk") >= 0)
+    pairs = (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("__rb") > F.col("__ra"))
+            & (F.col("__rb") - F.col("__ra") <= window - 1)
+        )
+        .select("id_a", "key_a", "id_b", "key_b")
     )
     if max_dist is not None:
         pairs = pairs.withColumn(
