@@ -897,55 +897,78 @@ def ks_statistic(
     int64 products of exact counts (bounded: both cums ≤ n ≤ 2^31
     keeps the product < 2^62), one floor division at the very end.
 
-    Shape: one union, one sort-window pass for running counts (the
-    equi-depth histogram shuffle), one max aggregate. NULLs excluded.
+    Scale shape — NO single-task global window: the pooled sample is
+    range-partitioned and sorted on the value (equal values never
+    straddle a range boundary, so ties share one CDF point); a size
+    probe collects two ints per partition; running counts + the
+    broadcast offsets then run executor-side, and the driver sees
+    only one candidate max per partition (the ``assign_dense_ids``
+    two-pass pattern). NULLs excluded.
 
     Output: one row ``(n_ref, n_new, ks_ppm)``.
     """
-    from pyspark.sql.window import Window
-
     r = ref.select(
         F.col(column).cast("double").alias("__x"),
         F.lit(1).alias("__r"),
-        F.lit(0).alias("__n"),
     ).filter(F.col("__x").isNotNull())
     n = new.select(
         F.col(column).cast("double").alias("__x"),
         F.lit(0).alias("__r"),
-        F.lit(1).alias("__n"),
     ).filter(F.col("__x").isNotNull())
-    u = r.unionByName(n)
-    # RANGE frame over the value: all rows with __x <= current __x
-    # count, so tied values share one CDF point on both sides
-    w = Window.orderBy("__x").rangeBetween(
-        Window.unboundedPreceding, 0
+    u = (
+        r.unionByName(n)
+        .repartitionByRange("__x")
+        .sortWithinPartitions("__x")
     )
-    cum = u.select(
-        F.sum("__r").over(w).alias("__cr"),
-        F.sum("__n").over(w).alias("__cn"),
-    )
-    tot = u.agg(
-        F.sum("__r").alias("__nr"), F.sum("__n").alias("__nn")
-    )
-    return (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
-            F.max(
-                F.abs(
-                    F.col("__cr").cast("long") * F.col("__nn")
-                    - F.col("__cn").cast("long") * F.col("__nr")
-                )
-            ).alias("__d"),
-            F.max("__nr").alias("n_ref"),
-            F.max("__nn").alias("n_new"),
-        )
-        .select(
-            F.col("n_ref").cast("long").alias("n_ref"),
-            F.col("n_new").cast("long").alias("n_new"),
-            F.expr("(1000000L * __d) div (n_ref * n_new)").alias(
-                "ks_ppm"
-            ),
-        )
+    rdd = u.rdd.persist()
+
+    def psizes(i, it):
+        pr = pn = 0
+        for row in it:
+            if row["__r"] == 1:
+                pr += 1
+            else:
+                pn += 1
+        return [(i, pr, pn)]
+
+    sizes = rdd.mapPartitionsWithIndex(psizes).collect()
+    n_ref = sum(s[1] for s in sizes)
+    n_new = sum(s[2] for s in sizes)
+    off = {}
+    ar = an = 0
+    for i, pr, pn in sorted(sizes):
+        off[i] = (ar, an)
+        ar += pr
+        an += pn
+    spark = u.sparkSession
+    boff = spark.sparkContext.broadcast((off, n_ref, n_new))
+
+    def local_max(idx, it):
+        offs, nr, nn = boff.value
+        cr, cn = offs.get(idx, (0, 0))
+        best = 0
+        prev_x = None
+        for row in it:
+            x = row["__x"]
+            if prev_x is not None and x != prev_x:
+                best = max(best, abs(cr * nn - cn * nr))
+            if row["__r"] == 1:
+                cr += 1
+            else:
+                cn += 1
+            prev_x = x
+        if prev_x is not None:
+            best = max(best, abs(cr * nn - cn * nr))
+        return [(best,)]
+
+    maxima = rdd.mapPartitionsWithIndex(local_max).collect()
+    rdd.unpersist()
+    d = max((m[0] for m in maxima), default=0)
+    if n_ref == 0 or n_new == 0:
+        raise ValueError("ks_statistic needs non-empty samples")
+    return spark.createDataFrame(
+        [(n_ref, n_new, (1_000_000 * d) // (n_ref * n_new))],
+        "n_ref long, n_new long, ks_ppm long",
     )
 
 
