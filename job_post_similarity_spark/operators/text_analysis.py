@@ -527,10 +527,14 @@ def pmi_collocations(
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "n12", pmi6)
     )
+    # TakeOrdered first, window second: ranking the FULL pair table
+    # would be a single-task window over the bigram vocabulary; after
+    # the distributed top-N cut the rank window touches top_n rows
     w = Window.orderBy(F.desc("pmi6"), F.asc("w1"), F.asc("w2"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        scored.orderBy(F.desc("pmi6"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w))
         .select(
             "w1",
             "w2",
