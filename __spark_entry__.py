@@ -3818,6 +3818,46 @@ def one_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type_onehot").orderBy("event_id")
 
 
+def kfold_assign_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """5-fold CV assignment, group-keyed on the content digest so
+    exact dups share a fold (the leakage_safe_split contract for
+    CV). (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.sampling import kfold_assign
+    from job_post_similarity_spark.operators.text_analysis import (
+        doc_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "dup_group", doc_fingerprint(F.col("text"))
+    )
+    return (
+        kfold_assign(docs, "dup_group", k=5, by_group=True)
+        .select("doc_id", "dup_group", "fold")
+        .orderBy("doc_id")
+    )
+
+
+def target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value —
+    DECIMAL-exact sums, smoothing prior, floor-micro render.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.preprocess import (
+        target_encode_loo,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = target_encode_loo(ev, "event_type", "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("event_type_te") * F.lit(1e6)).alias(
+            "event_type_te_e6"
+        ),
+    ).orderBy("event_id")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -4133,6 +4173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_profile_events": entropy_profile_events,
         "impute_group_mean_events": impute_group_mean_events,
         "one_hot_events": one_hot_events,
+        "kfold_assign_documents": kfold_assign_documents,
+        "target_encode_events": target_encode_events,
     }
 
 
@@ -7589,5 +7631,39 @@ _PENDING_ORACLES.update({
                 CASE WHEN event_type = 'view' THEN 1 ELSE 0 END]
                    AS event_type_onehot
         FROM events ORDER BY event_id
+    """,
+    "kfold_assign_documents": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                       'g'))) AS dup_group,
+               CAST(CAST(concat('0x', substr(md5(
+                        md5(trim(regexp_replace(lower(text), '\\s+',
+                                                ' ', 'g')))), 1, 14))
+                    AS BIGINT) % 5 AS INT) AS fold
+        FROM documents ORDER BY doc_id
+    """,
+    "target_encode_events": """
+        WITH cs AS (
+            SELECT event_type,
+                   CAST(sum(CAST(value AS DECIMAL(27,10))) AS DOUBLE)
+                       AS s,
+                   count(value) AS n
+            FROM events GROUP BY event_type),
+        g AS (
+            SELECT CAST(sum(CAST(value AS DECIMAL(27,10))) AS DOUBLE)
+                       / count(value) AS gm
+            FROM events)
+        SELECT e.event_id, e.event_type,
+               CAST(floor(
+                   CASE WHEN cs.s IS NOT NULL THEN
+                       (cs.s - coalesce(e.value, 0.0) + 10.0 * g.gm)
+                       / (cs.n - CASE WHEN e.value IS NOT NULL
+                                      THEN 1 ELSE 0 END + 10.0)
+                   ELSE g.gm END * 1e6) AS BIGINT)
+                   AS event_type_te_e6
+        FROM events e
+        LEFT JOIN cs ON cs.event_type = e.event_type
+        CROSS JOIN g
+        ORDER BY e.event_id
     """,
 })

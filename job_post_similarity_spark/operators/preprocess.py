@@ -428,3 +428,63 @@ def one_hot(
             ]
         ),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    out_col: str | None = None,
+    prior_weight: float = 10.0,
+) -> DataFrame:
+    """Leave-one-out target encoding with prior smoothing — the
+    high-cardinality categorical encoder that one-hot can't reach:
+    each row gets its category's mean target EXCLUDING itself (the
+    leakage guard), shrunk toward the global mean by
+    ``prior_weight`` pseudo-observations (the Micci-Barreca 2001
+    scheme).
+
+    ``enc = (cat_sum − y + w·global_mean) / (cat_n − 1 + w)`` — the
+    sums accumulate in DECIMAL(27,10) (order-independent), the final
+    expression is fixed-shape IEEE, so encodings are engine-exact.
+    Rows with a NULL target still get the category's smoothed mean
+    (no subtraction); singleton categories fall back to the prior.
+
+    Shape: one category aggregate + one 1-row global aggregate, both
+    broadcast back — the fact table never shuffles (the imputation
+    pattern).
+    """
+    out_col = out_col or f"{cat_col}_te"
+    dec = "decimal(27,10)"
+    y = F.col(target_col).cast("double")
+    cs = df.groupBy(F.col(cat_col).alias("__c")).agg(
+        F.sum(y.cast(dec)).cast("double").alias("__s"),
+        F.count(y).alias("__n"),
+    )
+    g = df.agg(
+        (
+            F.sum(y.cast(dec)).cast("double") / F.count(y)
+        ).alias("__gm")
+    )
+    w = float(prior_weight)
+    num = (
+        F.col("__s")
+        - F.coalesce(y, F.lit(0.0))
+        + F.lit(w) * F.col("__gm")
+    )
+    den = (
+        F.col("__n")
+        - F.when(y.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        + F.lit(w)
+    )
+    return (
+        df.join(F.broadcast(cs), df[cat_col] == cs["__c"], "left")
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__s").isNotNull(), num / den
+            ).otherwise(F.col("__gm")),
+        )
+        .drop("__c", "__s", "__n", "__gm")
+    )

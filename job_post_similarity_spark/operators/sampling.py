@@ -342,3 +342,31 @@ def weighted_sample(
     return out.withColumn(
         "sample_key", F.round(F.col("__sk"), 6)
     ).drop("__sk")
+
+
+def kfold_assign(
+    df: DataFrame,
+    key: Column | str,
+    k: int = 5,
+    by_group: bool = False,
+) -> DataFrame:
+    """K-fold cross-validation fold assignment: ``fold ∈ [0, k)``
+    from the deterministic hash of ``key`` — map-side, reproducible
+    under appends/repartitioning (the hash_split argument), so every
+    worker and every engine agrees which rows are in fold i's
+    validation set. ``by_group=True`` hashes the key as a GROUP
+    label via the md5 bucket (any type; near-dup families stay in
+    one fold — the leakage_safe_split contract applied to CV).
+    """
+    if k < 2:
+        raise ValueError("kfold needs k >= 2")
+    c = F.col(key) if isinstance(key, str) else key
+    if by_group:
+        b = F.pmod(
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 14), 16, 10)
+            .cast("long"),
+            F.lit(k),
+        )
+    else:
+        b = F.pmod(hash_bucket(c), F.lit(k))
+    return df.withColumn("fold", b.cast("int"))

@@ -2665,3 +2665,50 @@ def test_stratified_semantic_dedup_relational_fallback(
     got = {tuple(r) for r in dedup.stratified_semantic_dedup(
         df, k=4, threshold=0.999).collect()}
     assert got == want and got
+
+
+# ----------------------------------------- k-fold & target encoding
+def test_kfold_assign_properties(spark):
+    from job_post_similarity_spark.operators.sampling import kfold_assign
+
+    rows = [(i, f"g{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "rid long, fam string")
+    out = kfold_assign(df, "rid", k=5).collect()
+    assert all(0 <= r["fold"] < 5 for r in out)
+    # roughly balanced row folds
+    from collections import Counter
+    c = Counter(r["fold"] for r in out)
+    assert len(c) == 5 and min(c.values()) > 40
+    # group mode: all members of a family share a fold
+    g = kfold_assign(df, "fam", k=5, by_group=True).collect()
+    fam_folds: dict = {}
+    for r in g:
+        fam_folds.setdefault(r["fam"], set()).add(r["fold"])
+    assert all(len(s) == 1 for s in fam_folds.values())
+    with pytest.raises(ValueError):
+        kfold_assign(df, "rid", k=1)
+
+
+def test_target_encode_loo_exact(spark):
+    from job_post_similarity_spark.operators.preprocess import (
+        target_encode_loo,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 5.0),
+         ("b", 10.0),            # singleton -> prior-dominated
+         ("c", None),            # null target in a cat with no data
+         ("a", None)],           # null target in a populated cat
+        "cat string, y double",
+    )
+    w, gm = 10.0, (1 + 3 + 5 + 10) / 4
+    got = {(r["cat"], r["y"]): r["cat_te"] for r in
+           target_encode_loo(df, "cat", "y", prior_weight=w).collect()}
+    # LOO: category sum excludes own target
+    assert abs(got[("a", 1.0)] - ((9 - 1 + w * gm) / (3 - 1 + w))) < 1e-12
+    assert abs(got[("a", 3.0)] - ((9 - 3 + w * gm) / (3 - 1 + w))) < 1e-12
+    # singleton: (10-10 + w*gm)/(1-1+w) == gm exactly
+    assert abs(got[("b", 10.0)] - gm) < 1e-12
+    # null target rows: no subtraction
+    assert abs(got[("a", None)] - ((9 + w * gm) / (3 + w))) < 1e-12
+    assert abs(got[("c", None)] - ((0 + w * gm) / (0 + w))) < 1e-12
