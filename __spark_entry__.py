@@ -3858,6 +3858,20 @@ def target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def bow_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-vocabulary bag-of-words count vectors — one
+    aggregate fold over the token array updates all vocab lanes
+    (no explode, no shuffle). (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        bow_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bow_counts(
+        docs, ["the", "a", "table", "value", "spark"]
+    ).orderBy("doc_id")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -4175,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot_events": one_hot_events,
         "kfold_assign_documents": kfold_assign_documents,
         "target_encode_events": target_encode_events,
+        "bow_counts_documents": bow_counts_documents,
     }
 
 
@@ -7665,5 +7680,20 @@ _PENDING_ORACLES.update({
         LEFT JOIN cs ON cs.event_type = e.event_type
         CROSS JOIN g
         ORDER BY e.event_id
+    """,
+    "bow_counts_documents": """
+        WITH t AS (
+            SELECT doc_id,
+                   coalesce(list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> ''), []) AS toks
+            FROM documents)
+        SELECT doc_id,
+               [len(list_filter(toks, x -> x = 'the')),
+                len(list_filter(toks, x -> x = 'a')),
+                len(list_filter(toks, x -> x = 'table')),
+                len(list_filter(toks, x -> x = 'value')),
+                len(list_filter(toks, x -> x = 'spark'))] AS bow
+        FROM t ORDER BY doc_id
     """,
 })

@@ -1126,3 +1126,38 @@ def sentence_split(
             id_col, F.posexplode(sents).alias("sent_idx", "sentence")
         )
     )
+
+
+def bow_counts(
+    df: DataFrame,
+    vocabulary: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bow",
+) -> DataFrame:
+    """Bag-of-words count vector over an EXPLICIT vocabulary — the
+    text twin of ``preprocess.one_hot`` (stable width, out-of-vocab
+    tokens ignored) and the bounded-vocabulary complement of
+    ``functions.features.feature_hash``. Canonical whitespace
+    tokenization; counts, not presence (pair with the TF-IDF gate's
+    weighting when needed). NULL text → zero vector. Pure map-side
+    array expression — one ``aggregate`` pass over the token array
+    updates every vocabulary lane (the minhash signature-fold shape),
+    no explode, no shuffle.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    vocab_arr = F.array(*[F.lit(v) for v in vocabulary])
+    init = F.array(*[F.lit(0)] * len(vocabulary))
+    counts = F.aggregate(
+        F.coalesce(toks, F.array().cast("array<string>")),
+        init,
+        lambda acc, t: F.zip_with(
+            acc,
+            vocab_arr,
+            lambda c, v: c + F.when(t == v, 1).otherwise(0),
+        ),
+    )
+    return df.select(F.col(id_col), counts.alias(out_col))

@@ -2712,3 +2712,20 @@ def test_target_encode_loo_exact(spark):
     # null target rows: no subtraction
     assert abs(got[("a", None)] - ((9 + w * gm) / (3 + w))) < 1e-12
     assert abs(got[("c", None)] - ((0 + w * gm) / (0 + w))) < 1e-12
+
+
+def test_bow_counts_vectorizer(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        bow_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the cat the hat"), (1, "dog"), (2, None), (3, " THE ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bow"] for r in
+           bow_counts(df, ["the", "cat", "zzz"]).collect()}
+    assert got[0] == [2, 1, 0]   # counts, not presence
+    assert got[1] == [0, 0, 0]   # all OOV
+    assert got[2] == [0, 0, 0]   # null text -> zero vector
+    assert got[3] == [1, 0, 0]   # lowercased + trimmed
