@@ -940,6 +940,7 @@ def stream_to_parquet(
     out_dir: str,
     checkpoint_dir: str,
     name: str = "stream_parquet_sink",
+    available_now: bool = False,
 ) -> int:
     """Durable streaming sink: event stream → parquet files, append
     mode, with a REAL checkpoint location — the exactly-once file

@@ -225,8 +225,11 @@ def test_stream_to_parquet_checkpoint_no_reprocess(spark, sf_dir, tmp_path):
     assert rows1 == n_src
     first = spark.read.parquet(out)
     assert first.count() == n_src
-    # restart: same checkpoint, nothing new to process
-    rows2 = stream_to_parquet(spark, sf_dir, out, ckpt)
+    # restart: same checkpoint, nothing new to process — via the
+    # AvailableNow trigger (mode mix across restarts is supported)
+    rows2 = stream_to_parquet(
+        spark, sf_dir, out, ckpt, available_now=True
+    )
     assert rows2 == 0
     assert spark.read.parquet(out).count() == n_src
 
