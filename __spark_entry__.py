@@ -3872,6 +3872,24 @@ def bow_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def tree_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical BOM-style rollup: per ancestor in the synthetic
+    part tree, the retail-price total (integer cents) over all
+    descendants + self. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.graph import tree_rollup
+
+    part = load_table(spark, sf_dir, "part")
+    edges = part.select(
+        F.expr("p_partkey div 5").alias("src"),
+        F.col("p_partkey").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    values = part.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").alias("value"),
+    )
+    return tree_rollup(edges, values)
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -4190,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_assign_documents": kfold_assign_documents,
         "target_encode_events": target_encode_events,
         "bow_counts_documents": bow_counts_documents,
+        "tree_rollup_parts": tree_rollup_parts,
     }
 
 
@@ -7695,5 +7714,31 @@ _PENDING_ORACLES.update({
                 len(list_filter(toks, x -> x = 'value')),
                 len(list_filter(toks, x -> x = 'spark'))] AS bow
         FROM t ORDER BY doc_id
+    """,
+    "tree_rollup_parts": """
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT p_partkey // 5 AS src, p_partkey AS dst
+            FROM part WHERE p_partkey // 5 <> p_partkey),
+        r(src, dst, depth) AS (
+            SELECT src, dst, 1 FROM e
+            UNION ALL
+            SELECT r.src, e.dst, r.depth + 1
+            FROM r JOIN e ON r.dst = e.src
+            WHERE r.depth < 20 AND r.src <> e.dst),
+        tc AS (SELECT DISTINCT src, dst FROM r),
+        v AS (
+            SELECT p_partkey AS dst,
+                   CAST(floor(CAST(p_retailprice AS DOUBLE) * 100)
+                        AS BIGINT) AS cents
+            FROM part),
+        d AS (
+            SELECT tc.src AS node, count(*) AS n_desc,
+                   CAST(sum(coalesce(v.cents, 0)) AS BIGINT) AS dc
+            FROM tc LEFT JOIN v ON v.dst = tc.dst
+            GROUP BY tc.src)
+        SELECT d.node, d.n_desc,
+               d.dc + coalesce(o.cents, 0) AS total_cents
+        FROM d LEFT JOIN v o ON o.dst = d.node
+        ORDER BY d.node
     """,
 })

@@ -342,3 +342,57 @@ def label_propagation(
         labels = labels.unionByName(new).localCheckpoint()
     sym.unpersist()
     return labels.orderBy("id")
+
+
+def tree_rollup(
+    edges: DataFrame,
+    values: DataFrame,
+    value_col: str = "value",
+    id_col: str = "id",
+    max_depth: int = 20,
+    include_self: bool = True,
+) -> DataFrame:
+    """Hierarchical rollup: for every node, aggregate ``value_col``
+    over ALL its descendants (the BOM-explosion / org-chart-totals
+    query) — ``transitive_closure`` composed with one join + one
+    aggregate. ``include_self=True`` counts the node's own value too
+    (nodes absent from ``values`` contribute nothing).
+
+    Exactness: values accumulate as integer cents
+    (``floor(v·100)`` per row BEFORE the sum — order-independent).
+    Output: ``(node, n_desc, total_cents)`` where ``n_desc`` counts
+    descendants (excluding self), ordered by node.
+    """
+    tc = transitive_closure(edges, max_depth).select("src", "dst")
+    v = values.select(
+        F.col(id_col).alias("dst"),
+        F.floor(F.col(value_col).cast("double") * 100)
+        .cast("long")
+        .alias("__cents"),
+    )
+    desc = (
+        tc.join(v, "dst", "left")
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("n_desc"),
+            F.sum("__cents").alias("__dc"),
+        )
+    )
+    if include_self:
+        own = v.select(
+            F.col("dst").alias("node"), F.col("__cents").alias("__oc")
+        )
+        out = desc.join(own, "node", "left").select(
+            "node",
+            "n_desc",
+            (
+                F.coalesce("__dc", F.lit(0))
+                + F.coalesce("__oc", F.lit(0))
+            ).alias("total_cents"),
+        )
+    else:
+        out = desc.select(
+            "node", "n_desc",
+            F.coalesce("__dc", F.lit(0)).alias("total_cents"),
+        )
+    return out.orderBy("node")

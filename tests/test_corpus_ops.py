@@ -2729,3 +2729,26 @@ def test_bow_counts_vectorizer(spark):
     assert got[1] == [0, 0, 0]   # all OOV
     assert got[2] == [0, 0, 0]   # null text -> zero vector
     assert got[3] == [1, 0, 0]   # lowercased + trimmed
+
+
+def test_tree_rollup_descendant_totals(spark):
+    from job_post_similarity_spark.operators.graph import tree_rollup
+
+    # 1 -> {2, 3}; 2 -> {4}
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "src long, dst long"
+    )
+    vals = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.5)], "id long, value double"
+    )
+    got = {r["node"]: (r["n_desc"], r["total_cents"]) for r in
+           tree_rollup(edges, vals).collect()}
+    assert got[1] == (3, 1050)   # 1+2+3+4.5 in cents
+    assert got[2] == (1, 650)    # 2+4.5
+    # leaves have no closure rows -> absent (documented: rollup is
+    # over nodes WITH descendants)
+    assert 3 not in got and 4 not in got
+    # exclude self
+    ns = {r["node"]: r["total_cents"] for r in
+          tree_rollup(edges, vals, include_self=False).collect()}
+    assert ns[1] == 950 and ns[2] == 450
