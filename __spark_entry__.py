@@ -3890,6 +3890,28 @@ def tree_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree_rollup(edges, values)
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under cube/rollup):
+    status-only, priority-only, and grand-total sets in ONE
+    expand+aggregate pass, with grouping_id disambiguating real
+    NULLs from subtotal markers. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS total_cents
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -4209,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_events": target_encode_events,
         "bow_counts_documents": bow_counts_documents,
         "tree_rollup_parts": tree_rollup_parts,
+        "grouping_sets_orders": grouping_sets_orders,
     }
 
 
@@ -7740,5 +7763,17 @@ _PENDING_ORACLES.update({
                d.dc + coalesce(o.cents, 0) AS total_cents
         FROM d LEFT JOIN v o ON o.dst = d.node
         ORDER BY d.node
+    """,
+    "grouping_sets_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority)
+                    AS BIGINT) AS gid,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
     """,
 })
