@@ -3912,6 +3912,50 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shortest_paths_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (bounded Bellman-Ford, integer min-plus) from
+    part key 1 over the synthetic tree with weight (dst%7)+1 —
+    oracle replays via recursive CTE path enumeration. (Oracle
+    staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.graph import shortest_paths
+
+    part = load_table(spark, sf_dir, "part")
+    edges = part.select(
+        F.expr("p_partkey div 5").alias("src"),
+        F.col("p_partkey").alias("dst"),
+        (F.pmod(F.col("p_partkey"), F.lit(7)) + 1).alias("weight"),
+    ).filter(F.col("src") != F.col("dst"))
+    return shortest_paths(edges, source=1, rounds=8)
+
+
+def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: OLS slope of ln(freq) on ln(rank) over the
+    token vocabulary (DECIMAL moments via linear_fit; rank window is
+    |vocab|-sized — the vocab_coverage precedent). Slope ≈ −1 on
+    natural corpora. (Oracle staged in _PENDING_ORACLES.)"""
+    from pyspark.sql.window import Window as W_
+
+    from job_post_similarity_spark.operators.profiling import linear_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(toks).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            W_.orderBy(F.desc("cnt"), F.asc("token"))
+        ),
+    ).select(
+        F.lit("corpus").alias("g"),
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    return linear_fit(ranked, "g", "x", "y")
+
+
 def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE merge list over the corpus (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
@@ -4232,6 +4276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bow_counts_documents": bow_counts_documents,
         "tree_rollup_parts": tree_rollup_parts,
         "grouping_sets_orders": grouping_sets_orders,
+        "shortest_paths_parts": shortest_paths_parts,
+        "zipf_slope_documents": zipf_slope_documents,
     }
 
 
@@ -7775,5 +7821,61 @@ _PENDING_ORACLES.update({
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 ())
         ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+    "shortest_paths_parts": """
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT p_partkey // 5 AS src, p_partkey AS dst,
+                   ((p_partkey % 7) + 7) % 7 + 1 AS w
+            FROM part WHERE p_partkey // 5 <> p_partkey),
+        r(id, dist, depth) AS (
+            SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+            UNION ALL
+            SELECT e.dst, r.dist + e.w, r.depth + 1
+            FROM r JOIN e ON e.src = r.id
+            WHERE r.depth < 8)
+        SELECT id, CAST(min(dist) AS BIGINT) AS dist
+        FROM r GROUP BY id ORDER BY id
+    """,
+    "zipf_slope_documents": """
+        WITH tok AS (
+            SELECT unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS token
+            FROM documents WHERE text IS NOT NULL),
+        c AS (
+            SELECT token, count(*) AS cnt FROM tok
+            WHERE token <> '' GROUP BY token),
+        rk AS (
+            SELECT ln(CAST(row_number() OVER
+                        (ORDER BY cnt DESC, token ASC) AS DOUBLE))
+                       AS x,
+                   ln(CAST(cnt AS DOUBLE)) AS y
+            FROM c),
+        m AS (
+            SELECT count(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                         THEN 1 END) AS n,
+                   CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)
+                       AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(27,10))) AS DOUBLE)
+                       AS sy,
+                   CAST(sum(CAST(x * y AS DECIMAL(27,10))) AS DOUBLE)
+                       AS sxy,
+                   CAST(sum(CAST(x * x AS DECIMAL(27,10))) AS DOUBLE)
+                       AS sxx
+            FROM rk)
+        SELECT 'corpus' AS "group", n,
+               CASE WHEN n >= 2 AND
+                         CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                    THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                               / (CAST(n AS DOUBLE) * sxx - sx * sx),
+                               6) END AS slope,
+               CASE WHEN n >= 2 AND
+                         CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                    THEN round((sy - (CAST(n AS DOUBLE) * sxy
+                                      - sx * sy)
+                                     / (CAST(n AS DOUBLE) * sxx
+                                        - sx * sx) * sx)
+                               / CAST(n AS DOUBLE), 6)
+               END AS intercept
+        FROM m
     """,
 })

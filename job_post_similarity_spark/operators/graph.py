@@ -396,3 +396,71 @@ def tree_rollup(
             F.coalesce("__dc", F.lit(0)).alias("total_cents"),
         )
     return out.orderBy("node")
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 10,
+) -> DataFrame:
+    """Single-source shortest paths over a weighted edge list
+    ``(src, dst, weight)`` — bounded Bellman-Ford: ``rounds``
+    relaxation sweeps of ``dist[dst] = min(dist[dst], dist[src] +
+    w)``. Weights are integers (cost units — floor your floats
+    upstream), so every relaxation is exact int64 min-plus and the
+    result is engine-exact; an oracle replays it with the rounds
+    unrolled (the PageRank/label-propagation oracle pattern).
+
+    ``rounds`` ≥ graph diameter gives exact distances (classic BF
+    bound: |V|−1); fewer rounds give the ≤-rounds-hop approximation
+    — both deterministic. Negative edges are rejected (min-plus over
+    unbounded negatives needs cycle detection this operator does not
+    do).
+
+    Scale shape per round: one equi-join (edges ⋈ frontier dists on
+    src) + one min aggregate on dst + a min-merge with the standing
+    table; dists localCheckpointed per round (the CC lineage lesson).
+    Output: ``(id, dist)`` for reached nodes, ordered by id.
+    """
+    e = (
+        edges.select("src", "dst", F.col("weight").cast("long"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .persist()
+    )
+    if e.filter(F.col("weight") < 0).limit(1).count() > 0:
+        e.unpersist()
+        raise ValueError("negative edge weights not supported")
+    spark = edges.sparkSession
+    dists = spark.createDataFrame(
+        [(source, 0)], "id long, dist long"
+    ).localCheckpoint()
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dists, e["src"] == dists["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("weight")).alias("dist"),
+            )
+        )
+        merged = (
+            dists.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        # converged when no distance improved
+        changed = (
+            merged.alias("m")
+            .join(dists.alias("d"), "id", "left")
+            .filter(
+                F.col("d.dist").isNull()
+                | (F.col("m.dist") < F.col("d.dist"))
+            )
+            .limit(1)
+            .count()
+        )
+        dists = merged
+        if changed == 0:
+            break
+    e.unpersist()
+    return dists.orderBy("id")

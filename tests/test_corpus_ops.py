@@ -2752,3 +2752,44 @@ def test_tree_rollup_descendant_totals(spark):
     ns = {r["node"]: r["total_cents"] for r in
           tree_rollup(edges, vals, include_self=False).collect()}
     assert ns[1] == 950 and ns[2] == 450
+
+
+# ----------------------------------------------- SSSP & Zipf slope
+def test_shortest_paths_relaxation(spark):
+    from job_post_similarity_spark.operators.graph import shortest_paths
+
+    # diamond with a shortcut: 1->2 (1), 2->3 (1), 1->3 (5), 3->4 (1)
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 5), (3, 4, 1)],
+        "src long, dst long, weight long",
+    )
+    got = {r["id"]: r["dist"] for r in
+           shortest_paths(edges, source=1).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # via 2, not the 5-edge
+    # bounded rounds: 1 round reaches only direct neighbors
+    one = {r["id"]: r["dist"] for r in
+           shortest_paths(edges, source=1, rounds=1).collect()}
+    assert one == {1: 0, 2: 1, 3: 5}
+    with pytest.raises(ValueError):
+        shortest_paths(
+            spark.createDataFrame([(1, 2, -1)],
+                                  "src long, dst long, weight long"),
+            source=1,
+        )
+
+
+def test_zipf_slope_on_planted_power_law(spark):
+    from pyspark.sql.window import Window
+
+    from job_post_similarity_spark.operators.profiling import linear_fit
+
+    # frequencies c/r^0.8 -> slope of ln(freq) on ln(rank) = -0.8
+    rows = [
+        ("corpus",
+         float(__import__("math").log(r)),
+         float(__import__("math").log(1000.0 / r ** 0.8)))
+        for r in range(1, 200)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = linear_fit(df, "g", "x", "y").collect()[0]
+    assert abs(out["slope"] + 0.8) < 1e-6
