@@ -1088,7 +1088,7 @@ def ivfpq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_planted_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup end-to-end (dedup.semantic_dedup, Abbas et al. 2023)
     made driver-gradable by the planted-twin contract: the corpus is
     embeddings ∪ re-keyed copies of the first 50 vectors
@@ -4231,7 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project_embeddings": pca_project_embeddings,
         # pending-oracle (window full this round)
         "containment_join_docs": containment_join_docs,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "semantic_dedup_planted_twin": semantic_dedup_planted_twin,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -4637,67 +4637,16 @@ _PENDING_ORACLES: dict[str, str] = {
         FROM cuts c2 JOIN r ON r.rk = c2.vocab_size
         ORDER BY threshold_ppm
     """,
-    "semantic_dedup_embeddings": """
-        -- SemDeDup, deterministic-quantizer tier: stratum means in
-        -- DECIMAL (order-independent), argmax-dot assignment (tie →
-        -- lowest cluster), within-cluster pairs ≥ 0.4, CC by
-        -- reachability, keep = (component == own id)
-        WITH RECURSIVE p AS (
-            SELECT vec_id, ((vec_id % 8) + 8) % 8 AS lab, embedding
-            FROM embeddings),
-        posx AS (
-            SELECT lab,
-                   unnest(generate_series(1, len(embedding))) AS i,
-                   embedding
-            FROM p),
-        a AS (
-            SELECT lab, i - 1 AS pos,
-                   sum(CAST(CAST(embedding[i] AS DOUBLE)
-                            AS DECIMAL(27,10))) AS s,
-                   count(*) AS n
-            FROM posx GROUP BY lab, i),
-        cent AS (
-            SELECT lab,
-                   list(round(CAST(s AS DOUBLE) / n, 6)
-                        ORDER BY pos) AS cvec
-            FROM a GROUP BY lab),
-        sc AS (
-            SELECT p.vec_id, c.lab,
-                   list_dot_product(p.embedding::DOUBLE[], c.cvec)
-                       AS score
-            FROM p CROSS JOIN cent c),
-        asg AS (
-            SELECT vec_id, lab AS cluster
-            FROM (SELECT vec_id, lab,
-                         row_number() OVER
-                             (PARTITION BY vec_id
-                              ORDER BY score DESC, lab ASC) AS rk
-                  FROM sc)
-            WHERE rk = 1),
-        v AS (
-            SELECT a2.vec_id, a2.cluster, e.embedding
-            FROM asg a2 JOIN embeddings e USING (vec_id)),
-        prs AS (
-            SELECT x.vec_id AS id1, y.vec_id AS id2
-            FROM v x JOIN v y
-              ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-            WHERE list_dot_product(x.embedding::DOUBLE[],
-                                   y.embedding::DOUBLE[]) >= 0.4),
-        edges AS (
-            SELECT id1 AS src, id2 AS dst FROM prs
-            UNION SELECT id2, id1 FROM prs),
-        reach(id, r) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.src, reach.r
-            FROM edges e JOIN reach ON e.dst = reach.id),
-        comp AS (SELECT id, min(r) AS component
-                 FROM reach GROUP BY id)
-        SELECT a3.vec_id, CAST(a3.cluster AS INT) AS cluster,
-               coalesce(c.component, a3.vec_id) AS component,
-               coalesce(c.component, a3.vec_id) = a3.vec_id AS keep
-        FROM asg a3 LEFT JOIN comp c ON c.id = a3.vec_id
-        ORDER BY a3.vec_id
+    "semantic_dedup_planted_twin": """
+        -- planted-twin SemDeDup contract: at threshold 0.99 the
+        -- only semantic-dup pairs in emb ∪ twins are the 50
+        -- (i, i+100000) twin pairs (max natural cosine ≈ 0.55);
+        -- identical vectors share an IVF bucket by construction
+        -- and min-id representatives are the originals — the
+        -- survivor set is the original table labeling itself
+        SELECT vec_id, vec_id AS semdedup_component
+        FROM embeddings
+        ORDER BY vec_id
     """,
     "dsir_weights_documents": """
         -- DSIR hashed-unigram importance weights: integer micro-log
@@ -6977,15 +6926,66 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "semantic_dedup_embeddings": """
-            -- planted-twin SemDeDup contract: at threshold 0.99 the
-            -- only semantic-dup pairs in emb ∪ twins are the 50
-            -- (i, i+100000) twin pairs (max natural cosine ≈ 0.55);
-            -- identical vectors share an IVF bucket by construction
-            -- and min-id representatives are the originals — the
-            -- survivor set is the original table labeling itself
-            SELECT vec_id, vec_id AS semdedup_component
-            FROM embeddings
-            ORDER BY vec_id
+            -- SemDeDup, deterministic-quantizer tier: stratum means
+            -- in DECIMAL (order-independent), argmax-dot assignment
+            -- (tie -> lowest cluster), within-cluster pairs >= 0.4,
+            -- CC by reachability, keep = (component == own id)
+            WITH RECURSIVE p AS (
+                SELECT vec_id, ((vec_id % 8) + 8) % 8 AS lab, embedding
+                FROM embeddings),
+            posx AS (
+                SELECT lab,
+                       unnest(generate_series(1, len(embedding))) AS i,
+                       embedding
+                FROM p),
+            a AS (
+                SELECT lab, i - 1 AS pos,
+                       sum(CAST(CAST(embedding[i] AS DOUBLE)
+                                AS DECIMAL(27,10))) AS s,
+                       count(*) AS n
+                FROM posx GROUP BY lab, i),
+            cent AS (
+                SELECT lab,
+                       list(round(CAST(s AS DOUBLE) / n, 6)
+                            ORDER BY pos) AS cvec
+                FROM a GROUP BY lab),
+            sc AS (
+                SELECT p.vec_id, c.lab,
+                       list_dot_product(p.embedding::DOUBLE[], c.cvec)
+                           AS score
+                FROM p CROSS JOIN cent c),
+            asg AS (
+                SELECT vec_id, lab AS cluster
+                FROM (SELECT vec_id, lab,
+                             row_number() OVER
+                                 (PARTITION BY vec_id
+                                  ORDER BY score DESC, lab ASC) AS rk
+                      FROM sc)
+                WHERE rk = 1),
+            v AS (
+                SELECT a2.vec_id, a2.cluster, e.embedding
+                FROM asg a2 JOIN embeddings e USING (vec_id)),
+            prs AS (
+                SELECT x.vec_id AS id1, y.vec_id AS id2
+                FROM v x JOIN v y
+                  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                WHERE list_dot_product(x.embedding::DOUBLE[],
+                                       y.embedding::DOUBLE[]) >= 0.4),
+            edges AS (
+                SELECT id1 AS src, id2 AS dst FROM prs
+                UNION SELECT id2, id1 FROM prs),
+            reach(id, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r
+                FROM edges e JOIN reach ON e.dst = reach.id),
+            comp AS (SELECT id, min(r) AS component
+                     FROM reach GROUP BY id)
+            SELECT a3.vec_id, CAST(a3.cluster AS INT) AS cluster,
+                   coalesce(c.component, a3.vec_id) AS component,
+                   coalesce(c.component, a3.vec_id) = a3.vec_id AS keep
+            FROM asg a3 LEFT JOIN comp c ON c.id = a3.vec_id
+            ORDER BY a3.vec_id
         """,
         "q13_customer_distribution": """
             SELECT c_count, count(*) AS custdist
