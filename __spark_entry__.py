@@ -3956,8 +3956,8 @@ def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_fit(ranked, "g", "x", "y")
 
 
-def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained BPE merge list over the corpus (rows-only: the
+def bpe_train_local_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained BPE merge list, driver-local-loop tier (rows-only: the
     iterative merge loop is not SQL-expressible — property-tested
     against the hand-computed Sennrich example instead). Distributed
     word-count shuffle + driver-local loop over the bounded vocab
@@ -4024,6 +4024,85 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pca_norm"),
     ).orderBy("vec_id")
+
+
+def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-loop training, first 3 merges: the
+    vocabulary table stays in DataFrames; merge application is the
+    double-separator string-replace (exactly leftmost-greedy BPE —
+    see text_analysis.bpe_train_distributed). Equality with the
+    driver-local bpe_train is property-tested; the oracle unrolls
+    the 3 merge iterations as chained CTEs. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_train_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_distributed(docs, num_merges=3).orderBy("step")
+
+
+def bleu_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-style modified 1/2-gram precision between consecutive
+    document pairs (even doc as candidate, odd successor as
+    reference) — integer clipped-match counts, precision as integer
+    ppm floor division. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.metrics import (
+        ngram_precision,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.alias("a")
+        .join(
+            docs.alias("b"),
+            F.col("a.doc_id") + 1 == F.col("b.doc_id"),
+        )
+        .filter(F.col("a.doc_id") % 2 == 0)
+        .select(
+            F.col("a.doc_id").alias("pair_id"),
+            F.col("a.text").alias("cand_text"),
+            F.col("b.text").alias("ref_text"),
+        )
+    )
+    return ngram_precision(pairs, "pair_id", "cand_text", "ref_text")
+
+
+def rrf_hybrid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 for [spark, join,
+    window] fused with the dense top-50 (exact cosine vs the vec_id
+    0 query) by reciprocal rank fusion, k=60 — pure integer floor
+    division, so the fused scores are engine-exact. doc_id and
+    vec_id share the same id space in the testdata. (Oracle staged
+    in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.functions.vectors import dot
+    from job_post_similarity_spark.operators.retrieval import (
+        rank_by,
+        rrf_fuse,
+    )
+    from job_post_similarity_spark.operators.text_analysis import (
+        bm25_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_rank(docs, ["spark", "join", "window"], top_n=50)
+    lex_rank = rank_by(
+        lex, "doc_id", [F.desc("score"), F.asc("doc_id")], 50
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    sims = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(dot("embedding", "qe"), 4).alias("sim"),
+    )
+    vec_rank = rank_by(
+        sims, "doc_id", [F.desc("sim"), F.asc("doc_id")], 50
+    )
+    return rrf_fuse(
+        {"lexical": lex_rank, "dense": vec_rank}, k=60, top_n=20
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4226,12 +4305,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens_by_lang_documents": top_tokens_by_lang_documents,
         "nearest_centroid_embeddings": nearest_centroid_embeddings,
         # rows-only by nature (iterative merge loop / greedy encode)
-        "bpe_train_documents": bpe_train_documents,
+        "bpe_train_local_documents": bpe_train_local_documents,
         "bpe_encode_documents": bpe_encode_documents,
         "pca_project_embeddings": pca_project_embeddings,
         # pending-oracle (window full this round)
         "containment_join_docs": containment_join_docs,
         "semantic_dedup_planted_twin": semantic_dedup_planted_twin,
+        "bpe_train_documents": bpe_train_documents,
+        "bleu_pairs_documents": bleu_pairs_documents,
+        "rrf_hybrid_documents": rrf_hybrid_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -4647,6 +4729,193 @@ _PENDING_ORACLES: dict[str, str] = {
         SELECT vec_id, vec_id AS semdedup_component
         FROM embeddings
         ORDER BY vec_id
+    """,
+    "bpe_train_documents": """
+        -- distributed BPE trainer, 3 merges unrolled: each step is
+        -- (pair counts over the encoded vocab) -> argmax -> replace.
+        -- The double-separator encoding ('__h__e__l__l__o</w>__')
+        -- makes plain LTR replace('_a__b_','_ab_') EXACTLY
+        -- leftmost-greedy BPE: the pattern consumes only the inner
+        -- half of each flanking separator, so the leftover halves
+        -- anchor the next match like lookarounds.
+        WITH words AS (
+            SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(
+                      trim(lower(text)), '\\s+')) AS w
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 1
+            GROUP BY w),
+        v0 AS (
+            SELECT '__' || array_to_string(
+                       list_transform(generate_series(1, length(w)),
+                           i -> CASE WHEN i = length(w)
+                                THEN substring(w, i, 1) || '</w>'
+                                ELSE substring(w, i, 1) END),
+                       '__') || '__' AS enc,
+                   cnt
+            FROM words),
+        p0 AS (
+            SELECT pr[1] AS l, pr[2] AS r,
+                   CAST(sum(cnt) AS BIGINT) AS pair_count
+            FROM (SELECT unnest(list_transform(
+                      generate_series(1, len(ss) - 1),
+                      i -> [ss[i], ss[i+1]])) AS pr, cnt
+                  FROM (SELECT list_filter(string_split(enc, '_'),
+                                           x -> x <> '') AS ss, cnt
+                        FROM v0))
+            GROUP BY l, r HAVING sum(cnt) >= 2),
+        m0 AS (SELECT l, r, pair_count FROM p0
+               ORDER BY pair_count DESC, l, r LIMIT 1),
+        v1 AS (SELECT replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc, cnt
+               FROM v0, m0 m),
+        p1 AS (
+            SELECT pr[1] AS l, pr[2] AS r,
+                   CAST(sum(cnt) AS BIGINT) AS pair_count
+            FROM (SELECT unnest(list_transform(
+                      generate_series(1, len(ss) - 1),
+                      i -> [ss[i], ss[i+1]])) AS pr, cnt
+                  FROM (SELECT list_filter(string_split(enc, '_'),
+                                           x -> x <> '') AS ss, cnt
+                        FROM v1))
+            GROUP BY l, r HAVING sum(cnt) >= 2),
+        m1 AS (SELECT l, r, pair_count FROM p1
+               ORDER BY pair_count DESC, l, r LIMIT 1),
+        v2 AS (SELECT replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc, cnt
+               FROM v1, m1 m),
+        p2 AS (
+            SELECT pr[1] AS l, pr[2] AS r,
+                   CAST(sum(cnt) AS BIGINT) AS pair_count
+            FROM (SELECT unnest(list_transform(
+                      generate_series(1, len(ss) - 1),
+                      i -> [ss[i], ss[i+1]])) AS pr, cnt
+                  FROM (SELECT list_filter(string_split(enc, '_'),
+                                           x -> x <> '') AS ss, cnt
+                        FROM v2))
+            GROUP BY l, r HAVING sum(cnt) >= 2),
+        m2 AS (SELECT l, r, pair_count FROM p2
+               ORDER BY pair_count DESC, l, r LIMIT 1)
+        SELECT * FROM (
+            SELECT 1 AS step, l AS sym_left, r AS sym_right,
+                   pair_count FROM m0
+            UNION ALL
+            SELECT 2, l, r, pair_count FROM m1
+            UNION ALL
+            SELECT 3, l, r, pair_count FROM m2)
+        ORDER BY step
+    """,
+    "bleu_pairs_documents": """
+        -- BLEU-style clipped 1/2-gram precision on (even doc ->
+        -- successor) pairs; integer counts, ppm floor division
+        WITH pairs AS (
+            SELECT a.doc_id AS pair_id,
+                   list_filter(string_split_regex(
+                       trim(lower(a.text)), '\\s+'),
+                       x -> x <> '') AS ct,
+                   list_filter(string_split_regex(
+                       trim(lower(b.text)), '\\s+'),
+                       x -> x <> '') AS rt
+            FROM documents a JOIN documents b
+              ON a.doc_id + 1 = b.doc_id
+            WHERE a.doc_id % 2 = 0),
+        grams AS (
+            SELECT pair_id, n,
+                   CASE WHEN n = 1 THEN ct
+                        ELSE list_transform(
+                            generate_series(1, len(ct) - 1),
+                            i -> ct[i] || ' ' || ct[i+1]) END AS cg,
+                   CASE WHEN n = 1 THEN rt
+                        ELSE list_transform(
+                            generate_series(1, len(rt) - 1),
+                            i -> rt[i] || ' ' || rt[i+1]) END AS rg
+            FROM pairs, (SELECT unnest([1, 2]) AS n)),
+        cc AS (SELECT pair_id, n, g, count(*) AS c
+               FROM (SELECT pair_id, n, unnest(cg) AS g FROM grams)
+               GROUP BY pair_id, n, g),
+        rc AS (SELECT pair_id, n, g, count(*) AS r
+               FROM (SELECT pair_id, n, unnest(rg) AS g FROM grams)
+               GROUP BY pair_id, n, g),
+        tot AS (SELECT pair_id, n, CAST(sum(c) AS BIGINT) AS cand_total
+                FROM cc GROUP BY pair_id, n),
+        m AS (SELECT cc.pair_id, cc.n,
+                     CAST(sum(least(cc.c, rc.r)) AS BIGINT) AS cm
+              FROM cc JOIN rc
+                ON cc.pair_id = rc.pair_id AND cc.n = rc.n
+               AND cc.g = rc.g
+              GROUP BY cc.pair_id, cc.n)
+        SELECT t.pair_id, t.n,
+               coalesce(m.cm, 0) AS clipped_matches,
+               t.cand_total,
+               CASE WHEN t.cand_total > 0
+                    THEN (1000000 * coalesce(m.cm, 0)) // t.cand_total
+                    ELSE 0 END AS precision_ppm
+        FROM tot t LEFT JOIN m
+          ON t.pair_id = m.pair_id AND t.n = m.n
+        ORDER BY t.pair_id, t.n
+    """,
+    "rrf_hybrid_documents": """
+        -- RRF fusion of BM25 lexical top-50 and dense cosine top-50:
+        -- score_micro = sum of 1000000 // (60 + rank) — pure integer
+        WITH d AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE text IS NOT NULL),
+        dl_t AS (SELECT doc_id, len(t) AS dl, t FROM d),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(len(t)) AS BIGINT) AS sum_dl
+            FROM d),
+        tok AS (SELECT doc_id, dl, unnest(t) AS token FROM dl_t),
+        tf AS (
+            SELECT doc_id, dl, token, count(*) AS tf
+            FROM tok WHERE token IN ('spark', 'join', 'window')
+            GROUP BY doc_id, dl, token),
+        dfq AS (SELECT token, count(*) AS dfreq FROM tf
+                GROUP BY token),
+        c AS (
+            SELECT tf.doc_id,
+                   CAST(round(
+                       (ln((CAST(n_docs AS DOUBLE)
+                            - CAST(dfreq AS DOUBLE) + 0.5)
+                           / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0)
+                        * (CAST(tf AS DOUBLE) * (1.2 + 1.0)))
+                       / (CAST(tf AS DOUBLE)
+                          + 1.2 * (1.0 - 0.75
+                                   + 0.75 * CAST(dl AS DOUBLE)
+                                     / (CAST(sum_dl AS DOUBLE)
+                                        / CAST(n_docs AS DOUBLE))))
+                       * 1000000.0) AS BIGINT) AS c6
+            FROM tf JOIN dfq ON tf.token = dfq.token, stats),
+        lex0 AS (
+            SELECT doc_id, CAST(sum(c6) AS BIGINT) AS s6
+            FROM c GROUP BY doc_id
+            ORDER BY s6 DESC, doc_id LIMIT 50),
+        lex AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY s6 DESC, doc_id)
+                           AS rank
+                FROM lex0),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        sims AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_dot_product(e.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 4)
+                       AS sim
+            FROM embeddings e, q),
+        vec0 AS (SELECT doc_id, sim FROM sims
+                 ORDER BY sim DESC, doc_id LIMIT 50),
+        vec AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY sim DESC, doc_id)
+                           AS rank
+                FROM vec0),
+        u AS (SELECT doc_id, rank FROM lex
+              UNION ALL SELECT doc_id, rank FROM vec),
+        f AS (SELECT doc_id, count(*) AS n_lists,
+                     CAST(sum(1000000 // (60 + rank)) AS BIGINT)
+                         AS score_micro
+              FROM u GROUP BY doc_id)
+        SELECT doc_id, n_lists, score_micro
+        FROM f ORDER BY score_micro DESC, doc_id LIMIT 20
     """,
     "dsir_weights_documents": """
         -- DSIR hashed-unigram importance weights: integer micro-log

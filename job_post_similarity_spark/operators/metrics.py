@@ -146,3 +146,89 @@ def classification_report(
         )
         .orderBy("class")
     )
+
+
+def ngram_precision(
+    df: DataFrame,
+    id_col: str = "pair_id",
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+    max_n: int = 2,
+) -> DataFrame:
+    """BLEU-style modified n-gram precision (Papineni et al. 2002)
+    between paired texts — the n-gram-overlap evaluation for
+    generation / distillation pipelines, and a graded text-overlap
+    signal alongside the binary decontamination gates: for each pair
+    and each order n ≤ ``max_n``,
+
+        p_n = Σ_g min(count_cand(g), count_ref(g)) / Σ_g count_cand(g)
+
+    (candidate n-gram counts CLIPPED by the reference count, so
+    repeating a matching word cannot inflate the score).
+
+    Output: ``(id, n, clipped_matches, cand_total, precision_ppm)``
+    — one row per pair per order, including zero-overlap pairs.
+    Everything is exact integer counts; the ratio is integer floor
+    division in millionths — engine-exact. Pairs whose candidate has
+    fewer than n tokens yield cand_total 0 and precision 0.
+
+    Scale shape: per order, each side is one map-side n-gram
+    generation (``transform(sequence(...))`` — no per-token explode
+    before grouping) + one hash aggregate on (id, gram); the clip is
+    an equi-join on the same key. No global state, no driver data.
+    """
+    def _gram_counts(col: str, n: int, out: str) -> DataFrame:
+        t = F.filter(
+            F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+            lambda x: x != "",
+        )
+        grams = F.expr(
+            f"CASE WHEN size(__t) >= {n} THEN"
+            f"  transform(sequence(1, size(__t) - {n} + 1),"
+            f"            i -> array_join(slice(__t, i, {n}), ' '))"
+            " ELSE array() END"
+        )
+        return (
+            df.select(F.col(id_col), t.alias("__t"))
+            .select(id_col, F.explode(grams).alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    base = df.select(id_col)
+    parts = []
+    for n in range(1, max_n + 1):
+        cand = _gram_counts(cand_col, n, "c")
+        ref = _gram_counts(ref_col, n, "r")
+        totals = cand.groupBy(id_col).agg(
+            F.sum("c").alias("cand_total")
+        )
+        matched = (
+            cand.join(ref, [id_col, "gram"])
+            .select(id_col, F.least("c", "r").alias("m"))
+            .groupBy(id_col)
+            .agg(F.sum("m").alias("clipped_matches"))
+        )
+        parts.append(
+            base.join(totals, id_col, "left_outer")
+            .join(matched, id_col, "left_outer")
+            .select(
+                F.col(id_col),
+                F.lit(n).alias("n"),
+                F.coalesce("clipped_matches", F.lit(0)).alias(
+                    "clipped_matches"
+                ),
+                F.coalesce("cand_total", F.lit(0)).alias("cand_total"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    ppm = F.when(
+        F.col("cand_total") > 0,
+        F.expr(f"({PPM}L * clipped_matches) div cand_total"),
+    ).otherwise(F.lit(0))
+    return u.select(
+        id_col, "n", "clipped_matches", "cand_total",
+        ppm.alias("precision_ppm"),
+    ).orderBy(id_col, "n")

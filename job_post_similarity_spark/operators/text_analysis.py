@@ -1161,3 +1161,106 @@ def bow_counts(
         ),
     )
     return df.select(F.col(id_col), counts.alias(out_col))
+
+
+def bpe_train_distributed(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """BPE merge-list training with the per-merge state kept
+    DISTRIBUTED — the tier for vocabularies beyond driver memory
+    (byte-level multi-script corpora), complementing ``bpe_train``
+    (which collects a ``max_vocab``-capped word table and loops
+    driver-local, the Lloyd-on-a-sample shape). Here the weighted
+    vocabulary table never leaves the cluster; each merge iteration
+    is one vocabulary-sized aggregate + a 1-row argmax collect — the
+    PageRank driver-loop pattern.
+
+    The merge application is pure JVM string ``replace`` via a
+    DOUBLE-separator encoding: word symbols are joined with ``__``
+    and wrapped (``hello`` → ``__h__e__l__l__o</w>__``), and merging
+    pair (a, b) rewrites ``_a__b_`` → ``_ab_``. Because the pattern
+    consumes only the INNER half of each flanking separator, the
+    leftover halves act as lookaround anchors: left-to-right
+    non-overlapping ``replace`` becomes EXACTLY leftmost-greedy BPE
+    merging (including self-overlapping runs like ``aaa``), and the
+    identical call exists in any SQL engine — which is what makes
+    the training loop oracle-checkable. Equality with the
+    driver-local trainer's merge list is property-tested.
+
+    Output: ``(step, sym_left, sym_right, pair_count)`` — the ordered
+    merge list with its winning count; ties break (count desc, left
+    asc, right asc), binary collation in both engines. Stops early
+    when no pair reaches ``min_count``.
+
+    Scale shape: the corpus is scanned ONCE (word aggregate, one
+    shuffle); every iteration after that touches only the weighted
+    vocabulary table (persisted, re-persisted per merge), with pair
+    counts map-side-combined before the one vocabulary shuffle. The
+    1-row-per-iteration collect is the same driver action Lloyd/
+    PageRank take; num_merges bounds the loop.
+    """
+    spark = df.sparkSession
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = df.select(F.explode(toks).alias("w")).filter(
+        F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 1)
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    syms = F.expr(
+        "transform(sequence(1, length(w)), i -> "
+        "  if(i = length(w),"
+        "     concat(substring(w, i, 1), '</w>'),"
+        "     substring(w, i, 1)))"
+    )
+    vocab = wc.select(
+        F.concat(
+            F.lit("__"), F.array_join(syms, "__"), F.lit("__")
+        ).alias("enc"),
+        "cnt",
+    ).persist()
+    pair_struct = F.expr(
+        "CASE WHEN size(__ss) >= 2 THEN"
+        "  transform(sequence(1, size(__ss) - 1),"
+        "            i -> struct(__ss[i-1] AS l, __ss[i] AS r))"
+        " ELSE array() END"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        pc = (
+            vocab.withColumn(
+                "__ss", F.expr("filter(split(enc, '_'), x -> x <> '')")
+            )
+            .select(F.explode(pair_struct).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .filter(F.col("pair_count") >= min_count)
+        )
+        best = (
+            pc.orderBy(
+                F.desc("pair_count"), F.asc("l"), F.asc("r")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, count = best[0]["l"], best[0]["r"], best[0]["pair_count"]
+        merges.append((step, left, right, int(count)))
+        nxt = vocab.select(
+            F.replace(
+                F.col("enc"),
+                F.lit(f"_{left}__{right}_"),
+                F.lit(f"_{left}{right}_"),
+            ).alias("enc"),
+            "cnt",
+        ).persist()
+        nxt.count()  # materialize before dropping the parent
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "step int, sym_left string, sym_right string, pair_count bigint",
+    )

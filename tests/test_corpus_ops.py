@@ -2793,3 +2793,92 @@ def test_zipf_slope_on_planted_power_law(spark):
     df = spark.createDataFrame(rows, "g string, x double, y double")
     out = linear_fit(df, "g", "x", "y").collect()[0]
     assert abs(out["slope"] + 0.8) < 1e-6
+
+
+def test_bpe_train_distributed_matches_driver_local(spark, documents):
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_train,
+        bpe_train_distributed,
+    )
+
+    dist = bpe_train_distributed(documents, num_merges=10).collect()
+    assert [r["step"] for r in dist] == list(range(1, len(dist) + 1))
+    assert all(r["pair_count"] >= 2 for r in dist)
+    drv = bpe_train(documents, num_merges=10)
+    assert [(r["sym_left"], r["sym_right"]) for r in dist] == drv
+
+
+def test_bpe_train_distributed_self_overlap_run(spark):
+    # 'aaaa' stresses the self-overlapping pair (a, a): leftmost-
+    # greedy BPE groups [aa, aa</w>] — the double-separator replace
+    # must match that, not the naive single-separator LTR grouping.
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_train_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [("aaaa aaaa",), ("aaaa aaaa",)], "text string"
+    )
+    merges = bpe_train_distributed(df, num_merges=3).collect()
+    got = [(r["sym_left"], r["sym_right"], r["pair_count"]) for r in merges]
+    # vocab: aaaa ×4 → symbols a a a a</w>; pairs (a,a)=8, (a,a</w>)=4
+    # merge1: (a,a) → [aa, aa</w>]... wait a</w> is distinct from a:
+    # symbols a a a a</w>: (a,a)×2 + (a,a</w>)×1 per word → (a,a)=8
+    # merge1 (a,a): leftmost-greedy on [a,a,a,a</w>] → [aa, a, a</w>]
+    # merge2 pairs: (aa,a)=4, (a,a</w>)=4 → tie, (a,a</w>) < (aa,a)
+    # lexicographically ('a' < 'aa'), so merge2 = (a, a</w>) →
+    # [aa, aa</w>]; merge3 = (aa, aa</w>) count 4
+    assert got == [
+        ("a", "a", 8),
+        ("a", "a</w>", 4),
+        ("aa", "aa</w>", 4),
+    ]
+
+
+def test_ngram_precision_hand_example(spark):
+    from job_post_similarity_spark.operators.metrics import (
+        ngram_precision,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # cand: clipped unigram matches: the×1 (ref has 1), cat×1
+            # → 2/4; bigrams: "the cat" ×1 → 1/3
+            (1, "the the cat sat", "the cat naps"),
+            # zero overlap
+            (2, "alpha beta", "gamma delta"),
+        ],
+        "pair_id int, cand_text string, ref_text string",
+    )
+    rows = {
+        (r["pair_id"], r["n"]): (
+            r["clipped_matches"],
+            r["cand_total"],
+            r["precision_ppm"],
+        )
+        for r in ngram_precision(df).collect()
+    }
+    assert rows[(1, 1)] == (2, 4, 500_000)
+    assert rows[(1, 2)] == (1, 3, 333_333)
+    assert rows[(2, 1)] == (0, 2, 0)
+    assert rows[(2, 2)] == (0, 1, 0)
+
+
+def test_rrf_fuse_hand_example(spark):
+    from job_post_similarity_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rank long"
+    )
+    out = rrf_fuse({"a": a, "b": b}, k=60, top_n=10).collect()
+    got = {r["doc_id"]: (r["n_lists"], r["score_micro"]) for r in out}
+    m = 1_000_000
+    assert got[20] == (2, m // 62 + m // 61)
+    assert got[10] == (1, m // 61)
+    assert got[40] == (1, m // 62)
+    assert got[30] == (1, m // 63)
+    # fused order: 20 first (two lists), ties broken by id
+    assert out[0]["doc_id"] == 20
