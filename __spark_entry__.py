@@ -4105,6 +4105,26 @@ def rrf_hybrid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_budget_mixture_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pretraining mix filled by per-source TOKEN budget (not doc
+    count): within each source, docs in LCG-hash order survive while
+    the exclusive running token sum is under the source budget —
+    greedy fill, boundary doc may overshoot. Deterministic integer
+    arithmetic end-to-end. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_mixture(
+        docs,
+        {"src0": 300, "src1": 150, "src2": 300},
+        default_budget=100,
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4314,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_documents": bpe_train_documents,
         "bleu_pairs_documents": bleu_pairs_documents,
         "rrf_hybrid_documents": rrf_hybrid_documents,
+        "token_budget_mixture_documents": token_budget_mixture_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -4804,6 +4825,33 @@ _PENDING_ORACLES: dict[str, str] = {
             UNION ALL
             SELECT 3, l, r, pair_count FROM m2)
         ORDER BY step
+    """,
+    "token_budget_mixture_documents": """
+        -- per-source token-budget greedy fill in LCG-hash order;
+        -- exclusive running sum, survivor iff before < budget
+        WITH t AS (
+            SELECT doc_id, source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text),
+                                                    '\\s+')) END
+                       AS n_tokens,
+                   ((doc_id % 2147483648 + 2147483648) % 2147483648
+                    * 1103515245 + 12345) % 2147483648 AS h
+            FROM documents),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS before
+            FROM t)
+        SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
+        FROM c
+        WHERE before < CASE source WHEN 'src0' THEN 300
+                                   WHEN 'src1' THEN 150
+                                   WHEN 'src2' THEN 300
+                                   ELSE 100 END
+        ORDER BY doc_id
     """,
     "bleu_pairs_documents": """
         -- BLEU-style clipped 1/2-gram precision on (even doc ->

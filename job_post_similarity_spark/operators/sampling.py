@@ -370,3 +370,67 @@ def kfold_assign(
     else:
         b = F.pmod(hash_bucket(c), F.lit(k))
     return df.withColumn("fold", b.cast("int"))
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+    key: str = "doc_id",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Compose a pretraining mix by TOKEN budget, not document count:
+    within each source, documents are ordered by the engine-agnostic
+    LCG hash of ``key`` (ties on the key) and kept while the
+    cumulative token count of the documents BEFORE them is still
+    under the source's budget — so the mix fills each source to its
+    budget, overshooting by at most the boundary document (the
+    standard greedy-fill policy; epoch token budgets per source are
+    how real mixes are specified, because document counts don't
+    control what the model actually trains on).
+
+    Deterministic end-to-end: the hash order and the exclusive
+    running sum are exact integer arithmetic, so an independent
+    engine replays the exact survivor set. Sources absent from
+    ``budgets`` get ``default_budget`` (0 = dropped — an explicit
+    mix should not silently pass unknown sources).
+
+    Output: ``(key, source, n_tokens)`` for survivors.
+
+    Scale shape: one shuffle — the per-source window (same cost
+    class as ``stratified_sample``). A single source IS one window
+    partition; at 100 TB per-source skew is handled the same way
+    ``assign_dense_ids`` documents: a first pass aggregates token
+    mass per (source, hash-bucket) to find the boundary bucket, the
+    exact window then runs only inside that bucket. Left as the
+    documented refinement — the one-window form is the semantics
+    contract the refinement must reproduce.
+    """
+    from pyspark.sql import Window
+
+    from job_post_similarity_spark.operators.text_analysis import (
+        token_count,
+    )
+
+    src = F.col(source_col)
+    budget: Column = F.lit(int(default_budget))
+    for name, b in sorted(budgets.items()):
+        budget = F.when(src == name, F.lit(int(b))).otherwise(budget)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(hash_bucket(key), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = df.select(
+        F.col(key),
+        src.alias("source"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    return (
+        toks.withColumn(
+            "__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("__before") < budget)
+        .select(key, "source", "n_tokens")
+    )

@@ -2882,3 +2882,41 @@ def test_rrf_fuse_hand_example(spark):
     assert got[30] == (1, m // 63)
     # fused order: 20 first (two lists), ties broken by id
     assert out[0]["doc_id"] == 20
+
+
+def test_token_budget_mixture_greedy_fill(spark, documents):
+    from job_post_similarity_spark.operators.sampling import (
+        _INC,
+        _MOD,
+        _MULT,
+        token_budget_mixture,
+    )
+
+    budgets = {"src0": 300, "src1": 150}
+    out = token_budget_mixture(documents, budgets).collect()
+    kept = {r["doc_id"] for r in out}
+    assert kept, "budgets should keep at least the first doc per source"
+    # independent replay: per source, hash-order docs and greedy-fill
+    rows = documents.selectExpr(
+        "doc_id", "source",
+        "size(split(trim(text), '\\\\s+')) AS n_tokens",
+    ).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    expect = set()
+    for src, rs in by_src.items():
+        budget = budgets.get(src, 0)
+        rs.sort(key=lambda r: ((r["doc_id"] % _MOD * _MULT + _INC) % _MOD,
+                               r["doc_id"]))
+        acc = 0
+        for r in rs:
+            if acc < budget:
+                expect.add(r["doc_id"])
+            acc += r["n_tokens"]
+    assert kept == expect
+    # unknown sources dropped under default_budget=0
+    assert all(
+        r["source"] in budgets
+        for r in out
+    )
