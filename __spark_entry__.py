@@ -4125,6 +4125,19 @@ def token_budget_mixture_documents(
     ).orderBy("doc_id")
 
 
+def hamming_topk_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary-quantization retrieval: sign-bit pack (32 bits/long,
+    ANSI-safe sum of distinct powers) then top-10 by Hamming
+    distance vs the vec_id 0 query — xor + bit_count, integer-exact,
+    so the whole binary ANN tier is oracle-checkable end-to-end.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = knn.binary_quantize(emb)
+    return knn.hamming_topk(bits, query_id=0, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4335,6 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_pairs_documents": bleu_pairs_documents,
         "rrf_hybrid_documents": rrf_hybrid_documents,
         "token_budget_mixture_documents": token_budget_mixture_documents,
+        "hamming_topk_embeddings": hamming_topk_embeddings,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -4825,6 +4839,34 @@ _PENDING_ORACLES: dict[str, str] = {
             UNION ALL
             SELECT 3, l, r, pair_count FROM m2)
         ORDER BY step
+    """,
+    "hamming_topk_embeddings": """
+        -- binary quantization (sign bits, 32 per long) + Hamming
+        -- top-10: sum of distinct powers == bitwise OR, xor+bit_count
+        WITH b AS (
+            SELECT vec_id,
+                   list_transform(
+                       generate_series(0, (len(embedding) - 1) // 32),
+                       w -> CAST(list_sum(list_transform(
+                           generate_series(0, 31),
+                           j -> CASE WHEN w * 32 + j + 1
+                                          <= len(embedding)
+                                      AND CAST(embedding[w * 32 + j + 1]
+                                               AS DOUBLE) > 0
+                                THEN (1::BIGINT << j)
+                                ELSE 0::BIGINT END))
+                           AS BIGINT)) AS bits
+            FROM embeddings),
+        q AS (SELECT bits FROM b WHERE vec_id = 0),
+        d AS (
+            SELECT b.vec_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, len(b.bits)),
+                       i -> bit_count(xor(b.bits[i], q.bits[i]))))
+                       AS INT) AS hamming
+            FROM b, q WHERE b.vec_id <> 0)
+        SELECT vec_id, hamming FROM d
+        ORDER BY hamming, vec_id LIMIT 10
     """,
     "token_budget_mixture_documents": """
         -- per-source token-budget greedy fill in LCG-hash order;

@@ -859,6 +859,87 @@ def dequantize_int8(
     )
 
 
+def binary_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bits",
+) -> DataFrame:
+    """Sign-bit binary quantization of an embedding column — the
+    32×-compression retrieval tier (Faiss ``IndexBinaryFlat`` / the
+    "binary quantization" mode of modern vector stores): bit j of
+    word w is set iff component ``32·w + j`` is positive, packed
+    into ``array<long>`` words of 32 bits each.
+
+    32 bits per long (not 64) ON PURPOSE: every packed word stays
+    ≤ 2^32 − 1, so the pack is a SUM of distinct powers of two —
+    plain integer addition with no sign-bit edge case at either
+    engine, fully ANSI-safe. A fold over the bit index with a
+    guarded ``element_at`` (ANSI mode throws on out-of-bounds)
+    handles dimensions that are not multiples of 32.
+
+    Pure map-side JVM expression — no shuffle, no Python, and like
+    ``quantize_int8`` (unlike trained PQ codebooks) bit-exactly
+    reproducible by an independent engine, so the WHOLE binary
+    retrieval path is oracle-checkable.
+    """
+    words = F.expr(
+        f"""transform(
+              sequence(0, (size({vec_col}) - 1) DIV 32),
+              w -> aggregate(
+                sequence(0, 31),
+                0L,
+                (acc, j) -> acc + IF(
+                  w * 32 + j < size({vec_col})
+                  AND CAST(element_at({vec_col},
+                               CAST(w * 32 + j + 1 AS INT))
+                           AS DOUBLE) > 0D,
+                  shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)),
+                  CAST(0 AS BIGINT))))"""
+    )
+    return df.select(F.col(id_col), words.alias(out_col))
+
+
+def hamming_topk(
+    bits_df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    bits_col: str = "bits",
+    include_self: bool = False,
+) -> DataFrame:
+    """Top-k nearest neighbors by Hamming distance over binary-
+    quantized vectors: ``xor`` + ``bit_count`` per word, integer-
+    summed — the scan is pure codegen arithmetic at 1 bit per
+    dimension, which is why binary rescoring front-ends survive
+    corpus sizes where float scans don't (the common serving shape:
+    Hamming shortlist, then exact-float rerank of the shortlist —
+    compose with ``knn_join``/``dot_cosine`` for the rerank).
+
+    The 1-row query side is broadcast; output ``(id, hamming)``
+    ordered ascending with ties on the id (TakeOrdered — no global
+    sort materialization).
+    """
+    q = bits_df.filter(F.col(id_col) == query_id).select(
+        F.col(bits_col).alias("__qbits")
+    )
+    dist = F.expr(
+        f"""aggregate(
+              zip_with({bits_col}, __qbits,
+                       (x, y) -> bit_count(x ^ y)),
+              0, (acc, v) -> acc + v)"""
+    )
+    base = bits_df if include_self else bits_df.filter(
+        F.col(id_col) != query_id
+    )
+    return (
+        base.crossJoin(F.broadcast(q))
+        .select(id_col, dist.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def mean_pool(
     df: DataFrame,
     group_col: str,

@@ -2920,3 +2920,43 @@ def test_token_budget_mixture_greedy_fill(spark, documents):
         r["source"] in budgets
         for r in out
     )
+
+
+def test_binary_quantize_hamming_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    from job_post_similarity_spark.operators.knn import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    bits = binary_quantize(embeddings)
+    got = [
+        (r["vec_id"], r["hamming"])
+        for r in hamming_topk(bits, query_id=0, k=5).collect()
+    ]
+    V = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float32)
+        for r in embeddings.collect()
+    }
+    q = V[0] > 0
+    expect = sorted(
+        (int(((v > 0) != q).sum()), i) for i, v in V.items() if i != 0
+    )[:5]
+    assert got == [(i, h) for h, i in expect]
+
+
+def test_binary_quantize_ragged_dim(spark):
+    # 35 dims: one full 32-bit word + a 3-bit tail — the guarded
+    # element_at must not touch indices past the vector end (ANSI
+    # mode throws on out-of-bounds).
+    from job_post_similarity_spark.operators.knn import binary_quantize
+
+    vec = [1.0 if i % 3 == 0 else -1.0 for i in range(35)]
+    df = spark.createDataFrame(
+        [(1, vec)], "vec_id long, embedding array<float>"
+    )
+    (row,) = binary_quantize(df).collect()
+    expect_w0 = sum(1 << j for j in range(32) if j % 3 == 0)
+    expect_w1 = sum(1 << j for j in range(3) if (32 + j) % 3 == 0)
+    assert row["bits"] == [expect_w0, expect_w1]
