@@ -4138,6 +4138,44 @@ def hamming_topk_embeddings(
     return knn.hamming_topk(bits, query_id=0, k=10)
 
 
+def mrl_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka adaptive retrieval: top-10 by cosine in the first-16-
+    dim truncated space (MRL prefix-as-embedding, Kusupati 2022).
+    Full cosine (dot / norms product) instead of renormalize-then-dot
+    so every IEEE op has the identical shape in both engines; the
+    renorm path is unit-tested. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mrl = knn.matryoshka_truncate(emb, 16, renormalize=False)
+    q = mrl.filter(F.col("vec_id") == 0).select(
+        F.col("embedding_mrl").alias("__q")
+    )
+    return (
+        mrl.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine("embedding_mrl", "__q"), 4).alias(
+                "similarity_mrl"
+            ),
+        )
+        .orderBy(F.desc("similarity_mrl"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def hamming_rerank_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary-shortlist-then-float-rerank serving composition:
+    Hamming top-50 over sign-bit codes, exact-dot rerank to top-10 —
+    both stages engine-exact, so the full two-stage ANN serving path
+    is oracle-graded. (Oracle staged in _PENDING_ORACLES.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn.hamming_rerank_topk(emb, query_id=0, shortlist=50, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4349,6 +4387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid_documents": rrf_hybrid_documents,
         "token_budget_mixture_documents": token_budget_mixture_documents,
         "hamming_topk_embeddings": hamming_topk_embeddings,
+        "mrl_search_embeddings": mrl_search_embeddings,
+        "hamming_rerank_embeddings": hamming_rerank_embeddings,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -4867,6 +4907,56 @@ _PENDING_ORACLES: dict[str, str] = {
             FROM b, q WHERE b.vec_id <> 0)
         SELECT vec_id, hamming FROM d
         ORDER BY hamming, vec_id LIMIT 10
+    """,
+    "mrl_search_embeddings": """
+        -- Matryoshka prefix retrieval: cosine over the first 16 dims
+        WITH s AS (SELECT vec_id,
+                          (embedding::DOUBLE[])[1:16] AS e
+                   FROM embeddings),
+        q AS (SELECT e FROM s WHERE vec_id = 0),
+        d AS (SELECT s.vec_id,
+                     round(list_dot_product(s.e, q.e)
+                           / (sqrt(list_dot_product(s.e, s.e))
+                              * sqrt(list_dot_product(q.e, q.e))), 4)
+                         AS similarity_mrl
+              FROM s, q WHERE s.vec_id <> 0)
+        SELECT vec_id, similarity_mrl FROM d
+        ORDER BY similarity_mrl DESC, vec_id LIMIT 10
+    """,
+    "hamming_rerank_embeddings": """
+        -- Hamming top-50 shortlist, exact-dot rerank to top-10
+        WITH b AS (
+            SELECT vec_id,
+                   list_transform(
+                       generate_series(0, (len(embedding) - 1) // 32),
+                       w -> CAST(list_sum(list_transform(
+                           generate_series(0, 31),
+                           j -> CASE WHEN w * 32 + j + 1
+                                          <= len(embedding)
+                                      AND CAST(embedding[w * 32 + j + 1]
+                                               AS DOUBLE) > 0
+                                THEN (1::BIGINT << j)
+                                ELSE 0::BIGINT END))
+                           AS BIGINT)) AS bits
+            FROM embeddings),
+        qb AS (SELECT bits FROM b WHERE vec_id = 0),
+        d AS (
+            SELECT b.vec_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, len(b.bits)),
+                       i -> bit_count(xor(b.bits[i], qb.bits[i]))))
+                       AS INT) AS hamming
+            FROM b, qb WHERE b.vec_id <> 0),
+        short AS (SELECT vec_id, hamming FROM d
+                  ORDER BY hamming, vec_id LIMIT 50),
+        qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT s.vec_id, s.hamming,
+               round(list_dot_product(e.embedding::DOUBLE[],
+                                      qv.embedding::DOUBLE[]), 4)
+                   AS similarity
+        FROM short s
+        JOIN embeddings e ON e.vec_id = s.vec_id, qv
+        ORDER BY similarity DESC, s.vec_id LIMIT 10
     """,
     "token_budget_mixture_documents": """
         -- per-source token-budget greedy fill in LCG-hash order;

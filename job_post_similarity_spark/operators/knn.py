@@ -1086,3 +1086,74 @@ def mmr_rerank(
         .applyInPandas(pick, out_schema)
         .orderBy(query_col, "mmr_rank")
     )
+
+
+def matryoshka_truncate(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "embedding_mrl",
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022): keep the first
+    ``dim`` components and (by default) L2-renormalize — the
+    adaptive-retrieval trick MRL-trained embedders support, where a
+    prefix of the vector is itself a valid lower-fidelity embedding.
+    The serving pattern: coarse search in the truncated space, exact
+    rerank in the full space (compose with ``knn_join`` /
+    ``hamming_topk``).
+
+    Pure map-side ``slice`` + fixed-shape renorm expression (the
+    ``l2_normalize`` fold) — no shuffle, codegen, and engine-exact
+    up to the documented round policy (callers round for oracles).
+    Vectors shorter than ``dim`` are kept whole (slice clamps).
+    """
+    from job_post_similarity_spark.functions.vectors import l2_normalize
+
+    sliced = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    out = l2_normalize(sliced) if renormalize else sliced
+    return df.select(F.col(id_col), out.alias(out_col))
+
+
+def hamming_rerank_topk(
+    df: DataFrame,
+    query_id: int,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The binary-retrieval SERVING composition: Hamming shortlist
+    over sign-bit codes (1 bit/dim scan), then exact-float cosine
+    rerank of only the shortlist — how binary quantization is used in
+    production vector stores (the bit scan prunes 97%+ of float
+    work; the rerank restores float-accurate ordering).
+
+    Both stages are engine-exact (sign-bit pack + xor/bit_count;
+    JVM-fold dot rounded at 4dp), so the composed operator is
+    oracle-checkable — rare for a two-stage ANN serving path.
+    Output: ``(id, hamming, similarity)`` top-k by (similarity desc,
+    id), shortlist joined back to the float table by id (semi-join
+    sized ``shortlist``, broadcast).
+    """
+    from job_post_similarity_spark.functions.vectors import dot
+
+    bits = binary_quantize(df, id_col=id_col, vec_col=vec_col)
+    short = hamming_topk(
+        bits, query_id, k=shortlist, id_col=id_col
+    )
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    return (
+        df.join(F.broadcast(short), id_col)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            "hamming",
+            F.round(dot(vec_col, "__qvec"), 4).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2960,3 +2960,59 @@ def test_binary_quantize_ragged_dim(spark):
     expect_w0 = sum(1 << j for j in range(32) if j % 3 == 0)
     expect_w1 = sum(1 << j for j in range(3) if (32 + j) % 3 == 0)
     assert row["bits"] == [expect_w0, expect_w1]
+
+
+def test_matryoshka_truncate_renorm_and_clamp(spark):
+    import math
+
+    from job_post_similarity_spark.operators.knn import (
+        matryoshka_truncate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 1.0, 2.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["embedding_mrl"]
+        for r in matryoshka_truncate(df, 2).collect()
+    }
+    # (3,4) renormalized -> (0.6, 0.8)
+    assert [round(x, 6) for x in out[1]] == [0.6, 0.8]
+    # shorter vector kept whole, renorm no-op on unit vector
+    assert out[2] == [1.0, 0.0]
+    for v in out.values():
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
+
+
+def test_hamming_rerank_matches_bruteforce_shortlist(spark, embeddings):
+    import numpy as np
+
+    from job_post_similarity_spark.operators.knn import (
+        hamming_rerank_topk,
+    )
+
+    got = [
+        (r["vec_id"], r["hamming"], r["similarity"])
+        for r in hamming_rerank_topk(
+            embeddings, query_id=0, shortlist=50, k=10
+        ).collect()
+    ]
+    V = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in embeddings.collect()
+    }
+    qb = V[0] > 0
+    ham = sorted(
+        (int(((v > 0) != qb).sum()), i)
+        for i, v in V.items()
+        if i != 0
+    )[:50]
+    rer = sorted(
+        (
+            (-round(float(V[i] @ V[0]), 4), i, h)
+            for h, i in ham
+        )
+    )[:10]
+    expect = [(i, h, -s) for s, i, h in rer]
+    assert got == expect
