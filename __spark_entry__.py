@@ -4176,6 +4176,65 @@ def hamming_rerank_embeddings(
     return knn.hamming_rerank_topk(emb, query_id=0, shortlist=50, k=10)
 
 
+def keep_best_dedup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Representative selection over blocking clusters: cluster on
+    the md5 fingerprint of the first-5-token prefix (the classic ER
+    blocking key — the full-text fingerprint yields only singleton
+    clusters on this corpus, which would leave the quality ordering
+    unexercised), keep the highest-quality member per cluster
+    (integer-basis-point quality score; ties lowest id). Output =
+    survivors with their cluster size. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.dedup import (
+        keep_best_in_cluster,
+    )
+    from job_post_similarity_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    prefix_fp = F.md5(
+        F.array_join(
+            F.slice(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                ),
+                1,
+                5,
+            ),
+            " ",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        prefix_fp.alias("fp"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    out = keep_best_in_cluster(docs, "fp", "q", "doc_id")
+    return (
+        out.filter(F.col("keep"))
+        .select("doc_id", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+def fim_transform_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIM (fill-in-the-middle) target construction: deterministic
+    LCG split into prefix/middle/suffix, PSM-format output string —
+    integer split arithmetic and the rendered string both
+    engine-exact. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.curation import (
+        fim_transform,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fim_transform(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4389,6 +4448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_topk_embeddings": hamming_topk_embeddings,
         "mrl_search_embeddings": mrl_search_embeddings,
         "hamming_rerank_embeddings": hamming_rerank_embeddings,
+        "keep_best_dedup_documents": keep_best_dedup_documents,
+        "fim_transform_documents": fim_transform_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -4907,6 +4968,81 @@ _PENDING_ORACLES: dict[str, str] = {
             FROM b, q WHERE b.vec_id <> 0)
         SELECT vec_id, hamming FROM d
         ORDER BY hamming, vec_id LIMIT 10
+    """,
+    "keep_best_dedup_documents": f"""
+        -- 5-token-prefix blocking clusters; survivor = highest
+        -- integer-bp quality, ties lowest id
+        WITH base AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice(
+                       list_filter(string_split_regex(
+                           trim(lower(text)), '\\s+'),
+                           x -> x <> ''), 1, 5), ' ')) AS fp,
+                   (least(CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(string_split_regex(trim(text),
+                                                           '\\s+'))
+                          END * 80, 4000)
+                    + CASE WHEN len(string_split_regex(
+                                trim(lower(text)), '\\s+')) > 0
+                           THEN least(CAST(floor(
+                               len(list_filter(
+                                   string_split_regex(
+                                       trim(lower(text)), '\\s+'),
+                                   t -> list_contains(
+                                       {_EN_MARKERS_SQL}, t)))
+                               * 15000
+                               / len(string_split_regex(
+                                     trim(lower(text)), '\\s+')))
+                               AS BIGINT), 3000)
+                           ELSE 0 END
+                    + CASE WHEN length(text) > 0
+                           THEN 3000 - CAST(floor(
+                               (length(text)
+                                - length(regexp_replace(
+                                      text, '[^\\w\\s]', '', 'g')))
+                               * 3000 / length(text)) AS BIGINT)
+                           ELSE 3000 END) AS bp
+            FROM documents),
+        r AS (SELECT doc_id,
+                     row_number() OVER (PARTITION BY fp
+                         ORDER BY bp DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY fp) AS n_dups
+              FROM base)
+        SELECT doc_id, CAST(n_dups AS BIGINT) AS n_dups
+        FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+    "fim_transform_documents": """
+        -- deterministic FIM split: chained LCG draws, PSM render
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text),
+                                                  '\\s+'),
+                               x -> x <> '') AS tk,
+                   ((doc_id % 2147483648 + 2147483648) % 2147483648
+                    * 1103515245 + 12345) % 2147483648 AS h1
+            FROM documents),
+        t2 AS (SELECT doc_id, tk, len(tk) AS n,
+                      ((h1 * 1103515245 + 12345) % 2147483648
+                       + 2147483648) % 2147483648 AS h2, h1
+               FROM t),
+        s AS (SELECT doc_id, tk, n, h2,
+                     CASE WHEN n >= 3 THEN 1 + (h1 % (n - 2))
+                          ELSE n END AS p
+              FROM t2),
+        s2 AS (SELECT doc_id, tk, n, p,
+                      CASE WHEN n >= 3 THEN 1 + (h2 % (n - p - 1))
+                           ELSE 0 END AS m
+               FROM s)
+        SELECT doc_id, CAST(n AS INT) AS n_tokens,
+               CAST(p AS BIGINT) AS prefix_len,
+               CAST(m AS BIGINT) AS middle_len,
+               CAST(n - p - m AS BIGINT) AS suffix_len,
+               '<PRE>' || array_to_string(list_slice(tk, 1, p), ' ')
+               || '<SUF>' || array_to_string(
+                      list_slice(tk, p + m + 1, n), ' ')
+               || '<MID>' || array_to_string(
+                      list_slice(tk, p + 1, p + m), ' ') AS fim_text
+        FROM s2 ORDER BY doc_id
     """,
     "mrl_search_embeddings": """
         -- Matryoshka prefix retrieval: cosine over the first 16 dims

@@ -396,3 +396,84 @@ def dsir_weights(
         .select(F.col("__id").alias(id_col), "n_tokens", "w6")
     )
     return out
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle training-target construction (Bavarian et
+    al. 2022, the code-LM data prep): split each document's token
+    stream into (prefix, middle, suffix) at DETERMINISTIC positions
+    and emit the PSM-format string
+    ``<PRE>prefix<SUF>suffix<MID>middle`` — the model learns to
+    infill by predicting the middle after seeing both sides.
+
+    Split positions come from the engine-agnostic LCG hash of the id
+    (chained once for the second draw), NOT an RNG: the same document
+    gets the same split on every run, engine, and partitioning —
+    retry-safe at 100 TB and exactly replayable by an oracle.
+    ``prefix_len ∈ [1, n−2]``, ``middle_len ∈ [1, n−prefix−1]``, so
+    all three parts are non-empty whenever the document has ≥ 3
+    tokens; shorter documents pass through un-split
+    (prefix = whole text, middle/suffix empty).
+
+    Pure map-side expression — token split, two modular draws, three
+    array slices, one concat; no shuffle, no Python.
+    """
+    from .sampling import _INC, _MOD, _MULT, hash_bucket
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    h1 = hash_bucket(F.col(id_col))
+    h2 = F.pmod(h1 * F.lit(_MULT) + F.lit(_INC), F.lit(_MOD))
+    t = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        h1.alias("__h1"),
+        h2.alias("__h2"),
+    ).withColumn("n_tokens", F.size("__t"))
+    n = F.col("n_tokens")
+    p = F.when(
+        n >= 3, F.lit(1) + F.pmod(F.col("__h1"), (n - 2).cast("long"))
+    ).otherwise(n.cast("long"))
+    t = t.withColumn("prefix_len", p)
+    m = F.when(
+        n >= 3,
+        F.lit(1)
+        + F.pmod(F.col("__h2"), (n.cast("long") - F.col("prefix_len") - 1)),
+    ).otherwise(F.lit(0))
+    t = t.withColumn("middle_len", m)
+    t = t.withColumn(
+        "suffix_len",
+        n.cast("long") - F.col("prefix_len") - F.col("middle_len"),
+    )
+    pre = F.array_join(
+        F.expr("slice(__t, 1, CAST(prefix_len AS INT))"), " "
+    )
+    mid = F.array_join(
+        F.expr(
+            "slice(__t, CAST(prefix_len + 1 AS INT),"
+            " CAST(middle_len AS INT))"
+        ),
+        " ",
+    )
+    suf = F.array_join(
+        F.expr(
+            "slice(__t, CAST(prefix_len + middle_len + 1 AS INT),"
+            " CAST(suffix_len AS INT))"
+        ),
+        " ",
+    )
+    return t.select(
+        id_col,
+        "n_tokens",
+        "prefix_len",
+        "middle_len",
+        "suffix_len",
+        F.concat(
+            F.lit("<PRE>"), pre, F.lit("<SUF>"), suf, F.lit("<MID>"), mid
+        ).alias("fim_text"),
+    )

@@ -1434,3 +1434,36 @@ def sorted_neighborhood_pairs(
         "id_a", "id_b", "key_a", "key_b",
         *(["dist"] if max_dist is not None else []),
     ).orderBy("id_a", "id_b")
+
+
+def keep_best_in_cluster(
+    df: DataFrame,
+    cluster_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Representative selection for dedup: keep the HIGHEST-SCORING
+    member of each duplicate cluster (ties on the lowest id) — what
+    production dedup actually does once a quality signal exists
+    (keep-first / keep-min-id discards information; keeping the best
+    exemplar is the C4/FineWeb-style policy for exact and near-dup
+    clusters alike).
+
+    One window over the cluster key (single hash shuffle — the same
+    cost class as the clustering step that produced the key).
+    Output: the input columns plus ``n_dups`` (cluster size) and
+    ``keep`` (true for the representative). Filter ``keep`` for the
+    survivor set; keep the full table for audit trails.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    wc = Window.partitionBy(cluster_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(wc))
+        .withColumn("keep", F.col("__rn") == 1)
+        .drop("__rn")
+    )

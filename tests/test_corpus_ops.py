@@ -3016,3 +3016,68 @@ def test_hamming_rerank_matches_bruteforce_shortlist(spark, embeddings):
     )[:10]
     expect = [(i, h, -s) for s, i, h in rer]
     assert got == expect
+
+
+def test_keep_best_in_cluster_planted(spark):
+    from job_post_similarity_spark.operators.dedup import (
+        keep_best_in_cluster,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.5),
+            (2, "a", 0.9),   # best in cluster a
+            (3, "a", 0.9),   # same score, higher id -> loses tie
+            (4, "b", 0.1),   # singleton
+        ],
+        "doc_id long, fp string, q double",
+    )
+    rows = {
+        r["doc_id"]: (r["n_dups"], r["keep"])
+        for r in keep_best_in_cluster(df, "fp", "q", "doc_id").collect()
+    }
+    assert rows[2] == (3, True)
+    assert rows[3] == (3, False)
+    assert rows[1] == (3, False)
+    assert rows[4] == (1, True)
+
+
+def test_fim_transform_properties(spark, documents):
+    from job_post_similarity_spark.operators.curation import (
+        fim_transform,
+    )
+
+    rows = fim_transform(documents).collect()
+    for r in rows:
+        assert (
+            r["prefix_len"] + r["middle_len"] + r["suffix_len"]
+            == r["n_tokens"]
+        )
+        if r["n_tokens"] >= 3:
+            assert r["prefix_len"] >= 1
+            assert r["middle_len"] >= 1
+            assert r["suffix_len"] >= 1
+        else:
+            assert r["middle_len"] == 0 and r["suffix_len"] == 0
+        assert r["fim_text"].startswith("<PRE>")
+        assert "<SUF>" in r["fim_text"] and "<MID>" in r["fim_text"]
+    # deterministic across invocations
+    again = fim_transform(documents).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_fim_transform_short_doc_passthrough(spark):
+    from job_post_similarity_spark.operators.curation import (
+        fim_transform,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    assert rows[1]["fim_text"] == "<PRE>only two<SUF><MID>"
+    assert rows[2]["fim_text"] == "<PRE>one<SUF><MID>"
+    r3 = rows[3]
+    assert r3["prefix_len"] == 1 and r3["middle_len"] == 1
+    assert r3["fim_text"] == "<PRE>a<SUF>c<MID>b"
