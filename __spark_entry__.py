@@ -4235,6 +4235,30 @@ def fim_transform_documents(
     return fim_transform(docs).orderBy("doc_id")
 
 
+def bpe_train_encode_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END tokenizer pipeline gate: train 3 BPE merges with
+    the distributed trainer, then ENCODE the whole corpus with the
+    JVM replace-chain encoder (bpe_encode_expr) — per-doc subword
+    counts. The oracle recomputes the merges (the trainer CTEs) and
+    replays the same replace chain, so training AND encoding are
+    value-hash-graded as one pipeline. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_encode_expr,
+        bpe_train_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mrows = sorted(
+        bpe_train_distributed(docs, num_merges=3).collect(),
+        key=lambda r: r["step"],
+    )
+    merges = [(r["sym_left"], r["sym_right"]) for r in mrows]
+    return bpe_encode_expr(docs, merges).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4450,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_rerank_embeddings": hamming_rerank_embeddings,
         "keep_best_dedup_documents": keep_best_dedup_documents,
         "fim_transform_documents": fim_transform_documents,
+        "bpe_train_encode_documents": bpe_train_encode_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -4661,6 +4686,70 @@ _PPL_CORE = """
 """
 
 
+# Shared CTE chain for the distributed-BPE-trainer oracles: weighted
+# word table -> double-separator encoding -> 3 unrolled
+# (pair-count, argmax, replace) merge iterations. Ends with CTEs
+# m0/m1/m2 (the merges) and v0 (the encoded vocab) available.
+_BPE_TRAIN_CTES = """
+        words AS (
+            SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(
+                      trim(lower(text)), '\\s+')) AS w
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 1
+            GROUP BY w),
+        v0 AS (
+            SELECT '__' || array_to_string(
+                       list_transform(generate_series(1, length(w)),
+                           i -> CASE WHEN i = length(w)
+                                THEN substring(w, i, 1) || '</w>'
+                                ELSE substring(w, i, 1) END),
+                       '__') || '__' AS enc,
+                   cnt
+            FROM words),
+        p0 AS (
+            SELECT pr[1] AS l, pr[2] AS r,
+                   CAST(sum(cnt) AS BIGINT) AS pair_count
+            FROM (SELECT unnest(list_transform(
+                      generate_series(1, len(ss) - 1),
+                      i -> [ss[i], ss[i+1]])) AS pr, cnt
+                  FROM (SELECT list_filter(string_split(enc, '_'),
+                                           x -> x <> '') AS ss, cnt
+                        FROM v0))
+            GROUP BY l, r HAVING sum(cnt) >= 2),
+        m0 AS (SELECT l, r, pair_count FROM p0
+               ORDER BY pair_count DESC, l, r LIMIT 1),
+        v1 AS (SELECT replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc, cnt
+               FROM v0, m0 m),
+        p1 AS (
+            SELECT pr[1] AS l, pr[2] AS r,
+                   CAST(sum(cnt) AS BIGINT) AS pair_count
+            FROM (SELECT unnest(list_transform(
+                      generate_series(1, len(ss) - 1),
+                      i -> [ss[i], ss[i+1]])) AS pr, cnt
+                  FROM (SELECT list_filter(string_split(enc, '_'),
+                                           x -> x <> '') AS ss, cnt
+                        FROM v1))
+            GROUP BY l, r HAVING sum(cnt) >= 2),
+        m1 AS (SELECT l, r, pair_count FROM p1
+               ORDER BY pair_count DESC, l, r LIMIT 1),
+        v2 AS (SELECT replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc, cnt
+               FROM v1, m1 m),
+        p2 AS (
+            SELECT pr[1] AS l, pr[2] AS r,
+                   CAST(sum(cnt) AS BIGINT) AS pair_count
+            FROM (SELECT unnest(list_transform(
+                      generate_series(1, len(ss) - 1),
+                      i -> [ss[i], ss[i+1]])) AS pr, cnt
+                  FROM (SELECT list_filter(string_split(enc, '_'),
+                                           x -> x <> '') AS ss, cnt
+                        FROM v2))
+            GROUP BY l, r HAVING sum(cnt) >= 2),
+        m2 AS (SELECT l, r, pair_count FROM p2
+               ORDER BY pair_count DESC, l, r LIMIT 1)"""
+
 # Oracles authored and locally verified this round, but NOT yet in
 # oracle_sql(): the graded window holds exactly 50 never-graded gates
 # already, and the repo invariant requires every oracle-backed entry
@@ -4866,7 +4955,7 @@ _PENDING_ORACLES: dict[str, str] = {
         FROM embeddings
         ORDER BY vec_id
     """,
-    "bpe_train_documents": """
+    "bpe_train_documents": f"""
         -- distributed BPE trainer, 3 merges unrolled: each step is
         -- (pair counts over the encoded vocab) -> argmax -> replace.
         -- The double-separator encoding ('__h__e__l__l__o</w>__')
@@ -4874,64 +4963,7 @@ _PENDING_ORACLES: dict[str, str] = {
         -- leftmost-greedy BPE: the pattern consumes only the inner
         -- half of each flanking separator, so the leftover halves
         -- anchor the next match like lookarounds.
-        WITH words AS (
-            SELECT w, count(*) AS cnt
-            FROM (SELECT unnest(string_split_regex(
-                      trim(lower(text)), '\\s+')) AS w
-                  FROM documents WHERE text IS NOT NULL)
-            WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 1
-            GROUP BY w),
-        v0 AS (
-            SELECT '__' || array_to_string(
-                       list_transform(generate_series(1, length(w)),
-                           i -> CASE WHEN i = length(w)
-                                THEN substring(w, i, 1) || '</w>'
-                                ELSE substring(w, i, 1) END),
-                       '__') || '__' AS enc,
-                   cnt
-            FROM words),
-        p0 AS (
-            SELECT pr[1] AS l, pr[2] AS r,
-                   CAST(sum(cnt) AS BIGINT) AS pair_count
-            FROM (SELECT unnest(list_transform(
-                      generate_series(1, len(ss) - 1),
-                      i -> [ss[i], ss[i+1]])) AS pr, cnt
-                  FROM (SELECT list_filter(string_split(enc, '_'),
-                                           x -> x <> '') AS ss, cnt
-                        FROM v0))
-            GROUP BY l, r HAVING sum(cnt) >= 2),
-        m0 AS (SELECT l, r, pair_count FROM p0
-               ORDER BY pair_count DESC, l, r LIMIT 1),
-        v1 AS (SELECT replace(enc, '_' || m.l || '__' || m.r || '_',
-                              '_' || m.l || m.r || '_') AS enc, cnt
-               FROM v0, m0 m),
-        p1 AS (
-            SELECT pr[1] AS l, pr[2] AS r,
-                   CAST(sum(cnt) AS BIGINT) AS pair_count
-            FROM (SELECT unnest(list_transform(
-                      generate_series(1, len(ss) - 1),
-                      i -> [ss[i], ss[i+1]])) AS pr, cnt
-                  FROM (SELECT list_filter(string_split(enc, '_'),
-                                           x -> x <> '') AS ss, cnt
-                        FROM v1))
-            GROUP BY l, r HAVING sum(cnt) >= 2),
-        m1 AS (SELECT l, r, pair_count FROM p1
-               ORDER BY pair_count DESC, l, r LIMIT 1),
-        v2 AS (SELECT replace(enc, '_' || m.l || '__' || m.r || '_',
-                              '_' || m.l || m.r || '_') AS enc, cnt
-               FROM v1, m1 m),
-        p2 AS (
-            SELECT pr[1] AS l, pr[2] AS r,
-                   CAST(sum(cnt) AS BIGINT) AS pair_count
-            FROM (SELECT unnest(list_transform(
-                      generate_series(1, len(ss) - 1),
-                      i -> [ss[i], ss[i+1]])) AS pr, cnt
-                  FROM (SELECT list_filter(string_split(enc, '_'),
-                                           x -> x <> '') AS ss, cnt
-                        FROM v2))
-            GROUP BY l, r HAVING sum(cnt) >= 2),
-        m2 AS (SELECT l, r, pair_count FROM p2
-               ORDER BY pair_count DESC, l, r LIMIT 1)
+        WITH {_BPE_TRAIN_CTES}
         SELECT * FROM (
             SELECT 1 AS step, l AS sym_left, r AS sym_right,
                    pair_count FROM m0
@@ -4940,6 +4972,55 @@ _PENDING_ORACLES: dict[str, str] = {
             UNION ALL
             SELECT 3, l, r, pair_count FROM m2)
         ORDER BY step
+    """,
+    "bpe_train_encode_documents": f"""
+        -- end-to-end tokenizer pipeline: recompute the 3 trained
+        -- merges (shared trainer CTEs), then ENCODE every document
+        -- word with the same replace chain (subword-nmt semantics:
+        -- each merge in rank order, all occurrences) and count
+        -- subword tokens per doc; non-[a-z]+ words count 1
+        WITH {_BPE_TRAIN_CTES},
+        docw AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(
+                       trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS w
+            FROM documents),
+        e0 AS (
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(w, '^[a-z]+$')
+                        THEN NULL ELSE 1 END AS fixed,
+                   CASE WHEN regexp_matches(w, '^[a-z]+$')
+                        THEN '__' || regexp_replace(
+                                 substring(w, 1, length(w) - 1),
+                                 '(.)', '\\1__', 'g')
+                             || substring(w, length(w), 1)
+                             || '</w>__'
+                   END AS enc
+            FROM docw),
+        e1 AS (SELECT doc_id, fixed,
+                      replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc
+               FROM e0, m0 m),
+        e2 AS (SELECT doc_id, fixed,
+                      replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc
+               FROM e1, m1 m),
+        e3 AS (SELECT doc_id, fixed,
+                      replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc
+               FROM e2, m2 m),
+        cnt AS (
+            SELECT doc_id,
+                   CAST(sum(coalesce(fixed,
+                       len(list_filter(string_split(enc, '_'),
+                                       x -> x <> '')))) AS INT)
+                       AS n_bpe_tokens
+            FROM e3 GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(c.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+        ORDER BY d.doc_id
     """,
     "hamming_topk_embeddings": """
         -- binary quantization (sign bits, 32 per long) + Hamming

@@ -1264,3 +1264,58 @@ def bpe_train_distributed(
         merges,
         "step int, sym_left string, sym_right string, pair_count bigint",
     )
+
+
+def bpe_encode_expr(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE ENCODING as a pure JVM expression — the oracle-checkable
+    twin of ``bpe_apply`` (pandas-UDF tier): subword-nmt's encode is
+    "apply each learned merge, in rank order, to all occurrences",
+    which under the double-separator encoding (see
+    ``bpe_train_distributed``) is literally a CHAIN of string
+    ``replace`` calls — leftmost-greedy per merge, rank order across
+    merges, exactly the semantics of the rank-priority loop in
+    ``bpe_apply`` (all rank-r merges happen before any rank-r+1
+    merge either way; property-tested equal).
+
+    Output: ``(id, n_bpe_tokens)`` — per-doc subword token count;
+    words outside the trained normalization (``^[a-z]+$``) count 1,
+    matching ``bpe_apply``. Map-side only, whole-stage codegen; the
+    expression depth grows with the merge-list length, so this tier
+    fits serving a SMALL high-frequency merge list (the 80/20 of
+    subword compression) — ``bpe_apply`` remains the tier for
+    full-size vocabularies.
+    """
+    for left, right in merges:
+        if not all(
+            c.isascii() and (c.islower() or c in "</w>")
+            for c in left + right
+        ):
+            raise ValueError(f"unexpected merge symbols: {left!r} {right!r}")
+    # '__h__e__l__l__o</w>__' — end-of-word marker on the last symbol
+    enc = (
+        "concat('__', regexp_replace(substring(w, 1, length(w) - 1),"
+        " '(.)', '$1__'), substring(w, length(w), 1), '</w>__')"
+    )
+    chain = enc
+    for left, right in merges:
+        chain = (
+            f"replace({chain}, '_{left}__{right}_', '_{left}{right}_')"
+        )
+    words_expr = F.expr(
+        f"""aggregate(
+              filter(split(trim(lower({text_col})), '\\\\s+'),
+                     x -> x <> ''),
+              0,
+              (acc, w) -> acc + IF(
+                w rlike '^[a-z]+$',
+                size(filter(split({chain}, '_'), x -> x <> '')),
+                1))"""
+    )
+    return df.select(
+        F.col(id_col), words_expr.cast("int").alias("n_bpe_tokens")
+    )

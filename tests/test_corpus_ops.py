@@ -3081,3 +3081,33 @@ def test_fim_transform_short_doc_passthrough(spark):
     r3 = rows[3]
     assert r3["prefix_len"] == 1 and r3["middle_len"] == 1
     assert r3["fim_text"] == "<PRE>a<SUF>c<MID>b"
+
+
+def test_bpe_encode_expr_matches_pandas_udf_tier(spark, documents):
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_apply,
+        bpe_encode_expr,
+        bpe_train,
+    )
+
+    merges = bpe_train(documents, num_merges=8)
+    a = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_expr(documents, merges).collect()
+    }
+    b = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_apply(documents, merges).collect()
+    }
+    assert a == b
+
+
+def test_bpe_encode_expr_rejects_unsafe_merge_symbols(spark, documents):
+    import pytest as _pytest
+
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_encode_expr,
+    )
+
+    with _pytest.raises(ValueError):
+        bpe_encode_expr(documents, [("a'b", "c")])
