@@ -57,6 +57,13 @@ HEADLINE = [
     # round-4 third-session additions
     "semantic_dedup_embeddings",
     "dsir_weights_documents",
+    # round-4 fourth-session additions
+    "rrf_hybrid_documents",
+    "hamming_rerank_embeddings",
+    "fim_transform_documents",
+    "token_budget_mixture_documents",
+    "keep_best_dedup_documents",
+    "bpe_train_encode_documents",
 ]
 
 

@@ -372,3 +372,81 @@ def test_pagerank_fast_path_skips_node_list(spark):
     # the contribution subplan.
     out = pagerank(edges, iterations=1, every_node_receives=True)
     assert out.count() > 0
+
+
+def test_binary_quantize_no_exchange(spark):
+    """Sign-bit packing is a pure map-side expression: zero shuffles,
+    and the scan reads only the two needed columns."""
+    from job_post_similarity_spark.operators.knn import binary_quantize
+    from job_post_similarity_spark.sources.io import load_table
+
+    spark.catalog.clearCache()
+    df = binary_quantize(load_table(spark, SF_DIR, "embeddings"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert _nodes(plan, "Exchange") == 0
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "label" not in read_schema
+
+
+def test_fim_transform_no_exchange(spark):
+    """FIM split is map-side only — token split, modular draws,
+    slices, concat; no shuffle anywhere in the plan."""
+    plan = _plan(spark, "fim_transform_documents")
+    # the gate adds an orderBy for deterministic output; allow only
+    # the final sort's range exchange, nothing upstream of it
+    assert _nodes(plan, "Exchange") <= 1
+
+
+def test_rrf_fuse_single_aggregate_shuffle(spark):
+    """RRF fusion over producer-bounded lists: the fused aggregate
+    and the final TakeOrdered must not add more than the expected
+    exchanges (one per rank window input + one fuse aggregate)."""
+    plan = _plan(spark, "rrf_hybrid_documents")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_token_budget_mixture_single_window_shuffle(spark):
+    """One hash exchange for the per-source window (plus the gate's
+    deterministic output sort) — the fact table is shuffled once."""
+    from job_post_similarity_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+    from job_post_similarity_spark.sources.io import load_table
+
+    spark.catalog.clearCache()
+    df = token_budget_mixture(
+        load_table(spark, SF_DIR, "documents"), {"src0": 300}
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_keep_best_single_cluster_shuffle(spark):
+    """Both windows (rank + cluster size) share the cluster-key
+    partitioning: exactly one hash exchange."""
+    from job_post_similarity_spark.operators.dedup import (
+        keep_best_in_cluster,
+    )
+    from job_post_similarity_spark.sources.io import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.length("text").alias("q"),
+    )
+    df = keep_best_in_cluster(docs, "fp", "q", "doc_id")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert _nodes(plan, "Exchange") == 1
