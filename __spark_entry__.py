@@ -4259,6 +4259,17 @@ def bpe_train_encode_documents(
     return bpe_encode_expr(docs, merges).orderBy("doc_id")
 
 
+def kcenter_coreset_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy k-center coreset, k=4: seed = lowest id, then 3
+    farthest-point selections on 4dp-rounded cosine distance (ties
+    lowest id) — the whole greedy loop is engine-exact, oracle =
+    unrolled argmax CTEs. (Oracle staged in _PENDING_ORACLES.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn.kcenter_select(emb, k=4).orderBy("sel_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4475,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_best_dedup_documents": keep_best_dedup_documents,
         "fim_transform_documents": fim_transform_documents,
         "bpe_train_encode_documents": bpe_train_encode_documents,
+        "kcenter_coreset_embeddings": kcenter_coreset_embeddings,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -5124,6 +5136,39 @@ _PENDING_ORACLES: dict[str, str] = {
                || '<MID>' || array_to_string(
                       list_slice(tk, p + 1, p + m), ' ') AS fim_text
         FROM s2 ORDER BY doc_id
+    """,
+    "kcenter_coreset_embeddings": """
+        -- greedy k-center, k=4: seed = lowest id; each step picks
+        -- argmax of the running min 4dp cosine distance (ties lowest
+        -- id) and least-updates distances against the new center
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+        d1 AS (SELECT e.vec_id, e.v,
+                      round(1.0 - list_dot_product(e.v, c1.v), 4) AS d
+               FROM e, c1 WHERE e.vec_id <> c1.vec_id),
+        c2 AS (SELECT vec_id, v, d FROM d1
+               ORDER BY d DESC, vec_id LIMIT 1),
+        d2 AS (SELECT d1.vec_id, d1.v,
+                      least(d1.d,
+                            round(1.0 - list_dot_product(d1.v, c2.v),
+                                  4)) AS d
+               FROM d1, c2 WHERE d1.vec_id <> c2.vec_id),
+        c3 AS (SELECT vec_id, v, d FROM d2
+               ORDER BY d DESC, vec_id LIMIT 1),
+        d3 AS (SELECT d2.vec_id, d2.v,
+                      least(d2.d,
+                            round(1.0 - list_dot_product(d2.v, c3.v),
+                                  4)) AS d
+               FROM d2, c3 WHERE d2.vec_id <> c3.vec_id),
+        c4 AS (SELECT vec_id, v, d FROM d3
+               ORDER BY d DESC, vec_id LIMIT 1)
+        SELECT * FROM (
+            SELECT 1 AS sel_rank, vec_id, 0.0 AS dist FROM c1
+            UNION ALL SELECT 2, vec_id, d FROM c2
+            UNION ALL SELECT 3, vec_id, d FROM c3
+            UNION ALL SELECT 4, vec_id, d FROM c4)
+        ORDER BY sel_rank
     """,
     "mrl_search_embeddings": """
         -- Matryoshka prefix retrieval: cosine over the first 16 dims

@@ -1157,3 +1157,84 @@ def hamming_rerank_topk(
         .orderBy(F.desc("similarity"), F.asc(id_col))
         .limit(k)
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the
+    diversity-pruning primitive in training-data curation — pick the
+    k most mutually-distant exemplars, a 2-approximation of the
+    optimal cover): seed with the LOWEST id, then repeatedly add the
+    point FARTHEST from the chosen set (max-min cosine distance).
+
+    Determinism policy: distances are ``round(1 − dot, 4)`` (the
+    repo-wide 4dp cosine policy) BEFORE the argmax, ties break on the
+    lowest id — so the selected sequence is engine-exact and the
+    whole greedy loop is oracle-checkable by unrolled argmax CTEs.
+
+    Scale shape: the running min-distance column is maintained
+    distributed (one map-side ``least`` update per iteration against
+    the single broadcast newest center — NOT recomputed from the
+    whole chosen set); each iteration costs one scan + a 1-row
+    TakeOrdered collect, the PageRank/Lloyd driver-loop shape, k
+    iterations total. Peak driver state is the k chosen vectors.
+
+    Output: ``(sel_rank, id, dist)`` — selection order, chosen id,
+    and the max-min distance at selection time (0.0 for the seed).
+    """
+    first = (
+        df.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(1)
+        .collect()[0]
+    )
+    chosen: list[tuple[int, object, float]] = [(1, first[id_col], 0.0)]
+    spark = df.sparkSession
+
+    def dist_to(vec_lit):
+        arr = F.array(*[F.lit(float(x)) for x in vec_lit])
+        return F.round(
+            F.lit(1.0) - V.dot(F.col(vec_col).cast("array<double>"), arr),
+            4,
+        )
+
+    cur = (
+        df.select(id_col, vec_col)
+        .filter(F.col(id_col) != first[id_col])
+        .withColumn("__d", dist_to(first[vec_col]))
+        .persist()
+    )
+    cur.count()
+    try:
+        for rank in range(2, k + 1):
+            far = (
+                cur.orderBy(F.desc("__d"), F.asc(id_col))
+                .limit(1)
+                .collect()
+            )
+            if not far:
+                break
+            row = far[0]
+            chosen.append((rank, row[id_col], float(row["__d"])))
+            vec = (
+                df.filter(F.col(id_col) == row[id_col])
+                .select(vec_col)
+                .collect()[0][0]
+            )
+            nxt = (
+                cur.filter(F.col(id_col) != row[id_col])
+                .withColumn("__d", F.least(F.col("__d"), dist_to(vec)))
+                .persist()
+            )
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        chosen, f"sel_rank int, {id_col} long, dist double"
+    )

@@ -3111,3 +3111,37 @@ def test_bpe_encode_expr_rejects_unsafe_merge_symbols(spark, documents):
 
     with _pytest.raises(ValueError):
         bpe_encode_expr(documents, [("a'b", "c")])
+
+
+def test_kcenter_select_greedy_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    from job_post_similarity_spark.operators.knn import kcenter_select
+
+    got = [
+        (r["sel_rank"], r["vec_id"], r["dist"])
+        for r in kcenter_select(embeddings, k=5).collect()
+    ]
+    V = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in embeddings.collect()
+    }
+    ids = sorted(V)
+    chosen = [ids[0]]
+    dist = {
+        i: round(1.0 - float(V[i] @ V[ids[0]]), 4)
+        for i in ids
+        if i != ids[0]
+    }
+    expect = [(1, ids[0], 0.0)]
+    for rank in range(2, 6):
+        far = max(((d, -i) for i, d in dist.items()))
+        pick = -far[1]
+        expect.append((rank, pick, dist[pick]))
+        del dist[pick]
+        for i in dist:
+            dist[i] = min(
+                dist[i], round(1.0 - float(V[i] @ V[pick]), 4)
+            )
+        chosen.append(pick)
+    assert got == sorted(expect)
