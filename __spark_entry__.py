@@ -4270,6 +4270,28 @@ def kcenter_coreset_embeddings(
     return knn.kcenter_select(emb, k=4).orderBy("sel_rank")
 
 
+def minhash_banded_oracle_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded MinHash+LSH near-dup, deterministic oracle tier
+    (md5-prefix shingle codes instead of the production tier's
+    Spark-only xxhash64): shingle → 16 universal-hash lanes → 4-band
+    keys → per-band candidates → exact-Jaccard ppm verify. A green
+    hash here proves the banding ALGORITHM end-to-end, complementing
+    the production tier's recall tests. doc_id < 200 bounds the
+    oracle's quadratic verify. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.dedup import (
+        minhash_near_dup_pairs_oracle_tier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    return minhash_near_dup_pairs_oracle_tier(
+        docs, threshold_ppm=300_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4487,6 +4509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform_documents": fim_transform_documents,
         "bpe_train_encode_documents": bpe_train_encode_documents,
         "kcenter_coreset_embeddings": kcenter_coreset_embeddings,
+        "minhash_banded_oracle_documents": minhash_banded_oracle_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -4696,6 +4719,19 @@ _PPL_CORE = """
                                          / (n_bigrams * 1e6))), 4) AS ppl
                       FROM per)
 """
+
+
+def _minhash_coeffs_sql(num_hashes: int = 16, seed: int = 1) -> str:
+    """DuckDB struct-literal list of the universal-hash coefficients —
+    generated from the SAME schedule as dedup.minhash_signature /
+    minhash_near_dup_pairs_oracle_tier so the two cannot drift."""
+    mod = 2**31 - 1
+    parts = []
+    for i in range(num_hashes):
+        a = (seed * 1_000_003 + i * 7_919) % mod or 1
+        b = (seed * 7_907 + i * 104_729) % mod
+        parts.append(f"{{'a': {a}, 'b': {b}}}")
+    return "[" + ", ".join(parts) + "]"
 
 
 # Shared CTE chain for the distributed-BPE-trainer oracles: weighted
@@ -5136,6 +5172,70 @@ _PENDING_ORACLES: dict[str, str] = {
                || '<MID>' || array_to_string(
                       list_slice(tk, p + 1, p + m), ' ') AS fim_text
         FROM s2 ORDER BY doc_id
+    """,
+    "minhash_banded_oracle_documents": f"""
+        -- banded MinHash+LSH with md5-prefix shingle codes: the
+        -- exact coefficient schedule, banding, and ppm verify of
+        -- the Spark oracle tier
+        WITH d AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE doc_id < 200),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) >= 3 THEN
+                       list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + 2), ' '))
+                       ELSE [] END) AS g
+            FROM d),
+        shf AS (SELECT doc_id, g FROM sh WHERE len(g) > 0),
+        codes AS (
+            SELECT doc_id, g,
+                   list_transform(g, s ->
+                       CAST(concat('0x', substr(md5(s), 1, 14))
+                            AS BIGINT) % 2147483647) AS cs
+            FROM shf),
+        sig AS (
+            SELECT doc_id, g,
+                   list_transform({_minhash_coeffs_sql()},
+                       ab -> list_min(list_transform(cs,
+                           x -> (x * ab.a + ab.b) % 2147483647)))
+                       AS sg
+            FROM codes),
+        banded AS (
+            SELECT doc_id, b AS band,
+                   array_to_string(
+                       list_slice(sg, b * 4 + 1, b * 4 + 4), '-')
+                       AS key
+            FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.key = y.key
+             AND x.doc_id < y.doc_id),
+        ex AS (SELECT doc_id AS gid, unnest(g) AS s FROM shf),
+        inter AS (
+            SELECT c.id1, c.id2, count(*) AS n_inter
+            FROM cands c
+            JOIN ex a ON a.gid = c.id1
+            JOIN ex b ON b.gid = c.id2 AND a.s = b.s
+            GROUP BY c.id1, c.id2),
+        sizes AS (SELECT doc_id AS gid, len(g) AS n FROM shf),
+        j AS (
+            SELECT c.id1, c.id2,
+                   (1000000 * coalesce(i.n_inter, 0))
+                   // (s1.n + s2.n - coalesce(i.n_inter, 0))
+                       AS jaccard_ppm
+            FROM cands c
+            LEFT JOIN inter i
+              ON i.id1 = c.id1 AND i.id2 = c.id2
+            JOIN sizes s1 ON s1.gid = c.id1
+            JOIN sizes s2 ON s2.gid = c.id2)
+        SELECT id1, id2, jaccard_ppm FROM j
+        WHERE jaccard_ppm >= 300000
+        ORDER BY id1, id2
     """,
     "kcenter_coreset_embeddings": """
         -- greedy k-center, k=4: seed = lowest id; each step picks

@@ -1467,3 +1467,143 @@ def keep_best_in_cluster(
         .withColumn("keep", F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def minhash_near_dup_pairs_oracle_tier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold_ppm: int = 500_000,
+    seed: int = 1,
+) -> DataFrame:
+    """Banded MinHash+LSH near-dup with EVERY step replayable by an
+    independent SQL engine — the deterministic oracle twin of the
+    production ``minhash_near_dup_pairs`` (which uses ``xxhash64``
+    shingle codes, a Spark-only hash; this tier uses the md5-prefix
+    code from the DSIR/rolling-fingerprint family so DuckDB computes
+    identical signatures). Same algorithm end-to-end: shingle →
+    universal-hash lanes (identical (a, b) coefficient schedule) →
+    band keys → per-band candidate pairs → exact-Jaccard verify on
+    candidates only. The production tier remains the hot path; a
+    green gate here hash-proves the ALGORITHM (banding recall shape,
+    verify arithmetic), not just its row counts.
+
+    Output: ``(id1, id2, jaccard_ppm)`` for candidate pairs whose
+    exact ppm Jaccard clears the threshold, sorted.
+    """
+    c = F.col(text_col)
+    shingles = word_ngrams(c, ngram)
+    codes = F.transform(
+        shingles,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long"),
+            F.lit(_MOD),
+        ),
+    )
+    coeffs = F.array(
+        *[
+            F.struct(
+                F.lit((seed * 1_000_003 + i * 7_919) % _MOD or 1).alias("a"),
+                F.lit((seed * 7_907 + i * 104_729) % _MOD).alias("b"),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    init = F.array(*[F.lit(_MOD).cast("long")] * num_hashes)
+    sig = F.aggregate(
+        codes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            coeffs,
+            lambda m, ab: F.least(m, (x % _MOD * ab["a"] + ab["b"]) % _MOD),
+        ),
+    )
+    rows_per_band = num_hashes // bands
+    # guard on the SHINGLE set, not the signature: an empty shingle
+    # set still folds to the init signature (all-_MOD lanes), which
+    # would band every short doc together and zero-divide the verify
+    base = (
+        df.filter(F.size(shingles) > 0)
+        .select(F.col(id_col).alias("id"), sig.alias("sig"))
+    )
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at(
+                                    "sig", b * rows_per_band + j + 1
+                                )
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    cands = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id1"), F.col("y.id").alias("id2")
+        )
+        .distinct()
+    )
+    grams = df.select(
+        F.col(id_col).alias("gid"), shingles.alias("g")
+    )
+    ex = grams.select("gid", F.explode("g").alias("s"))
+    inter = (
+        cands.join(ex.alias("a"), F.col("id1") == F.col("a.gid"))
+        .join(
+            ex.alias("b"),
+            (F.col("id2") == F.col("b.gid"))
+            & (F.col("a.s") == F.col("b.s")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = grams.select("gid", F.size("g").alias("n"))
+    jac = (
+        cands.join(inter, ["id1", "id2"], "left_outer")
+        .join(
+            sizes.select(
+                F.col("gid").alias("id1"), F.col("n").alias("n1")
+            ),
+            "id1",
+        )
+        .join(
+            sizes.select(
+                F.col("gid").alias("id2"), F.col("n").alias("n2")
+            ),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.expr(
+                "CAST(1000000 * coalesce(n_inter, 0) AS BIGINT)"
+                " DIV (n1 + n2 - coalesce(n_inter, 0))"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return (
+        jac.filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .orderBy("id1", "id2")
+    )

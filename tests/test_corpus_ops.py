@@ -3145,3 +3145,46 @@ def test_kcenter_select_greedy_matches_numpy(spark, embeddings):
             )
         chosen.append(pick)
     assert got == sorted(expect)
+
+
+def test_minhash_oracle_tier_verify_is_exact_jaccard(spark, documents):
+    """Every emitted pair's ppm Jaccard must equal an independent
+    Python recount over the same 3-gram shingle sets, and clear the
+    threshold; candidate generation must require a full band match."""
+    from job_post_similarity_spark.operators.dedup import (
+        minhash_near_dup_pairs_oracle_tier,
+    )
+
+    sub = documents.filter("doc_id < 100")
+    out = minhash_near_dup_pairs_oracle_tier(
+        sub, threshold_ppm=300_000
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in sub.collect()}
+
+    def shingles(t):
+        toks = t.strip().split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    assert out, "corpus has planted near-dups below doc_id 100"
+    for r in out:
+        g1, g2 = shingles(texts[r["id1"]]), shingles(texts[r["id2"]])
+        inter = len(g1 & g2)
+        expect = 1_000_000 * inter // (len(g1) + len(g2) - inter)
+        assert r["jaccard_ppm"] == expect
+        assert r["jaccard_ppm"] >= 300_000
+
+
+def test_minhash_oracle_tier_short_docs_excluded(spark):
+    """Docs with < 3 tokens have no shingles: they must not band
+    together on the init signature (the zero-divide guard)."""
+    from job_post_similarity_spark.operators.dedup import (
+        minhash_near_dup_pairs_oracle_tier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    assert minhash_near_dup_pairs_oracle_tier(df).collect() == []
