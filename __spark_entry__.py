@@ -4292,6 +4292,22 @@ def minhash_banded_oracle_documents(
     )
 
 
+def simhash_banded_oracle_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SimHash near-dup, deterministic oracle tier: 56-bit md5-coded
+    signatures, 4×14-bit pigeonhole chunk blocking (complete for
+    Hamming ≤ 3), xor+bit_count verify. The oracle verifies via the
+    QUADRATIC Hamming filter, so a green hash is a blocking-
+    completeness proof. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.dedup import (
+        simhash_near_dup_pairs_oracle_tier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs_oracle_tier(docs, max_dist=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4510,6 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_encode_documents": bpe_train_encode_documents,
         "kcenter_coreset_embeddings": kcenter_coreset_embeddings,
         "minhash_banded_oracle_documents": minhash_banded_oracle_documents,
+        "simhash_banded_oracle_documents": simhash_banded_oracle_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -5235,6 +5252,44 @@ _PENDING_ORACLES: dict[str, str] = {
             JOIN sizes s2 ON s2.gid = c.id2)
         SELECT id1, id2, jaccard_ppm FROM j
         WHERE jaccard_ppm >= 300000
+        ORDER BY id1, id2
+    """,
+    "simhash_banded_oracle_documents": """
+        -- 56-bit md5 SimHash; oracle verifies with the QUADRATIC
+        -- Hamming filter, proving the 4-chunk pigeonhole blocking
+        -- complete for distance <= 3
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+')
+                       AS toks
+            FROM documents),
+        cd AS (
+            SELECT doc_id,
+                   list_transform(toks, x ->
+                       CAST(concat('0x', substr(md5(x), 1, 14))
+                            AS BIGINT)) AS cs
+            FROM t),
+        vt AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 55), b ->
+                       CAST(list_sum(list_transform(cs, x ->
+                           CASE WHEN ((x >> b) & 1) = 1
+                                THEN 1 ELSE -1 END))
+                           AS BIGINT)) AS votes
+            FROM cd),
+        sg AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, 56), i ->
+                           CASE WHEN votes[i] > 0
+                                THEN (1::BIGINT << (i - 1))
+                                ELSE 0::BIGINT END))
+                       AS BIGINT) AS sig
+            FROM vt)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
         ORDER BY id1, id2
     """,
     "kcenter_coreset_embeddings": """

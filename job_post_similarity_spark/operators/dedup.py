@@ -1607,3 +1607,105 @@ def minhash_near_dup_pairs_oracle_tier(
         jac.filter(F.col("jaccard_ppm") >= threshold_ppm)
         .orderBy("id1", "id2")
     )
+
+
+def simhash_near_dup_pairs_oracle_tier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 3,
+) -> DataFrame:
+    """SimHash near-dup, deterministic oracle tier: a 56-bit SimHash
+    from md5-prefix token hashes (the production ``simhash64`` uses
+    Spark-only ``xxhash64``) with pigeonhole chunk blocking — the
+    signature splits into 4 × 14-bit chunks, and any pair within
+    Hamming distance ≤ 3 must agree on AT LEAST one chunk, so the
+    chunk-key equi-join is provably complete for ``max_dist`` ≤ 3.
+    The oracle replays the signature arithmetic and verifies via the
+    QUADRATIC Hamming filter, making a green hash a completeness
+    proof of the blocking (the containment-join gate pattern).
+
+    Output: ``(id1, id2, hamming)`` pairs with distance ≤ max_dist,
+    sorted. Scale shape: signatures map-side; the only shuffle is
+    the chunk-key join whose buckets are 14-bit-selective.
+    """
+    if max_dist > 3:
+        raise ValueError(
+            "4-chunk pigeonhole blocking is complete only for "
+            f"max_dist <= 3 (got {max_dist})"
+        )
+    c = F.col(text_col)
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    codes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast(
+            "long"
+        ),
+    )
+    masks = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(56)]
+    )
+    votes = F.aggregate(
+        codes,
+        F.array(*[F.lit(0)] * 56),
+        lambda acc, x: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v
+            + F.when(x.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    chunks = base.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("chunk"),
+                        F.shiftright("sig", 14 * k)
+                        .bitwiseAND(F.lit((1 << 14) - 1))
+                        .alias("val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sig", "ck.chunk", "ck.val")
+    cands = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id1"),
+            F.col("y.id").alias("id2"),
+            F.col("x.sig").alias("s1"),
+            F.col("y.sig").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.select(
+            "id1",
+            "id2",
+            F.expr("bit_count(s1 ^ s2)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+        .orderBy("id1", "id2")
+    )

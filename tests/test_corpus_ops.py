@@ -3188,3 +3188,49 @@ def test_minhash_oracle_tier_short_docs_excluded(spark):
         "doc_id long, text string",
     )
     assert minhash_near_dup_pairs_oracle_tier(df).collect() == []
+
+
+def test_simhash_oracle_tier_blocking_complete(spark, documents):
+    """The chunk-blocked result must equal a quadratic numpy replay:
+    pigeonhole blocking may not lose any pair within distance 3."""
+    from job_post_similarity_spark.operators.dedup import (
+        simhash_near_dup_pairs_oracle_tier,
+    )
+
+    sub = documents.filter("doc_id < 200")
+    got = [
+        (r["id1"], r["id2"], r["hamming"])
+        for r in simhash_near_dup_pairs_oracle_tier(sub).collect()
+    ]
+    import hashlib
+
+    sigs = {}
+    for r in sub.collect():
+        toks = r["text"].strip().lower().split()
+        votes = [0] * 56
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:14], 16)
+            for b in range(56):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sigs[r["doc_id"]] = sum(
+            1 << b for b in range(56) if votes[b] > 0
+        )
+    ids = sorted(sigs)
+    expect = [
+        (i, j, bin(sigs[i] ^ sigs[j]).count("1"))
+        for i in ids
+        for j in ids
+        if i < j and bin(sigs[i] ^ sigs[j]).count("1") <= 3
+    ]
+    assert got == expect
+
+
+def test_simhash_oracle_tier_rejects_unprovable_distance(spark, documents):
+    import pytest as _pytest
+
+    from job_post_similarity_spark.operators.dedup import (
+        simhash_near_dup_pairs_oracle_tier,
+    )
+
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs_oracle_tier(documents, max_dist=4)
