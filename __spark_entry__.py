@@ -4308,6 +4308,28 @@ def simhash_banded_oracle_documents(
     return simhash_near_dup_pairs_oracle_tier(docs, max_dist=3)
 
 
+def srp_rademacher_oracle_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded SRP similarity join, deterministic oracle tier:
+    ±1 Rademacher planes (md5-derived, shared generator with the
+    oracle SQL) over micro-quantized integer components — every
+    projection is an order-independent integer sum, so the WHOLE
+    banding+verify pipeline is engine-exact (the production SRP
+    tier's BLAS matmul accumulation is not SQL-reproducible).
+    32 planes = 4 bands × 8 bits; testdata embeddings are dim 64 at
+    every SF. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.ann import (
+        rademacher_signs,
+        srp_rademacher_pairs_oracle_tier,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_rademacher_pairs_oracle_tier(
+        emb, rademacher_signs(32, 64), threshold=0.4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4527,6 +4549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_coreset_embeddings": kcenter_coreset_embeddings,
         "minhash_banded_oracle_documents": minhash_banded_oracle_documents,
         "simhash_banded_oracle_documents": simhash_banded_oracle_documents,
+        "srp_rademacher_oracle_embeddings": srp_rademacher_oracle_embeddings,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -4736,6 +4759,20 @@ _PPL_CORE = """
                                          / (n_bigrams * 1e6))), 4) AS ppl
                       FROM per)
 """
+
+
+def _rademacher_signs_sql(n_planes: int = 32, dim: int = 64) -> str:
+    """DuckDB literal list-of-lists for the ±1 projection matrix —
+    generated from ann.rademacher_signs so Spark and SQL share one
+    source of truth."""
+    from job_post_similarity_spark.operators.ann import rademacher_signs
+
+    signs = rademacher_signs(n_planes, dim)
+    return (
+        "["
+        + ", ".join("[" + ", ".join(map(str, row)) + "]" for row in signs)
+        + "]"
+    )
 
 
 def _minhash_coeffs_sql(num_hashes: int = 16, seed: int = 1) -> str:
@@ -5252,6 +5289,45 @@ _PENDING_ORACLES: dict[str, str] = {
             JOIN sizes s2 ON s2.gid = c.id2)
         SELECT id1, id2, jaccard_ppm FROM j
         WHERE jaccard_ppm >= 300000
+        ORDER BY id1, id2
+    """,
+    "srp_rademacher_oracle_embeddings": f"""
+        -- banded SRP with ±1 planes over micro-quantized integer
+        -- components: integer projections -> band buckets -> bucket
+        -- join -> exact 4dp cosine verify
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000, 0) AS BIGINT))
+                       AS q
+            FROM embeddings),
+        s AS (SELECT {_rademacher_signs_sql()} AS S),
+        bb AS (
+            SELECT e.vec_id,
+                   b.band,
+                   CAST(list_sum(list_transform(
+                       generate_series(0, 7), j ->
+                       CASE WHEN list_sum(list_transform(
+                                generate_series(1, 64),
+                                i -> q[i] * S[b.band * 8 + j + 1][i]))
+                                > 0
+                            THEN (1::BIGINT << j)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+            FROM e, s, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+        cands AS (
+            SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+            FROM bb x JOIN bb y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.vec_id < y.vec_id),
+        j AS (
+            SELECT c.id1, c.id2,
+                   round(list_dot_product(a.v, b2.v), 4)
+                       AS similarity
+            FROM cands c
+            JOIN e a ON a.vec_id = c.id1
+            JOIN e b2 ON b2.vec_id = c.id2)
+        SELECT id1, id2, similarity FROM j
+        WHERE similarity >= 0.4
         ORDER BY id1, id2
     """,
     "simhash_banded_oracle_documents": """

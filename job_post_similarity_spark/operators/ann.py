@@ -1605,3 +1605,124 @@ def sq8_topk_search(
         ).alias(vec_col),
     )
     return knn.knn_join(queries, query_id, vec_col, k=k, right=decoded)
+
+
+def rademacher_signs(
+    n_planes: int, dim: int, seed: int = 1
+) -> list[list[int]]:
+    """Deterministic ±1 projection matrix from md5 bits (the
+    Achlioptas/Rademacher database-friendly random projection) —
+    generated by hashlib, NOT numpy, so an independent engine (or an
+    oracle SQL literal produced by this same function) reproduces it
+    exactly."""
+    import hashlib
+
+    signs = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()
+            row.append(1 if h[0] & 1 else -1)
+        signs.append(row)
+    return signs
+
+
+def srp_rademacher_pairs_oracle_tier(
+    df: DataFrame,
+    signs: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_band: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Banded signed-random-projection similarity join, deterministic
+    ORACLE tier: ±1 (Rademacher) planes over MICRO-QUANTIZED integer
+    components, so every projection is an order-independent integer
+    sum — engine-exact by construction, unlike the production
+    ``srp_lsh_similarity_join`` whose numpy ``x @ H.T`` BLAS
+    accumulation order no SQL fold reproduces. Same algorithm shape:
+    sign bits → per-band buckets → bucket-join candidates →
+    exact-cosine (4dp) verify on candidates only.
+
+    ``signs`` comes from ``rademacher_signs`` — pass the SAME call's
+    output to the oracle generator so Spark and SQL cannot drift.
+
+    Output: ``(id1, id2, similarity)`` pairs clearing the threshold,
+    sorted. Scale shape mirrors the production tier: signatures
+    map-side, one bucket-join shuffle, verify on candidates only.
+    """
+    n_planes = len(signs)
+    if n_planes % bits_per_band:
+        raise ValueError("len(signs) must be a multiple of bits_per_band")
+    num_bands = n_planes // bits_per_band
+    quant = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(1_000_000.0), 0).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        quant.alias("__q"),
+    )
+
+    def plane_dot(p: int):
+        srow = F.array(*[F.lit(s) for s in signs[p]])
+        return F.aggregate(
+            F.zip_with("__q", srow, lambda q, s: q * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def band_bucket(b: int):
+        return sum(
+            (
+                F.when(
+                    plane_dot(b * bits_per_band + j) > 0, F.lit(1 << j)
+                ).otherwise(F.lit(0))
+                for j in range(bits_per_band)
+            ),
+            F.lit(0),
+        ).cast("long")
+
+    banded = base.select(
+        "id",
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(b).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "__v", "bb.band", "bb.bucket")
+    from ..functions import vectors as V
+
+    cands = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id1"),
+            F.col("y.id").alias("id2"),
+            F.col("x.__v").alias("v1"),
+            F.col("y.__v").alias("v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cands.select(
+            "id1",
+            "id2",
+            F.round(V.dot_cosine("v1", "v2"), 4).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+        .orderBy("id1", "id2")
+    )

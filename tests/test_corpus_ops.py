@@ -3234,3 +3234,66 @@ def test_simhash_oracle_tier_rejects_unprovable_distance(spark, documents):
 
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs_oracle_tier(documents, max_dist=4)
+
+
+def test_srp_rademacher_tier_matches_numpy(spark, embeddings):
+    """Bucket assignment and surviving pairs must equal an integer
+    numpy replay with the same sign matrix."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        rademacher_signs,
+        srp_rademacher_pairs_oracle_tier,
+    )
+
+    signs = rademacher_signs(32, 64)
+    got = [
+        (r["id1"], r["id2"], r["similarity"])
+        for r in srp_rademacher_pairs_oracle_tier(
+            embeddings, signs, threshold=0.4
+        ).collect()
+    ]
+    S = np.array(signs, dtype=np.int64)
+    rows = embeddings.collect()
+    Vd = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in rows
+    }
+    Q = {
+        i: np.array(
+            [
+                int(np.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+                for x in v
+            ],
+            dtype=np.int64,
+        )
+        for i, v in Vd.items()
+    }
+    buckets: dict = {}
+    for i, q in Q.items():
+        dots = S @ q
+        bits = dots > 0
+        for b in range(4):
+            key = (
+                b,
+                int(
+                    sum(
+                        1 << j
+                        for j in range(8)
+                        if bits[b * 8 + j]
+                    )
+                ),
+            )
+            buckets.setdefault(key, []).append(i)
+    cand = set()
+    for ids in buckets.values():
+        ids.sort()
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                cand.add((ids[a], ids[b]))
+    expect = sorted(
+        (i, j, round(float(Vd[i] @ Vd[j]), 4))
+        for i, j in cand
+        if round(float(Vd[i] @ Vd[j]), 4) >= 0.4
+    )
+    assert got == expect
