@@ -1014,3 +1014,64 @@ def entropy_profile(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("column")
+
+
+def corpus_datacard(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-table corpus data card (the FineWeb/Dolma release-notes
+    shape): corpus size, token/char mass, language & source
+    cardinalities, exact-duplicate pressure, and length extremes as
+    a tidy ``(metric, value)`` long table — every number an exact
+    integer so the whole card is oracle-checkable, and the obvious
+    thing to publish next to a trained-on dataset.
+
+    Two scans: one multi-aggregate pass for the row-wise metrics,
+    one fingerprint aggregate for duplicate-group counts (the same
+    single-shuffle cost as exact dedup). Output sorted by metric.
+    """
+    from .text_analysis import doc_fingerprint, token_count
+
+    toks = token_count(F.col(text_col)).cast("long")
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("n_chars_total"),
+        F.sum(toks).alias("n_tokens_total"),
+        F.max(toks).alias("max_doc_tokens"),
+        F.min(toks).alias("min_doc_tokens"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.countDistinct(source_col).alias("n_sources"),
+    )
+    dup = (
+        df.groupBy(doc_fingerprint(F.col(text_col)).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.when(F.col("n") > 1, 1)).alias(
+                "n_exact_dup_groups"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > 1, F.col("n") - 1)),
+                F.lit(0),
+            ).alias("n_exact_dup_docs"),
+        )
+    )
+    long_rows = base.crossJoin(dup).selectExpr(
+        "stack(9, "
+        "'n_docs', n_docs, "
+        "'n_chars_total', n_chars_total, "
+        "'n_tokens_total', n_tokens_total, "
+        "'max_doc_tokens', max_doc_tokens, "
+        "'min_doc_tokens', min_doc_tokens, "
+        "'n_langs', n_langs, "
+        "'n_sources', n_sources, "
+        "'n_exact_dup_groups', n_exact_dup_groups, "
+        "'n_exact_dup_docs', n_exact_dup_docs"
+        ") AS (metric, value)"
+    )
+    return long_rows.select(
+        "metric", F.col("value").cast("long").alias("value")
+    ).orderBy("metric")

@@ -487,3 +487,31 @@ def calendar_table(
         (iso_dow >= 6).alias("is_weekend"),
         F.date_format("date", "yyyy-MM").alias("year_month"),
     )
+
+
+def observed_stage(
+    df: DataFrame,
+    name: str,
+    counters: dict[str, "F.Column"] | None = None,
+):
+    """Attach observable metrics to a pipeline stage (Spark's
+    ``Observation`` API): row count plus any caller-supplied
+    aggregate expressions are collected as a side effect of whatever
+    action the caller already runs — at 100 TB the alternative
+    (separate ``count()``/``agg()`` actions per stage) re-scans the
+    input once per metric, while observed metrics ride the existing
+    job for free.
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action has run on the returned frame. Typical use: per-stage
+    row-count accounting in the curation funnel, null-rate
+    monitoring on ingest.
+    """
+    from pyspark.sql import Observation
+
+    metrics = {"n_rows": F.count(F.lit(1))}
+    if counters:
+        metrics.update(counters)
+    obs = Observation(name)
+    out = df.observe(obs, *[v.alias(k) for k, v in metrics.items()])
+    return out, obs

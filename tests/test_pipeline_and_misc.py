@@ -1085,3 +1085,30 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert rows[0] == ("v1", None)      # old files null-fill
     assert rows[7] == ("v2", 14)
     assert merged.count() == 8
+
+
+def test_observed_stage_metrics_ride_the_action(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.sources.io import (
+        load_table,
+        observed_stage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df, obs = observed_stage(
+        docs,
+        "ingest",
+        {
+            "n_null_text": F.count(F.when(F.col("text").isNull(), 1)),
+            "chars_total": F.sum("n_chars"),
+        },
+    )
+    kept = df.filter(F.col("n_chars") > 0).count()
+    got = obs.get
+    assert got["n_rows"] == docs.count()
+    assert got["n_null_text"] == 0
+    assert got["chars_total"] == sum(
+        r["n_chars"] for r in docs.select("n_chars").collect()
+    )
+    assert kept <= got["n_rows"]
