@@ -4342,6 +4342,24 @@ def datacard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_datacard(load_table(spark, sf_dir, "documents"))
 
 
+def ivf_stratified_search_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF nprobe search, deterministic oracle tier: stratified
+    DECIMAL-exact quantizer (8 strata), probe the 2 nearest
+    centroids, exact 4dp top-10 inside the probed lists — the Faiss
+    IVF search shape, every step SQL-replayable. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.ann import (
+        ivf_stratified_topk_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_stratified_topk_search(
+        emb, 0, k_clusters=8, n_probe=2, topk=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4563,6 +4581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_banded_oracle_documents": simhash_banded_oracle_documents,
         "srp_rademacher_oracle_embeddings": srp_rademacher_oracle_embeddings,
         "datacard_documents": datacard_documents,
+        "ivf_stratified_search_embeddings": ivf_stratified_search_embeddings,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -5303,6 +5322,59 @@ _PENDING_ORACLES: dict[str, str] = {
         SELECT id1, id2, jaccard_ppm FROM j
         WHERE jaccard_ppm >= 300000
         ORDER BY id1, id2
+    """,
+    "ivf_stratified_search_embeddings": """
+        -- IVF nprobe search over the stratified DECIMAL quantizer:
+        -- same cent/asg CTEs as the SemDeDup oracle, then probe the
+        -- 2 nearest centroids and exact-4dp top-10 inside them
+        WITH p AS (
+            SELECT vec_id, ((vec_id % 8) + 8) % 8 AS lab, embedding
+            FROM embeddings),
+        posx AS (
+            SELECT lab,
+                   unnest(generate_series(1, len(embedding))) AS i,
+                   embedding
+            FROM p),
+        a AS (
+            SELECT lab, i - 1 AS pos,
+                   sum(CAST(CAST(embedding[i] AS DOUBLE)
+                            AS DECIMAL(27,10))) AS s,
+                   count(*) AS n
+            FROM posx GROUP BY lab, i),
+        cent AS (
+            SELECT lab,
+                   list(round(CAST(s AS DOUBLE) / n, 6)
+                        ORDER BY pos) AS cvec
+            FROM a GROUP BY lab),
+        sc AS (
+            SELECT p.vec_id, c.lab,
+                   list_dot_product(p.embedding::DOUBLE[], c.cvec)
+                       AS score
+            FROM p CROSS JOIN cent c),
+        asg AS (
+            SELECT vec_id, lab AS cluster
+            FROM (SELECT vec_id, lab,
+                         row_number() OVER
+                             (PARTITION BY vec_id
+                              ORDER BY score DESC, lab ASC) AS rk
+                  FROM sc)
+            WHERE rk = 1),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        pd AS (SELECT c.lab,
+                      list_dot_product(q.qv, c.cvec) AS s
+               FROM cent c, q),
+        probes AS (SELECT lab FROM pd ORDER BY s DESC, lab LIMIT 2),
+        cand AS (
+            SELECT e.vec_id, CAST(a2.cluster AS INT) AS cluster,
+                   round(list_dot_product(e.embedding::DOUBLE[],
+                                          q.qv), 4) AS similarity
+            FROM embeddings e
+            JOIN asg a2 ON a2.vec_id = e.vec_id
+            JOIN probes pr ON pr.lab = a2.cluster, q
+            WHERE e.vec_id <> 0)
+        SELECT vec_id, cluster, similarity FROM cand
+        ORDER BY similarity DESC, vec_id LIMIT 10
     """,
     "datacard_documents": """
         -- corpus data card, all exact integers

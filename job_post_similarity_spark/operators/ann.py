@@ -1726,3 +1726,88 @@ def srp_rademacher_pairs_oracle_tier(
         .filter(F.col("similarity") >= threshold)
         .orderBy("id1", "id2")
     )
+
+
+def ivf_stratified_topk_search(
+    df: DataFrame,
+    query_id,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    n_probe: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """IVF top-k SEARCH, deterministic oracle tier: coarse quantizer
+    = the DECIMAL-exact stratified centroids (pmod(id, k) strata, the
+    ``stratified_semantic_dedup`` quantizer), probe the ``n_probe``
+    nearest centroids to the query, exact 4dp-cosine top-k inside
+    the probed inverted lists only — the Faiss IVF ``nprobe`` search
+    shape with every step replayable by a SQL engine (the production
+    ``ivf_topk_search`` trains its quantizer with Lloyd, a learned
+    artifact no oracle can re-derive).
+
+    Probe selection runs DRIVER-side as a sequential left-to-right
+    float fold over the same rounded-6 centroid components the
+    corpus assignment inlines — the identical accumulation order
+    DuckDB's ``list_dot_product`` uses, so the probed set matches
+    the oracle's bit-for-bit.
+
+    Output: ``(id, cluster, similarity)`` top-k (sim desc, id asc).
+    Scale shape: assignment is the map-side k×d-literal fold; the
+    probe filter prunes the corpus to n_probe/k of its rows BEFORE
+    any scoring — the whole point of IVF.
+    """
+    from .knn import label_centroids, nearest_centroid_classify
+
+    tagged = df.withColumn(
+        "__lab", F.pmod(F.col(id_col).cast("long"), F.lit(k_clusters))
+    )
+    cent_rows = label_centroids(
+        tagged, vec_col, "__lab", decimals=6
+    ).collect()
+    cents: dict = {}
+    for r in cent_rows:
+        cents.setdefault(int(r["label"]), {})[r["pos"]] = float(
+            r["centroid"]
+        )
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        raise ValueError(f"query id {query_id!r} not found")
+    qv = [float(x) for x in qrow[0][0]]
+    probe_scores = []
+    for lab in sorted(cents):
+        cv = [cents[lab][p] for p in sorted(cents[lab])]
+        acc = 0.0
+        for a, b in zip(qv, cv):  # sequential LTR fold, = SQL's
+            acc += a * b
+        probe_scores.append((-acc, lab))
+    probed = [lab for _s, lab in sorted(probe_scores)[:n_probe]]
+    asg = nearest_centroid_classify(
+        tagged, id_col, vec_col, "__lab"
+    ).select(
+        F.col(id_col),
+        F.col("pred_label").cast("int").alias("cluster"),
+    )
+    qlit = F.array(*[F.lit(x) for x in qv])
+    sim = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                qlit,
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        4,
+    )
+    return (
+        df.join(asg, id_col)
+        .filter(
+            F.col("cluster").isin(probed)
+            & (F.col(id_col) != query_id)
+        )
+        .select(id_col, "cluster", sim.alias("similarity"))
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -3297,3 +3297,55 @@ def test_srp_rademacher_tier_matches_numpy(spark, embeddings):
         if round(float(Vd[i] @ Vd[j]), 4) >= 0.4
     )
     assert got == expect
+
+
+def test_ivf_stratified_search_probes_and_prunes(spark, embeddings):
+    """The probed result must equal a numpy replay restricted to the
+    2 nearest strata, and pruned clusters must be absent."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        ivf_stratified_topk_search,
+    )
+
+    got = [
+        (r["vec_id"], r["cluster"], r["similarity"])
+        for r in ivf_stratified_topk_search(
+            embeddings, 0, k_clusters=8, n_probe=2, topk=10
+        ).collect()
+    ]
+    rows = embeddings.collect()
+    Vd = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in rows
+    }
+    # DECIMAL-exact stratum means at 6dp == plain mean rounded here
+    strata: dict = {}
+    for i, v in Vd.items():
+        strata.setdefault(i % 8, []).append(v)
+    cents = {
+        lab: np.round(np.mean(np.stack(vs), axis=0), 6)
+        for lab, vs in strata.items()
+    }
+    q = Vd[0]
+    probes = sorted(
+        ((-float(q @ c), lab) for lab, c in cents.items())
+    )[:2]
+    probed = {lab for _s, lab in probes}
+    assign = {
+        i: max(
+            ((float(v @ cents[lab]), -lab) for lab in sorted(cents))
+        )
+        for i, v in Vd.items()
+    }
+    cluster = {
+        i: -t[1] for i, t in assign.items()
+    }
+    cand = [
+        (i, cluster[i], round(float(Vd[i] @ q), 4))
+        for i in Vd
+        if i != 0 and cluster[i] in probed
+    ]
+    expect = sorted(cand, key=lambda t: (-t[2], t[0]))[:10]
+    assert got == expect
+    assert all(c in probed for _i, c, _s in got)
