@@ -4360,6 +4360,22 @@ def ivf_stratified_search_embeddings(
     )
 
 
+def pq_stratified_adc_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PQ ADC top-10, deterministic oracle tier: stratified DECIMAL
+    sub-codebooks (8 subspaces × 8 codes), argmax-dot encode, query
+    lookup table, fixed-LTR 8-term ADC sum rounded 4dp — the full
+    IndexPQ search pipeline, SQL-replayable. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.ann import (
+        pq_stratified_adc_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_stratified_adc_search(emb, 0, m=8, k_codes=8, topk=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4582,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_rademacher_oracle_embeddings": srp_rademacher_oracle_embeddings,
         "datacard_documents": datacard_documents,
         "ivf_stratified_search_embeddings": ivf_stratified_search_embeddings,
+        "pq_stratified_adc_embeddings": pq_stratified_adc_embeddings,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -5322,6 +5339,67 @@ _PENDING_ORACLES: dict[str, str] = {
         SELECT id1, id2, jaccard_ppm FROM j
         WHERE jaccard_ppm >= 300000
         ORDER BY id1, id2
+    """,
+    "pq_stratified_adc_embeddings": """
+        -- PQ ADC over stratified DECIMAL sub-codebooks: per-subspace
+        -- argmax-dot encode, query lookup table, LTR 8-term sum.
+        -- list(t ORDER BY sj) + list_sum = the same left-to-right
+        -- addition order as the Spark expression chain.
+        WITH p AS (
+            SELECT vec_id, ((vec_id % 8) + 8) % 8 AS lab, embedding
+            FROM embeddings),
+        posx AS (
+            SELECT vec_id, lab,
+                   unnest(generate_series(1, len(embedding))) AS i,
+                   embedding
+            FROM p),
+        comp AS (
+            SELECT lab, (i - 1) // 8 AS sj,
+                   (i - 1) % 8 AS pos,
+                   sum(CAST(CAST(embedding[i] AS DOUBLE)
+                            AS DECIMAL(27,10))) AS s,
+                   count(*) AS n
+            FROM posx GROUP BY lab, sj, pos),
+        book AS (
+            SELECT lab, sj,
+                   list(round(CAST(s AS DOUBLE) / n, 6)
+                        ORDER BY pos) AS cvec
+            FROM comp GROUP BY lab, sj),
+        sv AS (
+            SELECT p.vec_id, b.sj,
+                   list_transform(generate_series(1, 8),
+                       t -> CAST(embedding[b.sj * 8 + t] AS DOUBLE))
+                       AS subvec
+            FROM p, (SELECT unnest([0,1,2,3,4,5,6,7]) AS sj) b),
+        scq AS (
+            SELECT sv.vec_id, sv.sj, bk.lab,
+                   list_dot_product(sv.subvec, bk.cvec) AS sc
+            FROM sv JOIN book bk ON bk.sj = sv.sj),
+        code AS (
+            SELECT vec_id, sj, lab AS c
+            FROM (SELECT vec_id, sj, lab,
+                         row_number() OVER
+                             (PARTITION BY vec_id, sj
+                              ORDER BY sc DESC, lab ASC) AS rk
+                  FROM scq)
+            WHERE rk = 1),
+        tbl AS (
+            SELECT s2.sj, bk.lab,
+                   list_dot_product(s2.subvec, bk.cvec) AS t
+            FROM sv s2 JOIN book bk ON bk.sj = s2.sj
+            WHERE s2.vec_id = 0),
+        terms AS (
+            SELECT c.vec_id, c.sj, tb.t
+            FROM code c JOIN tbl tb
+              ON tb.sj = c.sj AND tb.lab = c.c),
+        sc2 AS (
+            SELECT vec_id,
+                   round(list_sum(list(t ORDER BY sj)), 4)
+                       AS score_adc
+            FROM terms GROUP BY vec_id)
+        SELECT vec_id, score_adc FROM sc2
+        WHERE vec_id <> 0
+        ORDER BY score_adc DESC, vec_id LIMIT 10
     """,
     "ivf_stratified_search_embeddings": """
         -- IVF nprobe search over the stratified DECIMAL quantizer:

@@ -1811,3 +1811,105 @@ def ivf_stratified_topk_search(
         .orderBy(F.desc("similarity"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def pq_stratified_adc_search(
+    df: DataFrame,
+    query_id,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 8,
+    topk: int = 10,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k, deterministic ORACLE tier: the
+    Faiss IndexPQ search shape — per-subspace codebooks, vectors
+    stored as m codes, query scored via a precomputed per-subspace
+    lookup table — with every trained artifact replaced by one a SQL
+    engine re-derives: codebooks are the DECIMAL-exact (6dp) means
+    of the ``pmod(id, k)`` strata restricted to each subspace, code
+    assignment is argmax DOT against the sub-codebook (ties lowest
+    code; the MIPS-assignment variant — documented difference from
+    the production tier's argmin-L2), and the ADC score is the
+    fixed-left-to-right sum of the m table entries, rounded 4dp.
+    The production ``pq_topk_search`` (Lloyd codebooks, numpy ADC)
+    remains the quality path; this tier hash-proves the PIPELINE:
+    subspace split → encode → table build → lookup-sum ranking.
+
+    Scale shape mirrors production: codebooks are m×k×(d/m) literals
+    (map-side assignment, no join), the query table is m×k driver
+    floats, and scoring a vector touches only its m codes.
+    """
+    first = df.select(vec_col).head(1)
+    if not first:
+        raise ValueError("empty input")
+    dim = len(first[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    from .knn import label_centroids
+
+    tagged = df.withColumn(
+        "__lab", F.pmod(F.col(id_col).cast("long"), F.lit(k_codes))
+    )
+    books: dict[int, dict[int, list[float]]] = {}
+    for j in range(m):
+        sl = F.slice(
+            F.col(vec_col).cast("array<double>"), j * sub + 1, sub
+        )
+        rows = label_centroids(
+            tagged.withColumn("__sv", sl), "__sv", "__lab", decimals=6
+        ).collect()
+        bk: dict[int, dict[int, float]] = {}
+        for r in rows:
+            bk.setdefault(int(r["label"]), {})[r["pos"]] = float(
+                r["centroid"]
+            )
+        books[j] = {
+            lab: [bk[lab][p] for p in sorted(bk[lab])] for lab in bk
+        }
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        raise ValueError(f"query id {query_id!r} not found")
+    qv = [float(x) for x in qrow[0][0]]
+    # per-subspace lookup table, sequential LTR folds (= SQL's)
+    table: dict[int, dict[int, float]] = {}
+    for j in range(m):
+        qsub = qv[j * sub : (j + 1) * sub]
+        table[j] = {}
+        for lab, cv in books[j].items():
+            acc = 0.0
+            for a, b in zip(qsub, cv):
+                acc += a * b
+            table[j][lab] = acc
+
+    def sub_dot(j: int, lab: int):
+        sl = F.slice(
+            F.col(vec_col).cast("array<double>"), j * sub + 1, sub
+        )
+        cw = F.array(*[F.lit(x) for x in books[j][lab]])
+        return F.aggregate(
+            F.zip_with(sl, cw, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def code_term(j: int):
+        scores = {lab: sub_dot(j, lab) for lab in sorted(books[j])}
+        best = F.greatest(*scores.values())
+        term = F.lit(None).cast("double")
+        for lab in sorted(books[j], reverse=True):
+            term = F.when(
+                scores[lab] == best, F.lit(table[j][lab])
+            ).otherwise(term)
+        return term
+
+    score = code_term(0)
+    for j in range(1, m):
+        score = score + code_term(j)
+    return (
+        df.filter(F.col(id_col) != query_id)
+        .select(id_col, F.round(score, 4).alias("score_adc"))
+        .orderBy(F.desc("score_adc"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -3349,3 +3349,64 @@ def test_ivf_stratified_search_probes_and_prunes(spark, embeddings):
     expect = sorted(cand, key=lambda t: (-t[2], t[0]))[:10]
     assert got == expect
     assert all(c in probed for _i, c, _s in got)
+
+
+def test_pq_stratified_adc_matches_numpy(spark, embeddings):
+    """Codes and ADC ranking must equal a numpy replay with the same
+    stratified sub-codebooks and LTR score accumulation."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        pq_stratified_adc_search,
+    )
+
+    got = [
+        (r["vec_id"], r["score_adc"])
+        for r in pq_stratified_adc_search(
+            embeddings, 0, m=8, k_codes=8, topk=10
+        ).collect()
+    ]
+    rows = embeddings.collect()
+    Vd = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in rows
+    }
+    dim = len(next(iter(Vd.values())))
+    sub = dim // 8
+    strata: dict = {}
+    for i, v in Vd.items():
+        strata.setdefault(i % 8, []).append(v)
+    books = {}
+    for j in range(8):
+        books[j] = {
+            lab: np.round(
+                np.mean(np.stack(vs), axis=0)[j * sub : (j + 1) * sub],
+                6,
+            )
+            for lab, vs in strata.items()
+        }
+    q = Vd[0]
+    table = {
+        j: {
+            lab: float(q[j * sub : (j + 1) * sub] @ cv)
+            for lab, cv in books[j].items()
+        }
+        for j in range(8)
+    }
+    scores = {}
+    for i, v in Vd.items():
+        if i == 0:
+            continue
+        s = 0.0
+        for j in range(8):
+            svec = v[j * sub : (j + 1) * sub]
+            best = max(
+                (float(svec @ books[j][lab]), -lab)
+                for lab in books[j]
+            )
+            s += table[j][-best[1]]
+        scores[i] = round(s, 4)
+    expect = sorted(
+        scores.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    assert got == [(i, s) for i, s in expect]
