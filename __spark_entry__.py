@@ -4376,6 +4376,17 @@ def pq_stratified_adc_embeddings(
     return pq_stratified_adc_search(emb, 0, m=8, k_codes=8, topk=10)
 
 
+def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type over events.value: one
+    (key, bucket) hash aggregate via min_by/max_by on a (ts, value)
+    composite — deterministic under duplicate timestamps. (Oracle
+    staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.windows import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev, key_col="event_type", bucket="1 hour")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4599,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datacard_documents": datacard_documents,
         "ivf_stratified_search_embeddings": ivf_stratified_search_embeddings,
         "pq_stratified_adc_embeddings": pq_stratified_adc_embeddings,
+        "ohlc_bars_events": ohlc_bars_events,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -5339,6 +5351,30 @@ _PENDING_ORACLES: dict[str, str] = {
         SELECT id1, id2, jaccard_ppm FROM j
         WHERE jaccard_ppm >= 300000
         ORDER BY id1, id2
+    """,
+    "ohlc_bars_events": """
+        -- hourly OHLC per event_type; open/close = first/last value
+        -- by (ts, value) — deterministic under duplicate timestamps
+        -- (DuckDB arg_min/arg_max reject struct orderings, so the
+        -- first/last rows come from window row_numbers instead)
+        WITH r AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bar_ts, value,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, value) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, value DESC) AS rn_d
+            FROM events WHERE value IS NOT NULL)
+        SELECT event_type, bar_ts,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n
+        FROM r GROUP BY event_type, bar_ts
+        ORDER BY event_type, bar_ts
     """,
     "pq_stratified_adc_embeddings": """
         -- PQ ADC over stratified DECIMAL sub-codebooks: per-subspace

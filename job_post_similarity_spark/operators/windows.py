@@ -513,3 +513,41 @@ def seasonality_profile(
         )
         .orderBy("dow")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str | None = None,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """OHLC resampling bars (open/high/low/close + volume) per time
+    bucket — the canonical downsampling of a value stream for
+    monitoring dashboards and feature windows. ``open``/``close``
+    are the FIRST/LAST values by (ts, tie-break on nothing — the
+    min/max ts rows; duplicate timestamps take the min/max VALUE at
+    that instant, a deterministic policy an oracle can replay),
+    high/low are extremes, n is the bar's row count.
+
+    One hash aggregate on (key, bucket) — ``min_by``/``max_by`` with
+    a composite (ts, value) struct keep it a single pass (no window,
+    no self-join); at 100 TB the bar table is |keys| × |buckets|,
+    corpus scanned once.
+    """
+    b = F.window(F.col(ts_col), bucket).getField("start").alias("bar_ts")
+    keys = ([F.col(key_col)] if key_col else []) + [b]
+    # deterministic under duplicate timestamps: order by (ts, value)
+    ordkey = F.struct(F.col(ts_col), F.col(value_col))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.min_by(value_col, ordkey).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ordkey).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(*([key_col] if key_col else []), "bar_ts")
+    )

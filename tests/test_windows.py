@@ -318,3 +318,33 @@ def test_stream_psi_drift_self_reference_near_zero(spark, sf_dir):
         .count()
     )
     assert len(out) == ev_days
+
+
+def test_ohlc_bars_hand_example(spark):
+    from job_post_similarity_spark.operators.windows import ohlc_bars
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:01", 5.0),
+            ("a", "2024-01-01 10:10:00", 9.0),
+            ("a", "2024-01-01 10:50:00", 2.0),
+            ("a", "2024-01-01 11:00:00", 7.0),
+            # duplicate-ts tie: open takes the MIN value at min ts
+            ("b", "2024-01-01 10:00:00", 4.0),
+            ("b", "2024-01-01 10:00:00", 3.0),
+            ("a", "2024-01-01 10:30:00", None),
+        ],
+        "event_type string, ts_s string, value double",
+    ).selectExpr(
+        "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    rows = {
+        (r["event_type"], str(r["bar_ts"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in ohlc_bars(df, key_col="event_type").collect()
+    }
+    assert rows[("a", "2024-01-01 10:00:00")] == (5.0, 9.0, 2.0, 2.0, 3)
+    assert rows[("a", "2024-01-01 11:00:00")] == (7.0, 7.0, 7.0, 7.0, 1)
+    # duplicate timestamps: open = min value, close = max value
+    assert rows[("b", "2024-01-01 10:00:00")] == (3.0, 4.0, 3.0, 4.0, 2)
