@@ -4387,6 +4387,24 @@ def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_bars(ev, key_col="event_type", bucket="1 hour")
 
 
+def ivfpq_stratified_search_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ residual search, deterministic oracle tier: coarse
+    stratified quantizer → round6 residuals → stratified residual
+    sub-codebooks → per-probe ADC tables → fixed-LTR lookup-sum
+    top-10. The full IndexIVFPQ composition, SQL-replayable end to
+    end. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.ann import (
+        ivfpq_stratified_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_stratified_search(
+        emb, 0, k_coarse=8, m=8, k_codes=8, n_probe=2, topk=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4611,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_stratified_search_embeddings": ivf_stratified_search_embeddings,
         "pq_stratified_adc_embeddings": pq_stratified_adc_embeddings,
         "ohlc_bars_events": ohlc_bars_events,
+        "ivfpq_stratified_search_embeddings": ivfpq_stratified_search_embeddings,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -5351,6 +5370,117 @@ _PENDING_ORACLES: dict[str, str] = {
         SELECT id1, id2, jaccard_ppm FROM j
         WHERE jaccard_ppm >= 300000
         ORDER BY id1, id2
+    """,
+    "ivfpq_stratified_search_embeddings": """
+        -- IVF-PQ residual search: coarse stratified quantizer (the
+        -- IVF-twin CTEs), round6 residuals, stratified residual
+        -- sub-codebooks, per-probe ADC tables, LTR lookup-sum
+        WITH p AS (
+            SELECT vec_id, ((vec_id % 8) + 8) % 8 AS lab, embedding
+            FROM embeddings),
+        posx AS (
+            SELECT lab,
+                   unnest(generate_series(1, len(embedding))) AS i,
+                   embedding
+            FROM p),
+        a AS (
+            SELECT lab, i - 1 AS pos,
+                   sum(CAST(CAST(embedding[i] AS DOUBLE)
+                            AS DECIMAL(27,10))) AS s,
+                   count(*) AS n
+            FROM posx GROUP BY lab, i),
+        cent AS (
+            SELECT lab,
+                   list(round(CAST(s AS DOUBLE) / n, 6)
+                        ORDER BY pos) AS cvec
+            FROM a GROUP BY lab),
+        sc AS (
+            SELECT p.vec_id, c.lab,
+                   list_dot_product(p.embedding::DOUBLE[], c.cvec)
+                       AS score
+            FROM p CROSS JOIN cent c),
+        asg AS (
+            SELECT vec_id, lab AS cluster
+            FROM (SELECT vec_id, lab,
+                         row_number() OVER
+                             (PARTITION BY vec_id
+                              ORDER BY score DESC, lab ASC) AS rk
+                  FROM sc)
+            WHERE rk = 1),
+        r AS (
+            SELECT p2.vec_id, a2.cluster,
+                   ((((p2.vec_id // 8) % 8) + 8) % 8) AS lab2,
+                   list_transform(
+                       generate_series(1, len(p2.embedding)),
+                       i -> round(CAST(p2.embedding[i] AS DOUBLE)
+                                  - c.cvec[i], 6)) AS res
+            FROM p p2
+            JOIN asg a2 ON a2.vec_id = p2.vec_id
+            JOIN cent c ON c.lab = a2.cluster),
+        rposx AS (
+            SELECT lab2,
+                   unnest(generate_series(1, len(res))) AS i, res
+            FROM r),
+        rcomp AS (
+            SELECT lab2, (i - 1) // 8 AS sj, (i - 1) % 8 AS pos,
+                   sum(CAST(res[i] AS DECIMAL(27,10))) AS s,
+                   count(*) AS n
+            FROM rposx GROUP BY lab2, sj, pos),
+        book AS (
+            SELECT lab2 AS lab, sj,
+                   list(round(CAST(s AS DOUBLE) / n, 6)
+                        ORDER BY pos) AS cvec
+            FROM rcomp GROUP BY lab2, sj),
+        rsv AS (
+            SELECT r.vec_id, r.cluster, b.sj,
+                   list_transform(generate_series(1, 8),
+                       t -> res[b.sj * 8 + t]) AS subvec
+            FROM r, (SELECT unnest([0,1,2,3,4,5,6,7]) AS sj) b),
+        scq AS (
+            SELECT rsv.vec_id, rsv.cluster, rsv.sj, bk.lab,
+                   list_dot_product(rsv.subvec, bk.cvec) AS sc2
+            FROM rsv JOIN book bk ON bk.sj = rsv.sj),
+        code AS (
+            SELECT vec_id, cluster, sj, lab AS c
+            FROM (SELECT vec_id, cluster, sj, lab,
+                         row_number() OVER
+                             (PARTITION BY vec_id, sj
+                              ORDER BY sc2 DESC, lab ASC) AS rk
+                  FROM scq)
+            WHERE rk = 1),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        pd AS (SELECT c.lab,
+                      list_dot_product(q.qv, c.cvec) AS s
+               FROM cent c, q),
+        probes AS (SELECT lab FROM pd ORDER BY s DESC, lab LIMIT 2),
+        qres AS (
+            SELECT pr.lab AS plab,
+                   list_transform(generate_series(1, len(q.qv)),
+                       i -> round(q.qv[i] - c.cvec[i], 6)) AS res
+            FROM probes pr JOIN cent c ON c.lab = pr.lab, q),
+        tbl AS (
+            SELECT qres.plab, b.sj, bk.lab,
+                   list_dot_product(
+                       list_transform(generate_series(1, 8),
+                           t -> qres.res[b.sj * 8 + t]),
+                       bk.cvec) AS t
+            FROM qres
+            CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS sj) b
+            JOIN book bk ON bk.sj = b.sj),
+        terms AS (
+            SELECT cd.vec_id, cd.cluster, cd.sj, tb.t
+            FROM code cd
+            JOIN probes pr ON pr.lab = cd.cluster
+            JOIN tbl tb ON tb.plab = cd.cluster
+                       AND tb.sj = cd.sj AND tb.lab = cd.c),
+        sc3 AS (
+            SELECT vec_id, CAST(min(cluster) AS INT) AS cluster,
+                   round(list_sum(list(t ORDER BY sj)), 4)
+                       AS score_adc
+            FROM terms WHERE vec_id <> 0 GROUP BY vec_id)
+        SELECT vec_id, cluster, score_adc FROM sc3
+        ORDER BY score_adc DESC, vec_id LIMIT 10
     """,
     "ohlc_bars_events": """
         -- hourly OHLC per event_type; open/close = first/last value

@@ -1895,14 +1895,23 @@ def pq_stratified_adc_search(
         )
 
     def code_term(j: int):
-        scores = {lab: sub_dot(j, lab) for lab in sorted(books[j])}
-        best = F.greatest(*scores.values())
-        term = F.lit(None).cast("double")
-        for lab in sorted(books[j], reverse=True):
-            term = F.when(
-                scores[lab] == best, F.lit(table[j][lab])
-            ).otherwise(term)
-        return term
+        # argmax via array_max over (score, -lab, payload) structs:
+        # struct ordering is lexicographic, so the max is highest
+        # score with ties to the LOWEST lab — and each dot fold
+        # appears exactly once in the expression tree (the chained-
+        # CASE formulation re-evaluated every fold per branch;
+        # measured ~4x slower on this gate)
+        entries = F.array(
+            *[
+                F.struct(
+                    sub_dot(j, lab).alias("s"),
+                    F.lit(-lab).alias("nl"),
+                    F.lit(table[j][lab]).alias("t"),
+                )
+                for lab in sorted(books[j])
+            ]
+        )
+        return F.array_max(entries).getField("t")
 
     score = code_term(0)
     for j in range(1, m):
@@ -1913,3 +1922,195 @@ def pq_stratified_adc_search(
         .orderBy(F.desc("score_adc"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def ivfpq_stratified_search(
+    df: DataFrame,
+    query_id,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_coarse: int = 8,
+    m: int = 8,
+    k_codes: int = 8,
+    n_probe: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """IVF-PQ residual search, deterministic ORACLE tier — the full
+    Faiss IndexIVFPQ pipeline (coarse quantize → RESIDUAL → product
+    quantize → per-probe ADC tables → lookup-sum ranking) with every
+    trained artifact replaced by a SQL-rederivable one:
+
+    - coarse centroids = stratified DECIMAL means (the IVF twin's
+      quantizer), assignment argmax dot, ties lowest cluster;
+    - residuals = ``round(x − c, 6)`` component-wise (the 6dp round
+      keeps the later DECIMAL(27,10) casts exact — a raw double
+      residual would hit decimal rounding ambiguity);
+    - PQ sub-codebooks = DECIMAL means of residual subvectors over
+      the ``pmod(id DIV k_coarse, k_codes)`` strata (a second,
+      decorrelated stratification key);
+    - encode argmax dot per subspace, ties lowest code;
+    - query: probe the ``n_probe`` nearest coarse centroids; per
+      probe build the ADC table from the query's OWN residual vs
+      that centroid (driver-side sequential LTR folds); score =
+      fixed-LTR m-term sum of the candidate's probe table entries,
+      rounded 4dp.
+
+    Output: ``(id, cluster, score_adc)`` top-k (score desc, id asc).
+    The production ``ivfpq_topk_search`` (Lloyd + numpy) remains the
+    quality path; this twin hash-proves the composition.
+    """
+    first = df.select(vec_col).head(1)
+    if not first:
+        raise ValueError("empty input")
+    dim = len(first[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    from .knn import label_centroids, nearest_centroid_classify
+
+    # ---- coarse quantizer + corpus assignment (the IVF twin) ----
+    tagged = df.withColumn(
+        "__lab", F.pmod(F.col(id_col).cast("long"), F.lit(k_coarse))
+    )
+    crows = label_centroids(tagged, vec_col, "__lab", decimals=6).collect()
+    coarse: dict[int, list[float]] = {}
+    tmp: dict = {}
+    for r in crows:
+        tmp.setdefault(int(r["label"]), {})[r["pos"]] = float(r["centroid"])
+    for lab, d in tmp.items():
+        coarse[lab] = [d[p] for p in sorted(d)]
+    asg = nearest_centroid_classify(
+        tagged, id_col, vec_col, "__lab"
+    ).select(
+        F.col(id_col),
+        F.col("pred_label").cast("int").alias("cluster"),
+    )
+    with_cluster = df.join(asg, id_col)
+
+    # ---- residuals: round6(x − c_cluster), cluster-chosen literal
+    res = F.lit(None).cast("array<double>")
+    for lab in sorted(coarse, reverse=True):
+        clit = F.array(*[F.lit(x) for x in coarse[lab]])
+        res = F.when(
+            F.col("cluster") == lab,
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                clit,
+                lambda x, c: F.round(x - c, 6),
+            ),
+        ).otherwise(res)
+    base = with_cluster.withColumn("__res", res)
+
+    # ---- PQ sub-codebooks over residual strata ----
+    base2 = base.withColumn(
+        "__lab2",
+        F.pmod(
+            F.expr(f"CAST({id_col} AS LONG) DIV {int(k_coarse)}"),
+            F.lit(k_codes),
+        ),
+    ).persist()
+    base2.count()
+    books: dict[int, dict[int, list[float]]] = {}
+    for j in range(m):
+        sl = F.slice(F.col("__res"), j * sub + 1, sub)
+        rows = label_centroids(
+            base2.withColumn("__sv", sl), "__sv", "__lab2", decimals=6
+        ).collect()
+        bk: dict = {}
+        for r in rows:
+            bk.setdefault(int(r["label"]), {})[r["pos"]] = float(
+                r["centroid"]
+            )
+        books[j] = {
+            lab: [bk[lab][p] for p in sorted(bk[lab])] for lab in bk
+        }
+
+    # ---- query: probes + per-probe residual ADC tables ----
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        raise ValueError(f"query id {query_id!r} not found")
+    qv = [float(x) for x in qrow[0][0]]
+    probe_scores = []
+    for lab in sorted(coarse):
+        acc = 0.0
+        for a, b in zip(qv, coarse[lab]):
+            acc += a * b
+        probe_scores.append((-acc, lab))
+    probed = [lab for _s, lab in sorted(probe_scores)[:n_probe]]
+
+    # python round() is half-even; the SQL/JVM round(x − c, 6) is
+    # HALF_UP — emulate HALF_UP so the query residual matches the
+    # corpus-side expression bit-for-bit
+    import math
+
+    def _round6(x: float) -> float:
+        return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (
+            1 if x >= 0 else -1
+        )
+
+    tables: dict[int, dict[int, dict[int, float]]] = {}
+    for pl in probed:
+        qres = [_round6(a - b) for a, b in zip(qv, coarse[pl])]
+        tables[pl] = {}
+        for j in range(m):
+            qsub = qres[j * sub : (j + 1) * sub]
+            tables[pl][j] = {}
+            for lab, cv in books[j].items():
+                acc = 0.0
+                for a, b in zip(qsub, cv):
+                    acc += a * b
+                tables[pl][j][lab] = acc
+
+    # ---- encode + score candidates in probed clusters ----
+    def probe_term(j: int):
+        # one array_max per subspace: struct (score, -lab, t_probe...)
+        # — lexicographic struct ordering gives argmax with lowest-
+        # lab ties, each residual fold evaluated exactly once; the
+        # winning struct carries every probe's table entry and the
+        # row's cluster picks one
+        entries = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("__res"), j * sub + 1, sub),
+                            F.array(
+                                *[F.lit(x) for x in books[j][lab]]
+                            ),
+                            lambda x, c: x * c,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("s"),
+                    F.lit(-lab).alias("nl"),
+                    *[
+                        F.lit(tables[pl][j][lab]).alias(f"t{pi}")
+                        for pi, pl in enumerate(probed)
+                    ],
+                )
+                for lab in sorted(books[j])
+            ]
+        )
+        win = F.array_max(entries)
+        term = F.lit(None).cast("double")
+        for pi, pl in enumerate(probed):
+            term = F.when(
+                F.col("cluster") == pl, win.getField(f"t{pi}")
+            ).otherwise(term)
+        return term
+
+    score = probe_term(0)
+    for j in range(1, m):
+        score = score + probe_term(j)
+    out = (
+        base2.filter(
+            F.col("cluster").isin(probed)
+            & (F.col(id_col) != query_id)
+        )
+        .select(
+            id_col, "cluster", F.round(score, 4).alias("score_adc")
+        )
+        .orderBy(F.desc("score_adc"), F.asc(id_col))
+        .limit(topk)
+    )
+    return out

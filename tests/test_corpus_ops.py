@@ -3410,3 +3410,95 @@ def test_pq_stratified_adc_matches_numpy(spark, embeddings):
         scores.items(), key=lambda kv: (-kv[1], kv[0])
     )[:10]
     assert got == [(i, s) for i, s in expect]
+
+
+def test_ivfpq_stratified_matches_numpy(spark, embeddings):
+    """Coarse assignment, residual codes, per-probe tables, and the
+    final ADC ranking must equal a numpy replay (HALF_UP rounding)."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        ivfpq_stratified_search,
+    )
+
+    got = [
+        (r["vec_id"], r["cluster"], r["score_adc"])
+        for r in ivfpq_stratified_search(
+            embeddings, 0, k_coarse=8, m=8, k_codes=8, n_probe=2,
+            topk=10,
+        ).collect()
+    ]
+
+    def r6(x):
+        return np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x)
+
+    rows = embeddings.collect()
+    Vd = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in rows
+    }
+    dim = len(next(iter(Vd.values())))
+    sub = dim // 8
+    strata: dict = {}
+    for i, v in Vd.items():
+        strata.setdefault(i % 8, []).append(v)
+    coarse = {
+        lab: np.round(np.mean(np.stack(vs), axis=0), 6)
+        for lab, vs in strata.items()
+    }
+    cluster = {
+        i: -max(
+            ((float(v @ coarse[lab]), -lab) for lab in sorted(coarse))
+        )[1]
+        for i, v in Vd.items()
+    }
+    res = {i: r6(Vd[i] - coarse[cluster[i]]) for i in Vd}
+    st2: dict = {}
+    for i in Vd:
+        st2.setdefault((i // 8) % 8, []).append(res[i])
+    books = {
+        j: {
+            lab: np.round(
+                np.mean(np.stack(rs), axis=0)[j * sub : (j + 1) * sub],
+                6,
+            )
+            for lab, rs in st2.items()
+        }
+        for j in range(8)
+    }
+    q = Vd[0]
+    probes = [
+        t[1]
+        for t in sorted(
+            ((-float(q @ c), lab) for lab, c in coarse.items())
+        )[:2]
+    ]
+    tables = {}
+    for pl in probes:
+        qr = r6(q - coarse[pl])
+        tables[pl] = {
+            j: {
+                lab: float(
+                    qr[j * sub : (j + 1) * sub] @ books[j][lab]
+                )
+                for lab in books[j]
+            }
+            for j in range(8)
+        }
+    scores = {}
+    for i in Vd:
+        if i == 0 or cluster[i] not in probes:
+            continue
+        s = 0.0
+        for j in range(8):
+            sv = res[i][j * sub : (j + 1) * sub]
+            code = -max(
+                ((float(sv @ books[j][lab]), -lab) for lab in books[j])
+            )[1]
+            s += tables[cluster[i]][j][code]
+        scores[i] = (cluster[i], round(s, 4))
+    expect = sorted(
+        ((i, c, s) for i, (c, s) in scores.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:10]
+    assert got == expect
