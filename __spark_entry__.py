@@ -4405,6 +4405,18 @@ def ivfpq_stratified_search_embeddings(
     )
 
 
+def mmr_rerank_oracle_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MMR diversity re-rank, deterministic oracle tier: top-20 pool
+    by integer-e4 cosine, greedy 7·rel_e4 − 3·maxsim_e4 picks (λ=0.7
+    scaled to the 7:3 integer ratio — a double-score first cut hit
+    DuckDB FMA last-ulp drift), ties lowest id. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn.mmr_rerank_oracle_tier(emb, 0, pool=20, k=5, lam=0.7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4630,6 +4642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_stratified_adc_embeddings": pq_stratified_adc_embeddings,
         "ohlc_bars_events": ohlc_bars_events,
         "ivfpq_stratified_search_embeddings": ivfpq_stratified_search_embeddings,
+        "mmr_rerank_oracle_embeddings": mmr_rerank_oracle_embeddings,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -5370,6 +5383,78 @@ _PENDING_ORACLES: dict[str, str] = {
         SELECT id1, id2, jaccard_ppm FROM j
         WHERE jaccard_ppm >= 300000
         ORDER BY id1, id2
+    """,
+    "mmr_rerank_oracle_embeddings": """
+        -- greedy MMR over the integer-e4 top-20 pool; score =
+        -- 7*rel_e4 - 3*maxsim_e4 (pure int64 -- a double-score cut
+        -- drifted a ulp under DuckDB FMA); ties lowest id
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 0),
+        pool AS (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                   CAST(round(list_dot_product(e.embedding::DOUBLE[],
+                                               q.qv) * 10000, 0)
+                        AS BIGINT) AS rel_e4
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY rel_e4 DESC, e.vec_id LIMIT 20),
+        c1 AS (SELECT vec_id, v, rel_e4,
+                      7 * rel_e4 - 3 * 0 AS score
+               FROM pool ORDER BY score DESC, vec_id LIMIT 1),
+        p1 AS (SELECT * FROM pool
+               WHERE vec_id NOT IN (SELECT vec_id FROM c1)),
+        c2 AS (SELECT p.vec_id, p.v, p.rel_e4,
+                      7 * p.rel_e4 - 3 * greatest(0,
+                          CAST(round(list_dot_product(p.v, c1.v)
+                                     * 10000, 0) AS BIGINT)) AS score
+               FROM p1 p, c1 ORDER BY score DESC, p.vec_id LIMIT 1),
+        p2 AS (SELECT * FROM p1
+               WHERE vec_id NOT IN (SELECT vec_id FROM c2)),
+        c3 AS (SELECT p.vec_id, p.v, p.rel_e4,
+                      7 * p.rel_e4 - 3 * greatest(0,
+                          CAST(round(list_dot_product(p.v, c1.v)
+                                     * 10000, 0) AS BIGINT),
+                          CAST(round(list_dot_product(p.v, c2.v)
+                                     * 10000, 0) AS BIGINT)) AS score
+               FROM p2 p, c1, c2
+               ORDER BY score DESC, p.vec_id LIMIT 1),
+        p3 AS (SELECT * FROM p2
+               WHERE vec_id NOT IN (SELECT vec_id FROM c3)),
+        c4 AS (SELECT p.vec_id, p.v, p.rel_e4,
+                      7 * p.rel_e4 - 3 * greatest(0,
+                          CAST(round(list_dot_product(p.v, c1.v)
+                                     * 10000, 0) AS BIGINT),
+                          CAST(round(list_dot_product(p.v, c2.v)
+                                     * 10000, 0) AS BIGINT),
+                          CAST(round(list_dot_product(p.v, c3.v)
+                                     * 10000, 0) AS BIGINT)) AS score
+               FROM p3 p, c1, c2, c3
+               ORDER BY score DESC, p.vec_id LIMIT 1),
+        p4 AS (SELECT * FROM p3
+               WHERE vec_id NOT IN (SELECT vec_id FROM c4)),
+        c5 AS (SELECT p.vec_id, p.v, p.rel_e4,
+                      7 * p.rel_e4 - 3 * greatest(0,
+                          CAST(round(list_dot_product(p.v, c1.v)
+                                     * 10000, 0) AS BIGINT),
+                          CAST(round(list_dot_product(p.v, c2.v)
+                                     * 10000, 0) AS BIGINT),
+                          CAST(round(list_dot_product(p.v, c3.v)
+                                     * 10000, 0) AS BIGINT),
+                          CAST(round(list_dot_product(p.v, c4.v)
+                                     * 10000, 0) AS BIGINT)) AS score
+               FROM p4 p, c1, c2, c3, c4
+               ORDER BY score DESC, p.vec_id LIMIT 1)
+        SELECT * FROM (
+            SELECT 1 AS mmr_rank, vec_id, rel_e4 AS relevance_e4,
+                   CAST(score AS BIGINT) AS mmr_score_e5 FROM c1
+            UNION ALL SELECT 2, vec_id, rel_e4, CAST(score AS BIGINT)
+                      FROM c2
+            UNION ALL SELECT 3, vec_id, rel_e4, CAST(score AS BIGINT)
+                      FROM c3
+            UNION ALL SELECT 4, vec_id, rel_e4, CAST(score AS BIGINT)
+                      FROM c4
+            UNION ALL SELECT 5, vec_id, rel_e4, CAST(score AS BIGINT)
+                      FROM c5)
+        ORDER BY mmr_rank
     """,
     "ivfpq_stratified_search_embeddings": """
         -- IVF-PQ residual search: coarse stratified quantizer (the

