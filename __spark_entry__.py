@@ -4417,6 +4417,21 @@ def mmr_rerank_oracle_embeddings(
     return knn.mmr_rerank_oracle_tier(emb, 0, pool=20, k=5, lam=0.7)
 
 
+def stream_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars (complete-mode over the bounded event
+    stream): min_by/max_by state updates are order-insensitive, so
+    the result equals the batch operator — and shares its oracle.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.streaming.stream_ops import (
+        stream_ohlc_bars,
+    )
+
+    out = stream_ohlc_bars(spark, sf_dir, name="gate_stream_ohlc")
+    return out.select(
+        "event_type", "bar_ts", "open", "high", "low", "close", "n"
+    ).orderBy("event_type", "bar_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
@@ -4643,6 +4658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars_events": ohlc_bars_events,
         "ivfpq_stratified_search_embeddings": ivfpq_stratified_search_embeddings,
         "mmr_rerank_oracle_embeddings": mmr_rerank_oracle_embeddings,
+        "stream_ohlc_events": stream_ohlc_events,
         "dsir_weights_documents": dsir_weights_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "leakage_safe_split_documents": leakage_safe_split_documents,
@@ -5568,6 +5584,30 @@ _PENDING_ORACLES: dict[str, str] = {
         ORDER BY score_adc DESC, vec_id LIMIT 10
     """,
     "ohlc_bars_events": """
+        -- hourly OHLC per event_type; open/close = first/last value
+        -- by (ts, value) — deterministic under duplicate timestamps
+        -- (DuckDB arg_min/arg_max reject struct orderings, so the
+        -- first/last rows come from window row_numbers instead)
+        WITH r AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bar_ts, value,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, value) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, value DESC) AS rn_d
+            FROM events WHERE value IS NOT NULL)
+        SELECT event_type, bar_ts,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n
+        FROM r GROUP BY event_type, bar_ts
+        ORDER BY event_type, bar_ts
+    """,
+    "stream_ohlc_events": """
         -- hourly OHLC per event_type; open/close = first/last value
         -- by (ts, value) — deterministic under duplicate timestamps
         -- (DuckDB arg_min/arg_max reject struct orderings, so the

@@ -1156,3 +1156,46 @@ def stream_psi_drift(
         )
         .orderBy("window_start")
     )
+
+
+def stream_ohlc_bars(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket: str = "1 hour",
+    watermark: str = "2 hours",
+    name: str = "stream_ohlc",
+) -> DataFrame:
+    """Streaming twin of ``windows.ohlc_bars``: per-(event_type,
+    hour) open/high/low/close + count maintained incrementally over
+    the event stream — ``min_by``/``max_by`` on the (ts, value)
+    composite are order-insensitive aggregates, so the streaming
+    state update is commutative and the bounded-input result equals
+    the batch operator exactly (asserted in tests). Complete-mode
+    memory sink for the bounded smoke path; production runs append +
+    watermark-finalized bars.
+    """
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    ordkey = F.struct(F.col("ts"), F.col("value"))
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bucket), "event_type")
+        .agg(
+            F.min_by("value", ordkey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordkey).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("window.start").alias("bar_ts"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+    return _run_to_memory(agg, name, "complete")

@@ -1112,3 +1112,32 @@ def test_observed_stage_metrics_ride_the_action(spark, sf_dir):
         r["n_chars"] for r in docs.select("n_chars").collect()
     )
     assert kept <= got["n_rows"]
+
+
+def test_stream_ohlc_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators.windows import ohlc_bars
+    from job_post_similarity_spark.sources.io import load_table
+    from job_post_similarity_spark.streaming.stream_ops import (
+        stream_ohlc_bars,
+    )
+
+    got = {
+        (r["event_type"], str(r["bar_ts"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in stream_ohlc_bars(
+            spark, sf_dir, name="t_stream_ohlc"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    expect = {
+        (r["event_type"], str(r["bar_ts"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in ohlc_bars(
+            ev, key_col="event_type", bucket="1 hour"
+        ).collect()
+    }
+    assert got == expect
