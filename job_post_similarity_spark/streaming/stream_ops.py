@@ -349,79 +349,19 @@ def stream_near_dup_minhash(
     sigs_table = _sigs_table_name(sigs_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        banded = dedup.banded_minhash_signatures(
-            batch_df, id_col, text_col, num_hashes, bands, ngram
-        ).cache()
-        store_exists = sp.catalog.tableExists(sigs_table)
-        if not store_exists and os.path.exists(
-            os.path.join(sigs_path, "_SUCCESS")
-        ):
-            # files outlive the in-memory catalog (new session, same
-            # lake): re-register the bucketed table over the location
-            _register_sigs_store(sp, sigs_table, sigs_path, store_buckets)
-            store_exists = True
-        candidates = []
-        # batch vs accumulated store (cross-batch duplicates)
-        if store_exists:
-            store = sp.table(sigs_table)
-            # shuffle ONLY the (small) new-batch side into the store's
-            # bucket layout — hash-partitioning with numPartitions ==
-            # bucket count co-locates with the bucketed scan, so the
-            # accumulated store never re-shuffles as it grows
-            batch_side = banded.repartition(store_buckets, "band", "bucket")
-            candidates.append(
-                batch_side.alias("a").join(
-                    store.alias("b"),
-                    on=[
-                        F.col("a.band") == F.col("b.band"),
-                        F.col("a.bucket") == F.col("b.bucket"),
-                        F.col("a.id") != F.col("b.id"),
-                    ],
-                )
-            )
-        # within-batch self-join
-        candidates.append(
-            banded.alias("a").join(
-                banded.alias("b"),
-                on=[
-                    F.col("a.band") == F.col("b.band"),
-                    F.col("a.bucket") == F.col("b.bucket"),
-                    F.col("a.id") < F.col("b.id"),
-                ],
-            )
+        _minhash_store_step(
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            ngram=ngram,
+            jaccard_threshold=jaccard_threshold,
+            sigs_path=sigs_path,
+            pairs_path=pairs_path,
+            sigs_table=sigs_table,
+            store_buckets=store_buckets,
         )
-        pairs = None
-        for cand in candidates:
-            est = (
-                cand.select(
-                    F.least(F.col("a.id"), F.col("b.id")).alias("id1"),
-                    F.greatest(F.col("a.id"), F.col("b.id")).alias("id2"),
-                    (
-                        F.size(
-                            F.filter(
-                                F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
-                                lambda m: m,
-                            )
-                        )
-                        / F.lit(float(num_hashes))
-                    ).alias("est_jaccard"),
-                )
-                .filter(F.col("est_jaccard") >= jaccard_threshold)
-                .dropDuplicates(["id1", "id2"])
-            )
-            pairs = est if pairs is None else pairs.unionByName(est)
-        pairs.dropDuplicates(["id1", "id2"]).write.mode("append").parquet(
-            pairs_path
-        )
-        (
-            banded.write.mode("append")
-            .bucketBy(store_buckets, "band", "bucket")
-            .sortBy("band", "bucket")
-            .option("path", sigs_path)
-            .saveAsTable(sigs_table)
-        )
-        banded.unpersist()
 
     stream = (
         spark.readStream.schema(docs_schema)
@@ -438,6 +378,146 @@ def stream_near_dup_minhash(
     )
     q.awaitTermination()
     return spark.read.parquet(pairs_path)
+
+
+def incremental_near_dup_minhash_batch(
+    new_docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    ngram: int = 2,
+    jaccard_threshold: float = 0.5,
+    store_buckets: int = 16,
+) -> DataFrame:
+    """BATCH-mode incremental near-dup: dedup ONE new batch of
+    documents against the persisted signature store — the crawl-
+    refresh production mode (nightly batch ingests, not a stream) —
+    sharing the exact step the streaming twin runs per micro-batch:
+    band the batch, join vs the bucketed store with zero Exchange on
+    the store side, estimate-filter, append pairs + signatures.
+
+    Returns the FULL accumulated pairs table (this call's finds
+    included). Call repeatedly as new crawls land; the store grows
+    with the corpus in the lake, and a fresh session re-registers
+    the bucketed table from its files.
+    """
+    import os
+
+    sigs_path = os.path.join(store_dir, "sigs")
+    pairs_path = os.path.join(store_dir, "pairs")
+    _minhash_store_step(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        ngram=ngram,
+        jaccard_threshold=jaccard_threshold,
+        sigs_path=sigs_path,
+        pairs_path=pairs_path,
+        sigs_table=_sigs_table_name(sigs_path),
+        store_buckets=store_buckets,
+    )
+    return new_docs.sparkSession.read.parquet(pairs_path)
+
+
+def _minhash_store_step(
+    batch_df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    ngram: int,
+    jaccard_threshold: float,
+    sigs_path: str,
+    pairs_path: str,
+    sigs_table: str,
+    store_buckets: int,
+) -> None:
+    """One incremental MinHash step shared by the streaming
+    foreachBatch and the batch API: signatures → store join (+
+    within-batch self-join) → estimate filter → append pairs and
+    signatures."""
+    import os
+
+    from ..operators import dedup
+
+    sp = batch_df.sparkSession
+    banded = dedup.banded_minhash_signatures(
+        batch_df, id_col, text_col, num_hashes, bands, ngram
+    ).cache()
+    store_exists = sp.catalog.tableExists(sigs_table)
+    if not store_exists and os.path.exists(
+        os.path.join(sigs_path, "_SUCCESS")
+    ):
+        # files outlive the in-memory catalog (new session, same
+        # lake): re-register the bucketed table over the location
+        _register_sigs_store(sp, sigs_table, sigs_path, store_buckets)
+        store_exists = True
+    candidates = []
+    # batch vs accumulated store (cross-batch duplicates)
+    if store_exists:
+        store = sp.table(sigs_table)
+        # shuffle ONLY the (small) new-batch side into the store's
+        # bucket layout — hash-partitioning with numPartitions ==
+        # bucket count co-locates with the bucketed scan, so the
+        # accumulated store never re-shuffles as it grows
+        batch_side = banded.repartition(store_buckets, "band", "bucket")
+        candidates.append(
+            batch_side.alias("a").join(
+                store.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.bucket") == F.col("b.bucket"),
+                    F.col("a.id") != F.col("b.id"),
+                ],
+            )
+        )
+    # within-batch self-join
+    candidates.append(
+        banded.alias("a").join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+    )
+    pairs = None
+    for cand in candidates:
+        est = (
+            cand.select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id1"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id2"),
+                (
+                    F.size(
+                        F.filter(
+                            F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                            lambda m: m,
+                        )
+                    )
+                    / F.lit(float(num_hashes))
+                ).alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .dropDuplicates(["id1", "id2"])
+        )
+        pairs = est if pairs is None else pairs.unionByName(est)
+    pairs.dropDuplicates(["id1", "id2"]).write.mode("append").parquet(
+        pairs_path
+    )
+    (
+        banded.write.mode("append")
+        .bucketBy(store_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .option("path", sigs_path)
+        .saveAsTable(sigs_table)
+    )
+    banded.unpersist()
 
 
 def compact_signature_store(

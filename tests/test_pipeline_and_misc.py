@@ -1141,3 +1141,39 @@ def test_stream_ohlc_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got == expect
+
+
+def test_incremental_minhash_batch_cross_batch_dup(spark, tmp_path):
+    """Crawl-refresh mode: batch 2 contains a near-dup of a batch-1
+    doc — the second call must find the CROSS-BATCH pair against the
+    persisted store, plus batch-local pairs, and the store must
+    accumulate."""
+    from job_post_similarity_spark.streaming.stream_ops import (
+        incremental_near_dup_minhash_batch,
+    )
+
+    store = str(tmp_path / "inc_store")
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    out1 = incremental_near_dup_minhash_batch(b1, store)
+    assert out1.count() == 0
+    b2 = spark.createDataFrame(
+        [(3, base + " extra"), (4, "unrelated content again")],
+        "doc_id long, text string",
+    )
+    out2 = incremental_near_dup_minhash_batch(b2, store)
+    pairs = {(r["id1"], r["id2"]) for r in out2.collect()}
+    assert (1, 3) in pairs
+    # third call with another twin finds pairs against BOTH batches
+    b3 = spark.createDataFrame(
+        [(5, base + " more")], "doc_id long, text string"
+    )
+    out3 = incremental_near_dup_minhash_batch(b3, store)
+    pairs3 = {(r["id1"], r["id2"]) for r in out3.collect()}
+    assert (1, 5) in pairs3 and (3, 5) in pairs3 and (1, 3) in pairs3
