@@ -1852,22 +1852,24 @@ def pq_stratified_adc_search(
     tagged = df.withColumn(
         "__lab", F.pmod(F.col(id_col).cast("long"), F.lit(k_codes))
     )
-    books: dict[int, dict[int, list[float]]] = {}
-    for j in range(m):
-        sl = F.slice(
-            F.col(vec_col).cast("array<double>"), j * sub + 1, sub
+    # ONE centroid pass over the full vectors, sliced per subspace
+    # driver-side: the mean of a subvector IS the slice of the full
+    # mean (and 6dp rounding is per-component, so round-then-slice ==
+    # slice-then-round) — m separate per-subspace aggregates would
+    # scan the corpus m times for identical numbers
+    rows = label_centroids(tagged, vec_col, "__lab", decimals=6).collect()
+    full: dict[int, dict[int, float]] = {}
+    for r in rows:
+        full.setdefault(int(r["label"]), {})[r["pos"]] = float(
+            r["centroid"]
         )
-        rows = label_centroids(
-            tagged.withColumn("__sv", sl), "__sv", "__lab", decimals=6
-        ).collect()
-        bk: dict[int, dict[int, float]] = {}
-        for r in rows:
-            bk.setdefault(int(r["label"]), {})[r["pos"]] = float(
-                r["centroid"]
-            )
-        books[j] = {
-            lab: [bk[lab][p] for p in sorted(bk[lab])] for lab in bk
+    books: dict[int, dict[int, list[float]]] = {
+        j: {
+            lab: [full[lab][p] for p in range(j * sub, (j + 1) * sub)]
+            for lab in full
         }
+        for j in range(m)
+    }
     qrow = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
     if not qrow:
         raise ValueError(f"query id {query_id!r} not found")
@@ -2010,20 +2012,21 @@ def ivfpq_stratified_search(
         ),
     ).persist()
     base2.count()
-    books: dict[int, dict[int, list[float]]] = {}
-    for j in range(m):
-        sl = F.slice(F.col("__res"), j * sub + 1, sub)
-        rows = label_centroids(
-            base2.withColumn("__sv", sl), "__sv", "__lab2", decimals=6
-        ).collect()
-        bk: dict = {}
-        for r in rows:
-            bk.setdefault(int(r["label"]), {})[r["pos"]] = float(
-                r["centroid"]
-            )
-        books[j] = {
-            lab: [bk[lab][p] for p in sorted(bk[lab])] for lab in bk
+    # one residual-centroid pass, sliced per subspace driver-side
+    # (subvector means == slices of the full mean; see the PQ twin)
+    rows = label_centroids(base2, "__res", "__lab2", decimals=6).collect()
+    rfull: dict[int, dict[int, float]] = {}
+    for r in rows:
+        rfull.setdefault(int(r["label"]), {})[r["pos"]] = float(
+            r["centroid"]
+        )
+    books: dict[int, dict[int, list[float]]] = {
+        j: {
+            lab: [rfull[lab][p] for p in range(j * sub, (j + 1) * sub)]
+            for lab in rfull
         }
+        for j in range(m)
+    }
 
     # ---- query: probes + per-probe residual ADC tables ----
     qrow = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
