@@ -1529,13 +1529,23 @@ def pagerank_lineitem_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical inverted index: token -> df + sorted capped posting
-    list (nested-array output)."""
+    list. The posting array is emitted comma-joined as a STRING: the
+    driver's pandas canonicalization cannot sort/hash list cells
+    (r4 lesson — unhashable type 'list'), and the join preserves
+    element order so the hash still proves the full nested value."""
     from job_post_similarity_spark.operators.text_analysis import (
         inverted_index,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return inverted_index(docs, min_df=5, max_postings=50).orderBy("token")
+    return (
+        inverted_index(docs, min_df=5, max_postings=50)
+        .withColumn(
+            "postings",
+            F.array_join(F.col("postings").cast("array<string>"), ","),
+        )
+        .orderBy("token")
+    )
 
 
 def bm25_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1561,12 +1571,21 @@ def sq8_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ScalarQuantizer QT_8bit model): per-dim min/max grid trained in
     one agg pass, codes via a pure-JVM transform — 1 byte/dim at
     rest. Full encode is DuckDB-checkable (per-dim grid + affine
-    round are engine-exact in double)."""
+    round are engine-exact in double). Codes emitted comma-joined as
+    a STRING (driver canon can't hash list cells — r4 lesson);
+    element order preserved, so the hash proves every byte."""
     from job_post_similarity_spark.operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings")
     vmin, vmax = ann.sq8_train(emb)
-    return ann.sq8_encode(emb, vmin, vmax).orderBy("vec_id")
+    return (
+        ann.sq8_encode(emb, vmin, vmax)
+        .withColumn(
+            "sq8_code",
+            F.array_join(F.col("sq8_code").cast("array<string>"), ","),
+        )
+        .orderBy("vec_id")
+    )
 
 
 def sq8_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2534,14 +2553,21 @@ def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def order_arrays_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-type aggregation surface: per customer, the SORTED array
-    of order keys (deterministic nested output) + count."""
+    of order keys + count. The array is emitted comma-joined as a
+    STRING (driver canon can't hash list cells — r4 lesson); sort
+    order preserved, so the hash proves the full nested value."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey") < 200
     )
     return (
         orders.groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("order_keys"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .orderBy("o_custkey")
@@ -3040,10 +3066,20 @@ def quantize_int8_embeddings(
     model) — scale = order-independent per-dim max|x|, codes a
     fixed-shape IEEE expression rounded HALF_UP, so the compressed
     representation is bit-exactly reproducible by an independent
-    engine. (Oracle staged in _PENDING_ORACLES.)"""
+    engine. Codes emitted comma-joined as a STRING — the driver
+    canon can't hash list cells (r4 lesson); element order is
+    preserved so the hash still proves every code. (Oracle staged
+    in _PENDING_ORACLES.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn.quantize_int8(emb).select("vec_id", "codes").orderBy(
-        "vec_id"
+    return (
+        knn.quantize_int8(emb)
+        .select(
+            "vec_id",
+            F.array_join(
+                F.col("codes").cast("array<string>"), ","
+            ).alias("codes"),
+        )
+        .orderBy("vec_id")
     )
 
 
@@ -3437,12 +3473,26 @@ def linear_fit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mean_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→embed→pool: DECIMAL-exact mean vector per synthesized
     group (pmod(vec_id, 16) — the chunk-family synthesis precedent),
-    arrays reassembled in position order. (Oracle staged in
-    _PENDING_ORACLES.)"""
+    arrays reassembled in position order. Pooled components emitted
+    as comma-joined INTEGER MICROS (driver canon can't hash list
+    cells, and float→string rendering is engine-dependent — micros
+    are exact: both engines start from the identical round-6
+    double). (Oracle staged in _PENDING_ORACLES.)"""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "grp", F.pmod(F.col("vec_id"), F.lit(16))
     )
-    return knn.mean_pool(emb, "grp", "embedding")
+    return knn.mean_pool(emb, "grp", "embedding").withColumn(
+        "pooled",
+        F.array_join(
+            F.transform(
+                F.col("pooled"),
+                lambda x: F.round(x * F.lit(1e6))
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ),
+    )
 
 
 def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3555,7 +3605,12 @@ def feature_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        feature_hash(["event_type", "user_bucket"], 32).alias("fvec"),
+        F.array_join(
+            feature_hash(["event_type", "user_bucket"], 32).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("fvec"),
     ).orderBy("event_id")
 
 
@@ -3812,10 +3867,19 @@ def one_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from job_post_similarity_spark.operators.preprocess import one_hot
 
     ev = load_table(spark, sf_dir, "events")
-    return one_hot(
-        ev, "event_type",
-        ["click", "error", "purchase", "signup", "view"],
-    ).select("event_id", "event_type_onehot").orderBy("event_id")
+    return (
+        one_hot(
+            ev, "event_type",
+            ["click", "error", "purchase", "signup", "view"],
+        )
+        .select(
+            "event_id",
+            F.array_join(
+                F.col("event_type_onehot").cast("array<string>"), ","
+            ).alias("event_type_onehot"),
+        )
+        .orderBy("event_id")
+    )
 
 
 def kfold_assign_documents(
@@ -3867,9 +3931,14 @@ def bow_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return bow_counts(
-        docs, ["the", "a", "table", "value", "spark"]
-    ).orderBy("doc_id")
+    return (
+        bow_counts(docs, ["the", "a", "table", "value", "spark"])
+        .withColumn(
+            "bow",
+            F.array_join(F.col("bow").cast("array<string>"), ","),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def tree_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4432,20 +4501,79 @@ def stream_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bar_ts")
 
 
+# Round-5 graded window (driver grades exactly the FIRST 50 queries()
+# entries). Composition: the 3 round-4 erred gates (array outputs the
+# driver canon couldn't hash — now comma-joined strings) for re-grade,
+# then 47 never-graded staged gates oldest-first (tools/plan_rotation).
+# The 28 remaining never-graded gates queue for round 6; every entry
+# parked at 51+ is green in CORRECTNESS_r01∪r02∪r03∪r04.
+_R5_WINDOW: tuple[str, ...] = (
+    # re-grades (fixed this round)
+    "order_arrays_by_customer",
+    "inverted_index_documents",
+    "sq8_encode_embeddings",
+    # never-graded staged gates, rotation order
+    "referential_profile_lineitem",
+    "vocab_coverage_documents",
+    "negative_samples_embeddings",
+    "equi_depth_histogram_lineitem",
+    "time_weighted_avg_events",
+    "monthly_revenue_change_orders",
+    "top_tokens_by_lang_documents",
+    "nearest_centroid_embeddings",
+    "containment_join_docs",
+    "semantic_dedup_planted_twin",
+    "bpe_train_documents",
+    "bleu_pairs_documents",
+    "rrf_hybrid_documents",
+    "token_budget_mixture_documents",
+    "hamming_topk_embeddings",
+    "mrl_search_embeddings",
+    "hamming_rerank_embeddings",
+    "keep_best_dedup_documents",
+    "fim_transform_documents",
+    "bpe_train_encode_documents",
+    "kcenter_coreset_embeddings",
+    "minhash_banded_oracle_documents",
+    "simhash_banded_oracle_documents",
+    "srp_rademacher_oracle_embeddings",
+    "datacard_documents",
+    "ivf_stratified_search_embeddings",
+    "pq_stratified_adc_embeddings",
+    "ohlc_bars_events",
+    "ivfpq_stratified_search_embeddings",
+    "mmr_rerank_oracle_embeddings",
+    "stream_ohlc_events",
+    "dsir_weights_documents",
+    "quantize_int8_embeddings",
+    "leakage_safe_split_documents",
+    "expectation_report_lineitem",
+    "truncate_tokens_documents",
+    "stream_expectation_monitor_events",
+    "psi_drift_lineitem",
+    "temperature_mixture_documents",
+    "sentence_split_documents",
+    "pivot_orders_priority",
+    "analyze_table_events",
+    "grouped_median_events",
+    "corr_matrix_lineitem",
+    "sorted_neighborhood_suppliers",
+    "weighted_sample_documents",
+    "asof_forward_tolerance_events",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
-    FIRST 50 dict entries per round. Round-4 rotation: the 19 NEW
-    oracle-backed gates (14 corpus-scale ops + 4 ANN planted-twin
-    recall gates + the substring-dedup apply step) all sit inside the
-    window; the remaining 31 slots hold r3-green gates, preferring
-    ones whose code paths round 4 touched (flagship similarity, SRP
-    recall, curation, sampling). Every oracle-backed entry parked at
-    51+ is green in CORRECTNESS_r01∪r02∪r03 (machine-checked by
-    tools/check_oracles + the verify skill's window invariant);
-    rows-only (no-oracle) tiers trail. Union coverage after this
-    round: every oracle-backed query green in r01∪r02∪r03∪r04."""
-    return {
-        # ===== graded window (first 50) =====
+    FIRST 50 dict entries per round. Round 5 applies _R5_WINDOW (see
+    its comment) on top of the round-4 base ordering: window members
+    first, everything else keeps its prior relative order. Every
+    oracle-backed entry parked at 51+ is green in some prior round's
+    CORRECTNESS file (machine-checked by tools/check_oracles + the
+    verify skill's window invariant); rows-only (no-oracle) tiers
+    trail."""
+    base = {
+        # ===== round-4 base ordering (reordered by _R5_WINDOW below) =====
         # never-graded gates new this session:
         "bpe_merge_pairs_documents": bpe_merge_pairs_documents,
         "chi2_token_label_documents": chi2_token_label_documents,
@@ -4706,6 +4834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths_parts": shortest_paths_parts,
         "zipf_slope_documents": zipf_slope_documents,
     }
+    out = {k: base[k] for k in _R5_WINDOW}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -6142,13 +6273,14 @@ _PENDING_ORACLES: dict[str, str] = {
             FROM p GROUP BY i),
         sv AS (SELECT list(mx ORDER BY i) AS sl FROM s)
         SELECT vec_id,
+               array_to_string(
                list_transform(
                    generate_series(1, len(embedding)),
                    i -> CASE WHEN sv.sl[i] = 0.0 THEN 0
                              ELSE CAST(least(127.0, greatest(-127.0,
                                       round(CAST(embedding[i] AS DOUBLE)
                                             / sv.sl[i] * 127.0, 0)))
-                                  AS INT) END) AS codes
+                                  AS INT) END), ',') AS codes
         FROM embeddings CROSS JOIN sv
         ORDER BY vec_id
     """,
@@ -6534,8 +6666,10 @@ _PENDING_ORACLES: dict[str, str] = {
             FROM p GROUP BY grp, i)
         SELECT grp AS "group",
                CAST(max(n) AS BIGINT) AS n_vecs,
-               list(round(CAST(s AS DOUBLE) / n, 6)
-                    ORDER BY pos) AS pooled
+               array_to_string(
+                   list(CAST(round(round(CAST(s AS DOUBLE) / n, 6)
+                                   * 1000000.0, 0) AS BIGINT)
+                        ORDER BY pos), ',') AS pooled
         FROM a GROUP BY grp ORDER BY "group"
     """,
 }
@@ -6545,7 +6679,7 @@ def oracle_sql() -> dict[str, str]:
     from job_post_similarity_spark.sources.io import morton_key_sql
 
     _zkey = morton_key_sql("o_custkey", "o_orderkey", 16)
-    return {
+    out = {
         "hard_negatives_embeddings": f"""
             SELECT query_id, neighbor_id,
                    round(similarity, 4) AS similarity, rn AS rank
@@ -6940,7 +7074,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id1, id2
         """,
         "order_arrays_by_customer": """
-            SELECT o_custkey, list_sort(array_agg(o_orderkey)) AS order_keys,
+            SELECT o_custkey,
+                   array_to_string(list_sort(array_agg(o_orderkey)), ',')
+                       AS order_keys,
                    count(*) AS cnt
             FROM orders WHERE o_custkey < 200
             GROUP BY o_custkey ORDER BY o_custkey
@@ -7218,7 +7354,8 @@ def oracle_sql() -> dict[str, str]:
                                  CAST(round((x - lo) * 255.0 / r)
                                       AS INT))) END AS code
                 FROM u JOIN mm USING (d))
-            SELECT vec_id, list(code ORDER BY d) AS sq8_code
+            SELECT vec_id,
+                   array_to_string(list(code ORDER BY d), ',') AS sq8_code
             FROM c GROUP BY vec_id ORDER BY vec_id
         """,
         "sq8_recall_vs_exact": """
@@ -7273,8 +7410,9 @@ def oracle_sql() -> dict[str, str]:
                                                  '\\s+')) AS token
                 FROM documents WHERE text IS NOT NULL)
             SELECT token, count(*) AS df,
-                   list_slice(list(doc_id ORDER BY doc_id), 1, 50)
-                       AS postings
+                   array_to_string(
+                       list_slice(list(doc_id ORDER BY doc_id), 1, 50),
+                       ',') AS postings
             FROM t GROUP BY token
             HAVING count(*) >= 5
             ORDER BY token
@@ -8728,6 +8866,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY jaccard DESC, id1, id2
         """,
     }
+    # Promote staged SQL for every round-5 window member: a gate
+    # entering the graded window moves from _PENDING_ORACLES into
+    # oracle_sql() (the parked-at-51+ entries stay prior-green only).
+    for _k in _R5_WINDOW:
+        if _k not in out and _k in _PENDING_ORACLES:
+            out[_k] = _PENDING_ORACLES[_k]
+    return out
 
 
 # Oracles that need _COS (defined above) — registered post-definition
@@ -8893,6 +9038,7 @@ _PENDING_ORACLES.update({
                    CAST(((user_id % 50) + 50) % 50 AS VARCHAR) AS ub
             FROM events)
         SELECT event_id,
+               array_to_string(
                list_transform(generate_series(0, 31), i ->
                    CAST(
                      (CASE WHEN event_type IS NOT NULL
@@ -8906,7 +9052,7 @@ _PENDING_ORACLES.update({
                                  substr(md5('user_bucket=' || ub),
                                         1, 14))
                                AS BIGINT) % 32 = i
-                           THEN 1 ELSE 0 END) AS INT)) AS fvec
+                           THEN 1 ELSE 0 END) AS INT)), ',') AS fvec
         FROM b ORDER BY event_id
     """,
     "seasonality_events": """
@@ -9163,12 +9309,14 @@ _PENDING_ORACLES.update({
     """,
     "one_hot_events": """
         SELECT event_id,
-               [CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
-                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
-                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
-                CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END,
-                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END]
-                   AS event_type_onehot
+               array_to_string(
+                   [CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
+                    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
+                    CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END,
+                    CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END,
+                    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END],
+                   ',') AS event_type_onehot
         FROM events ORDER BY event_id
     """,
     "kfold_assign_documents": """
@@ -9213,11 +9361,13 @@ _PENDING_ORACLES.update({
                        x -> x <> ''), []) AS toks
             FROM documents)
         SELECT doc_id,
-               [len(list_filter(toks, x -> x = 'the')),
-                len(list_filter(toks, x -> x = 'a')),
-                len(list_filter(toks, x -> x = 'table')),
-                len(list_filter(toks, x -> x = 'value')),
-                len(list_filter(toks, x -> x = 'spark'))] AS bow
+               array_to_string(
+                   [len(list_filter(toks, x -> x = 'the')),
+                    len(list_filter(toks, x -> x = 'a')),
+                    len(list_filter(toks, x -> x = 'table')),
+                    len(list_filter(toks, x -> x = 'value')),
+                    len(list_filter(toks, x -> x = 'spark'))],
+                   ',') AS bow
         FROM t ORDER BY doc_id
     """,
     "tree_rollup_parts": """

@@ -64,6 +64,12 @@ HEADLINE = [
     "token_budget_mixture_documents",
     "keep_best_dedup_documents",
     "bpe_train_encode_documents",
+    # round-5: TPC-H completion representatives (scan-agg / deep
+    # multi-join / correlated-agg / having-join shapes)
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
 ]
 
 

@@ -78,14 +78,23 @@ def _has_decimal(v) -> bool:
     return False
 
 
-def find_unsafe(rows: list[tuple]) -> str | None:
+def find_unsafe(rows: list[tuple], hashed: bool = True) -> str | None:
     """First driver-unsafe cell type in the result, or None — checks
     NESTED values too (a list<decimal> renders just as
-    engine-dependently as a top-level Decimal)."""
+    engine-dependently as a top-level Decimal). When ``hashed`` (the
+    query has an oracle), list/tuple/dict cells are ALSO unsafe: the
+    driver's pandas canonicalization sort_values chokes on
+    unhashable list cells (round-4 lesson — 3 gates errored). Emit
+    arrays comma-joined as strings instead."""
     for r in rows:
         for i, v in enumerate(r):
             if _has_decimal(v):
                 return f"col #{i} contains Decimal ({v!r:.80s})"
+            if hashed and isinstance(v, (list, tuple, dict)):
+                return (
+                    f"col #{i} is a nested list/map ({v!r:.60s}) — "
+                    "driver canon can't hash it; array_join to string"
+                )
     return None
 
 
@@ -146,7 +155,7 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
-        unsafe = find_unsafe(srows)
+        unsafe = find_unsafe(srows, hashed=name in oracles)
         if unsafe:
             print(f"FAIL {name}: spark output driver-unsafe: {unsafe}")
             failures.append(name)
