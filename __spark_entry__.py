@@ -1512,16 +1512,22 @@ def scd2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_lineitem_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-ppm PageRank, 3 iterations, over the order↔supplier
     bipartite graph from lineitem: top-20 nodes by rank. Integer
-    floor-div damping makes every iteration bit-exact cross-engine."""
+    floor-div damping makes every iteration bit-exact cross-engine.
+    Iterations run on PACKED LONG node ids (8-byte shuffle keys);
+    the display 'O…'/'S…' strings are rebuilt map-side after the
+    last iteration, before the same string-ordered top-20 cut —
+    output identical to the string-keyed oracle."""
     from job_post_similarity_spark.operators.graph import (
-        bipartite_edges,
+        bipartite_edges_packed,
         pagerank,
+        unpack_node_expr,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = bipartite_edges(li, "l_orderkey", "l_suppkey", ("O", "S"))
+    edges = bipartite_edges_packed(li, "l_orderkey", "l_suppkey")
     return (
         pagerank(edges, iterations=3, every_node_receives=True)
+        .select(unpack_node_expr("node", ("O", "S")).alias("node"), "pr")
         .orderBy(F.desc("pr"), F.asc("node"))
         .limit(20)
     )

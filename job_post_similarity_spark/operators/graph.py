@@ -136,6 +136,36 @@ def bipartite_edges(
     return fwd.union(rev)
 
 
+def bipartite_edges_packed(
+    df: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """``bipartite_edges`` with LONG node ids: ``key << 1 | side``
+    (side 0 = left key space, 1 = right).  Same graph, same degrees,
+    same ranks — but every shuffle in the downstream iterations moves
+    fixed-width 8-byte keys instead of variable-length strings, which
+    is the difference that compounds over PageRank's two exchanges
+    per iteration.  Decode back to display ids with
+    ``unpack_node_expr`` AFTER the iterative part."""
+    raw = df.select(left_key, right_key).distinct()
+    pairs = raw.select(
+        F.shiftleft(F.col(left_key).cast("long"), 1).alias("a"),
+        (F.shiftleft(F.col(right_key).cast("long"), 1) + 1).alias("b"),
+    )
+    fwd = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    rev = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    return fwd.union(rev)
+
+
+def unpack_node_expr(col, prefixes: tuple[str, str]):
+    """Rebuild the prefixed string id from a packed long node id."""
+    lp, rp = prefixes
+    c = F.col(col) if isinstance(col, str) else col
+    key = F.shiftright(c, 1).cast("string")
+    return F.when(
+        c.bitwiseAND(F.lit(1)) == 1, F.concat(F.lit(rp), key)
+    ).otherwise(F.concat(F.lit(lp), key))
+
+
 def group_pair_counts(gn: DataFrame) -> DataFrame:
     """Pair-count core shared by the co-occurrence graph builder and
     market-basket mining: from a ``(__g, __n)`` DataFrame ALREADY at
