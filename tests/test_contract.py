@@ -47,6 +47,42 @@ def test_oracle_sql_parses_in_duckdb():
             raise AssertionError(f"oracle '{name}' failed to parse: {e}")
 
 
+def test_oracle_backed_outputs_are_flat_and_decimal_free(spark, sf_dir):
+    """Driver-hashability guard (round-4 lesson: 3 gates errored).
+
+    The driver canonicalizes results through pandas, which cannot
+    sort/hash list cells and renders Decimal engine-dependently — so
+    every ORACLE-BACKED query (registered or staged) must project a
+    FLAT, Decimal-free schema.  Schema-only: builds each plan lazily,
+    never executes, so the whole sweep is seconds.  Arrays belong in
+    rows-only tiers or comma-joined into strings."""
+    from pyspark.sql import types as T
+
+    bad_types = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
+    qs = entrymod.queries()
+    gated = set(entrymod.oracle_sql()) | set(entrymod._PENDING_ORACLES)
+    offenders = []
+    for name in gated:
+        if name not in qs:
+            continue
+        if name.startswith("stream_"):
+            # streaming twins execute on build (awaitTermination) —
+            # their batch-oracle outputs are covered by their own
+            # gates; skip the expensive build here
+            continue
+        try:
+            schema = qs[name](spark, sf_dir).schema
+        except Exception as e:  # pragma: no cover
+            offenders.append(f"{name}: plan build failed: {e}")
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, bad_types):
+                offenders.append(
+                    f"{name}.{f.name}: {f.dataType.simpleString()}"
+                )
+    assert not offenders, offenders
+
+
 def test_load_table_sets_nanos_conf_itself(spark, sf_dir):
     """The round driver runs queries in ITS OWN SparkSession; events
     reads must not depend on our session factory having set the
