@@ -2620,19 +2620,21 @@ def perplexity_buckets_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """CCNet's head/middle/tail split: corpus bucketed into perplexity
-    tertiles (ntile over the bigram-LM score) — the composition that
-    turns the LM signal into a filtering decision. Counts + per-bucket
-    ppl range per tertile."""
+    tertiles — the composition that turns the LM signal into a
+    filtering decision. Counts + per-bucket ppl range per tertile.
+    Bucketing via ``windows.global_ntile`` (range-repartitioned
+    two-phase exact rank): bit-identical to a global ``F.ntile`` but
+    P-way parallel — no single-partition WindowExec at any corpus
+    size."""
     from job_post_similarity_spark.operators.text_analysis import (
         bigram_perplexity,
     )
-    from pyspark.sql.window import Window
+    from job_post_similarity_spark.operators.windows import global_ntile
 
     docs = load_table(spark, sf_dir, "documents")
     ppl = bigram_perplexity(docs)
-    w = Window.orderBy(F.asc("ppl"), F.asc("doc_id"))
     return (
-        ppl.withColumn("bucket", F.ntile(3).over(w))
+        global_ntile(ppl, 3, [F.asc("ppl"), F.asc("doc_id")])
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

@@ -57,6 +57,98 @@ def ntile_buckets(
     return df.withColumn(out_col, F.ntile(n).over(w))
 
 
+def global_rank(
+    df: DataFrame,
+    order: list[Column],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based row_number WITHOUT the single-partition
+    WindowExec (``Window.orderBy`` with no partition moves the whole
+    corpus through one task — the warning Spark prints is real at
+    100 TB).
+
+    Two-phase exact ranking, the distributed-sort classic:
+
+    1. ``repartitionByRange`` + per-partition sort — Spark's scalable
+       range sort (sampled boundaries, P-way parallel);
+    2. per-partition row counts — one tiny job collecting P scalars —
+       turned into cumulative offsets and broadcast back;
+    3. partition-LOCAL row_number (WindowExec over ``__pid``, P-way
+       parallel) + the partition's offset.
+
+    ``order`` must be a TOTAL order (include a tie-break column):
+    rows equal under ``order`` may straddle a range boundary, and only
+    a total order makes every straddle-resolution produce the same
+    ranks. The repartitioned frame is persisted so the sampled range
+    boundaries are identical between the count job and the main job
+    (resampling could move rows between partitions and corrupt
+    offsets).
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parted = (
+        df.repartitionByRange(p, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in parted.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(
+        offsets, "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        parted.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    order: list[Column],
+    out_col: str = "bucket",
+) -> DataFrame:
+    """``ntile(n)`` over the WHOLE frame with the scale-safe
+    ``global_rank`` underneath — bit-identical to
+    ``Window.orderBy(...)`` + ``F.ntile`` (first ``total mod n``
+    buckets take the extra row, the SQL semantics) but P-way parallel.
+    ``order`` must be total (see ``global_rank``)."""
+    ranked = global_rank(df, order, out_col="__gr")
+    # total row count: one more tiny action on the already-persisted
+    # repartitioned frame (global_rank persisted it)
+    total = ranked.count()
+    q, r = divmod(total, n)
+    big_span = r * (q + 1)
+    # integer floor-div (64-bit exact at any corpus size; double
+    # division would lose rank precision past 2^53)
+    bucket = F.expr(
+        f"CASE WHEN __gr <= {big_span}L"
+        f" THEN (__gr - 1L) div {q + 1}L"
+        f" ELSE {r}L + (__gr - {big_span}L - 1L) div {max(q, 1)}L"
+        f" END"
+    )
+    return ranked.withColumn(
+        out_col, (bucket + 1).cast("int")
+    ).drop("__gr")
+
+
 def rank_stats(
     df: DataFrame,
     partition: list[str],

@@ -348,3 +348,70 @@ def test_ohlc_bars_hand_example(spark):
     assert rows[("a", "2024-01-01 11:00:00")] == (7.0, 7.0, 7.0, 7.0, 1)
     # duplicate timestamps: open = min value, close = max value
     assert rows[("b", "2024-01-01 10:00:00")] == (3.0, 4.0, 3.0, 4.0, 2)
+
+
+def test_global_rank_matches_single_partition_window(spark, sf_dir):
+    """The two-phase exact rank must be bit-identical to the
+    single-partition Window.orderBy row_number it replaces."""
+    from pyspark.sql import Window, functions as F
+
+    from job_post_similarity_spark.operators.windows import global_rank
+    from job_post_similarity_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    order = [F.asc("value"), F.asc("event_id")]
+    got = {
+        r["event_id"]: r["rank"]
+        for r in global_rank(ev, order).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["event_id"]: r["rank"]
+        for r in ev.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_matches_f_ntile(spark, sf_dir):
+    """global_ntile == F.ntile over a global window, including the
+    remainder-rows-go-to-first-buckets SQL semantics, for bucket
+    counts that do and don't divide the row count."""
+    from pyspark.sql import Window, functions as F
+
+    from job_post_similarity_spark.operators.windows import global_ntile
+    from job_post_similarity_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    order = [F.asc("n_chars"), F.asc("doc_id")]
+    for n in (3, 7):
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in global_ntile(docs, n, order).collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            r["doc_id"]: r["bucket"]
+            for r in docs.withColumn("bucket", F.ntile(n).over(w)).collect()
+        }
+        assert got == want
+
+
+def test_global_rank_plan_has_no_unpartitioned_window(spark, sf_dir):
+    """The plan must carry a partition-local Window only (partitionBy
+    __pid) — never the single-partition global WindowExec."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators.windows import global_rank
+    from job_post_similarity_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    df = global_rank(ev, [F.asc("value"), F.asc("event_id")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[.*?\]", plan):
+        assert "__pid" in m.group(0), m.group(0)
