@@ -86,13 +86,19 @@ def skew_profile(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
     table; run it BEFORE choosing join strategies (a gini near 1 or a
     max_cnt ≫ total/n_keys says: salt or broadcast).
     """
-    from pyspark.sql.window import Window
+    from .windows import global_rank
 
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
-    w_asc = Window.orderBy(F.asc("cnt"), F.asc(key_col))
-    w_desc = Window.orderBy(F.desc("cnt"), F.asc(key_col))
-    ranked = counts.withColumn("i", F.row_number().over(w_asc)).withColumn(
-        "j", F.row_number().over(w_desc)
+    # exact ascending rank i (the Gini Σ i·c_i term) and descending
+    # rank j (the top-N mass cut) via the two-phase range ranking —
+    # key cardinality can be corpus-scale (user ids), so the
+    # single-partition Window.orderBy this replaces is a real
+    # bottleneck, not a style nit
+    ranked = global_rank(
+        counts, [F.asc("cnt"), F.asc(key_col)], out_col="i"
+    )
+    ranked = global_rank(
+        ranked, [F.desc("cnt"), F.asc(key_col)], out_col="j"
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),

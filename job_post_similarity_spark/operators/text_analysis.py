@@ -865,26 +865,26 @@ def vocab_coverage(
 
     All-integer: the target mass is ``ceil(total · t / 1e6)`` in
     int64 and the cut is the first rank (count desc, token asc — a
-    total order) whose running mass reaches it. The ranking window
-    runs over the VOCABULARY (|distinct tokens|, orders of magnitude
-    below corpus size — same argument as BPE training); the corpus
-    itself is one tokenize + one aggregate.
+    total order) whose running mass reaches it. Rank + running mass
+    come from ``windows.global_rank_cumsum`` (two-phase range
+    ranking): the vocabulary is orders of magnitude below corpus
+    size, but at web scale it is still billions of distinct strings —
+    too big for the single-partition window this used to run.
     """
-    from pyspark.sql.window import Window
+    from .windows import global_rank_cumsum
 
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tok = df.select(F.explode(toks).alias("token")).filter(
         F.col("token") != ""
     )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    ranked = counts.select(
-        "cnt",
-        F.row_number().over(w).alias("__r"),
-        F.sum("cnt").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("__cum"),
-    ).persist()
+    ranked = global_rank_cumsum(
+        counts,
+        [F.desc("cnt"), F.asc("token")],
+        value_col="cnt",
+        rank_col="__r",
+        cumsum_col="__cum",
+    ).select("cnt", "__r", "__cum").persist()
     total = ranked.agg(F.max("__cum").alias("__t"))
     # one pass for ALL thresholds: explode them against the (1-row)
     # total, broadcast onto the ranked vocab, take min rank per cut

@@ -85,6 +85,37 @@ def global_rank(
     (resampling could move rows between partitions and corrupt
     offsets).
     """
+    return _global_rank_impl(df, order, out_col, num_partitions)[0]
+
+
+def global_rank_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    rank_col: str = "rank",
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``global_rank`` plus the exact global RUNNING SUM of
+    ``value_col`` in the same order, from the same single range
+    repartition: the per-partition offset job collects (row count,
+    value sum) pairs and both offsets ride the same broadcast. The
+    frequent-tokens / equi-depth family needs exactly this
+    (rank + cumulative mass) and would otherwise fall back to a
+    single-partition window."""
+    return _global_rank_impl(
+        df, order, rank_col, num_partitions, value_col, cumsum_col
+    )[0]
+
+
+def _global_rank_impl(
+    df: DataFrame,
+    order: list[Column],
+    out_col: str,
+    num_partitions: int | None,
+    value_col: str | None = None,
+    cumsum_col: str = "cumsum",
+):
     spark = df.sparkSession
     p = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -95,28 +126,37 @@ def global_rank(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in parted.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("long")).alias("vsum"))
+    stats = sorted(
+        (r["__pid"], r["cnt"], (r["vsum"] if value_col else 0) or 0)
+        for r in parted.groupBy("__pid").agg(*aggs).collect()
     )
-    offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
+    offsets, acc, vacc = [], 0, 0
+    for pid, cnt, vsum in stats:
+        offsets.append((pid, acc, vacc))
         acc += cnt
+        vacc += vsum
     off_df = spark.createDataFrame(
-        offsets, "__pid int, __off long"
+        offsets, "__pid int, __off long, __voff long"
     )
     w = Window.partitionBy("__pid").orderBy(*order)
-    return (
-        parted.join(F.broadcast(off_df), "__pid")
-        .withColumn(
-            out_col,
-            (F.row_number().over(w) + F.col("__off")).cast("long"),
-        )
-        .drop("__pid", "__off")
+    out = parted.join(F.broadcast(off_df), "__pid").withColumn(
+        out_col,
+        (F.row_number().over(w) + F.col("__off")).cast("long"),
     )
+    if value_col is not None:
+        out = out.withColumn(
+            cumsum_col,
+            (
+                F.sum(F.col(value_col).cast("long")).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                + F.col("__voff")
+            ).cast("long"),
+        )
+    return out.drop("__pid", "__off", "__voff"), parted
 
 
 def global_ntile(
