@@ -503,20 +503,21 @@ def equi_depth_histogram(
     deterministically) and emit per-bin count and [min, max] bounds.
     Output: ``(bucket, cnt, vmin, vmax)``.
 
-    This is the EXACT tier (a global sort — single-partition window,
-    the price of exact equal-population cuts); at 100 TB use
-    ``quantile_profile(approx=True)`` boundaries + a map-side
-    ``width_bucket``-style assignment instead — sketch cuts, linear
-    scan, no global sort. The exact tier is the oracle for that one.
+    This is the EXACT tier; equal-population cuts need a global
+    ranking, which runs through ``windows.global_ntile`` — the
+    two-phase range-repartitioned rank (P-way parallel, bit-identical
+    to the single-partition ``F.ntile`` it replaced). At 100 TB the
+    cheaper alternative remains ``quantile_profile(approx=True)``
+    boundaries + a map-side assignment (sketch cuts, one scan); the
+    exact tier is the oracle for that one.
     """
-    from pyspark.sql.window import Window
+    from .windows import global_ntile
 
     base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).alias("__v"), F.col(tie_col).alias("__t")
     )
-    w = Window.orderBy(F.asc("__v"), F.asc("__t"))
     return (
-        base.withColumn("bucket", F.ntile(buckets).over(w))
+        global_ntile(base, buckets, [F.asc("__v"), F.asc("__t")])
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
