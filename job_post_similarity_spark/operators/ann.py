@@ -550,12 +550,68 @@ def srp_band_signatures(
     return df.select(id_col, vec_col).mapInPandas(op, out_schema)
 
 
+def srp_parameter_plan(
+    n: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    candidate_row_budget: int | None = None,
+    max_bits: int = 28,
+) -> dict:
+    """Solve the SRP banding knobs from the amplification formula
+    instead of guessing: given corpus size ``n``, operating cosine
+    ``threshold`` and a recall target, pick the smallest
+    ``bits_per_band`` whose EXPECTED BACKGROUND candidate mass stays
+    inside ``candidate_row_budget`` (default ``50·n`` — linear in the
+    corpus, the budget that keeps the verify stage scan-shaped), with
+    ``num_bands`` then set from ``ln(1-R)/ln(1-p^bits)`` to hit the
+    recall.
+
+    Background model: uncorrelated vectors agree on one sign bit
+    w.p. 1/2, so a random pair collides in one b-bit band w.p.
+    ``2^-b`` and the expected background candidates are
+    ``C(n,2)·r·2^-b``. Real corpora cluster (background is higher),
+    so the budget is an estimate, not a bound — but it scales the
+    knobs correctly: the fixed 8/16 default goes candidate-quadratic
+    past ~10^5 rows (measured: SCALING.md srp exponent 1.8), while
+    the planned knobs hold the expected mass linear at any ``n``.
+
+    Returns ``{bits_per_band, num_bands, predicted_recall,
+    expected_background_rows}``; predicted_recall can fall short of
+    the target only at the ``max_bits`` cap (recorded honestly).
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    budget = candidate_row_budget if candidate_row_budget else 50 * max(n, 1)
+    pairs = n * max(n - 1, 0) / 2.0
+    best = None
+    for bits in range(4, max_bits + 1):
+        pb = p**bits
+        if pb >= 1.0:
+            bands = 1
+        else:
+            bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb)))
+        bg = pairs * bands * (0.5**bits)
+        recall = 1.0 - (1.0 - pb) ** bands
+        best = {
+            "bits_per_band": bits,
+            "num_bands": bands,
+            "predicted_recall": round(recall, 4),
+            "expected_background_rows": int(bg),
+        }
+        if bg <= budget:
+            break
+    return best
+
+
 def srp_lsh_similarity_join(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.90,
-    bits_per_band: int = 8,
+    bits_per_band: int | str = 8,
     num_bands: int = 16,
     seed: int = 42,
     verify: str = "auto",
@@ -592,6 +648,13 @@ def srp_lsh_similarity_join(
     - ``'auto'`` (default): broadcast when the corpus fits the
       budget, else relational.
     """
+    if bits_per_band == "auto":
+        # one count action (the IVF tier pays the same to size its
+        # centroids) feeds the formula-driven planner — the knobs
+        # that keep candidate mass linear at any corpus size
+        plan = srp_parameter_plan(df.count(), threshold)
+        bits_per_band = plan["bits_per_band"]
+        num_bands = plan["num_bands"]
     # persist: the signature frame feeds BOTH sides of the self-join;
     # without it the mapInPandas signature pass runs twice. Size is
     # n×num_bands × 20 B — negligible, LRU-evicted under pressure.
@@ -811,8 +874,12 @@ def auto_similarity_join(
 
         return knn.similarity_pairs(df, id_col, vec_col, threshold)
     if threshold >= 0.8:
+        # planner-chosen banding: fixed 8/16 goes candidate-quadratic
+        # past ~10^5 rows (SCALING.md); "auto" re-solves bits/bands
+        # from the recall formula under a linear candidate budget
         return srp_lsh_similarity_join(
-            df, id_col, vec_col, threshold, seed=seed
+            df, id_col, vec_col, threshold, bits_per_band="auto",
+            seed=seed,
         )
     return ivf_similarity_join(
         df, id_col, vec_col, threshold, n_centroids=None, seed=seed

@@ -689,3 +689,49 @@ def test_segment_dedup_idempotent_and_conserving(spark):
         (r["doc_id"], r["text"]) for r in twice.collect()
     )
     assert [(r[0], r[1]) for r in rows1] == rows2
+
+
+def test_srp_parameter_plan_math():
+    """Planner solves (bits, bands) from the banding formula: recall
+    target met, background candidates inside the linear budget, and
+    bits grow with corpus size."""
+    from job_post_similarity_spark.operators import ann
+
+    small = ann.srp_parameter_plan(5_000, 0.9)
+    big = ann.srp_parameter_plan(50_000_000, 0.9)
+    for plan, n in ((small, 5_000), (big, 50_000_000)):
+        assert plan["predicted_recall"] >= 0.95
+        assert plan["expected_background_rows"] <= 50 * n
+    assert big["bits_per_band"] > small["bits_per_band"]
+    # lower thresholds need more bands for the same recall at equal bits
+    lo = ann.srp_parameter_plan(5_000, 0.5)
+    assert lo["predicted_recall"] >= 0.95
+
+
+def test_srp_auto_bits_planted_recall(spark):
+    """bits_per_band='auto' must still find planted near-dup pairs:
+    the planner's knobs trade background mass, not true-pair recall
+    (recall >= 0.95 by construction of the plan)."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators import ann
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 16)).astype("float64")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        w = v + rng.standard_normal(16) * 0.05  # planted near-dup
+        w /= np.linalg.norm(w)
+        rows.append((1000 + i, w.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id1"], r["id2"])
+        for r in ann.srp_lsh_similarity_join(
+            df, threshold=0.9, bits_per_band="auto"
+        ).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(60)}
+    found = len(planted & got)
+    assert found >= 0.9 * len(planted), f"recall {found}/60"
