@@ -1527,9 +1527,15 @@ def auto_topk_search(
             "query_id", "neighbor_id",
             F.round("similarity", 4).alias("similarity"), "rank",
         )
+    # over-budget corpus: re-plan the banding for its true size (one
+    # count — same price the IVF tier pays) instead of the fixed 8/16
+    # that goes candidate-quadratic at scale; recall target 0.95 at a
+    # conservative 0.7 operating cosine for top-k workloads
+    plan = srp_parameter_plan(corpus.count(), 0.7)
     return srp_topk_search(
         queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
-        bits_per_band=bits_per_band, num_bands=num_bands,
+        bits_per_band=plan["bits_per_band"],
+        num_bands=plan["num_bands"],
         include_self=include_self, seed=seed,
     )
 
