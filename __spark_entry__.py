@@ -2645,6 +2645,35 @@ def perplexity_buckets_documents(
     )
 
 
+def contamination_matrix_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source trigram contamination matrix: shared distinct
+    grams + directional containment ppm for every source pair — the
+    all-pairs corpus audit behind mixture curation (the 1-vs-corpus
+    scan is `decontaminate_documents`). (Oracle staged in
+    _PENDING_ORACLES.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.contamination_matrix(docs, "source", n=3)
+
+
+def curriculum_shards_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum ordering: corpus ranked by length score (desc, id
+    tiebreak) through the two-phase global_rank — no single-partition
+    window — and cut into 64-doc ordered shards with per-shard stats.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.curation import (
+        curriculum_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curriculum_shards(
+        docs, F.col("n_chars").cast("long"), shard_size=64
+    )
+
+
 def bpe_merge_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-training merge step: top-30 adjacent character pairs
     weighted by word frequency (Sennrich et al. 2016) — the
@@ -4841,6 +4870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_orders": grouping_sets_orders,
         "shortest_paths_parts": shortest_paths_parts,
         "zipf_slope_documents": zipf_slope_documents,
+        # -- round-5 additions (never-graded; r6+ window queue) --
+        "contamination_matrix_documents": contamination_matrix_documents,
+        "curriculum_shards_documents": curriculum_shards_documents,
     }
     out = {k: base[k] for k in _R5_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -6679,6 +6711,45 @@ _PENDING_ORACLES: dict[str, str] = {
                                    * 1000000.0, 0) AS BIGINT)
                         ORDER BY pos), ',') AS pooled
         FROM a GROUP BY grp ORDER BY "group"
+    """,
+    # ---- round-5 additions ----
+    "contamination_matrix_documents": """
+        WITH grams AS (
+            SELECT source AS s,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  FOR i IN range(1, len(toks) - 1)])
+                       AS g
+            FROM (SELECT source,
+                         string_split_regex(trim(text), '\\s+') AS toks
+                  FROM documents WHERE source IS NOT NULL)),
+        sg AS (SELECT DISTINCT s, unnest(g) AS gram FROM grams),
+        totals AS (SELECT s, CAST(count(*) AS BIGINT) AS tot
+                   FROM sg GROUP BY s),
+        shared AS (
+            SELECT a.s AS src_a, b.s AS src_b,
+                   CAST(count(*) AS BIGINT) AS shared_grams
+            FROM sg a JOIN sg b ON a.gram = b.gram AND a.s < b.s
+            GROUP BY a.s, b.s)
+        SELECT src_a, src_b, shared_grams,
+               ta.tot AS grams_a, tb.tot AS grams_b,
+               shared_grams * 1000000 // ta.tot AS containment_a_ppm,
+               shared_grams * 1000000 // tb.tot AS containment_b_ppm
+        FROM shared
+        JOIN totals ta ON src_a = ta.s
+        JOIN totals tb ON src_b = tb.s
+        ORDER BY shared_grams DESC, src_a, src_b
+    """,
+    "curriculum_shards_documents": """
+        WITH r AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+                   row_number() OVER
+                       (ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents)
+        SELECT (rn - 1) // 64 AS shard,
+               CAST(count(*) AS BIGINT) AS docs,
+               min(score) AS score_min,
+               max(score) AS score_max
+        FROM r GROUP BY 1 ORDER BY shard
     """,
 }
 

@@ -477,3 +477,116 @@ def fim_transform(
             F.lit("<PRE>"), pre, F.lit("<SUF>"), suf, F.lit("<MID>"), mid
         ).alias("fim_text"),
     )
+
+
+def contamination_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise cross-SOURCE n-gram contamination matrix: for every
+    unordered source pair, how many distinct word n-grams they share
+    and the containment ratio in each direction — the corpus-level
+    view of ``contaminated_ids`` (which scans one benchmark against
+    the corpus; this audits ALL sources against each other, the
+    question a training-mixture curator actually asks: "how much of
+    source B is already in source A?").
+
+    Output: ``(src_a, src_b, shared_grams, grams_a, grams_b,
+    containment_a_ppm, containment_b_ppm)`` with ``src_a < src_b``,
+    ordered by shared desc then the pair — containment_X_ppm =
+    shared · 1e6 div grams_X (integer, engine-exact).
+
+    Scale shape: one DISTINCT (source, gram) grain (grams dedup'd
+    WITHIN source first — the corpus is never shuffled at document
+    grain), per-source totals from that same grain, then a gram-keyed
+    self-join whose fan-out is bounded by (#sources per gram)² —
+    sources are a handful, so the join output is ≤ |grain| ·
+    #sources, never corpus².
+    """
+    from .dedup import word_ngrams
+
+    sg = (
+        docs.select(
+            F.col(group_col).alias("__s"),
+            F.explode(word_ngrams(text_col, n=n, distinct=True)).alias(
+                "__g"
+            ),
+        )
+        .filter(F.col("__s").isNotNull())
+        .distinct()
+        .persist()
+    )
+    totals = sg.groupBy("__s").agg(F.count(F.lit(1)).alias("__tot"))
+    a = sg.select(F.col("__s").alias("src_a"), "__g")
+    b = sg.select(F.col("__s").alias("src_b"), "__g")
+    shared = (
+        a.join(b, "__g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    ta = totals.select(
+        F.col("__s").alias("src_a"), F.col("__tot").alias("grams_a")
+    )
+    tb = totals.select(
+        F.col("__s").alias("src_b"), F.col("__tot").alias("grams_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.expr("shared_grams * 1000000L div grams_a").alias(
+                "containment_a_ppm"
+            ),
+            F.expr("shared_grams * 1000000L div grams_b").alias(
+                "containment_b_ppm"
+            ),
+        )
+        .orderBy(F.desc("shared_grams"), F.asc("src_a"), F.asc("src_b"))
+    )
+
+
+def curriculum_shards(
+    docs: DataFrame,
+    score_col: Column | str,
+    shard_size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum ordering: rank the corpus by a quality/difficulty
+    score (desc, id asc tiebreak — a total order) and cut it into
+    fixed-size ordered shards — the deterministic easy-to-hard data
+    ordering a curriculum-trained run consumes, with per-shard stats
+    for the data card. Ranking runs through ``windows.global_rank``
+    (two-phase range sort) — NO single-partition window, so the
+    ordering step survives any corpus size.
+
+    Output: ``(shard, docs, score_min, score_max)`` ordered by shard;
+    shard = (rank-1) div shard_size.
+    """
+    from .windows import global_rank
+
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    ranked = global_rank(
+        docs.select(F.col(id_col), sc.alias("__score")),
+        [F.desc("__score"), F.asc(id_col)],
+        out_col="__r",
+    )
+    return (
+        ranked.withColumn(
+            "shard", F.expr(f"(__r - 1L) div {int(shard_size)}L")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.min("__score").alias("score_min"),
+            F.max("__score").alias("score_max"),
+        )
+        .orderBy("shard")
+    )

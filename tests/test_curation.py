@@ -137,3 +137,53 @@ def test_chunk_documents_offsets_overlap_and_validation(spark):
     assert d2 == [(2, 0, "short doc", 2)]
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_contamination_matrix_planted(spark):
+    """Two sources sharing exactly one trigram, a third sharing
+    nothing: shared counts and directional containment come out
+    exact."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators.curation import (
+        contamination_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),      # grams: "a b c", "b c d"
+            (2, "a b c x y", "s2"),    # grams: "a b c", "b c x", "c x y"
+            (3, "p q r s", "s3"),      # disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in contamination_matrix(df, "source", n=3).collect()
+    }
+    r12 = out[("s1", "s2")]
+    assert r12["shared_grams"] == 1
+    assert r12["grams_a"] == 2 and r12["grams_b"] == 3
+    assert r12["containment_a_ppm"] == 500_000  # 1/2
+    assert r12["containment_b_ppm"] == 333_333  # 1//3 in ppm
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_curriculum_shards_stats(spark):
+    """Shard cut respects the (score desc, id asc) total order: shard
+    boundaries are monotone in score and sizes are shard_size except
+    the tail."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators.curation import (
+        curriculum_shards,
+    )
+
+    rows = [(i, float(1000 - i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = curriculum_shards(df, "score", shard_size=4).collect()
+    assert [r["shard"] for r in out] == [0, 1, 2]
+    assert [r["docs"] for r in out] == [4, 4, 2]
+    # monotone: every shard's min >= next shard's max
+    for a, b in zip(out, out[1:]):
+        assert a["score_min"] >= b["score_max"]
