@@ -1709,3 +1709,31 @@ def simhash_near_dup_pairs_oracle_tier(
         .filter(F.col("hamming") <= max_dist)
         .orderBy("id1", "id2")
     )
+
+
+def entity_resolution(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    score_col: str,
+) -> DataFrame:
+    """End-to-end entity resolution over a name-keyed table: FastSS
+    deletion-neighborhood blocking + exact edit-distance ≤ 1 verify
+    (``fuzzy_join_dist1`` — 100%-recall blocking, never all-pairs) →
+    connected components over the match graph → highest-score
+    canonical representative per entity (``keep_best_in_cluster``).
+    The classic block → match → cluster → canonicalize ER pipeline as
+    ONE lazy composition; rows absent from the match graph keep their
+    own id as the entity (singleton entities).
+
+    Output: the input columns + ``entity`` (min member id),
+    ``n_dups``, ``keep``. Scale shape: variant-keyed equi-join for
+    candidates, edge-set-sized component rounds (driver union-find
+    fast tier under the budget), one cluster-keyed window.
+    """
+    pairs = fuzzy_join_dist1(df, id_col, str_col).select("id1", "id2")
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    labeled = df.join(comp, id_col, "left").withColumn(
+        "entity", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    return keep_best_in_cluster(labeled, "entity", score_col, id_col)

@@ -735,3 +735,28 @@ def test_srp_auto_bits_planted_recall(spark):
     planted = {(i, 1000 + i) for i in range(60)}
     found = len(planted & got)
     assert found >= 0.9 * len(planted), f"recall {found}/60"
+
+
+def test_entity_resolution_pipeline(spark):
+    """block → match → cluster → canonicalize end-to-end: chained
+    dist-1 names collapse into one entity whose representative is the
+    highest-scoring member; unmatched rows stay singleton entities."""
+    from job_post_similarity_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp", 10.0),
+            (2, "acme carp", 30.0),   # dist 1 from "acme corp"
+            (3, "acme carpx", 20.0),  # dist 1 from "acme carp" (chain)
+            (4, "zenith ltd", 5.0),   # singleton
+        ],
+        "id long, name string, score double",
+    )
+    out = {
+        r["id"]: r
+        for r in dedup.entity_resolution(df, "id", "name", "score").collect()
+    }
+    assert {r["entity"] for r in out.values()} == {1, 4}
+    assert out[2]["keep"] and out[2]["n_dups"] == 3  # best score wins
+    assert not out[1]["keep"] and not out[3]["keep"]
+    assert out[4]["keep"] and out[4]["n_dups"] == 1
