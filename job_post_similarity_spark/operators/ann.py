@@ -556,6 +556,7 @@ def srp_parameter_plan(
     target_recall: float = 0.95,
     candidate_row_budget: int | None = None,
     max_bits: int = 28,
+    max_bands: int = 128,
 ) -> dict:
     """Solve the SRP banding knobs from the amplification formula
     instead of guessing: given corpus size ``n``, operating cosine
@@ -575,16 +576,29 @@ def srp_parameter_plan(
     past ~10^5 rows (measured: SCALING.md srp exponent 1.8), while
     the planned knobs hold the expected mass linear at any ``n``.
 
+    ``max_bands`` bounds the SIGNATURE mass (``n·bands`` rows through
+    the band shuffle) and the broadcast plane matrix — without it,
+    low operating thresholds at large ``n`` drive the band count into
+    the thousands, which costs more than the candidates it saves.
+    When the recall target cannot be met inside both caps the plan
+    DEGRADES RECALL, not the budgets: ``predicted_recall`` reports
+    the honest number (check it — a plan with recall far below the
+    target is the formula telling you SRP is the wrong tier for that
+    operating point; use IVF).
+
     Returns ``{bits_per_band, num_bands, predicted_recall,
-    expected_background_rows}``; predicted_recall can fall short of
-    the target only at the ``max_bits`` cap (recorded honestly).
+    expected_background_rows}``.
     """
     import math
 
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
     p = 1.0 - math.acos(threshold) / math.pi
-    budget = candidate_row_budget if candidate_row_budget else 50 * max(n, 1)
+    budget = (
+        candidate_row_budget
+        if candidate_row_budget is not None
+        else 50 * max(n, 1)
+    )
     pairs = n * max(n - 1, 0) / 2.0
     best = None
     for bits in range(4, max_bits + 1):
@@ -592,17 +606,26 @@ def srp_parameter_plan(
         if pb >= 1.0:
             bands = 1
         else:
-            bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb)))
+            bands = max(
+                1,
+                math.ceil(
+                    math.log(1.0 - target_recall) / math.log(1.0 - pb)
+                ),
+            )
+        bands = min(bands, max_bands)
         bg = pairs * bands * (0.5**bits)
         recall = 1.0 - (1.0 - pb) ** bands
-        best = {
+        plan = {
             "bits_per_band": bits,
             "num_bands": bands,
             "predicted_recall": round(recall, 4),
             "expected_background_rows": int(bg),
         }
+        # among budget-feasible plans, the smallest bits (first hit)
+        # has the highest band-capped recall — stop there
         if bg <= budget:
-            break
+            return plan
+        best = plan
     return best
 
 
@@ -865,8 +888,10 @@ def auto_similarity_join(
     Dispatch cost is a BOUNDED probe — ``limit(budget+1).count()``
     stops as soon as budget+1 rows exist (LocalLimit short-circuits
     each partition), so a 100 TB table never pays a full-table
-    aggregate just to learn it is over budget. Only the IVF tier,
-    once chosen, counts for real (it sizes √n centroids from it).
+    aggregate just to learn it is over budget. Both over-budget tiers
+    then count for real: IVF to size its √n centroids, SRP to feed
+    ``srp_parameter_plan`` — one full count each, paid only once a
+    scan-scale join is already the chosen plan.
     """
     probe = df.limit(broadcast_row_budget + 1).count()
     if probe <= broadcast_row_budget:
@@ -1496,8 +1521,8 @@ def auto_topk_search(
     vec_col: str = "embedding",
     include_self: bool = False,
     broadcast_row_budget: int = 1_000_000,
-    bits_per_band: int = 8,
-    num_bands: int = 16,
+    bits_per_band: int | None = None,
+    num_bands: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Size-dispatched top-k search facade — the default entry point
@@ -1512,8 +1537,13 @@ def auto_topk_search(
     Output contract of both tiers: (query_id, neighbor_id,
     similarity, rank), desc-similarity/asc-id tie-break.
 
-    Dispatch cost is a bounded ``limit(budget+1).count()`` probe, not
-    a full-table count (same policy as ``auto_similarity_join``).
+    The dispatch probe is a bounded ``limit(budget+1).count()``. If
+    the SRP tier is chosen AND the banding knobs are left ``None``,
+    one FULL corpus count follows to feed ``srp_parameter_plan``
+    (same cost class as the IVF tier sizing its centroids); pass
+    explicit ``bits_per_band``/``num_bands`` (e.g. from an
+    ``evaluate.srp_recall_sweep`` run) to skip both the count and the
+    planner — explicit knobs are always honored verbatim.
     """
     n = corpus.limit(broadcast_row_budget + 1).count()
     if n <= broadcast_row_budget:
@@ -1527,15 +1557,19 @@ def auto_topk_search(
             "query_id", "neighbor_id",
             F.round("similarity", 4).alias("similarity"), "rank",
         )
-    # over-budget corpus: re-plan the banding for its true size (one
-    # count — same price the IVF tier pays) instead of the fixed 8/16
-    # that goes candidate-quadratic at scale; recall target 0.95 at a
-    # conservative 0.7 operating cosine for top-k workloads
-    plan = srp_parameter_plan(corpus.count(), 0.7)
+    if bits_per_band is None or num_bands is None:
+        # no explicit knobs: re-plan the banding for the corpus's true
+        # size (one full count — the price the IVF tier also pays)
+        # instead of a fixed default that goes candidate-quadratic at
+        # scale. 0.9 operating cosine: top-k search quality is carried
+        # by the high-similarity neighbors, the band-cap keeps the
+        # signature mass bounded either way.
+        plan = srp_parameter_plan(corpus.count(), 0.9)
+        bits_per_band = plan["bits_per_band"]
+        num_bands = plan["num_bands"]
     return srp_topk_search(
         queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
-        bits_per_band=plan["bits_per_band"],
-        num_bands=plan["num_bands"],
+        bits_per_band=bits_per_band, num_bands=num_bands,
         include_self=include_self, seed=seed,
     )
 

@@ -572,6 +572,8 @@ def curriculum_shards(
     """
     from .windows import global_rank
 
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
     sc = F.col(score_col) if isinstance(score_col, str) else score_col
     ranked = global_rank(
         docs.select(F.col(id_col), sc.alias("__score")),

@@ -86,19 +86,24 @@ def skew_profile(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
     table; run it BEFORE choosing join strategies (a gini near 1 or a
     max_cnt ≫ total/n_keys says: salt or broadcast).
     """
-    from .windows import global_rank
+    from .windows import global_rank_with_total
 
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
-    # exact ascending rank i (the Gini Σ i·c_i term) and descending
-    # rank j (the top-N mass cut) via the two-phase range ranking —
-    # key cardinality can be corpus-scale (user ids), so the
-    # single-partition Window.orderBy this replaces is a real
-    # bottleneck, not a style nit
-    ranked = global_rank(
+    # ONE two-phase ranking: ascending rank i feeds the Gini Σ i·c_i
+    # term directly, and the top-N mass cut reuses it as
+    # i > n_keys − top_n (the reversal of the ascending total order;
+    # boundary TIES may pick different keys than a (cnt desc, key
+    # asc) rank would, but tied keys carry equal cnt, so the summed
+    # mass is identical). Key cardinality can be corpus-scale (user
+    # ids) — the single-partition Window.orderBy this replaces was a
+    # real bottleneck, and a second ranking pass for the descending
+    # rank would double the range shuffle for a sum that the total
+    # (already known from the offsets job) derives for free.
+    ranked, n_keys = global_rank_with_total(
         counts, [F.asc("cnt"), F.asc(key_col)], out_col="i"
     )
-    ranked = global_rank(
-        ranked, [F.desc("cnt"), F.asc(key_col)], out_col="j"
+    ranked = ranked.withColumn(
+        "j", (F.lit(n_keys).cast("long") + 1 - F.col("i")).cast("long")
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),

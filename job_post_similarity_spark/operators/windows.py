@@ -84,8 +84,26 @@ def global_rank(
     boundaries are identical between the count job and the main job
     (resampling could move rows between partitions and corrupt
     offsets).
+
+    NOT lazy: the offsets job (range shuffle + P-scalar collect) runs
+    AT CONSTRUCTION, and the repartitioned frame stays persisted for
+    the session (the repo's LRU-evicted-under-pressure pattern) —
+    build these frames when you mean to run them.
     """
     return _global_rank_impl(df, order, out_col, num_partitions)[0]
+
+
+def global_rank_with_total(
+    df: DataFrame,
+    order: list[Column],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """``global_rank`` plus the TOTAL row count, which the offsets
+    job computes anyway — callers that need both (ntile cuts,
+    reversed ranks, top-N-from-the-other-end) save a full extra
+    aggregate job over the ranked frame."""
+    return _global_rank_impl(df, order, out_col, num_partitions)
 
 
 def global_rank_cumsum(
@@ -102,7 +120,20 @@ def global_rank_cumsum(
     value sum) pairs and both offsets ride the same broadcast. The
     frequent-tokens / equi-depth family needs exactly this
     (rank + cumulative mass) and would otherwise fall back to a
-    single-partition window."""
+    single-partition window.
+
+    INTEGER-ONLY contract: the running sum accumulates in int64
+    (order-independent, engine-exact — the repo-wide oracle policy),
+    so ``value_col`` must be an integral column; fractional types
+    raise rather than silently truncate. Pre-scale doubles to micro
+    units if you need fractional mass.
+    """
+    dt = df.schema[value_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"global_rank_cumsum sums {value_col!r} in exact int64; "
+            f"got {dt} — pre-scale to integer (micro) units"
+        )
     return _global_rank_impl(
         df, order, rank_col, num_partitions, value_col, cumsum_col
     )[0]
@@ -156,7 +187,7 @@ def _global_rank_impl(
                 + F.col("__voff")
             ).cast("long"),
         )
-    return out.drop("__pid", "__off", "__voff"), parted
+    return out.drop("__pid", "__off", "__voff"), acc
 
 
 def global_ntile(
@@ -170,10 +201,8 @@ def global_ntile(
     ``Window.orderBy(...)`` + ``F.ntile`` (first ``total mod n``
     buckets take the extra row, the SQL semantics) but P-way parallel.
     ``order`` must be total (see ``global_rank``)."""
-    ranked = global_rank(df, order, out_col="__gr")
-    # total row count: one more tiny action on the already-persisted
-    # repartitioned frame (global_rank persisted it)
-    total = ranked.count()
+    # the offsets job already knows the total — no extra count action
+    ranked, total = global_rank_with_total(df, order, out_col="__gr")
     q, r = divmod(total, n)
     big_span = r * (q + 1)
     # integer floor-div (64-bit exact at any corpus size; double

@@ -702,10 +702,15 @@ def test_srp_parameter_plan_math():
     for plan, n in ((small, 5_000), (big, 50_000_000)):
         assert plan["predicted_recall"] >= 0.95
         assert plan["expected_background_rows"] <= 50 * n
+        assert plan["num_bands"] <= 128  # signature-mass cap
     assert big["bits_per_band"] > small["bits_per_band"]
-    # lower thresholds need more bands for the same recall at equal bits
+    # low operating thresholds: the band cap forces HONEST recall
+    # degradation instead of a thousands-of-bands signature explosion
+    # — the planner telling you SRP is the wrong tier (use IVF)
     lo = ann.srp_parameter_plan(5_000, 0.5)
-    assert lo["predicted_recall"] >= 0.95
+    assert lo["num_bands"] <= 128
+    assert lo["predicted_recall"] < 0.95
+    assert lo["expected_background_rows"] <= 50 * 5_000
 
 
 def test_srp_auto_bits_planted_recall(spark):
