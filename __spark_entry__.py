@@ -3024,8 +3024,11 @@ def monthly_revenue_change_orders(
 ) -> DataFrame:
     """Month-over-month revenue with percent change — monthly DECIMAL
     revenue in exact integer cents, lag window, double percent
-    rounded to 4 (exact int64 inputs ⇒ IEEE-deterministic).
-    (Oracle staged in _PENDING_ORACLES.)"""
+    rounded to 4 (exact int64 inputs ⇒ IEEE-deterministic). The lag
+    window is global-by-construction BUT runs on the POST-AGGREGATE
+    month spine (one row per calendar month — dozens of rows at any
+    corpus size), the bounded-frame exception PLAN_CENSUS.md flags
+    for justification. (Oracle staged in _PENDING_ORACLES.)"""
     from pyspark.sql.window import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -4058,12 +4061,13 @@ def shortest_paths_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit: OLS slope of ln(freq) on ln(rank) over the
-    token vocabulary (DECIMAL moments via linear_fit; rank window is
-    |vocab|-sized — the vocab_coverage precedent). Slope ≈ −1 on
-    natural corpora. (Oracle staged in _PENDING_ORACLES.)"""
-    from pyspark.sql.window import Window as W_
-
+    token vocabulary (DECIMAL moments via linear_fit). Slope ≈ −1 on
+    natural corpora. Ranking via the two-phase ``global_rank`` — the
+    vocabulary is billions of strings at web scale, too big for a
+    single-partition window (the frequent_tokens precedent). (Oracle
+    staged in _PENDING_ORACLES.)"""
     from job_post_similarity_spark.operators.profiling import linear_fit
+    from job_post_similarity_spark.operators.windows import global_rank
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -4071,11 +4075,8 @@ def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(toks).alias("token")
     ).filter(F.col("token") != "")
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    ranked = counts.withColumn(
-        "rank",
-        F.row_number().over(
-            W_.orderBy(F.desc("cnt"), F.asc("token"))
-        ),
+    ranked = global_rank(
+        counts, [F.desc("cnt"), F.asc("token")], out_col="rank"
     ).select(
         F.lit("corpus").alias("g"),
         F.log(F.col("rank").cast("double")).alias("x"),
