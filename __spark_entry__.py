@@ -2696,6 +2696,34 @@ def entity_resolution_suppliers(
     )
 
 
+def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join gate: the event stream enriched with a
+    broadcast segment dimension (re-planned per micro-batch — the
+    Structured Streaming stream-static contract), folded to per-type
+    counts. On the bounded file the snapshot equals the batch join —
+    the oracle. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.streaming import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [
+            ("click", "engage"),
+            ("view", "engage"),
+            ("purchase", "convert"),
+            ("signup", "convert"),
+            ("error", "ops"),
+        ],
+        "event_type string, segment string",
+    )
+    out = stream_static_enrich(
+        spark, sf_dir, dim, name="g_stream_enrich"
+    )
+    return (
+        out.join(F.broadcast(dim), "event_type")
+        .select("event_type", "cnt", "segment")
+        .orderBy("event_type")
+    )
+
+
 def bpe_merge_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-training merge step: top-30 adjacent character pairs
     weighted by word frequency (Sennrich et al. 2016) — the
@@ -4897,6 +4925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_matrix_documents": contamination_matrix_documents,
         "curriculum_shards_documents": curriculum_shards_documents,
         "entity_resolution_suppliers": entity_resolution_suppliers,
+        "stream_enrich_events": stream_enrich_events,
     }
     out = {k: base[k] for k in _R5_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -6804,6 +6833,17 @@ _PENDING_ORACLES: dict[str, str] = {
                round(s_acctbal, 2) AS s_acctbal,
                CAST(n_dups AS BIGINT) AS n_dups
         FROM ranked WHERE rn = 1 ORDER BY entity
+    """,
+    "stream_enrich_events": """
+        WITH dim(event_type, segment) AS (
+            VALUES ('click', 'engage'), ('view', 'engage'),
+                   ('purchase', 'convert'), ('signup', 'convert'),
+                   ('error', 'ops'))
+        SELECT e.event_type, CAST(count(*) AS BIGINT) AS cnt,
+               d.segment
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY e.event_type, d.segment
+        ORDER BY e.event_type
     """,
 }
 
