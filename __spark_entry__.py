@@ -2696,6 +2696,29 @@ def entity_resolution_suppliers(
     )
 
 
+def variant_extract_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4 VariantType surface: ``parse_json`` into the binary
+    variant encoding, ``try_variant_get`` typed extraction — the
+    schema-on-read path for semi-structured columns (vs the
+    schema-declared ``from_json`` twin in `json_extract_events`).
+    The variant itself never reaches the projection (binary — the
+    driver canon couldn't hash it); only the extracted int does.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.try_variant_get(
+                F.parse_json(F.col("props")), "$.k", "int"
+            ).alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–static join gate: the event stream enriched with a
     broadcast segment dimension (re-planned per micro-batch — the
@@ -4926,6 +4949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_shards_documents": curriculum_shards_documents,
         "entity_resolution_suppliers": entity_resolution_suppliers,
         "stream_enrich_events": stream_enrich_events,
+        "variant_extract_events": variant_extract_events,
     }
     out = {k: base[k] for k in _R5_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -6844,6 +6868,12 @@ _PENDING_ORACLES: dict[str, str] = {
         FROM events e JOIN dim d USING (event_type)
         GROUP BY e.event_type, d.segment
         ORDER BY e.event_type
+    """,
+    "variant_extract_events": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events WHERE props IS NOT NULL
+        ORDER BY event_id
     """,
 }
 
