@@ -2696,6 +2696,28 @@ def entity_resolution_suppliers(
     )
 
 
+def listagg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``listagg … WITHIN GROUP (ORDER BY …)`` surface: the
+    ANSI ordered string aggregation (per customer, the date-ordered
+    status sequence) — deterministic because the WITHIN GROUP order
+    (o_orderdate, o_orderkey) is total. (Oracle staged in
+    _PENDING_ORACLES — DuckDB ``string_agg(... ORDER BY ...)``.)"""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 100
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "listagg(o_orderstatus, ',') WITHIN GROUP "
+                "(ORDER BY o_orderdate ASC, o_orderkey ASC)"
+            ).alias("status_seq"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def variant_extract_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4950,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution_suppliers": entity_resolution_suppliers,
         "stream_enrich_events": stream_enrich_events,
         "variant_extract_events": variant_extract_events,
+        "listagg_orders": listagg_orders,
     }
     out = {k: base[k] for k in _R5_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -6874,6 +6897,15 @@ _PENDING_ORACLES: dict[str, str] = {
                CAST(json_extract(props, '$.k') AS INT) AS k
         FROM events WHERE props IS NOT NULL
         ORDER BY event_id
+    """,
+    "listagg_orders": """
+        SELECT o_custkey,
+               string_agg(o_orderstatus, ','
+                          ORDER BY o_orderdate ASC, o_orderkey ASC)
+                   AS status_seq,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_custkey < 100
+        GROUP BY o_custkey ORDER BY o_custkey
     """,
 }
 
