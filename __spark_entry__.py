@@ -183,6 +183,33 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def sql_parameterized_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parameterized SQL surface (Spark 4 named-parameter markers —
+    ``spark.sql(sql, args={...})``): the injection-safe text-query
+    API a serving layer uses. Same plan space as the literal-SQL
+    twin `sql_interface_revenue`; parameters bind a segment filter
+    and a price floor. (Oracle staged in _PENDING_ORACLES with the
+    parameters inlined as literals — binding is the surface under
+    test, the PLAN must be identical.)"""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"vp_{t}")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS order_cnt,
+               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE), 4) AS revenue
+        FROM vp_orders JOIN vp_customer ON o_custkey = c_custkey
+        WHERE c_mktsegment <> :excluded AND o_totalprice >= :floor
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+        args={"excluded": "MACHINERY", "floor": 1000.0},
+    )
+
+
 def event_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set semantics beyond the reference (SURVEY §2.7 notes it has no
     intersect/except): users who click AND view (INTERSECT) minus
@@ -4973,6 +5000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich_events": stream_enrich_events,
         "variant_extract_events": variant_extract_events,
         "listagg_orders": listagg_orders,
+        "sql_parameterized_revenue": sql_parameterized_revenue,
     }
     out = {k: base[k] for k in _R5_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -6906,6 +6934,16 @@ _PENDING_ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_orders
         FROM orders WHERE o_custkey < 100
         GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    "sql_parameterized_revenue": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS order_cnt,
+               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE), 4) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment <> 'MACHINERY' AND o_totalprice >= 1000.0
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
 }
 

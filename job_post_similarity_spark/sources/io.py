@@ -259,6 +259,41 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML scan — Spark 4's NATIVE xml data source (the spark-xml
+    package folded into core). ``row_tag`` names the repeating
+    element; explicit ``schema`` preferred for the same reasons as
+    CSV (inference costs a pass and is nondeterministic across
+    files). Feeds/exports and legacy enterprise dumps are the use
+    case — columnar formats remain the lake default."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (native Spark 4 writer)."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
 def morton_key(col_a, col_b, bits: int = 16):
     """Z-order (Morton) key of two integer columns as a pure JVM
     column expression: bit ``i`` of each input lands at output bits

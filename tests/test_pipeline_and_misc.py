@@ -1177,3 +1177,55 @@ def test_incremental_minhash_batch_cross_batch_dup(spark, tmp_path):
     out3 = incremental_near_dup_minhash_batch(b3, store)
     pairs3 = {(r["id1"], r["id2"]) for r in out3.collect()}
     assert (1, 5) in pairs3 and (3, 5) in pairs3 and (1, 3) in pairs3
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Native Spark 4 XML source/sink: schema-declared read returns
+    exactly what the writer emitted (row/root tags honored)."""
+    from pyspark.sql import types as T
+
+    from job_post_similarity_spark.sources.io import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0)],
+        "id long, name string, score double",
+    )
+    path = str(tmp_path / "xmlout")
+    write_xml(df, path, row_tag="rec", root_tag="recs")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    back = read_xml(spark, path, row_tag="rec", schema=schema)
+    assert {tuple(r) for r in back.collect()} == {
+        (1, "alpha", 1.5),
+        (2, "beta", -2.0),
+    }
+
+
+def test_sql_parameterized_matches_literal(spark, sf_dir):
+    """Named-parameter binding must produce the same result (and no
+    literal-injection surface) as inlined literals."""
+    import __spark_entry__ as entrymod
+
+    got = {
+        tuple(r)
+        for r in entrymod.sql_parameterized_revenue(spark, sf_dir).collect()
+    }
+    lit = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT c_mktsegment, count(*) AS order_cnt,
+                   ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                              AS DOUBLE), 4) AS revenue
+            FROM vp_orders JOIN vp_customer ON o_custkey = c_custkey
+            WHERE c_mktsegment <> 'MACHINERY' AND o_totalprice >= 1000.0
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+            """
+        ).collect()
+    }
+    assert got == lit
