@@ -1279,3 +1279,25 @@ def stream_ohlc_bars(
         )
     )
     return _run_to_memory(agg, name, "complete")
+
+
+def read_state_store(
+    spark: SparkSession, checkpoint: str, operator_id: int = 0
+) -> DataFrame:
+    """Streaming-state OBSERVABILITY: read a checkpoint's state store
+    as a DataFrame (Spark 4 ``statestore`` source) — ``(key, value,
+    partition_id)`` structs for the chosen stateful operator. The
+    ops workflow at scale: a stuck or mis-aggregating stream is
+    debugged from its state snapshot, not by replaying the input."""
+    return (
+        spark.read.format("statestore")
+        .option("operatorId", operator_id)
+        .load(checkpoint)
+    )
+
+
+def read_state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Companion ``state-metadata`` source: per-operator store names,
+    partition counts and the batch-id range the checkpoint holds —
+    the first stop before ``read_state_store``."""
+    return spark.read.format("state-metadata").load(checkpoint)

@@ -415,3 +415,40 @@ def test_global_rank_plan_has_no_unpartitioned_window(spark, sf_dir):
 
     for m in re.finditer(r"Window \[.*?\]", plan):
         assert "__pid" in m.group(0), m.group(0)
+
+
+def test_state_store_reader_matches_aggregate(spark, tmp_path):
+    """The statestore source must expose exactly the stateful
+    operator's accumulated (key, count) state, and state-metadata
+    must describe the store."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.streaming import (
+        read_state_metadata,
+        read_state_store,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(12).selectExpr("id", "id % 3 as k").write.mode(
+        "overwrite"
+    ).parquet(src)
+    sdf = spark.readStream.schema("id long, k long").parquet(src)
+    q = (
+        sdf.groupBy("k")
+        .count()
+        .writeStream.format("memory")
+        .queryName("ss_reader_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = {
+        r["key"]["k"]: r["value"]["count"]
+        for r in read_state_store(spark, ckpt).collect()
+    }
+    assert state == {0: 4, 1: 4, 2: 4}
+    md = read_state_metadata(spark, ckpt).collect()
+    assert md and md[0]["operatorName"] == "stateStoreSave"
