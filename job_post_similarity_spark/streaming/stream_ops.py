@@ -1301,3 +1301,97 @@ def read_state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
     partition counts and the batch-id range the checkpoint holds —
     the first stop before ``read_state_store``."""
     return spark.read.format("state-metadata").load(checkpoint)
+
+
+def tws_available() -> bool:
+    """True when ``transformWithStateInPandas`` can actually run:
+    the Arrow state-server protocol needs ``google.protobuf``
+    (not bundled with pyspark; absent in this container — the same
+    env-gated class as the torch embedder and faiss HNSW tiers)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _RunningCountProcessor:
+    """StatefulProcessor body for ``stream_running_counts_tws`` —
+    defined import-safely (the base class import happens at call
+    time) so the module loads without protobuf."""
+
+    def build(self):
+        import pandas as pd
+        from pyspark.sql.streaming import StatefulProcessor
+
+        class P(StatefulProcessor):
+            def init(self, handle):
+                self._c = handle.getValueState("c", "cnt long")
+
+            def handleInputRows(self, key, rows, timerValues):
+                n = 0
+                for batch in rows:
+                    n += len(batch)
+                old = self._c.get()[0] if self._c.exists() else 0
+                self._c.update((old + n,))
+                yield pd.DataFrame(
+                    {"event_type": [key[0]], "cnt": [old + n]}
+                )
+
+            def close(self):
+                pass
+
+        return P()
+
+
+def stream_running_counts_tws(
+    spark: SparkSession, sf_dir: str, name: str = "stream_tws_counts"
+) -> DataFrame:
+    """Per-type running counts through Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API
+    (typed ValueState/ListState/MapState handles, timers, TTL)
+    to ``applyInPandasWithState``. Counts are monotone, so the
+    bounded-input snapshot (max per key over update-mode emissions)
+    equals the batch groupBy — the oracle-twin contract every other
+    stream op in this module satisfies.
+
+    Raises ``ImportError`` when the runtime lacks ``google.protobuf``
+    (the TWS state-server wire format) — check ``tws_available()``;
+    the container this repo ships from does not have it, so the path
+    is exercised only where the dependency exists (same policy as
+    the torch/faiss tiers).
+    """
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf; "
+            "install protobuf or use stream_event_counts "
+            "(applyInPandasWithState-free aggregation twin)"
+        )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        ev = _events_stream(spark, sf_dir).filter(
+            F.col("event_type").isNotNull()
+        )
+        out = ev.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=_RunningCountProcessor().build(),
+            outputStructType="event_type string, cnt long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        snap = _run_to_memory(out, name, "update")
+        return (
+            snap.groupBy("event_type")
+            .agg(F.max("cnt").alias("cnt"))
+            .orderBy("event_type")
+        )
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -452,3 +452,35 @@ def test_state_store_reader_matches_aggregate(spark, tmp_path):
     assert state == {0: 4, 1: 4, 2: 4}
     md = read_state_metadata(spark, ckpt).collect()
     assert md and md[0]["operatorName"] == "stateStoreSave"
+
+
+def test_tws_running_counts_env_gated(spark, sf_dir):
+    """transformWithStateInPandas twin: equals the batch groupBy when
+    protobuf is present; raises the documented ImportError when not
+    (this container lacks google.protobuf — the torch/faiss policy)."""
+    import pytest
+
+    from job_post_similarity_spark.sources.io import load_table
+    from job_post_similarity_spark.streaming.stream_ops import (
+        stream_running_counts_tws,
+        tws_available,
+    )
+    from pyspark.sql import functions as F
+
+    if not tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            stream_running_counts_tws(spark, sf_dir)
+        pytest.skip("google.protobuf absent — TWS path env-blocked")
+    got = {
+        r["event_type"]: r["cnt"]
+        for r in stream_running_counts_tws(spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
