@@ -63,8 +63,10 @@ def main() -> int:
     )
     order = window + canaries + rest
 
+    backed = oracles | set(pending)  # union: promoted window gates
+    # appear in BOTH oracle_sql() and _PENDING_ORACLES
     print(f"queries: {len(queries)}  oracle-backed: "
-          f"{len(oracles) + len(pending)} ({len(pending)} pending)  "
+          f"{len(backed)} ({len(set(pending) - oracles)} staged-only)  "
           f"graded-green history: {len(graded & set(queries))}")
     print(f"never-graded oracle gates: {len(never_graded)}")
     print(f"  -> window: {len(window)} never-graded"
