@@ -2723,6 +2723,51 @@ def entity_resolution_suppliers(
     )
 
 
+def embed_twin_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-twin embedding pipeline, value-graded END TO END
+    (the gap the unit-norm-only `embedding_norms` gate left): exact
+    integer md5 components → int64 norm² → IEEE-exact normalize →
+    integer micros, comma-joined. Proves the full embed pipeline's
+    VALUES cross-engine, not just a property. Production tier stays
+    `hashing_embedder`. (Oracle staged in _PENDING_ORACLES,
+    generated by `_embed_twin_oracle`.)"""
+    from job_post_similarity_spark.functions.embed import (
+        md5_twin_components,
+    )
+
+    dim = 16
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    comps = docs.select("doc_id", *md5_twin_components("text", dim=dim))
+    n2 = sum(
+        (F.col(f"__c{j}") * F.col(f"__c{j}") for j in range(dim)),
+        F.lit(0).cast("long"),
+    )
+    with_norm = comps.withColumn("norm2", n2)
+    micros = F.array_join(
+        F.array(
+            *[
+                F.when(F.col("norm2") == 0, F.lit(0)).otherwise(
+                    F.round(
+                        F.col(f"__c{j}").cast("double")
+                        / F.sqrt(F.col("norm2").cast("double"))
+                        * F.lit(1e6)
+                    ).cast("long")
+                ).cast("string")
+                for j in range(dim)
+            ]
+        ),
+        ",",
+    )
+    return (
+        with_norm.select(
+            "doc_id", "norm2", micros.alias("vec_micros")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def listagg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 ``listagg … WITHIN GROUP (ORDER BY …)`` surface: the
     ANSI ordered string aggregation (per customer, the date-ordered
@@ -5001,6 +5046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract_events": variant_extract_events,
         "listagg_orders": listagg_orders,
         "sql_parameterized_revenue": sql_parameterized_revenue,
+        "embed_twin_documents": embed_twin_documents,
     }
     out = {k: base[k] for k in _R5_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -9738,3 +9784,37 @@ _PENDING_ORACLES.update({
         FROM m
     """,
 })
+
+
+def _embed_twin_oracle(dim: int = 16, scale: int = 1000) -> str:
+    """Generate the embed-twin SQL: exact md5 integer components,
+    int64 norm², IEEE normalize, integer micros — mirrors
+    `functions.embed.md5_twin_components` formula-for-formula (the
+    coefficient-generator-shared-with-the-oracle pattern from the
+    minhash/SRP twins)."""
+    mod = 2 * scale + 1
+    comp = (
+        lambda j: "(CAST(concat('0x', substr(md5(text || ':" + str(j)
+        + "'), 1, 14)) AS BIGINT) % " + str(mod) + " - " + str(scale)
+        + ")"
+    )
+    comps = ", ".join(f"{comp(j)} AS c{j}" for j in range(dim))
+    n2 = " + ".join(f"c{j} * c{j}" for j in range(dim))
+    micros = ", ".join(
+        f"CASE WHEN norm2 = 0 THEN '0' ELSE CAST(CAST(round("
+        f"CAST(c{j} AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE)) "
+        f"* 1000000.0, 0) AS BIGINT) AS VARCHAR) END"
+        for j in range(dim)
+    )
+    return f"""
+        WITH comps AS (
+            SELECT doc_id, {comps}
+            FROM documents WHERE text IS NOT NULL),
+        n AS (SELECT *, CAST({n2} AS BIGINT) AS norm2 FROM comps)
+        SELECT doc_id, norm2,
+               concat_ws(',', {micros}) AS vec_micros
+        FROM n ORDER BY doc_id
+    """
+
+
+_PENDING_ORACLES["embed_twin_documents"] = _embed_twin_oracle()

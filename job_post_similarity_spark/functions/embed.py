@@ -194,3 +194,36 @@ def get_embedder(dim: int = 64, seed: int = 42, model_name: str | None = None):
         except ImportError:
             pass
     return hashing_embedder(dim=dim, seed=seed)
+
+
+def md5_twin_components(
+    text_col, dim: int = 16, scale: int = 1000
+) -> list:
+    """Deterministic-twin embedder components — EXACT INTEGERS, so an
+    independent SQL engine reproduces the whole embedding pipeline
+    value-for-value (the minhash/SRP twin program applied to V1):
+    ``c_j = md5_int(text || ':' || j) mod (2·scale+1) − scale``.
+
+    Pure JVM column expressions (conv/substring/md5 — no UDF, no
+    shuffle); ``hashing_embedder`` remains the production tier (fast
+    vectorized batch hash), this twin is the oracle-gradable one.
+    Normalization stays engine-exact downstream because the norm²
+    is an exact int64 sum of squares and ``sqrt``/division are
+    correctly-rounded IEEE ops on identical inputs.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    mod = 2 * scale + 1
+    return [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(c, F.lit(f":{j}"))), 1, 14
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+            - scale
+        ).alias(f"__c{j}")
+        for j in range(dim)
+    ]
