@@ -2723,6 +2723,22 @@ def entity_resolution_suppliers(
     )
 
 
+def quality_filter_twin_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic twin of the learned quality filter
+    (`linear_text_classifier`): md5 bucket hashing + md5-derived
+    integer milli-weights, mean-weight logit, sign-threshold keep —
+    every decision value-graded cross-engine. (Oracle staged in
+    _PENDING_ORACLES, generated by `_quality_twin_oracle`.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        linear_classifier_twin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_classifier_twin(docs)
+
+
 def embed_twin_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic-twin embedding pipeline, value-graded END TO END
     (the gap the unit-norm-only `embedding_norms` gate left): exact
@@ -5047,6 +5063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listagg_orders": listagg_orders,
         "sql_parameterized_revenue": sql_parameterized_revenue,
         "embed_twin_documents": embed_twin_documents,
+        "quality_filter_twin_documents": quality_filter_twin_documents,
     }
     out = {k: base[k] for k in _R5_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -9818,3 +9835,41 @@ def _embed_twin_oracle(dim: int = 16, scale: int = 1000) -> str:
 
 
 _PENDING_ORACLES["embed_twin_documents"] = _embed_twin_oracle()
+
+
+def _quality_twin_oracle(buckets: int = 32, scale: int = 1000) -> str:
+    """Generate the quality-filter-twin SQL — mirrors
+    `text_analysis.linear_classifier_twin` formula-for-formula:
+    shifted non-negative milli-weights so the single integer division
+    is over non-negatives (Spark ``div`` truncates toward zero,
+    DuckDB ``//`` floors — they agree only there)."""
+    mod = 2 * scale + 1
+    w = (
+        "(CAST(concat('0x', substr(md5('w:' || CAST("
+        "CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT) % "
+        f"{buckets} AS VARCHAR)), 1, 14)) AS BIGINT) % {mod})"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)),
+                                                  '\\s+'),
+                               x -> x <> '') AS tl
+            FROM documents),
+        s AS (
+            SELECT doc_id, len(tl) AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform(tl,
+                        t -> {w})), 0) AS BIGINT) AS sm
+            FROM toks)
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN sm // n_tokens - {scale}
+                    ELSE 0 END AS logit_milli,
+               CASE WHEN n_tokens > 0
+                    THEN sm // n_tokens - {scale} >= 0
+                    ELSE TRUE END AS keep
+        FROM s ORDER BY doc_id
+    """
+
+
+_PENDING_ORACLES["quality_filter_twin_documents"] = _quality_twin_oracle()

@@ -1319,3 +1319,71 @@ def bpe_encode_expr(
     return df.select(
         F.col(id_col), words_expr.cast("int").alias("n_bpe_tokens")
     )
+
+
+def linear_classifier_twin(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """Deterministic twin of ``linear_text_classifier`` — the same
+    architecture (tokens hashed to weight buckets, mean bucket weight
+    as the document logit, sign threshold as the keep decision) with
+    md5 hashing and md5-derived integer MILLI-weights, so an
+    independent SQL engine reproduces every decision value-for-value
+    (the embed-twin program applied to the learned-quality-filter
+    family; the production tier keeps its trained weights and numpy
+    hash).
+
+    All-integer pipeline: per-token weight ∈ [0, 2·scale] (shifted
+    non-negative so the one integer division is over non-negatives —
+    Spark ``div`` truncates toward zero while DuckDB ``//`` floors,
+    and they only agree on non-negative operands), floor-mean, then
+    the shift removed: ``logit_milli = (Σ w')/n − scale``;
+    ``keep = logit_milli ≥ 0``. One aggregate fold over the token
+    array — no UDF, no explode, no shuffle.
+    """
+    mod = 2 * weight_scale + 1
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+
+    def w_shifted(tok: Column) -> Column:
+        bucket = F.conv(
+            F.substring(F.md5(tok), 1, 14), 16, 10
+        ).cast("long") % buckets
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), bucket.cast("string"))),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    summed = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + w_shifted(t)
+    )
+    n = F.size(toks)
+    # exact floor division via the mod identity: (s - s%n) is an exact
+    # multiple of n and s ≤ n·2·scale stays far under 2^53, so the
+    # double division is exact and the cast is lossless
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.when(
+            n > 0,
+            (summed - (summed % n)) / n - F.lit(weight_scale),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("logit_milli"),
+    ).withColumn("keep", F.col("logit_milli") >= 0)
+    return out.orderBy(id_col)
