@@ -181,3 +181,45 @@ def test_utf8_byte_stats_arrow(spark):
     got = {r["doc_id"]: (r["n_bytes"], r["n_chars"])
            for r in utf8_byte_stats(df).collect()}
     assert got == {0: (3, 3), 1: (6, 5), 3: (6, 2)}  # null dropped
+
+
+def test_md5_twin_embedder_unit_norm_and_determinism(spark):
+    """Exact-integer components; micros reconstruct to ~unit norm;
+    same text ⇒ same vector."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.functions.embed import (
+        md5_twin_components,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "other text")],
+        "id long, text string",
+    )
+    dim = 16
+    comps = df.select("id", *md5_twin_components("text", dim=dim))
+    rows = {r["id"]: [r[f"__c{j}"] for j in range(dim)] for r in comps.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    assert all(-1000 <= c <= 1000 for c in rows[1])
+    n2 = sum(c * c for c in rows[1])
+    micros = [round(c / n2**0.5 * 1e6) for c in rows[1]]
+    recon = sum(m * m for m in micros) / 1e12
+    assert abs(recon - 1.0) < 1e-3
+
+
+def test_linear_classifier_twin_contract(spark):
+    """Empty text scores logit 0 / keep True; logits are bounded by
+    the milli-weight range; determinism across rows."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        linear_classifier_twin,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "alpha beta gamma"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in linear_classifier_twin(df).collect()}
+    assert out[2]["n_tokens"] == 0 and out[2]["logit_milli"] == 0
+    assert out[2]["keep"] is True
+    assert out[1]["logit_milli"] == out[3]["logit_milli"]
+    assert -1000 <= out[1]["logit_milli"] <= 1000
