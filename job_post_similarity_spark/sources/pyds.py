@@ -25,6 +25,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _WORDS = (
@@ -56,12 +57,49 @@ class SyntheticDocsReader(DataSourceReader):
 
     def read(self, partition: _DocsPartition):
         for doc_id in range(partition.start, partition.end):
-            state = doc_id * 2654435761 % (2**31)
-            toks = []
-            for _ in range(self.doc_tokens):
-                state = (state * 1103515245 + 12345) % (2**31)
-                toks.append(_WORDS[state % len(_WORDS)])
-            yield (doc_id, " ".join(toks))
+            yield _gen_row(doc_id, self.doc_tokens)
+
+
+def _gen_row(doc_id: int, doc_tokens: int) -> tuple:
+    """One deterministic row — shared by the batch reader and the
+    streaming reader so stream == batch over the same id range (the
+    oracle-twin property, supplied by construction)."""
+    state = doc_id * 2654435761 % (2**31)
+    toks = []
+    for _ in range(doc_tokens):
+        state = (state * 1103515245 + 12345) % (2**31)
+        toks.append(_WORDS[state % len(_WORDS)])
+    return (doc_id, " ".join(toks))
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator (PySpark 4
+    SimpleDataSourceStreamReader): offsets are plain dicts checkpointed
+    by the engine; ``read`` advances ``rows_per_batch`` ids per
+    micro-batch up to ``max_rows``; ``readBetweenOffsets`` replays any
+    committed range EXACTLY (rows are a pure function of doc_id) —
+    the replayability contract a custom streaming source must supply
+    for end-to-end exactly-once."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 10))
+        self.max_rows = int(options.get("max_rows", 50))
+        self.doc_tokens = int(options.get("doc_tokens", 8))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        s = int(start["next"])
+        e = min(s + self.rows_per_batch, self.max_rows)
+        rows = [_gen_row(i, self.doc_tokens) for i in range(s, e)]
+        return (iter(rows), {"next": e})
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            _gen_row(i, self.doc_tokens)
+            for i in range(int(start["next"]), int(end["next"]))
+        )
 
 
 class SyntheticDocsDataSource(DataSource):
@@ -74,3 +112,6 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)

@@ -1229,3 +1229,43 @@ def test_sql_parameterized_matches_literal(spark, sf_dir):
         ).collect()
     }
     assert got == lit
+
+
+def test_python_streaming_data_source_stream_equals_batch(spark):
+    """The PySpark 4 SimpleDataSourceStreamReader face of the custom
+    source: micro-batched rows over checkpointable offsets must equal
+    the batch read of the same id range (rows are a pure function of
+    doc_id — the replayability contract)."""
+    from job_post_similarity_spark.sources.pyds import (
+        SyntheticDocsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    sdf = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows_per_batch", 7)
+        .option("max_rows", 30)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.sql("select * from pyds_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.format("synthetic_docs")
+        .option("rows", 30)
+        .load()
+        .collect()
+    }
+    assert got == want and len(got) == 30
