@@ -182,7 +182,13 @@ def main() -> None:
         "qualifying pairs by the similarity distribution — LSH/IVF cut",
         "the constant, not the exponent; at real scale the operating",
         "threshold rises with corpus size, which is the knob that",
-        "controls the output mass).",
+        "controls the output mass). For high-threshold workloads",
+        "`ann.srp_parameter_plan` re-solves the banding knobs per",
+        "corpus size under a linear candidate budget (wired into the",
+        "auto dispatch facades); the bench gate keeps FIXED knobs on",
+        "purpose — its tau=0.4 operating point on random unit vectors",
+        "is the regime the planner correctly refuses (recall would",
+        "collapse), so its curve shows the fixed-knob cost honestly.",
         "",
     ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
