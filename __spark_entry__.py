@@ -4726,8 +4726,10 @@ def stream_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries). Composition: the 3 round-4 erred gates (array outputs the
 # driver canon couldn't hash — now comma-joined strings) for re-grade,
 # then 47 never-graded staged gates oldest-first (tools/plan_rotation).
-# The 28 remaining never-graded gates queue for round 6; every entry
-# parked at 51+ is green in CORRECTNESS_r01∪r02∪r03∪r04.
+# The remaining never-graded gates (25 r4 carryover + the round-5
+# additions — run tools/plan_rotation.py for the live count) queue for
+# round 6; every entry parked at 51+ is green in
+# CORRECTNESS_r01∪r02∪r03∪r04.
 _R5_WINDOW: tuple[str, ...] = (
     # re-grades (fixed this round)
     "order_arrays_by_customer",
