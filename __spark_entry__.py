@@ -2723,6 +2723,50 @@ def entity_resolution_suppliers(
     )
 
 
+def quality_ensemble_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality ENSEMBLE (the Nemotron-CC-style multi-classifier vote):
+    three independent, individually-oracled signals — heuristic
+    quality score ≥ 0.5, Gopher gates, md5-twin classifier sign —
+    majority-voted into the keep decision. Integer votes only; each
+    signal is engine-exact, so the composition is too. (Oracle staged
+    in _PENDING_ORACLES, generated by `_quality_ensemble_oracle`.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        gopher_quality_flags,
+        linear_classifier_twin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qv = docs.select(
+        "doc_id",
+        (text_analysis.quality_score("text") >= 0.5).alias("q_keep"),
+    )
+    g = gopher_quality_flags(docs, "text").select(
+        "doc_id", F.col("keep").alias("g_keep")
+    )
+    t = linear_classifier_twin(docs).select(
+        "doc_id", F.col("keep").alias("c_keep")
+    )
+    return (
+        qv.join(g, "doc_id")
+        .join(t, "doc_id")
+        .select(
+            "doc_id",
+            "q_keep",
+            "g_keep",
+            "c_keep",
+            (
+                F.col("q_keep").cast("int")
+                + F.col("g_keep").cast("int")
+                + F.col("c_keep").cast("int")
+            ).alias("votes"),
+        )
+        .withColumn("keep_ensemble", F.col("votes") >= 2)
+        .orderBy("doc_id")
+    )
+
+
 def quality_filter_twin_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5066,6 +5110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_parameterized_revenue": sql_parameterized_revenue,
         "embed_twin_documents": embed_twin_documents,
         "quality_filter_twin_documents": quality_filter_twin_documents,
+        "quality_ensemble_documents": quality_ensemble_documents,
     }
     out = {k: base[k] for k in _R5_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -9875,3 +9920,98 @@ def _quality_twin_oracle(buckets: int = 32, scale: int = 1000) -> str:
 
 
 _PENDING_ORACLES["quality_filter_twin_documents"] = _quality_twin_oracle()
+
+
+def _quality_ensemble_oracle(buckets: int = 32, scale: int = 1000) -> str:
+    """Generate the ensemble SQL by composing the three signals'
+    oracle formulas (quality basis points, Gopher gates, md5-twin
+    classifier) — one CTE per signal, joined on doc_id, integer
+    votes."""
+    mod = 2 * scale + 1
+    w = (
+        "(CAST(concat('0x', substr(md5('w:' || CAST("
+        "CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT) % "
+        f"{buckets} AS VARCHAR)), 1, 14)) AS BIGINT) % {mod})"
+    )
+    return f"""
+        WITH qb AS (
+            SELECT doc_id,
+                   (least(CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(string_split_regex(trim(text),
+                                                           '\\s+'))
+                          END * 80, 4000)
+                    + CASE WHEN len(string_split_regex(trim(lower(text)),
+                                                       '\\s+')) > 0
+                           THEN least(CAST(floor(
+                                len(list_filter(
+                                    string_split_regex(
+                                        trim(lower(text)), '\\s+'),
+                                    t -> list_contains(
+                                        {_EN_MARKERS_SQL}, t)))
+                                * 15000
+                                / len(string_split_regex(
+                                      trim(lower(text)), '\\s+')))
+                                AS BIGINT), 3000)
+                           ELSE 0 END
+                    + CASE WHEN length(text) > 0
+                           THEN 3000 - CAST(floor(
+                                (length(text)
+                                 - length(regexp_replace(text,
+                                       '[^\\w\\s]', '', 'g')))
+                                * 3000 / length(text)) AS BIGINT)
+                           ELSE 3000 END) >= 5000 AS q_keep
+            FROM documents),
+        gp AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_words,
+                   list_sum(list_transform(
+                       string_split_regex(trim(text), '\\s+'),
+                       t -> length(t))) AS total_chars,
+                   length(text) - length(replace(text, '#', ''))
+                       AS n_hash,
+                   len(string_split(text, '...')) - 1 AS n_ellipsis
+            FROM documents),
+        gk AS (
+            SELECT doc_id,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (CASE WHEN n_words > 0
+                              THEN CAST(floor(total_chars * 100
+                                              / n_words) AS BIGINT)
+                              ELSE 0 END BETWEEN 300 AND 1000)
+                    AND (CASE WHEN n_words > 0
+                              THEN CAST(floor((n_hash + n_ellipsis)
+                                              * 100 / n_words)
+                                        AS BIGINT)
+                              ELSE 0 END <= 10)) AS g_keep
+            FROM gp),
+        ct AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)),
+                                                  '\\s+'),
+                               x -> x <> '') AS tl
+            FROM documents),
+        ck AS (
+            SELECT doc_id,
+                   CASE WHEN len(tl) > 0
+                        THEN CAST(coalesce(list_sum(list_transform(tl,
+                                 t -> {w})), 0) AS BIGINT)
+                             // len(tl) - {scale} >= 0
+                        ELSE TRUE END AS c_keep
+            FROM ct)
+        SELECT qb.doc_id, q_keep, g_keep, c_keep,
+               CAST(CASE WHEN q_keep THEN 1 ELSE 0 END
+                    + CASE WHEN g_keep THEN 1 ELSE 0 END
+                    + CASE WHEN c_keep THEN 1 ELSE 0 END AS INT)
+                   AS votes,
+               (CASE WHEN q_keep THEN 1 ELSE 0 END
+                + CASE WHEN g_keep THEN 1 ELSE 0 END
+                + CASE WHEN c_keep THEN 1 ELSE 0 END) >= 2
+                   AS keep_ensemble
+        FROM qb JOIN gk USING (doc_id) JOIN ck USING (doc_id)
+        ORDER BY qb.doc_id
+    """
+
+
+_PENDING_ORACLES["quality_ensemble_documents"] = _quality_ensemble_oracle()
