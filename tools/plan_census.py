@@ -23,9 +23,21 @@ are censused too — the probe/offset actions they run at plan-build
 time are part of their documented cost — but a ``--lazy-only`` flag
 skips them for a pure no-execution sweep.
 
+Caveat: the census is STATIC — persisted frames that feed multiple
+consumers appear as duplicated subtrees (their exchanges counted per
+reference), while at runtime the persist computes them once. High
+exchange counts on gates built around a `.persist()` hub (e.g.
+vocab_coverage's ranked-vocabulary reuse) are a static-count
+artifact, not a runtime cost.
+
+``--strict`` turns the unpartitioned-window check into a regression
+GATE: exit 1 if any gate outside the documented allowlist carries a
+global window. Add to the allowlist ONLY with a docstring
+justification on the operator (bounded-by-construction frame).
+
 Writes PLAN_CENSUS.md and prints one JSON summary line.
 
-Usage: python tools/plan_census.py [sf_dir] [--lazy-only]
+Usage: python tools/plan_census.py [sf_dir] [--lazy-only] [--strict]
 """
 
 from __future__ import annotations
@@ -42,6 +54,18 @@ sys.path.insert(0, REPO)
 # cost: bounded probes, offset collects, driver-local training) or
 # starts a stream — skipped under --lazy-only
 EXECUTES_ON_BUILD_PREFIXES = ("stream_",)
+
+# gates ALLOWED to carry an unpartitioned window — every entry is a
+# bounded-by-construction frame, justified in the operator docstring
+# it points at (month spine; post-top-N rank attaches)
+GLOBAL_WINDOW_ALLOWLIST = frozenset(
+    {
+        "monthly_revenue_change_orders",  # post-agg month spine
+        "rrf_hybrid_documents",  # retrieval.attach_rank post-top-50
+        "chi2_token_label_documents",  # rank attach post-limit-30
+        "pmi_collocations_documents",  # rank attach post-limit-50
+    }
+)
 
 
 def _counts(plan: str) -> dict:
@@ -84,6 +108,7 @@ def _counts(plan: str) -> dict:
 def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     lazy_only = "--lazy-only" in sys.argv[1:]
+    strict = "--strict" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
 
     import __spark_entry__ as entrymod
@@ -154,6 +179,7 @@ def main() -> int:
             )
             for q in flagged_gw:
                 f.write(f"- {q}\n")
+    unlisted = sorted(set(flagged_gw) - GLOBAL_WINDOW_ALLOWLIST)
     print(
         json.dumps(
             {
@@ -162,9 +188,12 @@ def main() -> int:
                 "skipped_streaming": len(skipped),
                 "build_errors": flagged_err,
                 "global_window_gates": flagged_gw,
+                "unlisted_global_windows": unlisted,
             }
         )
     )
+    if strict and (unlisted or flagged_err):
+        return 1
     return 0
 
 

@@ -79,7 +79,10 @@ def main() -> int:
             ["tools/check_oracles.py", "/root/testdata/sf0.01", "--pending"]
         ),
     )
-    _step("plan census", lambda: _run(["tools/plan_census.py"]))
+    _step(
+        "plan census (strict)",
+        lambda: _run(["tools/plan_census.py", "--strict"]),
+    )
     if not fast:
         _step("pytest", lambda: _run(["-m", "pytest", "tests/", "-q"]))
         _step("bench sf0.1", lambda: _run(["bench.py"]))
