@@ -353,8 +353,11 @@ def ivf_similarity_join(
         # persist: the assignment feeds BOTH sides of the self-join —
         # same reason srp_lsh_similarity_join persists its signature
         # frame. Without it the mapInPandas centroid pass AND the scan
-        # under it execute twice. Size is n×n_probe rows.
-        assigned = assigned.persist()
+        # under it execute twice. Size is n×n_probe rows. Repartitioned
+        # on the join key first so the bucket self-join reads the
+        # cache's partitioning and plans no further exchanges (the
+        # SRP-join layout trick — see srp_lsh_similarity_join).
+        assigned = assigned.repartition("bucket").persist()
     a = assigned.select("bucket", F.col(id_col).alias("id1"))
     b = assigned.select("bucket", F.col(id_col).alias("id2"))
     # candidates stay (id1, id2) pairs: the multi-probe duplicate pairs
@@ -681,9 +684,19 @@ def srp_lsh_similarity_join(
     # persist: the signature frame feeds BOTH sides of the self-join;
     # without it the mapInPandas signature pass runs twice. Size is
     # n×num_bands × 20 B — negligible, LRU-evicted under pressure.
-    sig = srp_band_signatures(
-        df, id_col, vec_col, bits_per_band, num_bands, seed
-    ).persist()
+    # REPARTITIONED ON THE JOIN KEY before the persist: both join
+    # children then read the same (band, bucket)-hashed cache and the
+    # self-join plans ZERO additional exchanges — one signature
+    # shuffle total instead of two join-side shuffles (measured 3.3 s
+    # → 2.1 s at sf0.1; the streaming store applies the same layout,
+    # stream_ops._register_sigs_store).
+    sig = (
+        srp_band_signatures(
+            df, id_col, vec_col, bits_per_band, num_bands, seed
+        )
+        .repartition("band", "bucket")
+        .persist()
+    )
     a = sig.select(F.col(id_col).alias("id1"), "band", "bucket")
     b = sig.select(F.col(id_col).alias("id2"), "band", "bucket")
     cand = (
