@@ -806,7 +806,12 @@ def stratified_semantic_dedup(
         )
         # feeds both sides of the cluster self-join AND the final
         # output join — unpersisted, the 8-literal-dot assignment
-        # scoring would run three times over the corpus
+        # scoring would run three times over the corpus. NOTE: the
+        # cluster-key cache layout (the SRP-signature trick) was
+        # measured WORSE here (3.1 → 3.7 s at sf0.1): k=8 clusters
+        # collapse the hash layout to ≤8 live partitions and the
+        # downstream verify loses its parallelism — the trick needs a
+        # HIGH-cardinality key (band×bucket, basket id).
         .persist()
     )
     from ..functions import vectors as V
