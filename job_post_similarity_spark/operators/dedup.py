@@ -1249,7 +1249,12 @@ def prefix_jaccard_join(
         <= F.col("__n")
         - F.expr(f"(__n * {threshold_ppm}L + 999999) div 1000000")
         + F.lit(1)
-    )
+    # token-key layout + persist: the prefix table feeds BOTH sides of
+    # the candidate self-join — without the persist the freq-join +
+    # double window above recompute per side, and the token layout
+    # lets the join read the cache partitioning with no further
+    # exchange (high-cardinality key, so no parallelism collapse)
+    ).repartition("token").persist()
     cand = (
         prefix.select(F.col("__id").alias("id1"), "token")
         .join(
