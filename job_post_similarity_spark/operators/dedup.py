@@ -220,10 +220,19 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("id"),
         minhash_signature(text_col, num_hashes, ngram, seed).alias("sig"),
     ).persist()
-    slim = banded_minhash_signatures(
-        df, id_col, text_col, num_hashes, bands, ngram, seed,
-        sig_table=sigs,
-    ).select("id", "band", "bucket")
+    # band-key layout + persist for the slim band table: both join
+    # sides read the cache's (band, bucket) partitioning — no
+    # join-side exchanges (the SRP-signature layout trick; the key is
+    # high-cardinality so parallelism is preserved)
+    slim = (
+        banded_minhash_signatures(
+            df, id_col, text_col, num_hashes, bands, ngram, seed,
+            sig_table=sigs,
+        )
+        .select("id", "band", "bucket")
+        .repartition("band", "bucket")
+        .persist()
+    )
     cand = (
         slim.alias("a")
         .join(
