@@ -412,7 +412,12 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("bc"),
-    ).select("id", "sig", "bc.band", "bc.chunk")
+    ).select("id", "sig", "bc.band", "bc.chunk").repartition(
+        "band", "chunk"
+    ).persist()
+    # chunk-key layout + persist (the band-join cache-layout pattern):
+    # both self-join children read the cached partitioning, and the
+    # simhash64 token fold — the expensive part — runs once, not twice
     cand = (
         chunked.alias("a")
         .join(
@@ -1103,11 +1108,15 @@ def fuzzy_join_dist1(
             ),
         ),
     ).otherwise(F.array(s))
+    # variant-key layout + persist: both join sides read the cache's
+    # __v partitioning — no join-side exchanges, and the explode runs
+    # once (the band-join cache-layout pattern; deletion variants are
+    # a high-cardinality key)
     sig = df.select(
         F.col(id_col).alias("__id"),
         s.alias("__s"),
         F.explode(variants).alias("__v"),
-    )
+    ).repartition("__v").persist()
     a = sig.select(
         F.col("__id").alias("id1"), F.col("__s").alias("s1"), "__v"
     )
