@@ -1876,7 +1876,12 @@ def strip_html_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def strip_html_fidelity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 fidelity tier: stdlib html.parser Pandas UDF (entity-exact
-    BS4 analog; rows-only — Python-side semantics, no SQL twin)."""
+    BS4 analog). Oracle-graded since r6: the DuckDB oracle replays the
+    BUILTIN regexp strip chain (tags → space, the 7 standard entities,
+    whitespace collapse), so a green hash proves the HTMLParser tier
+    agrees with the SQL-expressible tier byte-for-byte on this corpus
+    — the cross-implementation fidelity check the rows-only gate could
+    only assert by row count."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     wrapped = docs.select(
         "doc_id",
@@ -1891,8 +1896,39 @@ def strip_html_fidelity_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token estimate (rows-only: Java-regex lookarounds have no
-    RE2/DuckDB equivalent)."""
+    """Per-doc BPE token counts for a corpus slice: train 3 merges with
+    the distributed trainer, encode with the JVM replace-chain encoder,
+    count subwords. Oracle-graded since r6 (was rows-only r1): the
+    oracle replays the trainer CTEs + replace chain and counts the same
+    way — the deterministic-twin repoint VERDICT r5 item 3 asked for.
+    The Java-regex GPT-2-ish estimator the name used to run lives on as
+    ``bpe_ish_token_estimate_documents`` (rows-only — lookaheads have
+    no RE2/DuckDB equivalent)."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_encode_expr,
+        bpe_train_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mrows = sorted(
+        bpe_train_distributed(docs, num_merges=3).collect(),
+        key=lambda r: r["step"],
+    )
+    merges = [(r["sym_left"], r["sym_right"]) for r in mrows]
+    return (
+        bpe_encode_expr(docs, merges)
+        .filter(F.col("doc_id") < 250)
+        .orderBy("doc_id")
+    )
+
+
+def bpe_ish_token_estimate_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE-ish token estimate via the GPT-2-shaped Java regex
+    (rows-only: Java-regex lookarounds have no RE2/DuckDB equivalent;
+    this was ``bpe_token_count_documents`` until r6 — that name now
+    runs the oracle-graded train+encode count)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -1915,8 +1951,28 @@ def similarity_histogram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (rows-only: banding is
-    Spark-specific; verified against exact Jaccard by tests)."""
+    """MinHash+LSH near-dup pairs, deterministic md5-code tier on a
+    doc_id < 150 slice. Oracle-graded since r6 (was the rows-only
+    xxhash64 production gate in r1 — that tier lives on as
+    ``minhash_near_dup_xxh_documents``): same coefficient schedule and
+    banding as ``minhash_banded_oracle_documents``, different slice, so
+    the two grade the algorithm at independent operating points."""
+    from job_post_similarity_spark.operators.dedup import (
+        minhash_near_dup_pairs_oracle_tier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return minhash_near_dup_pairs_oracle_tier(docs, threshold_ppm=300_000)
+
+
+def minhash_near_dup_xxh_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, PRODUCTION tier (xxhash64
+    shingle codes — Spark-only, so rows-only; verified against exact
+    Jaccard by tests and by the md5 deterministic twin above). This
+    was ``minhash_near_dup_documents`` until r6; bench times THIS
+    tier (the 100 TB code path)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=16, ngram=2,
@@ -1925,7 +1981,27 @@ def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs, deterministic md5-code tier at
+    max_dist=2. Oracle-graded since r6 (was the rows-only xxhash64
+    production gate in r1 — now ``simhash_near_dup_xxh_documents``):
+    the oracle verifies with the QUADRATIC Hamming filter, so green =
+    a pigeonhole-completeness proof of the 4-chunk blocking at a
+    second operating point beside ``simhash_banded_oracle_documents``
+    (max_dist=3)."""
+    from job_post_similarity_spark.operators.dedup import (
+        simhash_near_dup_pairs_oracle_tier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs_oracle_tier(docs, max_dist=2)
+
+
+def simhash_near_dup_xxh_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SimHash near-dup pairs, PRODUCTION tier (xxhash64 token hashes
+    — Spark-only, rows-only; the md5 twin above is the value-graded
+    surface). Was ``simhash_near_dup_documents`` until r6."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.simhash_near_dup_pairs(
         docs, "doc_id", "text", max_hamming=16, bands=4
@@ -1933,8 +2009,27 @@ def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 ANN tier (LSH): approxSimilarityJoin pairs at cosine ≥ 0.4
-    (rows-only; recall vs the exact tier is property-tested)."""
+    """J1 ANN tier (LSH): cosine pairs at ≥ 0.45 via the deterministic
+    Rademacher-SRP banding (the repo's canonical LSH-for-cosine).
+    Oracle-graded since r6 (was the MLlib BRP approxSimilarityJoin
+    gate in r1, rows-only and degenerate on unit vectors — that
+    API-parity tier lives on as ``brp_lsh_similarity_pairs``)."""
+    from job_post_similarity_spark.operators.ann import (
+        rademacher_signs,
+        srp_rademacher_pairs_oracle_tier,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_rademacher_pairs_oracle_tier(
+        emb, rademacher_signs(32, 64), threshold=0.45
+    )
+
+
+def brp_lsh_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH pair join (API-parity tier
+    ONLY — degenerate on high-dim unit vectors, warns loudly, fenced
+    from the facades; see ann.lsh_similarity_join's docstring. Was
+    ``lsh_similarity_pairs`` until r6; rows-only)."""
     from job_post_similarity_spark.operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1945,15 +2040,56 @@ def lsh_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def srp_lsh_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 ANN tier (banded SRP-LSH, the cosine-native scale path):
-    pairs at cosine ≥ 0.4 (rows-only; planted-pair recall is
-    property-tested; 52k-vector probe: 14s, 0.994 recall at 0.9)."""
+    """J1 ANN tier (banded SRP-LSH): cosine pairs at ≥ 0.4 over the
+    vec_id < 400 slice via the deterministic Rademacher tier.
+    Oracle-graded since r6 (was the rows-only BLAS production gate in
+    r1 — now ``srp_lsh_similarity_pairs_fixed``, which bench still
+    times): same banding pipeline as the full-corpus
+    ``srp_rademacher_oracle_embeddings`` gate at a second slice."""
+    from job_post_similarity_spark.operators.ann import (
+        rademacher_signs,
+        srp_rademacher_pairs_oracle_tier,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    return srp_rademacher_pairs_oracle_tier(
+        emb, rademacher_signs(32, 64), threshold=0.4
+    )
+
+
+def srp_lsh_similarity_pairs_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION banded SRP-LSH at FIXED stress knobs (bits=4,
+    bands=24, τ=0.4): pairs via numpy-BLAS sign bits (rows-only —
+    accumulation order is not SQL-reproducible; planted-pair recall
+    property-tested). Was ``srp_lsh_similarity_pairs`` until r6. This
+    operating point is deliberately off-envelope at scale (SCALING.md
+    records its quadratic candidate curve) — the honest stress record
+    next to ``srp_lsh_similarity_pairs_auto``'s planner-chosen knobs."""
     from job_post_similarity_spark.operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.srp_lsh_similarity_join(
         emb, "vec_id", "embedding", threshold=0.40,
         bits_per_band=4, num_bands=24,
+    )
+
+
+def srp_lsh_similarity_pairs_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION banded SRP-LSH at the PLANNER-chosen operating point
+    (``srp_parameter_plan`` solves bits/bands from the amplification
+    formula under a linear candidate budget — the knobs that hold at
+    100 TB; VERDICT r5 item 2). Rows-only (same BLAS tier as the fixed
+    gate); benched beside it so BENCH records the scale-safe point
+    next to the fixed-knob stress curve."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.srp_lsh_similarity_join(
+        emb, "vec_id", "embedding", threshold=0.40, bits_per_band="auto"
     )
 
 
@@ -4751,6 +4887,25 @@ def mmr_rerank_oracle_embeddings(
     return knn.mmr_rerank_oracle_tier(emb, 0, pool=20, k=5, lam=0.7)
 
 
+def stream_running_counts_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type running counts via the CAPABILITY-DISPATCHED tier:
+    ``transformWithStateInPandas`` (Spark 4's successor stateful API)
+    wherever the driver env ships google.protobuf, else the
+    complete-mode aggregation twin — identical (event_type, cnt)
+    snapshot either way, so the gate grades green in both envs
+    instead of env-skipping (VERDICT r5 item 7). (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.streaming.stream_ops import (
+        stream_running_counts,
+    )
+
+    return stream_running_counts(
+        spark, sf_dir, name="gate_stream_run_counts"
+    )
+
+
 def stream_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLC bars (complete-mode over the bounded event
     stream): min_by/max_by state updates are order-insensitive, so
@@ -4774,6 +4929,66 @@ def stream_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # additions — run tools/plan_rotation.py for the live count) queue for
 # round 6; every entry parked at 51+ is green in
 # CORRECTNESS_r01∪r02∪r03∪r04.
+_R6_WINDOW: tuple[str, ...] = (
+    # 38 never-graded staged gates (tools/plan_rotation.py order —
+    # their SQL is promoted from _PENDING_ORACLES by the loop below)
+    "transitive_closure_parts",
+    "linear_fit_orders",
+    "mean_pool_embeddings",
+    "ranking_metrics_embeddings",
+    "classification_report_embeddings",
+    "label_propagation_parts",
+    "feature_hash_events",
+    "seasonality_events",
+    "stream_psi_drift_events",
+    "sql_registered_udaf_events",
+    "utf8_stats_documents",
+    "dense_ids_orders",
+    "session_window_events",
+    "bitmap_distinct_events",
+    "try_divide_lineitem",
+    "scd2_lookup_events",
+    "calendar_dimension",
+    "ks_drift_lineitem",
+    "entropy_profile_events",
+    "impute_group_mean_events",
+    "one_hot_events",
+    "kfold_assign_documents",
+    "target_encode_events",
+    "bow_counts_documents",
+    "tree_rollup_parts",
+    "grouping_sets_orders",
+    "shortest_paths_parts",
+    "zipf_slope_documents",
+    "contamination_matrix_documents",
+    "curriculum_shards_documents",
+    "entity_resolution_suppliers",
+    "stream_enrich_events",
+    "variant_extract_events",
+    "listagg_orders",
+    "sql_parameterized_revenue",
+    "embed_twin_documents",
+    "quality_filter_twin_documents",
+    "quality_ensemble_documents",
+    # the 6 r1 rows-only names, repointed at deterministic oracle
+    # tiers this round (VERDICT r5 item 3) — re-graded so their last
+    # driver record flips from `no_oracle` to green
+    "minhash_near_dup_documents",
+    "simhash_near_dup_documents",
+    "lsh_similarity_pairs",
+    "srp_lsh_similarity_pairs",
+    "strip_html_fidelity_documents",
+    "bpe_token_count_documents",
+    # prior-green canaries (r5 window members, re-graded for drift)
+    "order_arrays_by_customer",
+    "inverted_index_documents",
+    "sq8_encode_embeddings",
+    "referential_profile_lineitem",
+    "vocab_coverage_documents",
+    "negative_samples_embeddings",
+)
+
+
 _R5_WINDOW: tuple[str, ...] = (
     # re-grades (fixed this round)
     "order_arrays_by_customer",
@@ -4832,8 +5047,10 @@ _R5_WINDOW: tuple[str, ...] = (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
-    FIRST 50 dict entries per round. Round 5 applies _R5_WINDOW (see
-    its comment) on top of the round-4 base ordering: window members
+    FIRST 50 dict entries per round. Round 6 applies _R6_WINDOW (38
+    never-graded staged gates in plan_rotation order + the 6 r1
+    rows-only names repointed at deterministic oracle tiers + 6
+    prior-green canaries) on top of the prior ordering: window members
     first, everything else keeps its prior relative order. Every
     oracle-backed entry parked at 51+ is green in some prior round's
     CORRECTNESS file (machine-checked by tools/check_oracles + the
@@ -4995,13 +5212,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_clusters_props": exact_dup_clusters_props,
         "ngram_jaccard_documents": ngram_jaccard_documents,
         "dedup_clusters_documents": dedup_clusters_documents,
-        # -- rows-only tiers (no SQL twin by nature) -------------------
+        # -- r6 deterministic repoints of the r1 rows-only names (each
+        # -- now oracle-backed; production tiers keep the _xxh/_fixed/
+        # -- brp_ names below) -----------------------------------------
         "strip_html_fidelity_documents": strip_html_fidelity_documents,
         "bpe_token_count_documents": bpe_token_count_documents,
         "minhash_near_dup_documents": minhash_near_dup_documents,
         "simhash_near_dup_documents": simhash_near_dup_documents,
         "lsh_similarity_pairs": lsh_similarity_pairs,
         "srp_lsh_similarity_pairs": srp_lsh_similarity_pairs,
+        # -- rows-only tiers (no SQL twin by nature) -------------------
+        "bpe_ish_token_estimate_documents": bpe_ish_token_estimate_documents,
+        "minhash_near_dup_xxh_documents": minhash_near_dup_xxh_documents,
+        "simhash_near_dup_xxh_documents": simhash_near_dup_xxh_documents,
+        "brp_lsh_similarity_pairs": brp_lsh_similarity_pairs,
+        "srp_lsh_similarity_pairs_fixed": srp_lsh_similarity_pairs_fixed,
+        "srp_lsh_similarity_pairs_auto": srp_lsh_similarity_pairs_auto,
         "srp_topk_search": srp_topk_search_q,
         "ivf_similarity_pairs": ivf_similarity_pairs,
         "embed_documents_hashing": embed_documents_hashing,
@@ -5105,6 +5331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_shards_documents": curriculum_shards_documents,
         "entity_resolution_suppliers": entity_resolution_suppliers,
         "stream_enrich_events": stream_enrich_events,
+        "stream_running_counts_events": stream_running_counts_events,
         "variant_extract_events": variant_extract_events,
         "listagg_orders": listagg_orders,
         "sql_parameterized_revenue": sql_parameterized_revenue,
@@ -5112,7 +5339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_twin_documents": quality_filter_twin_documents,
         "quality_ensemble_documents": quality_ensemble_documents,
     }
-    out = {k: base[k] for k in _R5_WINDOW}
+    out = {k: base[k] for k in _R6_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -9249,10 +9476,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY jaccard DESC, id1, id2
         """,
     }
-    # Promote staged SQL for every round-5 window member: a gate
-    # entering the graded window moves from _PENDING_ORACLES into
-    # oracle_sql() (the parked-at-51+ entries stay prior-green only).
-    for _k in _R5_WINDOW:
+    # Promote staged SQL for every gate that has EVER entered a graded
+    # window: a gate entering the window moves from _PENDING_ORACLES
+    # into oracle_sql() and stays registered afterwards (the
+    # parked-at-51+ entries remain prior-green).
+    for _k in _R5_WINDOW + _R6_WINDOW:
         if _k not in out and _k in _PENDING_ORACLES:
             out[_k] = _PENDING_ORACLES[_k]
     return out
@@ -10015,3 +10243,269 @@ def _quality_ensemble_oracle(buckets: int = 32, scale: int = 1000) -> str:
 
 
 _PENDING_ORACLES["quality_ensemble_documents"] = _quality_ensemble_oracle()
+
+
+# --------------------------------------------------------------------------
+# Round-6 oracles: the r1 rows-only names repointed at deterministic
+# tiers (VERDICT r5 item 3). Each is the proven twin SQL at a second
+# operating point (slice / threshold / distance), so the re-grade is an
+# independent check, not a copy of the twin gate's hash.
+# --------------------------------------------------------------------------
+
+_PENDING_ORACLES.update({
+    # minhash twin SQL at the doc_id < 150 slice (twin gate: < 200)
+    "minhash_near_dup_documents": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE doc_id < 150),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) >= 3 THEN
+                       list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + 2), ' '))
+                       ELSE [] END) AS g
+            FROM d),
+        shf AS (SELECT doc_id, g FROM sh WHERE len(g) > 0),
+        codes AS (
+            SELECT doc_id, g,
+                   list_transform(g, s ->
+                       CAST(concat('0x', substr(md5(s), 1, 14))
+                            AS BIGINT) % 2147483647) AS cs
+            FROM shf),
+        sig AS (
+            SELECT doc_id, g,
+                   list_transform({_minhash_coeffs_sql()},
+                       ab -> list_min(list_transform(cs,
+                           x -> (x * ab.a + ab.b) % 2147483647)))
+                       AS sg
+            FROM codes),
+        banded AS (
+            SELECT doc_id, b AS band,
+                   array_to_string(
+                       list_slice(sg, b * 4 + 1, b * 4 + 4), '-')
+                       AS key
+            FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.key = y.key
+             AND x.doc_id < y.doc_id),
+        ex AS (SELECT doc_id AS gid, unnest(g) AS s FROM shf),
+        inter AS (
+            SELECT c.id1, c.id2, count(*) AS n_inter
+            FROM cands c
+            JOIN ex a ON a.gid = c.id1
+            JOIN ex b ON b.gid = c.id2 AND a.s = b.s
+            GROUP BY c.id1, c.id2),
+        sizes AS (SELECT doc_id AS gid, len(g) AS n FROM shf),
+        j AS (
+            SELECT c.id1, c.id2,
+                   (1000000 * coalesce(i.n_inter, 0))
+                   // (s1.n + s2.n - coalesce(i.n_inter, 0))
+                       AS jaccard_ppm
+            FROM cands c
+            LEFT JOIN inter i
+              ON i.id1 = c.id1 AND i.id2 = c.id2
+            JOIN sizes s1 ON s1.gid = c.id1
+            JOIN sizes s2 ON s2.gid = c.id2)
+        SELECT id1, id2, jaccard_ppm FROM j
+        WHERE jaccard_ppm >= 300000
+        ORDER BY id1, id2
+    """,
+    # simhash twin SQL at max_dist = 2 (twin gate: 3; 4-chunk
+    # pigeonhole blocking stays complete for any distance <= 3)
+    "simhash_near_dup_documents": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+')
+                       AS toks
+            FROM documents),
+        cd AS (
+            SELECT doc_id,
+                   list_transform(toks, x ->
+                       CAST(concat('0x', substr(md5(x), 1, 14))
+                            AS BIGINT)) AS cs
+            FROM t),
+        vt AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 55), b ->
+                       CAST(list_sum(list_transform(cs, x ->
+                           CASE WHEN ((x >> b) & 1) = 1
+                                THEN 1 ELSE -1 END))
+                           AS BIGINT)) AS votes
+            FROM cd),
+        sg AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, 56), i ->
+                           CASE WHEN votes[i] > 0
+                                THEN (1::BIGINT << (i - 1))
+                                ELSE 0::BIGINT END))
+                       AS BIGINT) AS sig
+            FROM vt)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 2
+        ORDER BY id1, id2
+    """,
+    # Rademacher-SRP twin SQL at threshold 0.45, full corpus (twin
+    # gate: 0.4)
+    "lsh_similarity_pairs": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000, 0) AS BIGINT))
+                       AS q
+            FROM embeddings),
+        s AS (SELECT {_rademacher_signs_sql()} AS S),
+        bb AS (
+            SELECT e.vec_id,
+                   b.band,
+                   CAST(list_sum(list_transform(
+                       generate_series(0, 7), j ->
+                       CASE WHEN list_sum(list_transform(
+                                generate_series(1, 64),
+                                i -> q[i] * S[b.band * 8 + j + 1][i]))
+                                > 0
+                            THEN (1::BIGINT << j)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+            FROM e, s, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+        cands AS (
+            SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+            FROM bb x JOIN bb y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.vec_id < y.vec_id),
+        j AS (
+            SELECT c.id1, c.id2,
+                   round(list_dot_product(a.v, b2.v), 4)
+                       AS similarity
+            FROM cands c
+            JOIN e a ON a.vec_id = c.id1
+            JOIN e b2 ON b2.vec_id = c.id2)
+        SELECT id1, id2, similarity FROM j
+        WHERE similarity >= 0.45
+        ORDER BY id1, id2
+    """,
+    # Rademacher-SRP twin SQL at threshold 0.4 over vec_id < 400
+    # (twin gate: full corpus)
+    "srp_lsh_similarity_pairs": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000, 0) AS BIGINT))
+                       AS q
+            FROM embeddings WHERE vec_id < 400),
+        s AS (SELECT {_rademacher_signs_sql()} AS S),
+        bb AS (
+            SELECT e.vec_id,
+                   b.band,
+                   CAST(list_sum(list_transform(
+                       generate_series(0, 7), j ->
+                       CASE WHEN list_sum(list_transform(
+                                generate_series(1, 64),
+                                i -> q[i] * S[b.band * 8 + j + 1][i]))
+                                > 0
+                            THEN (1::BIGINT << j)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+            FROM e, s, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+        cands AS (
+            SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+            FROM bb x JOIN bb y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.vec_id < y.vec_id),
+        j AS (
+            SELECT c.id1, c.id2,
+                   round(list_dot_product(a.v, b2.v), 4)
+                       AS similarity
+            FROM cands c
+            JOIN e a ON a.vec_id = c.id1
+            JOIN e b2 ON b2.vec_id = c.id2)
+        SELECT id1, id2, similarity FROM j
+        WHERE similarity >= 0.4
+        ORDER BY id1, id2
+    """,
+    # fidelity strip: oracle replays the BUILTIN regexp chain (tags ->
+    # space, the 7 standard entities in the builtin's replace order,
+    # whitespace collapse) on the same wrapped input; '||' (not
+    # concat()) so a NULL text stays NULL like Spark's F.concat
+    "strip_html_fidelity_documents": """
+        SELECT doc_id,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       replace(
+                           regexp_replace(
+                               '<div><p>Hello &amp; welcome.</p> '
+                               || text || ' <br/>&lt;end&gt;</div>',
+                               '<[^>]+>', ' ', 'g'),
+                           '&nbsp;', ' '),
+                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''),
+                       '&apos;', ''''),
+                   '\\s+', ' ', 'g')) AS text_clean
+        FROM documents WHERE doc_id < 100
+    """,
+})
+
+# BPE token count for the doc_id < 250 slice: the train+encode twin
+# SQL (shared trainer CTEs) with the output restricted — needs the
+# f-string after _BPE_TRAIN_CTES, so registered here.
+_PENDING_ORACLES["bpe_token_count_documents"] = f"""
+        WITH {_BPE_TRAIN_CTES},
+        docw AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(
+                       trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS w
+            FROM documents),
+        e0 AS (
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(w, '^[a-z]+$')
+                        THEN NULL ELSE 1 END AS fixed,
+                   CASE WHEN regexp_matches(w, '^[a-z]+$')
+                        THEN '__' || regexp_replace(
+                                 substring(w, 1, length(w) - 1),
+                                 '(.)', '\\1__', 'g')
+                             || substring(w, length(w), 1)
+                             || '</w>__'
+                   END AS enc
+            FROM docw),
+        e1 AS (SELECT doc_id, fixed,
+                      replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc
+               FROM e0, m0 m),
+        e2 AS (SELECT doc_id, fixed,
+                      replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc
+               FROM e1, m1 m),
+        e3 AS (SELECT doc_id, fixed,
+                      replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc
+               FROM e2, m2 m),
+        cnt AS (
+            SELECT doc_id,
+                   CAST(sum(coalesce(fixed,
+                       len(list_filter(string_split(enc, '_'),
+                                       x -> x <> '')))) AS INT)
+                       AS n_bpe_tokens
+            FROM e3 GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(c.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+        WHERE d.doc_id < 250
+        ORDER BY d.doc_id
+    """
+
+
+# Capability-dispatched running counts: bounded input ⇒ both the TWS
+# tier and the aggregation twin equal the batch group count.
+_PENDING_ORACLES["stream_running_counts_events"] = """
+    SELECT event_type, count(*) AS cnt
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -596,6 +596,10 @@ def srp_parameter_plan(
 
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
+    if not 0.0 < target_recall < 1.0:
+        # >= 1.0 would hit a math domain error at log(1 - R); <= 0
+        # silently planned bands=1 (ADVICE r5)
+        raise ValueError("target_recall must be in (0, 1)")
     p = 1.0 - math.acos(threshold) / math.pi
     budget = (
         candidate_row_budget

@@ -1093,6 +1093,15 @@ def fuzzy_join_dist1(
 
     Output: (id1, id2, s1, s2, dist), dist ∈ {0, 1} — distance-0 rows
     are exact duplicate strings under different ids.
+
+    Cache note (ADVICE r5): the variant table is persisted (it feeds
+    both join sides) and deliberately NOT unpersisted — the returned
+    DataFrame is lazy, so any eager unpersist here would run before
+    the caller's action reads the cache. The frame is small (|s|+1
+    rows per string, ids + short strings) and LRU-evicts under
+    pressure; callers running many resolutions in one session can
+    ``spark.catalog.clearCache()`` between them. Same policy as every
+    blocking/signature cache in this module.
     """
     s = F.col(str_col)
     variants = F.when(

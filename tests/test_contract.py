@@ -53,9 +53,12 @@ def test_oracle_backed_outputs_are_flat_and_decimal_free(spark, sf_dir):
     The driver canonicalizes results through pandas, which cannot
     sort/hash list cells and renders Decimal engine-dependently — so
     every ORACLE-BACKED query (registered or staged) must project a
-    FLAT, Decimal-free schema.  Schema-only: builds each plan lazily,
-    never executes, so the whole sweep is seconds.  Arrays belong in
-    rows-only tiers or comma-joined into strings."""
+    FLAT, Decimal-free schema.  Mostly schema-only (plans build
+    lazily), but NOT free of Spark jobs: gates built on
+    global_rank/global_ntile run their offsets collect at
+    plan-build time, and driver-trained gates (sq8 grids, BPE
+    merges, SRP planner counts) run full jobs during construction —
+    the sweep takes a few minutes, not seconds (ADVICE r5)."""
     from pyspark.sql import types as T
 
     bad_types = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)

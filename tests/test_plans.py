@@ -176,7 +176,9 @@ def test_verify_stages_score_candidates_once(spark):
     # r4: SRP and IVF verifies moved to the broadcast-matrix gather
     # (one mapInPandas; candidates stay 16-byte rows — no vector
     # rejoin, so no ArrowEvalPython dot and no __v1/__v2 join columns)
-    for q in ("srp_lsh_similarity_pairs", "ivf_similarity_pairs"):
+    # r6: srp_lsh_similarity_pairs_fixed is the production BLAS tier
+    # (the bare name now runs the deterministic Rademacher twin)
+    for q in ("srp_lsh_similarity_pairs_fixed", "ivf_similarity_pairs"):
         plan = _plan(spark, q)
         assert _nodes(plan, "ArrowEvalPython") == 0, q
         assert "__v1" not in plan and "__v2" not in plan, q
