@@ -2279,7 +2279,11 @@ def parse_dates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize + frame-sample plumbing (rows-only: stub
-    decoders; batch shapes and schemas are the contract under test)."""
+    decoders; batch shapes and schemas are the contract under test).
+    Since r6 the VALUES are oracle-graded by the two twins below
+    (``multimodal_resize_oracle_documents`` /
+    ``multimodal_frames_oracle_documents``) — this gate keeps the
+    all-media-types union shape."""
     from job_post_similarity_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2293,6 +2297,72 @@ def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_bytes").cast("long").alias("n_out_bytes"),
     )
     return resized.union(frames)
+
+
+def _multimodal_ascii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared slice for the multimodal oracle twins: printable-ASCII
+    non-empty texts (byte == character, so DuckDB can replay the
+    byte-stride stubs with string ops; the synthetic corpus is 100%
+    ASCII — the filter is a fence, not a cut)."""
+    return load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400)
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & F.col("text").rlike("^[ -~]*$")
+    )
+
+
+def multimodal_resize_oracle_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-graded multimodal resize (VERDICT r5 item 5): the stub
+    tier's even-stride byte resample (multimodal.py:resize_images) is
+    deterministic and byte-exact, so on ASCII payloads DuckDB replays
+    it with string indexing — the value hash proves the resample
+    arithmetic, media-type routing, and mapInPandas plumbing, not just
+    row counts. media_type is pruned JVM-side BEFORE Python (the
+    decode-work-pruning contract in the operator docstring)."""
+    from job_post_similarity_spark.operators import multimodal
+
+    media = multimodal.attach_binary_payload(
+        _multimodal_ascii_docs(spark, sf_dir)
+    ).filter(F.col("media_type") == "image")
+    return (
+        multimodal.resize_images(media, 16, 16)
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.decode("resized", "UTF-8").alias("thumb"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def multimodal_frames_oracle_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-graded frame sampling: the stub tier's evenly-spaced
+    byte windows (multimodal.py:frame_sample) replayed by DuckDB via
+    substr on ASCII payloads — value-hash-proves the frame count
+    (min(4, max(n//64, 1))), offsets (i*(n//nf)) and window bytes.
+    The PyAV tier shares this exact row contract (extractor='auto'
+    upgrades per-row where the codec imports)."""
+    from job_post_similarity_spark.operators import multimodal
+
+    media = multimodal.attach_binary_payload(
+        _multimodal_ascii_docs(spark, sf_dir)
+    ).filter(F.col("media_type") == "video")
+    return (
+        multimodal.frame_sample(media)
+        .select(
+            "doc_id",
+            "frame_idx",
+            "frame_offset",
+            F.decode("frame_bytes", "UTF-8").alias("frame_text"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
 
 
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5236,6 +5306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_documents": minhash_verified_documents,
         "quality_classifier_documents": quality_classifier_documents,
         "multimodal_resize_frames": multimodal_resize_frames,
+        "multimodal_resize_oracle_documents": multimodal_resize_oracle_documents,
+        "multimodal_frames_oracle_documents": multimodal_frames_oracle_documents,
         "pq_compression_embeddings": pq_compression_embeddings,
         "pq_adc_search": pq_adc_search_embeddings,
         "ivfpq_search": ivfpq_search_embeddings,
@@ -10508,4 +10580,55 @@ _PENDING_ORACLES["stream_running_counts_events"] = """
     WHERE event_type IS NOT NULL
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+
+# Multimodal oracle twins (VERDICT r5 item 5): the deterministic
+# byte-stride stubs are SQL-expressible on ASCII payloads (byte ==
+# character), so DuckDB replays the resample / frame-window arithmetic
+# exactly. media_type routing mirrors attach_binary_payload's
+# doc_id % 3 assignment.
+_PENDING_ORACLES["multimodal_resize_oracle_documents"] = r"""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents
+        WHERE doc_id < 400 AND doc_id % 3 = 0
+          AND text IS NOT NULL AND length(text) > 0
+          AND regexp_matches(text, '^[ -~]*$')
+    )
+    SELECT doc_id,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           list_aggregate(
+               list_transform(generate_series(0, 255),
+                   k -> text[((k * n) // 256) + 1]),
+               'string_agg', '') AS thumb
+    FROM d
+    ORDER BY doc_id
+"""
+
+_PENDING_ORACLES["multimodal_frames_oracle_documents"] = r"""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents
+        WHERE doc_id < 400 AND doc_id % 3 = 2
+          AND text IS NOT NULL AND length(text) > 0
+          AND regexp_matches(text, '^[ -~]*$')
+    ),
+    f AS (
+        SELECT doc_id, n, text,
+               least(4, greatest(n // 64, 1)) AS nf
+        FROM d
+    ),
+    g AS (
+        SELECT doc_id, n, text, nf,
+               unnest(generate_series(0, nf - 1)) AS i
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * (n // nf) AS BIGINT) AS frame_offset,
+           substr(text, CAST(i * (n // nf) AS BIGINT) + 1, 64)
+               AS frame_text
+    FROM g
+    ORDER BY doc_id, frame_idx
 """

@@ -155,13 +155,68 @@ def decode_features(df: DataFrame, decoder: str = "stub") -> DataFrame:
     return df.mapInPandas(op, MEDIA_FEATURE_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+def _extract_frames_pyav(
+    payload: bytes, max_frames: int
+) -> list[tuple[int, int, bytes]]:
+    """REAL video frame extraction (PyAV): decode the container from
+    bytes, pick ≤ max_frames evenly-spaced frames, emit each as raw
+    grayscale pixels with its presentation timestamp as the offset —
+    same (frame_idx, frame_offset, frame_bytes) contract as the stub,
+    but over decoded frames, not byte windows. Caller handles
+    ImportError (no PyAV in this container) and per-row decode
+    failures (non-video bytes)."""
+    import io
+
+    import av
+
+    with av.open(io.BytesIO(payload)) as container:
+        decoded = [
+            (int(f.pts or 0), f.to_ndarray(format="gray").tobytes())
+            for f in container.decode(video=0)
+        ]
+    if not decoded:
+        return []
+    n_frames = min(max_frames, len(decoded))
+    step = len(decoded) // n_frames
+    return [
+        (i, decoded[i * step][0], decoded[i * step][1])
+        for i in range(n_frames)
+    ]
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 4,
+    extractor: str = "stub",
+) -> DataFrame:
     """mapInPandas frame sampler: emits ≤ max_frames evenly-spaced
-    'frames' (byte windows) per video payload — the row-expanding
-    (UDTF-like) multimodal shape. Real pyav frame extraction drops in
-    at the marked line."""
+    'frames' per video payload — the row-expanding (UDTF-like)
+    multimodal shape.
+
+    ``extractor`` (same gate policy as ``decode_features``):
+    - ``"stub"`` (default) — deterministic byte windows at evenly
+      spaced offsets; no optional deps. SQL-expressible, so the gate
+      query is oracle-graded.
+    - ``"auto"`` — rows whose payload parses as a video decode through
+      PyAV when it imports; anything else falls back to the stub per
+      row. Plan shape identical with or without the dependency.
+    - ``"pyav"`` — force PyAV; ImportError where it's absent.
+    """
+    if extractor not in ("stub", "auto", "pyav"):
+        raise ValueError(f"unknown extractor {extractor!r}")
+    if extractor == "pyav":
+        import av  # noqa: F401 — import-try gate, driver-side
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pyav_ok = extractor in ("auto", "pyav")
+        if pyav_ok:
+            try:
+                import av  # noqa: F401
+            except ImportError:
+                if extractor == "pyav":
+                    raise
+                pyav_ok = False
         for pdf in batches:
             rows = []
             for did, payload, mtype in zip(
@@ -169,11 +224,22 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) ->
             ):
                 if mtype != "video":
                     continue
+                if pyav_ok:
+                    try:
+                        rows.extend(
+                            (did, i, pts, fb)
+                            for i, pts, fb in _extract_frames_pyav(
+                                payload, max_frames
+                            )
+                        )
+                        continue
+                    except Exception:
+                        if extractor == "pyav":
+                            raise
                 n = len(payload)
                 n_frames = min(max_frames, max(n // every_n_bytes, 1))
                 for i in range(n_frames):
                     off = i * (n // n_frames) if n_frames else 0
-                    # STUB: real impl decodes the frame at `off` via pyav
                     rows.append((did, i, off, payload[off : off + every_n_bytes]))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_bytes"]

@@ -384,6 +384,69 @@ def test_multimodal_resize_and_frames(documents):
     assert all(r["frame_idx"] < 4 for r in frames)
 
 
+def test_frame_sample_extractor_tiers(documents):
+    """The r6 extractor gate (stub | auto | pyav, the decode_features
+    policy): auto falls back per-row to the stub wherever PyAV is
+    absent (this container), so the two tiers must emit identical
+    frames here; forcing pyav raises driver-side."""
+    media = multimodal.attach_binary_payload(documents.limit(60))
+    with pytest.raises(ValueError):
+        multimodal.frame_sample(media, extractor="bogus")
+    stub = multimodal.frame_sample(media).collect()
+    auto = multimodal.frame_sample(media, extractor="auto").collect()
+    try:
+        import av  # noqa: F401
+
+        has_av = True
+    except ImportError:
+        has_av = False
+    if not has_av:
+        assert sorted(map(tuple, auto), key=lambda t: (t[0], t[1])) == sorted(
+            map(tuple, stub), key=lambda t: (t[0], t[1])
+        )
+        with pytest.raises(ImportError):
+            multimodal.frame_sample(media, extractor="pyav").collect()
+
+
+def test_frame_sample_pyav_real_extraction(spark):
+    """REAL PyAV extraction over an in-memory 6-frame video (skips
+    where PyAV is absent): ≤4 evenly-spaced DECODED frames, each
+    frame_bytes = raw 8x8 grayscale pixels, offsets = pts."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+    import pandas as pd
+
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 8, 8, "yuv420p"
+        for v in range(6):
+            img = np.full((8, 8, 3), v * 40, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "payload": [payload],
+                "media_type": ["video"],
+                "n_bytes": [len(payload)],
+            }
+        )
+    )
+    frames = multimodal.frame_sample(df, extractor="pyav").collect()
+    assert 1 <= len(frames) <= 4
+    assert all(len(r["frame_bytes"]) == 64 for r in frames)
+    assert [r["frame_idx"] for r in frames] == list(range(len(frames)))
+
+
 def test_run_pipeline_cli_stages_and_memoization(spark, documents, tmp_path):
     import os
 
