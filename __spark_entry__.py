@@ -4957,6 +4957,86 @@ def mmr_rerank_oracle_embeddings(
     return knn.mmr_rerank_oracle_tier(emb, 0, pool=20, k=5, lam=0.7)
 
 
+def nn_descent_graph_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NN-Descent kNN-graph construction (Dong et al., WWW 2011) — the
+    distributable graph-index build (HNSW-family; the reference's
+    default index string is HNSW32, app/main.py:47). Deterministic by
+    construction (integer micro dots, (dot DESC, id) total order, ring
+    init), so the PRODUCTION implementation is itself oracle-graded:
+    the DuckDB twin unrolls the 2 refinement rounds with recursive-
+    free CTEs and must reproduce every (id, neighbor, rank, sim_ppm)
+    row. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.ann import nn_descent_knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 120
+    )
+    return nn_descent_knn_graph(emb, "vec_id", "embedding", k=4, iters=2)
+
+
+def dup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line fraction (Rae et al. §A1.1): the corpus
+    is single-line word soup, so the gate synthesizes 8-token lines
+    and PLANTS one duplicate (the first line repeated at the end) —
+    the oracle replays the synthesis, so the value hash proves the
+    beyond-first-occurrence counting on known-nonzero fractions.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        duplicate_line_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 500
+    )
+    toks = F.split(F.trim("text"), r"\s+")
+    n_lines = (F.size(toks) + F.lit(7)).cast("long") / F.lit(8)
+    lines = F.transform(
+        F.sequence(F.lit(0), F.floor(n_lines).cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    synth = docs.select(
+        "doc_id",
+        F.array_join(F.concat(lines, F.slice(lines, 1, 1)), "\n").alias(
+            "text"
+        ),
+    )
+    return duplicate_line_stats(synth).orderBy("doc_id")
+
+
+def top_ngram_char_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-2-gram character occupancy (the Table A1 character
+    variant, complementing top_ngram_fraction's occurrence share).
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        top_ngram_char_fraction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 500
+    )
+    return top_ngram_char_fraction(docs, n=2).orderBy("doc_id")
+
+
+def dup_ngram_coverage_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gopher duplicate-5-gram character coverage: chars covered by
+    grams occurring >1x per doc, overlapping occurrences counted once
+    (interval-union sweep). The oracle replays positions, duplicate
+    marking, and the running-max merge — integer-exact end to end.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        duplicate_ngram_char_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    return duplicate_ngram_char_coverage(docs, n=5).orderBy("doc_id")
+
+
 def stream_running_counts_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5308,6 +5388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_frames": multimodal_resize_frames,
         "multimodal_resize_oracle_documents": multimodal_resize_oracle_documents,
         "multimodal_frames_oracle_documents": multimodal_frames_oracle_documents,
+        "nn_descent_graph_embeddings": nn_descent_graph_embeddings,
+        "dup_lines_documents": dup_lines_documents,
+        "top_ngram_char_documents": top_ngram_char_documents,
+        "dup_ngram_coverage_documents": dup_ngram_coverage_documents,
         "pq_compression_embeddings": pq_compression_embeddings,
         "pq_adc_search": pq_adc_search_embeddings,
         "ivfpq_search": ivfpq_search_embeddings,
@@ -10631,4 +10715,246 @@ _PENDING_ORACLES["multimodal_frames_oracle_documents"] = r"""
                AS frame_text
     FROM g
     ORDER BY doc_id, frame_idx
+"""
+
+
+def _nn_descent_oracle(
+    limit: int = 120, k: int = 4, iters: int = 2, dim: int = 64
+) -> str:
+    """Unrolled NN-Descent replay (ann.nn_descent_knn_graph): ring
+    init in id-rank order, then per round symmetrize -> neighbor-of-
+    neighbor candidates -> integer micro-dot score -> top-k by
+    (dot DESC, id). Valid while the slice has > k rows (k_eff == k).
+    sim_ppm uses the same shift-then-floor-divide as the Spark side
+    (Spark div truncates, DuckDB // floors; they agree shifted
+    non-negative)."""
+    offs = ", ".join(str(j) for j in range(1, k + 1))
+    parts = [
+        f"""e AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS q
+            FROM embeddings WHERE vec_id < {limit}),
+        r AS (
+            SELECT id, q,
+                   row_number() OVER (ORDER BY id) - 1 AS rk,
+                   count(*) OVER () AS n
+            FROM e),
+        c0 AS (
+            SELECT a.id AS src, b.id AS dst
+            FROM r a, (SELECT unnest([{offs}]) AS j) js, r b
+            WHERE b.rk = (a.rk + js.j) % a.n)"""
+    ]
+
+    def score_topk(t: int) -> str:
+        return f"""s{t} AS (
+            SELECT c.src, c.dst,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, {dim}),
+                       i -> qa.q[i] * qb.q[i])) AS BIGINT) AS dot
+            FROM c{t} c
+            JOIN e qa ON qa.id = c.src
+            JOIN e qb ON qb.id = c.dst),
+        t{t} AS (
+            SELECT src, dst, dot, rn FROM (
+                SELECT src, dst, dot,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY dot DESC, dst) AS rn
+                FROM s{t})
+            WHERE rn <= {k})"""
+
+    parts.append(score_topk(0))
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""y{t} AS (
+            SELECT src, dst FROM t{t - 1}
+            UNION
+            SELECT dst AS src, src AS dst FROM t{t - 1}),
+        c{t} AS (
+            SELECT a.src, b.dst
+            FROM y{t} a JOIN y{t} b ON a.dst = b.src
+            WHERE a.src <> b.dst
+            UNION
+            SELECT src, dst FROM t{t - 1})"""
+        )
+        parts.append(score_topk(t))
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT src AS id, dst AS neighbor_id,
+               CAST(rn AS INT) AS rank,
+               CAST((dot + 1000000000000000) // 1000000
+                    - 1000000000 AS BIGINT) AS sim_ppm
+        FROM t{iters}
+        ORDER BY id, rank
+    """
+
+
+_PENDING_ORACLES["nn_descent_graph_embeddings"] = _nn_descent_oracle()
+
+
+# Gopher repetition-signal oracles (round 6): every value is integer
+# (counts, lengths, floor-div ppm) so the replay is engine-exact.
+# DuckDB traps handled: sum(BIGINT) -> HUGEINT (cast back), // floors
+# on the non-negative operands used here.
+
+_PENDING_ORACLES["dup_lines_documents"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id < 500),
+    s AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(0, (len(toks) + 7) // 8 - 1),
+                   i -> array_to_string(
+                       list_slice(toks, i * 8 + 1, i * 8 + 8), ' '))
+                   AS L
+        FROM d),
+    s2 AS (
+        SELECT doc_id,
+               array_to_string(L || list_slice(L, 1, 1), chr(10))
+                   AS text2
+        FROM s),
+    x AS (
+        SELECT doc_id, unnest(string_split(text2, chr(10))) AS line
+        FROM s2),
+    g AS (
+        SELECT doc_id, line,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(length(line) AS BIGINT) AS llen
+        FROM x GROUP BY doc_id, line),
+    o AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_lines,
+               CAST(sum(cnt - 1) AS BIGINT) AS n_dup_lines,
+               CAST(sum(cnt * llen) AS BIGINT) AS n_line_chars,
+               CAST(sum((cnt - 1) * llen) AS BIGINT)
+                   AS n_dup_line_chars
+        FROM g GROUP BY doc_id)
+    SELECT doc_id, n_lines, n_dup_lines,
+           CAST(n_dup_lines * 1000000 // n_lines AS BIGINT)
+               AS dup_line_ppm,
+           n_line_chars, n_dup_line_chars,
+           CASE WHEN n_line_chars > 0
+                THEN CAST(n_dup_line_chars * 1000000 // n_line_chars
+                          AS BIGINT)
+                ELSE 0 END AS dup_line_char_ppm
+    FROM o
+    ORDER BY doc_id
+"""
+
+_PENDING_ORACLES["top_ngram_char_documents"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id < 500),
+    tot AS (
+        SELECT doc_id,
+               CAST(length(array_to_string(toks, ' ')) AS BIGINT)
+                   AS total_chars,
+               toks
+        FROM d),
+    og AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 2 THEN
+                   list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END) AS gram
+        FROM d),
+    cnts AS (
+        SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+        FROM og GROUP BY doc_id, gram),
+    top AS (
+        SELECT doc_id, gram AS top_gram, cnt AS top_cnt FROM (
+            SELECT doc_id, gram, cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram)
+                       AS rn
+            FROM cnts)
+        WHERE rn = 1)
+    SELECT t.doc_id,
+           coalesce(p.top_gram, '') AS top_gram,
+           CAST(coalesce(p.top_cnt, 0) AS BIGINT) AS top_cnt,
+           t.total_chars,
+           CASE WHEN t.total_chars > 0
+                THEN CAST(coalesce(p.top_cnt, 0)
+                          * length(coalesce(p.top_gram, ''))
+                          * 1000000 // t.total_chars AS BIGINT)
+                ELSE 0 END AS top_ngram_char_ppm
+    FROM tot t LEFT JOIN top p ON t.doc_id = p.doc_id
+    ORDER BY t.doc_id
+"""
+
+_PENDING_ORACLES["dup_ngram_coverage_documents"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id < 300),
+    b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 5),
+    ti AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS i
+        FROM b),
+    tp AS (
+        SELECT doc_id, i - 1 AS idx,
+               CAST(length(toks[i]) AS BIGINT) AS tl
+        FROM ti),
+    tq AS (
+        SELECT doc_id, idx, tl,
+               CAST(sum(tl + 1) OVER (PARTITION BY doc_id
+                                      ORDER BY idx) AS BIGINT) - 1
+                   AS end_char
+        FROM tp),
+    tr AS (
+        SELECT doc_id, idx, end_char,
+               end_char - tl AS start_char
+        FROM tq),
+    oi AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 5)) AS gidx
+        FROM b),
+    og AS (
+        SELECT doc_id, gidx,
+               array_to_string(
+                   list_slice(toks, gidx + 1, gidx + 5), ' ') AS gram
+        FROM oi),
+    dup AS (
+        SELECT doc_id, gidx FROM (
+            SELECT doc_id, gidx,
+                   count(*) OVER (PARTITION BY doc_id, gram) AS cnt
+            FROM og)
+        WHERE cnt > 1),
+    iv AS (
+        SELECT o.doc_id,
+               s.start_char AS s,
+               e.end_char AS e
+        FROM dup o
+        JOIN tr s ON s.doc_id = o.doc_id AND s.idx = o.gidx
+        JOIN tr e ON e.doc_id = o.doc_id AND e.idx = o.gidx + 4),
+    mm AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+        FROM iv),
+    cv AS (
+        SELECT doc_id,
+               CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s))))
+                    AS BIGINT) AS covered
+        FROM mm GROUP BY doc_id),
+    tot AS (
+        SELECT doc_id,
+               CAST(length(array_to_string(toks, ' ')) AS BIGINT)
+                   AS total_chars
+        FROM d)
+    SELECT t.doc_id,
+           CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_chars,
+           t.total_chars,
+           CASE WHEN t.total_chars > 0
+                THEN CAST(coalesce(c.covered, 0) * 1000000
+                          // t.total_chars AS BIGINT)
+                ELSE 0 END AS dup_ngram_char_ppm
+    FROM tot t LEFT JOIN cv c ON t.doc_id = c.doc_id
+    ORDER BY t.doc_id
 """

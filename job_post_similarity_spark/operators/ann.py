@@ -2241,3 +2241,160 @@ def ivfpq_stratified_search(
         .limit(topk)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# NN-Descent kNN-graph construction (Dong, Moses & Li, WWW 2011) — the
+# graph-index family member that actually distributes. HNSW itself is a
+# sequential, pointer-chasing in-memory structure (the reference's
+# default index string "HNSW32", app/main.py:47); the published way to
+# get an HNSW-quality neighbor graph OUT of a cluster is NN-Descent:
+# start from an arbitrary kNN guess and iteratively improve it with the
+# observation that "a neighbor of a neighbor is likely a neighbor".
+# Each round is two equi-join shuffles on the node key + one
+# partitioned-window top-k — no global structure, no pointer chasing —
+# and empirically converges in O(log n)-ish rounds. The resulting
+# (id, neighbor) table is exactly what offline ANN-serving builds ship
+# to searchers (shard_topk_search serves it).
+# ---------------------------------------------------------------------------
+
+
+def nn_descent_knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Build an approximate kNN graph by NN-Descent.
+
+    Deterministic by construction, so the SAME implementation is both
+    the production tier and the oracle-graded one (no twin needed):
+
+    - similarity = integer dot over MICRO-QUANTIZED components
+      (round(x*1e6) as long; 64-dim unit vectors ⇒ |dot| ≤ 64e12,
+      far inside int64) — an order-independent sum both engines
+      reproduce exactly, the Rademacher-SRP policy;
+    - ranking by (dot DESC, neighbor id ASC) — total order;
+    - init = ring neighbors in id order (node with rank r starts with
+      the k nodes at ranks (r+1..r+k) mod n) via the scale-safe
+      ``global_rank`` (no single-partition window).
+
+    Round: symmetrize the current graph (union with its reverse —
+    NN-Descent explores both directions), join it to itself on the
+    middle node (neighbor-of-neighbor candidates), union the current
+    edges, dedup, score, keep top-k per node. Candidate volume is
+    ≤ ~4·n·k² per round; every shuffle keys on a node id. Each
+    round's graph is persisted key-partitioned on ``src`` (it feeds
+    the next round's join twice — the band-join cache layout).
+
+    Output: (id, neighbor_id, rank, sim_ppm) — rank 1..k by
+    descending similarity, sim_ppm = floor(dot/1e6) ≈ cosine·1e6 for
+    unit vectors. 100 TB shape: per-round cost is linear in n·k²,
+    shuffles are node-keyed (AQE-splittable), and the driver loop
+    holds no data — the Lloyd/PageRank iterative shape.
+    """
+    from pyspark.sql.window import Window
+
+    from .windows import global_rank_with_total
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+
+    quant = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(1_000_000.0), 0).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("id"), quant.alias("q"))
+    ranked, n = global_rank_with_total(base, [F.col("id")], out_col="rk")
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "id long, neighbor_id long, rank int, sim_ppm long"
+        )
+    k_eff = min(k, n - 1) if n > 1 else 0
+    if k_eff == 0:
+        return df.sparkSession.createDataFrame(
+            [], "id long, neighbor_id long, rank int, sim_ppm long"
+        )
+    ranked = ranked.select("id", "q", (F.col("rk") - 1).alias("rk"))
+    qtab = ranked.select("id", "q").repartition("id").persist()
+
+    # ring init: rank r -> ranks (r+1..r+k_eff) mod n
+    offs = F.explode(
+        F.array(*[F.lit(j) for j in range(1, k_eff + 1)])
+    ).alias("j")
+    lhs = ranked.select("id", "rk", offs)
+    cur = (
+        lhs.alias("a")
+        .join(
+            ranked.select(
+                F.col("id").alias("nid"), F.col("rk").alias("nrk")
+            ).alias("b"),
+            ((F.col("a.rk") + F.col("a.j")) % F.lit(n)) == F.col("b.nrk"),
+        )
+        .select(F.col("a.id").alias("src"), F.col("nid").alias("dst"))
+    )
+
+    int_dot = F.aggregate(
+        F.zip_with("q1", "q2", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("dot"), F.asc("dst")
+    )
+
+    def score_topk(cand: DataFrame) -> DataFrame:
+        scored = (
+            cand.join(
+                qtab.select(F.col("id").alias("src"), F.col("q").alias("q1")),
+                "src",
+            )
+            .join(
+                qtab.select(F.col("id").alias("dst"), F.col("q").alias("q2")),
+                "dst",
+            )
+            .select("src", "dst", int_dot.alias("dot"))
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k_eff)
+            .select("src", "dst", "dot", "rn")
+        )
+
+    cur = score_topk(cur).repartition("src").persist()
+    for _ in range(iters):
+        sym = cur.select("src", "dst").union(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nn2 = (
+            sym.alias("a")
+            .join(
+                sym.select(
+                    F.col("src").alias("mid"), F.col("dst").alias("dst2")
+                ).alias("b"),
+                F.col("a.dst") == F.col("b.mid"),
+            )
+            .filter(F.col("a.src") != F.col("b.dst2"))
+            .select("a.src", F.col("b.dst2").alias("dst"))
+        )
+        cand = nn2.union(cur.select("src", "dst")).dropDuplicates(
+            ["src", "dst"]
+        )
+        cur = score_topk(cand).repartition("src").persist()
+
+    # floor-divide the (possibly negative) dot by 1e6: Spark's `div`
+    # truncates toward zero while DuckDB's `//` floors, and they agree
+    # only on non-negative operands (round-5 engine lesson) — shift by
+    # 1e15 (>= dim*1e12 for any dim <= 1000) first, subtract 1e9 after
+    sim_ppm = F.expr(
+        "(dot + 1000000000000000L) div 1000000L - 1000000000L"
+    )
+    return cur.select(
+        F.col("src").alias("id"),
+        F.col("dst").alias("neighbor_id"),
+        F.col("rn").cast("int").alias("rank"),
+        sim_ppm.cast("long").alias("sim_ppm"),
+    ).orderBy("id", "rank")

@@ -1387,3 +1387,235 @@ def linear_classifier_twin(
         .alias("logit_milli"),
     ).withColumn("keep", F.col("logit_milli") >= 0)
     return out.orderBy(id_col)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021, §A1.1, Table A1) — the
+# within-document repetition family that complements gopher_quality_flags'
+# length/symbol gates and top_ngram_fraction's occurrence share. All
+# integer arithmetic (counts, lengths, floor-div ppm), so every signal
+# is oracle-replayable; all shuffles key on the document id.
+# ---------------------------------------------------------------------------
+
+
+def duplicate_line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_regex: str = "\n",
+) -> DataFrame:
+    """Duplicate-line fraction + duplicate-line CHARACTER fraction per
+    document (Gopher filters docs above 30% / 20%; the paragraph
+    variants are the same computation with ``sep_regex='\\n{2,}'``).
+
+    A line occurrence counts as duplicate when the same content
+    already occurred in the document — the beyond-first-occurrence
+    convention, so a line appearing c times contributes c-1 duplicate
+    occurrences (and (c-1)*len duplicate characters). Empty lines
+    count like any other line (their char mass is 0 either way).
+
+    One shuffle (doc+line group), one doc-keyed reaggregate. Output:
+    (id, n_lines, n_dup_lines, dup_line_ppm, n_line_chars,
+    n_dup_line_chars, dup_line_char_ppm).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), sep_regex, -1)).alias("line"),
+    )
+    g = (
+        lines.groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("llen", F.length("line").cast("long"))
+    )
+    out = g.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("cnt") - 1).alias("n_dup_lines"),
+        F.sum(F.col("cnt") * F.col("llen")).alias("n_line_chars"),
+        F.sum((F.col("cnt") - 1) * F.col("llen")).alias(
+            "n_dup_line_chars"
+        ),
+    )
+    return out.select(
+        id_col,
+        "n_lines",
+        "n_dup_lines",
+        F.expr("n_dup_lines * 1000000 div n_lines").alias("dup_line_ppm"),
+        "n_line_chars",
+        "n_dup_line_chars",
+        F.when(
+            F.col("n_line_chars") > 0,
+            F.expr("n_dup_line_chars * 1000000 div n_line_chars"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_line_char_ppm"),
+    )
+
+
+def _canonical_tokens(text_col: str) -> Column:
+    """Whitespace tokens of the trimmed text — the shared token stream
+    for the n-gram repetition signals. The 'canonical text' these
+    signals measure characters against is the tokens joined by single
+    spaces (deterministic regardless of the original run lengths)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def top_ngram_char_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Fraction of characters occupied by the most common word n-gram
+    (Gopher filters at 20%/18%/16% for n=2/3/4): occurrences × gram
+    length over canonical-text length, in ppm. Ties on count break to
+    the lexicographically smallest gram; docs with < n tokens emit
+    ppm 0 with an empty gram.
+
+    Differs from ``top_ngram_fraction`` (occurrence SHARE of gram
+    instances) — this is the character-occupancy variant Table A1
+    actually specifies.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import word_ngrams
+
+    toks = _canonical_tokens(text_col)
+    totals = df.select(
+        F.col(id_col),
+        F.length(F.array_join(toks, " ")).cast("long").alias("total_chars"),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n, distinct=False)).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    joined = totals.join(top, id_col, "left")
+    return joined.select(
+        id_col,
+        F.coalesce("top_gram", F.lit("")).alias("top_gram"),
+        F.coalesce("top_cnt", F.lit(0)).cast("long").alias("top_cnt"),
+        "total_chars",
+        F.when(
+            (F.col("total_chars") > 0) & F.col("top_cnt").isNotNull(),
+            F.expr(
+                "coalesce(top_cnt, 0) * length(coalesce(top_gram, ''))"
+                " * 1000000 div total_chars"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_ngram_char_ppm"),
+    )
+
+
+def duplicate_ngram_char_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Fraction of characters covered by word n-grams that occur MORE
+    THAN ONCE in the document (Gopher filters at 15%..10% for
+    n=5..10), overlapping occurrences counted once — the
+    interval-union semantics the published pipelines implement.
+
+    Relational shape (every step doc-keyed):
+    1. token stream with canonical char positions (posexplode + one
+       partitioned-window prefix sum);
+    2. gram occurrences with their token index (map-side transform —
+       no explode before the count);
+    3. occurrences of duplicated grams become [start, end) intervals
+       via two co-keyed joins back to the token positions;
+    4. merged-interval length per doc = the classic running-max sweep
+       (partitioned window), summed.
+
+    Output: (id, covered_chars, total_chars, dup_ngram_char_ppm).
+    """
+    from pyspark.sql.window import Window
+
+    toks = _canonical_tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    # 1. token positions in the canonical (single-space-joined) text
+    t = base.select(
+        id_col, F.posexplode("__toks").alias("idx", "tok")
+    ).select(id_col, "idx", F.length("tok").cast("long").alias("tl"))
+    wt = Window.partitionBy(id_col).orderBy("idx")
+    t = t.withColumn(
+        "end_char", F.sum(F.col("tl") + 1).over(wt) - 1
+    ).withColumn("start_char", F.col("end_char") - F.col("tl"))
+    # 2. gram occurrences (gram text + token index)
+    gram_at = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - n),
+        lambda i: F.array_join(F.slice("__toks", i + 1, n), " "),
+    )
+    occ = base.select(
+        id_col, F.posexplode(gram_at).alias("gidx", "gram")
+    )
+    wg = Window.partitionBy(id_col, "gram")
+    dup_occ = occ.withColumn("cnt", F.count(F.lit(1)).over(wg)).filter(
+        F.col("cnt") > 1
+    )
+    # 3. intervals [start of token gidx, end of token gidx+n-1)
+    iv = (
+        dup_occ.join(
+            t.select(id_col, F.col("idx").alias("gidx"), "start_char"),
+            [id_col, "gidx"],
+        )
+        .join(
+            t.select(
+                id_col,
+                (F.col("idx") - (n - 1)).alias("gidx"),
+                F.col("end_char").alias("g_end"),
+            ),
+            [id_col, "gidx"],
+        )
+        .select(id_col, F.col("start_char").alias("s"), F.col("g_end").alias("e"))
+    )
+    # 4. union-of-intervals sweep
+    ws = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("e") - F.greatest(F.col("s"), F.coalesce(prev_max, F.col("s"))),
+    )
+    covered = iv.select(id_col, contrib.alias("c")).groupBy(id_col).agg(
+        F.sum("c").alias("covered_chars")
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.length(F.array_join(toks, " ")).cast("long").alias("total_chars"),
+    )
+    out = totals.join(covered, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("covered_chars", F.lit(0)).cast("long").alias(
+            "covered_chars"
+        ),
+        "total_chars",
+        F.when(
+            F.col("total_chars") > 0,
+            F.expr(
+                "coalesce(covered_chars, 0) * 1000000 div total_chars"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_ngram_char_ppm"),
+    )

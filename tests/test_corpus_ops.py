@@ -3532,3 +3532,89 @@ def test_mmr_oracle_tier_diversifies_and_replays(spark, embeddings):
     for r in out:
         assert r["mmr_score_e5"] == int(r["mmr_score_e5"])
     assert [r["mmr_rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_line_stats_hand_case(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        duplicate_line_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\na"), (2, "x\ny"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicate_line_stats(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_lines"], r1["n_dup_lines"]) == (4, 2)
+    assert r1["dup_line_ppm"] == 500_000
+    assert (r1["n_line_chars"], r1["n_dup_line_chars"]) == (4, 2)
+    assert r1["dup_line_char_ppm"] == 500_000
+    r2 = rows[2]
+    assert (r2["n_dup_lines"], r2["dup_line_ppm"]) == (0, 0)
+    # empty text = one empty line, zero chars
+    r3 = rows[3]
+    assert (r3["n_lines"], r3["dup_line_char_ppm"]) == (1, 0)
+
+
+def test_top_ngram_char_fraction_hand_case(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        top_ngram_char_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in top_ngram_char_fraction(df, n=2).collect()
+    }
+    r1 = rows[1]
+    assert (r1["top_gram"], r1["top_cnt"]) == ("x y", 2)
+    assert r1["total_chars"] == 9
+    assert r1["top_ngram_char_ppm"] == 2 * 3 * 1_000_000 // 9
+    # < n tokens: empty gram, ppm 0
+    r2 = rows[2]
+    assert (r2["top_gram"], r2["top_cnt"], r2["top_ngram_char_ppm"]) == (
+        "",
+        0,
+        0,
+    )
+
+
+def test_duplicate_ngram_char_coverage_overlap_union(spark):
+    """Overlapping duplicate-gram occurrences must count each char
+    once: 'a b a b a' has every 2-gram duplicated and their intervals
+    tile the whole canonical text -> ppm exactly 1e6; the disjoint
+    case covers 9 of 17 chars."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        duplicate_ngram_char_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),
+            (2, "p q z r p q w p q"),
+            (3, "all distinct tokens here now"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicate_ngram_char_coverage(df, n=2).collect()
+    }
+    assert rows[1]["covered_chars"] == 9
+    assert rows[1]["total_chars"] == 9
+    assert rows[1]["dup_ngram_char_ppm"] == 1_000_000
+    assert rows[2]["covered_chars"] == 9
+    assert rows[2]["total_chars"] == 17
+    assert rows[2]["dup_ngram_char_ppm"] == 9 * 1_000_000 // 17
+    assert rows[3]["covered_chars"] == 0
+    assert rows[3]["dup_ngram_char_ppm"] == 0
+    # shorter than n tokens: emitted with 0 coverage
+    assert rows[4]["covered_chars"] == 0

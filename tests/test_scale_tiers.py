@@ -690,3 +690,117 @@ def test_sq8_search_finds_planted_twin(spark, embeddings):
     top1 = ann.sq8_topk_search(twins, codes, vmin, vmax, k=1)
     got = {r["query_id"]: r["neighbor_id"] for r in top1.collect()}
     assert got == {7777 + i: i for i in range(5)}
+
+
+# ---------------------------------------------------------------------------
+# NN-Descent kNN-graph construction (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _vec_df(spark, vecs):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": list(range(len(vecs))), "embedding": [list(map(float, v)) for v in vecs]}
+        )
+    )
+
+
+def _exact_top1(vecs):
+    import numpy as np
+
+    m = np.asarray(vecs, dtype=np.float64)
+    q = np.round(m * 1e6).astype(np.int64)
+    dots = q @ q.T
+    best = {}
+    for i in range(len(vecs)):
+        order = sorted(
+            (j for j in range(len(vecs)) if j != i),
+            key=lambda j: (-dots[i, j], j),
+        )
+        best[i] = order[0]
+    return best
+
+
+def test_nn_descent_exact_when_k_covers_corpus(spark):
+    """With n-1 <= k the ring init already contains every other node,
+    so one round must return the exact kNN graph."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import nn_descent_knn_graph
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(6, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    out = nn_descent_knn_graph(
+        _vec_df(spark, vecs), k=8, iters=1
+    ).collect()
+    # k_eff = n-1 = 5 neighbors per node, exact
+    assert len(out) == 6 * 5
+    top1 = {r["id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert top1 == _exact_top1(vecs)
+    # determinism: a second run is row-identical
+    again = nn_descent_knn_graph(
+        _vec_df(spark, vecs), k=8, iters=1
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_nn_descent_converges_on_planted_clusters(spark):
+    """20 tight clusters x 8 points: with k = cluster size, after 3
+    rounds the top-1 neighbor of (almost) every point is
+    intra-cluster even though the ring init is cluster-oblivious —
+    the neighbor-of-a-neighbor walk found the cluster (measured
+    0.994; k=4 plateaus near 0.83 on this fixture, the documented
+    k-vs-exploration trade). Also: per-node best similarity never
+    decreases with more rounds (top-k keeps the best seen)."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import nn_descent_knn_graph
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(20, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:
+        pts = c + 0.05 * rng.normal(size=(8, 32))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+    # shuffle so id order (the ring init) does not follow clusters
+    perm = rng.permutation(len(vecs))
+    shuffled = [vecs[i] for i in perm]
+    cluster_of = {i: perm[i] // 8 for i in range(len(perm))}
+
+    df = _vec_df(spark, shuffled)
+    g3 = nn_descent_knn_graph(df, k=8, iters=3).collect()
+    top1 = {r["id"]: r["neighbor_id"] for r in g3 if r["rank"] == 1}
+    intra = sum(
+        1 for i, j in top1.items() if cluster_of[i] == cluster_of[j]
+    )
+    assert intra / len(top1) >= 0.9
+
+    g1 = nn_descent_knn_graph(df, k=8, iters=1).collect()
+    best1 = {r["id"]: r["sim_ppm"] for r in g1 if r["rank"] == 1}
+    best3 = {r["id"]: r["sim_ppm"] for r in g3 if r["rank"] == 1}
+    assert all(best3[i] >= best1[i] for i in best1)
+
+
+def test_nn_descent_edge_cases(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from job_post_similarity_spark.operators.ann import nn_descent_knn_graph
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert nn_descent_knn_graph(empty, k=4, iters=1).count() == 0
+    single = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 0.0]]})
+    )
+    assert nn_descent_knn_graph(single, k=4, iters=1).count() == 0
+    with _pytest.raises(ValueError):
+        nn_descent_knn_graph(single, k=0, iters=1)
+    with _pytest.raises(ValueError):
+        nn_descent_knn_graph(single, k=4, iters=0)
