@@ -4976,6 +4976,27 @@ def nn_descent_graph_embeddings(
     return nn_descent_knn_graph(emb, "vec_id", "embedding", k=4, iters=2)
 
 
+def minhash_near_dup_auto_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash near-dup pairs at the PLANNER-chosen banding
+    (``dedup.minhash_parameter_plan`` — the Jaccard twin of the SRP
+    planner): knobs solved from the S-curve under a linear candidate
+    budget + a signature-width floor for the estimator. Rows-only
+    (xxhash64 production tier; the md5 twins value-grade the banding
+    algorithm)."""
+    from job_post_similarity_spark.operators.dedup import (
+        minhash_near_dup_pairs_auto,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    return minhash_near_dup_pairs_auto(
+        docs, jaccard_threshold=0.5
+    ).orderBy("id1", "id2")
+
+
 def dup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-line fraction (Rae et al. §A1.1): the corpus
     is single-line word soup, so the gate synthesizes 8-token lines
@@ -5374,6 +5395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rows-only tiers (no SQL twin by nature) -------------------
         "bpe_ish_token_estimate_documents": bpe_ish_token_estimate_documents,
         "minhash_near_dup_xxh_documents": minhash_near_dup_xxh_documents,
+        "minhash_near_dup_auto_documents": minhash_near_dup_auto_documents,
         "simhash_near_dup_xxh_documents": simhash_near_dup_xxh_documents,
         "brp_lsh_similarity_pairs": brp_lsh_similarity_pairs,
         "srp_lsh_similarity_pairs_fixed": srp_lsh_similarity_pairs_fixed,

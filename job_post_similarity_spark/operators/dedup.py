@@ -1774,3 +1774,131 @@ def entity_resolution(
         "entity", F.coalesce(F.col("component"), F.col(id_col))
     ).drop("component")
     return keep_best_in_cluster(labeled, "entity", score_col, id_col)
+
+
+def minhash_parameter_plan(
+    n: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    candidate_row_budget: int | None = None,
+    background_jaccard: float | None = None,
+    max_rows_per_band: int = 16,
+    max_bands: int = 64,
+    max_hashes: int = 256,
+    min_hashes: int = 64,
+) -> dict:
+    """Solve the MinHash-LSH banding knobs from the S-curve instead of
+    guessing — the Jaccard-family twin of ``ann.srp_parameter_plan``.
+
+    A pair with Jaccard ``s`` collides in one ``r``-row band w.p.
+    ``s^r``; recall over ``b`` bands is ``1-(1-t^r)^b``, so
+    ``b = ceil(ln(1-R)/ln(1-t^r))``. The planner picks the SMALLEST
+    ``r`` whose expected background candidate mass
+    ``C(n,2)·b·s_bg^r`` fits ``candidate_row_budget`` (default
+    ``50·n`` — linear in the corpus): smaller ``r`` means fewer
+    signature lanes and the highest cap-limited recall, larger ``r``
+    suppresses background — the budget decides where that trade
+    lands for THIS corpus size, which is exactly what fixed knobs
+    cannot do (a fixed 4-row band that is bucket-sparse at 10^5 docs
+    goes candidate-quadratic at 10^8).
+
+    ``background_jaccard`` is the similarity assumed for the
+    non-duplicate mass (default ``min(0.05, threshold/2)`` — unrelated
+    shingle sets sit near 0; a threshold-proportional background
+    over-penalizes high-threshold near-dup plans). ``min_hashes``
+    floors the signature width: the production operator thresholds on
+    the SIGNATURE-estimated Jaccard (sd ``sqrt(j(1-j)/num_hashes)``),
+    so bands are raised until ``r·b ≥ min_hashes`` before the caps
+    apply. ``max_bands`` caps the band-shuffle mass (``n·b`` rows)
+    and ``max_hashes`` the signature width; at the caps the plan
+    DEGRADES RECALL and reports it — ``predicted_recall`` far below
+    target means LSH is the wrong tier for that operating point
+    (lower the threshold expectation or verify-everything on a
+    blocked key instead).
+
+    Returns ``{rows_per_band, num_bands, num_hashes,
+    predicted_recall, expected_background_rows}``.
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    s_bg = (
+        background_jaccard
+        if background_jaccard is not None
+        else min(0.05, threshold / 2.0)
+    )
+    if not 0.0 <= s_bg < 1.0:
+        raise ValueError("background_jaccard must be in [0, 1)")
+    budget = (
+        candidate_row_budget
+        if candidate_row_budget is not None
+        else 50 * max(n, 1)
+    )
+    pairs = n * max(n - 1, 0) / 2.0
+    best = None
+    for r in range(1, max_rows_per_band + 1):
+        tr = threshold**r
+        if tr >= 1.0:
+            bands = 1
+        else:
+            bands = max(
+                1,
+                math.ceil(
+                    math.log(1.0 - target_recall) / math.log(1.0 - tr)
+                ),
+            )
+        # floor the signature width FIRST: the production operator
+        # thresholds on the SIGNATURE-estimated Jaccard, whose sd is
+        # sqrt(j(1-j)/num_hashes) — below ~64 lanes the estimator, not
+        # the banding, loses the pairs
+        bands = max(bands, -(-min_hashes // r))
+        bands = min(bands, max_bands, max(max_hashes // r, 1))
+        bg = pairs * bands * (s_bg**r)
+        recall = 1.0 - (1.0 - tr) ** bands
+        plan = {
+            "rows_per_band": r,
+            "num_bands": bands,
+            "num_hashes": r * bands,
+            "predicted_recall": round(recall, 4),
+            "expected_background_rows": int(bg),
+        }
+        if bg <= budget:
+            return plan
+        best = plan
+    return best
+
+
+def minhash_near_dup_pairs_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    target_recall: float = 0.95,
+    ngram: int = 3,
+    seed: int = 1,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """``minhash_near_dup_pairs`` at the PLANNER-chosen banding
+    (``minhash_parameter_plan``) — the knobs that keep the candidate
+    mass linear at any corpus size. ``n_rows`` skips the sizing count
+    when the caller already knows it (e.g. from a scan statistic);
+    otherwise one count() action runs here, the documented
+    Lloyd-on-a-sample driver-scalar shape.
+    """
+    n = n_rows if n_rows is not None else df.count()
+    plan = minhash_parameter_plan(
+        n, jaccard_threshold, target_recall=target_recall
+    )
+    return minhash_near_dup_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes=plan["num_hashes"],
+        bands=plan["num_bands"],
+        ngram=ngram,
+        jaccard_threshold=jaccard_threshold,
+        seed=seed,
+    )

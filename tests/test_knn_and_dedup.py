@@ -776,3 +776,64 @@ def test_entity_resolution_pipeline(spark):
     assert out[2]["keep"] and out[2]["n_dups"] == 3  # best score wins
     assert not out[1]["keep"] and not out[3]["keep"]
     assert out[4]["keep"] and out[4]["n_dups"] == 1
+
+
+def test_minhash_parameter_plan_math():
+    """Jaccard-family planner twin of srp_parameter_plan: recall
+    target met inside the linear budget at small n, rows_per_band
+    grows with corpus size (background suppression), caps degrade
+    recall honestly, and invalid inputs raise."""
+    import pytest as _pytest
+
+    from job_post_similarity_spark.operators import dedup as D
+
+    small = D.minhash_parameter_plan(5_000, 0.8)
+    big = D.minhash_parameter_plan(500_000_000, 0.8)
+    for plan, n in ((small, 5_000), (big, 500_000_000)):
+        assert plan["expected_background_rows"] <= 50 * n
+        assert plan["num_bands"] <= 64
+        assert plan["num_hashes"] <= 256
+        assert plan["num_hashes"] == (
+            plan["rows_per_band"] * plan["num_bands"]
+        )
+    assert small["predicted_recall"] >= 0.95
+    assert big["rows_per_band"] > small["rows_per_band"]
+    # low threshold + huge n: caps force honest degradation
+    lo = D.minhash_parameter_plan(500_000_000, 0.3)
+    assert lo["predicted_recall"] < 0.95
+    assert lo["expected_background_rows"] <= 50 * 500_000_000
+    for bad in (
+        dict(n=100, threshold=0.0),
+        dict(n=100, threshold=0.5, target_recall=1.0),
+        dict(n=100, threshold=0.5, background_jaccard=1.0),
+    ):
+        with _pytest.raises(ValueError):
+            D.minhash_parameter_plan(**bad)
+
+
+def test_minhash_auto_planted_recall(spark):
+    """The auto facade's planner knobs must still find planted
+    near-dups: 30 base docs + 10 near-identical copies (one token
+    changed out of 24) at threshold 0.5."""
+    from job_post_similarity_spark.operators import dedup as D
+
+    base = [
+        " ".join(f"tok{i}_{j}" for j in range(24)) for i in range(30)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    rows += [
+        (100 + i, base[i].replace(f"tok{i}_5", "CHANGED"))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.minhash_near_dup_pairs_auto(
+        df, jaccard_threshold=0.5
+    ).collect()
+    found = {(r["id1"], r["id2"]) for r in out}
+    planted = {(i, 100 + i) for i in range(10)}
+    assert len(planted & found) >= 9
+    # and n_rows passthrough skips the sizing count, same result
+    out2 = D.minhash_near_dup_pairs_auto(
+        df, jaccard_threshold=0.5, n_rows=40
+    ).collect()
+    assert {(r["id1"], r["id2"]) for r in out2} == found
