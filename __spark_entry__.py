@@ -4976,6 +4976,92 @@ def nn_descent_graph_embeddings(
     return nn_descent_knn_graph(emb, "vec_id", "embedding", k=4, iters=2)
 
 
+def tokenizer_fertility_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer evaluation metrics (the stats a tokenizer-training
+    pipeline reports): corpus fertility (BPE tokens per word, ppm) and
+    compression (chars per BPE token, ppm) for the 3-merge distributed
+    trainer over the doc_id < 250 slice. The oracle replays the shared
+    trainer CTEs + encode chain and the same integer floor-divs.
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_encode_expr,
+        bpe_train_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mrows = sorted(
+        bpe_train_distributed(docs, num_merges=3).collect(),
+        key=lambda r: r["step"],
+    )
+    merges = [(r["sym_left"], r["sym_right"]) for r in mrows]
+    sl = docs.filter(F.col("doc_id") < 250)
+    enc = bpe_encode_expr(sl, merges)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: x != "",
+    )
+    words = sl.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.length(F.array_join(toks, " ")).cast("long").alias("n_chars"),
+    )
+    agg = (
+        words.join(enc, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(F.coalesce(F.col("n_bpe_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
+    return agg.select(
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("n_bpe_tokens * 1000000 div n_words"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fertility_ppm"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.expr("n_chars * 1000000 div n_bpe_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("chars_per_token_ppm"),
+    )
+
+
+def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.1's ``|>`` operator chain — the
+    Google-SQL-pipes surface): WHERE -> EXTEND -> AGGREGATE GROUP BY
+    -> ORDER BY as a pipeline. Same Catalyst plan as the nested form;
+    the DuckDB oracle is the equivalent ANSI query (integer cents, so
+    the hash is engine-exact). (Oracle staged in _PENDING_ORACLES.)"""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "pipe_orders"
+    )
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |> AGGREGATE count(*) AS n_orders,
+                     sum(cents) AS revenue_cents
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
 def minhash_near_dup_auto_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5396,6 +5482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_ish_token_estimate_documents": bpe_ish_token_estimate_documents,
         "minhash_near_dup_xxh_documents": minhash_near_dup_xxh_documents,
         "minhash_near_dup_auto_documents": minhash_near_dup_auto_documents,
+        "sql_pipe_syntax_revenue": sql_pipe_syntax_revenue,
+        "tokenizer_fertility_documents": tokenizer_fertility_documents,
         "simhash_near_dup_xxh_documents": simhash_near_dup_xxh_documents,
         "brp_lsh_similarity_pairs": brp_lsh_similarity_pairs,
         "srp_lsh_similarity_pairs_fixed": srp_lsh_similarity_pairs_fixed,
@@ -10980,3 +11068,89 @@ _PENDING_ORACLES["dup_ngram_coverage_documents"] = r"""
     FROM tot t LEFT JOIN cv c ON t.doc_id = c.doc_id
     ORDER BY t.doc_id
 """
+
+
+# SQL pipe syntax twin: the pipeline form compiles to the same plan as
+# this nested ANSI query; integer cents keep the hash engine-exact
+# (DuckDB sum(BIGINT) -> HUGEINT, cast back).
+_PENDING_ORACLES["sql_pipe_syntax_revenue"] = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+# Tokenizer fertility/compression twin: shared trainer CTEs + encode
+# replay (bpe_token_count's chain), corpus-rolled with the same
+# integer floor-divs. sum() casts guard the HUGEINT trap.
+_PENDING_ORACLES["tokenizer_fertility_documents"] = f"""
+        WITH {_BPE_TRAIN_CTES},
+        docw AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(
+                       trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS w
+            FROM documents WHERE doc_id < 250),
+        e0 AS (
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(w, '^[a-z]+$')
+                        THEN NULL ELSE 1 END AS fixed,
+                   CASE WHEN regexp_matches(w, '^[a-z]+$')
+                        THEN '__' || regexp_replace(
+                                 substring(w, 1, length(w) - 1),
+                                 '(.)', '\\1__', 'g')
+                             || substring(w, length(w), 1)
+                             || '</w>__'
+                   END AS enc
+            FROM docw),
+        e1 AS (SELECT doc_id, fixed,
+                      replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc
+               FROM e0, m0 m),
+        e2 AS (SELECT doc_id, fixed,
+                      replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc
+               FROM e1, m1 m),
+        e3 AS (SELECT doc_id, fixed,
+                      replace(enc, '_' || m.l || '__' || m.r || '_',
+                              '_' || m.l || m.r || '_') AS enc
+               FROM e2, m2 m),
+        cnt AS (
+            SELECT doc_id,
+                   CAST(sum(coalesce(fixed,
+                       len(list_filter(string_split(enc, '_'),
+                                       x -> x <> '')))) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM e3 GROUP BY doc_id),
+        wstats AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(
+                       trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_words,
+                   CAST(length(array_to_string(list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> ''), ' ')) AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id < 250),
+        roll AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w.n_words) AS BIGINT) AS n_words,
+                   CAST(sum(w.n_chars) AS BIGINT) AS n_chars,
+                   CAST(sum(coalesce(c.n_bpe_tokens, 0)) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM wstats w LEFT JOIN cnt c ON w.doc_id = c.doc_id)
+        SELECT n_docs, n_words, n_chars, n_bpe_tokens,
+               CASE WHEN n_words > 0
+                    THEN CAST(n_bpe_tokens * 1000000 // n_words
+                              AS BIGINT)
+                    ELSE 0 END AS fertility_ppm,
+               CASE WHEN n_bpe_tokens > 0
+                    THEN CAST(n_chars * 1000000 // n_bpe_tokens
+                              AS BIGINT)
+                    ELSE 0 END AS chars_per_token_ppm
+        FROM roll
+    """
