@@ -4976,6 +4976,24 @@ def nn_descent_graph_embeddings(
     return nn_descent_knn_graph(emb, "vec_id", "embedding", k=4, iters=2)
 
 
+def pretraining_corpus_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL pretraining-corpus preparation pipeline, end to end
+    (plans.pipeline.prepare_pretraining_corpus): curate → MinHash
+    near-dup clustering (md5 deterministic tier) → connected
+    components → keep-best-per-cluster → leakage-safe cluster-keyed
+    split. ONE DuckDB replay verifies the whole emitted artifact —
+    the curate_corpus e2e pattern extended through near-dup dedup and
+    the split. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.plans.pipeline import (
+        prepare_pretraining_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prepare_pretraining_corpus(docs)
+
+
 def tokenizer_fertility_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5484,6 +5502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_auto_documents": minhash_near_dup_auto_documents,
         "sql_pipe_syntax_revenue": sql_pipe_syntax_revenue,
         "tokenizer_fertility_documents": tokenizer_fertility_documents,
+        "pretraining_corpus_documents": pretraining_corpus_documents,
         "simhash_near_dup_xxh_documents": simhash_near_dup_xxh_documents,
         "brp_lsh_similarity_pairs": brp_lsh_similarity_pairs,
         "srp_lsh_similarity_pairs_fixed": srp_lsh_similarity_pairs_fixed,
@@ -5646,11 +5665,10 @@ def _lang_id_oracle() -> str:
     """
 
 
-def _curation_oracle(
+def _curation_cte_chain(
     min_quality: float = 0.5,
     langs: tuple[str, ...] = ("en",),
     min_words: int = 10,
-    funnel: bool = False,
 ) -> str:
     """DuckDB twin of plans.pipeline.curate_corpus / curation_funnel —
     generated from the same _LANG_MARKERS so the lang stage stays in
@@ -5709,21 +5727,36 @@ def _curation_oracle(
             SELECT * FROM lang
             WHERE quality >= {min_quality} AND lang_pred IN ({lang_list})
               AND n_tok >= {min_words}),
-        scrubbed AS (
+        scrub0 AS (
             SELECT doc_id, lang_pred, quality, n_tok AS n_tokens,
-                   md5(lower(
+                   lower(
                        regexp_replace(regexp_replace(regexp_replace(tc,
                            '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}\\b',
                            '[EMAIL]', 'g'),
                            '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g'),
                            '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '[PHONE]', 'g')
-                   )) AS text_hash
+                   ) AS scrub_lower
             FROM kept),
+        scrubbed AS (
+            SELECT doc_id, lang_pred, quality, n_tokens,
+                   md5(scrub_lower) AS text_hash, scrub_lower
+            FROM scrub0),
         deduped AS (
             SELECT doc_id, lang_pred, quality, n_tokens, text_hash,
+                   scrub_lower,
                    row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
             FROM scrubbed)
     """
+    return ctes
+
+
+def _curation_oracle(
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_words: int = 10,
+    funnel: bool = False,
+) -> str:
+    ctes = _curation_cte_chain(min_quality, langs, min_words)
     if funnel:
         return f"""{ctes}
             SELECT '00_raw' AS stage, count(*) AS n_rows FROM documents
@@ -11154,3 +11187,111 @@ _PENDING_ORACLES["tokenizer_fertility_documents"] = f"""
                     ELSE 0 END AS chars_per_token_ppm
         FROM roll
     """
+
+
+def _pretraining_oracle(
+    threshold_ppm: int = 300_000,
+    train_frac: float = 0.9,
+) -> str:
+    """DuckDB replay of plans.pipeline.prepare_pretraining_corpus:
+    the curation CTE chain (shared generator), then the md5 MinHash
+    banding (same coefficient schedule via _minhash_coeffs_sql),
+    recursive-CTE connected components, keep-best (quality DESC, id)
+    and the md5-prefix cluster-keyed split — one query verifying the
+    whole pipeline artifact."""
+    chain = _curation_cte_chain().replace("WITH ", "WITH RECURSIVE ", 1)
+    train_cut = int(train_frac * 2_147_483_648)
+    return f"""{chain},
+        dd AS (
+            SELECT doc_id, lang_pred, quality, n_tokens, scrub_lower
+            FROM deduped WHERE rn = 1),
+        mtk AS (
+            SELECT doc_id,
+                   string_split_regex(trim(scrub_lower), '\\s+') AS toks
+            FROM dd),
+        msh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) >= 3 THEN
+                       list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + 2), ' '))
+                       ELSE [] END) AS g
+            FROM mtk),
+        mshf AS (SELECT doc_id, g FROM msh WHERE len(g) > 0),
+        mcod AS (
+            SELECT doc_id, g,
+                   list_transform(g, s ->
+                       CAST(concat('0x', substr(md5(s), 1, 14))
+                            AS BIGINT) % 2147483647) AS cs
+            FROM mshf),
+        msig AS (
+            SELECT doc_id, g,
+                   list_transform({_minhash_coeffs_sql()},
+                       ab -> list_min(list_transform(cs,
+                           x -> (x * ab.a + ab.b) % 2147483647)))
+                       AS sg
+            FROM mcod),
+        mband AS (
+            SELECT doc_id, b AS band,
+                   array_to_string(
+                       list_slice(sg, b * 4 + 1, b * 4 + 4), '-')
+                       AS key
+            FROM msig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        mcand AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM mband x JOIN mband y
+              ON x.band = y.band AND x.key = y.key
+             AND x.doc_id < y.doc_id),
+        mex AS (SELECT doc_id AS gid, unnest(g) AS s FROM mshf),
+        mint AS (
+            SELECT c.id1, c.id2, count(*) AS n_inter
+            FROM mcand c
+            JOIN mex a ON a.gid = c.id1
+            JOIN mex b2 ON b2.gid = c.id2 AND a.s = b2.s
+            GROUP BY c.id1, c.id2),
+        msiz AS (SELECT doc_id AS gid, len(g) AS n FROM mshf),
+        mp AS (
+            SELECT c.id1, c.id2
+            FROM mcand c
+            LEFT JOIN mint i
+              ON i.id1 = c.id1 AND i.id2 = c.id2
+            JOIN msiz s1 ON s1.gid = c.id1
+            JOIN msiz s2 ON s2.gid = c.id2
+            WHERE (1000000 * coalesce(i.n_inter, 0))
+                  // (s1.n + s2.n - coalesce(i.n_inter, 0))
+                  >= {threshold_ppm}),
+        medge AS (
+            SELECT id1 AS src, id2 AS dst FROM mp
+            UNION SELECT id2, id1 FROM mp),
+        reach(id, r) AS (
+            SELECT src, src FROM medge
+            UNION
+            SELECT e.src, reach.r
+            FROM medge e JOIN reach ON e.dst = reach.id),
+        comp AS (SELECT id, min(r) AS component
+                 FROM reach GROUP BY id),
+        wc AS (
+            SELECT d.doc_id, d.lang_pred, d.quality, d.n_tokens,
+                   coalesce(c.component, d.doc_id) AS component
+            FROM dd d LEFT JOIN comp c ON c.id = d.doc_id),
+        best AS (
+            SELECT doc_id, lang_pred, quality, n_tokens, component
+            FROM (SELECT wc.*,
+                         row_number() OVER (PARTITION BY component
+                                            ORDER BY quality DESC,
+                                                     doc_id) AS brn
+                  FROM wc)
+            WHERE brn = 1)
+        SELECT doc_id, component, lang_pred,
+               ROUND(quality, 4) AS quality, n_tokens,
+               CASE WHEN CAST(concat('0x', substr(
+                              md5(CAST(component AS VARCHAR)), 1, 14))
+                          AS BIGINT) % 2147483648 < {train_cut}
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM best
+        ORDER BY doc_id
+    """
+
+
+_PENDING_ORACLES["pretraining_corpus_documents"] = _pretraining_oracle()

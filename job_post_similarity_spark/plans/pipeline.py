@@ -153,6 +153,10 @@ def _curation_stages(
         "quality",
         "n_tokens",
         F.md5(F.lower(S.scrub_pii("tc"))).alias("text_hash"),
+        # the scrubbed text itself rides along for downstream stages
+        # that need content, not just the digest (near-dup shingling
+        # in prepare_pretraining_corpus)
+        F.lower(S.scrub_pii("tc")).alias("scrub_lower"),
     )
     deduped = preprocess.dedup_keep_first(
         scrubbed, ["text_hash"], [F.asc("doc_id")]
@@ -220,6 +224,74 @@ def curation_funnel(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("stage")
+
+
+def prepare_pretraining_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_words: int = 10,
+    jaccard_threshold_ppm: int = 300_000,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The FULL training-corpus preparation pipeline in one lazy
+    composition — what a 100 TB pretraining-data run actually ships:
+
+    1. curate (HTML strip → quality gate → lang gate → PII scrub →
+       exact keep-first dedup) — ``_curation_stages``;
+    2. NEAR-dup clustering: deterministic banded MinHash over the
+       scrubbed text (``minhash_near_dup_pairs_oracle_tier`` — the
+       md5-code tier, so the whole composition stays oracle-gradable)
+       → connected components;
+    3. keep the HIGHEST-QUALITY representative per near-dup cluster
+       (quality DESC, id ASC — the C4/FineWeb keep-best policy);
+    4. leakage-safe split KEYED ON THE CLUSTER id, so anything that
+       shared a cluster can never straddle train/eval (Lee et al.
+       2022 §5).
+
+    Every stage is a deterministic JVM expression, so the END-TO-END
+    artifact (not just each stage) is value-hash-verified against one
+    DuckDB replay — the curate_corpus e2e pattern extended through
+    near-dup dedup and the split.
+
+    Scale shape: curation fuses into the scan; the digest dedup, band
+    join and component window all key on ids/digests (never text);
+    the split is map-side. Output: (doc_id, component, lang_pred,
+    quality, n_tokens, split) for surviving docs, sorted.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators import dedup as D
+    from ..operators import sampling
+
+    if weights is None:
+        weights = {"train": 0.9, "eval": 0.1}
+    d = _curation_stages(docs, min_quality, langs, min_words)["deduped"]
+    mh_in = d.select("doc_id", F.col("scrub_lower").alias("text"))
+    pairs = D.minhash_near_dup_pairs_oracle_tier(
+        mh_in, threshold_ppm=jaccard_threshold_ppm
+    )
+    cc = D.connected_components(pairs.select("id1", "id2"))
+    with_comp = d.join(
+        cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("component", F.coalesce("component", F.col("doc_id")))
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    best = (
+        with_comp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = sampling.leakage_safe_split(best, "component", weights)
+    return out.select(
+        "doc_id",
+        "component",
+        "lang_pred",
+        F.round("quality", 4).alias("quality"),
+        "n_tokens",
+        "split",
+    ).orderBy("doc_id")
 
 
 def qualitative_report(

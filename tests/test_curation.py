@@ -187,3 +187,50 @@ def test_curriculum_shards_stats(spark):
     # monotone: every shard's min >= next shard's max
     for a, b in zip(out, out[1:]):
         assert a["score_min"] >= b["score_max"]
+
+
+def test_prepare_pretraining_corpus_end_to_end(spark):
+    """The e2e pipeline on a planted fixture: two near-identical
+    English docs (one token apart) must collapse to ONE survivor —
+    the higher-quality one — while a distinct doc survives untouched;
+    output is one row per component with a cluster-keyed split."""
+    from job_post_similarity_spark.plans.pipeline import (
+        prepare_pretraining_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs for "
+        "a while with great energy in the morning light that is nice"
+    )
+    rows = [
+        (1, base),
+        # near-dup of 1: one APPENDED token keeps the shingle Jaccard
+        # at 22/23 ~ 0.96 (a changed mid-token costs 3 shingles and
+        # drops banding recall to a coin flip at 4x4 banding) and the
+        # extra token raises the quality length term => keep-best
+        # must pick doc 2
+        (2, base + " again"),
+        (
+            3,
+            "a completely different story about the sea and the wind "
+            "that is told in the evening for everyone to hear with joy",
+        ),
+        (4, "too short to pass"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_pretraining_corpus(df).collect()
+    ids = [r["doc_id"] for r in out]
+    # doc 4 fails min_words; docs 1/2 collapse; doc 3 survives
+    assert 3 in ids and 4 not in ids
+    assert len({1, 2} & set(ids)) == 1
+    surv = next(r for r in out if r["doc_id"] in (1, 2))
+    # keep-best: the longer near-dup has the higher quality score
+    assert surv["doc_id"] == 2
+    assert surv["component"] == 1  # component label = min member id
+    assert all(r["split"] in ("train", "eval") for r in out)
+    # one row per component
+    comps = [r["component"] for r in out]
+    assert len(comps) == len(set(comps))
+    # determinism
+    again = prepare_pretraining_corpus(df).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
