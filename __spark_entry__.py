@@ -5101,6 +5101,28 @@ def minhash_near_dup_auto_documents(
     ).orderBy("id1", "id2")
 
 
+def graph_beam_search_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Graph-index tier END TO END: NN-Descent build (k=4, 1 round)
+    then HNSW-style greedy beam search (beam=8, 2 hops, top-5) for 5
+    fixed queries — one DuckDB query replays BOTH halves
+    (ann.nn_descent_knn_graph + ann.graph_beam_search). (Oracle staged
+    in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.ann import (
+        graph_beam_search,
+        nn_descent_knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 120
+    )
+    g = nn_descent_knn_graph(emb, "vec_id", "embedding", k=4, iters=1)
+    return graph_beam_search(
+        emb, g, [5, 17, 42, 63, 99], k=5, beam=8, hops=2
+    )
+
+
 def dup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-line fraction (Rae et al. §A1.1): the corpus
     is single-line word soup, so the gate synthesizes 8-token lines
@@ -5518,6 +5540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_oracle_documents": multimodal_resize_oracle_documents,
         "multimodal_frames_oracle_documents": multimodal_frames_oracle_documents,
         "nn_descent_graph_embeddings": nn_descent_graph_embeddings,
+        "graph_beam_search_embeddings": graph_beam_search_embeddings,
         "dup_lines_documents": dup_lines_documents,
         "top_ngram_char_documents": top_ngram_char_documents,
         "dup_ngram_coverage_documents": dup_ngram_coverage_documents,
@@ -10861,7 +10884,7 @@ _PENDING_ORACLES["multimodal_frames_oracle_documents"] = r"""
 """
 
 
-def _nn_descent_oracle(
+def _nn_descent_ctes(
     limit: int = 120, k: int = 4, iters: int = 2, dim: int = 64
 ) -> str:
     """Unrolled NN-Descent replay (ann.nn_descent_knn_graph): ring
@@ -10922,6 +10945,14 @@ def _nn_descent_oracle(
         )
         parts.append(score_topk(t))
     ctes = ",\n        ".join(parts)
+    return ctes
+
+
+def _nn_descent_oracle(
+    limit: int = 120, k: int = 4, iters: int = 2, dim: int = 64
+) -> str:
+    """Final projection over the chain above — see _nn_descent_ctes."""
+    ctes = _nn_descent_ctes(limit, k, iters, dim)
     return f"""
         WITH {ctes}
         SELECT src AS id, dst AS neighbor_id,
@@ -11295,3 +11326,80 @@ def _pretraining_oracle(
 
 
 _PENDING_ORACLES["pretraining_corpus_documents"] = _pretraining_oracle()
+
+
+def _graph_beam_search_oracle(
+    limit: int = 120,
+    build_k: int = 4,
+    build_iters: int = 1,
+    query_ids: tuple[int, ...] = (5, 17, 42, 63, 99),
+    k: int = 5,
+    beam: int = 8,
+    hops: int = 2,
+    dim: int = 64,
+) -> str:
+    """Build (NN-Descent chain) + serve (beam search) in ONE replay:
+    entry = the `beam` lowest node ids, per hop expand t{iters} edges,
+    integer-dot score, top-`beam` per query; final top-k excludes the
+    self-match before ranking (matching ann.graph_beam_search)."""
+    chain = _nn_descent_ctes(limit, build_k, build_iters, dim)
+    qlist = ", ".join(str(q) for q in query_ids)
+    t_final = f"t{build_iters}"
+
+    def score(c_name: str, s_name: str, b_name: str) -> str:
+        return f"""{s_name} AS (
+            SELECT c.qid, c.node,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, {dim}),
+                       i -> qs.query_vec[i] * e.q[i])) AS BIGINT)
+                       AS dot
+            FROM {c_name} c
+            JOIN e ON e.id = c.node
+            JOIN qs ON qs.qid = c.qid),
+        {b_name} AS (
+            SELECT qid, node, dot FROM (
+                SELECT qid, node, dot,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY dot DESC, node)
+                           AS rn
+                FROM {s_name})
+            WHERE rn <= {beam})"""
+
+    parts = [
+        f"""qs AS (
+            SELECT id AS qid, q AS query_vec FROM e
+            WHERE id IN ({qlist})),
+        ent AS (SELECT id AS node FROM e ORDER BY id LIMIT {beam}),
+        b0c AS (SELECT qs.qid, ent.node FROM qs, ent)""",
+        score("b0c", "b0s", "b0"),
+    ]
+    prev = "b0"
+    for h in range(1, hops + 1):
+        parts.append(
+            f"""h{h}c AS (
+            SELECT DISTINCT qid, node FROM (
+                SELECT b.qid, t.dst AS node
+                FROM {prev} b JOIN {t_final} t ON t.src = b.node
+                UNION
+                SELECT qid, node FROM {prev}))"""
+        )
+        parts.append(score(f"h{h}c", f"h{h}s", f"h{h}"))
+        prev = f"h{h}"
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {chain},
+        {ctes}
+        SELECT qid AS query_id, node AS neighbor_id,
+               CAST(rk AS INT) AS rank,
+               CAST((dot + 1000000000000000) // 1000000
+                    - 1000000000 AS BIGINT) AS sim_ppm
+        FROM (SELECT qid, node, dot,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY dot DESC, node) AS rk
+              FROM {prev} WHERE node <> qid)
+        WHERE rk <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+_PENDING_ORACLES["graph_beam_search_embeddings"] = _graph_beam_search_oracle()

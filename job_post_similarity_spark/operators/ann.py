@@ -2398,3 +2398,98 @@ def nn_descent_knn_graph(
         F.col("rn").cast("int").alias("rank"),
         sim_ppm.cast("long").alias("sim_ppm"),
     ).orderBy("id", "rank")
+
+
+def graph_beam_search(
+    df: DataFrame,
+    graph: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    beam: int = 8,
+    hops: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy beam search over a kNN graph — the SERVING half of the
+    graph-index tier (``nn_descent_knn_graph`` is the build half):
+    HNSW-style navigation re-expressed relationally. Start every query
+    at fixed entry points (the ``beam`` smallest node ids — HNSW's
+    designated entry, made deterministic), then per hop expand the
+    beam's graph neighbors, score against the query, and keep the
+    best ``beam`` nodes; after ``hops`` rounds emit each query's
+    top-k (self-matches excluded).
+
+    Deterministic like the builder (integer micro dots,
+    (dot DESC, node ASC) total order), so the gate replays BOTH build
+    and search in one DuckDB query. Scale shape: per hop one join on
+    the graph's node key + one per-query window over ≤ beam·(k+1)
+    rows; query count rides the partition key, so serving batches
+    scale out; the graph table is the only large operand and is never
+    shuffled wider than its node key.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1 or beam < 1 or hops < 0:
+        raise ValueError("k, beam must be >= 1 and hops >= 0")
+    quant = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(1_000_000.0), 0).cast("long"),
+    )
+    qtab = df.select(F.col(id_col).alias("node"), quant.alias("qv"))
+    queries = (
+        qtab.filter(F.col("node").isin([int(q) for q in query_ids]))
+        .select(F.col("node").alias("qid"), F.col("qv").alias("query_vec"))
+    )
+    entries = (
+        qtab.select("node").orderBy("node").limit(beam).select("node")
+    )
+    int_dot = F.aggregate(
+        F.zip_with("query_vec", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("node"))
+
+    def score_beam(cand: DataFrame, width: int) -> DataFrame:
+        scored = (
+            cand.join(qtab, "node")
+            .join(queries, "qid")
+            .select("qid", "node", int_dot.alias("dot"))
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= width)
+            .select("qid", "node", "dot", "rn")
+        )
+
+    cur = score_beam(
+        queries.select("qid").crossJoin(entries), beam
+    ).persist()
+    edges = graph.select(
+        F.col("id").alias("node"), F.col("neighbor_id").alias("nxt")
+    )
+    for _ in range(hops):
+        exp = cur.join(edges, "node").select(
+            "qid", F.col("nxt").alias("node")
+        )
+        cand = (
+            cur.select("qid", "node")
+            .union(exp)
+            .dropDuplicates(["qid", "node"])
+        )
+        cur = score_beam(cand, beam).persist()
+
+    sim_ppm = F.expr(
+        "(dot + 1000000000000000L) div 1000000L - 1000000000L"
+    )
+    final = (
+        cur.filter(F.col("node") != F.col("qid"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+    return final.select(
+        F.col("qid").alias("query_id"),
+        F.col("node").alias("neighbor_id"),
+        F.col("rk").cast("int").alias("rank"),
+        sim_ppm.cast("long").alias("sim_ppm"),
+    ).orderBy("query_id", "rank")

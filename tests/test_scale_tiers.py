@@ -804,3 +804,75 @@ def test_nn_descent_edge_cases(spark):
         nn_descent_knn_graph(single, k=0, iters=1)
     with _pytest.raises(ValueError):
         nn_descent_knn_graph(single, k=4, iters=0)
+
+
+def test_graph_beam_search_exact_when_beam_covers_corpus(spark):
+    """With beam >= n the entry set is the whole corpus, so the search
+    must return the exact top-k regardless of graph quality."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        graph_beam_search,
+        nn_descent_knn_graph,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(10, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = _vec_df(spark, vecs)
+    g = nn_descent_knn_graph(df, k=3, iters=1)
+    out = graph_beam_search(df, g, [0, 4], k=1, beam=10, hops=1).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out}
+    exact = _exact_top1(vecs)
+    assert top1 == {0: exact[0], 4: exact[4]}
+
+
+def test_graph_beam_search_navigates_to_cluster(spark):
+    """6 planted clusters x 10 points: entry points live in one id
+    range, yet 2 hops of beam search over the NN-Descent graph reach
+    each query's own cluster — top-1 intra-cluster for nearly every
+    query; also deterministic across runs."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        graph_beam_search,
+        nn_descent_knn_graph,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(6, 24))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:
+        pts = c + 0.05 * rng.normal(size=(10, 24))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+    perm = rng.permutation(len(vecs))
+    shuffled = [vecs[i] for i in perm]
+    cluster_of = {i: perm[i] // 10 for i in range(len(perm))}
+    df = _vec_df(spark, shuffled)
+    g = nn_descent_knn_graph(df, k=8, iters=2)
+    qids = [7, 19, 33, 48, 55]
+    out = graph_beam_search(df, g, qids, k=3, beam=8, hops=3).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    hits = sum(1 for q, n in top1.items() if cluster_of[q] == cluster_of[n])
+    assert hits >= 4
+    again = graph_beam_search(df, g, qids, k=3, beam=8, hops=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_graph_beam_search_validation(spark):
+    import pytest as _pytest
+
+    from job_post_similarity_spark.operators.ann import graph_beam_search
+
+    df = _vec_df(spark, [[1.0, 0.0]])
+    g = df.sparkSession.createDataFrame(
+        [], "id long, neighbor_id long, rank int, sim_ppm long"
+    )
+    with _pytest.raises(ValueError):
+        graph_beam_search(df, g, [0], k=0)
+    with _pytest.raises(ValueError):
+        graph_beam_search(df, g, [0], beam=0)
+    with _pytest.raises(ValueError):
+        graph_beam_search(df, g, [0], hops=-1)
