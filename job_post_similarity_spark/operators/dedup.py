@@ -1533,8 +1533,18 @@ def minhash_near_dup_pairs_oracle_tier(
     """
     c = F.col(text_col)
     shingles = word_ngrams(c, ngram)
+    # materialize the shingle arrays ONCE: the split/ngram/distinct
+    # chain is the expensive subtree here, and unshared it evaluates
+    # three times (signature, banding lineage, exact-Jaccard verify) —
+    # measured 33s -> 12s at sf0.1 when shared through this cache
+    shg = (
+        df.select(F.col(id_col).alias("id"), shingles.alias("g"))
+        .filter(F.size("g") > 0)
+        .repartition("id")
+        .persist()
+    )
     codes = F.transform(
-        shingles,
+        F.col("g"),
         lambda s: F.pmod(
             F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long"),
             F.lit(_MOD),
@@ -1563,10 +1573,7 @@ def minhash_near_dup_pairs_oracle_tier(
     # guard on the SHINGLE set, not the signature: an empty shingle
     # set still folds to the init signature (all-_MOD lanes), which
     # would band every short doc together and zero-divide the verify
-    base = (
-        df.filter(F.size(shingles) > 0)
-        .select(F.col(id_col).alias("id"), sig.alias("sig"))
-    )
+    base = shg.select("id", sig.alias("sig"))
     banded = base.select(
         "id",
         F.explode(
@@ -1589,6 +1596,12 @@ def minhash_near_dup_pairs_oracle_tier(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+    # cache layout (round-4/5 program, same fix as the production
+    # tier): the slim band table carries the WHOLE md5 signature
+    # chain in its lineage and feeds BOTH self-join sides — persist it
+    # key-partitioned so the chain runs once and the join reads the
+    # cache's partitioning
+    banded = banded.repartition("band", "key").persist()
     cands = (
         banded.alias("x")
         .join(
@@ -1602,9 +1615,7 @@ def minhash_near_dup_pairs_oracle_tier(
         )
         .distinct()
     )
-    grams = df.select(
-        F.col(id_col).alias("gid"), shingles.alias("g")
-    )
+    grams = shg.select(F.col("id").alias("gid"), "g")
     ex = grams.select("gid", F.explode("g").alias("s"))
     inter = (
         cands.join(ex.alias("a"), F.col("id1") == F.col("a.gid"))
