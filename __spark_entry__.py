@@ -11052,9 +11052,10 @@ _PENDING_ORACLES["top_ngram_char_documents"] = r"""
            CAST(coalesce(p.top_cnt, 0) AS BIGINT) AS top_cnt,
            t.total_chars,
            CASE WHEN t.total_chars > 0
-                THEN CAST(coalesce(p.top_cnt, 0)
+                THEN CAST(least(coalesce(p.top_cnt, 0)
                           * length(coalesce(p.top_gram, ''))
-                          * 1000000 // t.total_chars AS BIGINT)
+                          * 1000000 // t.total_chars,
+                          1000000) AS BIGINT)
                 ELSE 0 END AS top_ngram_char_ppm
     FROM tot t LEFT JOIN top p ON t.doc_id = p.doc_id
     ORDER BY t.doc_id

@@ -1779,14 +1779,10 @@ def srp_rademacher_pairs_oracle_tier(
     if n_planes % bits_per_band:
         raise ValueError("len(signs) must be a multiple of bits_per_band")
     num_bands = n_planes // bits_per_band
-    quant = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * F.lit(1_000_000.0), 0).cast("long"),
-    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
-        quant.alias("__q"),
+        _micro_quant(vec_col).alias("__q"),
     )
 
     def plane_dot(p: int):
@@ -2259,6 +2255,34 @@ def ivfpq_stratified_search(
 # ---------------------------------------------------------------------------
 
 
+def _micro_quant(vec_col: str) -> Column:
+    """Micro-quantized integer components (round(x*1e6) as long) — the
+    engine-exact similarity currency shared by the NN-Descent builder,
+    the beam searcher and the Rademacher-SRP twin. |component| <= 1 on
+    unit vectors => |q| <= 1e6 and a d-dim integer dot is bounded by
+    d*1e12 (the 1e15 shift in _sim_ppm_expr assumes d <= 1000)."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(1_000_000.0), 0).cast("long"),
+    )
+
+
+def _int_dot(c1: str, c2: str) -> Column:
+    """Order-independent integer dot of two micro-quantized arrays."""
+    return F.aggregate(
+        F.zip_with(c1, c2, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+# floor-divide a (possibly negative) micro² dot by 1e6: Spark's `div`
+# truncates toward zero while DuckDB's `//` floors, and they agree only
+# on non-negative operands — shift by 1e15 (>= dim*1e12 for dim <= 1000)
+# first, subtract 1e9 after. Oracles replay the same shifted form.
+_SIM_PPM_SQL = "(dot + 1000000000000000L) div 1000000L - 1000000000L"
+
+
 def nn_descent_knn_graph(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -2303,21 +2327,19 @@ def nn_descent_knn_graph(
     if iters < 1:
         raise ValueError("iters must be >= 1")
 
-    quant = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * F.lit(1_000_000.0), 0).cast("long"),
+    id_type = df.schema[id_col].dataType.simpleString()
+    empty_schema = (
+        f"id {id_type}, neighbor_id {id_type}, rank int, sim_ppm long"
     )
-    base = df.select(F.col(id_col).alias("id"), quant.alias("q"))
+    base = df.select(
+        F.col(id_col).alias("id"), _micro_quant(vec_col).alias("q")
+    )
     ranked, n = global_rank_with_total(base, [F.col("id")], out_col="rk")
     if n == 0:
-        return df.sparkSession.createDataFrame(
-            [], "id long, neighbor_id long, rank int, sim_ppm long"
-        )
+        return df.sparkSession.createDataFrame([], empty_schema)
     k_eff = min(k, n - 1) if n > 1 else 0
     if k_eff == 0:
-        return df.sparkSession.createDataFrame(
-            [], "id long, neighbor_id long, rank int, sim_ppm long"
-        )
+        return df.sparkSession.createDataFrame([], empty_schema)
     ranked = ranked.select("id", "q", (F.col("rk") - 1).alias("rk"))
     qtab = ranked.select("id", "q").repartition("id").persist()
 
@@ -2337,11 +2359,7 @@ def nn_descent_knn_graph(
         .select(F.col("a.id").alias("src"), F.col("nid").alias("dst"))
     )
 
-    int_dot = F.aggregate(
-        F.zip_with("q1", "q2", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    int_dot = _int_dot("q1", "q2")
     w = Window.partitionBy("src").orderBy(
         F.desc("dot"), F.asc("dst")
     )
@@ -2365,6 +2383,7 @@ def nn_descent_knn_graph(
         )
 
     cur = score_topk(cur).repartition("src").persist()
+    cur.count()  # materialize so the previous round can be released
     for _ in range(iters):
         sym = cur.select("src", "dst").union(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -2383,15 +2402,15 @@ def nn_descent_knn_graph(
         cand = nn2.union(cur.select("src", "dst")).dropDuplicates(
             ["src", "dst"]
         )
+        prev = cur
         cur = score_topk(cand).repartition("src").persist()
+        # materialize-then-release: round t reads only round t-1's
+        # CACHE (not its lineage), so dropping the old frame after the
+        # new one lands bounds storage at one live round + qtab
+        cur.count()
+        prev.unpersist()
 
-    # floor-divide the (possibly negative) dot by 1e6: Spark's `div`
-    # truncates toward zero while DuckDB's `//` floors, and they agree
-    # only on non-negative operands (round-5 engine lesson) — shift by
-    # 1e15 (>= dim*1e12 for any dim <= 1000) first, subtract 1e9 after
-    sim_ppm = F.expr(
-        "(dot + 1000000000000000L) div 1000000L - 1000000000L"
-    )
+    sim_ppm = F.expr(_SIM_PPM_SQL)
     return cur.select(
         F.col("src").alias("id"),
         F.col("dst").alias("neighbor_id"),
@@ -2429,12 +2448,17 @@ def graph_beam_search(
     """
     from pyspark.sql.window import Window
 
-    if k < 1 or beam < 1 or hops < 0:
-        raise ValueError("k, beam must be >= 1 and hops >= 0")
-    quant = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * F.lit(1_000_000.0), 0).cast("long"),
-    )
+    if k < 1 or hops < 0:
+        raise ValueError("k must be >= 1 and hops >= 0")
+    if beam <= k:
+        # the final top-k is cut from the LAST beam, and the
+        # self-match can occupy one slot — beam <= k silently
+        # under-serves to beam-1 neighbors (HNSW's ef > k rule)
+        raise ValueError("beam must exceed k")
+    # query ids absent from df are silently absent from the output
+    # (standard filter semantics — validate upstream if absence is an
+    # error in your pipeline)
+    quant = _micro_quant(vec_col)
     qtab = df.select(F.col(id_col).alias("node"), quant.alias("qv"))
     queries = (
         qtab.filter(F.col("node").isin([int(q) for q in query_ids]))
@@ -2443,11 +2467,7 @@ def graph_beam_search(
     entries = (
         qtab.select("node").orderBy("node").limit(beam).select("node")
     )
-    int_dot = F.aggregate(
-        F.zip_with("query_vec", "qv", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    int_dot = _int_dot("query_vec", "qv")
     w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("node"))
 
     def score_beam(cand: DataFrame, width: int) -> DataFrame:
@@ -2465,6 +2485,7 @@ def graph_beam_search(
     cur = score_beam(
         queries.select("qid").crossJoin(entries), beam
     ).persist()
+    cur.count()  # materialize so each hop can release the previous
     edges = graph.select(
         F.col("id").alias("node"), F.col("neighbor_id").alias("nxt")
     )
@@ -2477,11 +2498,12 @@ def graph_beam_search(
             .union(exp)
             .dropDuplicates(["qid", "node"])
         )
+        prev = cur
         cur = score_beam(cand, beam).persist()
+        cur.count()
+        prev.unpersist()
 
-    sim_ppm = F.expr(
-        "(dot + 1000000000000000L) div 1000000L - 1000000000L"
-    )
+    sim_ppm = F.expr(_SIM_PPM_SQL)
     final = (
         cur.filter(F.col("node") != F.col("qid"))
         .withColumn("rk", F.row_number().over(w))

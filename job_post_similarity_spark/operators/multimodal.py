@@ -226,13 +226,16 @@ def frame_sample(
                     continue
                 if pyav_ok:
                     try:
-                        rows.extend(
-                            (did, i, pts, fb)
-                            for i, pts, fb in _extract_frames_pyav(
-                                payload, max_frames
+                        decoded = _extract_frames_pyav(payload, max_frames)
+                        # a parseable container with ZERO decodable
+                        # video frames falls through to the stub —
+                        # the row contract guarantees >= 1 frame per
+                        # video payload in every tier
+                        if decoded:
+                            rows.extend(
+                                (did, i, pts, fb) for i, pts, fb in decoded
                             )
-                        )
-                        continue
+                            continue
                     except Exception:
                         if extractor == "pyav":
                             raise

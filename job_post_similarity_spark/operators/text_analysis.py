@@ -1468,9 +1468,14 @@ def top_ngram_char_fraction(
 ) -> DataFrame:
     """Fraction of characters occupied by the most common word n-gram
     (Gopher filters at 20%/18%/16% for n=2/3/4): occurrences × gram
-    length over canonical-text length, in ppm. Ties on count break to
-    the lexicographically smallest gram; docs with < n tokens emit
-    ppm 0 with an empty gram.
+    length over canonical-text length, in ppm — the published
+    count·len convention, which counts OVERLAPPING occurrences at
+    full gram length ('a a a a' at n=2 covers 9 of 7 chars), so the
+    raw ratio is unbounded above 1e6; the output clamps at 1e6 to
+    keep the [0, 1e6] fraction contract (the filter thresholds sit
+    far below the clamp). Ties on count break to the
+    lexicographically smallest gram; docs with < n tokens emit ppm 0
+    with an empty gram.
 
     Differs from ``top_ngram_fraction`` (occurrence SHARE of gram
     instances) — this is the character-occupancy variant Table A1
@@ -1510,9 +1515,12 @@ def top_ngram_char_fraction(
         "total_chars",
         F.when(
             (F.col("total_chars") > 0) & F.col("top_cnt").isNotNull(),
-            F.expr(
-                "coalesce(top_cnt, 0) * length(coalesce(top_gram, ''))"
-                " * 1000000 div total_chars"
+            F.least(
+                F.expr(
+                    "coalesce(top_cnt, 0) * length(coalesce(top_gram, ''))"
+                    " * 1000000 div total_chars"
+                ),
+                F.lit(1_000_000).cast("long"),
             ),
         )
         .otherwise(F.lit(0))

@@ -147,16 +147,23 @@ def _curation_stages(
         & F.col("lang_pred").isin(*langs)
         & (F.col("n_tokens") >= min_words)
     )
+    # two-step select: the 3-regex scrub is expensive and referenced
+    # twice (digest + content) — aliasing it first keeps Catalyst from
+    # evaluating it per reference (CollapseProject leaves multiply-
+    # referenced non-cheap aliases alone)
     scrubbed = kept.select(
         "doc_id",
         "lang_pred",
         "quality",
         "n_tokens",
-        F.md5(F.lower(S.scrub_pii("tc"))).alias("text_hash"),
-        # the scrubbed text itself rides along for downstream stages
-        # that need content, not just the digest (near-dup shingling
-        # in prepare_pretraining_corpus)
         F.lower(S.scrub_pii("tc")).alias("scrub_lower"),
+    ).select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        "n_tokens",
+        F.md5("scrub_lower").alias("text_hash"),
+        "scrub_lower",
     )
     deduped = preprocess.dedup_keep_first(
         scrubbed, ["text_hash"], [F.asc("doc_id")]
@@ -266,7 +273,11 @@ def prepare_pretraining_corpus(
 
     if weights is None:
         weights = {"train": 0.9, "eval": 0.1}
-    d = _curation_stages(docs, min_quality, langs, min_words)["deduped"]
+    d = (
+        _curation_stages(docs, min_quality, langs, min_words)["deduped"]
+        .repartition("doc_id")
+        .persist()
+    )  # feeds the shingle pass AND the component join — one curation scan
     mh_in = d.select("doc_id", F.col("scrub_lower").alias("text"))
     pairs = D.minhash_near_dup_pairs_oracle_tier(
         mh_in, threshold_ppm=jaccard_threshold_ppm
