@@ -2382,8 +2382,13 @@ def nn_descent_knn_graph(
             .select("src", "dst", "dot", "rn")
         )
 
-    cur = score_topk(cur).repartition("src").persist()
-    cur.count()  # materialize so the previous round can be released
+    # localCheckpoint per round: materializes AND truncates lineage,
+    # so round t's plan is a block scan, not t nested copies of every
+    # prior round (an unpersist-only release left the final lineage
+    # unshared — plan text and the eviction-recompute path grew
+    # exponentially with rounds). At cluster scale swap for
+    # checkpoint() on a reliable store if executor loss must replay.
+    cur = score_topk(cur).repartition("src").localCheckpoint()
     for _ in range(iters):
         sym = cur.select("src", "dst").union(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -2402,13 +2407,7 @@ def nn_descent_knn_graph(
         cand = nn2.union(cur.select("src", "dst")).dropDuplicates(
             ["src", "dst"]
         )
-        prev = cur
-        cur = score_topk(cand).repartition("src").persist()
-        # materialize-then-release: round t reads only round t-1's
-        # CACHE (not its lineage), so dropping the old frame after the
-        # new one lands bounds storage at one live round + qtab
-        cur.count()
-        prev.unpersist()
+        cur = score_topk(cand).repartition("src").localCheckpoint()
 
     sim_ppm = F.expr(_SIM_PPM_SQL)
     return cur.select(
@@ -2482,10 +2481,11 @@ def graph_beam_search(
             .select("qid", "node", "dot", "rn")
         )
 
+    # localCheckpoint per hop — same lineage-truncation rationale as
+    # the NN-Descent rounds (see nn_descent_knn_graph)
     cur = score_beam(
         queries.select("qid").crossJoin(entries), beam
-    ).persist()
-    cur.count()  # materialize so each hop can release the previous
+    ).localCheckpoint()
     edges = graph.select(
         F.col("id").alias("node"), F.col("neighbor_id").alias("nxt")
     )
@@ -2498,10 +2498,7 @@ def graph_beam_search(
             .union(exp)
             .dropDuplicates(["qid", "node"])
         )
-        prev = cur
-        cur = score_beam(cand, beam).persist()
-        cur.count()
-        prev.unpersist()
+        cur = score_beam(cand, beam).localCheckpoint()
 
     sim_ppm = F.expr(_SIM_PPM_SQL)
     final = (
