@@ -5218,6 +5218,271 @@ def stream_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bar_ts")
 
 
+# ---------------------------------------------------------------------
+# Round-7 cross-tier equivalence gates (VERDICT r6 item 2): each
+# rows-only PRODUCTION tier (xxhash64 / numpy-BLAS primitives that no
+# SQL engine reproduces) gets a PLANTED-DUP recall gate the driver can
+# value-hash. Mechanism: append bit-identical twins (id + 100000) of
+# the first 50 rows, run the production operator over base ∪ twins,
+# and project exactly the planted pairs it found. Identical inputs
+# collide in EVERY band/bucket DETERMINISTICALLY (equal strings hash
+# equal under xxhash64; equal vectors produce equal sign bits and an
+# exact-1.0 verify cosine), so the expected output is the full planted
+# set and the DuckDB oracle derives it from the base table alone — a
+# miss (or a verify-arithmetic drift) changes the row set and reddens
+# the hash. Precision of the verify arithmetic is separately graded by
+# the deterministic twins (minhash_banded_oracle / simhash_banded /
+# srp_rademacher, green r5/r6); these gates close the loop on the
+# PRODUCTION code path end-to-end (signature → banding → bucket join →
+# verify → canonical pair).
+# ---------------------------------------------------------------------
+
+
+_PLANT_OFFSET = 100_000
+
+
+def _planted_doc_union(spark, sf_dir, base_limit=200, n_plant=50):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < base_limit)
+    )
+    twins = docs.filter(F.col("doc_id") < n_plant).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(twins)
+
+
+def _planted_emb_union(spark, sf_dir, base_limit=400, n_plant=50):
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < base_limit)
+    )
+    twins = emb.filter(F.col("vec_id") < n_plant).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(twins)
+
+
+def _planted_pairs_only(pairs: DataFrame) -> DataFrame:
+    """Keep exactly the (orig, orig+offset) planted pairs — natural
+    near-dup pairs among the base corpus (or between an orig and a
+    DIFFERENT twin) never satisfy id2 == id1 + offset with id1 in the
+    planted range, so the projection is insensitive to fixture
+    self-similarity."""
+    return pairs.filter(
+        (F.col("id2") - F.col("id1") == _PLANT_OFFSET)
+        & (F.col("id1") < 50)
+    )
+
+
+def minhash_xxh_planted_recall_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION MinHash chain recall gate: xxhash64 signatures →
+    16-band LSH → est-Jaccard ≥ 0.9 → exact n-gram-Jaccard verify
+    (the ``minhash_verified_documents`` chain) over base ∪ planted
+    twins. Identical texts share every shingle ⇒ every signature lane
+    ⇒ every band bucket; est and true Jaccard are exactly 1.0 — all
+    50 planted pairs MUST surface with jaccard_x10000 = 10000. The
+    driver hash thus grades the rows-only xxhash tier end-to-end
+    against a closed-form oracle (VERDICT r6 item 2)."""
+    docs = _planted_doc_union(spark, sf_dir)
+    cand = dedup.minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, ngram=2,
+        jaccard_threshold=0.9,
+    )
+    verified = dedup.ngram_jaccard_on_pairs(
+        cand, docs, "doc_id", "text", n=2, threshold=0.9
+    )
+    return (
+        _planted_pairs_only(verified)
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("jaccard") * 10000).cast("long").alias(
+                "jaccard_x10000"
+            ),
+        )
+        .orderBy("id1")
+    )
+
+
+def minhash_auto_planted_recall_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION MinHash at PLANNER-chosen banding
+    (``minhash_parameter_plan``) — planted-twin recall over the same
+    union slice. Identical shingle sets collide under ANY (hashes,
+    bands) plan the solver picks, so the expected planted set is
+    knob-independent: the gate stays green across planner retunes
+    while still executing the exact production code path
+    (rows-only twin: ``minhash_near_dup_auto_documents``)."""
+    docs = _planted_doc_union(spark, sf_dir)
+    pairs = dedup.minhash_near_dup_pairs_auto(
+        docs, "doc_id", "text", jaccard_threshold=0.8, ngram=2
+    )
+    return (
+        _planted_pairs_only(pairs)
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("est_jaccard") * 10000).cast("long").alias(
+                "est_jaccard_x10000"
+            ),
+        )
+        .orderBy("id1")
+    )
+
+
+def simhash_xxh_planted_recall_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION SimHash (xxhash64 token hashes) planted-twin recall:
+    identical token multisets vote identically on all 64 bits ⇒
+    hamming 0 ≤ max_dist ⇒ every planted pair surfaces through the
+    4-chunk pigeonhole blocking (rows-only twin:
+    ``simhash_near_dup_xxh_documents``)."""
+    docs = _planted_doc_union(spark, sf_dir)
+    pairs = dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3, bands=4
+    )
+    return (
+        _planted_pairs_only(pairs)
+        .select("id1", "id2", "hamming")
+        .orderBy("id1")
+    )
+
+
+def srp_fixed_planted_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION banded SRP-LSH (numpy-BLAS sign bits, fixed knobs)
+    planted-twin recall: equal vectors project to equal floats (same
+    BLAS expression, same inputs) ⇒ identical sign bits in every band
+    ⇒ the bucket join proposes all 50 planted pairs; the exact-dot
+    verify scores them 1.0 (round-4dp stable) (rows-only twin:
+    ``srp_lsh_similarity_pairs_fixed``)."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = _planted_emb_union(spark, sf_dir)
+    pairs = ann.srp_lsh_similarity_join(
+        emb, "vec_id", "embedding", threshold=0.9,
+        bits_per_band=4, num_bands=24,
+    )
+    return (
+        _planted_pairs_only(pairs)
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("similarity") * 10000).cast("long").alias(
+                "sim_x10000"
+            ),
+        )
+        .orderBy("id1")
+    )
+
+
+def srp_auto_planted_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION banded SRP-LSH at the PLANNER operating point
+    (``srp_parameter_plan``) — planted-twin recall. Knob-independent
+    expected set (equal vectors collide under any banding), so the
+    gate survives planner retunes while driving the production
+    facade path (rows-only twin: ``srp_lsh_similarity_pairs_auto``)."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = _planted_emb_union(spark, sf_dir)
+    pairs = ann.srp_lsh_similarity_join(
+        emb, "vec_id", "embedding", threshold=0.9, bits_per_band="auto"
+    )
+    return (
+        _planted_pairs_only(pairs)
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("similarity") * 10000).cast("long").alias(
+                "sim_x10000"
+            ),
+        )
+        .orderBy("id1")
+    )
+
+
+def ivf_pairs_planted_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION IVF pair join planted-twin recall: a twin vector is
+    bit-identical to its original, so the coarse-quantizer argmax
+    (same BLAS expression + stable tie-break) assigns both to the SAME
+    bucket even at n_probe=1 — the within-bucket join must propose the
+    pair and the exact verify scores 1.0 (rows-only twin:
+    ``ivf_similarity_pairs``)."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = _planted_emb_union(spark, sf_dir)
+    pairs = ann.ivf_similarity_join(
+        emb, "vec_id", "embedding", threshold=0.9,
+        n_centroids=16, n_probe=1,
+    )
+    return (
+        _planted_pairs_only(pairs)
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("similarity") * 10000).cast("long").alias(
+                "sim_x10000"
+            ),
+        )
+        .orderBy("id1")
+    )
+
+
+def bpe_train_local_graded_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-local BPE trainer, oracle-graded: the local merge loop
+    (rows-only as ``bpe_train_local_documents``) emits the same first
+    3 merges as the distributed trainer, so the distributed trainer's
+    unrolled-CTE oracle grades the LOCAL tier directly — a cross-tier
+    equivalence proof, not just a property test (VERDICT r6 item 2)."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=3)
+    return spark.createDataFrame(
+        [(i + 1, left, right) for i, (left, right) in enumerate(merges)],
+        "step int, sym_left string, sym_right string",
+    ).orderBy("step")
+
+
+def bpe_encode_udf_graded_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arrow-batched pandas-UDF BPE ENCODER, oracle-graded: encode the
+    corpus with ``bpe_apply`` (the greedy rank-ordered merge loop —
+    rows-only as ``bpe_encode_documents``) using the distributed
+    trainer's 3 merges; the replace-chain replay oracle
+    (``bpe_train_encode_documents``'s SQL) grades the UDF tier's
+    per-doc token counts value-for-value."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_apply,
+        bpe_train_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mrows = sorted(
+        bpe_train_distributed(docs, num_merges=3).collect(),
+        key=lambda r: r["step"],
+    )
+    merges = [(r["sym_left"], r["sym_right"]) for r in mrows]
+    return bpe_apply(docs, merges).orderBy("doc_id")
+
+
 # Round-5 graded window (driver grades exactly the FIRST 50 queries()
 # entries). Composition: the 3 round-4 erred gates (array outputs the
 # driver canon couldn't hash — now comma-joined strings) for re-grade,
@@ -5226,6 +5491,67 @@ def stream_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # additions — run tools/plan_rotation.py for the live count) queue for
 # round 6; every entry parked at 51+ is green in
 # CORRECTNESS_r01∪r02∪r03∪r04.
+_R7_WINDOW: tuple[str, ...] = (
+    # 11 never-graded staged gates (the full r6 _PENDING_ORACLES queue;
+    # their SQL is promoted from _PENDING_ORACLES by the loop below)
+    "sql_pipe_syntax_revenue",
+    "tokenizer_fertility_documents",
+    "pretraining_corpus_documents",
+    "multimodal_resize_oracle_documents",
+    "multimodal_frames_oracle_documents",
+    "nn_descent_graph_embeddings",
+    "graph_beam_search_embeddings",
+    "dup_lines_documents",
+    "top_ngram_char_documents",
+    "dup_ngram_coverage_documents",
+    "stream_running_counts_events",
+    # 8 round-7 cross-tier equivalence gates (never-graded, new this
+    # round — VERDICT r6 item 2)
+    "minhash_xxh_planted_recall_documents",
+    "minhash_auto_planted_recall_documents",
+    "simhash_xxh_planted_recall_documents",
+    "srp_fixed_planted_recall_embeddings",
+    "srp_auto_planted_recall_embeddings",
+    "ivf_pairs_planted_recall_embeddings",
+    "bpe_train_local_graded_documents",
+    "bpe_encode_udf_graded_documents",
+    # 31 rotated prior-green canaries (tools/plan_rotation.py --round 7:
+    # sorted by md5("r7:<name>") so every oracle-backed entry is
+    # re-graded within a few rounds — VERDICT r6 item 6)
+    "q13_customer_distribution",
+    "resample_ffill_events",
+    "mrl_search_embeddings",
+    "label_propagation_parts",
+    "strip_html_documents",
+    "similarity_pairs_flagship",
+    "winsorize_events",
+    "event_user_set_ops",
+    "normalize_unicode_documents",
+    "pack_sequences_documents",
+    "q1_pricing_summary",
+    "curriculum_shards_documents",
+    "quality_ensemble_documents",
+    "q20_heavy_part_shippers",
+    "stream_enrich_events",
+    "gopher_quality_documents",
+    "l2_cosine_conversion",
+    "kfold_assign_documents",
+    "dedup_clusters_documents",
+    "ivf_recall_vs_exact",
+    "bloom_decontaminate_documents",
+    "quantile_profile_lineitem",
+    "minhash_banded_oracle_documents",
+    "embedding_norms",
+    "ngram_jaccard_documents",
+    "chunk_documents",
+    "funnel_conversion_events",
+    "stream_ohlc_events",
+    "fim_transform_documents",
+    "preprocess_jobs_pipeline",
+    "doc_fingerprint_documents",
+)
+
+
 _R6_WINDOW: tuple[str, ...] = (
     # 38 never-graded staged gates (tools/plan_rotation.py order —
     # their SQL is promoted from _PENDING_ORACLES by the loop below)
@@ -5344,15 +5670,15 @@ _R5_WINDOW: tuple[str, ...] = (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
-    FIRST 50 dict entries per round. Round 6 applies _R6_WINDOW (38
-    never-graded staged gates in plan_rotation order + the 6 r1
-    rows-only names repointed at deterministic oracle tiers + 6
-    prior-green canaries) on top of the prior ordering: window members
-    first, everything else keeps its prior relative order. Every
-    oracle-backed entry parked at 51+ is green in some prior round's
-    CORRECTNESS file (machine-checked by tools/check_oracles + the
-    verify skill's window invariant); rows-only (no-oracle) tiers
-    trail."""
+    FIRST 50 dict entries per round. Round 7 applies _R7_WINDOW (the
+    never-graded staged gates in plan_rotation order + rotated
+    prior-green canaries chosen by md5("r7:<name>") — the rotation
+    policy re-grades every oracle-backed entry within a few rounds)
+    on top of the prior ordering: window members first, everything
+    else keeps its prior relative order. Every oracle-backed entry
+    parked at 51+ is green in some prior round's CORRECTNESS file
+    (machine-checked by tools/check_oracles + the verify skill's
+    window invariant); rows-only (no-oracle) tiers trail."""
     base = {
         # ===== round-4 base ordering (reordered by _R5_WINDOW below) =====
         # never-graded gates new this session:
@@ -5646,8 +5972,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_twin_documents": embed_twin_documents,
         "quality_filter_twin_documents": quality_filter_twin_documents,
         "quality_ensemble_documents": quality_ensemble_documents,
+        # -- round-7 cross-tier equivalence gates (VERDICT r6 item 2) --
+        "minhash_xxh_planted_recall_documents":
+            minhash_xxh_planted_recall_documents,
+        "minhash_auto_planted_recall_documents":
+            minhash_auto_planted_recall_documents,
+        "simhash_xxh_planted_recall_documents":
+            simhash_xxh_planted_recall_documents,
+        "srp_fixed_planted_recall_embeddings":
+            srp_fixed_planted_recall_embeddings,
+        "srp_auto_planted_recall_embeddings":
+            srp_auto_planted_recall_embeddings,
+        "ivf_pairs_planted_recall_embeddings":
+            ivf_pairs_planted_recall_embeddings,
+        "bpe_train_local_graded_documents":
+            bpe_train_local_graded_documents,
+        "bpe_encode_udf_graded_documents":
+            bpe_encode_udf_graded_documents,
     }
-    out = {k: base[k] for k in _R6_WINDOW}
+    out = {k: base[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -9802,9 +10145,14 @@ def oracle_sql() -> dict[str, str]:
     # window: a gate entering the window moves from _PENDING_ORACLES
     # into oracle_sql() and stays registered afterwards (the
     # parked-at-51+ entries remain prior-green).
-    for _k in _R5_WINDOW + _R6_WINDOW:
+    for _k in _R5_WINDOW + _R6_WINDOW + _R7_WINDOW:
         if _k not in out and _k in _PENDING_ORACLES:
             out[_k] = _PENDING_ORACLES[_k]
+    # r7 cross-tier equivalence alias: the pandas-UDF BPE encoder is
+    # graded by the SAME replace-chain replay as the expr-chain gate
+    # (bpe_apply == bpe_encode_expr is the equivalence claim; both
+    # produce (doc_id, n_bpe_tokens) from the 3 distributed merges).
+    out["bpe_encode_udf_graded_documents"] = out["bpe_train_encode_documents"]
     return out
 
 
@@ -11404,3 +11752,59 @@ def _graph_beam_search_oracle(
 
 
 _PENDING_ORACLES["graph_beam_search_embeddings"] = _graph_beam_search_oracle()
+
+
+# ---------------------------------------------------------------------
+# Round-7 cross-tier equivalence oracles (VERDICT r6 item 2): the
+# planted-twin gates' expected output is closed-form — exactly the 50
+# (orig, orig + 100000) pairs with the exact verify metric identical
+# inputs must produce (Jaccard/cosine 1.0, Hamming 0). Every doc has
+# ≥ 10 tokens and ids 0..49 exist at every SF (checked across
+# sf0.001/0.01/0.1), so no planted pair can vanish in the n-gram or
+# banding stages for data reasons; a red hash therefore isolates a
+# production-tier recall or verify-arithmetic defect.
+# ---------------------------------------------------------------------
+_PENDING_ORACLES.update({
+    "minhash_xxh_planted_recall_documents": """
+        SELECT doc_id AS id1, doc_id + 100000 AS id2,
+               10000::BIGINT AS jaccard_x10000
+        FROM documents WHERE doc_id < 50 ORDER BY id1
+    """,
+    "minhash_auto_planted_recall_documents": """
+        SELECT doc_id AS id1, doc_id + 100000 AS id2,
+               10000::BIGINT AS est_jaccard_x10000
+        FROM documents WHERE doc_id < 50 ORDER BY id1
+    """,
+    "simhash_xxh_planted_recall_documents": """
+        SELECT doc_id AS id1, doc_id + 100000 AS id2,
+               0 AS hamming
+        FROM documents WHERE doc_id < 50 ORDER BY id1
+    """,
+    "srp_fixed_planted_recall_embeddings": """
+        SELECT vec_id AS id1, vec_id + 100000 AS id2,
+               10000::BIGINT AS sim_x10000
+        FROM embeddings WHERE vec_id < 50 ORDER BY id1
+    """,
+    "srp_auto_planted_recall_embeddings": """
+        SELECT vec_id AS id1, vec_id + 100000 AS id2,
+               10000::BIGINT AS sim_x10000
+        FROM embeddings WHERE vec_id < 50 ORDER BY id1
+    """,
+    "ivf_pairs_planted_recall_embeddings": """
+        SELECT vec_id AS id1, vec_id + 100000 AS id2,
+               10000::BIGINT AS sim_x10000
+        FROM embeddings WHERE vec_id < 50 ORDER BY id1
+    """,
+})
+
+# The local BPE trainer is graded by the distributed trainer's
+# unrolled-CTE replay (merge equality IS the equivalence claim; the
+# distributed gate additionally grades pair_count).
+_PENDING_ORACLES["bpe_train_local_graded_documents"] = f"""
+    WITH {_BPE_TRAIN_CTES}
+    SELECT * FROM (
+        SELECT 1 AS step, l AS sym_left, r AS sym_right FROM m0
+        UNION ALL SELECT 2, l, r FROM m1
+        UNION ALL SELECT 3, l, r FROM m2)
+    ORDER BY step
+"""

@@ -11,21 +11,32 @@ current registry + CORRECTNESS history:
 1. never-graded oracle-backed gates (including _PENDING_ORACLES,
    whose SQL must move into oracle_sql() when they enter the window)
    — window priority, oldest-staged first;
-2. prior-green canaries fill any window slack;
+2. prior-green canaries fill any window slack — ROTATED: the slack
+   canaries are the prior-green gates sorted by
+   md5(f"r{round}:{name}"), so WHICH gates get re-graded changes
+   deterministically every round and every oracle-backed entry is
+   re-graded within a handful of rounds (drift insurance; VERDICT r6
+   item 6). Pass ``--round N`` (default: next CORRECTNESS_r index).
 3. everything else keeps relative order.
 
 Prints the plan; ``--emit-order`` prints the full python list literal
 to paste into queries().
 
-Usage: python tools/plan_rotation.py [--emit-order]
+Usage: python tools/plan_rotation.py [--round N] [--emit-order]
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import sys
+
+
+def canary_sort_key(round_no: int, name: str) -> str:
+    """Deterministic per-round shuffle key for canary selection."""
+    return hashlib.md5(f"r{round_no}:{name}".encode()).hexdigest()
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -38,8 +49,14 @@ def main() -> int:
     oracles = set(m.oracle_sql())
     pending = list(m._PENDING_ORACLES)
     graded: set = set()
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    correctness_files = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    for f in correctness_files:
         graded |= set(json.load(open(f)))
+
+    round_no = len(correctness_files) + 1
+    if "--round" in sys.argv:
+        round_no = int(sys.argv[sys.argv.index("--round") + 1])
 
     never_graded = [
         q for q in queries
@@ -55,7 +72,8 @@ def main() -> int:
 
     window = never_graded[:50]
     slack = 50 - len(window)
-    canaries = prior_green[:slack] if slack > 0 else []
+    rotated = sorted(prior_green, key=lambda q: canary_sort_key(round_no, q))
+    canaries = rotated[:slack] if slack > 0 else []
     rest = (
         never_graded[50:]
         + [q for q in prior_green if q not in canaries]
@@ -68,9 +86,11 @@ def main() -> int:
     print(f"queries: {len(queries)}  oracle-backed: "
           f"{len(backed)} ({len(set(pending) - oracles)} staged-only)  "
           f"graded-green history: {len(graded & set(queries))}")
+    print(f"round: {round_no} (canary rotation key = "
+          f"md5('r{round_no}:<name>'))")
     print(f"never-graded oracle gates: {len(never_graded)}")
     print(f"  -> window: {len(window)} never-graded"
-          f" + {len(canaries)} canaries")
+          f" + {len(canaries)} rotated canaries")
     overflow = never_graded[50:]
     if overflow:
         print(f"  !! {len(overflow)} never-graded gates OVERFLOW the "
