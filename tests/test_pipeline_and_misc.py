@@ -408,11 +408,16 @@ def test_frame_sample_extractor_tiers(documents):
             multimodal.frame_sample(media, extractor="pyav").collect()
 
 
+@pytest.mark.extras
 def test_frame_sample_pyav_real_extraction(spark):
     """REAL PyAV extraction over an in-memory 6-frame video (skips
     where PyAV is absent): ≤4 evenly-spaced DECODED frames, each
     frame_bytes = raw 8x8 grayscale pixels, offsets = pts."""
-    av = pytest.importorskip("av")
+    av = pytest.importorskip(
+        "av",
+        reason="PyAV absent — extras lane: pip install -r "
+        "requirements-extras.txt && pytest -m extras",
+    )
     import io
 
     import numpy as np
@@ -626,6 +631,79 @@ def test_stream_near_dup_finds_cross_batch_pairs(spark, tmp_path):
     got = {(r["id1"], r["id2"]) for r in pairs.collect()}
     assert (1, 3) in got          # cross-batch duplicate caught
     assert (1, 2) not in got      # unrelated pair not emitted
+
+
+def test_stream_near_dup_auto_planner_knobs(spark, tmp_path):
+    """bands='auto' provisions the signature store with the
+    minhash_parameter_plan knobs (VERDICT r6 item 5): cross-batch
+    planted dup still caught, the plan is persisted with the store,
+    and a later batch with CONFLICTING explicit knobs is rejected
+    (mixed signature widths cannot join)."""
+    import json
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from job_post_similarity_spark.operators.dedup import (
+        minhash_parameter_plan,
+    )
+    from job_post_similarity_spark.streaming import stream_near_dup_minhash
+    from job_post_similarity_spark.streaming.stream_ops import (
+        incremental_near_dup_minhash_batch,
+    )
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": [text_a, "one two three four five six"]}
+    ).to_parquet(os.path.join(src, "b0.parquet"))
+    pd.DataFrame(
+        {"doc_id": [3], "text": [text_a]}
+    ).to_parquet(os.path.join(src, "b1.parquet"))
+
+    store = str(tmp_path / "store_auto")
+    pairs = stream_near_dup_minhash(
+        spark, src, store, ngram=2, jaccard_threshold=0.5,
+        bands="auto", planner_n_rows=100_000,
+    )
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (1, 3) in got
+
+    # the persisted plan matches the planner's solution
+    with open(os.path.join(store, "plan.json")) as fh:
+        stored = json.load(fh)
+    plan = minhash_parameter_plan(100_000, 0.5)
+    assert stored == {
+        "num_hashes": plan["num_hashes"],
+        "num_bands": plan["num_bands"],
+    }
+
+    # a follow-up batch reuses the stored plan (auto, no n needed) —
+    # same-mode append with the batch API: the planted dup of doc 2
+    # is caught against the accumulated store
+    b2 = spark.createDataFrame(
+        [(5, "one two three four five six")], "doc_id long, text string"
+    )
+    out = incremental_near_dup_minhash_batch(
+        b2, store, ngram=2, jaccard_threshold=0.5, bands="auto"
+    )
+    assert (2, 5) in {(r["id1"], r["id2"]) for r in out.collect()}
+
+    # conflicting explicit knobs are rejected
+    with pytest.raises(ValueError, match="provisioned"):
+        incremental_near_dup_minhash_batch(
+            b2, store, num_hashes=8, bands=2,
+            ngram=2, jaccard_threshold=0.5,
+        )
+
+    # 'auto' without a target corpus size on a FRESH store is an error
+    with pytest.raises(ValueError, match="planner_n_rows"):
+        incremental_near_dup_minhash_batch(
+            b2, str(tmp_path / "store_fresh"), bands="auto",
+            ngram=2, jaccard_threshold=0.5,
+        )
 
 
 def test_vector_search_class_api(spark, embeddings, tmp_path):
@@ -945,11 +1023,16 @@ def test_multimodal_decoder_validation(documents):
         multimodal.resize_images(media, decoder="bogus")
 
 
+@pytest.mark.extras
 def test_multimodal_pil_real_decode(spark):
     """REAL Pillow decode over a hand-assembled 1x1 PNG (skips where
     Pillow is absent): width/height come from the image header, the
     feature from actual pixel values."""
-    pytest.importorskip("PIL")
+    pytest.importorskip(
+        "PIL",
+        reason="Pillow absent — extras lane: pip install -r "
+        "requirements-extras.txt && pytest -m extras",
+    )
     import pandas as pd
 
     from job_post_similarity_spark.operators import multimodal

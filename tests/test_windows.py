@@ -454,6 +454,7 @@ def test_state_store_reader_matches_aggregate(spark, tmp_path):
     assert md and md[0]["operatorName"] == "stateStoreSave"
 
 
+@pytest.mark.extras
 def test_tws_running_counts_env_gated(spark, sf_dir):
     """transformWithStateInPandas twin: equals the batch groupBy when
     protobuf is present; raises the documented ImportError when not
@@ -470,7 +471,10 @@ def test_tws_running_counts_env_gated(spark, sf_dir):
     if not tws_available():
         with pytest.raises(ImportError, match="protobuf"):
             stream_running_counts_tws(spark, sf_dir)
-        pytest.skip("google.protobuf absent — TWS path env-blocked")
+        pytest.skip(
+            "google.protobuf absent — extras lane: pip install -r "
+            "requirements-extras.txt && pytest -m extras"
+        )
     got = {
         r["event_type"]: r["cnt"]
         for r in stream_running_counts_tws(spark, sf_dir).collect()
