@@ -53,6 +53,17 @@ class VectorSearch:
         self.vec_col = vec_col
         self._df: DataFrame | None = None
         self._spark = spark
+        # memoized NN-Descent graph for the HNSW* serving tier —
+        # built on first search, reused across query batches (the
+        # build is the expensive half), invalidated by any mutation
+        self._graph: DataFrame | None = None
+
+    def _invalidate_graph(self) -> None:
+        """Drop the memoized HNSW-tier graph after any index mutation
+        (add/load/remove) — the next search rebuilds it."""
+        if self._graph is not None:
+            self._graph.unpersist()
+            self._graph = None
 
     # -------------------------------------------------- build surface
 
@@ -67,6 +78,7 @@ class VectorSearch:
         require_embedding_dim(df, self.vec_col, self.dimension)
         self._df = df if self._df is None else self._df.unionByName(df)
         self._spark = df.sparkSession
+        self._invalidate_graph()
 
     def add_arrays(self, embeddings, ids) -> None:
         """numpy-compat shim for reference-style callers
@@ -92,9 +104,14 @@ class VectorSearch:
         assert self._df is not None, "index is empty — add() first"
         d = self.index_description.strip().lower()
         if d.startswith("hnsw"):
+            if self._graph is None:
+                self._graph = ann.nn_descent_knn_graph(
+                    self._df, self.id_col, self.vec_col
+                ).persist()
             return ann.graph_topk_search(
                 queries, self._df, k=k,
                 id_col=self.id_col, vec_col=self.vec_col,
+                graph=self._graph,
             )
         if d == "flat" or self.ntotal < 10_000:
             return knn.knn_join(
@@ -145,6 +162,7 @@ class VectorSearch:
         df = self._spark.read.parquet(index_path)
         require_embedding_dim(df, self.vec_col, self.dimension)
         self._df = df
+        self._invalidate_graph()
 
     @property
     def ntotal(self) -> int:
@@ -156,3 +174,4 @@ class VectorSearch:
         app/vector_search_cpu.py:157-175) — trivial here."""
         assert self._df is not None
         self._df = knn.remove_vectors(self._df, self.id_col, ids)
+        self._invalidate_graph()
