@@ -1121,7 +1121,7 @@ def graph_recall_vs_exact_embeddings(
     """Closed-loop GRAPH-INDEX serving benchmark at SF scale (VERDICT
     r6 item 4; the reference default is HNSW32, app/main.py:47):
     NN-Descent builds the k=8 graph over a CLUSTERED corpus derived
-    deterministically from the embeddings table (32 contiguous-id
+    deterministically from the embeddings table (32 contiguous-RANK
     clusters: +2.0 on dimension c before renorm — the graph tier's
     documented regime, like IVF; random unit vectors admit no
     navigable structure), then ``graph_beam_search`` serves 50
@@ -1134,24 +1134,50 @@ def graph_recall_vs_exact_embeddings(
     import math
 
     from job_post_similarity_spark.operators import ann
+    from job_post_similarity_spark.operators.windows import (
+        global_rank_with_total,
+    )
 
     raw = load_table(spark, sf_dir, "embeddings")
-    n = raw.count()
+    # rank-based clusters/entries/queries so the gate is id-LAYOUT
+    # independent (identical to an id stride on the consecutive-id
+    # driver fixtures; still a real 32-cluster workload on the
+    # key-shifted synthetic sf1x corpus in tools/scale_curve.py)
+    ranked, n = global_rank_with_total(
+        raw.select("vec_id", "embedding"), [F.col("vec_id")], out_col="rk"
+    )
     n_clusters = 32
     step = math.ceil(n / n_clusters)
-    c = (F.col("vec_id") / F.lit(step)).cast("int")
+    c = ((F.col("rk") - 1) / F.lit(step)).cast("int")
     arr = F.col("embedding").cast("array<double>")
     v2 = F.transform(
         arr,
         lambda x, i: x + F.when(i == c, F.lit(2.0)).otherwise(F.lit(0.0)),
     )
     norm = F.sqrt(F.aggregate(v2, F.lit(0.0), lambda a, x: a + x * x))
-    emb = raw.select(
-        "vec_id", F.transform(v2, lambda x: x / norm).alias("embedding")
-    )
+    clustered = ranked.select(
+        "vec_id",
+        "rk",
+        F.transform(v2, lambda x: x / norm).alias("embedding"),
+    ).persist()  # feeds graph build, entry/query picks, and scoring
+    emb = clustered.select("vec_id", "embedding")
     graph = ann.nn_descent_knn_graph(emb, k=8, iters=3)
-    entries = [cc * step for cc in range(n_clusters) if cc * step < n]
-    qids = [i * (n // 50) for i in range(50)]
+    # bounded collects: 32 entry ids + 50 query ids (driver scalars)
+    entries = [
+        r["vec_id"]
+        for r in clustered.filter(
+            (F.col("rk") - 1) % step == 0
+        ).select("vec_id").collect()
+    ]
+    qstep = max(1, n // 50)
+    qids = [
+        r["vec_id"]
+        for r in clustered.filter((F.col("rk") - 1) % qstep == 0)
+        .orderBy("rk")
+        .limit(50)
+        .select("vec_id")
+        .collect()
+    ]
     served = ann.graph_beam_search(
         emb, graph, qids, k=1, beam=40, hops=4, entries=entries
     )
