@@ -4928,6 +4928,53 @@ def minhash_banded_oracle_documents(
     )
 
 
+def fuzzy_decontaminate_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-corpus fuzzy decontamination (near-dup complement of the
+    exact n-gram / Bloom decontamination tiers): training docs (even
+    doc_id < 200) within banded-MinHash reach of a benchmark doc (odd
+    doc_id < 200), exact-Jaccard-verified at ≥ 0.3. Within-corpus
+    pairs are never generated — only the train×bench band join. md5
+    deterministic tier, every step SQL-replayable. (Oracle staged in
+    _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.dedup import (
+        cross_near_dup_pairs_oracle_tier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    bench = docs.filter(F.col("doc_id") % 2 == 1)
+    return cross_near_dup_pairs_oracle_tier(
+        corpus, bench, threshold_ppm=300_000
+    )
+
+
+def fuzzy_decontaminate_apply_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The APPLY step of fuzzy decontamination: the training corpus
+    (even doc_id < 200) with every near-dup-of-benchmark doc dropped
+    (left-anti on the pair gate above) — what actually ships to
+    training. (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators.dedup import (
+        fuzzy_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    bench = docs.filter(F.col("doc_id") % 2 == 1)
+    return (
+        fuzzy_decontaminate(corpus, bench, threshold_ppm=300_000)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def simhash_banded_oracle_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5632,7 +5679,10 @@ _R7_WINDOW: tuple[str, ...] = (
     "bpe_encode_udf_graded_documents",
     # the graph-index closed-loop serving gate (VERDICT r6 item 4)
     "graph_recall_vs_exact_embeddings",
-    # 30 rotated prior-green canaries (tools/plan_rotation.py --round 7:
+    # cross-corpus fuzzy decontamination (near-dup train-vs-benchmark)
+    "fuzzy_decontaminate_documents",
+    "fuzzy_decontaminate_apply_documents",
+    # 28 rotated prior-green canaries (tools/plan_rotation.py --round 7:
     # sorted by md5("r7:<name>") so every oracle-backed entry is
     # re-graded within a few rounds — VERDICT r6 item 6)
     "q13_customer_distribution",
@@ -5663,8 +5713,6 @@ _R7_WINDOW: tuple[str, ...] = (
     "chunk_documents",
     "funnel_conversion_events",
     "stream_ohlc_events",
-    "fim_transform_documents",
-    "preprocess_jobs_pipeline",
 )
 
 
@@ -6110,6 +6158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bpe_encode_udf_graded_documents,
         "graph_recall_vs_exact_embeddings":
             graph_recall_vs_exact_embeddings,
+        "fuzzy_decontaminate_documents": fuzzy_decontaminate_documents,
+        "fuzzy_decontaminate_apply_documents":
+            fuzzy_decontaminate_apply_documents,
     }
     out = {k: base[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -6764,7 +6815,7 @@ _PENDING_ORACLES: dict[str, str] = {
         -- the Spark oracle tier
         WITH d AS (
             SELECT doc_id,
-                   string_split_regex(trim(text), '\\s+') AS toks
+                   string_split_regex(trim(text), '\s+') AS toks
             FROM documents WHERE doc_id < 200),
         sh AS (
             SELECT doc_id,
@@ -11943,4 +11994,84 @@ _PENDING_ORACLES["graph_recall_vs_exact_embeddings"] = """
     SELECT 50::BIGINT AS n_queries,
            900000::BIGINT AS recall_floor_ppm,
            true AS floor_met
+"""
+
+# Cross-corpus fuzzy decontamination (round 7): the md5 tier's banding
+# chain with side-parity filters — banding is per-doc, so banding the
+# union then keeping only even×odd candidates replays the two-corpus
+# operator exactly. The apply gate anti-joins the contaminated ids.
+_FUZZY_DECON_CTES = f"""
+        d AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE doc_id < 200),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) >= 3 THEN
+                       list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + 2), ' '))
+                       ELSE [] END) AS g
+            FROM d),
+        shf AS (SELECT doc_id, g FROM sh WHERE len(g) > 0),
+        codes AS (
+            SELECT doc_id, g,
+                   list_transform(g, s ->
+                       CAST(concat('0x', substr(md5(s), 1, 14))
+                            AS BIGINT) % 2147483647) AS cs
+            FROM shf),
+        sig AS (
+            SELECT doc_id, g,
+                   list_transform({_minhash_coeffs_sql()},
+                       ab -> list_min(list_transform(cs,
+                           x -> (x * ab.a + ab.b) % 2147483647)))
+                       AS sg
+            FROM codes),
+        banded AS (
+            SELECT doc_id, b AS band,
+                   array_to_string(
+                       list_slice(sg, b * 4 + 1, b * 4 + 4), '-')
+                       AS key
+            FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS bench_id
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.key = y.key
+            WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1),
+        ex AS (SELECT doc_id AS gid, unnest(g) AS s FROM shf),
+        inter AS (
+            SELECT c.corpus_id, c.bench_id, count(*) AS n_inter
+            FROM cands c
+            JOIN ex a ON a.gid = c.corpus_id
+            JOIN ex b ON b.gid = c.bench_id AND a.s = b.s
+            GROUP BY c.corpus_id, c.bench_id),
+        sizes AS (SELECT doc_id AS gid, len(g) AS n FROM shf),
+        j AS (
+            SELECT c.corpus_id, c.bench_id,
+                   (1000000 * coalesce(i.n_inter, 0))
+                   // (s1.n + s2.n - coalesce(i.n_inter, 0))
+                       AS jaccard_ppm
+            FROM cands c
+            LEFT JOIN inter i
+              ON i.corpus_id = c.corpus_id AND i.bench_id = c.bench_id
+            JOIN sizes s1 ON s1.gid = c.corpus_id
+            JOIN sizes s2 ON s2.gid = c.bench_id),
+        hits AS (
+            SELECT corpus_id, bench_id, jaccard_ppm FROM j
+            WHERE jaccard_ppm >= 300000)
+"""
+
+_PENDING_ORACLES["fuzzy_decontaminate_documents"] = f"""
+    WITH {_FUZZY_DECON_CTES}
+    SELECT corpus_id, bench_id, jaccard_ppm FROM hits
+    ORDER BY corpus_id, bench_id
+"""
+
+_PENDING_ORACLES["fuzzy_decontaminate_apply_documents"] = f"""
+    WITH {_FUZZY_DECON_CTES}
+    SELECT doc_id FROM documents
+    WHERE doc_id < 200 AND doc_id % 2 = 0
+      AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.corpus_id = doc_id)
+    ORDER BY doc_id
 """

@@ -1657,6 +1657,197 @@ def minhash_near_dup_pairs_oracle_tier(
     )
 
 
+def _md5_banded_sig_tables(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    ngram: int,
+    seed: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared md5-tier building block: (shingle table, banded key
+    table) with the exact signature schedule of
+    ``minhash_near_dup_pairs_oracle_tier`` (and its DuckDB replay).
+    Both frames are persisted — the shingle chain is the expensive
+    subtree and feeds signature + verify; the band table feeds the
+    candidate join key-partitioned."""
+    c = F.col(text_col)
+    shg = (
+        df.select(F.col(id_col).alias("id"), word_ngrams(c, ngram).alias("g"))
+        .filter(F.size("g") > 0)
+        .repartition("id")
+        .persist()
+    )
+    codes = F.transform(
+        F.col("g"),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long"),
+            F.lit(_MOD),
+        ),
+    )
+    coeffs = F.array(
+        *[
+            F.struct(
+                F.lit((seed * 1_000_003 + i * 7_919) % _MOD or 1).alias("a"),
+                F.lit((seed * 7_907 + i * 104_729) % _MOD).alias("b"),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    init = F.array(*[F.lit(_MOD).cast("long")] * num_hashes)
+    sig = F.aggregate(
+        codes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            coeffs,
+            lambda m, ab: F.least(m, (x % _MOD * ab["a"] + ab["b"]) % _MOD),
+        ),
+    )
+    rows_per_band = num_hashes // bands
+    banded = (
+        shg.select("id", sig.alias("sig"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.element_at(
+                                        "sig", b * rows_per_band + j + 1
+                                    )
+                                    for j in range(rows_per_band)
+                                ],
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", "bk.band", "bk.key")
+        .repartition("band", "key")
+        .persist()
+    )
+    return shg, banded
+
+
+def cross_near_dup_pairs_oracle_tier(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold_ppm: int = 500_000,
+    seed: int = 1,
+) -> DataFrame:
+    """CROSS-corpus fuzzy decontamination pairs (Lee et al. 2022 §6.2
+    made near-dup-aware): training docs within banded-MinHash reach of
+    a BENCHMARK doc, verified with exact n-gram Jaccard — the
+    near-duplicate complement of the exact-n-gram / Bloom
+    decontamination tiers (``curation.contaminated_ids`` /
+    ``bloom_decontaminate``), which miss lightly-edited benchmark
+    copies. md5 deterministic tier (same signature schedule as
+    ``minhash_near_dup_pairs_oracle_tier``), so the whole operator is
+    value-hash replayable in SQL.
+
+    Scale shape: signatures are map-side per corpus; the candidate
+    join is bandedL ⋈ bandedR on (band, key) — each side shuffles its
+    OWN slim (id, band, key) triples once and the benchmark side is
+    typically tiny (broadcastable); the exact verify touches candidate
+    pairs only. Within-corpus pairs are never generated (the whole
+    point vs running the self-join tier over the union — at 100 TB
+    the train×train pair mass dwarfs train×bench).
+
+    Output: ``(corpus_id, bench_id, jaccard_ppm)`` ≥ threshold,
+    sorted.
+    """
+    shg_c, banded_c = _md5_banded_sig_tables(
+        corpus, id_col, text_col, num_hashes, bands, ngram, seed
+    )
+    shg_b, banded_b = _md5_banded_sig_tables(
+        bench, id_col, text_col, num_hashes, bands, ngram, seed
+    )
+    cands = (
+        banded_c.alias("x")
+        .join(
+            banded_b.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key")),
+        )
+        .select(
+            F.col("x.id").alias("corpus_id"),
+            F.col("y.id").alias("bench_id"),
+        )
+        .distinct()
+    )
+    ex_c = shg_c.select(F.col("id").alias("cid"), F.explode("g").alias("s"))
+    ex_b = shg_b.select(F.col("id").alias("bid"), F.explode("g").alias("s"))
+    inter = (
+        cands.join(ex_c.alias("a"), F.col("corpus_id") == F.col("a.cid"))
+        .join(
+            ex_b.alias("b"),
+            (F.col("bench_id") == F.col("b.bid"))
+            & (F.col("a.s") == F.col("b.s")),
+        )
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        cands.join(inter, ["corpus_id", "bench_id"], "left_outer")
+        .join(
+            shg_c.select(
+                F.col("id").alias("corpus_id"), F.size("g").alias("n1")
+            ),
+            "corpus_id",
+        )
+        .join(
+            shg_b.select(
+                F.col("id").alias("bench_id"), F.size("g").alias("n2")
+            ),
+            "bench_id",
+        )
+        .select(
+            "corpus_id",
+            "bench_id",
+            F.expr(
+                "CAST(1000000 * coalesce(n_inter, 0) AS BIGINT)"
+                " DIV (n1 + n2 - coalesce(n_inter, 0))"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return (
+        jac.filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .orderBy("corpus_id", "bench_id")
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_ppm: int = 500_000,
+    **knobs,
+) -> DataFrame:
+    """Drop training docs that are NEAR-duplicates of any benchmark
+    doc (``cross_near_dup_pairs_oracle_tier`` pairs → left-anti on the
+    contaminated ids) — the apply step of fuzzy decontamination."""
+    pairs = cross_near_dup_pairs_oracle_tier(
+        corpus, bench, id_col, text_col,
+        threshold_ppm=threshold_ppm, **knobs,
+    )
+    bad = pairs.select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(bad, id_col, "left_anti")
+
+
 def simhash_near_dup_pairs_oracle_tier(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -837,3 +837,40 @@ def test_minhash_auto_planted_recall(spark):
         df, jaccard_threshold=0.5, n_rows=40
     ).collect()
     assert {(r["id1"], r["id2"]) for r in out2} == found
+
+
+def test_cross_near_dup_decontamination(spark):
+    """Fuzzy decontamination: a training doc that near-duplicates a
+    BENCHMARK doc is flagged and dropped; within-corpus duplicates
+    are NOT flagged (the cross join never generates train×train or
+    bench×bench pairs); clean docs survive."""
+    from job_post_similarity_spark.operators import dedup as D
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog and runs for "
+        "a while with great energy in the morning light"
+    )
+    rows_corpus = [
+        (10, bench_text + " again"),          # near-dup of benchmark
+        (12, bench_text + " again"),          # exact dup WITHIN corpus
+        (14, "a completely different story about the sea and the wind "
+             "told in the evening for everyone to hear"),
+    ]
+    rows_bench = [(101, bench_text)]
+    corpus = spark.createDataFrame(rows_corpus, "doc_id long, text string")
+    bench = spark.createDataFrame(rows_bench, "doc_id long, text string")
+
+    pairs = D.cross_near_dup_pairs_oracle_tier(
+        corpus, bench, threshold_ppm=500_000
+    ).collect()
+    got = {(r["corpus_id"], r["bench_id"]) for r in pairs}
+    assert got == {(10, 101), (12, 101)}
+    # jaccard of the appended-token near-dup: 17/19 shingles shared
+    assert all(r["jaccard_ppm"] >= 500_000 for r in pairs)
+
+    survivors = D.fuzzy_decontaminate(
+        corpus, bench, threshold_ppm=500_000
+    ).collect()
+    assert {r["doc_id"] for r in survivors} == {14}
+    # column surface preserved by the anti-join
+    assert set(survivors[0].asDict()) == {"doc_id", "text"}
