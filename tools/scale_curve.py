@@ -190,6 +190,21 @@ def main() -> None:
         "is the regime the planner correctly refuses (recall would",
         "collapse), so its curve shows the fixed-knob cost honestly.",
         "",
+        "`pretraining_corpus_xxh_documents` note (round 7, measured):",
+        "the sf1x TEXT transform (token rotation) preserves a doc's",
+        "n-gram SET up to the wrap seam, so every original gains 9",
+        "rotated near-duplicates — the 10x step plants 10-cliques and",
+        "the whole-corpus near-dup pipeline finds 215 -> 218,283",
+        "verified pairs (measured; ~n_docs x C(10,2), exactly the",
+        "planted mass). Its sf1x exponent is therefore OUTPUT-bound:",
+        "per-verified-pair cost FELL ~75x. On a duplication-rate-",
+        "PRESERVING 10x (copy-salted tokens: same Zipf shape, zero",
+        "cross-copy shingle overlap) the pipeline's dominant stage",
+        "(xxh candidates -> exact verify -> connected components)",
+        "runs 7.7 s -> 12.2 s, exponent 0.20 — the engine-side curve.",
+        "Discovering planted duplicate mass is the operator's JOB;",
+        "the fixture, not the plan, sets that output size.",
+        "",
     ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write("\n".join(lines))
