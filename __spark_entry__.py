@@ -4975,6 +4975,43 @@ def fuzzy_decontaminate_apply_documents(
     )
 
 
+def stream_fuzzy_decontaminate_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING fuzzy decontamination (continuous-ingest twin of
+    ``fuzzy_decontaminate_documents``): the even-id training docs
+    arrive as 4 micro-batches; each batch bands + joins against the
+    STATIC benchmark signature tables (built once) and appends its
+    contaminated pairs. Every corpus doc lands in exactly one batch
+    and pairs are per-(corpus, bench), so the accumulated output
+    equals the batch operator regardless of batching — the gate
+    SHARES the batch gate's DuckDB oracle (registered as an alias in
+    oracle_sql)."""
+    import os
+    import tempfile
+
+    from job_post_similarity_spark.streaming.stream_ops import (
+        stream_fuzzy_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="gate_stream_fdecon_")
+    src = os.path.join(tmp, "src")
+    store = os.path.join(tmp, "store")
+    corpus.repartition(4).write.parquet(src)
+    out = stream_fuzzy_decontaminate(
+        spark, src, bench, store, threshold_ppm=300_000,
+        name="gate_stream_fdecon",
+    )
+    return out.select("corpus_id", "bench_id", "jaccard_ppm").orderBy(
+        "corpus_id", "bench_id"
+    )
+
+
 def simhash_banded_oracle_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5680,9 +5717,11 @@ _R7_WINDOW: tuple[str, ...] = (
     # the graph-index closed-loop serving gate (VERDICT r6 item 4)
     "graph_recall_vs_exact_embeddings",
     # cross-corpus fuzzy decontamination (near-dup train-vs-benchmark)
+    # + its continuous-ingest streaming twin
     "fuzzy_decontaminate_documents",
     "fuzzy_decontaminate_apply_documents",
-    # 28 rotated prior-green canaries (tools/plan_rotation.py --round 7:
+    "stream_fuzzy_decontaminate_documents",
+    # 27 rotated prior-green canaries (tools/plan_rotation.py --round 7:
     # sorted by md5("r7:<name>") so every oracle-backed entry is
     # re-graded within a few rounds — VERDICT r6 item 6)
     "q13_customer_distribution",
@@ -5712,7 +5751,6 @@ _R7_WINDOW: tuple[str, ...] = (
     "ngram_jaccard_documents",
     "chunk_documents",
     "funnel_conversion_events",
-    "stream_ohlc_events",
 )
 
 
@@ -6161,6 +6199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontaminate_documents": fuzzy_decontaminate_documents,
         "fuzzy_decontaminate_apply_documents":
             fuzzy_decontaminate_apply_documents,
+        "stream_fuzzy_decontaminate_documents":
+            stream_fuzzy_decontaminate_documents,
     }
     out = {k: base[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -10325,6 +10365,12 @@ def oracle_sql() -> dict[str, str]:
     # (bpe_apply == bpe_encode_expr is the equivalence claim; both
     # produce (doc_id, n_bpe_tokens) from the 3 distributed merges).
     out["bpe_encode_udf_graded_documents"] = out["bpe_train_encode_documents"]
+    # streaming fuzzy decontamination: bounded input + one-batch-per-
+    # doc partitioning make the accumulated pairs equal the batch
+    # operator exactly — same oracle
+    out["stream_fuzzy_decontaminate_documents"] = out[
+        "fuzzy_decontaminate_documents"
+    ]
     return out
 
 

@@ -1747,6 +1747,7 @@ def cross_near_dup_pairs_oracle_tier(
     ngram: int = 3,
     threshold_ppm: int = 500_000,
     seed: int = 1,
+    bench_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """CROSS-corpus fuzzy decontamination pairs (Lee et al. 2022 §6.2
     made near-dup-aware): training docs within banded-MinHash reach of
@@ -1772,9 +1773,16 @@ def cross_near_dup_pairs_oracle_tier(
     shg_c, banded_c = _md5_banded_sig_tables(
         corpus, id_col, text_col, num_hashes, bands, ngram, seed
     )
-    shg_b, banded_b = _md5_banded_sig_tables(
-        bench, id_col, text_col, num_hashes, bands, ngram, seed
-    )
+    # ``bench_tables`` lets a caller that probes MANY corpora (or
+    # micro-batches) against ONE benchmark build the benchmark's
+    # shingle/band tables once — streaming.stream_fuzzy_decontaminate
+    # passes its persisted pair here per batch
+    if bench_tables is not None:
+        shg_b, banded_b = bench_tables
+    else:
+        shg_b, banded_b = _md5_banded_sig_tables(
+            bench, id_col, text_col, num_hashes, bands, ngram, seed
+        )
     cands = (
         banded_c.alias("x")
         .join(

@@ -460,6 +460,87 @@ def stream_near_dup_minhash(
     return spark.read.parquet(pairs_path)
 
 
+def stream_fuzzy_decontaminate(
+    spark: SparkSession,
+    src_dir: str,
+    bench: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold_ppm: int = 500_000,
+    name: str = "stream_fuzzy_decon",
+):
+    """Continuous-ingest fuzzy decontamination: every micro-batch of
+    incoming training documents is banded-MinHash joined against a
+    STATIC benchmark corpus and exact-Jaccard verified — contaminated
+    (corpus_id, bench_id, jaccard_ppm) pairs append to
+    ``<store>/pairs`` as they arrive (the streaming twin of
+    ``dedup.cross_near_dup_pairs_oracle_tier``; apply-side consumers
+    anti-join their batch on the emitted corpus ids).
+
+    The benchmark's shingle + band tables are built ONCE, persisted,
+    and reused by every micro-batch (a bench set is fixed for the
+    life of the ingest; at typical benchmark sizes the band join's
+    bench side broadcasts). State lives in the lake, not the state
+    store — the store layout of the incremental MinHash dedup,
+    without its growth (the bench never grows with the stream).
+
+    Returns the accumulated pairs read back from ``<store>/pairs``.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..operators.dedup import (
+        _md5_banded_sig_tables,
+        cross_near_dup_pairs_oracle_tier,
+    )
+
+    docs_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(text_col, T.StringType()),
+        ]
+    )
+    pairs_path = os.path.join(store_dir, "pairs")
+    bench_tables = _md5_banded_sig_tables(
+        bench, id_col, text_col, num_hashes, bands, ngram, seed=1
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = cross_near_dup_pairs_oracle_tier(
+            batch_df,
+            bench,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            ngram=ngram,
+            threshold_ppm=threshold_ppm,
+            bench_tables=bench_tables,
+        )
+        out.write.mode("append").parquet(pairs_path)
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .format("parquet")
+        .option("path", src_dir)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_path)
+
+
 def incremental_near_dup_minhash_batch(
     new_docs: DataFrame,
     store_dir: str,

@@ -1469,3 +1469,58 @@ def test_python_streaming_data_source_stream_equals_batch(spark):
         .collect()
     }
     assert got == want and len(got) == 30
+
+
+def test_stream_fuzzy_decontaminate_equals_batch(spark, tmp_path):
+    """Continuous-ingest fuzzy decontamination: corpus docs arriving
+    across micro-batches are checked against the STATIC benchmark —
+    the accumulated pairs equal the batch cross operator over the
+    batch union (every doc lands in exactly one micro-batch and
+    pairs are per-(corpus, bench))."""
+    import os
+
+    import pandas as pd
+
+    from job_post_similarity_spark.operators import dedup as D
+    from job_post_similarity_spark.streaming.stream_ops import (
+        stream_fuzzy_decontaminate,
+    )
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog and runs for "
+        "a while with great energy in the morning light"
+    )
+    bench = spark.createDataFrame(
+        [(101, bench_text)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "corpus_src")
+    os.makedirs(src)
+    # batch 0: a near-dup of the benchmark + a clean doc
+    pd.DataFrame(
+        {"doc_id": [10, 14],
+         "text": [bench_text + " again",
+                  "a completely different story about the sea and the "
+                  "wind told in the evening for everyone to hear"]}
+    ).to_parquet(os.path.join(src, "b0.parquet"))
+    # batch 1: another near-dup arriving later
+    pd.DataFrame(
+        {"doc_id": [20], "text": ["intro words " + bench_text]}
+    ).to_parquet(os.path.join(src, "b1.parquet"))
+
+    got = stream_fuzzy_decontaminate(
+        spark, src, bench, str(tmp_path / "fdecon_store"),
+        threshold_ppm=500_000,
+    )
+    got_set = {
+        (r["corpus_id"], r["bench_id"], r["jaccard_ppm"])
+        for r in got.collect()
+    }
+    batch_union = spark.read.parquet(src)
+    want = {
+        (r["corpus_id"], r["bench_id"], r["jaccard_ppm"])
+        for r in D.cross_near_dup_pairs_oracle_tier(
+            batch_union, bench, threshold_ppm=500_000
+        ).collect()
+    }
+    assert got_set == want
+    assert {c for c, _, _ in got_set} == {10, 20}  # 14 stays clean
