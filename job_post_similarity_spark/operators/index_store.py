@@ -261,3 +261,68 @@ def load_or_build_pq(
     )
     codes = spark.read.parquet(os.path.join(path, _ROWS))
     return codes, books, centers, True
+
+
+# ----------------------------------------------------------- kNN graph
+
+
+def save_knn_graph(
+    path: str, graph: DataFrame, n_rows: int, params: dict | None = None
+) -> None:
+    """Persist an NN-Descent kNN graph (the HNSW-analog build
+    artifact): the edge table is distributed data → parquet; there is
+    no driver-local quantizer piece. ``n_rows`` is the corpus row
+    count (the staleness trigger, same contract as the IVF/PQ
+    artifacts)."""
+    os.makedirs(path, exist_ok=True)
+    graph.write.mode("overwrite").parquet(os.path.join(path, _ROWS))
+    _write_meta(
+        path,
+        {"kind": "knn_graph", "n_rows": int(n_rows), **(params or {})},
+    )
+
+
+def load_knn_graph(spark: SparkSession, path: str):
+    """→ (graph DataFrame, meta dict); IndexLoadError on a
+    missing/corrupt artifact."""
+    meta = _read_meta(path)
+    if meta.get("kind") != "knn_graph":
+        raise IndexLoadError(
+            f"kind {meta.get('kind')!r} is not 'knn_graph'"
+        )
+    graph = spark.read.parquet(os.path.join(path, _ROWS))
+    return graph, meta
+
+
+def load_or_build_knn_graph(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+):
+    """Load-or-build for the graph-index tier (reference memoization
+    shape, app/main.py:177-194): serve ``graph_topk_search`` batches
+    from the stored edge table; rebuild when the corpus row count
+    changed or the build knobs differ. Returns
+    (graph, rebuilt: bool)."""
+    from . import ann
+
+    n = df.count()
+    try:
+        graph, meta = load_knn_graph(spark, path)
+        if (
+            meta["n_rows"] == n
+            and meta.get("k") == k
+            and meta.get("iters") == iters
+        ):
+            return graph, False
+    except IndexLoadError:
+        pass
+    graph = ann.nn_descent_knn_graph(df, id_col, vec_col, k=k, iters=iters)
+    save_knn_graph(path, graph, n, params={"k": k, "iters": iters})
+    # serve from the artifact (short lineage, parquet parallelism)
+    graph = spark.read.parquet(os.path.join(path, _ROWS))
+    return graph, True

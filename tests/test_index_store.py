@@ -187,3 +187,44 @@ def test_ivfpq_prebuilt_rejects_plain_pq_artifact(spark, vectors, tmp_path):
         ann.ivfpq_topk_search(
             vectors.limit(2), vectors, prebuilt=(codes, books, centers)
         )
+
+
+def test_knn_graph_save_load_and_rebuild(spark, embeddings, tmp_path):
+    """Graph-index artifact: save/load round-trip, serve beam search
+    from the stored edges, count-mismatch and knob-mismatch rebuild
+    (the reference load-or-build contract at the graph tier)."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators import ann, index_store
+
+    emb = embeddings.select("vec_id", "embedding").filter(
+        F.col("vec_id") < 120
+    )
+    path = str(tmp_path / "gidx")
+    g1, rebuilt1 = index_store.load_or_build_knn_graph(
+        spark, emb, path, k=4, iters=2
+    )
+    assert rebuilt1 is True
+    g2, rebuilt2 = index_store.load_or_build_knn_graph(
+        spark, emb, path, k=4, iters=2
+    )
+    assert rebuilt2 is False
+    assert sorted(map(tuple, g1.collect())) == sorted(
+        map(tuple, g2.collect())
+    )
+    # serving from the artifact equals serving from a fresh build
+    fresh = ann.nn_descent_knn_graph(emb, k=4, iters=2)
+    got = ann.graph_beam_search(emb, g2, [0, 1], k=2, beam=6, hops=2)
+    want = ann.graph_beam_search(emb, fresh, [0, 1], k=2, beam=6, hops=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # knob change forces rebuild; corpus change forces rebuild
+    _, rebuilt3 = index_store.load_or_build_knn_graph(
+        spark, emb, path, k=6, iters=2
+    )
+    assert rebuilt3 is True
+    _, rebuilt4 = index_store.load_or_build_knn_graph(
+        spark, emb.filter(F.col("vec_id") < 100), path, k=6, iters=2
+    )
+    assert rebuilt4 is True
