@@ -6855,7 +6855,7 @@ _PENDING_ORACLES: dict[str, str] = {
         -- the Spark oracle tier
         WITH d AS (
             SELECT doc_id,
-                   string_split_regex(trim(text), '\s+') AS toks
+                   string_split_regex(trim(text), '\\s+') AS toks
             FROM documents WHERE doc_id < 200),
         sh AS (
             SELECT doc_id,

@@ -53,17 +53,21 @@ class VectorSearch:
         self.vec_col = vec_col
         self._df: DataFrame | None = None
         self._spark = spark
-        # memoized NN-Descent graph for the HNSW* serving tier —
-        # built on first search, reused across query batches (the
-        # build is the expensive half), invalidated by any mutation
+        # memoized NN-Descent graph + entry points for the HNSW*
+        # serving tier — built on first search, reused across query
+        # batches (build and the entry-stride ranking are both
+        # corpus-invariant work), invalidated by any mutation
         self._graph: DataFrame | None = None
+        self._graph_entries: list | None = None
 
     def _invalidate_graph(self) -> None:
-        """Drop the memoized HNSW-tier graph after any index mutation
-        (add/load/remove) — the next search rebuilds it."""
+        """Drop the memoized HNSW-tier graph (and its entry points)
+        after any index mutation (add/load/remove) — the next search
+        rebuilds them."""
         if self._graph is not None:
             self._graph.unpersist()
             self._graph = None
+        self._graph_entries = None
 
     # -------------------------------------------------- build surface
 
@@ -91,32 +95,45 @@ class VectorSearch:
 
     # -------------------------------------------------- query surface
 
+    #: corpora under this row count serve EXACT answers regardless of
+    #: index_description — at small n exact is both faster and strictly
+    #: better, and the approximate tiers' recall caveats (the graph
+    #: tier's clustered-corpus regime in particular) never bite a
+    #: caller by surprise. Serving stacks that want the approximate
+    #: tier exercised end-to-end at small n set this to 0.
+    exact_shortcut_rows: int = 10_000
+
     def search(self, queries: DataFrame, k: int = 2) -> DataFrame:
         """k-NN search: (query_id, neighbor_id, similarity, rank).
         Strategy follows index_description (the reference's switch,
-        app/vector_search.py:42-47): Flat → exact blocked-BLAS;
+        app/vector_search.py:42-47) once the corpus outgrows
+        ``exact_shortcut_rows``: Flat → exact blocked-BLAS;
         HNSW* → NN-Descent graph + beam search
         (``ann.graph_topk_search`` — clustered-corpus regime, see its
-        docstring; proven by gate graph_recall_vs_exact_embeddings);
-        other (or any small corpus) → SRP-LSH candidates + exact
-        verify. The explicit HNSW choice wins over the small-corpus
-        exact shortcut — index_description is the user's contract."""
+        docstring; proven by gate graph_recall_vs_exact_embeddings;
+        the built graph is memoized across query batches and
+        invalidated on add/load/remove); other → SRP-LSH candidates +
+        exact verify."""
         assert self._df is not None, "index is empty — add() first"
         d = self.index_description.strip().lower()
+        if d == "flat" or self.ntotal < self.exact_shortcut_rows:
+            return knn.knn_join(
+                queries, self.id_col, self.vec_col, k=k,
+                include_self=False, right=self._df,
+            )
         if d.startswith("hnsw"):
             if self._graph is None:
                 self._graph = ann.nn_descent_knn_graph(
                     self._df, self.id_col, self.vec_col
                 ).persist()
+                self._graph_entries = ann.default_graph_entries(
+                    self._df, self.id_col
+                )
             return ann.graph_topk_search(
                 queries, self._df, k=k,
                 id_col=self.id_col, vec_col=self.vec_col,
                 graph=self._graph,
-            )
-        if d == "flat" or self.ntotal < 10_000:
-            return knn.knn_join(
-                queries, self.id_col, self.vec_col, k=k,
-                include_self=False, right=self._df,
+                entries=self._graph_entries,
             )
         return ann.srp_topk_search(
             queries, self._df, k=k, id_col=self.id_col, vec_col=self.vec_col

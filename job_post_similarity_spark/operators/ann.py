@@ -2543,6 +2543,31 @@ def graph_beam_search(
     ).orderBy("query_id", "rank")
 
 
+def default_graph_entries(
+    corpus: DataFrame, id_col: str = "vec_id", n_regions: int = 32
+) -> list:
+    """Default beam-search entry points: one corpus id per coarse
+    region — an exact global-rank stride (id-layout independent), the
+    upper-layer role HNSW's hierarchy plays. Bounded collect of
+    ≤ n_regions ids (the IVF-centroid / Lloyd-on-a-sample
+    driver-scalar shape). Corpus-invariant: compute once per index
+    build and reuse across serving batches."""
+    import math as _math
+
+    from .windows import global_rank_with_total
+
+    ranked, n = global_rank_with_total(
+        corpus.select(F.col(id_col).alias("id")),
+        [F.col("id")],
+        out_col="rk",
+    )
+    step = max(1, _math.ceil(n / n_regions))
+    return [
+        r["id"]
+        for r in ranked.filter((F.col("rk") - 1) % step == 0).collect()
+    ]
+
+
 def graph_topk_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -2580,10 +2605,6 @@ def graph_topk_search(
     back to ~cosine (1e-6 precision), matching the contract of the
     other top-k tiers.
     """
-    import math as _math
-
-    from .windows import global_rank_with_total
-
     if graph is None:
         graph = nn_descent_knn_graph(
             corpus, id_col, vec_col, k=graph_k, iters=iters
@@ -2591,20 +2612,9 @@ def graph_topk_search(
     if beam is None:
         beam = max(2 * k + 8, 16)
     if entries is None:
-        ranked, n = global_rank_with_total(
-            corpus.select(F.col(id_col).alias("id")),
-            [F.col("id")],
-            out_col="rk",
-        )
-        step = max(1, _math.ceil(n / 32))
-        # bounded collect: ≤ 32 entry ids (the IVF-centroid /
-        # Lloyd-on-a-sample driver-scalar shape)
-        entries = [
-            r["id"]
-            for r in ranked.filter(
-                (F.col("rk") - 1) % step == 0
-            ).collect()
-        ]
+        # corpus-invariant work — batch-serving callers should compute
+        # this ONCE (beside the graph build) and pass entries=
+        entries = default_graph_entries(corpus, id_col)
     out = graph_beam_search(
         corpus,
         graph,

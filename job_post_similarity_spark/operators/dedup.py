@@ -1531,77 +1531,9 @@ def minhash_near_dup_pairs_oracle_tier(
     Output: ``(id1, id2, jaccard_ppm)`` for candidate pairs whose
     exact ppm Jaccard clears the threshold, sorted.
     """
-    c = F.col(text_col)
-    shingles = word_ngrams(c, ngram)
-    # materialize the shingle arrays ONCE: the split/ngram/distinct
-    # chain is the expensive subtree here, and unshared it evaluates
-    # three times (signature, banding lineage, exact-Jaccard verify) —
-    # measured 33s -> 12s at sf0.1 when shared through this cache
-    shg = (
-        df.select(F.col(id_col).alias("id"), shingles.alias("g"))
-        .filter(F.size("g") > 0)
-        .repartition("id")
-        .persist()
+    shg, banded = _md5_banded_sig_tables(
+        df, id_col, text_col, num_hashes, bands, ngram, seed
     )
-    codes = F.transform(
-        F.col("g"),
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long"),
-            F.lit(_MOD),
-        ),
-    )
-    coeffs = F.array(
-        *[
-            F.struct(
-                F.lit((seed * 1_000_003 + i * 7_919) % _MOD or 1).alias("a"),
-                F.lit((seed * 7_907 + i * 104_729) % _MOD).alias("b"),
-            )
-            for i in range(num_hashes)
-        ]
-    )
-    init = F.array(*[F.lit(_MOD).cast("long")] * num_hashes)
-    sig = F.aggregate(
-        codes,
-        init,
-        lambda acc, x: F.zip_with(
-            acc,
-            coeffs,
-            lambda m, ab: F.least(m, (x % _MOD * ab["a"] + ab["b"]) % _MOD),
-        ),
-    )
-    rows_per_band = num_hashes // bands
-    # guard on the SHINGLE set, not the signature: an empty shingle
-    # set still folds to the init signature (all-_MOD lanes), which
-    # would band every short doc together and zero-divide the verify
-    base = shg.select("id", sig.alias("sig"))
-    banded = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.element_at(
-                                    "sig", b * rows_per_band + j + 1
-                                )
-                                for j in range(rows_per_band)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
-    # cache layout (round-4/5 program, same fix as the production
-    # tier): the slim band table carries the WHOLE md5 signature
-    # chain in its lineage and feeds BOTH self-join sides — persist it
-    # key-partitioned so the chain runs once and the join reads the
-    # cache's partitioning
-    banded = banded.repartition("band", "key").persist()
     cands = (
         banded.alias("x")
         .join(
@@ -1654,6 +1586,51 @@ def minhash_near_dup_pairs_oracle_tier(
     return (
         jac.filter(F.col("jaccard_ppm") >= threshold_ppm)
         .orderBy("id1", "id2")
+    )
+
+
+def ngram_jaccard_ppm_on_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs in FLOOR-ppm
+    arithmetic — the verify form the md5 oracle tier uses, exposed so
+    production (xxhash-candidate) chains can threshold IDENTICALLY to
+    the oracle tier (``round(j, 4) >= t`` and ``floor-ppm >= t_ppm``
+    disagree on pairs inside [t - 5e-5, t); the e2e pretraining
+    pipeline's two tiers must not). Output: (id1, id2, jaccard_ppm)."""
+    g = docs.select(
+        F.col(id_col).alias("id"), word_ngrams(text_col, n).alias("grams")
+    )
+    out = (
+        pairs.select("id1", "id2")
+        .join(
+            g.withColumnRenamed("id", "id1").withColumnRenamed(
+                "grams", "g1"
+            ),
+            "id1",
+        )
+        .join(
+            g.withColumnRenamed("id", "id2").withColumnRenamed(
+                "grams", "g2"
+            ),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.expr(
+                "CAST(1000000 * size(array_intersect(g1, g2)) AS BIGINT)"
+                " DIV size(array_union(g1, g2))"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return out.filter(F.col("jaccard_ppm") >= threshold_ppm).orderBy(
+        F.desc("jaccard_ppm"), "id1", "id2"
     )
 
 
@@ -1748,6 +1725,7 @@ def cross_near_dup_pairs_oracle_tier(
     threshold_ppm: int = 500_000,
     seed: int = 1,
     bench_tables: tuple[DataFrame, DataFrame] | None = None,
+    corpus_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """CROSS-corpus fuzzy decontamination pairs (Lee et al. 2022 §6.2
     made near-dup-aware): training docs within banded-MinHash reach of
@@ -1770,13 +1748,18 @@ def cross_near_dup_pairs_oracle_tier(
     Output: ``(corpus_id, bench_id, jaccard_ppm)`` ≥ threshold,
     sorted.
     """
-    shg_c, banded_c = _md5_banded_sig_tables(
-        corpus, id_col, text_col, num_hashes, bands, ngram, seed
-    )
-    # ``bench_tables`` lets a caller that probes MANY corpora (or
-    # micro-batches) against ONE benchmark build the benchmark's
-    # shingle/band tables once — streaming.stream_fuzzy_decontaminate
-    # passes its persisted pair here per batch
+    # ``corpus_tables`` / ``bench_tables`` let callers manage the
+    # persisted shingle/band frames themselves: a caller that probes
+    # MANY corpora (or micro-batches) against ONE benchmark builds the
+    # benchmark's tables once, and a per-batch caller can unpersist
+    # the batch's tables when its step completes —
+    # streaming.stream_fuzzy_decontaminate does both.
+    if corpus_tables is not None:
+        shg_c, banded_c = corpus_tables
+    else:
+        shg_c, banded_c = _md5_banded_sig_tables(
+            corpus, id_col, text_col, num_hashes, bands, ngram, seed
+        )
     if bench_tables is not None:
         shg_b, banded_b = bench_tables
     else:

@@ -87,6 +87,22 @@ def _load_quantizer(path: str):
 # ------------------------------------------------------------------ IVF
 
 
+def _read_rows(spark: SparkSession, path: str) -> DataFrame:
+    """Read an artifact's distributed rows directory, mapping ANY read
+    failure (missing dir, truncated/corrupt footer) to IndexLoadError
+    so load-or-build callers rebuild instead of crashing — the
+    loaders' documented contract. The read is lazy, so force the
+    footer/schema resolution here where the except can catch it."""
+    try:
+        df = spark.read.parquet(os.path.join(path, _ROWS))
+        df.schema  # footer resolution — raises on missing/corrupt
+        return df
+    except IndexLoadError:
+        raise
+    except Exception as e:  # AnalysisException, IOError, ...
+        raise IndexLoadError(f"rows artifact unreadable at {path}: {e}")
+
+
 def save_ivf_index(
     path: str, centers, assigned: DataFrame, n_rows: int, params: dict | None = None
 ) -> None:
@@ -117,7 +133,7 @@ def load_ivf_index(spark: SparkSession, path: str):
     if meta.get("kind") != "ivf":
         raise IndexLoadError(f"kind {meta.get('kind')!r} is not 'ivf'")
     centers = _load_quantizer(path)["centers"]
-    assigned = spark.read.parquet(os.path.join(path, _ROWS))
+    assigned = _read_rows(spark, path)
     return assigned, centers, meta
 
 
@@ -211,7 +227,7 @@ def load_pq_index(spark: SparkSession, path: str):
     if "codebooks" not in npz:
         raise IndexLoadError(f"no codebooks array in {_QUANTIZER}")
     centers = npz["centers"] if "centers" in npz else None
-    codes = spark.read.parquet(os.path.join(path, _ROWS))
+    codes = _read_rows(spark, path)
     return codes, npz["codebooks"], centers, meta
 
 
@@ -290,7 +306,7 @@ def load_knn_graph(spark: SparkSession, path: str):
         raise IndexLoadError(
             f"kind {meta.get('kind')!r} is not 'knn_graph'"
         )
-    graph = spark.read.parquet(os.path.join(path, _ROWS))
+    graph = _read_rows(spark, path)
     return graph, meta
 
 

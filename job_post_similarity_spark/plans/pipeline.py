@@ -296,9 +296,11 @@ def prepare_pretraining_corpus(
             mh_in, "doc_id", "text", num_hashes=16, bands=4, ngram=3,
             jaccard_threshold=0.0,
         )
-        pairs = D.ngram_jaccard_on_pairs(
+        # floor-ppm verify — the SAME threshold arithmetic as the md5
+        # oracle tier (round-4dp would disagree on [t-5e-5, t) pairs)
+        pairs = D.ngram_jaccard_ppm_on_pairs(
             cand, mh_in, "doc_id", "text", n=3,
-            threshold=jaccard_threshold_ppm / 1e6,
+            threshold_ppm=jaccard_threshold_ppm,
         )
     elif near_dup_tier == "oracle":
         pairs = D.minhash_near_dup_pairs_oracle_tier(

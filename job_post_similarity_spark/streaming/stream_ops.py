@@ -344,7 +344,17 @@ def _resolve_store_plan(
                 f"{bands}) — mixed signature widths cannot join"
             )
         return stored["num_hashes"], stored["num_bands"]
+    legacy_sigs = os.path.exists(os.path.join(store_dir, "sigs"))
     if bands == "auto" or num_hashes == "auto":
+        if legacy_sigs:
+            # a pre-plan.json store: its signature widths are whatever
+            # the creating caller passed, which 'auto' cannot infer —
+            # re-signing with planner knobs would corrupt the band join
+            raise ValueError(
+                f"store at {store_dir} has signatures but no plan.json "
+                "(created before plan provisioning); pass its original "
+                "explicit (num_hashes, bands) once to adopt them"
+            )
         if planner_n_rows is None:
             raise ValueError(
                 "bands='auto' needs planner_n_rows: the target corpus "
@@ -355,6 +365,9 @@ def _resolve_store_plan(
         )
         resolved = (plan["num_hashes"], plan["num_bands"])
     else:
+        # explicit knobs on a legacy store are ADOPTED as its plan
+        # (pre-upgrade behavior: the caller was responsible for passing
+        # the same knobs every batch — now they are pinned)
         resolved = (int(num_hashes), int(bands))
     os.makedirs(store_dir, exist_ok=True)
     with open(plan_path, "w") as fh:
@@ -405,7 +418,10 @@ def stream_near_dup_minhash(
     ``minhash_parameter_plan`` banding for a ``planner_n_rows``-sized
     corpus (the batch planner's knobs, persisted in <store>/plan.json
     and reused by every later batch/restart — see
-    ``_resolve_store_plan``).
+    ``_resolve_store_plan``). The checkpoint is DURABLE at
+    ``<store>/checkpoint``: re-invoking over the same src_dir resumes
+    from the recorded offsets instead of re-banding (and re-appending
+    pairs/signatures for) already-ingested files.
     """
     import os
 
@@ -452,6 +468,11 @@ def stream_near_dup_minhash(
     )
     q = (
         stream.writeStream.foreachBatch(process_batch)
+        # durable checkpoint beside the store: re-invocations resume
+        # from the recorded offsets instead of re-ingesting files
+        .option(
+            "checkpointLocation", os.path.join(store_dir, "checkpoint")
+        )
         .queryName(name)
         .trigger(availableNow=True)
         .start()
@@ -484,9 +505,14 @@ def stream_fuzzy_decontaminate(
     The benchmark's shingle + band tables are built ONCE, persisted,
     and reused by every micro-batch (a bench set is fixed for the
     life of the ingest; at typical benchmark sizes the band join's
-    bench side broadcasts). State lives in the lake, not the state
-    store — the store layout of the incremental MinHash dedup,
-    without its growth (the bench never grows with the stream).
+    bench side broadcasts); each batch's own tables are unpersisted
+    when its step completes, so cached state stays bounded over the
+    stream's lifetime. State lives in the lake, not the state store
+    — the store layout of the incremental MinHash dedup, without its
+    growth (the bench never grows with the stream). The checkpoint
+    is DURABLE at ``<store>/checkpoint``: re-invoking over the same
+    src_dir resumes from the recorded offsets instead of reprocessing
+    (and re-appending) already-checked files.
 
     Returns the accumulated pairs read back from ``<store>/pairs``.
     """
@@ -506,23 +532,35 @@ def stream_fuzzy_decontaminate(
         ]
     )
     pairs_path = os.path.join(store_dir, "pairs")
+    checkpoint_path = os.path.join(store_dir, "checkpoint")
     bench_tables = _md5_banded_sig_tables(
         bench, id_col, text_col, num_hashes, bands, ngram, seed=1
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = cross_near_dup_pairs_oracle_tier(
-            batch_df,
-            bench,
-            id_col,
-            text_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            ngram=ngram,
-            threshold_ppm=threshold_ppm,
-            bench_tables=bench_tables,
+        batch_tables = _md5_banded_sig_tables(
+            batch_df, id_col, text_col, num_hashes, bands, ngram, seed=1
         )
-        out.write.mode("append").parquet(pairs_path)
+        try:
+            out = cross_near_dup_pairs_oracle_tier(
+                batch_df,
+                bench,
+                id_col,
+                text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                ngram=ngram,
+                threshold_ppm=threshold_ppm,
+                corpus_tables=batch_tables,
+                bench_tables=bench_tables,
+            )
+            out.write.mode("append").parquet(pairs_path)
+        finally:
+            # the batch's cached tables are dead once its pairs are
+            # written — without this a long ingest accumulates two
+            # persisted frames per micro-batch
+            batch_tables[0].unpersist()
+            batch_tables[1].unpersist()
 
     stream = (
         spark.readStream.schema(docs_schema)
@@ -533,6 +571,7 @@ def stream_fuzzy_decontaminate(
     )
     q = (
         stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
         .queryName(name)
         .trigger(availableNow=True)
         .start()
@@ -933,6 +972,11 @@ def stream_near_dup_srp(
     )
     q = (
         stream.writeStream.foreachBatch(process_batch)
+        # durable checkpoint beside the store: re-invocations resume
+        # from the recorded offsets instead of re-ingesting files
+        .option(
+            "checkpointLocation", os.path.join(store_dir, "checkpoint")
+        )
         .queryName(name)
         .trigger(availableNow=True)
         .start()

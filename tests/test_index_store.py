@@ -228,3 +228,18 @@ def test_knn_graph_save_load_and_rebuild(spark, embeddings, tmp_path):
         spark, emb.filter(F.col("vec_id") < 100), path, k=6, iters=2
     )
     assert rebuilt4 is True
+
+    # rows artifact deleted under an intact meta.json: the loader maps
+    # the read failure to IndexLoadError (load-or-build then rebuilds
+    # instead of crashing — the documented contract)
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "rows"))
+    import pytest as _pytest
+
+    with _pytest.raises(index_store.IndexLoadError, match="unreadable"):
+        index_store.load_knn_graph(spark, path)
+    _, rebuilt5 = index_store.load_or_build_knn_graph(
+        spark, emb, path, k=4, iters=2
+    )
+    assert rebuilt5 is True

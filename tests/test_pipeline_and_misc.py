@@ -705,6 +705,23 @@ def test_stream_near_dup_auto_planner_knobs(spark, tmp_path):
             ngram=2, jaccard_threshold=0.5,
         )
 
+    # LEGACY store (signatures exist, no plan.json — pre-provisioning
+    # vintage): 'auto' must refuse (the original widths are unknowable),
+    # explicit knobs are ADOPTED as the store's pinned plan
+    legacy = str(tmp_path / "store_legacy")
+    os.makedirs(os.path.join(legacy, "sigs"))
+    with pytest.raises(ValueError, match="before plan provisioning"):
+        incremental_near_dup_minhash_batch(
+            b2, legacy, bands="auto", ngram=2, jaccard_threshold=0.5,
+        )
+    from job_post_similarity_spark.streaming.stream_ops import (
+        _resolve_store_plan,
+    )
+
+    assert _resolve_store_plan(legacy, 32, 16, 0.5, None, 0.95) == (32, 16)
+    with open(os.path.join(legacy, "plan.json")) as fh:
+        assert json.load(fh) == {"num_hashes": 32, "num_bands": 16}
+
 
 def test_vector_search_class_api(spark, embeddings, tmp_path):
     """Reference VectorSearch surface: add/search/save/load/ntotal/
@@ -774,6 +791,11 @@ def test_vector_search_hnsw_routes_to_graph_tier(spark, embeddings):
 
     vs = VectorSearch(dim, "HNSW32", spark=spark)
     vs.add(emb)
+    # under the small-corpus threshold HNSW still serves EXACT (the
+    # quality-preserving shortcut — approximate tiers only engage at
+    # scale); drop the threshold to exercise the graph path here
+    assert vs.ntotal < vs.exact_shortcut_rows
+    vs.exact_shortcut_rows = 0
     qids = [i * (n // 10) for i in range(10)]
     queries = emb.filter(F.col("vec_id").isin(qids))
     got = {
