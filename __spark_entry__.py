@@ -4975,6 +4975,39 @@ def fuzzy_decontaminate_apply_documents(
     )
 
 
+def fuzzy_decontaminate_xxh_planted_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION (xxhash64) cross-corpus fuzzy decontamination,
+    planted-recall graded: the benchmark is bit-identical twins of the
+    first 50 training docs (id + 100000) — identical texts share every
+    xxh signature lane, so all 50 (corpus, bench) pairs MUST surface
+    with exact Jaccard 1000000 ppm; the projection to the planted pair
+    shape makes the expected output closed-form (the round-7
+    planted-twin pattern applied to the cross tier)."""
+    from job_post_similarity_spark.operators.dedup import (
+        cross_near_dup_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    bench = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    pairs = cross_near_dup_pairs(docs, bench, threshold_ppm=900_000)
+    return (
+        pairs.filter(
+            (F.col("bench_id") - F.col("corpus_id") == 100000)
+            & (F.col("corpus_id") < 50)
+        )
+        .select("corpus_id", "bench_id", "jaccard_ppm")
+        .orderBy("corpus_id")
+    )
+
+
 def stream_fuzzy_decontaminate_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5721,7 +5754,8 @@ _R7_WINDOW: tuple[str, ...] = (
     "fuzzy_decontaminate_documents",
     "fuzzy_decontaminate_apply_documents",
     "stream_fuzzy_decontaminate_documents",
-    # 27 rotated prior-green canaries (tools/plan_rotation.py --round 7:
+    "fuzzy_decontaminate_xxh_planted_documents",
+    # 26 rotated prior-green canaries (tools/plan_rotation.py --round 7:
     # sorted by md5("r7:<name>") so every oracle-backed entry is
     # re-graded within a few rounds — VERDICT r6 item 6)
     "q13_customer_distribution",
@@ -5750,7 +5784,6 @@ _R7_WINDOW: tuple[str, ...] = (
     "embedding_norms",
     "ngram_jaccard_documents",
     "chunk_documents",
-    "funnel_conversion_events",
 )
 
 
@@ -6201,6 +6234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fuzzy_decontaminate_apply_documents,
         "stream_fuzzy_decontaminate_documents":
             stream_fuzzy_decontaminate_documents,
+        "fuzzy_decontaminate_xxh_planted_documents":
+            fuzzy_decontaminate_xxh_planted_documents,
     }
     out = {k: base[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -12120,4 +12155,10 @@ _PENDING_ORACLES["fuzzy_decontaminate_apply_documents"] = f"""
     WHERE doc_id < 200 AND doc_id % 2 = 0
       AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.corpus_id = doc_id)
     ORDER BY doc_id
+"""
+
+_PENDING_ORACLES["fuzzy_decontaminate_xxh_planted_documents"] = """
+    SELECT doc_id AS corpus_id, doc_id + 100000 AS bench_id,
+           1000000::BIGINT AS jaccard_ppm
+    FROM documents WHERE doc_id < 50 ORDER BY corpus_id
 """

