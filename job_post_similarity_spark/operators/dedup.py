@@ -160,6 +160,15 @@ def banded_minhash_signatures(
             ),
         )
     )
+    # Shingle-less docs (fewer than `ngram` tokens) keep the all-_MOD
+    # init signature: they would collide with EACH OTHER in every band
+    # — an |empty|² candidate blowup the downstream verify only drops
+    # AFTER materializing (and, within-corpus, a bogus est_jaccard=1.0
+    # between unrelated empty docs). A non-empty shingle set drives
+    # every lane below _MOD ((a·x+b) mod p < p), so sig[0] == _MOD is
+    # an exact emptiness test — filter them out of the banding here,
+    # mirroring the md5 oracle tier's size(g)>0 guard.
+    sig = sig.filter(F.element_at("sig", 1) != F.lit(_MOD))
     return sig.select(
         "id",
         "sig",
@@ -1867,9 +1876,10 @@ def cross_near_dup_pairs(
     # legitimately share id values — a union keyed on one id column
     # would cross-wire their texts
     # size>0 filters mirror the md5 tier's shg guard: shingle-less
-    # docs share the degenerate init signature (they'd all collide in
-    # the band join) and would zero-divide the Jaccard — the inner
-    # verify join drops their candidates
+    # docs never reach the band join at all (banded_minhash_signatures
+    # drops the degenerate all-init signatures pre-banding), and the
+    # filters here keep the gram tables zero-divide-free for any
+    # candidate that does arrive
     gc = corpus.select(
         F.col(id_col).alias("corpus_id"),
         word_ngrams(text_col, ngram).alias("g1"),

@@ -318,26 +318,40 @@ def load_or_build_knn_graph(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
+    refresh_iters: int = 2,
 ):
     """Load-or-build for the graph-index tier (reference memoization
     shape, app/main.py:177-194): serve ``graph_topk_search`` batches
-    from the stored edge table; rebuild when the corpus row count
-    changed or the build knobs differ. Returns
-    (graph, rebuilt: bool)."""
+    from the stored edge table; REFRESH warm-start when only the
+    corpus row count changed (``ann.nn_descent_refresh`` over the
+    stored edges — the incremental ``add`` path, reference
+    app/vector_search.py:85-141, at ``refresh_iters`` rounds instead
+    of ``iters`` from cold); full rebuild when the build knobs differ
+    or the artifact is missing/corrupt. Returns
+    (graph, rebuilt: bool) — rebuilt covers both refresh and cold
+    build (the artifact was rewritten)."""
     from . import ann
 
     n = df.count()
+    old_graph = None
     try:
         graph, meta = load_knn_graph(spark, path)
-        if (
-            meta["n_rows"] == n
-            and meta.get("k") == k
-            and meta.get("iters") == iters
-        ):
-            return graph, False
+        if meta.get("k") == k and meta.get("iters") == iters:
+            if meta["n_rows"] == n:
+                return graph, False
+            # same knobs, different corpus size: warm-start from the
+            # stored edges instead of rebuilding from cold
+            old_graph = graph
     except IndexLoadError:
         pass
-    graph = ann.nn_descent_knn_graph(df, id_col, vec_col, k=k, iters=iters)
+    if old_graph is not None:
+        graph = ann.nn_descent_refresh(
+            df, old_graph, id_col, vec_col, k=k, iters=refresh_iters
+        )
+    else:
+        graph = ann.nn_descent_knn_graph(
+            df, id_col, vec_col, k=k, iters=iters
+        )
     save_knn_graph(path, graph, n, params={"k": k, "iters": iters})
     # serve from the artifact (short lineage, parquet parallelism)
     graph = spark.read.parquet(os.path.join(path, _ROWS))

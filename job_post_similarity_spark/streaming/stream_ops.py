@@ -297,6 +297,26 @@ def _register_sigs_store(
     )
 
 
+# library-default signature shape for a store whose caller pinned
+# neither knob (None sentinel) — matches the historical defaults
+_DEFAULT_NUM_HASHES = 32
+_DEFAULT_BANDS = 16
+
+
+def _read_pairs_or_empty(
+    spark: SparkSession, pairs_path: str, schema: str
+) -> DataFrame:
+    """Read a stream's accumulated pairs lake, or return an empty
+    frame with the pairs schema when no batch ever wrote one (an
+    empty source directory means foreachBatch never ran, so the
+    path does not exist — that's 'no pairs found', not an error)."""
+    import os
+
+    if os.path.exists(pairs_path):
+        return spark.read.parquet(pairs_path)
+    return spark.createDataFrame([], schema)
+
+
 def _resolve_store_plan(
     store_dir: str,
     num_hashes,
@@ -318,9 +338,12 @@ def _resolve_store_plan(
     provisioned for (required for 'auto'; the batch pair join can
     count, an incremental store must be told).
 
-    Explicit integer knobs are validated against an existing store's
-    plan and rejected on mismatch — silently re-signing with new
-    knobs would corrupt cross-batch recall.
+    Knob values: an explicit int is validated INDIVIDUALLY against an
+    existing store's plan and rejected on mismatch — silently
+    re-signing with new knobs would corrupt cross-batch recall;
+    ``'auto'`` and ``None`` (the untouched library default) adopt the
+    stored plan, so default-knob calls against a planner-provisioned
+    store keep working.
     """
     import json
     import os
@@ -331,18 +354,24 @@ def _resolve_store_plan(
     if os.path.exists(plan_path):
         with open(plan_path) as fh:
             stored = json.load(fh)
-        if (
-            isinstance(num_hashes, int)
-            and isinstance(bands, int)
-            and (num_hashes, bands)
-            != (stored["num_hashes"], stored["num_bands"])
+        # validate EACH explicitly-passed int knob individually: a
+        # caller mixing one explicit int with 'auto'/None must not have
+        # the explicit value silently overridden by the stored plan
+        # (num_hashes=64 + bands='auto' vs a (32, 16) store is a
+        # conflict even though only one knob is an int). None (the
+        # library default, untouched by the caller) and 'auto' adopt
+        # the stored plan.
+        for knob, got, want in (
+            ("num_hashes", num_hashes, stored["num_hashes"]),
+            ("bands", bands, stored["num_bands"]),
         ):
-            raise ValueError(
-                f"store at {store_dir} was provisioned with "
-                f"(num_hashes={stored['num_hashes']}, "
-                f"bands={stored['num_bands']}); got ({num_hashes}, "
-                f"{bands}) — mixed signature widths cannot join"
-            )
+            if isinstance(got, int) and got != want:
+                raise ValueError(
+                    f"store at {store_dir} was provisioned with "
+                    f"(num_hashes={stored['num_hashes']}, "
+                    f"bands={stored['num_bands']}); got {knob}={got} — "
+                    "mixed signature widths cannot join"
+                )
         return stored["num_hashes"], stored["num_bands"]
     legacy_sigs = os.path.exists(os.path.join(store_dir, "sigs"))
     if bands == "auto" or num_hashes == "auto":
@@ -365,10 +394,14 @@ def _resolve_store_plan(
         )
         resolved = (plan["num_hashes"], plan["num_bands"])
     else:
-        # explicit knobs on a legacy store are ADOPTED as its plan
-        # (pre-upgrade behavior: the caller was responsible for passing
-        # the same knobs every batch — now they are pinned)
-        resolved = (int(num_hashes), int(bands))
+        # explicit knobs on a fresh/legacy store are ADOPTED as its
+        # plan (pre-upgrade behavior: the caller was responsible for
+        # passing the same knobs every batch — now they are pinned);
+        # None sentinels fall back to the library defaults
+        resolved = (
+            _DEFAULT_NUM_HASHES if num_hashes is None else int(num_hashes),
+            _DEFAULT_BANDS if bands is None else int(bands),
+        )
     os.makedirs(store_dir, exist_ok=True)
     with open(plan_path, "w") as fh:
         json.dump(
@@ -383,8 +416,8 @@ def stream_near_dup_minhash(
     store_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int | str = 32,
-    bands: int | str = 16,
+    num_hashes: int | str | None = None,
+    bands: int | str | None = None,
     ngram: int = 2,
     jaccard_threshold: float = 0.5,
     name: str = "stream_near_dup",
@@ -478,7 +511,9 @@ def stream_near_dup_minhash(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(pairs_path)
+    return _read_pairs_or_empty(
+        spark, pairs_path, "id1 long, id2 long, est_jaccard double"
+    )
 
 
 def stream_fuzzy_decontaminate(
@@ -576,8 +611,23 @@ def stream_fuzzy_decontaminate(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return spark.read.parquet(pairs_path)
+    try:
+        q.awaitTermination()
+    finally:
+        # the bench tables outlive every micro-batch by design, but
+        # not the function — without this they leak in the session
+        # cache across invocations
+        bench_tables[0].unpersist()
+        bench_tables[1].unpersist()
+    # a source with no files (or a run whose every batch failed before
+    # its first write) never creates pairs/ — return the empty pairs
+    # frame instead of raising on the read-back
+    bench_id_type = bench.schema[id_col].dataType.simpleString()
+    return _read_pairs_or_empty(
+        spark,
+        pairs_path,
+        f"corpus_id long, bench_id {bench_id_type}, jaccard_ppm long",
+    )
 
 
 def incremental_near_dup_minhash_batch(
@@ -585,8 +635,8 @@ def incremental_near_dup_minhash_batch(
     store_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int | str = 32,
-    bands: int | str = 16,
+    num_hashes: int | str | None = None,
+    bands: int | str | None = None,
     ngram: int = 2,
     jaccard_threshold: float = 0.5,
     store_buckets: int = 16,

@@ -894,3 +894,54 @@ def test_cross_near_dup_decontamination(spark):
 
     with _pytest.raises(ValueError, match="tier"):
         D.fuzzy_decontaminate(corpus, bench, tier="nope")
+
+
+def test_banding_drops_shingleless_docs(spark):
+    """Docs with fewer than `ngram` tokens keep the all-init MinHash
+    signature — left in, they ALL collide in every band (an |empty|²
+    candidate blowup on the xxh hot path, plus bogus est_jaccard=1.0
+    pairs between unrelated empty docs). The banding drops them
+    pre-join; real near-dups are unaffected."""
+    from job_post_similarity_spark.operators import dedup as D
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, long_a),
+        (2, long_a + " lambda"),   # genuine near-dup of 1
+        (3, "hi"),                 # < ngram tokens -> no shingles
+        (4, "yo"),                 # < ngram tokens -> no shingles
+        (5, ""),                   # empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    banded = D.banded_minhash_signatures(
+        df, "doc_id", "text", num_hashes=16, bands=4, ngram=3
+    )
+    banded_ids = {
+        r["id"] for r in banded.select("id").distinct().collect()
+    }
+    assert banded_ids == {1, 2}
+
+    pairs = D.minhash_near_dup_pairs(
+        df, "doc_id", "text", num_hashes=16, bands=4, ngram=3,
+        jaccard_threshold=0.5,
+    ).collect()
+    got = {(r["id1"], r["id2"]) for r in pairs}
+    assert (1, 2) in got
+    assert (3, 4) not in got and (3, 5) not in got and (4, 5) not in got
+
+    # cross tier: shingle-less docs on BOTH sides never generate the
+    # |empty-corpus| x |empty-bench| candidate mass
+    bench = spark.createDataFrame(
+        [(100, long_a), (101, "x"), (102, "")],
+        "doc_id long, text string",
+    )
+    cross = D.cross_near_dup_pairs(
+        df, bench, ngram=3, threshold_ppm=500_000
+    )
+    got_cross = {(r["corpus_id"], r["bench_id"]) for r in cross.collect()}
+    assert (1, 100) in got_cross  # identical text: collides in every band
+    empty_ids = {3, 4, 5, 101, 102}
+    assert not any(
+        c in empty_ids or b in empty_ids for c, b in got_cross
+    )

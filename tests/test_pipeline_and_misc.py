@@ -722,6 +722,57 @@ def test_stream_near_dup_auto_planner_knobs(spark, tmp_path):
     with open(os.path.join(legacy, "plan.json")) as fh:
         assert json.load(fh) == {"num_hashes": 32, "num_bands": 16}
 
+    # ONE explicit int knob mixed with 'auto' must still be validated
+    # against the stored plan (not silently overridden by it)
+    stored_plan = _resolve_store_plan(store, None, "auto", 0.5, None, 0.95)
+    with pytest.raises(ValueError, match="num_hashes"):
+        _resolve_store_plan(
+            store, stored_plan[0] + 32, "auto", 0.5, None, 0.95
+        )
+    # untouched library defaults (None sentinels) adopt the stored
+    # auto plan instead of erroring
+    assert (
+        _resolve_store_plan(store, None, None, 0.5, None, 0.95)
+        == stored_plan
+    )
+    # a matching explicit knob beside 'auto' passes
+    assert (
+        _resolve_store_plan(store, stored_plan[0], "auto", 0.5, None, 0.95)
+        == stored_plan
+    )
+
+
+def test_stream_near_dup_empty_source_returns_empty_pairs(
+    spark, tmp_path
+):
+    """A source directory with no files means foreachBatch never runs
+    and pairs/ is never created — the read-back must return an empty
+    pairs frame, not raise AnalysisException."""
+    import os
+
+    from job_post_similarity_spark.streaming import stream_near_dup_minhash
+    from job_post_similarity_spark.streaming.stream_ops import (
+        stream_fuzzy_decontaminate,
+    )
+
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    pairs = stream_near_dup_minhash(
+        spark, src, str(tmp_path / "store_empty"), num_hashes=16, bands=4
+    )
+    assert pairs.count() == 0
+    assert set(pairs.columns) == {"id1", "id2", "est_jaccard"}
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    fpairs = stream_fuzzy_decontaminate(
+        spark, src, bench, str(tmp_path / "fstore_empty")
+    )
+    assert fpairs.count() == 0
+    assert set(fpairs.columns) == {"corpus_id", "bench_id", "jaccard_ppm"}
+
 
 def test_vector_search_class_api(spark, embeddings, tmp_path):
     """Reference VectorSearch surface: add/search/save/load/ntotal/
@@ -821,6 +872,27 @@ def test_vector_search_hnsw_routes_to_graph_tier(spark, embeddings):
     }
     # an external twin's nearest corpus member is the original itself
     assert got_ext == {q + 1_000_000: q for q in qids}
+
+    # ---- incremental add at the HNSW tier: the old graph is kept as
+    # a WARM-START seed (ann.nn_descent_refresh) instead of a cold
+    # invalidate — and searches after the add still serve correctly
+    assert vs._graph is not None
+    old_graph = vs._graph
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    vs.add(twins)
+    assert vs._graph is None and vs._stale_graph is old_graph
+    got2 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in vs.search(emb.filter(F.col("vec_id") < 5), k=1)
+        .collect()
+    }
+    # after the add, each original's top-1 is its bit-identical twin
+    # (dot exactly 1.0 beats every natural neighbor, and the twin is
+    # the only exact match with self excluded)
+    assert got2 == {q: q + 2_000_000 for q in range(5)}
+    assert vs._stale_graph is None and vs._graph is not None
 
 
 def test_compact_parquet_merges_small_files(spark, documents, tmp_path):

@@ -786,6 +786,86 @@ def test_nn_descent_converges_on_planted_clusters(spark):
     assert all(best3[i] >= best1[i] for i in best1)
 
 
+def test_nn_descent_refresh_equals_cold_on_clusters(spark):
+    """Warm-start refresh over a stored graph + appended rows must
+    reproduce the cold rebuild exactly once both converge (unique kNN
+    graph under the integer total order) — the incremental-add
+    contract. Stale edges to removed rows are dropped silently."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        nn_descent_knn_graph,
+        nn_descent_refresh,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(10, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:
+        pts = c + 0.05 * rng.normal(size=(10, 32))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+    old_df = _vec_df(spark, vecs[:80])
+    union_df = _vec_df(spark, vecs)  # 20 appended rows
+
+    old = nn_descent_knn_graph(old_df, k=8, iters=3)
+    cold = nn_descent_knn_graph(union_df, k=8, iters=3).collect()
+    ref = nn_descent_refresh(union_df, old, k=8, iters=2).collect()
+    assert sorted(map(tuple, ref)) == sorted(map(tuple, cold))
+
+    # removal: refresh over a SHRUNK corpus drops stale edges via the
+    # scoring join — output covers exactly the surviving nodes
+    shrunk_df = _vec_df(spark, vecs[:60])
+    ref_small = nn_descent_refresh(shrunk_df, old, k=8, iters=2)
+    ids = {r["id"] for r in ref_small.select("id").distinct().collect()}
+    assert ids == set(range(60))
+    nbrs = {
+        r["neighbor_id"] for r in ref_small.select("neighbor_id").collect()
+    }
+    assert nbrs <= set(range(60))
+
+
+def test_load_or_build_knn_graph_refreshes_on_count_change(
+    spark, tmp_path
+):
+    """Same knobs + changed corpus count -> the artifact is REFRESHED
+    (warm-start) rather than cold-rebuilt, and the stored result
+    matches a cold build of the union."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import nn_descent_knn_graph
+    from job_post_similarity_spark.operators.index_store import (
+        load_or_build_knn_graph,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:
+        pts = c + 0.05 * rng.normal(size=(10, 16))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+    path = str(tmp_path / "graph_art")
+    g0, rebuilt0 = load_or_build_knn_graph(
+        spark, _vec_df(spark, vecs[:64]), path, k=8, iters=3
+    )
+    assert rebuilt0
+    union_df = _vec_df(spark, vecs)
+    g1, rebuilt1 = load_or_build_knn_graph(
+        spark, union_df, path, k=8, iters=3
+    )
+    assert rebuilt1  # refreshed -> artifact rewritten
+    cold = nn_descent_knn_graph(union_df, k=8, iters=3).collect()
+    assert sorted(map(tuple, g1.collect())) == sorted(map(tuple, cold))
+    # third call: same count + knobs -> served from the artifact
+    g2, rebuilt2 = load_or_build_knn_graph(
+        spark, union_df, path, k=8, iters=3
+    )
+    assert not rebuilt2
+
+
 def test_nn_descent_edge_cases(spark):
     import pandas as pd
     import pytest as _pytest
