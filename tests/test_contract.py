@@ -111,3 +111,30 @@ def test_bench_headline_queries_exist():
     assert len(names) >= 19
     missing = [n for n in names if n not in entrymod.queries()]
     assert not missing, f"bench names missing from queries(): {missing}"
+
+
+def test_readme_registry_counts():
+    """The README's headline registry claim (N queries / M with oracle
+    SQL, R registered + S staged) must match the live registry —
+    VERDICT r7 item 7: the counts drifted two rounds running when
+    they were maintained by hand."""
+    import os
+    import re
+
+    import __spark_entry__ as m
+
+    n_q = len(m.queries())
+    oracles = set(m.oracle_sql())
+    staged = set(m._PENDING_ORACLES) - oracles
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    mt = re.search(
+        r"\((\d+) queries, (\d+) with DuckDB oracle SQL —\s*"
+        r"(\d+) registered \+ (\d+) staged",
+        readme,
+    )
+    assert mt, "README registry-count sentence not found / reworded"
+    got = tuple(int(g) for g in mt.groups())
+    want = (n_q, len(oracles) + len(staged), len(oracles), len(staged))
+    assert got == want, f"README says {got}, registry is {want}"

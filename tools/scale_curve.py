@@ -38,8 +38,31 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF1X_DIR = os.path.join(REPO, ".scale_sf1x")
+SF1S_DIR = os.path.join(REPO, ".scale_sf1s")  # salted twin (see below)
 COPIES = 10
 KEY_OFFSET = 1_000_000_000  # > any sf0.1 key
+
+# --- engine-side exponents for OUTPUT-BOUND entries (VERDICT r7
+# item 3). Two bench entries have sf1x curves dominated by output
+# mass the fixture plants, not by engine cost; each gets an
+# engine-side exponent column measured on a twin where output grows
+# linearly, so a true engine regression cannot hide behind "that
+# curve is supposed to blow up".
+#
+# ENGINE_SALTED: re-measure the SAME query on `.scale_sf1s/` — the
+# duplication-rate-PRESERVING 10x (documents get copy-SALTED tokens:
+# every token suffixed `_c<i>` per copy, so cross-copy shingle
+# overlap is zero and near-dup pair mass grows 10x, not 100x).
+ENGINE_SALTED = ["pretraining_corpus_xxh_documents"]
+# ENGINE_TWIN_REF: entry -> headline twin whose sf1x exponent IS the
+# engine-side curve. The fixed-knob SRP gate at tau=0.4 on random
+# unit vectors admits quadratic CANDIDATES by design (the documented
+# negative control); the planner-knob chain (same banding/verify
+# code, knobs re-solved per corpus size under a linear candidate
+# budget) is the engine-side operating point.
+ENGINE_TWIN_REF = {
+    "srp_lsh_similarity_pairs_fixed": "srp_lsh_similarity_pairs_auto",
+}
 
 # per-table integer key columns shifted by copy_idx * KEY_OFFSET
 SHIFT_KEYS = {
@@ -55,14 +78,16 @@ SHIFT_KEYS = {
 DIMS = ["region", "nation"]  # copied as-is: dims don't scale with SF
 
 
-def _generate_sf1x(spark, src_dir: str) -> None:
+def _generate_sf1x(
+    spark, src_dir: str, out_dir: str = SF1X_DIR, doc_mode: str = "rotate"
+) -> None:
     from pyspark.sql import functions as F
 
-    os.makedirs(SF1X_DIR, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     for table in DIMS:
         df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
         df.write.mode("overwrite").parquet(
-            os.path.join(SF1X_DIR, f"{table}.parquet")
+            os.path.join(out_dir, f"{table}.parquet")
         )
     for table, keys in SHIFT_KEYS.items():
         df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
@@ -71,10 +96,13 @@ def _generate_sf1x(spark, src_dir: str) -> None:
             c = df
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
-            if table == "documents" and i > 0:
+            if table == "documents" and i > 0 and doc_mode == "rotate":
                 # rotate the token sequence by i: same length/vocab/
                 # dup-density per copy, but k-gram content differs
-                # across copies (no synthetic 10-way exact dups)
+                # across copies (no synthetic 10-way exact dups).
+                # NOTE (round 7, measured): rotation preserves the
+                # n-gram SET up to the seam, so shingle-SET operators
+                # see 10-cliques — use doc_mode='salt' for them.
                 toks = F.split(F.trim(F.col("text")), r"\s+")
                 rot = F.concat(
                     F.slice(toks, i + 1, F.size(toks) - F.lit(i)),
@@ -84,6 +112,39 @@ def _generate_sf1x(spark, src_dir: str) -> None:
                     "text",
                     F.when(F.size(toks) > i, F.concat_ws(" ", rot)).otherwise(
                         F.col("text")
+                    ),
+                )
+            if table == "documents" and i > 0 and doc_mode == "salt":
+                # copy-salt every NON-STOPWORD token (`tok` ->
+                # `tok_c<i>`): within-copy duplicate structure and the
+                # curation signals (language-ID marker counts,
+                # stopword ratio, token count) are preserved, while
+                # cross-copy shingle overlap collapses to the rare
+                # all-stopword n-grams (far below any near-dup
+                # threshold) — so near-dup output grows 10x
+                # (linearly), which is what makes this the
+                # ENGINE-side fixture. Salting every token instead
+                # would strip the stopwords and the curation stage
+                # would drop every copy but the first.
+                from job_post_similarity_spark.operators.text_analysis import (  # noqa: E501
+                    _LANG_MARKERS,
+                )
+
+                markers = sorted(
+                    {w for ws in _LANG_MARKERS.values() for w in ws}
+                )
+                marr = F.array(*[F.lit(w) for w in markers])
+                toks = F.split(F.trim(F.col("text")), r"\s+")
+                c = c.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            toks,
+                            lambda t: F.when(
+                                F.array_contains(marr, F.lower(t)), t
+                            ).otherwise(F.concat(t, F.lit(f"_c{i}"))),
+                        ),
                     ),
                 )
             if table == "embeddings" and i > 0:
@@ -102,7 +163,7 @@ def _generate_sf1x(spark, src_dir: str) -> None:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(
-            os.path.join(SF1X_DIR, f"{table}.parquet")
+            os.path.join(out_dir, f"{table}.parquet")
         )
 
 
@@ -147,6 +208,24 @@ def main() -> None:
             results.setdefault(name, {})[label] = round(best, 3)
             print(f"{label} {name}: {best:.2f}s", file=sys.stderr)
 
+    # engine-side pass: the output-bound entries re-measured on the
+    # duplication-rate-preserving salted 10x (see ENGINE_SALTED)
+    if not skip_sf1x and ENGINE_SALTED:
+        if not os.path.isdir(os.path.join(SF1S_DIR, "embeddings.parquet")):
+            print("generating sf1s (salted 10x sf0.1) ...", file=sys.stderr)
+            _generate_sf1x(
+                spark, "/root/testdata/sf0.1", SF1S_DIR, doc_mode="salt"
+            )
+        spark.catalog.clearCache()
+        for name in ENGINE_SALTED:
+            best = float("inf")
+            for _ in range(max(2, runs - 1)):
+                t0 = time.time()
+                qs[name](spark, SF1S_DIR).count()
+                best = min(best, time.time() - t0)
+            results[name]["sf1s"] = round(best, 3)
+            print(f"sf1s {name}: {best:.2f}s", file=sys.stderr)
+
     lines = [
         "# SCALING — empirical scale curve (generated by tools/scale_curve.py)",
         "",
@@ -158,10 +237,12 @@ def main() -> None:
         "exactly 10x. Host CPU steal swings absolute numbers (documented",
         "in NOTES.md); exponents from min-of-N are the stable signal.",
         "",
-        "| query | sf0.001 | sf0.01 | sf0.1 | sf1x (10x) | exponent |",
-        "|---|---|---|---|---|---|",
+        "| query | sf0.001 | sf0.01 | sf0.1 | sf1x (10x) | exponent "
+        "| engine e |",
+        "|---|---|---|---|---|---|---|",
     ]
     exps = {}
+    engine_exps = {}
     for name in headline:
         r = results[name]
         if "sf1x" in r and r["sf0.1"] > 0:
@@ -170,11 +251,41 @@ def main() -> None:
             e_s = f"{e:.2f}"
         else:
             e_s = "—"
+        # engine-side exponent: salted-twin re-measurement, or the
+        # planner-knob twin's own sf1x exponent (ENGINE_TWIN_REF)
+        eng_s = "—"
+        if "sf1s" in r and r.get("sf0.1", 0) > 0:
+            eng = math.log10(max(r["sf1s"], 1e-3) / max(r["sf0.1"], 1e-3))
+            engine_exps[name] = round(eng, 2)
+            eng_s = f"{eng:.2f} (sf1s {r['sf1s']}s)"
+        elif name in ENGINE_TWIN_REF:
+            twin = ENGINE_TWIN_REF[name]
+            tr = results.get(twin, {})
+            if "sf1x" in tr and tr.get("sf0.1", 0) > 0:
+                eng = math.log10(
+                    max(tr["sf1x"], 1e-3) / max(tr["sf0.1"], 1e-3)
+                )
+                engine_exps[name] = round(eng, 2)
+                eng_s = f"{eng:.2f} (= {twin})"
         lines.append(
             f"| {name} | {r.get('sf0.001', '—')} | {r.get('sf0.01', '—')} "
-            f"| {r.get('sf0.1', '—')} | {r.get('sf1x', '—')} | {e_s} |"
+            f"| {r.get('sf0.1', '—')} | {r.get('sf1x', '—')} | {e_s} "
+            f"| {eng_s} |"
         )
     lines += [
+        "",
+        "`engine e` (round 8, VERDICT r7 item 3): for the two",
+        "OUTPUT-bound entries the main exponent measures planted output",
+        "mass, not engine cost — the engine-side column re-measures on",
+        "a twin whose output grows linearly. `sf1s` = the salted",
+        "duplication-rate-preserving 10x (copy-salted tokens: same Zipf",
+        "shape and within-copy dup structure, zero cross-copy shingle",
+        "overlap — near-dup pairs grow 10x, not 100x); `= <twin>`",
+        "references the planner-knob headline twin that runs the same",
+        "banding/verify chain at the operating point the planner picks",
+        "(the fixed-knob gate is the documented negative control). A",
+        "true engine regression now reddens this column even when the",
+        "main curve is 'supposed to blow up'.",
         "",
         "Reading: e≈0 fixed-cost-dominated at these sizes; e≈1 linear",
         "(scan/shuffle-bound — the shape that survives 100 TB); e≈2 the",
@@ -208,7 +319,15 @@ def main() -> None:
     ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write("\n".join(lines))
-    print(json.dumps({"metric": "scale_curve", "exponents": exps}))
+    print(
+        json.dumps(
+            {
+                "metric": "scale_curve",
+                "exponents": exps,
+                "engine_exponents": engine_exps,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
