@@ -90,6 +90,10 @@ HEADLINE = [
     # per batch). The fused recall gate stays in the graded registry.
     "graph_build_embeddings",
     "graph_serve_embeddings",
+    # warm-start maintenance: 50 appended rows re-converged in 2 warm
+    # rounds from the stored artifact (vs the cold 3-round build row
+    # above) — VERDICT r7 item 5's refresh-vs-rebuild evidence
+    "graph_refresh_embeddings",
 ]
 
 

@@ -273,14 +273,31 @@ def ivf_assign(
         ).limit(0)
         return empty, np.empty((0, 0))
     centers = _lloyd_kmeans(mat, n_centroids, max_iter, seed)
+    return ivf_assign_with_centers(df, centers, vec_col, n_probe), centers
+
+
+def ivf_assign_with_centers(
+    df: DataFrame,
+    centers,
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """The assignment half of ``ivf_assign`` against PREBUILT coarse
+    centroids: every row mapped to its ``n_probe`` nearest centers by
+    the Arrow-batched map-side pass (broadcast centers, zero shuffle).
+    This is what Faiss ``add()`` runs — adding vectors never retrains
+    the quantizer (reference app/vector_search.py:85-141) — and the
+    incremental artifact path (``index_store.add_to_ivf_index``) uses
+    it to assign ONLY the new rows. Stable argsort ⇒ distance ties
+    break on the lower centroid id (the shared contract)."""
+    import numpy as np
+
     bc = df.sparkSession.sparkContext.broadcast(
         np.asarray(centers, dtype=np.float64)
     )
     reps = min(n_probe, len(centers))
 
     def op(batches):
-        import pandas as pd
-
         cents = bc.value
         for pdf in batches:
             if len(pdf) == 0:
@@ -304,8 +321,7 @@ def ivf_assign(
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("bucket", T.IntegerType())]
     )
-    assigned = df.mapInPandas(op, out_schema)
-    return assigned, centers
+    return df.mapInPandas(op, out_schema)
 
 
 def ivf_similarity_join(

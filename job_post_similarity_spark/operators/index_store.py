@@ -180,6 +180,44 @@ def load_or_build_ivf(
     return assigned, centers, True
 
 
+def add_to_ivf_index(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+):
+    """Faiss ``add()`` at the IVF tier (reference
+    app/vector_search.py:85-141): assign ONLY the new rows against the
+    STORED coarse centroids — adding never retrains the quantizer —
+    append the assignments to the artifact, and bump the stored row
+    count so ``load_or_build_ivf`` keeps serving the artifact instead
+    of rebuilding. Contrast with load-or-build's count-mismatch path,
+    which RETRAINS on the union (the reference's main.py:181-185
+    rebuild): use add for incremental ingest, rebuild when the data
+    distribution has drifted enough to deserve new centroids.
+
+    The caller owns id uniqueness (Faiss appends blindly). Returns
+    (assigned DataFrame over the full artifact, centers, meta).
+    """
+    from . import ann
+
+    assigned_old, centers, meta = load_ivf_index(spark, path)
+    n_new = new_rows.count()
+    if n_new:
+        new_assigned = ann.ivf_assign_with_centers(
+            new_rows, centers, vec_col, n_probe=meta.get("n_probe", 2)
+        )
+        # align to the artifact's column order so appended files share
+        # one parquet schema with the originals
+        new_assigned.select(*assigned_old.columns).write.mode(
+            "append"
+        ).parquet(os.path.join(path, _ROWS))
+        _write_meta(path, {**meta, "n_rows": meta["n_rows"] + n_new})
+    assigned = _read_rows(spark, path)
+    meta = _read_meta(path)
+    return assigned, centers, meta
+
+
 # ------------------------------------------------------------------- PQ
 
 
@@ -277,6 +315,45 @@ def load_or_build_pq(
     )
     codes = spark.read.parquet(os.path.join(path, _ROWS))
     return codes, books, centers, True
+
+
+def add_to_pq_index(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Faiss ``add()`` at the PQ / IVF-PQ tier: encode ONLY the new
+    rows with the STORED codebooks (and stored coarse centroids for
+    the residual variant — bucket assignment + residual encode, no
+    retraining anywhere), append the codes, bump the stored count.
+    The twin of ``add_to_ivf_index``; same caller-owns-id-uniqueness
+    contract. Returns (codes over the full artifact, codebooks,
+    centers-or-None, meta)."""
+    from . import ann
+
+    codes_old, books, centers, meta = load_pq_index(spark, path)
+    n_new = new_rows.count()
+    if n_new:
+        encode_df = new_rows
+        bucket_col = None
+        if centers is not None:
+            encode_df = ann.ivf_assign_with_centers(
+                new_rows, centers, vec_col, n_probe=1
+            )
+            bucket_col = "bucket"
+        new_codes = ann.pq_encode(
+            encode_df, books, id_col, vec_col,
+            centers=centers, bucket_col=bucket_col,
+        )
+        new_codes.select(*codes_old.columns).write.mode(
+            "append"
+        ).parquet(os.path.join(path, _ROWS))
+        _write_meta(path, {**meta, "n_rows": meta["n_rows"] + n_new})
+    codes = _read_rows(spark, path)
+    meta = _read_meta(path)
+    return codes, books, centers, meta
 
 
 # ----------------------------------------------------------- kNN graph

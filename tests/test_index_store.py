@@ -243,3 +243,81 @@ def test_knn_graph_save_load_and_rebuild(spark, embeddings, tmp_path):
         spark, emb, path, k=4, iters=2
     )
     assert rebuilt5 is True
+
+
+def test_add_to_ivf_index_incremental_no_retrain(spark, vectors, tmp_path):
+    """Faiss add() contract: new rows are assigned against the STORED
+    centroids (no retrain), appended, and the count is bumped so
+    load-or-build keeps serving the artifact."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ivf_add")
+    base = vectors.filter(F.col("vec_id") < 100)
+    assigned, centers, rebuilt = index_store.load_or_build_ivf(
+        spark, base, path, n_centroids=8, n_probe=2
+    )
+    assert rebuilt
+    new_rows = vectors.filter(F.col("vec_id") >= 100)
+    out, centers2, meta = index_store.add_to_ivf_index(
+        spark, new_rows, path
+    )
+    assert np.array_equal(centers, centers2)  # quantizer untouched
+    assert meta["n_rows"] == 120
+    # the new rows' stored assignments equal a direct assignment
+    # against the same centers
+    want = sorted(
+        (r["vec_id"], r["bucket"])
+        for r in ann.ivf_assign_with_centers(
+            new_rows, centers, n_probe=2
+        ).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["bucket"])
+        for r in out.filter(F.col("vec_id") >= 100).collect()
+    )
+    assert got == want
+    # count now matches the union -> load_or_build serves, no rebuild
+    _, _, rebuilt2 = index_store.load_or_build_ivf(
+        spark, vectors, path, n_centroids=8, n_probe=2
+    )
+    assert not rebuilt2
+    # empty add is a no-op
+    empty = vectors.limit(0)
+    _, _, meta3 = index_store.add_to_ivf_index(spark, empty, path)
+    assert meta3["n_rows"] == 120
+
+
+def test_add_to_pq_index_incremental_residual(spark, vectors, tmp_path):
+    """PQ add(): new rows encoded with the STORED codebooks + coarse
+    centers (residual variant), appended; codes equal a direct encode
+    with the same artifacts."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "pq_add")
+    base = vectors.filter(F.col("vec_id") < 100)
+    codes, books, centers, rebuilt = index_store.load_or_build_pq(
+        spark, base, path, m=4, bits=4, residual_centroids=8
+    )
+    assert rebuilt and centers is not None
+    new_rows = vectors.filter(F.col("vec_id") >= 100)
+    out, books2, centers2, meta = index_store.add_to_pq_index(
+        spark, new_rows, path
+    )
+    assert np.array_equal(books, books2)
+    assert np.array_equal(centers, centers2)
+    assert meta["n_rows"] == 120
+    enc = ann.pq_encode(
+        ann.ivf_assign_with_centers(new_rows, centers, n_probe=1),
+        books, "vec_id", "embedding", centers=centers,
+        bucket_col="bucket",
+    )
+    want = sorted(
+        (r["vec_id"], tuple(r["pq_code"]), r["bucket"])
+        for r in enc.collect()
+    )
+    got = sorted(
+        (r["vec_id"], tuple(r["pq_code"]), r["bucket"])
+        for r in out.filter(F.col("vec_id") >= 100).collect()
+    )
+    assert got == want
