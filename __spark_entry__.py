@@ -1123,6 +1123,14 @@ def ivfpq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTERED_EMB_CACHE: dict = {}
 
 
+def _spark_key(spark: SparkSession) -> str:
+    """Cache key for per-session fixture memos: the application id is
+    unique per SparkContext, unlike id(spark) — a recycled object
+    address from a stopped session must never serve persisted
+    DataFrames bound to a dead context."""
+    return spark.sparkContext.applicationId
+
+
 def _clustered_emb_corpus(
     spark: SparkSession, sf_dir: str, limit: int | None = None,
     n_clusters: int = 32,
@@ -1142,7 +1150,7 @@ def _clustered_emb_corpus(
         global_rank_with_total,
     )
 
-    key = (id(spark), sf_dir, limit, n_clusters)
+    key = (_spark_key(spark), sf_dir, limit, n_clusters)
     hit = _CLUSTERED_EMB_CACHE.get(key)
     if hit is not None:
         return hit
@@ -1170,6 +1178,31 @@ def _clustered_emb_corpus(
     return out
 
 
+def _graph_fixture_picks(clustered, n: int, step: int):
+    """The graph gates' shared entry/query selection (one beam entry
+    per rank-block cluster — HNSW's upper-layer role — and 50
+    stride-spread query ids). ONE definition so the serve bench and
+    the recall gate provably grade/serve the same sets (two drifting
+    copies would silently decouple the bench from its correctness
+    gate). Bounded collects: ≤ n_clusters + 50 driver scalars."""
+    entries = [
+        r["vec_id"]
+        for r in clustered.filter((F.col("rk") - 1) % step == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    qstep = max(1, n // 50)
+    qids = [
+        r["vec_id"]
+        for r in clustered.filter((F.col("rk") - 1) % qstep == 0)
+        .orderBy("rk")
+        .limit(50)
+        .select("vec_id")
+        .collect()
+    ]
+    return entries, qids
+
+
 def graph_recall_vs_exact_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1191,22 +1224,7 @@ def graph_recall_vs_exact_embeddings(
     clustered, n, step = _clustered_emb_corpus(spark, sf_dir)
     emb = clustered.select("vec_id", "embedding")
     graph = ann.nn_descent_knn_graph(emb, k=8, iters=3)
-    # bounded collects: 32 entry ids + 50 query ids (driver scalars)
-    entries = [
-        r["vec_id"]
-        for r in clustered.filter(
-            (F.col("rk") - 1) % step == 0
-        ).select("vec_id").collect()
-    ]
-    qstep = max(1, n // 50)
-    qids = [
-        r["vec_id"]
-        for r in clustered.filter((F.col("rk") - 1) % qstep == 0)
-        .orderBy("rk")
-        .limit(50)
-        .select("vec_id")
-        .collect()
-    ]
+    entries, qids = _graph_fixture_picks(clustered, n, step)
     served = ann.graph_beam_search(
         emb, graph, qids, k=1, beam=40, hops=4, entries=entries
     )
@@ -1263,19 +1281,25 @@ def graph_refresh_equals_cold_embeddings(
     cold = ann.nn_descent_knn_graph(union, k=8, iters=3).persist()
     ref = ann.nn_descent_refresh(union, old, k=8, iters=2).persist()
     cols = ["id", "neighbor_id", "rank", "sim_ppm"]
-    sym_diff = cold.select(*cols).exceptAll(ref.select(*cols)).unionAll(
-        ref.select(*cols).exceptAll(cold.select(*cols))
-    )
-    return (
-        cold.agg(F.count(F.lit(1)).alias("n_edges_cold"))
-        .crossJoin(ref.agg(F.count(F.lit(1)).alias("n_edges_refresh")))
-        .crossJoin(sym_diff.agg(F.count(F.lit(1)).alias("n_diff")))
-        .select(
-            "n_edges_cold",
-            "n_edges_refresh",
-            "n_diff",
-            (F.col("n_diff") == 0).alias("refresh_equals_cold"),
+    try:
+        # eager scalars so the persisted edge tables can be released
+        # before returning (a lazy plan over them would either leak
+        # the persists or recompute both builds at collect time)
+        n_cold = cold.count()
+        n_ref = ref.count()
+        n_diff = (
+            cold.select(*cols)
+            .exceptAll(ref.select(*cols))
+            .unionAll(ref.select(*cols).exceptAll(cold.select(*cols)))
+            .count()
         )
+    finally:
+        cold.unpersist()
+        ref.unpersist()
+    return spark.createDataFrame(
+        [(n_cold, n_ref, n_diff, n_diff == 0)],
+        "n_edges_cold long, n_edges_refresh long, n_diff long, "
+        "refresh_equals_cold boolean",
     )
 
 
@@ -1316,7 +1340,7 @@ def graph_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry points, query ids, and the content-fingerprinted artifact
     # path are index-build-time constants — memoized beside the corpus
     # so repeated serving batches pay beam search only
-    ck = (id(spark), sf_dir, "serve_fixture")
+    ck = (_spark_key(spark), sf_dir, "serve_fixture")
     hit = _CLUSTERED_EMB_CACHE.get(ck)
     if hit is None:
         fp = emb.select(
@@ -1330,21 +1354,7 @@ def graph_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = _os.path.join(
             tempfile.gettempdir(), f"jps_graph_store_{n}_{fp}"
         )
-        entries = [
-            r["vec_id"]
-            for r in clustered.filter((F.col("rk") - 1) % step == 0)
-            .select("vec_id")
-            .collect()
-        ]
-        qstep = max(1, n // 50)
-        qids = [
-            r["vec_id"]
-            for r in clustered.filter((F.col("rk") - 1) % qstep == 0)
-            .orderBy("rk")
-            .limit(50)
-            .select("vec_id")
-            .collect()
-        ]
+        entries, qids = _graph_fixture_picks(clustered, n, step)
         hit = (path, entries, qids)
         _CLUSTERED_EMB_CACHE[ck] = hit
     path, entries, qids = hit
@@ -1370,11 +1380,11 @@ def graph_refresh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clustered, n, step = _clustered_emb_corpus(spark, sf_dir)
     emb = clustered.select("vec_id", "embedding")
-    hit = _CLUSTERED_EMB_CACHE.get((id(spark), sf_dir, "serve_fixture"))
+    hit = _CLUSTERED_EMB_CACHE.get((_spark_key(spark), sf_dir, "serve_fixture"))
     if hit is None:
         # build + store the artifact through the serve entry's path
         graph_serve_embeddings(spark, sf_dir)
-        hit = _CLUSTERED_EMB_CACHE[(id(spark), sf_dir, "serve_fixture")]
+        hit = _CLUSTERED_EMB_CACHE[(_spark_key(spark), sf_dir, "serve_fixture")]
     path = hit[0]
     old, _ = index_store.load_or_build_knn_graph(
         spark, emb, path, k=8, iters=3

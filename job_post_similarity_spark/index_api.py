@@ -63,12 +63,15 @@ class VectorSearch:
 
     def _invalidate_graph(self, keep_warm: bool = False) -> None:
         """Drop the memoized HNSW-tier graph (and its entry points)
-        after an index mutation. ``keep_warm`` (add/remove — the
-        corpus CHANGED but mostly survives) keeps the old edge table
+        after an index mutation. ``keep_warm`` (add — the corpus
+        GREW and every old node survives) keeps the old edge table
         as a warm-start seed: the next search runs
         ``ann.nn_descent_refresh`` over the stored edges (1-2 rounds)
-        instead of a cold NN-Descent build. ``load`` replaces the
-        corpus wholesale, so it invalidates cold."""
+        instead of a cold NN-Descent build. ``remove`` and ``load``
+        invalidate COLD: heavy removal strands survivors with mostly-
+        stale edge lists that 2 warm rounds may not repair to the
+        cold-build contract, and ``load`` replaces the corpus
+        wholesale."""
         if self._graph is not None:
             if keep_warm:
                 if self._stale_graph is not None:
@@ -216,4 +219,4 @@ class VectorSearch:
         app/vector_search_cpu.py:157-175) — trivial here."""
         assert self._df is not None
         self._df = knn.remove_vectors(self._df, self.id_col, ids)
-        self._invalidate_graph(keep_warm=True)
+        self._invalidate_graph()

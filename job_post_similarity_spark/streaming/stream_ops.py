@@ -309,12 +309,19 @@ def _read_pairs_or_empty(
     """Read a stream's accumulated pairs lake, or return an empty
     frame with the pairs schema when no batch ever wrote one (an
     empty source directory means foreachBatch never ran, so the
-    path does not exist — that's 'no pairs found', not an error)."""
-    import os
+    path does not exist — that's 'no pairs found', not an error).
+    Existence is probed by attempting the read, NOT os.path — the
+    lake may live on any Hadoop filesystem (s3a://, hdfs://) where a
+    local-path check would falsely report absence and silently drop
+    real pairs."""
+    from pyspark.errors import AnalysisException
 
-    if os.path.exists(pairs_path):
-        return spark.read.parquet(pairs_path)
-    return spark.createDataFrame([], schema)
+    try:
+        df = spark.read.parquet(pairs_path)
+        df.schema  # force footer/path resolution so the except fires
+        return df
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
 
 
 def _resolve_store_plan(

@@ -865,6 +865,36 @@ def test_load_or_build_knn_graph_refreshes_on_count_change(
     )
     assert not rebuilt2
 
+    # wholesale replacement (disjoint ids, same knobs, different
+    # count) must COLD-build, not warm-refresh: every stored edge
+    # would die in the scoring join and a 2-round ring-init graph
+    # would silently undercut the iters=3 contract
+    import json as _json
+    import os as _os
+
+    import pandas as _pd
+
+    repl_mat = __import__("numpy").asarray(vecs[:70]) * -1.0
+    replaced = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "vec_id": range(10_000, 10_000 + len(repl_mat)),
+                "embedding": list(repl_mat),
+            }
+        )
+    )
+    g3, rebuilt3 = load_or_build_knn_graph(
+        spark, replaced, path, k=8, iters=3
+    )
+    assert rebuilt3
+    with open(_os.path.join(path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    assert meta["refreshed"] is False  # cold path taken
+    cold_repl = nn_descent_knn_graph(replaced, k=8, iters=3).collect()
+    assert sorted(map(tuple, g3.collect())) == sorted(
+        map(tuple, cold_repl)
+    )
+
 
 def test_nn_descent_edge_cases(spark):
     import pandas as pd

@@ -79,17 +79,25 @@ DIMS = ["region", "nation"]  # copied as-is: dims don't scale with SF
 
 
 def _generate_sf1x(
-    spark, src_dir: str, out_dir: str = SF1X_DIR, doc_mode: str = "rotate"
+    spark,
+    src_dir: str,
+    out_dir: str = SF1X_DIR,
+    doc_mode: str = "rotate",
+    only_tables: set | None = None,
 ) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
     for table in DIMS:
+        if only_tables is not None and table not in only_tables:
+            continue
         df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
         df.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{table}.parquet")
         )
     for table, keys in SHIFT_KEYS.items():
+        if only_tables is not None and table not in only_tables:
+            continue
         df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
         parts = []
         for i in range(COPIES):
@@ -211,10 +219,14 @@ def main() -> None:
     # engine-side pass: the output-bound entries re-measured on the
     # duplication-rate-preserving salted 10x (see ENGINE_SALTED)
     if not skip_sf1x and ENGINE_SALTED:
-        if not os.path.isdir(os.path.join(SF1S_DIR, "embeddings.parquet")):
+        # the salted pass only reads documents — generating the full
+        # 10x table set would waste minutes of jobs and a disk copy
+        # byte-equivalent to .scale_sf1x's non-document tables
+        if not os.path.isdir(os.path.join(SF1S_DIR, "documents.parquet")):
             print("generating sf1s (salted 10x sf0.1) ...", file=sys.stderr)
             _generate_sf1x(
-                spark, "/root/testdata/sf0.1", SF1S_DIR, doc_mode="salt"
+                spark, "/root/testdata/sf0.1", SF1S_DIR,
+                doc_mode="salt", only_tables={"documents"},
             )
         spark.catalog.clearCache()
         for name in ENGINE_SALTED:
