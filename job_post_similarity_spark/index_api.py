@@ -198,9 +198,22 @@ class VectorSearch:
     def save(self, index_path: str, id_map_path: str | None = None) -> None:
         """Persist the index as parquet (id map obsolete — the id IS a
         column; reference needed a pickled side-car,
-        app/vector_search.py:207-239)."""
+        app/vector_search.py:207-239). At the HNSW tier a BUILT graph
+        is saved beside the vectors (``<index_path>__graph``, the
+        ``index_store`` kNN-graph artifact) so a reloaded index serves
+        without rebuilding — the reference saves the trained Faiss
+        structure, not just the raw vectors."""
         assert self._df is not None
         self._df.write.mode("overwrite").parquet(index_path)
+        if self._graph is not None:
+            from .operators import index_store
+
+            index_store.save_knn_graph(
+                index_path + "__graph",
+                self._graph,
+                self._df.count(),
+                params={"k": 8, "iters": 3},
+            )
 
     def load(self, index_path: str, id_map_path: str | None = None) -> None:
         assert self._spark is not None, "pass spark= before load()"
@@ -208,6 +221,23 @@ class VectorSearch:
         require_embedding_dim(df, self.vec_col, self.dimension)
         self._df = df
         self._invalidate_graph()
+        # adopt a co-saved graph artifact when its row count still
+        # matches the vectors being loaded (staleness contract of
+        # load_or_build_knn_graph); any mismatch or load failure just
+        # means the next HNSW search rebuilds, as before
+        from .operators import index_store
+
+        try:
+            graph, meta = index_store.load_knn_graph(
+                self._spark, index_path + "__graph"
+            )
+            if meta["n_rows"] == df.count():
+                self._graph = graph.persist()
+                self._graph_entries = ann.default_graph_entries(
+                    df, self.id_col
+                )
+        except index_store.IndexLoadError:
+            pass
 
     @property
     def ntotal(self) -> int:

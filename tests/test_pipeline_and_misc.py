@@ -895,6 +895,67 @@ def test_vector_search_hnsw_routes_to_graph_tier(spark, embeddings):
     assert vs._stale_graph is None and vs._graph is not None
 
 
+def test_vector_search_saves_and_reloads_graph_artifact(
+    spark, embeddings, tmp_path
+):
+    """save() at the HNSW tier persists the built graph beside the
+    vectors; load() adopts it when the row count matches, so the
+    reloaded index serves without an NN-Descent rebuild (the
+    reference persists the trained Faiss structure, not just raw
+    vectors — app/vector_search.py:207-239)."""
+    import math
+
+    from job_post_similarity_spark.index_api import VectorSearch
+
+    n = embeddings.count()
+    step = max(1, math.ceil(n / 32))
+    c = (F.col("vec_id") / F.lit(step)).cast("int")
+    arr = F.col("embedding").cast("array<double>")
+    v2 = F.transform(
+        arr,
+        lambda x, i: x + F.when(i == c, F.lit(2.0)).otherwise(F.lit(0.0)),
+    )
+    norm = F.sqrt(F.aggregate(v2, F.lit(0.0), lambda a, x: a + x * x))
+    emb = embeddings.select(
+        "vec_id", F.transform(v2, lambda x: x / norm).alias("embedding")
+    )
+    dim = len(emb.first()["embedding"])
+
+    vs = VectorSearch(dim, "HNSW32", spark=spark)
+    vs.add(emb)
+    vs.exact_shortcut_rows = 0
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vs.search(queries, k=1).collect()
+    }
+    assert vs._graph is not None
+    path = str(tmp_path / "vs_index")
+    vs.save(path)
+
+    vs2 = VectorSearch(dim, "HNSW32", spark=spark)
+    vs2.load(path)
+    vs2.exact_shortcut_rows = 0
+    # graph adopted at load time — no rebuild needed before serving
+    assert vs2._graph is not None and vs2._graph_entries is not None
+    after = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vs2.search(queries, k=1).collect()
+    }
+    assert after == before
+
+    # a vector-count mismatch refuses the stale artifact
+    vs3 = VectorSearch(dim, "HNSW32", spark=spark)
+    emb.filter(F.col("vec_id") < n - 10).write.mode("overwrite").parquet(
+        str(tmp_path / "vs_index2")
+    )
+    import shutil
+
+    shutil.copytree(path + "__graph", str(tmp_path / "vs_index2__graph"))
+    vs3.load(str(tmp_path / "vs_index2"))
+    assert vs3._graph is None
+
+
 def test_compact_parquet_merges_small_files(spark, documents, tmp_path):
     import glob
     import os
