@@ -1396,6 +1396,47 @@ def graph_refresh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.nn_descent_refresh(union, old, k=8, iters=2)
 
 
+# unigram-LM gate knobs, shared by both gates and the SQL replay
+# generator (one definition so they cannot drift)
+_UNIGRAM_KNOBS = dict(
+    vocab_size=40, iters=1, max_piece_len=3, seed_pool=60
+)
+
+
+def unigram_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training
+    (``text_analysis.unigram_lm_train``, Kudo 2018) — the subword
+    family BPE doesn't cover. Fully deterministic (integer micro-log
+    Viterbi, total-ordered cuts, add-one single-char smoothing), so
+    the ENTIRE trainer — substring seeding, the EM round's distributed
+    Viterbi E-step and usage M-step, the vocab prune — replays as one
+    generated DuckDB query (unrolled positional DP; see
+    ``_unigram_oracle``). Output: the final (piece, freq, lp6)
+    vocabulary. (Oracle staged in _PENDING_ORACLES.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.unigram_lm_train(docs, "text", **_UNIGRAM_KNOBS)
+
+
+def unigram_token_count_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM ENCODE over the doc_id < 200 slice with the
+    corpus-trained vocabulary: per document, the Viterbi piece count
+    and summed micro-log likelihood (``unigram_viterbi_encode`` — the
+    Arrow-batched serving shape). The oracle replays training AND
+    re-segments every distinct word under the final scores with a
+    second unrolled DP block. (Oracle staged in _PENDING_ORACLES.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = text_analysis.unigram_lm_train(
+        docs, "text", **_UNIGRAM_KNOBS
+    )
+    sl = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    return text_analysis.unigram_viterbi_encode(
+        sl, pieces, "doc_id", "text",
+        max_piece_len=_UNIGRAM_KNOBS["max_piece_len"],
+    )
+
+
 def semantic_dedup_planted_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup end-to-end (dedup.semantic_dedup, Abbas et al. 2023)
     made driver-gradable by the planted-twin contract: the corpus is
@@ -6563,6 +6604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_build_embeddings": graph_build_embeddings,
         "graph_serve_embeddings": graph_serve_embeddings,
         "graph_refresh_embeddings": graph_refresh_embeddings,
+        # round 8: unigram-LM (SentencePiece-style) tokenizer — the
+        # subword family BPE doesn't cover; oracles staged for the r9
+        # window (generated unrolled-DP DuckDB replays)
+        "unigram_train_documents": unigram_train_documents,
+        "unigram_token_count_documents": unigram_token_count_documents,
     }
     out = {k: base[k] for k in _R8_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -12396,6 +12442,194 @@ _PENDING_ORACLES.update({
                true AS refresh_equals_cold
     """,
 })
+
+
+# ------------------------------------------------- unigram-LM oracles
+# Generated SQL replay of text_analysis.unigram_lm_train /
+# unigram_viterbi_encode: substring seeding, one EM round (distributed
+# Viterbi E-step + usage M-step), vocab prune — the Viterbi DP is
+# unrolled positionally (_UNIGRAM_MAXLEN positions, candidate lengths
+# 1..max_piece_len, greatest-with-sentinel, and the SAME
+# shortest-last-piece tie rule as _viterbi_split: the bp CASE tests
+# candidate lengths ASCENDING). Fixture words are ≤ 8 chars; the
+# unroll depth leaves slack and the local 3-SF parity run would catch
+# a regenerated fixture exceeding it.
+_UNIGRAM_MAXLEN = 10
+_UNIGRAM_SENT = -(10**15)
+
+
+def _unigram_dp_block(
+    words_cte: str, scores_cte: str, prefix: str, carry: tuple = ()
+) -> str:
+    """CTE chain Viterbi-segmenting every word of ``words_cte``
+    (column ``w``; ``carry`` names extra columns to keep) under
+    ``scores_cte`` (piece, lp6). Emits ``<prefix>seg`` with a ``ps``
+    piece-list column (in order).
+
+    All (position, length) piece lookups happen in ONE join + pivot
+    (``<prefix>lk``) — a correlated scalar subquery per candidate
+    OOMed DuckDB's optimizer at 30 candidates × 20 chained CTEs — and
+    the DP itself is then pure column arithmetic."""
+    plen = _UNIGRAM_KNOBS["max_piece_len"]
+    carry_cols = "".join(f", {c}" for c in carry)
+    piv = ", ".join(
+        f"max(CASE WHEN pos = {j} AND plen = {k} THEN lp6 END) AS l{k}_{j}"
+        for j in range(1, _UNIGRAM_MAXLEN + 1)
+        for k in range(1, min(plen, j) + 1)
+    )
+    parts = [
+        f"""{prefix}lk AS MATERIALIZED (
+            SELECT w{carry_cols}, {piv}
+            FROM (
+                SELECT t.w{''.join(f', t.{c}' for c in carry)},
+                       g.pos, g.plen, s.lp6
+                FROM {words_cte} t
+                CROSS JOIN (
+                    SELECT a.pos, b.plen
+                    FROM (SELECT unnest(generate_series(
+                             1, {_UNIGRAM_MAXLEN})) AS pos) a,
+                         (SELECT unnest(generate_series(
+                             1, {plen})) AS plen) b
+                    WHERE b.plen <= a.pos) g
+                LEFT JOIN {scores_cte} s
+                  ON s.piece = substr(t.w, g.pos - g.plen + 1, g.plen))
+            GROUP BY w{carry_cols})"""
+    ]
+    prev = f"{prefix}lk"
+    for j in range(1, _UNIGRAM_MAXLEN + 1):
+        ks = range(1, min(plen, j) + 1)
+        cands = ", ".join(
+            f"{'0' if j - k == 0 else f'dp{j - k}'} + "
+            f"coalesce(l{k}_{j}, {_UNIGRAM_SENT}) AS c{k}_{j}"
+            for k in ks
+        )
+        great = ", ".join(f"c{k}_{j}" for k in ks)
+        case = " ".join(f"WHEN c{k}_{j} = dp{j} THEN {k}" for k in ks)
+        parts.append(
+            f"{prefix}d{j} AS MATERIALIZED (SELECT *, {cands}, "
+            f"greatest({great}) AS dp{j}, "
+            f"CASE {case} END AS bp{j} FROM {prev})"
+        )
+        prev = f"{prefix}d{j}"
+    bps = ", ".join(f"bp{j}" for j in range(1, _UNIGRAM_MAXLEN + 1))
+    # one MATERIALIZED CTE per backtrack step: chained lateral aliases
+    # here substitute pos{s-1} into three places per step — a 3^10
+    # expression blow-up that cost DuckDB ~38 s on 31 rows when the
+    # whole backtrack sat in one SELECT
+    parts.append(
+        f"{prefix}b0 AS MATERIALIZED (SELECT *, "
+        f"list_value({bps}) AS bps, len(w) AS pos0 FROM {prev})"
+    )
+    for s in range(1, _UNIGRAM_MAXLEN + 1):
+        p = s - 1
+        parts.append(
+            f"{prefix}b{s} AS MATERIALIZED (SELECT *, "
+            f"CASE WHEN pos{p} > 0 THEN "
+            f"substr(w, pos{p} - bps[pos{p}] + 1, bps[pos{p}]) "
+            f"END AS p{s}, "
+            f"CASE WHEN pos{p} > 0 THEN pos{p} - bps[pos{p}] "
+            f"ELSE 0 END AS pos{s} FROM {prefix}b{p})"
+        )
+    parts.append(
+        f"{prefix}bt AS (SELECT * FROM {prefix}b{_UNIGRAM_MAXLEN})"
+    )
+    plist = ", ".join(f"p{s}" for s in range(_UNIGRAM_MAXLEN, 0, -1))
+    parts.append(
+        f"{prefix}seg AS MATERIALIZED (SELECT *, list_filter(list_value({plist}), "
+        f"x -> x IS NOT NULL) AS ps FROM {prefix}bt)"
+    )
+    return ",\n".join(parts)
+
+
+def _unigram_train_ctes() -> str:
+    pool = _UNIGRAM_KNOBS["seed_pool"]
+    vocab = _UNIGRAM_KNOBS["vocab_size"]
+    plen = _UNIGRAM_KNOBS["max_piece_len"]
+    assert _UNIGRAM_KNOBS["iters"] == 1, "replay unrolls exactly 1 round"
+    return rf"""
+        uw AS (
+            SELECT w, count(*)::BIGINT AS cnt FROM (
+                SELECT unnest(string_split_regex(
+                           trim(lower(text)), '\s+')) AS w
+                FROM documents)
+            WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+        useed AS (
+            SELECT piece, sum(cnt)::BIGINT AS freq FROM (
+                SELECT unnest(flatten(list_transform(
+                    generate_series(1, {plen}), l ->
+                    CASE WHEN len(w) >= l THEN list_transform(
+                        generate_series(1, len(w) - l + 1),
+                        i -> substr(w, i, l)) ELSE [] END))) AS piece,
+                    cnt
+                FROM uw) GROUP BY piece),
+        up0 AS (
+            SELECT piece, freq FROM useed WHERE len(piece) = 1
+            UNION ALL
+            SELECT piece, freq FROM (
+                SELECT piece, freq FROM useed WHERE len(piece) > 1
+                ORDER BY freq DESC, piece LIMIT {pool})),
+        us0 AS (
+            SELECT piece, round(ln(freq::DOUBLE /
+                (SELECT sum(freq) FROM up0)) * 1e6)::BIGINT AS lp6
+            FROM up0),
+        {_unigram_dp_block('uw', 'us0', 'ut', carry=('cnt',))},
+        uusage AS (
+            SELECT piece, sum(cnt)::BIGINT AS use_cnt FROM (
+                SELECT unnest(ps) AS piece, cnt FROM utseg)
+            GROUP BY piece),
+        up1 AS (
+            SELECT piece, freq FROM (
+                SELECT s.piece,
+                       CASE WHEN len(s.piece) = 1
+                            THEN coalesce(u.use_cnt, 0) + 1
+                            ELSE coalesce(u.use_cnt, 0) END AS freq
+                FROM us0 s LEFT JOIN uusage u USING (piece))
+            WHERE freq > 0),
+        ukeep AS (
+            SELECT piece, freq FROM up1 WHERE len(piece) = 1
+            UNION ALL
+            SELECT piece, freq FROM (
+                SELECT piece, freq, row_number() OVER (
+                    ORDER BY freq DESC, piece) AS rn
+                FROM up1 WHERE len(piece) > 1)
+            WHERE rn <= {vocab} - (
+                SELECT count(*) FROM up1 WHERE len(piece) = 1)),
+        ufin AS (
+            SELECT piece, freq, round(ln(freq::DOUBLE /
+                (SELECT sum(freq) FROM ukeep)) * 1e6)::BIGINT AS lp6
+            FROM ukeep)
+    """
+
+
+_PENDING_ORACLES["unigram_train_documents"] = f"""
+    WITH {_unigram_train_ctes()}
+    SELECT piece, freq, lp6 FROM ufin ORDER BY piece
+"""
+
+_PENDING_ORACLES["unigram_token_count_documents"] = f"""
+    WITH {_unigram_train_ctes()},
+    udocw AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split_regex(
+                       trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE doc_id < 200)
+        WHERE regexp_matches(w, '^[a-z]+$')),
+    uw2 AS (SELECT DISTINCT w FROM udocw),
+    {_unigram_dp_block('uw2', 'ufin', 'ue')},
+    ewd AS (
+        SELECT g.w, count(*)::BIGINT AS n_p, sum(f.lp6)::BIGINT AS s6
+        FROM (SELECT w, unnest(ps) AS piece FROM ueseg) g
+        JOIN ufin f USING (piece) GROUP BY g.w),
+    eper AS (
+        SELECT dw.doc_id, e.n_p, e.s6
+        FROM udocw dw JOIN ewd e USING (w))
+    SELECT d.doc_id,
+           coalesce(sum(e.n_p), 0)::BIGINT AS n_pieces,
+           coalesce(sum(e.s6), 0)::BIGINT AS score6
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+    LEFT JOIN eper e USING (doc_id)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+"""
 
 # The local BPE trainer is graded by the distributed trainer's
 # unrolled-CTE replay (merge equality IS the equivalence claim; the

@@ -1627,3 +1627,268 @@ def duplicate_ngram_char_coverage(
         .cast("long")
         .alias("dup_ngram_char_ppm"),
     )
+
+
+# --------------------------------------------------- unigram-LM tokenizer
+
+
+def _viterbi_split(word: str, scores: dict, max_piece_len: int):
+    """Best unigram-LM segmentation of one word (Kudo 2018 §3.1):
+    maximize the sum of integer micro-log piece scores by positional
+    DP. Tie rule (mirrored EXACTLY by the generated SQL replay):
+    candidate piece lengths are tried ASCENDING with a strict '>'
+    update, so the SHORTEST last piece wins score ties. Returns the
+    piece list, or None when no path exists (impossible once every
+    single character is in the vocabulary)."""
+    n = len(word)
+    dp = [None] * (n + 1)
+    bp = [0] * (n + 1)
+    dp[0] = 0
+    for j in range(1, n + 1):
+        best = None
+        bb = 0
+        for plen in range(1, min(max_piece_len, j) + 1):
+            prev = dp[j - plen]
+            if prev is None:
+                continue
+            s = scores.get(word[j - plen : j])
+            if s is None:
+                continue
+            cand = prev + s
+            if best is None or cand > best:
+                best, bb = cand, plen
+        dp[j] = best
+        bp[j] = bb
+    if dp[n] is None:
+        return None
+    out = []
+    j = n
+    while j > 0:
+        out.append(word[j - bp[j] : j])
+        j -= bp[j]
+    out.reverse()
+    return out
+
+
+def _unigram_word_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, cnt) weighted vocabulary — the same lowercase ^[a-z]+$ word
+    prep as the BPE trainers, aggregated corpus-wide in one shuffle."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        df.select(F.explode(toks).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _unigram_lp6(pieces: DataFrame) -> DataFrame:
+    """Attach integer micro-log probabilities: lp6 =
+    round(ln(freq / total) * 1e6) — the bigram-perplexity micro-log
+    policy, reproducible across engines. One 1-row broadcast attach."""
+    total = pieces.agg(F.sum("freq").alias("__tot"))
+    return pieces.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "freq",
+        F.round(F.log(F.col("freq") / F.col("__tot")) * 1e6, 0)
+        .cast("long")
+        .alias("lp6"),
+    )
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 48,
+    iters: int = 2,
+    max_piece_len: int = 4,
+    seed_pool: int | None = None,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018)
+    re-expressed Spark-first — the subword family BPE doesn't cover
+    (probabilistic segmentation; reference-class pipelines train both).
+
+    Shape per EM round (the Lloyd/PageRank driver-loop pattern):
+
+    1. the weighted WORD table is built once (one corpus shuffle) and
+       reused every round — corpus text is never rescanned;
+    2. E-step: Viterbi-segment every distinct word under the current
+       integer micro-log piece scores inside ``mapInPandas`` — the
+       piece table is the broadcast value (bounded by ``seed_pool``,
+       the Lloyd-on-a-sample argument), the WORD table stays
+       distributed, so the step is map-side + one piece-keyed
+       aggregate of usage counts;
+    3. M-step: piece frequency = Viterbi usage (multi-char pieces with
+       zero usage drop out; single characters always survive with
+       add-one smoothing so every word stays segmentable — the
+       coverage guarantee SentencePiece gets from its character
+       fallback).
+
+    Seeding: all substrings of length 1..``max_piece_len`` weighted by
+    word count; single chars + the top ``seed_pool`` (default
+    3×vocab_size) multi-char pieces by (freq DESC, piece ASC). Final
+    prune keeps singles + the top (vocab_size − n_singles) multi-char
+    pieces, then recomputes lp6 over the pruned set.
+
+    Everything is deterministic (integer micro-log scores, total
+    orders on every cut, the shortest-last-piece Viterbi tie rule), so
+    the whole trainer — seed, E/M rounds, prune — replays as one
+    generated DuckDB query; the gate grades the FINAL (piece, freq,
+    lp6) table by value hash.
+
+    Output: (piece, freq, lp6), ordered by piece.
+    """
+    import pandas as pd
+
+    if vocab_size < 1 or iters < 0 or max_piece_len < 1:
+        raise ValueError("vocab_size >= 1, iters >= 0, max_piece_len >= 1")
+    spark = df.sparkSession
+    pool = seed_pool if seed_pool is not None else vocab_size * 3
+    wc = _unigram_word_table(df, text_col).persist()
+
+    subs = F.expr(
+        f"flatten(transform(sequence(1, {int(max_piece_len)}), l -> "
+        "if(length(w) >= l, "
+        "   transform(sequence(1, length(w) - l + 1), "
+        "             i -> substring(w, i, l)), "
+        "   cast(array() as array<string>))))"
+    )
+    seed = (
+        wc.select(F.explode(subs).alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    singles = seed.filter(F.length("piece") == 1)
+    multi = (
+        seed.filter(F.length("piece") > 1)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(pool)
+    )
+    pieces = singles.unionByName(multi)
+
+    def em_usage(piece_rows) -> DataFrame:
+        scores = {r["piece"]: r["lp6"] for r in piece_rows}
+        bc = spark.sparkContext.broadcast(scores)
+
+        def op(batches):
+            sc = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                use: dict = {}
+                for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                    segs = _viterbi_split(w, sc, max_piece_len)
+                    if segs is None:
+                        continue
+                    for p in segs:
+                        use[p] = use.get(p, 0) + int(cnt)
+                if use:
+                    yield pd.DataFrame(
+                        {"piece": list(use), "use_cnt": list(use.values())}
+                    )
+
+        local = wc.mapInPandas(op, "piece string, use_cnt long")
+        return local.groupBy("piece").agg(
+            F.sum("use_cnt").alias("use_cnt")
+        )
+
+    for _ in range(iters):
+        scored = _unigram_lp6(pieces)
+        # bounded collect: the piece pool (≤ singles + seed_pool rows)
+        # is the broadcast model, exactly like the IVF centroid table
+        usage = em_usage(scored.collect())
+        pieces = (
+            scored.select("piece")
+            .join(usage, "piece", "left")
+            .select(
+                "piece",
+                F.coalesce("use_cnt", F.lit(0)).alias("use_cnt"),
+            )
+            .select(
+                "piece",
+                F.when(
+                    F.length("piece") == 1, F.col("use_cnt") + 1
+                )
+                .otherwise(F.col("use_cnt"))
+                .alias("freq"),
+            )
+            .filter(F.col("freq") > 0)
+        )
+
+    final_singles = pieces.filter(F.length("piece") == 1)
+    n_singles = final_singles.count()
+    keep_multi = max(0, vocab_size - n_singles)
+    final = final_singles.unionByName(
+        pieces.filter(F.length("piece") > 1)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(keep_multi)
+    )
+    out = _unigram_lp6(final).orderBy("piece")
+    wc.unpersist()
+    return out
+
+
+def unigram_viterbi_encode(
+    df: DataFrame,
+    pieces: list | DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Encode documents with a trained unigram-LM vocabulary: each
+    word Viterbi-segmented under the integer micro-log scores
+    (broadcast piece table, Arrow-batched — the bpe_apply serving
+    shape). Output per document: (id, n_pieces, score6) where score6
+    is the summed micro-log likelihood of the chosen segmentation —
+    the quantity SentencePiece's sampling/pruning reasons about.
+    Words outside the trained character set count 0 pieces (same
+    skip contract as the trainer's E-step)."""
+    import pandas as pd
+
+    if isinstance(pieces, DataFrame):
+        pieces = pieces.collect()
+    scores = {r["piece"]: r["lp6"] for r in pieces}
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(scores)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def op(batches):
+        import re
+
+        # the trainers' exact word contract: ASCII-whitespace split
+        # (Java/RE2 \s does NOT split NBSP — the TokenWindows lesson)
+        # + the ^[a-z]+$ admission regex
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+        word_re = re.compile(r"[a-z]+\Z")
+        sc = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_out = []
+            s_out = []
+            for text in pdf[text_col]:
+                n = 0
+                s = 0
+                for w in ws.split(str(text or "").lower().strip()):
+                    if not word_re.fullmatch(w):
+                        continue
+                    segs = _viterbi_split(w, sc, max_piece_len)
+                    if segs is None:
+                        continue
+                    n += len(segs)
+                    s += sum(sc[p] for p in segs)
+                n_out.append(n)
+                s_out.append(s)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_pieces": n_out,
+                    "score6": s_out,
+                }
+            )
+
+    return (
+        df.select(id_col, text_col)
+        .mapInPandas(op, f"{id_col} {id_type}, n_pieces long, score6 long")
+        .orderBy(id_col)
+    )

@@ -3618,3 +3618,96 @@ def test_duplicate_ngram_char_coverage_overlap_union(spark):
     assert rows[3]["dup_ngram_char_ppm"] == 0
     # shorter than n tokens: emitted with 0 coverage
     assert rows[4]["covered_chars"] == 0
+
+
+def test_unigram_lm_train_hand_case(spark):
+    """One EM round on a corpus small enough to verify by hand:
+    'ab' out-scores 'a'+'b' (one piece at ln .3 beats two), so after
+    the E-step the multi piece absorbs all 'ab' usage and the unused
+    singles survive only through add-one smoothing."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        unigram_lm_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab c")], "doc_id long, text string"
+    )
+    out = unigram_lm_train(
+        df, vocab_size=10, iters=1, max_piece_len=2
+    ).collect()
+    got = {r["piece"]: r["freq"] for r in out}
+    assert got == {"a": 1, "b": 1, "c": 2, "ab": 3}
+    # lp6 = round(ln(freq/7) * 1e6) over the pruned set
+    import math
+
+    for r in out:
+        assert r["lp6"] == round(math.log(r["freq"] / 7) * 1e6)
+
+
+def test_unigram_viterbi_matches_brute_force():
+    """The DP segmentation score equals the max over ALL
+    segmentations, and ties resolve to the shortest-last-piece path
+    (the rule the SQL replay mirrors)."""
+    import itertools
+
+    from job_post_similarity_spark.operators.text_analysis import (
+        _viterbi_split,
+    )
+
+    scores = {
+        "a": -5_000_000, "b": -4_000_000, "c": -6_000_000,
+        "ab": -7_000_000, "bc": -9_000_000, "abc": -13_000_000,
+        "ca": -8_000_000,
+    }
+
+    def brute(word):
+        best = None
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            segs = [word[pos[i]:pos[i + 1]] for i in range(len(pos) - 1)]
+            if any(s not in scores for s in segs):
+                continue
+            sc = sum(scores[s] for s in segs)
+            if best is None or sc > best:
+                best = sc
+        return best
+
+    for word in ["abc", "abca", "cab", "bcab", "aabbcc", "abcabc"]:
+        segs = _viterbi_split(word, scores, 3)
+        want = brute(word)
+        if want is None:
+            assert segs is None
+        else:
+            assert segs is not None
+            assert "".join(segs) == word
+            assert sum(scores[p] for p in segs) == want
+
+    # unsegmentable word (char outside vocabulary)
+    assert _viterbi_split("abz", scores, 3) is None
+    # explicit tie: s(xy) == s(x)+s(y) -> shortest last piece wins
+    tie = {"x": -1_000_000, "y": -1_000_000, "xy": -2_000_000}
+    assert _viterbi_split("xy", tie, 2) == ["x", "y"]
+
+
+def test_unigram_encode_counts_and_scores(spark):
+    from job_post_similarity_spark.operators.text_analysis import (
+        unigram_lm_train,
+        unigram_viterbi_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab ab c"), (2, "c c"), (3, "")],
+        "doc_id long, text string",
+    )
+    pieces = unigram_lm_train(df, vocab_size=10, iters=1, max_piece_len=2)
+    rows = pieces.collect()
+    lp = {r["piece"]: r["lp6"] for r in rows}
+    enc = {
+        r["doc_id"]: (r["n_pieces"], r["score6"])
+        for r in unigram_viterbi_encode(df, rows).collect()
+    }
+    # 'ab' is a trained piece -> 1 piece per 'ab' word
+    assert enc[1] == (3, 2 * lp["ab"] + lp["c"])
+    assert enc[2] == (2, 2 * lp["c"])
+    assert enc[3] == (0, 0)
