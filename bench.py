@@ -94,6 +94,8 @@ HEADLINE = [
     # rounds from the stored artifact (vs the cold 3-round build row
     # above) — VERDICT r7 item 5's refresh-vs-rebuild evidence
     "graph_refresh_embeddings",
+    # round-8: unigram-LM tokenizer training (distributed Viterbi EM)
+    "unigram_train_documents",
 ]
 
 

@@ -1793,26 +1793,24 @@ def unigram_lm_train(
         )
 
     for _ in range(iters):
-        scored = _unigram_lp6(pieces)
-        # bounded collect: the piece pool (≤ singles + seed_pool rows)
-        # is the broadcast model, exactly like the IVF centroid table
-        usage = em_usage(scored.collect())
-        pieces = (
-            scored.select("piece")
-            .join(usage, "piece", "left")
-            .select(
-                "piece",
-                F.coalesce("use_cnt", F.lit(0)).alias("use_cnt"),
-            )
-            .select(
-                "piece",
-                F.when(
-                    F.length("piece") == 1, F.col("use_cnt") + 1
-                )
-                .otherwise(F.col("use_cnt"))
-                .alias("freq"),
-            )
-            .filter(F.col("freq") > 0)
+        # bounded collects: the piece pool (≤ singles + seed_pool
+        # rows) is the broadcast model, exactly like the IVF centroid
+        # table — and making each round EAGER here keeps the E-step
+        # out of the returned plan's lineage (lazy rounds re-ran the
+        # corpus-wide Viterbi pass on every downstream action)
+        scored_rows = _unigram_lp6(pieces).collect()
+        use = {
+            r["piece"]: r["use_cnt"]
+            for r in em_usage(scored_rows).collect()
+        }
+        new_rows = []
+        for r in scored_rows:
+            p = r["piece"]
+            freq = use.get(p, 0) + (1 if len(p) == 1 else 0)
+            if freq > 0:
+                new_rows.append((p, freq))
+        pieces = spark.createDataFrame(
+            new_rows, "piece string, freq long"
         )
 
     final_singles = pieces.filter(F.length("piece") == 1)
