@@ -3711,3 +3711,39 @@ def test_unigram_encode_counts_and_scores(spark):
     assert enc[1] == (3, 2 * lp["ab"] + lp["c"])
     assert enc[2] == (2, 2 * lp["c"])
     assert enc[3] == (0, 0)
+
+
+def test_unigram_lm_second_em_round_converges(spark):
+    """On the hand-case corpus the segmentation choices are stable
+    after round 1, so round 2 only re-weights: piece SET unchanged,
+    usage re-counted under the new scores, and a third round is a
+    fixed point of the piece set."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        unigram_lm_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab c ab c")], "doc_id long, text string"
+    )
+    p1 = {
+        r["piece"]: r["freq"]
+        for r in unigram_lm_train(
+            df, vocab_size=10, iters=1, max_piece_len=2
+        ).collect()
+    }
+    p2 = {
+        r["piece"]: r["freq"]
+        for r in unigram_lm_train(
+            df, vocab_size=10, iters=2, max_piece_len=2
+        ).collect()
+    }
+    p3 = {
+        r["piece"]: r["freq"]
+        for r in unigram_lm_train(
+            df, vocab_size=10, iters=3, max_piece_len=2
+        ).collect()
+    }
+    assert set(p1) == set(p2) == set(p3)
+    # 'ab' keeps winning its words; singles stay smoothed at 1
+    assert p2["ab"] == 4 and p2["c"] == 3
+    assert p2 == p3  # fixed point
