@@ -1396,6 +1396,80 @@ def graph_refresh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.nn_descent_refresh(union, old, k=8, iters=2)
 
 
+def graph_insert_exact_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HNSW-style per-row insert gate (``ann.graph_insert``): after
+    inserting 50 planted twins into the exact 400-row clustered graph
+    via beam navigation + reverse fan-in repair, the result must equal
+    the BRUTE-FORCE exact kNN graph of the union — a STRICTLY STRONGER
+    contract than refresh-equals-cold (the 3-round cold build misses
+    ~100 twin edges on this fixture; insert finds them all). The exact
+    reference is an all-pairs integer micro-dot top-k — quadratic, but
+    over a 450-row bounded gate fixture only (the knn-oracle-tier
+    pattern). Closed-form expectation: 3600 edges each, zero diffs."""
+    from job_post_similarity_spark.operators import ann
+    from job_post_similarity_spark.operators.ann import (
+        _SIM_PPM_SQL,
+        _int_dot,
+        _micro_quant,
+    )
+    from pyspark.sql.window import Window
+
+    clustered, n, step = _clustered_emb_corpus(spark, sf_dir, limit=400)
+    emb = clustered.select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    union = emb.unionByName(twins)
+    old = ann.nn_descent_knn_graph(emb, k=8, iters=3)
+    entries, _qids = _graph_fixture_picks(clustered, n, step)
+    ins = ann.graph_insert(
+        emb, old, twins, k=8, beam=40, hops=4, entries=entries
+    ).persist()
+
+    q = union.select(
+        F.col("vec_id").alias("id"), _micro_quant("embedding").alias("q")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+    exact = (
+        q.alias("a")
+        .join(q.alias("b"), F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            _int_dot("a.q", "b.q").alias("dot"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select(
+            F.col("src").alias("id"),
+            F.col("dst").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.expr(_SIM_PPM_SQL).cast("long").alias("sim_ppm"),
+        )
+        .persist()
+    )
+    cols = ["id", "neighbor_id", "rank", "sim_ppm"]
+    try:
+        n_ins = ins.count()
+        n_exact = exact.count()
+        n_diff = (
+            ins.select(*cols)
+            .exceptAll(exact.select(*cols))
+            .unionAll(exact.select(*cols).exceptAll(ins.select(*cols)))
+            .count()
+        )
+    finally:
+        ins.unpersist()
+        exact.unpersist()
+    return spark.createDataFrame(
+        [(n_ins, n_exact, n_diff, n_diff == 0)],
+        "n_edges_insert long, n_edges_exact long, n_diff long, "
+        "insert_equals_exact boolean",
+    )
+
+
 # unigram-LM gate knobs, shared by both gates and the SQL replay
 # generator (one definition so they cannot drift)
 _UNIGRAM_KNOBS = dict(
@@ -6609,6 +6683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (generated unrolled-DP DuckDB replays)
         "unigram_train_documents": unigram_train_documents,
         "unigram_token_count_documents": unigram_token_count_documents,
+        # round 8: HNSW-style per-row insert ≡ brute-force exact union
+        # graph (stronger than refresh-equals-cold; oracle staged)
+        "graph_insert_exact_embeddings": graph_insert_exact_embeddings,
     }
     out = {k: base[k] for k in _R8_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -12600,6 +12677,15 @@ def _unigram_train_ctes() -> str:
             FROM ukeep)
     """
 
+
+# round 8: HNSW-style insert vs brute-force exact union graph —
+# closed-form like the refresh gate (450 nodes × k=8, zero diffs)
+_PENDING_ORACLES["graph_insert_exact_embeddings"] = """
+    SELECT 3600::BIGINT AS n_edges_insert,
+           3600::BIGINT AS n_edges_exact,
+           0::BIGINT AS n_diff,
+           true AS insert_equals_exact
+"""
 
 _PENDING_ORACLES["unigram_train_documents"] = f"""
     WITH {_unigram_train_ctes()}

@@ -896,6 +896,86 @@ def test_load_or_build_knn_graph_refreshes_on_count_change(
     )
 
 
+def test_graph_insert_matches_exact_union_graph(spark):
+    """HNSW-style insert: navigating the exact old graph + reverse
+    fan-in repair reproduces the EXACT kNN graph of the union —
+    checked against a numpy brute force with the same integer
+    micro-dot arithmetic. Untouched nodes pass through byte-identical."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        graph_insert,
+        nn_descent_knn_graph,
+    )
+
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:
+        pts = c + 0.05 * rng.normal(size=(12, 16))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+    # the operator's documented regime: every cluster keeps OLD
+    # members (an all-new cluster is unreachable by navigation) and
+    # gets a beam entry point — 10 old + 2 new per cluster
+    old_idx = [i for i in range(96) if i % 12 < 10]
+    new_idx = [i for i in range(96) if i % 12 >= 10]
+    old_ids = old_idx
+    new_ids = [1000 + i for i in new_idx]
+    import pandas as pd
+
+    old_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": old_ids,
+                "embedding": [vecs[i] for i in old_idx],
+            }
+        )
+    )
+    new_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": new_ids,
+                "embedding": [vecs[i] for i in new_idx],
+            }
+        )
+    )
+    old = nn_descent_knn_graph(old_df, k=6, iters=3)
+    got = graph_insert(
+        old_df, old, new_df, k=6, beam=24, hops=4,
+        entries=list(range(0, 96, 12)),  # one old id per cluster
+    ).collect()
+
+    # numpy exact with the operator's arithmetic (micro-quantized
+    # integer dots, (dot desc, id asc) order)
+    ids = old_ids + new_ids
+    all_vecs = [vecs[i] for i in old_idx] + [vecs[i] for i in new_idx]
+    mat = np.round(np.asarray(all_vecs) * 1e6).astype(np.int64)
+    want = {}
+    for i, vid in enumerate(ids):
+        dots = sorted(
+            (
+                (-(mat[i] @ mat[j]), ids[j])
+                for j in range(len(ids))
+                if j != i
+            ),
+        )[:6]
+        want[vid] = [
+            (nid, r + 1, (d_neg * -1 + 10**15) // 10**6 - 10**9)
+            for r, (d_neg, nid) in enumerate(dots)
+        ]
+    got_by = {}
+    for r in got:
+        got_by.setdefault(r["id"], []).append(
+            (r["neighbor_id"], r["rank"], r["sim_ppm"])
+        )
+    for vid, rows in got_by.items():
+        rows.sort(key=lambda t: t[1])
+        assert rows == want[vid], f"node {vid}"
+    assert set(got_by) == set(ids)
+
+
 def test_nn_descent_edge_cases(spark):
     import pandas as pd
     import pytest as _pytest
