@@ -60,6 +60,11 @@ class VectorSearch:
         self._graph: DataFrame | None = None
         self._graph_entries: list | None = None
         self._stale_graph: DataFrame | None = None
+        # corpus the stale graph covers + rows added since: a SMALL
+        # add serves through ann.graph_insert (exact, cost ∝ new
+        # rows) instead of the bulk warm refresh
+        self._graph_corpus: DataFrame | None = None
+        self._pending_new: DataFrame | None = None
 
     def _invalidate_graph(self, keep_warm: bool = False) -> None:
         """Drop the memoized HNSW-tier graph (and its entry points)
@@ -80,9 +85,12 @@ class VectorSearch:
             else:
                 self._graph.unpersist()
             self._graph = None
-        if not keep_warm and self._stale_graph is not None:
-            self._stale_graph.unpersist()
-            self._stale_graph = None
+        if not keep_warm:
+            if self._stale_graph is not None:
+                self._stale_graph.unpersist()
+                self._stale_graph = None
+            self._graph_corpus = None
+            self._pending_new = None
         self._graph_entries = None
 
     # -------------------------------------------------- build surface
@@ -94,8 +102,21 @@ class VectorSearch:
     def add(self, df: DataFrame) -> None:
         """Add a (id, embedding) DataFrame to the index. Batching is
         obsolete (reference batched 10k adds, app/main.py:71-97) —
-        union is lazy and distributed."""
+        union is lazy and distributed. At the HNSW tier the rows added
+        since the graph was built accumulate in ``_pending_new``: the
+        next search dispatches a SMALL pending set to the exact
+        per-row ``ann.graph_insert`` and a large one to the bulk warm
+        refresh (see ``search``)."""
         require_embedding_dim(df, self.vec_col, self.dimension)
+        if self._graph is not None and self._graph_corpus is None:
+            # the graph being retired covers exactly the current rows
+            self._graph_corpus = self._df
+        if self._graph_corpus is not None:
+            self._pending_new = (
+                df
+                if self._pending_new is None
+                else self._pending_new.unionByName(df)
+            )
         self._df = df if self._df is None else self._df.unionByName(df)
         self._spark = df.sparkSession
         self._invalidate_graph(keep_warm=True)
@@ -119,6 +140,12 @@ class VectorSearch:
     #: tier exercised end-to-end at small n set this to 0.
     exact_shortcut_rows: int = 10_000
 
+    #: adds up to this fraction of the graph's corpus dispatch to the
+    #: exact per-row ann.graph_insert; larger adds take the bulk warm
+    #: refresh (per-row navigation over a huge pending set would cost
+    #: more than re-converging the union)
+    insert_add_fraction: float = 0.1
+
     def search(self, queries: DataFrame, k: int = 2) -> DataFrame:
         """k-NN search: (query_id, neighbor_id, similarity, rank).
         Strategy follows index_description (the reference's switch,
@@ -139,21 +166,46 @@ class VectorSearch:
             )
         if d.startswith("hnsw"):
             if self._graph is None:
-                if self._stale_graph is not None:
-                    # warm-start refresh over the pre-mutation edges
-                    # (reference batched-add contract,
-                    # app/vector_search.py:85-141) — 1-2 rounds
-                    # instead of a cold build
+                if (
+                    self._stale_graph is not None
+                    and self._pending_new is not None
+                    and self._graph_corpus is not None
+                    and self.insert_add_fraction > 0
+                    and self._pending_new.count()
+                    <= self.insert_add_fraction
+                    * self._graph_corpus.count()
+                ):
+                    # small add: exact per-row insert — navigate the
+                    # stored graph, repair reverse fan-in; cost ∝ new
+                    # rows (ann.graph_insert's exact-union contract)
+                    self._graph = ann.graph_insert(
+                        self._graph_corpus,
+                        self._stale_graph,
+                        self._pending_new,
+                        id_col=self.id_col,
+                        vec_col=self.vec_col,
+                        entries=ann.default_graph_entries(
+                            self._graph_corpus, self.id_col
+                        ),
+                    ).persist()
+                elif self._stale_graph is not None:
+                    # bulk add: warm-start refresh over the
+                    # pre-mutation edges (reference batched-add
+                    # contract, app/vector_search.py:85-141) — 1-2
+                    # rounds instead of a cold build
                     self._graph = ann.nn_descent_refresh(
                         self._df, self._stale_graph,
                         self.id_col, self.vec_col,
                     ).persist()
-                    self._stale_graph.unpersist()
-                    self._stale_graph = None
                 else:
                     self._graph = ann.nn_descent_knn_graph(
                         self._df, self.id_col, self.vec_col
                     ).persist()
+                if self._stale_graph is not None:
+                    self._stale_graph.unpersist()
+                    self._stale_graph = None
+                self._graph_corpus = None
+                self._pending_new = None
                 self._graph_entries = ann.default_graph_entries(
                     self._df, self.id_col
                 )

@@ -883,6 +883,9 @@ def test_vector_search_hnsw_routes_to_graph_tier(spark, embeddings):
     )
     vs.add(twins)
     assert vs._graph is None and vs._stale_graph is old_graph
+    # 5 rows over a ~500-row corpus is under insert_add_fraction, so
+    # this search serves through the EXACT per-row graph_insert path
+    assert vs._pending_new is not None and vs._graph_corpus is not None
     got2 = {
         r["query_id"]: r["neighbor_id"]
         for r in vs.search(emb.filter(F.col("vec_id") < 5), k=1)
@@ -893,6 +896,23 @@ def test_vector_search_hnsw_routes_to_graph_tier(spark, embeddings):
     # the only exact match with self excluded)
     assert got2 == {q: q + 2_000_000 for q in range(5)}
     assert vs._stale_graph is None and vs._graph is not None
+    assert vs._pending_new is None and vs._graph_corpus is None
+
+    # same add with the insert path disabled exercises the bulk warm
+    # REFRESH branch and must serve the same answers
+    more = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding"
+    )
+    vs.insert_add_fraction = 0.0
+    vs.add(more)
+    got3 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in vs.search(
+            emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)),
+            k=1,
+        ).collect()
+    }
+    assert got3 == {q: q + 3_000_000 for q in range(5, 10)}
 
 
 def test_vector_search_saves_and_reloads_graph_artifact(
