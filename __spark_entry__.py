@@ -6090,6 +6090,67 @@ def bpe_encode_udf_graded_documents(
 # additions — run tools/plan_rotation.py for the live count) queue for
 # round 6; every entry parked at 51+ is green in
 # CORRECTNESS_r01∪r02∪r03∪r04.
+_R9_WINDOW: tuple[str, ...] = (
+    # 3 never-graded round-9 gates (their SQL is promoted from
+    # _PENDING_ORACLES by the loop below): the unigram-LM trainer and
+    # its token-count encoder (VERDICT r8 item 5 family) and the
+    # per-row HNSW insert-exactness gate (VERDICT r8 / NOTES
+    # post-closing addition)
+    # + 47 rotated prior-green canaries (tools/plan_rotation.py
+    # --round 9: md5("r9:<name>") ordering — drift insurance)
+    "unigram_train_documents",
+    "unigram_token_count_documents",
+    "graph_insert_exact_embeddings",
+    "dup_ngram_coverage_documents",
+    "strip_html_fidelity_documents",
+    "embed_twin_documents",
+    "graph_refresh_equals_cold_embeddings",
+    "q4_order_priority_check",
+    "shard_topk_search",
+    "sq8_recall_vs_exact",
+    "stream_running_counts_events",
+    "quality_ensemble_documents",
+    "stream_ohlc_events",
+    "pivot_orders_priority",
+    "seasonality_events",
+    "contamination_matrix_documents",
+    "salted_join_events",
+    "order_rank_stats",
+    "text_annotate_documents",
+    "bpe_train_local_graded_documents",
+    "curriculum_shards_documents",
+    "top_ngram_repetition_documents",
+    "full_outer_monthly_counts",
+    "ohlc_bars_events",
+    "knn_classify_embeddings",
+    "target_encode_events",
+    "bpe_token_count_documents",
+    "dedup_clusters_documents",
+    "stream_keep_latest_events",
+    "ranking_metrics_embeddings",
+    "multimodal_metadata_documents",
+    "string_clean_part",
+    "broadcast_lookup_customers",
+    "chunk_documents",
+    "summary_stats_documents",
+    "negative_samples_embeddings",
+    "pq_planted_recall_embeddings",
+    "minhash_near_dup_documents",
+    "bloom_decontaminate_documents",
+    "event_user_set_ops",
+    "minhash_xxh_planted_recall_documents",
+    "deterministic_sample_lineitem",
+    "tree_rollup_parts",
+    "scd2_user_events",
+    "funnel_conversion_events",
+    "lang_id_documents",
+    "stream_psi_drift_events",
+    "exact_dup_clusters_props",
+    "inverted_index_documents",
+    "similarity_pairs_flagship",
+)
+
+
 _R8_WINDOW: tuple[str, ...] = (
     # 3 never-graded round-8 gates (their SQL is promoted from
     # _PENDING_ORACLES by the loop below): the PQ / IVF-PQ
@@ -6334,9 +6395,9 @@ _R5_WINDOW: tuple[str, ...] = (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
-    FIRST 50 dict entries per round. Round 8 applies _R8_WINDOW (the
-    3 never-graded round-8 gates in plan_rotation order + rotated
-    prior-green canaries chosen by md5("r8:<name>") — the rotation
+    FIRST 50 dict entries per round. Round 9 applies _R9_WINDOW (the
+    3 never-graded round-9 gates in plan_rotation order + rotated
+    prior-green canaries chosen by md5("r9:<name>") — the rotation
     policy re-grades every oracle-backed entry within a few rounds)
     on top of the prior ordering: window members first, everything
     else keeps its prior relative order. Every oracle-backed entry
@@ -6687,7 +6748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph (stronger than refresh-equals-cold; oracle staged)
         "graph_insert_exact_embeddings": graph_insert_exact_embeddings,
     }
-    out = {k: base[k] for k in _R8_WINDOW}
+    out = {k: base[k] for k in _R9_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -10842,7 +10903,8 @@ def oracle_sql() -> dict[str, str]:
     # window: a gate entering the window moves from _PENDING_ORACLES
     # into oracle_sql() and stays registered afterwards (the
     # parked-at-51+ entries remain prior-green).
-    for _k in _R5_WINDOW + _R6_WINDOW + _R7_WINDOW + _R8_WINDOW:
+    for _k in (_R5_WINDOW + _R6_WINDOW + _R7_WINDOW + _R8_WINDOW
+               + _R9_WINDOW):
         if _k not in out and _k in _PENDING_ORACLES:
             out[_k] = _PENDING_ORACLES[_k]
     # r7 cross-tier equivalence alias: the pandas-UDF BPE encoder is
