@@ -65,6 +65,10 @@ class VectorSearch:
         # rows) instead of the bulk warm refresh
         self._graph_corpus: DataFrame | None = None
         self._pending_new: DataFrame | None = None
+        # provenance of the memoized graph (cold/refresh/insert/loaded
+        # + the knobs used) — recorded into the saved artifact's meta
+        # instead of fixed literals
+        self._graph_params: dict | None = None
 
     def _invalidate_graph(self, keep_warm: bool = False) -> None:
         """Drop the memoized HNSW-tier graph (and its entry points)
@@ -91,6 +95,7 @@ class VectorSearch:
                 self._stale_graph = None
             self._graph_corpus = None
             self._pending_new = None
+            self._graph_params = None
         self._graph_entries = None
 
     # -------------------------------------------------- build surface
@@ -188,6 +193,12 @@ class VectorSearch:
                             self._graph_corpus, self.id_col
                         ),
                     ).persist()
+                    self._graph_params = {
+                        "k": 8, "built": "insert",
+                        "base": (self._graph_params or {}).get(
+                            "built", "cold"
+                        ),
+                    }
                 elif self._stale_graph is not None:
                     # bulk add: warm-start refresh over the
                     # pre-mutation edges (reference batched-add
@@ -197,11 +208,23 @@ class VectorSearch:
                         self._df, self._stale_graph,
                         self.id_col, self.vec_col,
                     ).persist()
+                    self._graph_params = {
+                        "k": 8, "iters": 2, "built": "refresh",
+                    }
                 else:
                     self._graph = ann.nn_descent_knn_graph(
                         self._df, self.id_col, self.vec_col
                     ).persist()
+                    self._graph_params = {
+                        "k": 8, "iters": 3, "built": "cold",
+                    }
                 if self._stale_graph is not None:
+                    # materialize the new graph BEFORE dropping the
+                    # warm one: its lineage reads the stale graph's
+                    # cached blocks, and unpersisting first would make
+                    # the first action recompute the old graph from
+                    # cold inside the 'incremental' path
+                    self._graph.count()
                     self._stale_graph.unpersist()
                     self._stale_graph = None
                 self._graph_corpus = None
@@ -256,16 +279,24 @@ class VectorSearch:
         without rebuilding — the reference saves the trained Faiss
         structure, not just the raw vectors."""
         assert self._df is not None
+        from .operators import index_store
+
         self._df.write.mode("overwrite").parquet(index_path)
         if self._graph is not None:
-            from .operators import index_store
-
             index_store.save_knn_graph(
                 index_path + "__graph",
                 self._graph,
                 self._df.count(),
-                params={"k": 8, "iters": 3},
+                # actual build provenance (cold/refresh/insert/loaded
+                # + knobs), not fixed literals
+                params=self._graph_params or {"k": 8, "iters": 3},
             )
+        else:
+            # no graph built for THIS corpus: a sibling artifact left
+            # by a previous save at the same path would otherwise be
+            # adopted by load() whenever its n_rows happens to match,
+            # serving edge lists for the wrong vectors
+            index_store.delete_index(index_path + "__graph")
 
     def load(self, index_path: str, id_map_path: str | None = None) -> None:
         assert self._spark is not None, "pass spark= before load()"
@@ -288,6 +319,11 @@ class VectorSearch:
                 self._graph_entries = ann.default_graph_entries(
                     df, self.id_col
                 )
+                self._graph_params = {
+                    k: v
+                    for k, v in meta.items()
+                    if k not in ("kind", "n_rows", "format_version")
+                } or None
         except index_store.IndexLoadError:
             pass
 

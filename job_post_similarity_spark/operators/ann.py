@@ -2752,7 +2752,19 @@ def graph_insert(
     untouched = graph.join(
         touched.select(F.col("src").alias("id")), "id", "left_anti"
     )
-    return untouched.unionByName(updated).orderBy("id", "rank")
+    # eager localCheckpoint (same rationale as the builder's per-round
+    # checkpoints) so the intermediates this function persisted can be
+    # released HERE — callers can't reach qtab/served, and a lazy
+    # return would either leak both caches for the session or lose
+    # them before the caller's first action
+    out = (
+        untouched.unionByName(updated)
+        .orderBy("id", "rank")
+        .localCheckpoint()
+    )
+    qtab.unpersist()
+    served.unpersist()
+    return out
 
 
 def default_graph_entries(

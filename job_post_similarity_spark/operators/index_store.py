@@ -45,6 +45,17 @@ class IndexLoadError(RuntimeError):
     """Artifact missing/corrupt/incompatible — load-or-build rebuilds."""
 
 
+def delete_index(path: str) -> None:
+    """Remove an artifact directory if present. Save-side
+    invalidation: a writer replacing the PRIMARY data at a path must
+    also drop any sibling artifact it is not rewriting, else a later
+    load() adopts stale derived state for the new data (the
+    VectorSearch.save vectors-without-graph case)."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def _write_meta(path: str, meta: dict) -> None:
     with open(os.path.join(path, _META), "w") as f:
         json.dump({"format_version": _FORMAT_VERSION, **meta}, f, indent=2)
@@ -420,22 +431,28 @@ def load_or_build_knn_graph(
             if meta["n_rows"] == n:
                 return graph, False
             # same knobs, different corpus size: candidate for a
-            # warm-start refresh — but ONLY if the stored graph's
-            # nodes substantially survive in the new corpus. A
-            # wholesale-replaced corpus at the same path (all new
-            # ids) would drop every warm edge in the scoring join and
-            # silently get a 2-round ring-init graph where the
-            # contract promises the `iters`-round cold build.
-            survivors = (
-                graph.select("id")
-                .distinct()
-                .join(
-                    df.select(F.col(id_col).alias("id")).distinct(), "id"
+            # warm-start refresh — but ONLY if the corpus GREW and
+            # the stored graph's nodes substantially survive in the
+            # new corpus. A wholesale-replaced corpus at the same
+            # path (all new ids) would drop every warm edge in the
+            # scoring join and silently get a 2-round ring-init graph
+            # where the contract promises the `iters`-round cold
+            # build; a SHRUNK corpus strands survivors with mostly-
+            # stale edge lists that `refresh_iters` warm rounds may
+            # not repair (VectorSearch.remove invalidates cold for
+            # the same reason) — rebuild instead.
+            if n > meta["n_rows"]:
+                survivors = (
+                    graph.select("id")
+                    .distinct()
+                    .join(
+                        df.select(F.col(id_col).alias("id")).distinct(),
+                        "id",
+                    )
+                    .count()
                 )
-                .count()
-            )
-            if survivors * 2 >= meta["n_rows"]:
-                old_graph = graph
+                if survivors * 2 >= meta["n_rows"]:
+                    old_graph = graph
     except IndexLoadError:
         pass
     if old_graph is not None:

@@ -975,6 +975,34 @@ def test_vector_search_saves_and_reloads_graph_artifact(
     vs3.load(str(tmp_path / "vs_index2"))
     assert vs3._graph is None
 
+    # the saved meta records the ACTUAL build provenance, and a
+    # reloaded index adopts it (so a re-save round-trips it)
+    import json
+    import os
+
+    with open(os.path.join(path + "__graph", "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["built"] == "cold" and meta["k"] == 8
+    assert vs2._graph_params["built"] == "cold"
+
+    # overwriting the SAME path with a different same-count corpus
+    # (graph never built) must drop the old sibling graph — load()
+    # adopts any count-matching artifact, and the old corpus's edge
+    # lists would silently serve for the wrong vectors
+    other = emb.select(
+        "vec_id",
+        F.transform(
+            F.reverse(F.col("embedding")), lambda x: x
+        ).alias("embedding"),
+    )
+    vs4 = VectorSearch(dim, "HNSW32", spark=spark)
+    vs4.add(other)  # no search -> no graph built
+    vs4.save(path)
+    assert not os.path.exists(path + "__graph")
+    vs5 = VectorSearch(dim, "HNSW32", spark=spark)
+    vs5.load(path)
+    assert vs5._graph is None
+
 
 def test_compact_parquet_merges_small_files(spark, documents, tmp_path):
     import glob
