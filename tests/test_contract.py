@@ -138,3 +138,8 @@ def test_readme_registry_counts():
     got = tuple(int(g) for g in mt.groups())
     want = (n_q, len(oracles) + len(staged), len(oracles), len(staged))
     assert got == want, f"README says {got}, registry is {want}"
+    # no SECOND hand-maintained count elsewhere in the README (r8
+    # verdict: the Correctness section carried a stale duplicate)
+    assert not re.search(r"returns \d+ named queries", readme), (
+        "README states a query count outside the pinned header sentence"
+    )
