@@ -2324,10 +2324,18 @@ def nn_descent_knn_graph(
     Round: symmetrize the current graph (union with its reverse —
     NN-Descent explores both directions), join it to itself on the
     middle node (neighbor-of-neighbor candidates), union the current
-    edges, dedup, score, keep top-k per node. Candidate volume is
-    ≤ ~4·n·k² per round; every shuffle keys on a node id. Each
-    round's graph is persisted key-partitioned on ``src`` (it feeds
-    the next round's join twice — the band-join cache layout).
+    edges, dedup, score, keep top-k per node. NEW-FLAG candidate
+    pruning (Dong et al.'s incremental search): only NoN pairs with
+    at least one NEW hop (an edge absent from the previous round's
+    graph) are generated — a both-old pair was already a candidate in
+    the round where its younger edge arrived, and per-node top-k sets
+    improve monotonically (an edge that lost a window stays displaced
+    forever), so the skipped candidates are exactly the ones that
+    lost before and would lose again: the output is BYTE-IDENTICAL
+    per round to the unpruned version (what keeps the unrolled DuckDB
+    replay gate valid), while late-round candidate mass tracks the
+    CHANGED edge set instead of n·k². Candidate volume is ≤ ~4·n·k²
+    in round 1 and ∝ changed·k² after.
 
     Output: (id, neighbor_id, rank, sim_ppm) — rank 1..k by
     descending similarity, sim_ppm = floor(dot/1e6) ≈ cosine·1e6 for
@@ -2341,7 +2349,13 @@ def nn_descent_knn_graph(
     nodes start one candidate hop from converged, so 1-2 rounds
     re-converge the union instead of ``iters`` from cold. Stale edges
     pointing at rows no longer in ``df`` are dropped by the scoring
-    join (inner on the current vector table).
+    join (inner on the current vector table). Warm edges enter
+    flagged OLD — the build that produced them already explored
+    their neighbor-of-neighbor pairs (exact when the stored graph is
+    converged, which is the refresh contract's regime) — so a warm
+    round's candidate mass is ∝ (ring-new ∪ changed)·k, not the
+    full n·k² a cold round pays: this is what makes refresh cheaper
+    than rebuild in wall-clock, not just round count.
     """
     from pyspark.sql.window import Window
 
@@ -2367,6 +2381,14 @@ def nn_descent_knn_graph(
         return df.sparkSession.createDataFrame([], empty_schema)
     ranked = ranked.select("id", "q", (F.col("rk") - 1).alias("rk"))
     qtab = ranked.select("id", "q").repartition("id").persist()
+    # size-dispatched scoring strategy: under ~100k rows the
+    # quantized vector table broadcasts (≤ ~50 MB at 64 dims), which
+    # removes BOTH scoring exchanges from every round — with AQE each
+    # exchange is a scheduled query stage, so this halves the
+    # per-round stage count at bench scale. Larger corpora keep the
+    # shuffle join (broadcasting the full vector table is exactly
+    # what must NOT happen at 100 TB).
+    q_side = F.broadcast(qtab) if n <= 100_000 else qtab
 
     # ring init: rank r -> ranks (r+1..r+k_eff) mod n
     offs = F.explode(
@@ -2384,35 +2406,58 @@ def nn_descent_knn_graph(
         .select(F.col("a.id").alias("src"), F.col("nid").alias("dst"))
     )
     if warm_edges is not None:
-        # prior edges join the ring init; the union may repeat an edge
-        # (ring ∩ stored) — dedup before scoring so no candidate is
-        # scored twice. self-loops can't arrive (the stored graph has
+        # prior edges join the ring init, flagged OLD (their NoN was
+        # explored by the build that produced them); ring edges not
+        # in the stored graph are NEW. dedup keeps one copy per pair
+        # with the OLD flag winning (a ring ∩ stored edge was
+        # explored). self-loops can't arrive (the stored graph has
         # none and the ring starts at offset 1).
-        cur = cur.union(
-            warm_edges.select("src", "dst")
-        ).dropDuplicates(["src", "dst"])
+        warm = warm_edges.select("src", "dst").dropDuplicates(
+            ["src", "dst"]
+        )
+        init = warm.withColumn("is_new", F.lit(False)).unionByName(
+            cur.join(warm, ["src", "dst"], "left_anti").withColumn(
+                "is_new", F.lit(True)
+            )
+        )
+    else:
+        init = cur.withColumn("is_new", F.lit(True))
 
     int_dot = _int_dot("q1", "q2")
     w = Window.partitionBy("src").orderBy(
         F.desc("dot"), F.asc("dst")
     )
 
-    def score_topk(cand: DataFrame) -> DataFrame:
-        scored = (
+    def score(cand: DataFrame) -> DataFrame:
+        """(src, dst, is_new) → + integer dot."""
+        return (
             cand.join(
-                qtab.select(F.col("id").alias("src"), F.col("q").alias("q1")),
+                q_side.select(
+                    F.col("id").alias("src"), F.col("q").alias("q1")
+                ),
                 "src",
             )
             .join(
-                qtab.select(F.col("id").alias("dst"), F.col("q").alias("q2")),
+                q_side.select(
+                    F.col("id").alias("dst"), F.col("q").alias("q2")
+                ),
                 "dst",
             )
-            .select("src", "dst", int_dot.alias("dot"))
+            .select("src", "dst", int_dot.alias("dot"), "is_new")
         )
+
+    def rank_topk(scored: DataFrame) -> DataFrame:
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k_eff)
-            .select("src", "dst", "dot", "rn")
+            .select("src", "dst", "dot", "rn", "is_new")
+        )
+
+    def sym(edges: DataFrame) -> DataFrame:
+        return edges.select("src", "dst").union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
         )
 
     # localCheckpoint per round: materializes AND truncates lineage,
@@ -2421,26 +2466,67 @@ def nn_descent_knn_graph(
     # unshared — plan text and the eviction-recompute path grew
     # exponentially with rounds). At cluster scale swap for
     # checkpoint() on a reliable store if executor loss must replay.
-    cur = score_topk(cur).repartition("src").localCheckpoint()
+    # the window already leaves each round hash-partitioned on src —
+    # no explicit repartition needed before the checkpoint
+    cur = rank_topk(score(init)).localCheckpoint(eager=False)
+    # Python-side emptiness fact: a cold build's init is ALL NEW, so
+    # the first round's old-side relations are empty — skip their
+    # joins entirely (Spark would still schedule them). From round 2
+    # on, carried edges exist and both branches are live.
+    all_new = warm_edges is None
     for _ in range(iters):
-        sym = cur.select("src", "dst").union(
-            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        nn2 = (
-            sym.alias("a")
-            .join(
-                sym.select(
-                    F.col("src").alias("mid"), F.col("dst").alias("dst2")
-                ).alias("b"),
-                F.col("a.dst") == F.col("b.mid"),
+        # new-flag pruning: a NoN pair needs ≥1 NEW hop. new-first
+        # covers new×(new ∪ old); old-first×new-second covers the
+        # rest — a both-old pair was generated the round its younger
+        # edge arrived and, having lost a monotone window once, can
+        # never win one later.
+        if all_new:
+            sym_new = sym(cur)
+            sym_old = None
+            sym_all = sym_new
+            all_new = False
+        else:
+            sym_new = sym(cur.filter(F.col("is_new")))
+            sym_old = sym(cur.filter(~F.col("is_new")))
+            sym_all = sym_new.union(sym_old)
+
+        def non(a: DataFrame, b: DataFrame) -> DataFrame:
+            return (
+                a.alias("a")
+                .join(
+                    b.select(
+                        F.col("src").alias("mid"),
+                        F.col("dst").alias("dst2"),
+                    ).alias("b"),
+                    F.col("a.dst") == F.col("b.mid"),
+                )
+                .filter(F.col("a.src") != F.col("b.dst2"))
+                .select("a.src", F.col("dst2").alias("dst"))
             )
-            .filter(F.col("a.src") != F.col("b.dst2"))
-            .select("a.src", F.col("b.dst2").alias("dst"))
+
+        # one exchange dedups the NoN output AND drops pairs already
+        # in cur (their dots are exact and carried below): cur rows
+        # enter with fresh=false, and min() poisons any candidate
+        # copy of the same pair
+        gen = non(sym_new, sym_all)
+        if sym_old is not None:
+            gen = gen.union(non(sym_old, sym_new))
+        cand_new = (
+            gen.select("src", "dst", F.lit(True).alias("fresh"))
+            .union(cur.select("src", "dst", F.lit(False).alias("fresh")))
+            .groupBy("src", "dst")
+            .agg(F.min("fresh").alias("fresh"))
+            .filter(F.col("fresh"))
+            .select("src", "dst", F.lit(True).alias("is_new"))
         )
-        cand = nn2.union(cur.select("src", "dst")).dropDuplicates(
-            ["src", "dst"]
+        # carried edges keep their already-exact dots and turn OLD —
+        # their expansion happened this round
+        carried = cur.select(
+            "src", "dst", "dot", F.lit(False).alias("is_new")
         )
-        cur = score_topk(cand).repartition("src").localCheckpoint()
+        cur = rank_topk(
+            carried.unionByName(score(cand_new))
+        ).localCheckpoint(eager=False)
 
     sim_ppm = F.expr(_SIM_PPM_SQL)
     return cur.select(
