@@ -1366,6 +1366,69 @@ def graph_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id")
 
 
+def graph_auto_entry_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OUT-OF-THE-BOX graph serving gate (VERDICT r8 item 2): the
+    public facade ``ann.graph_topk_search`` with NO entry points
+    passed must navigate the whole 32-cluster fixture — entries are
+    provisioned ENGINE-SIDE (``ann.default_graph_entries``' global-
+    rank stride, one id per coarse region: the role HNSW's layer
+    hierarchy plays for the reference, app/vector_search.py:42-47,
+    where the caller never supplies entries either). A converged kNN
+    graph over clustered data has no inter-cluster edges, so without
+    this provisioning the beam-smallest default strands every cluster
+    its entries miss — ``graph_recall_vs_exact_embeddings`` proves
+    the MANUAL entries API; this gate proves the caller doesn't need
+    to know it exists. recall@1 vs the exact tier is 50/50 at
+    sf0.001/0.01/0.1 (measured, deterministic); floor form so a
+    borderline fixture regeneration cannot red-shift the hash. The
+    facade's own defaults throughout (beam 16, 4 hops) — weaker than
+    the manual gate's beam=40, so this also pins that default knobs
+    serve clustered corpora."""
+    from job_post_similarity_spark.operators import ann, index_store
+
+    clustered, n, step = _clustered_emb_corpus(spark, sf_dir)
+    emb = clustered.select("vec_id", "embedding")
+    hit = _CLUSTERED_EMB_CACHE.get((_spark_key(spark), sf_dir, "serve_fixture"))
+    if hit is None:
+        # build + store the artifact through the serve entry's path
+        graph_serve_embeddings(spark, sf_dir)
+        hit = _CLUSTERED_EMB_CACHE[(_spark_key(spark), sf_dir, "serve_fixture")]
+    path, _entries, qids = hit
+    graph, _ = index_store.load_or_build_knn_graph(
+        spark, emb, path, k=8, iters=3
+    )
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    served = ann.graph_topk_search(queries, emb, k=1, graph=graph)
+    exact = knn.knn_join(
+        queries, "vec_id", "embedding", k=1, right=emb
+    ).select("query_id", F.col("neighbor_id").alias("exact_nbr"))
+    joined = exact.join(
+        served.filter(F.col("rank") == 1).select(
+            "query_id", F.col("neighbor_id").alias("g_nbr")
+        ),
+        "query_id",
+        "left",
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.coalesce(
+                (F.col("g_nbr") == F.col("exact_nbr")).cast("long"),
+                F.lit(0),
+            )
+        ).alias("n_found"),
+    )
+    return agg.select(
+        "n_queries",
+        F.lit(900000).cast("long").alias("recall_floor_ppm"),
+        (
+            F.col("n_found") * 1000000 >= F.col("n_queries") * 900000
+        ).alias("floor_met"),
+    )
+
+
 def graph_refresh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm-start REFRESH latency against the stored graph — the
     maintenance half of the bench split (VERDICT r7 item 5's "refresh
@@ -6101,6 +6164,10 @@ _R9_WINDOW: tuple[str, ...] = (
     "unigram_train_documents",
     "unigram_token_count_documents",
     "graph_insert_exact_embeddings",
+    # round-9 in-session addition (VERDICT r8 item 2): engine-side
+    # entry provisioning — replaces the last rotated canary
+    # (similarity_pairs_flagship, green r1-r8) to keep the window at 50
+    "graph_auto_entry_recall_embeddings",
     "dup_ngram_coverage_documents",
     "strip_html_fidelity_documents",
     "embed_twin_documents",
@@ -6147,7 +6214,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "stream_psi_drift_events",
     "exact_dup_clusters_props",
     "inverted_index_documents",
-    "similarity_pairs_flagship",
 )
 
 
@@ -6747,6 +6813,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 8: HNSW-style per-row insert ≡ brute-force exact union
         # graph (stronger than refresh-equals-cold; oracle staged)
         "graph_insert_exact_embeddings": graph_insert_exact_embeddings,
+        # round 9: out-of-the-box graph serving — the public facade
+        # with NO manual entries on the clustered fixture (VERDICT r8
+        # item 2; engine-side default_graph_entries provisioning)
+        "graph_auto_entry_recall_embeddings":
+            graph_auto_entry_recall_embeddings,
     }
     out = {k: base[k] for k in _R9_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -12801,6 +12872,16 @@ _PENDING_ORACLES["bpe_train_local_graded_documents"] = f"""
 # (unrolled DuckDB replays); this gate adds the SF-scale recall
 # evidence the SRP/IVF/PQ tiers already carry.
 _PENDING_ORACLES["graph_recall_vs_exact_embeddings"] = """
+    SELECT 50::BIGINT AS n_queries,
+           900000::BIGINT AS recall_floor_ppm,
+           true AS floor_met
+"""
+
+# Out-of-the-box graph serving (VERDICT r8 item 2): same floor form —
+# recall@1 is 50/50 at all three SFs with ENGINE-provisioned entries
+# (default_graph_entries' rank stride) and the facade's own default
+# beam/hops, measured deterministic like the manual-entries gate above.
+_PENDING_ORACLES["graph_auto_entry_recall_embeddings"] = """
     SELECT 50::BIGINT AS n_queries,
            900000::BIGINT AS recall_floor_ppm,
            true AS floor_met

@@ -1051,6 +1051,56 @@ def test_graph_beam_search_navigates_to_cluster(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
 
 
+def test_auto_entries_rescue_stranded_clusters(spark):
+    """The failure mode engine-side entry provisioning exists for
+    (VERDICT r8 item 2): on a clustered corpus whose SMALLEST ids all
+    live in one cluster, the low-level beam-smallest default strands
+    every other cluster (a converged kNN graph has no inter-cluster
+    edges once clusters exceed k members), while the serving facade's
+    default_graph_entries rank stride reaches them all — the caller
+    never passes entries."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        graph_beam_search,
+        graph_topk_search,
+        nn_descent_knn_graph,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 24))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:  # ids 0-9 cluster 0, 10-19 cluster 1, ...
+        pts = c + 0.05 * rng.normal(size=(10, 24))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+    df = _vec_df(spark, vecs)
+    g = nn_descent_knn_graph(df, k=8, iters=3)
+    qids = [15, 27, 39, 44, 58]  # one query in each non-entry cluster
+
+    # low-level default: beam smallest ids = all of cluster 0 — the
+    # documented stranding (each query's served top-1 stays wrong)
+    stranded = graph_beam_search(df, g, qids, k=1, beam=9, hops=4)
+    s_hits = sum(
+        1
+        for r in stranded.collect()
+        if r["rank"] == 1 and r["neighbor_id"] // 10 == r["query_id"] // 10
+    )
+    assert s_hits == 0, "beam-smallest entries unexpectedly navigated"
+
+    # facade with NO entries: engine provisions a rank stride — every
+    # cluster reachable, exact top-1 intra-cluster for every query
+    queries = df.filter(F.col("vec_id").isin(qids))
+    served = graph_topk_search(queries, df, k=1, graph=g)
+    a_hits = sum(
+        1
+        for r in served.collect()
+        if r["rank"] == 1 and r["neighbor_id"] // 10 == r["query_id"] // 10
+    )
+    assert a_hits == len(qids)
+
+
 def test_graph_beam_search_validation(spark):
     import pytest as _pytest
 
