@@ -1358,11 +1358,22 @@ def graph_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = (path, entries, qids)
         _CLUSTERED_EMB_CACHE[ck] = hit
     path, entries, qids = hit
-    graph, _ = index_store.load_or_build_knn_graph(
-        spark, emb, path, k=8, iters=3
-    )
+    # the loaded edge table is RAM-resident across serving batches —
+    # HNSW serves from memory; the reference loads the index once and
+    # searches many times (app/main.py:177-194). First call pays
+    # build+store+load, every later call is pure beam search.
+    gk = (_spark_key(spark), sf_dir, "serve_graph")
+    graph = _CLUSTERED_EMB_CACHE.get(gk)
+    if graph is None:
+        graph, _ = index_store.load_or_build_knn_graph(
+            spark, emb, path, k=8, iters=3, n_rows=n
+        )
+        graph = graph.persist()
+        graph.count()
+        _CLUSTERED_EMB_CACHE[gk] = graph
     return ann.graph_beam_search(
-        emb, graph, qids, k=1, beam=40, hops=4, entries=entries
+        emb, graph, qids, k=1, beam=40, hops=4, entries=entries,
+        corpus_rows=n,
     ).select("query_id", "neighbor_id")
 
 
@@ -1552,6 +1563,24 @@ def unigram_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary. (Oracle staged in _PENDING_ORACLES.)"""
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.unigram_lm_train(docs, "text", **_UNIGRAM_KNOBS)
+
+
+def unigram_loss_prune_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SentencePiece-FAITHFUL vocab prune (VERDICT r8 item 5): the
+    final multi-char cut ranks by LIKELIHOOD LOSS — per piece, the
+    integer micro-log corpus-likelihood drop when every word using it
+    re-segments without it (Kudo 2018 §3.2's prune criterion; the
+    default tier ranks by raw Viterbi usage frequency, which keeps
+    cheaply-substitutable pieces the loss criterion prunes). Same
+    knobs as ``unigram_train_documents``; the oracle replays the
+    what-if DP with a banned-piece block per (word, path piece) pair
+    (staged in _PENDING_ORACLES)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.unigram_lm_train(
+        docs, "text", prune="loss", **_UNIGRAM_KNOBS
+    )
 
 
 def unigram_token_count_documents(
@@ -6818,6 +6847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # item 2; engine-side default_graph_entries provisioning)
         "graph_auto_entry_recall_embeddings":
             graph_auto_entry_recall_embeddings,
+        # round 9: SentencePiece-faithful likelihood-loss vocab prune
+        # (VERDICT r8 item 5; oracle staged for the r10 window)
+        "unigram_loss_prune_documents": unigram_loss_prune_documents,
     }
     out = {k: base[k] for k in _R9_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -12669,12 +12701,26 @@ _UNIGRAM_SENT = -(10**15)
 
 
 def _unigram_dp_block(
-    words_cte: str, scores_cte: str, prefix: str, carry: tuple = ()
+    words_cte: str,
+    scores_cte: str,
+    prefix: str,
+    carry: tuple = (),
+    ban_col: str | None = None,
+    score_name: str | None = None,
+    want_path: bool = True,
 ) -> str:
     """CTE chain Viterbi-segmenting every word of ``words_cte``
     (column ``w``; ``carry`` names extra columns to keep) under
     ``scores_cte`` (piece, lp6). Emits ``<prefix>seg`` with a ``ps``
     piece-list column (in order).
+
+    ``ban_col`` names a carried column whose piece is EXCLUDED from
+    the vocabulary for that row's DP — the likelihood-loss prune's
+    what-if segmentation (mirrors ``_viterbi_score(banned=...)``).
+    ``score_name`` additionally emits the final DP score (the best
+    segmentation's summed lp6) under that column name;
+    ``want_path=False`` skips the backtrack chain entirely (the loss
+    pass needs scores only — 2·MAXLEN fewer CTEs per block).
 
     All (position, length) piece lookups happen in ONE join + pivot
     (``<prefix>lk``) — a correlated scalar subquery per candidate
@@ -12682,6 +12728,7 @@ def _unigram_dp_block(
     the DP itself is then pure column arithmetic."""
     plen = _UNIGRAM_KNOBS["max_piece_len"]
     carry_cols = "".join(f", {c}" for c in carry)
+    ban = f" AND s.piece <> t.{ban_col}" if ban_col else ""
     piv = ", ".join(
         f"max(CASE WHEN pos = {j} AND plen = {k} THEN lp6 END) AS l{k}_{j}"
         for j in range(1, _UNIGRAM_MAXLEN + 1)
@@ -12702,7 +12749,8 @@ def _unigram_dp_block(
                              1, {plen})) AS plen) b
                     WHERE b.plen <= a.pos) g
                 LEFT JOIN {scores_cte} s
-                  ON s.piece = substr(t.w, g.pos - g.plen + 1, g.plen))
+                  ON s.piece = substr(t.w, g.pos - g.plen + 1, g.plen)
+                  {ban})
             GROUP BY w{carry_cols})"""
     ]
     prev = f"{prefix}lk"
@@ -12721,13 +12769,25 @@ def _unigram_dp_block(
             f"CASE {case} END AS bp{j} FROM {prev})"
         )
         prev = f"{prefix}d{j}"
+    dps = ", ".join(f"dp{j}" for j in range(1, _UNIGRAM_MAXLEN + 1))
+    score_expr = (
+        f", list_value({dps})[len(w)] AS {score_name}"
+        if score_name
+        else ""
+    )
+    if not want_path:
+        parts.append(
+            f"{prefix}seg AS MATERIALIZED "
+            f"(SELECT *{score_expr} FROM {prev})"
+        )
+        return ",\n".join(parts)
     bps = ", ".join(f"bp{j}" for j in range(1, _UNIGRAM_MAXLEN + 1))
     # one MATERIALIZED CTE per backtrack step: chained lateral aliases
     # here substitute pos{s-1} into three places per step — a 3^10
     # expression blow-up that cost DuckDB ~38 s on 31 rows when the
     # whole backtrack sat in one SELECT
     parts.append(
-        f"{prefix}b0 AS MATERIALIZED (SELECT *, "
+        f"{prefix}b0 AS MATERIALIZED (SELECT *{score_expr}, "
         f"list_value({bps}) AS bps, len(w) AS pos0 FROM {prev})"
     )
     for s in range(1, _UNIGRAM_MAXLEN + 1):
@@ -12823,6 +12883,61 @@ _PENDING_ORACLES["graph_insert_exact_embeddings"] = """
 _PENDING_ORACLES["unigram_train_documents"] = f"""
     WITH {_unigram_train_ctes()}
     SELECT piece, freq, lp6 FROM ufin ORDER BY piece
+"""
+
+
+def _unigram_loss_ctes() -> str:
+    """SentencePiece-faithful LIKELIHOOD-LOSS prune replay (VERDICT
+    r8 item 5): after the EM round (the shared train CTEs through
+    ``up1``), re-segment every word under the POST-EM scores (second
+    DP block, emitting the best score), expand each word × the
+    distinct multi-char pieces of its best path, run the WHAT-IF DP
+    with that piece banned (third block, score-only), and rank the
+    multi-char cut by Σ cnt·(best6 − alt6) DESC with the freq tier's
+    order as tie-break — ``unigram_lm_train(prune='loss')`` exactly."""
+    vocab = _UNIGRAM_KNOBS["vocab_size"]
+    return f"""
+        {_unigram_train_ctes()},
+        us1 AS (
+            SELECT piece, round(ln(freq::DOUBLE /
+                (SELECT sum(freq) FROM up1)) * 1e6)::BIGINT AS lp6
+            FROM up1),
+        {_unigram_dp_block('uw', 'us1', 'ul', carry=('cnt',),
+                           score_name='best6')},
+        uwb AS (
+            SELECT w, cnt, best6,
+                   unnest(list_distinct(list_filter(
+                       ps, x -> len(x) > 1))) AS banned
+            FROM ulseg),
+        {_unigram_dp_block('uwb', 'us1', 'ub',
+                           carry=('cnt', 'best6', 'banned'),
+                           ban_col='banned', score_name='alt6',
+                           want_path=False)},
+        uloss AS (
+            SELECT banned AS piece,
+                   sum(cnt * (best6 - alt6))::BIGINT AS loss6
+            FROM ubseg GROUP BY banned),
+        ukeepl AS (
+            SELECT piece, freq FROM up1 WHERE len(piece) = 1
+            UNION ALL
+            SELECT piece, freq FROM (
+                SELECT p.piece, p.freq, row_number() OVER (
+                    ORDER BY coalesce(l.loss6, 0) DESC,
+                             p.freq DESC, p.piece) AS rn
+                FROM up1 p LEFT JOIN uloss l USING (piece)
+                WHERE len(p.piece) > 1)
+            WHERE rn <= {vocab} - (
+                SELECT count(*) FROM up1 WHERE len(piece) = 1)),
+        ulfin AS (
+            SELECT piece, freq, round(ln(freq::DOUBLE /
+                (SELECT sum(freq) FROM ukeepl)) * 1e6)::BIGINT AS lp6
+            FROM ukeepl)
+    """
+
+
+_PENDING_ORACLES["unigram_loss_prune_documents"] = f"""
+    WITH {_unigram_loss_ctes()}
+    SELECT piece, freq, lp6 FROM ulfin ORDER BY piece
 """
 
 _PENDING_ORACLES["unigram_token_count_documents"] = f"""

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import vectors as V
 
@@ -2583,6 +2584,7 @@ def graph_beam_search(
     vec_col: str = "embedding",
     entries: list[int] | None = None,
     queries_df: DataFrame | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Greedy beam search over a kNN graph — the SERVING half of the
     graph-index tier (``nn_descent_knn_graph`` is the build half):
@@ -2625,6 +2627,22 @@ def graph_beam_search(
     # error in your pipeline)
     quant = _micro_quant(vec_col)
     qtab = df.select(F.col(id_col).alias("node"), quant.alias("qv"))
+    # size-dispatched serving shape (the bounded-probe pattern of the
+    # auto_* facades): under ~100k corpus rows the vector table AND
+    # the edge table broadcast, which makes every hop exchange-free —
+    # the expansion join, dedup, scoring joins, and the per-qid window
+    # all run on the query-keyed side, and with the lazy checkpoints
+    # below the whole multi-hop search schedules as ONE action instead
+    # of a blocking round per hop (the warm-serve latency fix, VERDICT
+    # r8 item 4). Larger corpora keep the node-keyed shuffle joins —
+    # broadcasting a 100 TB corpus or its n·k edge table is exactly
+    # what must not happen at scale. ``corpus_rows`` (a caller-known
+    # row count, e.g. from the index build) skips the probe job —
+    # warm serving calls shouldn't pay even a bounded scan.
+    if corpus_rows is not None:
+        small = corpus_rows <= 100_000
+    else:
+        small = df.limit(100_001).count() <= 100_000
     if queries_df is not None:
         # external query batch: (id_col, vec_col) rows that need not be
         # corpus members — query_ids is ignored. The node != qid
@@ -2646,16 +2664,45 @@ def graph_beam_search(
             qtab.select("node").orderBy("node").limit(beam).select("node")
         )
     else:
-        entry_df = qtab.filter(
-            F.col("node").isin([int(e) for e in entries])
-        ).select("node")
+        # a driver-literal relation, not a corpus scan: entry ids are
+        # already driver scalars, and the hop-0 scoring join drops any
+        # id absent from the corpus exactly like the old isin filter
+        # did — one fewer job per serving call
+        id_type = df.schema[id_col].dataType
+        entry_df = df.sparkSession.createDataFrame(
+            [(int(e),) for e in entries],
+            schema=T.StructType([T.StructField("node", T.LongType())]),
+        ).select(F.col("node").cast(id_type).alias("node"))
     int_dot = _int_dot("query_vec", "qv")
     w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("node"))
+    # small-corpus serving: both scoring joins broadcast (the query
+    # table is corpus-derived or probe-bounded small too), so scoring
+    # never re-shuffles the hash(qid)-partitioned candidate stream.
+    # Vectors AND adjacency ride ONE relation so the scoring join and
+    # the expansion join broadcast the SAME exchange (ReusedExchange —
+    # one build, not two).
+    edges = graph.select(
+        F.col("id").alias("node"), F.col("neighbor_id").alias("nxt")
+    )
+    small_batch = small and (
+        queries_df is None
+        or queries_df.limit(100_001).count() <= 100_000
+    )
+    if small:
+        nav_tab = qtab.join(
+            edges.groupBy("node").agg(F.collect_list("nxt").alias("nxts")),
+            "node",
+            "left",
+        )
+        q_score = F.broadcast(nav_tab)
+        query_side = F.broadcast(queries) if small_batch else queries
+    else:
+        q_score, query_side = qtab, queries
 
     def score_beam(cand: DataFrame, width: int) -> DataFrame:
         scored = (
-            cand.join(qtab, "node")
-            .join(queries, "qid")
+            cand.join(q_score, "node")
+            .join(query_side, "qid")
             .select("qid", "node", int_dot.alias("dot"))
         )
         return (
@@ -2664,24 +2711,55 @@ def graph_beam_search(
             .select("qid", "node", "dot", "rn")
         )
 
-    # localCheckpoint per hop — same lineage-truncation rationale as
-    # the NN-Descent rounds (see nn_descent_knn_graph)
-    cur = score_beam(
-        queries.select("qid").crossJoin(entry_df), beam
-    ).localCheckpoint()
-    edges = graph.select(
-        F.col("id").alias("node"), F.col("neighbor_id").alias("nxt")
-    )
-    for _ in range(hops):
-        exp = cur.join(edges, "node").select(
-            "qid", F.col("nxt").alias("node")
+    if small:
+        # exchange-free hops: the adjacency list broadcasts pre-grouped
+        # and expansion is an EXPLODE over (node itself ++ neighbors) —
+        # no union, so the hop output stays hash(qid)-partitioned from
+        # the first window, the (qid, node) dedup aggregate and the
+        # per-qid window both reuse that partitioning (hash(qid)
+        # satisfies both clusterings), and the scoring joins are
+        # broadcast. Lineage is a LINEAR chain (cur feeds each hop
+        # once, unlike the builder's self-join), so no per-hop
+        # checkpoints are needed — the whole serve is one job with a
+        # single exchange (the hop-0 window). Candidate sets, integer
+        # scores, and the total order are identical to the shuffle
+        # path below, so the unrolled replay gate grades both.
+        cur = score_beam(
+            queries.select("qid").crossJoin(F.broadcast(entry_df)), beam
         )
-        cand = (
-            cur.select("qid", "node")
-            .union(exp)
-            .dropDuplicates(["qid", "node"])
-        )
-        cur = score_beam(cand, beam).localCheckpoint()
+        for _ in range(hops):
+            cand = (
+                cur.join(q_score, "node", "left")
+                .select(
+                    "qid",
+                    F.explode(
+                        F.concat(
+                            F.array(F.col("node")),
+                            F.coalesce(F.col("nxts"), F.array()),
+                        )
+                    ).alias("node"),
+                )
+                .groupBy("qid", "node")
+                .agg(F.lit(1).alias("__one"))
+                .drop("__one")
+            )
+            cur = score_beam(cand, beam)
+    else:
+        # localCheckpoint per hop — same lineage-truncation rationale
+        # as the NN-Descent rounds (see nn_descent_knn_graph)
+        cur = score_beam(
+            queries.select("qid").crossJoin(entry_df), beam
+        ).localCheckpoint()
+        for _ in range(hops):
+            exp = cur.join(edges, "node").select(
+                "qid", F.col("nxt").alias("node")
+            )
+            cand = (
+                cur.select("qid", "node")
+                .union(exp)
+                .dropDuplicates(["qid", "node"])
+            )
+            cur = score_beam(cand, beam).localCheckpoint()
 
     sim_ppm = F.expr(_SIM_PPM_SQL)
     final = (
@@ -2689,12 +2767,19 @@ def graph_beam_search(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
-    return final.select(
+    out = final.select(
         F.col("qid").alias("query_id"),
         F.col("node").alias("neighbor_id"),
         F.col("rk").cast("int").alias("rank"),
         sim_ppm.cast("long").alias("sim_ppm"),
-    ).orderBy("query_id", "rank")
+    )
+    if small_batch:
+        # ≤ |queries|·k rows by construction (both sides probe-bounded
+        # small): a single-partition sort skips the range-partitioner's
+        # sampling pass (one job fewer per serving call); the global
+        # order is identical
+        return out.coalesce(1).sortWithinPartitions("query_id", "rank")
+    return out.orderBy("query_id", "rank")
 
 
 def graph_insert(
@@ -2890,6 +2975,7 @@ def graph_topk_search(
     hops: int = 4,
     graph_k: int = 8,
     iters: int = 3,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """HNSW-shaped serving facade: NN-Descent graph build +
     ``graph_beam_search`` over an external query batch — the
@@ -2936,6 +3022,7 @@ def graph_topk_search(
         vec_col=vec_col,
         entries=entries,
         queries_df=queries,
+        corpus_rows=corpus_rows,
     )
     return out.select(
         "query_id",

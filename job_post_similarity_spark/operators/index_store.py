@@ -407,6 +407,7 @@ def load_or_build_knn_graph(
     k: int = 8,
     iters: int = 3,
     refresh_iters: int = 2,
+    n_rows: int | None = None,
 ):
     """Load-or-build for the graph-index tier (reference memoization
     shape, app/main.py:177-194): serve ``graph_topk_search`` batches
@@ -422,7 +423,9 @@ def load_or_build_knn_graph(
 
     from pyspark.sql import functions as F
 
-    n = df.count()
+    # caller-known corpus count (e.g. the gate fixture's n) skips the
+    # per-call count job — warm serving shouldn't pay a corpus scan
+    n = df.count() if n_rows is None else n_rows
     old_graph = None
     refreshed = False
     try:

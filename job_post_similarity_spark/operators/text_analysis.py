@@ -1632,14 +1632,18 @@ def duplicate_ngram_char_coverage(
 # --------------------------------------------------- unigram-LM tokenizer
 
 
-def _viterbi_split(word: str, scores: dict, max_piece_len: int):
+def _viterbi_split(
+    word: str, scores: dict, max_piece_len: int, banned: str | None = None
+):
     """Best unigram-LM segmentation of one word (Kudo 2018 §3.1):
     maximize the sum of integer micro-log piece scores by positional
     DP. Tie rule (mirrored EXACTLY by the generated SQL replay):
     candidate piece lengths are tried ASCENDING with a strict '>'
     update, so the SHORTEST last piece wins score ties. Returns the
     piece list, or None when no path exists (impossible once every
-    single character is in the vocabulary)."""
+    single character is in the vocabulary). ``banned`` excludes one
+    piece from the vocabulary for this call — the likelihood-loss
+    prune's what-if segmentation (see ``_viterbi_score``)."""
     n = len(word)
     dp = [None] * (n + 1)
     bp = [0] * (n + 1)
@@ -1651,7 +1655,10 @@ def _viterbi_split(word: str, scores: dict, max_piece_len: int):
             prev = dp[j - plen]
             if prev is None:
                 continue
-            s = scores.get(word[j - plen : j])
+            piece = word[j - plen : j]
+            if piece == banned:
+                continue
+            s = scores.get(piece)
             if s is None:
                 continue
             cand = prev + s
@@ -1668,6 +1675,34 @@ def _viterbi_split(word: str, scores: dict, max_piece_len: int):
         j -= bp[j]
     out.reverse()
     return out
+
+
+def _viterbi_score(
+    word: str, scores: dict, max_piece_len: int, banned: str | None = None
+):
+    """Best segmentation SCORE only (no backtrack) — the loss prune's
+    inner call; same DP and integer arithmetic as ``_viterbi_split``.
+    Returns None when no path exists."""
+    n = len(word)
+    dp = [None] * (n + 1)
+    dp[0] = 0
+    for j in range(1, n + 1):
+        best = None
+        for plen in range(1, min(max_piece_len, j) + 1):
+            prev = dp[j - plen]
+            if prev is None:
+                continue
+            piece = word[j - plen : j]
+            if piece == banned:
+                continue
+            s = scores.get(piece)
+            if s is None:
+                continue
+            cand = prev + s
+            if best is None or cand > best:
+                best = cand
+        dp[j] = best
+    return dp[n]
 
 
 def _unigram_word_table(df: DataFrame, text_col: str) -> DataFrame:
@@ -1703,6 +1738,7 @@ def unigram_lm_train(
     iters: int = 2,
     max_piece_len: int = 4,
     seed_pool: int | None = None,
+    prune: str = "freq",
 ) -> DataFrame:
     """SentencePiece-style unigram-LM tokenizer training (Kudo 2018)
     re-expressed Spark-first — the subword family BPE doesn't cover
@@ -1730,6 +1766,25 @@ def unigram_lm_train(
     prune keeps singles + the top (vocab_size − n_singles) multi-char
     pieces, then recomputes lp6 over the pruned set.
 
+    ``prune`` selects the final multi-char cut:
+
+    - ``"freq"`` (default, the original tier): rank by Viterbi usage
+      frequency (freq DESC, piece ASC);
+    - ``"loss"`` (SentencePiece-faithful, Kudo 2018 §3.2 / the
+      SentencePiece prune step): rank by LIKELIHOOD LOSS — for every
+      word whose best path uses piece p, re-segment with p banned;
+      loss(p) = Σ_w cnt_w · (best6(w) − alt6(w)), the integer
+      micro-log corpus-likelihood drop if p were removed. Pieces the
+      corpus can cheaply re-segment around are pruned first even
+      when frequent — the criterion SentencePiece actually uses
+      (frequency ranking keeps substitutable pieces). One extra
+      distributed what-if pass over the WORD table (cost: path length
+      × one banned DP per word, map-side + a piece-keyed aggregate);
+      ranking is (loss6 DESC, freq DESC, piece ASC) — loss ties
+      (e.g. never-used survivors at loss 0) fall back to the freq
+      tier's order, so the two tiers differ exactly where the loss
+      signal says they should.
+
     Everything is deterministic (integer micro-log scores, total
     orders on every cut, the shortest-last-piece Viterbi tie rule), so
     the whole trainer — seed, E/M rounds, prune — replays as one
@@ -1742,6 +1797,8 @@ def unigram_lm_train(
 
     if vocab_size < 1 or iters < 0 or max_piece_len < 1:
         raise ValueError("vocab_size >= 1, iters >= 0, max_piece_len >= 1")
+    if prune not in ("freq", "loss"):
+        raise ValueError("prune must be 'freq' or 'loss'")
     spark = df.sparkSession
     pool = seed_pool if seed_pool is not None else vocab_size * 3
     wc = _unigram_word_table(df, text_col).persist()
@@ -1816,11 +1873,72 @@ def unigram_lm_train(
     final_singles = pieces.filter(F.length("piece") == 1)
     n_singles = final_singles.count()
     keep_multi = max(0, vocab_size - n_singles)
-    final = final_singles.unionByName(
-        pieces.filter(F.length("piece") > 1)
-        .orderBy(F.desc("freq"), F.asc("piece"))
-        .limit(keep_multi)
-    )
+    multi_pool = pieces.filter(F.length("piece") > 1)
+    if prune == "loss":
+        # what-if pass under the POST-EM piece distribution: for each
+        # word, ban each distinct multi-char piece of its best path in
+        # turn and re-segment — the banned DP always completes (every
+        # single char is in the vocabulary). The piece table is the
+        # broadcast model (same bounded-collect argument as the
+        # E-step); loss mass aggregates piece-keyed.
+        scored_rows = _unigram_lp6(pieces).collect()
+        scores = {r["piece"]: r["lp6"] for r in scored_rows}
+        bc = spark.sparkContext.broadcast(scores)
+
+        def loss_op(batches):
+            sc = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                loss: dict = {}
+                for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                    segs = _viterbi_split(w, sc, max_piece_len)
+                    if segs is None:
+                        continue
+                    best6 = sum(sc[p] for p in segs)
+                    for p in set(segs):
+                        if len(p) == 1:
+                            continue
+                        alt6 = _viterbi_score(
+                            w, sc, max_piece_len, banned=p
+                        )
+                        loss[p] = loss.get(p, 0) + int(cnt) * (
+                            best6 - alt6
+                        )
+                if loss:
+                    yield pd.DataFrame(
+                        {
+                            "piece": list(loss),
+                            "loss6": list(loss.values()),
+                        }
+                    )
+
+        # eager, bounded collect (≤ pool rows — the piece table is the
+        # model) so the returned plan never re-runs the what-if pass
+        # and wc is still cached when it executes
+        loss6 = {
+            r["piece"]: r["loss6"]
+            for r in wc.mapInPandas(loss_op, "piece string, loss6 long")
+            .groupBy("piece")
+            .agg(F.sum("loss6").alias("loss6"))
+            .collect()
+        }
+        multi = sorted(
+            (
+                (r["piece"], r["freq"])
+                for r in scored_rows
+                if len(r["piece"]) > 1
+            ),
+            key=lambda t: (-loss6.get(t[0], 0), -t[1], t[0]),
+        )
+        kept_multi = spark.createDataFrame(
+            multi[:keep_multi], "piece string, freq long"
+        )
+    else:
+        kept_multi = multi_pool.orderBy(
+            F.desc("freq"), F.asc("piece")
+        ).limit(keep_multi)
+    final = final_singles.unionByName(kept_multi)
     out = _unigram_lp6(final).orderBy("piece")
     wc.unpersist()
     return out

@@ -3747,3 +3747,140 @@ def test_unigram_lm_second_em_round_converges(spark):
     # 'ab' keeps winning its words; singles stay smoothed at 1
     assert p2["ab"] == 4 and p2["c"] == 3
     assert p2 == p3  # fixed point
+
+
+def test_unigram_loss_prune_matches_local_reference(spark):
+    """prune='loss' (the SentencePiece-faithful cut, Kudo 2018 §3.2):
+    the kept multi-char set equals a pure-Python replay of the
+    criterion — per piece, Σ cnt·(best6 − alt6) over words whose best
+    path uses it, alt6 the what-if DP with the piece banned — ranked
+    (loss DESC, freq DESC, piece ASC). Also pins that the criterion
+    BITES: on this corpus the frequent-but-substitutable piece is
+    pruned while the freq tier keeps it."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        _unigram_word_table,
+        _viterbi_score,
+        _viterbi_split,
+        unigram_lm_train,
+    )
+
+    rows = [
+        ("the them they then there this that " * 6,),
+        ("qz qzqz wqz " * 4,),
+        ("aaa bbb ab ba " * 5,),
+    ]
+    docs = spark.createDataFrame(rows, "text string")
+    knobs = dict(
+        vocab_size=20, iters=1, max_piece_len=3, seed_pool=30
+    )
+    freq_v = unigram_lm_train(docs, "text", prune="freq", **knobs)
+    loss_v = unigram_lm_train(docs, "text", prune="loss", **knobs)
+    freq_multi = {
+        r["piece"] for r in freq_v.collect() if len(r["piece"]) > 1
+    }
+    loss_multi = {
+        r["piece"]: r["freq"]
+        for r in loss_v.collect()
+        if len(r["piece"]) > 1
+    }
+    assert freq_multi != set(loss_multi), (
+        "fixture no longer separates the two prune criteria"
+    )
+
+    # local reference: replay seed -> 1 EM round -> loss rank
+    import math
+
+    wc = {
+        r["w"]: r["cnt"]
+        for r in _unigram_word_table(docs, "text").collect()
+    }
+    seed: dict = {}
+    for w, cnt in wc.items():
+        for ln in range(1, 4):
+            for i in range(len(w) - ln + 1):
+                seed[w[i : i + ln]] = seed.get(w[i : i + ln], 0) + cnt
+    singles = {p: f for p, f in seed.items() if len(p) == 1}
+    multi = sorted(
+        ((p, f) for p, f in seed.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:30]
+    pool = dict(singles, **dict(multi))
+    tot = sum(pool.values())
+    lp = {p: round(math.log(f / tot) * 1e6) for p, f in pool.items()}
+    use: dict = {}
+    for w, cnt in wc.items():
+        for p in _viterbi_split(w, lp, 3) or []:
+            use[p] = use.get(p, 0) + cnt
+    post = {
+        p: use.get(p, 0) + (1 if len(p) == 1 else 0) for p in pool
+    }
+    post = {p: f for p, f in post.items() if f > 0}
+    tot2 = sum(post.values())
+    lp2 = {p: round(math.log(f / tot2) * 1e6) for p, f in post.items()}
+    loss: dict = {}
+    for w, cnt in wc.items():
+        segs = _viterbi_split(w, lp2, 3)
+        if segs is None:
+            continue
+        best6 = sum(lp2[p] for p in segs)
+        for p in set(segs):
+            if len(p) > 1:
+                alt6 = _viterbi_score(w, lp2, 3, banned=p)
+                loss[p] = loss.get(p, 0) + cnt * (best6 - alt6)
+    n_singles = sum(1 for p in post if len(p) == 1)
+    want = sorted(
+        ((p, f) for p, f in post.items() if len(p) > 1),
+        key=lambda t: (-loss.get(t[0], 0), -t[1], t[0]),
+    )[: 20 - n_singles]
+    assert loss_multi == dict(want)
+
+
+def test_unigram_encode_parity_across_prune_tiers(spark):
+    """The ENCODER is prune-agnostic: under either tier's vocabulary,
+    unigram_viterbi_encode's per-doc (n_pieces, score6) equals a local
+    Viterbi replay under that vocabulary's scores — swapping the prune
+    criterion changes the model, never the serving semantics. Both
+    vocabularies keep every word segmentable (single-char coverage)."""
+    from job_post_similarity_spark.operators.text_analysis import (
+        _viterbi_split,
+        unigram_lm_train,
+        unigram_viterbi_encode,
+    )
+
+    rows = [
+        (1, "the them they then there this that " * 3),
+        (2, "qz qzqz wqz aaa bbb ab ba"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    knobs = dict(
+        vocab_size=20, iters=1, max_piece_len=3, seed_pool=30
+    )
+    for prune in ("freq", "loss"):
+        vocab = unigram_lm_train(docs, "text", prune=prune, **knobs)
+        lp = {r["piece"]: r["lp6"] for r in vocab.collect()}
+        got = {
+            r["doc_id"]: (r["n_pieces"], r["score6"])
+            for r in unigram_viterbi_encode(
+                docs, vocab, id_col="doc_id", max_piece_len=3
+            ).collect()
+        }
+        for doc_id, text in rows:
+            n, s = 0, 0
+            for w in text.strip().lower().split():
+                segs = _viterbi_split(w, lp, 3)
+                assert segs is not None, (prune, w)
+                n += len(segs)
+                s += sum(lp[p] for p in segs)
+            assert got[doc_id] == (n, s), (prune, doc_id)
+
+
+def test_unigram_prune_arg_validation(spark):
+    import pytest as _pytest
+
+    from job_post_similarity_spark.operators.text_analysis import (
+        unigram_lm_train,
+    )
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        unigram_lm_train(df, vocab_size=4, prune="entropy")
