@@ -11,11 +11,12 @@ current registry + CORRECTNESS history:
 1. never-graded oracle-backed gates (including _PENDING_ORACLES,
    whose SQL must move into oracle_sql() when they enter the window)
    — window priority, oldest-staged first;
-2. prior-green canaries fill any window slack — ROTATED: the slack
-   canaries are the prior-green gates sorted by
-   md5(f"r{round}:{name}"), so WHICH gates get re-graded changes
-   deterministically every round and every oracle-backed entry is
-   re-graded within a handful of rounds (drift insurance; VERDICT r6
+2. prior-green canaries fill any window slack — OLDEST-GRADING
+   FIRST (VERDICT r8 item 8): canaries sort by the round their
+   grading last passed, ascending, so no green entry can go stale
+   beyond ceil(n_oracles / slack) rounds — with md5(f"r{round}:
+   {name}") as the within-round tie-break so equally-stale gates
+   still rotate deterministically (drift insurance; VERDICT r6
    item 6). Pass ``--round N`` (default: next CORRECTNESS_r index).
 3. everything else keeps relative order.
 
@@ -49,10 +50,14 @@ def main() -> int:
     oracles = set(m.oracle_sql())
     pending = list(m._PENDING_ORACLES)
     graded: set = set()
+    last_graded: dict = {}
     correctness_files = sorted(
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    for f in correctness_files:
-        graded |= set(json.load(open(f)))
+    for i, f in enumerate(correctness_files, start=1):
+        names = set(json.load(open(f)))
+        graded |= names
+        for q in names:
+            last_graded[q] = i
 
     round_no = len(correctness_files) + 1
     if "--round" in sys.argv:
@@ -72,7 +77,13 @@ def main() -> int:
 
     window = never_graded[:50]
     slack = 50 - len(window)
-    rotated = sorted(prior_green, key=lambda q: canary_sort_key(round_no, q))
+    rotated = sorted(
+        prior_green,
+        key=lambda q: (
+            last_graded.get(q, 0),
+            canary_sort_key(round_no, q),
+        ),
+    )
     canaries = rotated[:slack] if slack > 0 else []
     rest = (
         never_graded[50:]
