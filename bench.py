@@ -96,6 +96,10 @@ HEADLINE = [
     "graph_refresh_embeddings",
     # round-8: unigram-LM tokenizer training (distributed Viterbi EM)
     "unigram_train_documents",
+    # round-9: the SentencePiece-faithful loss prune adds a what-if
+    # Viterbi pass per (word, path piece) — tracked as its own row so
+    # the prune criterion's cost over the freq tier stays visible
+    "unigram_loss_prune_documents",
 ]
 
 

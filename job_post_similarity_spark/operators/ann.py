@@ -2492,13 +2492,21 @@ def nn_descent_knn_graph(
             sym_all = sym_new.union(sym_old)
 
         def non(a: DataFrame, b: DataFrame) -> DataFrame:
+            # the right side is ≤ 2·n·k (src,dst) pairs — under the
+            # same ≤100k dispatch as the scoring joins it broadcasts,
+            # removing both node-keyed exchanges per NoN join (the
+            # flag split costs 2 joins/round; this keeps the round's
+            # shuffle count at the unpruned version's level). Larger
+            # corpora keep the shuffle join.
+            b_mid = b.select(
+                F.col("src").alias("mid"), F.col("dst").alias("dst2")
+            )
+            if n <= 100_000:
+                b_mid = F.broadcast(b_mid)
             return (
                 a.alias("a")
                 .join(
-                    b.select(
-                        F.col("src").alias("mid"),
-                        F.col("dst").alias("dst2"),
-                    ).alias("b"),
+                    b_mid.alias("b"),
                     F.col("a.dst") == F.col("b.mid"),
                 )
                 .filter(F.col("a.src") != F.col("b.dst2"))
@@ -2689,8 +2697,15 @@ def graph_beam_search(
         or queries_df.limit(100_001).count() <= 100_000
     )
     if small:
+        # the adjacency attach is itself a broadcast join (the grouped
+        # edge table is ≤ n rows), so building nav_tab costs ONE small
+        # exchange (the groupBy) and no shuffle of the vector table
         nav_tab = qtab.join(
-            edges.groupBy("node").agg(F.collect_list("nxt").alias("nxts")),
+            F.broadcast(
+                edges.groupBy("node").agg(
+                    F.collect_list("nxt").alias("nxts")
+                )
+            ),
             "node",
             "left",
         )

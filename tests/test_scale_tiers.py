@@ -1101,6 +1101,50 @@ def test_auto_entries_rescue_stranded_clusters(spark):
     assert a_hits == len(qids)
 
 
+def test_graph_beam_search_small_path_plan_shape(spark):
+    """The warm-serve latency contract (VERDICT r8 item 4): on the
+    small-corpus path every hop is exchange-free — the (qid, node)
+    dedup aggregate and the per-qid windows ride the hop-0 window's
+    hash(qid) partitioning, scoring and expansion join one shared
+    broadcast relation, and the final sort is single-partition. Pinned
+    by plan text: NO shuffle keyed on (qid, node) (the dedup never
+    re-partitions), NO rangepartitioning (no global-sort sampling
+    pass), and exactly ONE qid-keyed shuffle (the hop-0 window)."""
+    import re
+
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        graph_beam_search,
+        nn_descent_knn_graph,
+    )
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(40, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = _vec_df(spark, vecs)
+    g = nn_descent_knn_graph(df, k=4, iters=1).localCheckpoint()
+    out = graph_beam_search(
+        df, g, [3, 7], k=2, beam=5, hops=3, corpus_rows=40
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert not re.search(r"Exchange rangepartitioning", plan), (
+        "small path must not range-partition (coalesce(1) sort)"
+    )
+    assert not any("qid" in s and "node" in s for s in shuffles), (
+        f"dedup re-partitioned on (qid, node): {shuffles}"
+    )
+    qid_shuffles = [s for s in shuffles if "qid" in s]
+    assert len(qid_shuffles) == 1, (
+        f"expected exactly the hop-0 window shuffle, got {qid_shuffles}"
+    )
+    # the remaining node-keyed shuffles are plan-text replicas of the
+    # ONE adjacency groupBy inside the shared broadcast relation; AQE
+    # reuses the exchange at runtime
+    assert out.count() == 4
+
+
 def test_graph_beam_search_validation(spark):
     import pytest as _pytest
 
