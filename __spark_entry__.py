@@ -6183,66 +6183,63 @@ def bpe_encode_udf_graded_documents(
 # round 6; every entry parked at 51+ is green in
 # CORRECTNESS_r01∪r02∪r03∪r04.
 _R9_WINDOW: tuple[str, ...] = (
-    # 3 never-graded round-9 gates (their SQL is promoted from
-    # _PENDING_ORACLES by the loop below): the unigram-LM trainer and
-    # its token-count encoder (VERDICT r8 item 5 family) and the
-    # per-row HNSW insert-exactness gate (VERDICT r8 / NOTES
-    # post-closing addition)
-    # + 47 rotated prior-green canaries (tools/plan_rotation.py
-    # --round 9: md5("r9:<name>") ordering — drift insurance)
+    # 5 never-graded round-9 gates first (window priority; their
+    # staged SQL is promoted from _PENDING_ORACLES by the loop
+    # below), then 45 prior-green canaries rotated OLDEST-GRADING-
+    # FIRST with md5("r9:<name>") as the within-staleness tie-break
+    # (tools/plan_rotation.py --round 9 under the r9 policy --
+    # regenerated after the oldest-first change so the committed
+    # window and the planner agree)
     "unigram_train_documents",
     "unigram_token_count_documents",
     "graph_insert_exact_embeddings",
-    # round-9 in-session addition (VERDICT r8 item 2): engine-side
-    # entry provisioning — replaces the last rotated canary
-    # (similarity_pairs_flagship, green r1-r8) to keep the window at 50
     "graph_auto_entry_recall_embeddings",
-    "dup_ngram_coverage_documents",
-    "strip_html_fidelity_documents",
-    "embed_twin_documents",
-    "graph_refresh_equals_cold_embeddings",
-    "q4_order_priority_check",
-    "shard_topk_search",
-    "sq8_recall_vs_exact",
-    "stream_running_counts_events",
-    "quality_ensemble_documents",
-    "stream_ohlc_events",
-    "pivot_orders_priority",
-    "seasonality_events",
-    "contamination_matrix_documents",
-    "salted_join_events",
-    "order_rank_stats",
-    "text_annotate_documents",
-    "bpe_train_local_graded_documents",
-    "curriculum_shards_documents",
+    "unigram_loss_prune_documents",
     "top_ngram_repetition_documents",
-    "full_outer_monthly_counts",
-    "ohlc_bars_events",
-    "knn_classify_embeddings",
-    "target_encode_events",
-    "bpe_token_count_documents",
-    "dedup_clusters_documents",
-    "stream_keep_latest_events",
-    "ranking_metrics_embeddings",
     "multimodal_metadata_documents",
     "string_clean_part",
-    "broadcast_lookup_customers",
-    "chunk_documents",
     "summary_stats_documents",
-    "negative_samples_embeddings",
-    "pq_planted_recall_embeddings",
-    "minhash_near_dup_documents",
-    "bloom_decontaminate_documents",
-    "event_user_set_ops",
-    "minhash_xxh_planted_recall_documents",
+    "sessionize_events",
+    "null_profile_events",
+    "decontaminate_documents",
+    "first_last_documents",
+    "q5_local_supplier_volume",
+    "group_count_topn_orders",
+    "null_fill_drop_events",
+    "neighbor_pivot_orders",
+    "interval_join_events",
+    "stream_windowed_counts",
+    "date_extract_orders",
+    "window_topk_orders",
+    "cosine_topk_search",
+    "duplicate_count_events",
+    "q17_small_quantity_revenue",
+    "rollup_orders_by_year_priority",
+    "preprocess_jobs_pipeline",
+    "point_lookup_documents",
+    "dedup_keep_first_events",
+    "knn_exact_top1",
+    "q3_shipping_priority",
+    "distinct_counts_lineitem",
+    "token_count_documents",
+    "q2_min_cost_supplier",
+    "stream_event_counts",
+    "q6_forecast_revenue",
+    "stream_dedup_keys",
+    "q4_order_priority_check",
+    "order_rank_stats",
+    "text_annotate_documents",
     "deterministic_sample_lineitem",
-    "tree_rollup_parts",
-    "scd2_user_events",
-    "funnel_conversion_events",
     "lang_id_documents",
-    "stream_psi_drift_events",
-    "exact_dup_clusters_props",
-    "inverted_index_documents",
+    "vector_removal_embeddings",
+    "q8_market_share",
+    "substring_dup_spans_documents",
+    "q16_distinct_suppliers",
+    "keep_latest_events",
+    "quantile_disc_events",
+    "ntile_customer_quartiles",
+    "q7_volume_shipping",
+    "rolling_fingerprint_documents",
 )
 
 
@@ -6491,11 +6488,12 @@ _R5_WINDOW: tuple[str, ...] = (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
     FIRST 50 dict entries per round. Round 9 applies _R9_WINDOW (the
-    3 never-graded round-9 gates in plan_rotation order + rotated
-    prior-green canaries chosen by md5("r9:<name>") — the rotation
-    policy re-grades every oracle-backed entry within a few rounds)
-    on top of the prior ordering: window members first, everything
-    else keeps its prior relative order. Every oracle-backed entry
+    5 never-graded round-9 gates in plan_rotation order + prior-green
+    canaries rotated OLDEST-GRADING-FIRST, md5("r9:<name>") breaking
+    staleness ties — the policy re-grades every oracle-backed entry
+    within ceil(n_oracles/slack) rounds deterministically) on top of
+    the prior ordering: window members first, everything else keeps
+    its prior relative order. Every oracle-backed entry
     parked at 51+ is green in some prior round's CORRECTNESS file
     (machine-checked by tools/check_oracles + the verify skill's
     window invariant); rows-only (no-oracle) tiers trail."""

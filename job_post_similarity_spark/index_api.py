@@ -69,6 +69,11 @@ class VectorSearch:
         # + the knobs used) — recorded into the saved artifact's meta
         # instead of fixed literals
         self._graph_params: dict | None = None
+        # memoized row count: every search consults ntotal (the
+        # exact-shortcut dispatch) and the graph tier threads it into
+        # beam search's size dispatch — one count per mutation, not
+        # one per query batch
+        self._ntotal_cache: int | None = None
 
     def _invalidate_graph(self, keep_warm: bool = False) -> None:
         """Drop the memoized HNSW-tier graph (and its entry points)
@@ -97,6 +102,7 @@ class VectorSearch:
             self._pending_new = None
             self._graph_params = None
         self._graph_entries = None
+        self._ntotal_cache = None  # every mutation routes through here
 
     # -------------------------------------------------- build surface
 
@@ -237,6 +243,7 @@ class VectorSearch:
                 id_col=self.id_col, vec_col=self.vec_col,
                 graph=self._graph,
                 entries=self._graph_entries,
+                corpus_rows=self.ntotal,
             )
         return ann.srp_topk_search(
             queries, self._df, k=k, id_col=self.id_col, vec_col=self.vec_col
@@ -286,7 +293,7 @@ class VectorSearch:
             index_store.save_knn_graph(
                 index_path + "__graph",
                 self._graph,
-                self._df.count(),
+                self.ntotal,  # memoized — no extra count job
                 # actual build provenance (cold/refresh/insert/loaded
                 # + knobs), not fixed literals
                 params=self._graph_params or {"k": 8, "iters": 3},
@@ -314,7 +321,7 @@ class VectorSearch:
             graph, meta = index_store.load_knn_graph(
                 self._spark, index_path + "__graph"
             )
-            if meta["n_rows"] == df.count():
+            if meta["n_rows"] == self.ntotal:  # populates the memo too
                 self._graph = graph.persist()
                 self._graph_entries = ann.default_graph_entries(
                     df, self.id_col
@@ -329,8 +336,14 @@ class VectorSearch:
 
     @property
     def ntotal(self) -> int:
-        """Reference: index.ntotal (app/vector_search.py:297-301)."""
-        return 0 if self._df is None else self._df.count()
+        """Reference: index.ntotal (app/vector_search.py:297-301).
+        Memoized until the next mutation (add/load/remove) — serving
+        paths read it per batch."""
+        if self._df is None:
+            return 0
+        if self._ntotal_cache is None:
+            self._ntotal_cache = self._df.count()
+        return self._ntotal_cache
 
     def remove(self, ids: list) -> None:
         """The op the reference refuses (NotImplementedError,

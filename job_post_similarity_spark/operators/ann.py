@@ -2332,9 +2332,10 @@ def nn_descent_knn_graph(
     the round where its younger edge arrived, and per-node top-k sets
     improve monotonically (an edge that lost a window stays displaced
     forever), so the skipped candidates are exactly the ones that
-    lost before and would lose again: the output is BYTE-IDENTICAL
-    per round to the unpruned version (what keeps the unrolled DuckDB
-    replay gate valid), while late-round candidate mass tracks the
+    lost before and would lose again: a COLD build's output is
+    BYTE-IDENTICAL per round to the unpruned version (what keeps the
+    unrolled DuckDB replay gate valid; warm caveats below), while
+    late-round candidate mass tracks the
     CHANGED edge set instead of n·k². Candidate volume is ≤ ~4·n·k²
     in round 1 and ∝ changed·k² after.
 
@@ -2352,11 +2353,21 @@ def nn_descent_knn_graph(
     pointing at rows no longer in ``df`` are dropped by the scoring
     join (inner on the current vector table). Warm edges enter
     flagged OLD — the build that produced them already explored
-    their neighbor-of-neighbor pairs (exact when the stored graph is
-    converged, which is the refresh contract's regime) — so a warm
-    round's candidate mass is ∝ (ring-new ∪ changed)·k, not the
-    full n·k² a cold round pays: this is what makes refresh cheaper
-    than rebuild in wall-clock, not just round count.
+    their neighbor-of-neighbor pairs — so a warm round's candidate
+    mass is ∝ (ring-new ∪ changed)·k, not the full n·k² a cold round
+    pays: this is what makes refresh cheaper than rebuild in
+    wall-clock, not just round count. Two warm caveats the cold path
+    doesn't have: (a) REMOVALS — a node that lost a stored edge to a
+    dropped corpus row has a degraded top-k, so its surviving edges
+    re-enter NEW (handled below; pure-append refreshes pay nothing);
+    (b) the "already explored" argument is exact when the stored
+    graph is CONVERGED (the refresh contract's regime,
+    ``graph_refresh_equals_cold_embeddings``) — edges that entered in
+    a truncated build's final round have unexplored NoN, where the
+    flags make warm refresh explore strictly less than the unpruned
+    version would (an approximation-quality, not correctness,
+    distinction: the output is still a valid kNN-graph refinement,
+    and the equality gate pins the converged regime).
     """
     from pyspark.sql.window import Window
 
@@ -2413,13 +2424,41 @@ def nn_descent_knn_graph(
         # with the OLD flag winning (a ring ∩ stored edge was
         # explored). self-loops can't arrive (the stored graph has
         # none and the ring starts at offset 1).
-        warm = warm_edges.select("src", "dst").dropDuplicates(
+        #
+        # REMOVAL soundness: if the corpus dropped rows since the
+        # stored build, a node that LOST an edge to the drop has a
+        # degraded top-k — a pair that previously lost to the removed
+        # edge could win now, so the "already explored" argument only
+        # holds for edges that lost to STILL-ALIVE competitors. Every
+        # surviving edge of a loss-affected node therefore re-enters
+        # NEW (its NoN re-explores); pure-append refreshes (the
+        # VectorSearch.add contract) have no dropped edges and pay
+        # nothing.
+        corpus_ids = qtab.select(F.col("id").alias("dst"))
+        if n <= 100_000:
+            corpus_ids = F.broadcast(corpus_ids)
+        warm_all = warm_edges.select("src", "dst").dropDuplicates(
             ["src", "dst"]
         )
-        init = warm.withColumn("is_new", F.lit(False)).unionByName(
-            cur.join(warm, ["src", "dst"], "left_anti").withColumn(
-                "is_new", F.lit(True)
-            )
+        lost_srcs = (
+            warm_all.join(corpus_ids, "dst", "left_anti")
+            .select("src")
+            .distinct()
+        )
+        lost_side = lost_srcs.withColumnRenamed("src", "__lost")
+        if n <= 100_000:
+            lost_side = F.broadcast(lost_side)
+        warm = warm_all.join(
+            lost_side,
+            warm_all["src"] == F.col("__lost"),
+            "left",
+        ).select(
+            "src", "dst", F.col("__lost").isNotNull().alias("is_new")
+        )
+        init = warm.unionByName(
+            cur.join(
+                warm.select("src", "dst"), ["src", "dst"], "left_anti"
+            ).withColumn("is_new", F.lit(True))
         )
     else:
         init = cur.withColumn("is_new", F.lit(True))
@@ -2675,10 +2714,12 @@ def graph_beam_search(
         # a driver-literal relation, not a corpus scan: entry ids are
         # already driver scalars, and the hop-0 scoring join drops any
         # id absent from the corpus exactly like the old isin filter
-        # did — one fewer job per serving call
+        # did — one fewer job per serving call. DEDUPED like the old
+        # filter too: a repeated entry id must not occupy two hop-0
+        # beam slots (and with hops=0 would reach the output twice).
         id_type = df.schema[id_col].dataType
         entry_df = df.sparkSession.createDataFrame(
-            [(int(e),) for e in entries],
+            [(int(e),) for e in dict.fromkeys(entries)],
             schema=T.StructType([T.StructField("node", T.LongType())]),
         ).select(F.col("node").cast(id_type).alias("node"))
     int_dot = _int_dot("query_vec", "qv")
@@ -2692,10 +2733,23 @@ def graph_beam_search(
     edges = graph.select(
         F.col("id").alias("node"), F.col("neighbor_id").alias("nxt")
     )
-    small_batch = small and (
-        queries_df is None
-        or queries_df.limit(100_001).count() <= 100_000
-    )
+    # batch size: an internal batch (query_ids) is a bounded driver
+    # list, an external queries_df pays ONE bounded probe. Two
+    # decisions hang off it with DIFFERENT bounds: broadcasting the
+    # query table into the scoring joins is safe to ~100k, but the
+    # single-partition output sort only to ~1k — coalesce(1) pulls
+    # the whole post-hop-0 pipeline into one task (the small path is
+    # deliberately shuffle-free after that exchange), so a large
+    # batch through one core would be a throughput cliff, not a
+    # saved sampling job.
+    if queries_df is None:
+        n_queries = len(query_ids)
+    elif small:
+        n_queries = queries_df.limit(100_001).count()
+    else:
+        n_queries = 100_001  # large corpus: both decisions moot
+    small_batch = small and n_queries <= 100_000
+    tiny_batch = small and n_queries <= 1_000
     if small:
         # the adjacency attach is itself a broadcast join (the grouped
         # edge table is ≤ n rows), so building nav_tab costs ONE small
@@ -2788,11 +2842,10 @@ def graph_beam_search(
         F.col("rk").cast("int").alias("rank"),
         sim_ppm.cast("long").alias("sim_ppm"),
     )
-    if small_batch:
-        # ≤ |queries|·k rows by construction (both sides probe-bounded
-        # small): a single-partition sort skips the range-partitioner's
-        # sampling pass (one job fewer per serving call); the global
-        # order is identical
+    if tiny_batch:
+        # ≤ 1000·k output rows: a single-partition sort skips the
+        # range-partitioner's sampling pass (one job fewer per serving
+        # call); the global order is identical
         return out.coalesce(1).sortWithinPartitions("query_id", "rank")
     return out.orderBy("query_id", "rank")
 

@@ -1101,6 +1101,75 @@ def test_auto_entries_rescue_stranded_clusters(spark):
     assert a_hits == len(qids)
 
 
+def test_graph_beam_search_duplicate_entries_deduped(spark):
+    """Repeated ids in ``entries`` must behave like the old corpus
+    isin-filter: one hop-0 beam slot each, and with hops=0 no
+    duplicate neighbor rows in the output."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        graph_beam_search,
+        nn_descent_knn_graph,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(12, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = _vec_df(spark, vecs)
+    g = nn_descent_knn_graph(df, k=3, iters=1)
+    out = graph_beam_search(
+        df, g, [0], k=1, beam=2, hops=0, entries=[5, 5, 5]
+    ).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(5, 1)]
+    # and a duplicated entry must not shrink the effective beam
+    dup = graph_beam_search(
+        df, g, [0], k=2, beam=3, hops=0, entries=[5, 5, 7, 9]
+    ).collect()
+    uniq = graph_beam_search(
+        df, g, [0], k=2, beam=3, hops=0, entries=[5, 7, 9]
+    ).collect()
+    assert sorted(map(tuple, dup)) == sorted(map(tuple, uniq))
+
+
+def test_nn_descent_refresh_after_removal_matches_cold(spark):
+    """Removal regression guard for the warm path: when the corpus
+    DROPPED rows since the stored build, nodes that lost a stored
+    edge re-enter flagged NEW (their 'already explored' argument is
+    void — a pair that previously lost to the removed edge can win
+    now; ann.py's removal-soundness block). End property pinned:
+    refresh over the survivors equals the converged cold build over
+    the survivors on this fixture. (Ring-init NEW edges make the
+    flag distinction empirically small at these sizes — the guard is
+    against ANY warm-path regression after removals, the case the
+    equality gate's append-only fixture never exercises.)"""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        nn_descent_knn_graph,
+        nn_descent_refresh,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(6, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:
+        pts = c + 0.08 * rng.normal(size=(20, 16))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+    df = _vec_df(spark, vecs)
+    stored = nn_descent_knn_graph(df, k=8, iters=4)
+    # drop half of cluster 0 (ids 0-9): every surviving cluster-0
+    # node loses stored edges, and its new exact top-k must pull in
+    # previously-displaced neighbors
+    survivors = df.filter(F.col("vec_id") >= 10)
+    refreshed = nn_descent_refresh(survivors, stored, k=8, iters=3)
+    cold = nn_descent_knn_graph(survivors, k=8, iters=4)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, cold.collect())
+    )
+
+
 def test_graph_beam_search_small_path_plan_shape(spark):
     """The warm-serve latency contract (VERDICT r8 item 4): on the
     small-corpus path every hop is exchange-free — the (qid, node)
