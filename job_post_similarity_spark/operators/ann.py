@@ -2815,10 +2815,12 @@ def graph_beam_search(
             cur = score_beam(cand, beam)
     else:
         # localCheckpoint per hop — same lineage-truncation rationale
-        # as the NN-Descent rounds (see nn_descent_knn_graph)
+        # as the NN-Descent rounds (see nn_descent_knn_graph); lazy,
+        # so all hops schedule inside one action instead of a
+        # blocking driver round per hop
         cur = score_beam(
             queries.select("qid").crossJoin(entry_df), beam
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         for _ in range(hops):
             exp = cur.join(edges, "node").select(
                 "qid", F.col("nxt").alias("node")
@@ -2828,7 +2830,7 @@ def graph_beam_search(
                 .union(exp)
                 .dropDuplicates(["qid", "node"])
             )
-            cur = score_beam(cand, beam).localCheckpoint()
+            cur = score_beam(cand, beam).localCheckpoint(eager=False)
 
     sim_ppm = F.expr(_SIM_PPM_SQL)
     final = (

@@ -1101,6 +1101,35 @@ def test_auto_entries_rescue_stranded_clusters(spark):
     assert a_hits == len(qids)
 
 
+def test_graph_beam_search_small_and_large_paths_agree(spark):
+    """The size-dispatched serving paths are one algorithm in two
+    physical shapes: forcing the shuffle path (corpus_rows lie above
+    the 100k dispatch) must return row-for-row what the broadcast/
+    explode path returns — candidate sets, integer scores, ranks."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        graph_beam_search,
+        nn_descent_knn_graph,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(60, 12))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = _vec_df(spark, vecs)
+    g = nn_descent_knn_graph(df, k=5, iters=2).localCheckpoint()
+    qids = [1, 13, 27, 41, 59]
+    small = graph_beam_search(
+        df, g, qids, k=3, beam=6, hops=3, corpus_rows=60
+    )
+    large = graph_beam_search(
+        df, g, qids, k=3, beam=6, hops=3, corpus_rows=200_000
+    )
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, large.collect())
+    )
+
+
 def test_graph_beam_search_duplicate_entries_deduped(spark):
     """Repeated ids in ``entries`` must behave like the old corpus
     isin-filter: one hop-0 beam slot each, and with hops=0 no
