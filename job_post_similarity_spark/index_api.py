@@ -210,9 +210,13 @@ class VectorSearch:
                     # pre-mutation edges (reference batched-add
                     # contract, app/vector_search.py:85-141) — 1-2
                     # rounds instead of a cold build
+                    # add() is the only keep_warm mutation (remove()
+                    # invalidates cold), so this refresh is provably
+                    # pure-append — skip the removal-detection joins
                     self._graph = ann.nn_descent_refresh(
                         self._df, self._stale_graph,
                         self.id_col, self.vec_col,
+                        assume_append_only=True,
                     ).persist()
                     self._graph_params = {
                         "k": 8, "iters": 2, "built": "refresh",

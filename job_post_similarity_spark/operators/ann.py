@@ -237,6 +237,28 @@ def _lloyd_kmeans(mat, k: int, iters: int, seed: int, init: str = "random"):
     return centers
 
 
+def _quantizer_train_sample(
+    df: DataFrame, vec_col: str, n: int, seed: int,
+    train_fraction: float | None = None,
+):
+    """Seeded, 100k-capped driver-local training sample as a float64
+    matrix — the ONE place the sampling contract (cap, seed handling,
+    dtype) lives; ``ivf_assign`` and ``ivf_graph_entries`` both train
+    on it, so the deterministic-quantizer guarantee cannot drift
+    between them."""
+    import numpy as np
+
+    if train_fraction is None:
+        train_fraction = min(1.0, 100_000 / max(n, 1))
+    train_df = (
+        df.sample(train_fraction, seed=seed)
+        if train_fraction < 1.0
+        else df
+    )
+    sample = train_df.select(vec_col).limit(100_000).toPandas()
+    return np.asarray(list(sample[vec_col]), dtype=np.float64)
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -284,13 +306,7 @@ def ivf_assign(
         # Faiss guidance: C ≈ √n keeps bucket size ≈ √n, so the
         # per-bucket pair fan-out (bucket²·C = n·√n) stays subquadratic
         n_centroids = max(16, int(n**0.5))
-    if train_fraction is None:
-        train_fraction = min(1.0, 100_000 / max(n, 1))
-    train_df = (
-        df.sample(train_fraction, seed=seed) if train_fraction < 1.0 else df
-    )
-    sample = train_df.select(vec_col).limit(100_000).toPandas()
-    mat = np.asarray(list(sample[vec_col]), dtype=np.float64)
+    mat = _quantizer_train_sample(df, vec_col, n, seed, train_fraction)
     if len(mat) == 0:
         # empty input: schema-consistent empty assignment, no training
         empty = df.select(
@@ -2339,6 +2355,7 @@ def nn_descent_knn_graph(
     k: int = 8,
     iters: int = 3,
     warm_edges: DataFrame | None = None,
+    assume_append_only: bool = False,
 ) -> DataFrame:
     """Build an approximate kNN graph by NN-Descent.
 
@@ -2463,30 +2480,41 @@ def nn_descent_knn_graph(
         # edge could win now, so the "already explored" argument only
         # holds for edges that lost to STILL-ALIVE competitors. Every
         # surviving edge of a loss-affected node therefore re-enters
-        # NEW (its NoN re-explores); pure-append refreshes (the
-        # VectorSearch.add contract) have no dropped edges and pay
-        # nothing.
-        corpus_ids = qtab.select(F.col("id").alias("dst"))
-        if n <= 100_000:
-            corpus_ids = F.broadcast(corpus_ids)
+        # NEW (its NoN re-explores). ``assume_append_only`` skips the
+        # detection joins when the CALLER guarantees no corpus row was
+        # dropped since the stored build (the VectorSearch.add
+        # contract — remove() invalidates cold, so its warm refreshes
+        # are always pure-append): lost_srcs is provably empty there,
+        # and at >100k rows the detection is two shuffle joins over
+        # the 2·n·k warm edge table every append would otherwise pay.
         warm_all = warm_edges.select("src", "dst").dropDuplicates(
             ["src", "dst"]
         )
-        lost_srcs = (
-            warm_all.join(corpus_ids, "dst", "left_anti")
-            .select("src")
-            .distinct()
-        )
-        lost_side = lost_srcs.withColumnRenamed("src", "__lost")
-        if n <= 100_000:
-            lost_side = F.broadcast(lost_side)
-        warm = warm_all.join(
-            lost_side,
-            warm_all["src"] == F.col("__lost"),
-            "left",
-        ).select(
-            "src", "dst", F.col("__lost").isNotNull().alias("is_new")
-        )
+        if assume_append_only:
+            warm = warm_all.select(
+                "src", "dst", F.lit(False).alias("is_new")
+            )
+        else:
+            corpus_ids = qtab.select(F.col("id").alias("dst"))
+            if n <= 100_000:
+                corpus_ids = F.broadcast(corpus_ids)
+            lost_srcs = (
+                warm_all.join(corpus_ids, "dst", "left_anti")
+                .select("src")
+                .distinct()
+            )
+            lost_side = lost_srcs.withColumnRenamed("src", "__lost")
+            if n <= 100_000:
+                lost_side = F.broadcast(lost_side)
+            warm = warm_all.join(
+                lost_side,
+                warm_all["src"] == F.col("__lost"),
+                "left",
+            ).select(
+                "src",
+                "dst",
+                F.col("__lost").isNotNull().alias("is_new"),
+            )
         init = warm.unionByName(
             cur.join(
                 warm.select("src", "dst"), ["src", "dst"], "left_anti"
@@ -2624,6 +2652,7 @@ def nn_descent_refresh(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    assume_append_only: bool = False,
 ) -> DataFrame:
     """Incremental kNN-graph maintenance (the HNSW-tier ``add``
     contract, reference app/vector_search.py:85-141): instead of
@@ -2648,7 +2677,13 @@ def nn_descent_refresh(
         F.col("id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return nn_descent_knn_graph(
-        df, id_col, vec_col, k=k, iters=iters, warm_edges=warm
+        df,
+        id_col,
+        vec_col,
+        k=k,
+        iters=iters,
+        warm_edges=warm,
+        assume_append_only=assume_append_only,
     )
 
 
@@ -3087,15 +3122,10 @@ def ivf_graph_entries(
     Bounded driver work: the Lloyd sample (≤100k rows) and ≤
     ``n_regions`` entry ids. Deterministic: seeded Lloyd, stable
     tie-breaks, (distance ASC, id ASC) per-region pick."""
-    import numpy as np
-
     from pyspark.sql.window import Window
 
     n = corpus_rows if corpus_rows is not None else corpus.count()
-    frac = min(1.0, 100_000 / max(n, 1))
-    train_df = corpus.sample(frac, seed=seed) if frac < 1.0 else corpus
-    sample = train_df.select(vec_col).limit(100_000).toPandas()
-    mat = np.asarray(list(sample[vec_col]), dtype=np.float64)
+    mat = _quantizer_train_sample(corpus, vec_col, n, seed)
     if len(mat) == 0:
         return []
     # kmeans++ init: coverage of far small clusters is the whole

@@ -49,15 +49,21 @@ def main() -> int:
     queries = list(m.queries())
     oracles = set(m.oracle_sql())
     pending = list(m._PENDING_ORACLES)
+    import re
+
     graded: set = set()
     last_graded: dict = {}
     correctness_files = sorted(
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    for i, f in enumerate(correctness_files, start=1):
+    for f in correctness_files:
+        # round index PARSED from the filename, not the sort position:
+        # the staleness semantics must survive a CORRECTNESS_r100.json
+        # (lexicographically before r11) or an unpadded r9
+        i = int(re.search(r"_r0*(\d+)\.json$", f).group(1))
         names = set(json.load(open(f)))
         graded |= names
         for q in names:
-            last_graded[q] = i
+            last_graded[q] = max(i, last_graded.get(q, 0))
 
     round_no = len(correctness_files) + 1
     if "--round" in sys.argv:
