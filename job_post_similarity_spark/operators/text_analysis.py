@@ -1739,6 +1739,7 @@ def unigram_lm_train(
     max_piece_len: int = 4,
     seed_pool: int | None = None,
     prune: str = "freq",
+    shrink_factor: float | None = None,
 ) -> DataFrame:
     """SentencePiece-style unigram-LM tokenizer training (Kudo 2018)
     re-expressed Spark-first — the subword family BPE doesn't cover
@@ -1785,6 +1786,16 @@ def unigram_lm_train(
       tier's order, so the two tiers differ exactly where the loss
       signal says they should.
 
+    ``shrink_factor`` (loss mode only) runs SentencePiece's ACTUAL
+    training loop — prune BETWEEN EM rounds, not once at the end
+    (Kudo §3.2 step 3: keep the top ``shrink_factor`` fraction of the
+    pool by likelihood loss after each round, re-EM over the shrunk
+    pool, repeat; the final round cuts straight to ``vocab_size``).
+    The intermediate prunes let the surviving pieces re-absorb the
+    pruned pieces' probability mass before the next cut — the reason
+    one-shot pruning can select a worse vocabulary. One loss pass per
+    round (map-side what-if DP + a piece-keyed aggregate).
+
     Everything is deterministic (integer micro-log scores, total
     orders on every cut, the shortest-last-piece Viterbi tie rule), so
     the whole trainer — seed, E/M rounds, prune — replays as one
@@ -1799,6 +1810,11 @@ def unigram_lm_train(
         raise ValueError("vocab_size >= 1, iters >= 0, max_piece_len >= 1")
     if prune not in ("freq", "loss"):
         raise ValueError("prune must be 'freq' or 'loss'")
+    if shrink_factor is not None:
+        if prune != "loss":
+            raise ValueError("shrink_factor requires prune='loss'")
+        if not 0.0 < shrink_factor <= 1.0:
+            raise ValueError("shrink_factor must be in (0, 1]")
     spark = df.sparkSession
     pool = seed_pool if seed_pool is not None else vocab_size * 3
     wc = _unigram_word_table(df, text_col).persist()
@@ -1849,40 +1865,12 @@ def unigram_lm_train(
             F.sum("use_cnt").alias("use_cnt")
         )
 
-    for _ in range(iters):
-        # bounded collects: the piece pool (≤ singles + seed_pool
-        # rows) is the broadcast model, exactly like the IVF centroid
-        # table — and making each round EAGER here keeps the E-step
-        # out of the returned plan's lineage (lazy rounds re-ran the
-        # corpus-wide Viterbi pass on every downstream action)
-        scored_rows = _unigram_lp6(pieces).collect()
-        use = {
-            r["piece"]: r["use_cnt"]
-            for r in em_usage(scored_rows).collect()
-        }
-        new_rows = []
-        for r in scored_rows:
-            p = r["piece"]
-            freq = use.get(p, 0) + (1 if len(p) == 1 else 0)
-            if freq > 0:
-                new_rows.append((p, freq))
-        pieces = spark.createDataFrame(
-            new_rows, "piece string, freq long"
-        )
-
-    final_singles = pieces.filter(F.length("piece") == 1)
-    n_singles = final_singles.count()
-    keep_multi = max(0, vocab_size - n_singles)
-    multi_pool = pieces.filter(F.length("piece") > 1)
-    if prune == "loss":
-        # what-if pass under the POST-EM piece distribution: for each
-        # word, ban each distinct multi-char piece of its best path in
-        # turn and re-segment — the banned DP always completes (every
-        # single char is in the vocabulary). The piece table is the
-        # broadcast model (same bounded-collect argument as the
-        # E-step); loss mass aggregates piece-keyed.
-        scored_rows = _unigram_lp6(pieces).collect()
-        scores = {r["piece"]: r["lp6"] for r in scored_rows}
+    def loss_table(piece_rows) -> dict:
+        """Per-piece likelihood loss under the given scored pool: one
+        map-side what-if pass over the WORD table (ban each distinct
+        multi-char piece of the word's best path, re-segment) + a
+        piece-keyed aggregate; bounded collect (≤ pool rows)."""
+        scores = {r["piece"]: r["lp6"] for r in piece_rows}
         bc = spark.sparkContext.broadcast(scores)
 
         def loss_op(batches):
@@ -1913,24 +1901,93 @@ def unigram_lm_train(
                         }
                     )
 
-        # eager, bounded collect (≤ pool rows — the piece table is the
-        # model) so the returned plan never re-runs the what-if pass
-        # and wc is still cached when it executes
-        loss6 = {
+        return {
             r["piece"]: r["loss6"]
             for r in wc.mapInPandas(loss_op, "piece string, loss6 long")
             .groupBy("piece")
             .agg(F.sum("loss6").alias("loss6"))
             .collect()
         }
-        multi = sorted(
+
+    def loss_ranked_multi(piece_rows, loss6: dict) -> list:
+        """Multi-char (piece, freq) pairs, best-to-worst by the prune
+        criterion (loss6 DESC, freq DESC, piece ASC)."""
+        return sorted(
             (
                 (r["piece"], r["freq"])
-                for r in scored_rows
+                for r in piece_rows
                 if len(r["piece"]) > 1
             ),
             key=lambda t: (-loss6.get(t[0], 0), -t[1], t[0]),
         )
+
+    import math as _math
+
+    shrinking = prune == "loss" and shrink_factor is not None
+    for rnd in range(iters):
+        # bounded collects: the piece pool (≤ singles + seed_pool
+        # rows) is the broadcast model, exactly like the IVF centroid
+        # table — and making each round EAGER here keeps the E-step
+        # out of the returned plan's lineage (lazy rounds re-ran the
+        # corpus-wide Viterbi pass on every downstream action)
+        scored_rows = _unigram_lp6(pieces).collect()
+        use = {
+            r["piece"]: r["use_cnt"]
+            for r in em_usage(scored_rows).collect()
+        }
+        new_rows = []
+        for r in scored_rows:
+            p = r["piece"]
+            freq = use.get(p, 0) + (1 if len(p) == 1 else 0)
+            if freq > 0:
+                new_rows.append((p, freq))
+        pieces = spark.createDataFrame(
+            new_rows, "piece string, freq long"
+        )
+        if shrinking:
+            # SentencePiece's per-round prune: loss under the POST-M
+            # distribution, keep top shrink_factor of the multi pool
+            # (never below the final target); the LAST round cuts
+            # straight to the target
+            post_rows = _unigram_lp6(pieces).collect()
+            loss6 = loss_table(post_rows)
+            n_singles_r = sum(
+                1 for r in post_rows if len(r["piece"]) == 1
+            )
+            target = max(0, vocab_size - n_singles_r)
+            multi = loss_ranked_multi(post_rows, loss6)
+            if rnd == iters - 1:
+                keep = target
+            else:
+                keep = max(
+                    target, _math.ceil(len(multi) * shrink_factor)
+                )
+            kept = [
+                (r["piece"], r["freq"])
+                for r in post_rows
+                if len(r["piece"]) == 1
+            ] + multi[:keep]
+            pieces = spark.createDataFrame(
+                kept, "piece string, freq long"
+            )
+
+    if shrinking and iters > 0:
+        out = _unigram_lp6(pieces).orderBy("piece")
+        wc.unpersist()
+        return out
+
+    final_singles = pieces.filter(F.length("piece") == 1)
+    n_singles = final_singles.count()
+    keep_multi = max(0, vocab_size - n_singles)
+    multi_pool = pieces.filter(F.length("piece") > 1)
+    if prune == "loss":
+        # ONE-SHOT loss prune under the POST-EM piece distribution
+        # (the shrink-cycle path above is the per-round variant; this
+        # runs when shrink_factor is None, or iters == 0). The banned
+        # DP always completes — every single char is in the
+        # vocabulary. Eager, bounded collects, while wc is cached.
+        scored_rows = _unigram_lp6(pieces).collect()
+        multi = loss_ranked_multi(scored_rows, loss_table(scored_rows))
         kept_multi = spark.createDataFrame(
             multi[:keep_multi], "piece string, freq long"
         )

@@ -3884,3 +3884,124 @@ def test_unigram_prune_arg_validation(spark):
     df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         unigram_lm_train(df, vocab_size=4, prune="entropy")
+    with _pytest.raises(ValueError):
+        unigram_lm_train(df, vocab_size=4, shrink_factor=0.75)
+    with _pytest.raises(ValueError):
+        unigram_lm_train(
+            df, vocab_size=4, prune="loss", shrink_factor=1.5
+        )
+
+
+def test_unigram_shrink_cycles_match_local_reference(spark):
+    """shrink_factor runs SentencePiece's actual loop — prune BETWEEN
+    EM rounds: after each round's M-step, keep the top shrink_factor
+    fraction of the multi pool by likelihood loss (never below the
+    final target), re-EM over the shrunk pool; the last round cuts to
+    vocab_size. Pinned against a pure-Python replay of seed → (EM →
+    loss-shrink) × 2, and shown to differ from the one-shot loss
+    prune on the same corpus (the intermediate re-EM is what one-shot
+    pruning misses)."""
+    import math
+
+    from job_post_similarity_spark.operators.text_analysis import (
+        _unigram_word_table,
+        _viterbi_score,
+        _viterbi_split,
+        unigram_lm_train,
+    )
+
+    rows = [
+        ("the them they then there this that " * 6,),
+        ("qz qzqz wqz " * 4,),
+        ("aaa bbb ab ba " * 5,),
+    ]
+    docs = spark.createDataFrame(rows, "text string")
+    knobs = dict(
+        vocab_size=20, iters=2, max_piece_len=3, seed_pool=30
+    )
+    got = {
+        (r["piece"], r["freq"], r["lp6"])
+        for r in unigram_lm_train(
+            docs, "text", prune="loss", shrink_factor=0.75, **knobs
+        ).collect()
+    }
+
+    # ---- pure-Python replay -------------------------------------
+    wc = {
+        r["w"]: r["cnt"]
+        for r in _unigram_word_table(docs, "text").collect()
+    }
+
+    def lp6_of(pool: dict) -> dict:
+        tot = sum(pool.values())
+        return {
+            p: round(math.log(f / tot) * 1e6) for p, f in pool.items()
+        }
+
+    def em_step(pool: dict) -> dict:
+        lp = lp6_of(pool)
+        use: dict = {}
+        for w, cnt in wc.items():
+            for p in _viterbi_split(w, lp, 3) or []:
+                use[p] = use.get(p, 0) + cnt
+        post = {
+            p: use.get(p, 0) + (1 if len(p) == 1 else 0) for p in pool
+        }
+        return {p: f for p, f in post.items() if f > 0}
+
+    def loss_of(pool: dict) -> dict:
+        lp = lp6_of(pool)
+        loss: dict = {}
+        for w, cnt in wc.items():
+            segs = _viterbi_split(w, lp, 3)
+            if segs is None:
+                continue
+            best6 = sum(lp[p] for p in segs)
+            for p in set(segs):
+                if len(p) > 1:
+                    alt6 = _viterbi_score(w, lp, 3, banned=p)
+                    loss[p] = loss.get(p, 0) + cnt * (best6 - alt6)
+        return loss
+
+    seed: dict = {}
+    for w, cnt in wc.items():
+        for ln in range(1, 4):
+            for i in range(len(w) - ln + 1):
+                seed[w[i : i + ln]] = seed.get(w[i : i + ln], 0) + cnt
+    singles = {p: f for p, f in seed.items() if len(p) == 1}
+    multi = sorted(
+        ((p, f) for p, f in seed.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:30]
+    pool = dict(singles, **dict(multi))
+    for rnd in range(2):
+        pool = em_step(pool)
+        loss = loss_of(pool)
+        n_singles = sum(1 for p in pool if len(p) == 1)
+        target = max(0, 20 - n_singles)
+        ranked = sorted(
+            ((p, f) for p, f in pool.items() if len(p) > 1),
+            key=lambda t: (-loss.get(t[0], 0), -t[1], t[0]),
+        )
+        keep = (
+            target
+            if rnd == 1
+            else max(target, math.ceil(len(ranked) * 0.75))
+        )
+        pool = dict(
+            {p: f for p, f in pool.items() if len(p) == 1},
+            **dict(ranked[:keep]),
+        )
+    lp = lp6_of(pool)
+    want = {(p, f, lp[p]) for p, f in pool.items()}
+    assert got == want
+
+    # the trajectory matters: shrink-cycles pick a different vocab
+    # than the one-shot loss prune on this corpus
+    oneshot = {
+        r["piece"]
+        for r in unigram_lm_train(
+            docs, "text", prune="loss", **knobs
+        ).collect()
+    }
+    assert {p for p, _, _ in got} != oneshot
