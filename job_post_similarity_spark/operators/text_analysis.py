@@ -2065,3 +2065,237 @@ def unigram_viterbi_encode(
         .mapInPandas(op, f"{id_col} {id_type}, n_pieces long, score6 long")
         .orderBy(id_col)
     )
+
+
+# round(ln(0.4) * 1e6): the Stupid Backoff discount per backoff step,
+# pre-rounded to the micro-log grid so backed-off scores stay integer
+# sums of integers (ln(a*b) = ln a + ln b, each term rounded once —
+# the spec both engines replay).
+_SB_ALPHA6 = -916291
+
+
+def ngram_lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Train an order-``n`` count LM with Stupid Backoff conditionals
+    — the KenLM role in a CCNet-style pipeline (train the LM on a
+    clean corpus, score ANY other corpus's documents by perplexity;
+    the reference repo has no LM at all, and ``bigram_perplexity``
+    here only scores a corpus under ITSELF). Brants et al. 2007
+    ("Large Language Models in Machine Translation") is the backoff
+    scheme: S(w|ctx) = cnt(ctx·w)/cnt(ctx) when seen, else
+    alpha * S(w|shorter ctx), alpha = 0.4 — no discounting, which is
+    exactly what makes it MapReduce/Spark-friendly (pure count
+    ratios, no iterative normalization).
+
+    Token stream per document: lowercase whitespace tokens padded
+    with (n-1) ``<s>`` sentinels and one ``</s>`` — every real token
+    and the EOS gets a full-order context. Blank/NULL documents are
+    dropped. Counts: order-o grams over all positions of the padded
+    stream (o = 1..n); N = total padded unigram count.
+
+    Output — the ARPA-file analog, one relation: ``(order, w1, ...,
+    wn, cnt, lp6)`` where lp6 is the order's conditional micro-log
+    (``round(ln(cnt(gram)/cnt(context)) * 1e6)`` as long; order 1
+    conditions on N; the single order=0 row carries cnt=N and the
+    OOV floor lp6 = round(ln(1/N)*1e6)). Integer micro-logs are the
+    cross-engine determinism policy of ``bigram_perplexity`` /
+    ``unigram_lm_train``: DuckDB replays every row by value.
+
+    100 TB shape: tokenize+explode is map-side in the reading scan;
+    each order is one hash aggregation on its gram key; the
+    conditional attach is one join of the order-o table to the
+    order-(o-1) table on the context prefix (gram-keyed, AQE-sized);
+    N is a 1-row broadcast. The artifact is vocabulary-sized (grams
+    actually seen), not corpus-sized, and parquet-storable.
+    """
+    if n < 2 or n > 5:
+        raise ValueError("ngram_lm_train supports n in 2..5")
+    low = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(low, r"\s+")
+    padded = F.concat(
+        F.array(*[F.lit("<s>") for _ in range(n - 1)]),
+        toks,
+        F.array(F.lit("</s>")),
+    )
+    st = (
+        df.filter(F.col(text_col).isNotNull())
+        .filter(low != "")
+        .select(padded.alias("s"))
+        .persist()
+    )
+    wcols = [f"w{i}" for i in range(1, n + 1)]
+    sz = F.size("s")
+
+    def grams(order: int) -> DataFrame:
+        zipped = F.arrays_zip(
+            *[
+                F.slice("s", i + 1, sz - (order - 1)).alias(wcols[i])
+                for i in range(order)
+            ]
+        )
+        g = st.select(F.explode(zipped).alias("g"))
+        return g.select(
+            *[F.col(f"g.{wcols[i]}").alias(wcols[i]) for i in range(order)]
+        ).groupBy(*wcols[:order]).agg(F.count(F.lit(1)).alias("cnt"))
+
+    counts = {o: grams(o) for o in range(1, n + 1)}
+    total = counts[1].agg(F.sum("cnt").alias("n_tot"))
+
+    def lp6(num, den) -> Column:
+        return (
+            F.round(F.log(num.cast("double") / den) * 1e6, 0)
+            .cast("long")
+            .alias("lp6")
+        )
+
+    def pad(dfo: DataFrame, order: int) -> DataFrame:
+        cols = [F.lit(order).cast("int").alias("order")]
+        cols += [F.col(w) for w in wcols[:order]]
+        cols += [F.lit(None).cast("string").alias(w) for w in wcols[order:]]
+        return dfo.select(*cols, "cnt", "lp6")
+
+    parts = []
+    for o in range(n, 1, -1):
+        ctx = counts[o - 1].select(
+            *[F.col(wcols[i]).alias(wcols[i]) for i in range(o - 1)],
+            F.col("cnt").alias("__ctx"),
+        )
+        scored = counts[o].join(ctx, wcols[: o - 1]).select(
+            *wcols[:o], "cnt", lp6(F.col("cnt"), F.col("__ctx"))
+        )
+        parts.append(pad(scored, o))
+    uni = counts[1].crossJoin(F.broadcast(total)).select(
+        "w1", "cnt", lp6(F.col("cnt"), F.col("n_tot"))
+    )
+    parts.append(pad(uni, 1))
+    floor = total.select(
+        F.lit(0).cast("int").alias("order"),
+        *[F.lit(None).cast("string").alias(w) for w in wcols],
+        F.col("n_tot").alias("cnt"),
+        F.round(F.log(F.lit(1.0) / F.col("n_tot")) * 1e6, 0)
+        .cast("long")
+        .alias("lp6"),
+    )
+    parts.append(floor)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    st.unpersist()
+    return out
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha6: int = _SB_ALPHA6,
+) -> DataFrame:
+    """Score documents under a trained ``ngram_lm_train`` model —
+    Stupid Backoff with constant micro-log discount ``alpha6`` per
+    backoff step: a scored event (one padded order-n gram) costs the
+    highest-order conditional that exists, plus ``alpha6`` per level
+    it backed off; a fully-unseen word costs the OOV floor
+    ``ln(1/N)`` after (n-1) backoffs. The CCNet deployment shape:
+    the model corpus and the scored corpus are DIFFERENT relations.
+
+    Output: ``(id_col, n_events, s6, ppl)`` — n_events = tokens + 1
+    (each real token and the EOS is one event), s6 the exact integer
+    micro-log sum (order-independent: Spark and DuckDB agree on it
+    bit-for-bit, the bigram_perplexity policy), ppl =
+    round(exp(-s6 / (n_events*1e6)), 4).
+
+    100 TB shape: events are map-side; scoring is one left join per
+    model order on the gram suffix key (n-1 joins + one 1-row
+    broadcast for the floor) against the vocabulary-sized model;
+    the per-doc rollup is one hash aggregation. No UDFs, no driver
+    data.
+    """
+    orders = [
+        r["order"]
+        for r in model.select("order").distinct().collect()
+    ]
+    nmax = max(orders)
+    if nmax < 2 or 0 not in orders:
+        raise ValueError("model must be an ngram_lm_train artifact")
+    wcols = [f"w{i}" for i in range(1, nmax + 1)]
+    low = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(low, r"\s+")
+    padded = F.concat(
+        F.array(*[F.lit("<s>") for _ in range(nmax - 1)]),
+        toks,
+        F.array(F.lit("</s>")),
+    )
+    sz = F.size("s")
+    ev = (
+        df.filter(F.col(text_col).isNotNull())
+        .filter(low != "")
+        .select(F.col(id_col), padded.alias("s"))
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    *[
+                        F.slice("s", i + 1, sz - (nmax - 1)).alias(wcols[i])
+                        for i in range(nmax)
+                    ]
+                )
+            ).alias("g"),
+        )
+        .select(
+            id_col,
+            *[F.col(f"g.{w}").alias(w) for w in wcols],
+        )
+    )
+    # one left join per order, on the event's order-o SUFFIX (backoff
+    # drops the leftmost context word); the model's order-o gram
+    # columns are w1..wo, so suffix word j of the event matches model
+    # column w_{j - (nmax - o)}
+    joined = ev
+    for o in range(nmax, 0, -1):
+        sub = model.filter(F.col("order") == o).select(
+            *[
+                F.col(wcols[i]).alias(f"__m{o}_{i}")
+                for i in range(o)
+            ],
+            F.col("lp6").alias(f"__lp{o}"),
+        )
+        cond = None
+        for i in range(o):
+            c = F.col(wcols[nmax - o + i]) == F.col(f"__m{o}_{i}")
+            cond = c if cond is None else (cond & c)
+        joined = joined.join(sub, cond, "left").drop(
+            *[f"__m{o}_{i}" for i in range(o)]
+        )
+    floor = model.filter(F.col("order") == 0).select(
+        F.col("lp6").alias("__lp0")
+    )
+    joined = joined.crossJoin(F.broadcast(floor))
+    score = F.coalesce(
+        *[
+            F.col(f"__lp{o}") + F.lit((nmax - o) * alpha6)
+            for o in range(nmax, 0, -1)
+        ],
+        F.col("__lp0") + F.lit((nmax - 1) * alpha6),
+    )
+    per = joined.select(id_col, score.alias("__s6")).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__s6").alias("s6"),
+    )
+    return per.select(
+        id_col,
+        "n_events",
+        "s6",
+        F.round(
+            F.exp(
+                -(
+                    F.col("s6").cast("double")
+                    / (F.col("n_events").cast("double") * F.lit(1e6))
+                )
+            ),
+            4,
+        ).alias("ppl"),
+    )

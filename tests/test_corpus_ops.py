@@ -4005,3 +4005,164 @@ def test_unigram_shrink_cycles_match_local_reference(spark):
         ).collect()
     }
     assert {p for p, _, _ in got} != oneshot
+
+
+def test_ngram_lm_train_matches_local_reference(spark):
+    """The trigram Stupid Backoff trainer's ARPA-analog relation
+    (order, gram, cnt, conditional micro-log) equals a pure-Python
+    replay of the spec: BOS/BOS/…/EOS padded lowercase whitespace
+    streams, order-1/2/3 counts over all padded positions, lp6 =
+    round(ln(cnt/ctx)·1e6), order-0 row = (N, ln(1/N))."""
+    import math
+    from collections import Counter
+
+    from job_post_similarity_spark.operators.text_analysis import (
+        ngram_lm_train,
+    )
+
+    rows = [
+        "The cat sat on the mat",
+        "the dog  sat on the log",
+        "a cat and a dog",
+        "",  # dropped: blank
+        None,  # dropped: null
+    ]
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    got = {
+        (r["order"], r["w1"], r["w2"], r["w3"]): (r["cnt"], r["lp6"])
+        for r in ngram_lm_train(df).collect()
+    }
+
+    c = {1: Counter(), 2: Counter(), 3: Counter()}
+    for t in rows:
+        if not t or not t.strip():
+            continue
+        s = ["<s>", "<s>"] + t.lower().strip().split() + ["</s>"]
+        for o in (1, 2, 3):
+            for i in range(len(s) - o + 1):
+                c[o][tuple(s[i : i + o])] += 1
+    n_tot = sum(c[1].values())
+
+    def lp6(num, den):
+        return round(math.log(num / den) * 1e6)
+
+    exp = {}
+    for g, v in c[3].items():
+        exp[(3,) + g] = (v, lp6(v, c[2][g[:2]]))
+    for g, v in c[2].items():
+        exp[(2,) + g + (None,)] = (v, lp6(v, c[1][g[:1]]))
+    for g, v in c[1].items():
+        exp[(1,) + g + (None, None)] = (v, lp6(v, n_tot))
+    exp[(0, None, None, None)] = (n_tot, lp6(1, n_tot))
+    assert got == exp
+
+
+def test_ngram_lm_score_exercises_every_backoff_branch(spark):
+    """Cross-corpus scoring replays the full Stupid Backoff chain:
+    a doc with seen trigrams (direct conditional), one forcing the
+    bigram backoff (-916291 + lp6), one forcing the unigram backoff
+    (2·alpha6 + lp6), and one fully OOV (2·alpha6 + ln(1/N) floor) —
+    each equal to the hand replay, with n_events = tokens + 1."""
+    import math
+    from collections import Counter
+
+    from job_post_similarity_spark.operators.text_analysis import (
+        _SB_ALPHA6,
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+
+    train_rows = ["the cat sat on the mat", "the dog sat on the log"]
+    score_rows = [
+        (1, "the cat sat on the mat"),  # all trigrams seen
+        (2, "the dog sat on the mat"),  # bigram/unigram backoffs
+        (3, "mat the cat"),  # unseen bigrams, seen unigrams
+        (4, "zzz qqq"),  # fully OOV -> floor
+    ]
+    model = ngram_lm_train(
+        spark.createDataFrame([(t,) for t in train_rows], "text string")
+    )
+    got = {
+        r["doc_id"]: (r["n_events"], r["s6"], r["ppl"])
+        for r in ngram_lm_score(
+            spark.createDataFrame(score_rows, "doc_id long, text string"),
+            model,
+        ).collect()
+    }
+
+    c = {1: Counter(), 2: Counter(), 3: Counter()}
+    for t in train_rows:
+        s = ["<s>", "<s>"] + t.split() + ["</s>"]
+        for o in (1, 2, 3):
+            for i in range(len(s) - o + 1):
+                c[o][tuple(s[i : i + o])] += 1
+    n_tot = sum(c[1].values())
+
+    def lp6(num, den):
+        return round(math.log(num / den) * 1e6)
+
+    branch_seen = set()
+    for doc_id, text in score_rows:
+        s = ["<s>", "<s>"] + text.split() + ["</s>"]
+        s6 = 0
+        n_ev = len(s) - 2
+        for i in range(n_ev):
+            g = tuple(s[i : i + 3])
+            if g in c[3]:
+                s6 += lp6(c[3][g], c[2][g[:2]])
+                branch_seen.add("tri")
+            elif g[1:] in c[2]:
+                s6 += _SB_ALPHA6 + lp6(c[2][g[1:]], c[1][g[1:2]])
+                branch_seen.add("bi")
+            elif g[2:] in c[1]:
+                s6 += 2 * _SB_ALPHA6 + lp6(c[1][g[2:]], n_tot)
+                branch_seen.add("uni")
+            else:
+                s6 += 2 * _SB_ALPHA6 + lp6(1, n_tot)
+                branch_seen.add("oov")
+        ppl = round(math.exp(-s6 / (n_ev * 1e6)), 4)
+        assert got[doc_id] == (n_ev, s6, ppl), doc_id
+        assert n_ev == len(text.split()) + 1
+    assert branch_seen == {"tri", "bi", "uni", "oov"}
+
+
+def test_ngram_lm_order_validation_and_bigram_order(spark):
+    """n outside 2..5 raises; n=2 trains a bigram model whose score
+    chain has ONE backoff step (alpha6 + unigram) before the floor."""
+    import math
+    import pytest as _pytest
+    from collections import Counter
+
+    from job_post_similarity_spark.operators.text_analysis import (
+        _SB_ALPHA6,
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    with _pytest.raises(ValueError):
+        ngram_lm_train(df, n=1)
+    with _pytest.raises(ValueError):
+        ngram_lm_train(df, n=6)
+
+    model = ngram_lm_train(
+        spark.createDataFrame([("a b a b",)], "text string"), n=2
+    )
+    got = ngram_lm_score(
+        spark.createDataFrame([(1, "a zz")], "doc_id long, text string"),
+        model,
+    ).collect()[0]
+    # stream <s> a zz </s>: events (<s>,a) seen, (a,zz) OOV floor,
+    # (zz,</s>) bigram-unseen but </s> unigram seen
+    c1 = Counter({"<s>": 1, "a": 2, "b": 2, "</s>": 1})
+    n_tot = 6
+
+    def lp6(num, den):
+        return round(math.log(num / den) * 1e6)
+
+    exp_s6 = (
+        lp6(1, 1)  # c2(<s>,a)/c1(<s>)
+        + (_SB_ALPHA6 + lp6(1, n_tot))  # zz OOV floor
+        + (_SB_ALPHA6 + lp6(c1["</s>"], n_tot))  # </s> unigram backoff
+    )
+    assert (got["n_events"], got["s6"]) == (3, exp_s6)

@@ -1311,3 +1311,120 @@ def test_graph_beam_search_validation(spark):
         graph_beam_search(df, g, [0], beam=0)
     with _pytest.raises(ValueError):
         graph_beam_search(df, g, [0], hops=-1)
+
+
+def test_hnsw_levels_match_md5_replay_and_auto_depth(spark):
+    """Deterministic geometric levels: level(id) = largest l with
+    md5-int('hnswlvl:'||id) % m^l == 0 — equal to a pure-Python md5
+    replay, with the geometric law's coarse shape (level-0 majority,
+    shrinking tail). hnsw_max_level keeps the expected top layer
+    under entry_budget at any n."""
+    import hashlib
+
+    from job_post_similarity_spark.operators.ann import (
+        hnsw_levels,
+        hnsw_max_level,
+    )
+
+    df = spark.range(0, 300).selectExpr("id AS vec_id")
+    got = {
+        r["vec_id"]: r["level"]
+        for r in hnsw_levels(df, m=4, max_level=4).collect()
+    }
+
+    def ref(i):
+        h = int(hashlib.md5(f"hnswlvl:{i}".encode()).hexdigest()[:14], 16)
+        lv = 0
+        for l in range(1, 5):
+            if h % (4**l) == 0:
+                lv = l
+        return lv
+
+    assert got == {i: ref(i) for i in range(300)}
+    n0 = sum(1 for v in got.values() if v == 0)
+    n1 = sum(1 for v in got.values() if v >= 1)
+    assert n0 > n1 > 0  # geometric: each layer strictly thinner
+
+    assert hnsw_max_level(60, 4, 64) == 1
+    assert hnsw_max_level(10**9, 4, 64) == 12
+    assert hnsw_max_level(0, 4, 64) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hnsw_levels(df, m=1).collect()
+
+
+def test_hnsw_descent_navigates_stranded_clusters(spark):
+    """The layered hierarchy is a THIRD entry-provisioning answer to
+    the stranded-cluster failure (after the rank stride and kmeans++
+    centroids): on the 6-cluster fixture where beam-smallest entries
+    strand every non-entry cluster, hnsw_topk_search with NO entries
+    and NO provisioning walks top layer -> layer 0 and finds the
+    intra-cluster top-1 for every query. The hierarchy itself must be
+    layered (a real upper layer exists) and its layer-0 graph is the
+    NN-Descent graph unchanged."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        hnsw_hierarchy_build,
+        hnsw_topk_search,
+        nn_descent_knn_graph,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 24))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:  # ids 0-9 cluster 0, 10-19 cluster 1, ...
+        pts = c + 0.05 * rng.normal(size=(10, 24))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+    df = _vec_df(spark, vecs)
+    # entry_budget=8 forces REAL upper-layer graphs on a 60-row
+    # corpus (the default 64 would make level-1 membership itself the
+    # entry set and skip straight to the flat search)
+    meta = {}
+    hier = hnsw_hierarchy_build(df, k=8, iters=3, entry_budget=8, meta=meta)
+    layers = sorted(
+        r["layer"] for r in hier.select("layer").distinct().collect()
+    )
+    assert layers[0] == 0 and len(layers) >= 2, layers
+    assert meta["top_layer"] == layers[-1]
+
+    base = nn_descent_knn_graph(df, k=8, iters=3)
+    l0 = hier.filter(F.col("layer") == 0).drop("layer")
+    assert l0.exceptAll(base).count() == 0
+    assert base.exceptAll(l0).count() == 0
+
+    qids = [15, 27, 39, 44, 58]
+    queries = df.filter(F.col("vec_id").isin(qids))
+    served = hnsw_topk_search(
+        queries, df, k=1, hierarchy=hier, entry_budget=8,
+        top_layer=meta["top_layer"],
+    )
+    hits = sum(
+        1
+        for r in served.collect()
+        if r["rank"] == 1 and r["neighbor_id"] // 10 == r["query_id"] // 10
+    )
+    assert hits == len(qids)
+
+
+def test_hnsw_descent_tiny_corpus_falls_back_flat(spark):
+    """A corpus too small to populate layer 1 serves through the flat
+    default-entry path (top == 0): output matches the flat facade's
+    contract and finds the exact top-1 on 6 rows."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import hnsw_topk_search
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(6, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = _vec_df(spark, vecs)
+    queries = df.filter(F.col("vec_id") == 0)
+    got = hnsw_topk_search(queries, df, k=1, hops=3).collect()
+    sims = vecs @ vecs[0]
+    sims[0] = -2
+    assert len(got) == 1
+    assert got[0]["neighbor_id"] == int(np.argmax(sims))
