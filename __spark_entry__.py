@@ -1477,6 +1477,7 @@ def hnsw_descent_recall_embeddings(
     served = ann.hnsw_topk_search(
         queries, emb, k=1, hierarchy=hier, corpus_rows=n,
         query_rows=len(qids), top_layer=hier_meta["top_layer"],
+        layer_sizes=hier_meta["layer_sizes"],
     )
     exact = knn.knn_join(
         queries, "vec_id", "embedding", k=1, right=emb
@@ -1504,6 +1505,47 @@ def hnsw_descent_recall_embeddings(
             F.col("n_found") * 1000000 >= F.col("n_queries") * 900000
         ).alias("floor_met"),
     )
+
+
+def hnsw_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm LAYERED-DESCENT serving latency — the bench row for the
+    full-HNSW tier: the hierarchy is built once per session (layer 0
+    adopted from the shared stored graph artifact, upper layers +
+    skip edges on top) and kept RAM-resident; min-of-N then measures
+    the top-down descent alone — the per-batch number a
+    VectorSearch('HNSW32') user would pay once the index is loaded
+    (reference loads once and searches many, app/main.py:177-194).
+    Rows-only by scale (recall is hash-graded by
+    ``hnsw_descent_recall_embeddings``)."""
+    from job_post_similarity_spark.operators import ann, index_store
+
+    clustered, n, step = _clustered_emb_corpus(spark, sf_dir)
+    emb = clustered.select("vec_id", "embedding")
+    hit = _CLUSTERED_EMB_CACHE.get((_spark_key(spark), sf_dir, "serve_fixture"))
+    if hit is None:
+        graph_serve_embeddings(spark, sf_dir)
+        hit = _CLUSTERED_EMB_CACHE[(_spark_key(spark), sf_dir, "serve_fixture")]
+    path, _entries, qids = hit
+    hk = (_spark_key(spark), sf_dir, "hnsw_hier")
+    cached = _CLUSTERED_EMB_CACHE.get(hk)
+    if cached is None:
+        graph, _ = index_store.load_or_build_knn_graph(
+            spark, emb, path, k=8, iters=3, n_rows=n
+        )
+        meta: dict = {}
+        hier = ann.hnsw_hierarchy_build(
+            emb, k=8, iters=3, corpus_rows=n, base_graph=graph,
+            meta=meta,
+        ).persist()
+        hier.count()
+        cached = (hier, meta["top_layer"], meta["layer_sizes"])
+        _CLUSTERED_EMB_CACHE[hk] = cached
+    hier, top, sizes = cached
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    return ann.hnsw_topk_search(
+        queries, emb, k=1, hierarchy=hier, corpus_rows=n,
+        query_rows=len(qids), top_layer=top, layer_sizes=sizes,
+    ).select("query_id", "neighbor_id")
 
 
 def graph_refresh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6982,6 +7024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # levels + exact tiny upper layers + per-query entries_df
         # hand-off), staged for the r10 window
         "hnsw_descent_recall_embeddings": hnsw_descent_recall_embeddings,
+        # rows-only warm-serve latency row for the layered tier (its
+        # correctness gate is the recall entry above)
+        "hnsw_serve_embeddings": hnsw_serve_embeddings,
         # round 9: SentencePiece-faithful likelihood-loss vocab prune
         # (VERDICT r8 item 5; graded in the r9 window)
         "unigram_loss_prune_documents": unigram_loss_prune_documents,

@@ -100,6 +100,12 @@ HEADLINE = [
     # Viterbi pass per (word, path piece) — tracked as its own row so
     # the prune criterion's cost over the freq tier stays visible
     "unigram_loss_prune_documents",
+    # round-9 session 2: warm layered-HNSW descent (hierarchy
+    # RAM-resident, min-of-N measures the top-down serve alone) next
+    # to the flat graph_serve row, and the cross-corpus Stupid
+    # Backoff LM scoring pipeline (train even half, score odd half)
+    "hnsw_serve_embeddings",
+    "ngram_lm_score_documents",
 ]
 
 

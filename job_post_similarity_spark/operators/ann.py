@@ -3248,11 +3248,11 @@ def graph_topk_search(
     )
 
 
-def hnsw_max_level(n: int, m: int = 2, entry_budget: int = 64) -> int:
+def hnsw_max_level(n: int, m: int = 2, entry_budget: int = 512) -> int:
     """Auto level count for the layered hierarchy: the smallest L
     with expected top-layer population n/m^L <= entry_budget, so the
     top-layer entry collect stays O(1) at ANY corpus size (1e9 rows,
-    m=4, budget 64 -> L=12). Always >= 1."""
+    m=2, budget 512 -> L=21). Always >= 1."""
     import math as _math
 
     if n <= 0:
@@ -3344,7 +3344,7 @@ def hnsw_hierarchy_build(
     m: int = 2,
     max_level: int | None = None,
     exact_budget: int = 2000,
-    entry_budget: int = 64,
+    entry_budget: int = 512,
     corpus_rows: int | None = None,
     base_graph: DataFrame | None = None,
     meta: dict | None = None,
@@ -3399,6 +3399,7 @@ def hnsw_hierarchy_build(
     out = base.select(F.lit(0).cast("int").alias("layer"), "*")
     if meta is not None:
         meta["top_layer"] = 0
+        meta["layer_sizes"] = {0: n}
     for l in range(1, levels + 1):
         members = (
             df.join(lv.filter(F.col("level") >= l), id_col)
@@ -3422,6 +3423,7 @@ def hnsw_hierarchy_build(
         )
         if meta is not None:
             meta["top_layer"] = l
+            meta["layer_sizes"][l] = cnt
     return out
 
 
@@ -3439,29 +3441,37 @@ def hnsw_topk_search(
     graph_k: int = 8,
     iters: int = 3,
     m: int = 2,
-    entry_budget: int = 64,
+    entry_budget: int = 512,
     corpus_rows: int | None = None,
     query_rows: int | None = None,
     top_layer: int | None = None,
+    layer_sizes: dict | None = None,
+    start_budget: int = 1024,
 ) -> DataFrame:
     """Serve top-k by LAYERED DESCENT over a ``hnsw_hierarchy_build``
-    hierarchy — the complete HNSW search loop, relationally: start at
-    the top layer's members (a bounded O(entry_budget) collect,
-    corpus-size-independent by ``hnsw_max_level``'s construction),
-    beam-walk each layer's graph to the ``upper_beam`` nodes closest
-    to each query, hand those down as the NEXT layer's per-query
-    entries (``graph_beam_search(entries_df=...)`` — a relation, not
-    a driver list), and run the full-width beam search on layer 0.
+    hierarchy — the HNSW search loop, relationally, with one latency
+    twist: the walk STARTS at the deepest layer small enough to score
+    EXHAUSTIVELY (membership <= ``start_budget``). Scoring every
+    member of a 1k-row layer is one |queries|×|layer| broadcast join
+    — cheaper and strictly more accurate than beam-walking the
+    layers above it, each of which is a blocking round; layers above
+    the start layer exist for corpora big enough to need them. From
+    the start seed each lower layer's graph is beam-walked to the
+    ``upper_beam`` closest nodes per query, handed down as the next
+    layer's per-query entries (``graph_beam_search(entries_df=...)``
+    — a relation; NOTHING is ever collected to the driver on the
+    serve path), and layer 0 runs the full-width beam search over
+    the union of all layers' edges.
 
-    All layers chain LAZILY: one action serves the whole descent.
-    Scale shape: upper layers cost |queries|·upper_beam·k per hop
-    with m×-shrinking graph tables; the O(n_regions)-entries hop-0
-    scoring of the flat tier becomes O(log n) layer hops — at 1e9
-    rows the flat tier needs ~1e4 stride entries scored per query
-    while the descent scores ~upper_beam·k·log_m(n) ≈ 500.
+    Scale shape: the seed join is |queries|·start_budget rows; each
+    lower walk costs |queries|·upper_beam·(k+skips) per hop with
+    m×-shrinking graph tables; total rounds = layers below the start
+    layer, so latency grows with log_m(n/start_budget), not n.
 
     Same output contract as ``graph_topk_search``: (query_id,
-    neighbor_id, similarity, rank)."""
+    neighbor_id, similarity, rank). ``layer_sizes`` (from the
+    builder's ``meta``) skips the per-layer cardinality job when
+    serving an externally built hierarchy."""
     n = corpus_rows if corpus_rows is not None else corpus.count()
     if hierarchy is None:
         built_meta: dict = {}
@@ -3478,6 +3488,8 @@ def hnsw_topk_search(
         )
         if top_layer is None:
             top_layer = built_meta["top_layer"]
+        if layer_sizes is None:
+            layer_sizes = built_meta["layer_sizes"]
     if beam is None:
         beam = max(2 * k + 8, 16)
     nq = (
@@ -3492,24 +3504,51 @@ def hnsw_topk_search(
     )
     if top is None:
         raise ValueError("hierarchy has no layers")
-    # start entries = the members ABOVE the top graph layer (the
-    # build stops once a layer fits entry_budget — those members ARE
-    # the entry set, re-derived here from the level expression; hop 0
-    # scores them all). Empty (possible on tiny corpora when nobody
-    # drew the level) falls back to the flat beam-smallest default.
-    lv = hnsw_levels(corpus, id_col, m, top + 1)
-    ent_ids = [
-        r["id"]
-        for r in corpus.join(
-            lv.filter(F.col("level") >= top + 1), id_col
+    if layer_sizes is None and top >= 1:
+        layer_sizes = {
+            r["layer"]: r["sz"]
+            for r in hierarchy.groupBy("layer")
+            .agg(F.countDistinct("id").alias("sz"))
+            .collect()
+        }
+    # pick the start layer: the DEEPEST built layer that fits
+    # start_budget (exhaustive seed beats walking everything above
+    # it); if none fits, the entry membership above the top built
+    # layer does by the build's stopping rule (<= entry_budget).
+    fits = [
+        l
+        for l in (layer_sizes or {})
+        if l >= 1 and layer_sizes[l] <= start_budget
+    ]
+    if fits:
+        s = min(fits)
+        members = (
+            hierarchy.filter(F.col("layer") == s)
+            .select(F.col("id").alias("node"))
+            .distinct()
         )
-        .select(F.col(id_col).alias("id"))
-        .orderBy("id")
-        .limit(16 * entry_budget)
-        .collect()
-    ] or None
-    ent_df = None
-    for l in range(top, 0, -1):
+    else:
+        # membership of the level above the top built layer, straight
+        # from the level expression — no graph, no collect. Tiny-
+        # corpus edge: nobody drew the level, so union the flat
+        # beam-smallest default (dedup'd by the hop-0 aggregate).
+        s = top + 1
+        lv = hnsw_levels(corpus, id_col, m, s)
+        members = (
+            corpus.join(lv.filter(F.col("level") >= s), id_col)
+            .select(F.col(id_col).alias("node"))
+            .unionByName(
+                corpus.select(F.col(id_col).alias("node"))
+                .orderBy("node")
+                .limit(beam)
+            )
+            .distinct()
+        )
+    ent_df = (
+        queries.select(F.col(id_col).alias("qid"))
+        .crossJoin(F.broadcast(members))
+    )
+    for l in range(s - 1, 0, -1):
         g_l = hierarchy.filter(F.col("layer") == l).drop("layer")
         res = graph_beam_search(
             corpus,
@@ -3520,7 +3559,6 @@ def hnsw_topk_search(
             hops=upper_hops,
             id_col=id_col,
             vec_col=vec_col,
-            entries=ent_ids if ent_df is None else None,
             queries_df=queries,
             corpus_rows=n,
             entries_df=ent_df,
@@ -3548,7 +3586,6 @@ def hnsw_topk_search(
         hops=hops,
         id_col=id_col,
         vec_col=vec_col,
-        entries=ent_ids if ent_df is None else None,
         queries_df=queries,
         corpus_rows=n,
         entries_df=ent_df,

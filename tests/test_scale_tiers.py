@@ -1398,9 +1398,13 @@ def test_hnsw_descent_navigates_stranded_clusters(spark):
 
     qids = [15, 27, 39, 44, 58]
     queries = df.filter(F.col("vec_id").isin(qids))
+    # start_budget=8 too, so the serve path actually WALKS the upper
+    # layers (the default 1024 would seed exhaustively from layer 1
+    # on a 60-row corpus and skip the descent)
     served = hnsw_topk_search(
         queries, df, k=1, hierarchy=hier, entry_budget=8,
-        top_layer=meta["top_layer"],
+        top_layer=meta["top_layer"], layer_sizes=meta["layer_sizes"],
+        start_budget=8,
     )
     hits = sum(
         1
