@@ -69,6 +69,14 @@ class VectorSearch:
         # + the knobs used) — recorded into the saved artifact's meta
         # instead of fixed literals
         self._graph_params: dict | None = None
+        # memoized layered hierarchy for LARGE corpora (>=
+        # hierarchy_min_rows): upper layers + skip edges built ON TOP
+        # of the memoized layer-0 graph, served by top-down descent
+        # (ann.hnsw_topk_search) — the flat provisioned-entries path
+        # needs O(#regions) hop-0 scoring per query, which stops
+        # scaling once region count grows with the corpus
+        self._hier: DataFrame | None = None
+        self._hier_meta: dict | None = None
         # memoized row count: every search consults ntotal (the
         # exact-shortcut dispatch) and the graph tier threads it into
         # beam search's size dispatch — one count per mutation, not
@@ -102,6 +110,13 @@ class VectorSearch:
             self._pending_new = None
             self._graph_params = None
         self._graph_entries = None
+        if self._hier is not None:
+            # the hierarchy embeds layer 0 — ANY graph invalidation
+            # (warm or cold) stales it; it rebuilds from the next
+            # memoized layer-0 graph at +1/(m-1) cost
+            self._hier.unpersist()
+            self._hier = None
+            self._hier_meta = None
         self._ntotal_cache = None  # every mutation routes through here
 
     # -------------------------------------------------- build surface
@@ -156,6 +171,14 @@ class VectorSearch:
     #: refresh (per-row navigation over a huge pending set would cost
     #: more than re-converging the union)
     insert_add_fraction: float = 0.1
+
+    #: corpora at or above this row count serve the HNSW tier by
+    #: LAYERED DESCENT (ann.hnsw_topk_search over upper layers built
+    #: on the memoized layer-0 graph) instead of flat provisioned
+    #: entries: the flat tier's hop-0 cost grows with the region
+    #: count a big corpus needs, the descent's with
+    #: log(n/start_budget). Tests lower it to exercise the path.
+    hierarchy_min_rows: int = 100_000
 
     def search(self, queries: DataFrame, k: int = 2) -> DataFrame:
         """k-NN search: (query_id, neighbor_id, similarity, rank).
@@ -239,8 +262,28 @@ class VectorSearch:
                     self._stale_graph = None
                 self._graph_corpus = None
                 self._pending_new = None
-                self._graph_entries = ann.default_graph_entries(
-                    self._df, self.id_col
+                if self.ntotal < self.hierarchy_min_rows:
+                    # flat-tier provisioning only: the descent path
+                    # derives entries from the hierarchy itself
+                    self._graph_entries = ann.default_graph_entries(
+                        self._df, self.id_col
+                    )
+            if self.ntotal >= self.hierarchy_min_rows:
+                if self._hier is None:
+                    meta: dict = {}
+                    self._hier = ann.hnsw_hierarchy_build(
+                        self._df, self.id_col, self.vec_col,
+                        corpus_rows=self.ntotal,
+                        base_graph=self._graph, meta=meta,
+                    ).persist()
+                    self._hier_meta = meta
+                return ann.hnsw_topk_search(
+                    queries, self._df, k=k,
+                    id_col=self.id_col, vec_col=self.vec_col,
+                    hierarchy=self._hier,
+                    corpus_rows=self.ntotal,
+                    top_layer=self._hier_meta["top_layer"],
+                    layer_sizes=self._hier_meta["layer_sizes"],
                 )
             return ann.graph_topk_search(
                 queries, self._df, k=k,

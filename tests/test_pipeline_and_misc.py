@@ -1727,3 +1727,68 @@ def test_stream_fuzzy_decontaminate_equals_batch(spark, tmp_path):
     }
     assert got_set == want
     assert {c for c, _, _ in got_set} == {10, 20}  # 14 stays clean
+
+
+def test_vector_search_hierarchy_dispatch_at_scale_threshold(spark, embeddings):
+    """At >= hierarchy_min_rows the HNSW tier serves by LAYERED
+    DESCENT (ann.hnsw_topk_search over upper layers built on the
+    memoized layer-0 graph) instead of flat provisioned entries —
+    same exact top-1 on the clustered fixture, hierarchy memoized
+    across batches, and ANY mutation invalidates it (add() retires
+    it with the warm graph)."""
+    import math
+
+    from job_post_similarity_spark.index_api import VectorSearch
+    from job_post_similarity_spark.operators import knn
+
+    n = embeddings.count()
+    step = max(1, math.ceil(n / 32))
+    c = (F.col("vec_id") / F.lit(step)).cast("int")
+    arr = F.col("embedding").cast("array<double>")
+    v2 = F.transform(
+        arr,
+        lambda x, i: x + F.when(i == c, F.lit(2.0)).otherwise(F.lit(0.0)),
+    )
+    norm = F.sqrt(F.aggregate(v2, F.lit(0.0), lambda a, x: a + x * x))
+    emb = embeddings.select(
+        "vec_id", F.transform(v2, lambda x: x / norm).alias("embedding")
+    )
+    dim = len(emb.first()["embedding"])
+
+    vs = VectorSearch(dim, "HNSW32", spark=spark)
+    vs.add(emb)
+    vs.exact_shortcut_rows = 0
+    vs.hierarchy_min_rows = 1  # force the at-scale dispatch
+    qids = [i * (n // 10) for i in range(10)]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in vs.search(queries, k=1).collect()
+    }
+    assert vs._hier is not None and vs._hier_meta is not None
+    assert vs._graph_entries is None  # flat provisioning never ran
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in knn.knn_join(
+            queries, "vec_id", "embedding", k=1,
+            include_self=False, right=emb,
+        ).collect()
+    }
+    assert got == exact
+
+    hier_first = vs._hier
+    vs.search(queries, k=1).collect()
+    assert vs._hier is hier_first  # memoized across batches
+
+    # mutation invalidates: the next search rebuilds hierarchy over
+    # the refreshed layer-0 graph and still serves the new row
+    new_vec = [0.0] * dim
+    new_vec[0] = 1.0
+    extra = spark.createDataFrame(
+        [(10_000_000, new_vec)], f"vec_id long, embedding array<double>"
+    )
+    vs.add(extra)
+    assert vs._hier is None
+    got2 = vs.search(queries, k=1).collect()
+    assert vs._hier is not None and vs._hier is not hier_first
+    assert len(got2) == len(qids)
