@@ -5920,6 +5920,52 @@ def graph_beam_search_embeddings(
     )
 
 
+def stream_graph_topk_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ANN serving gate (round 9): the same graph, queries,
+    and knobs as ``graph_beam_search_embeddings``, but the 5 query
+    vectors arrive as a 2-micro-batch file stream served via
+    ``streaming.stream_topk_search`` (foreachBatch against the
+    static RAM-resident index, parquet append sink, read-back
+    dedup). Per-query independence makes the accumulated sink equal
+    the batch operator exactly, so the SAME unrolled build+search
+    DuckDB replay grades the streaming path end to end. (Oracle
+    staged in _PENDING_ORACLES — the batch gate's SQL under this
+    name.)"""
+    import tempfile as _tempfile
+
+    from job_post_similarity_spark.operators.ann import (
+        nn_descent_knn_graph,
+    )
+    from job_post_similarity_spark.streaming import stream_topk_search
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 120
+    )
+    g = nn_descent_knn_graph(emb, "vec_id", "embedding", k=4, iters=1)
+    qdf = emb.filter(F.col("vec_id").isin([5, 17, 42, 63, 99]))
+    base = _tempfile.mkdtemp(prefix="jps_stream_topk_")
+    qdir = f"{base}/queries"
+    qdf.repartition(2).write.parquet(qdir)
+    stream = (
+        spark.readStream.schema(qdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    return stream_topk_search(
+        spark,
+        stream,
+        emb,
+        f"{base}/out",
+        checkpoint_dir=f"{base}/ckpt",
+        graph=g,
+        k=5,
+        beam=8,
+        hops=2,
+    )
+
+
 def dup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-line fraction (Rae et al. §A1.1): the corpus
     is single-line word soup, so the gate synthesizes 8-token lines
@@ -6863,6 +6909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames_oracle_documents": multimodal_frames_oracle_documents,
         "nn_descent_graph_embeddings": nn_descent_graph_embeddings,
         "graph_beam_search_embeddings": graph_beam_search_embeddings,
+        # round 9: streaming ANN serving twin (foreachBatch against
+        # the static index; staged = the batch gate's replay SQL)
+        "stream_graph_topk_embeddings": stream_graph_topk_embeddings,
         "dup_lines_documents": dup_lines_documents,
         "top_ngram_char_documents": top_ngram_char_documents,
         "dup_ngram_coverage_documents": dup_ngram_coverage_documents,
@@ -13482,3 +13531,12 @@ _PENDING_ORACLES["hnsw_descent_recall_embeddings"] = """
            900000::BIGINT AS recall_floor_ppm,
            true AS floor_met
 """
+
+
+# Streaming ANN serving twin (round 9, staged for the r10 window):
+# bounded 2-batch query stream + per-query independence ⇒ the
+# accumulated parquet sink equals graph_beam_search_embeddings, so
+# the batch gate's unrolled build+search replay grades it verbatim.
+_PENDING_ORACLES["stream_graph_topk_embeddings"] = _PENDING_ORACLES[
+    "graph_beam_search_embeddings"
+]

