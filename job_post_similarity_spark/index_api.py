@@ -351,6 +351,18 @@ class VectorSearch:
             # adopted by load() whenever its n_rows happens to match,
             # serving edge lists for the wrong vectors
             index_store.delete_index(index_path + "__graph")
+        if self._hier is not None and self._hier_meta is not None:
+            # at-scale tier: the layered hierarchy persists beside the
+            # vectors too, so a reloaded index descends immediately
+            index_store.save_hnsw_hierarchy(
+                index_path + "__hier",
+                self._hier,
+                self.ntotal,
+                self._hier_meta["top_layer"],
+                self._hier_meta["layer_sizes"],
+            )
+        else:
+            index_store.delete_index(index_path + "__hier")
 
     def load(self, index_path: str, id_map_path: str | None = None) -> None:
         assert self._spark is not None, "pass spark= before load()"
@@ -378,6 +390,18 @@ class VectorSearch:
                     for k, v in meta.items()
                     if k not in ("kind", "n_rows", "format_version")
                 } or None
+        except index_store.IndexLoadError:
+            pass
+        try:
+            hier, hmeta = index_store.load_hnsw_hierarchy(
+                self._spark, index_path + "__hier"
+            )
+            if hmeta["n_rows"] == self.ntotal:
+                self._hier = hier.persist()
+                self._hier_meta = {
+                    "top_layer": hmeta["top_layer"],
+                    "layer_sizes": hmeta["layer_sizes"],
+                }
         except index_store.IndexLoadError:
             pass
 

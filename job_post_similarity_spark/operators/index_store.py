@@ -484,3 +484,46 @@ def load_or_build_knn_graph(
     # serve from the artifact (short lineage, parquet parallelism)
     graph = spark.read.parquet(os.path.join(path, _ROWS))
     return graph, True
+
+
+def save_hnsw_hierarchy(
+    path: str,
+    hier: DataFrame,
+    n_rows: int,
+    top_layer: int,
+    layer_sizes: dict,
+    params: dict | None = None,
+) -> None:
+    """Persist a layered HNSW hierarchy (``ann.hnsw_hierarchy_build``
+    output — the (layer, id, neighbor_id, rank, sim_ppm) edge table)
+    plus the serving metadata (``top_layer``, per-layer sizes) the
+    descent needs to start without rediscovery jobs. Same staleness
+    contract as the flat graph artifact: ``n_rows`` mismatch means
+    rebuild."""
+    os.makedirs(path, exist_ok=True)
+    hier.write.mode("overwrite").parquet(os.path.join(path, _ROWS))
+    _write_meta(
+        path,
+        {
+            "kind": "hnsw_hierarchy",
+            "n_rows": int(n_rows),
+            "top_layer": int(top_layer),
+            "layer_sizes": {str(k): int(v) for k, v in layer_sizes.items()},
+            **(params or {}),
+        },
+    )
+
+
+def load_hnsw_hierarchy(spark: SparkSession, path: str):
+    """→ (hierarchy DataFrame, meta dict with int-keyed
+    ``layer_sizes``); IndexLoadError on a missing/corrupt artifact."""
+    meta = _read_meta(path)
+    if meta.get("kind") != "hnsw_hierarchy":
+        raise IndexLoadError(
+            f"kind {meta.get('kind')!r} is not 'hnsw_hierarchy'"
+        )
+    meta["layer_sizes"] = {
+        int(k): int(v) for k, v in meta.get("layer_sizes", {}).items()
+    }
+    hier = _read_rows(spark, path)
+    return hier, meta

@@ -1792,3 +1792,42 @@ def test_vector_search_hierarchy_dispatch_at_scale_threshold(spark, embeddings):
     got2 = vs.search(queries, k=1).collect()
     assert vs._hier is not None and vs._hier is not hier_first
     assert len(got2) == len(qids)
+
+
+def test_vector_search_saves_and_reloads_hierarchy_artifact(
+    spark, embeddings, tmp_path
+):
+    """The at-scale HNSW tier's hierarchy persists through save/load
+    (sibling ``__hier`` artifact with top_layer/layer_sizes meta): a
+    reloaded index descends immediately — same answers, no rebuild —
+    and a save with no hierarchy deletes a stale sibling."""
+    from job_post_similarity_spark.index_api import VectorSearch
+
+    dim = len(embeddings.first()["embedding"])
+    vs = VectorSearch(dim, "HNSW32", spark=spark)
+    vs.add(embeddings)
+    vs.exact_shortcut_rows = 0
+    vs.hierarchy_min_rows = 1
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    want = sorted(map(tuple, vs.search(queries, k=2).collect()))
+    assert vs._hier is not None
+
+    path = str(tmp_path / "idx")
+    vs.save(path)
+
+    vs2 = VectorSearch(dim, "HNSW32", spark=spark)
+    vs2.load(path)
+    vs2.exact_shortcut_rows = 0
+    vs2.hierarchy_min_rows = 1
+    assert vs2._hier is not None and vs2._hier_meta is not None
+    got = sorted(map(tuple, vs2.search(queries, k=2).collect()))
+    assert got == want
+
+    # a save from an instance WITHOUT a built hierarchy removes the
+    # stale sibling (same lifecycle rule as the flat graph artifact)
+    vs3 = VectorSearch(dim, "HNSW32", spark=spark)
+    vs3.add(embeddings)
+    vs3.save(path)
+    vs4 = VectorSearch(dim, "HNSW32", spark=spark)
+    vs4.load(path)
+    assert vs4._hier is None
