@@ -1966,6 +1966,38 @@ def knn_exact_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filtered_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN (round 9 — the Faiss IDSelector role):
+    top-3 neighbors among label=0 corpus rows only, for the first 30
+    query vectors, via ``ann.filtered_topk_search``'s selectivity
+    dispatch. label=0 is ~10% of the corpus, under the 0.15
+    threshold, so the gate grades the EXACT branch (brute force over
+    the filtered subset — deterministic blocked-BLAS tie contract,
+    fully SQL-replayable); the unselective oversample-and-post-filter
+    branch is pinned by unit test (an index filtered BEFORE
+    navigation severs paths — the operator keeps the graph intact).
+    (Oracle staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30).select(
+        "vec_id", "embedding"
+    )
+    out = ann.filtered_topk_search(
+        queries,
+        emb,
+        F.col("label") == 0,
+        k=3,
+        selectivity_threshold=0.15,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("similarity", 4).alias("similarity"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
 def similarity_pairs_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship D2+P5 chain: canonical duplicate pairs at cosine ≥ 0.4."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -6834,6 +6866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": pack_sequences_documents,
         "sessionize_events": sessionize_events,
         "knn_exact_top1": knn_exact_top1,
+        # round 9: metadata-filtered ANN (Faiss IDSelector role),
+        # staged for the r10 window
+        "filtered_topk_embeddings": filtered_topk_embeddings,
         "cosine_topk_search": cosine_topk_search,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -13540,3 +13575,18 @@ _PENDING_ORACLES["hnsw_descent_recall_embeddings"] = """
 _PENDING_ORACLES["stream_graph_topk_embeddings"] = _PENDING_ORACLES[
     "graph_beam_search_embeddings"
 ]
+
+
+_PENDING_ORACLES["filtered_topk_embeddings"] = f"""
+    SELECT query_id, neighbor_id, similarity, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_COS}, 4) AS similarity,
+               row_number() OVER
+                   (PARTITION BY a.vec_id
+                    ORDER BY {_COS} DESC, b.vec_id ASC) AS rank
+        FROM embeddings a JOIN embeddings b
+          ON b.label = 0 AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 30)
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+"""

@@ -3597,3 +3597,88 @@ def hnsw_topk_search(
         (F.col("sim_ppm") / F.lit(1_000_000.0)).alias("similarity"),
         "rank",
     )
+
+
+def filtered_topk_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    predicate,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    graph: DataFrame | None = None,
+    entries: list | None = None,
+    selectivity_threshold: float = 0.1,
+    oversample: int = 4,
+    corpus_rows: int | None = None,
+    matched_rows: int | None = None,
+) -> DataFrame:
+    """Metadata-FILTERED ANN search (the Faiss ``IDSelector`` role —
+    top-k among only the corpus rows satisfying ``predicate``, a
+    Column or SQL string over the corpus's columns), dispatched on
+    measured selectivity:
+
+    - SELECTIVE predicate (matching fraction <= threshold): serve
+      EXACT over the filtered subset — the subset is a small fraction
+      of the corpus, so brute force there is both cheaper than index
+      navigation and immune to the filtered-graph pathology below.
+      This branch is fully deterministic (the blocked-BLAS tier's
+      tie contract), so the gate's DuckDB oracle replays it by value.
+    - UNSELECTIVE predicate: serve the INTACT graph index with an
+      OVERSAMPLED k (k·oversample), then post-filter and re-rank.
+      The index must stay unfiltered: dropping non-matching nodes
+      from the graph severs navigation paths that merely pass
+      through them (the well-known filtered-HNSW failure), while
+      post-filtering an unselective predicate keeps ≥ k survivors
+      w.h.p. — raise ``oversample`` for harsher filters. Fewer than
+      k survivors for a query means the oversample missed; callers
+      needing a hard guarantee lower ``selectivity_threshold`` to
+      push more predicates onto the exact branch.
+
+    Cost shape at scale: one bounded selectivity probe
+    (``limit(threshold·n + 1).count()`` on the filtered scan —
+    parquet predicate pushdown makes this cheap); the exact branch
+    is |queries|·(threshold·n) scoring; the index branch is one
+    ordinary graph serve plus a matched-id semi-join."""
+    from pyspark.sql.window import Window
+
+    from . import knn
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    n = corpus_rows if corpus_rows is not None else corpus.count()
+    budget = int(n * selectivity_threshold)
+    matched = corpus.filter(pred)
+    mrows = (
+        matched_rows
+        if matched_rows is not None
+        else matched.limit(budget + 1).count()
+    )
+    if mrows <= budget:
+        return knn.knn_join(
+            queries,
+            id_col,
+            vec_col,
+            k=k,
+            include_self=False,
+            right=matched,
+        )
+    served = graph_topk_search(
+        queries,
+        corpus,
+        k=k * oversample,
+        id_col=id_col,
+        vec_col=vec_col,
+        graph=graph,
+        entries=entries,
+        corpus_rows=n,
+    )
+    keep = matched.select(F.col(id_col).alias("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        served.join(keep, "neighbor_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", "rank")
+    )

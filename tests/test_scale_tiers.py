@@ -1492,3 +1492,63 @@ def test_stream_topk_search_multibatch_equals_batch(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(parts) >= 2
+
+
+def test_filtered_topk_dispatch_branches(spark):
+    """Selectivity dispatch of the filtered-ANN facade: a selective
+    predicate serves EXACT over the filtered subset (equal to the
+    brute-force answer by construction); an unselective one serves
+    the INTACT graph with oversampled k then post-filters — ranks
+    re-numbered 1..k, every neighbor satisfies the predicate, and on
+    this deterministic fixture the survivors equal the exact answer
+    over the matching rows."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators import knn
+    from job_post_similarity_spark.operators.ann import (
+        filtered_topk_search,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(100, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = _vec_df(spark, vecs)
+    queries = df.filter(F.col("vec_id") < 6)
+
+    # selective: 8/100 rows match -> exact branch
+    sel = filtered_topk_search(
+        queries, df, F.col("vec_id") % 13 == 0, k=3,
+        selectivity_threshold=0.1,
+    )
+    want_sel = knn.knn_join(
+        queries, "vec_id", "embedding", k=3,
+        include_self=False, right=df.filter(F.col("vec_id") % 13 == 0),
+    )
+    assert sorted(map(tuple, sel.collect())) == sorted(
+        map(tuple, want_sel.collect())
+    )
+
+    # unselective: half the corpus matches -> graph branch
+    got = filtered_topk_search(
+        queries, df, F.col("vec_id") % 2 == 0, k=3,
+        selectivity_threshold=0.1, oversample=8,
+    ).collect()
+    for r in got:
+        assert r["neighbor_id"] % 2 == 0
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn.knn_join(
+            queries, "vec_id", "embedding", k=3,
+            include_self=False,
+            right=df.filter(F.col("vec_id") % 2 == 0),
+        ).collect()
+    }
+    got_map = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in got
+    }
+    assert got_map == exact
