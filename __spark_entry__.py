@@ -5998,6 +5998,27 @@ def stream_graph_topk_embeddings(
     )
 
 
+def wordpiece_train_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WordPiece merge-list trainer (round 9 — the BERT tokenizer's
+    criterion, completing the BPE/unigram/WordPiece trainer trio):
+    6 distributed merges picking argmax LIKELIHOOD RATIO
+    count(ab)/(count(a)·count(b)) as integer micro-log score6, ties
+    (score6 desc, l, r). Oracle: the merge chain unrolled to 6
+    (symbol-count, pair-count, argmax, replace) blocks — every
+    winning pair, count, and score replayed by value. (Oracle staged
+    in _PENDING_ORACLES, generated by ``_wordpiece_oracle``.)"""
+    from job_post_similarity_spark.operators.text_analysis import (
+        wordpiece_train_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_train_distributed(
+        docs, num_merges=6, min_count=2
+    ).orderBy("step")
+
+
 def dup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-line fraction (Rae et al. §A1.1): the corpus
     is single-line word soup, so the gate synthesizes 8-token lines
@@ -6947,6 +6968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: streaming ANN serving twin (foreachBatch against
         # the static index; staged = the batch gate's replay SQL)
         "stream_graph_topk_embeddings": stream_graph_topk_embeddings,
+        # round 9: WordPiece trainer (likelihood-ratio merges),
+        # staged for the r10 window
+        "wordpiece_train_documents": wordpiece_train_documents,
         "dup_lines_documents": dup_lines_documents,
         "top_ngram_char_documents": top_ngram_char_documents,
         "dup_ngram_coverage_documents": dup_ngram_coverage_documents,
@@ -13590,3 +13614,67 @@ _PENDING_ORACLES["filtered_topk_embeddings"] = f"""
     WHERE rank <= 3
     ORDER BY query_id, rank
 """
+
+
+def _wordpiece_oracle(num_merges: int = 6, min_count: int = 2) -> str:
+    """Generated WordPiece-trainer replay: the BPE oracle's unrolled
+    (pair-count, argmax, replace) chain with WordPiece's criterion —
+    per step an extra SYMBOL-count block and the argmax ranked by
+    score6 = round((ln c_ab - ln c_a - ln c_b)*1e6) (ties score6
+    desc, l, r). Generated so step count and knobs cannot drift from
+    the gate."""
+    parts = ["""
+        words AS (
+            SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(
+                      trim(lower(text)), '\\s+')) AS w
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 1
+            GROUP BY w),
+        v0 AS (
+            SELECT '__' || array_to_string(
+                       list_transform(generate_series(1, length(w)),
+                           i -> CASE WHEN i = length(w)
+                                THEN substring(w, i, 1) || '</w>'
+                                ELSE substring(w, i, 1) END),
+                       '__') || '__' AS enc,
+                   cnt
+            FROM words)"""]
+    for i in range(num_merges):
+        parts.append(f"""
+        s{i} AS MATERIALIZED (SELECT list_filter(string_split(enc, '_'),
+                                    x -> x <> '') AS ss, cnt
+                 FROM v{i}),
+        c{i} AS MATERIALIZED (SELECT s, CAST(sum(cnt) AS BIGINT) AS c
+                 FROM (SELECT unnest(ss) AS s, cnt FROM s{i})
+                 GROUP BY s),
+        p{i} AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r,
+                        CAST(sum(cnt) AS BIGINT) AS pair_count
+                 FROM (SELECT unnest(list_transform(
+                           generate_series(1, len(ss) - 1),
+                           j -> [ss[j], ss[j+1]])) AS pr, cnt
+                       FROM s{i})
+                 GROUP BY l, r HAVING sum(cnt) >= {min_count}),
+        m{i} AS MATERIALIZED (SELECT l, r, pair_count,
+                        CAST(round((ln(pair_count) - ln(cl.c)
+                                    - ln(cr.c)) * 1e6) AS BIGINT)
+                            AS score6
+                 FROM p{i} JOIN c{i} cl ON p{i}.l = cl.s
+                           JOIN c{i} cr ON p{i}.r = cr.s
+                 ORDER BY score6 DESC, l, r LIMIT 1),
+        v{i + 1} AS MATERIALIZED (SELECT replace(enc,
+                                '_' || m.l || '__' || m.r || '_',
+                                '_' || m.l || m.r || '_') AS enc, cnt
+                     FROM v{i}, m{i} m)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, l AS sym_left, r AS sym_right,"
+        f" pair_count, score6 FROM m{i}"
+        for i in range(num_merges)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT * FROM ({selects}) ORDER BY step"
+    )
+
+
+_PENDING_ORACLES["wordpiece_train_documents"] = _wordpiece_oracle()

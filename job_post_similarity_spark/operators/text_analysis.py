@@ -2299,3 +2299,135 @@ def ngram_lm_score(
             4,
         ).alias("ppl"),
     )
+
+
+def wordpiece_train_distributed(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """WordPiece merge-list training (Schuster & Nakajima 2012; the
+    BERT tokenizer) — completes the big-three trainer set next to
+    ``bpe_train_distributed`` (argmax pair COUNT) and
+    ``unigram_lm_train`` (EM pruning): WordPiece picks the pair that
+    maximizes the LIKELIHOOD RATIO count(ab) / (count(a)·count(b)) —
+    i.e. it merges the most ASSOCIATED pair, not the most frequent
+    (a PMI-style criterion), which is why WordPiece vocabularies
+    pick up morphemes earlier than BPE's.
+
+    Ranking currency: score6 = round((ln c_ab − ln c_a − ln c_b)·1e6)
+    as BIGINT — the repo's integer micro-log policy, overflow-free at
+    any corpus size (a scaled integer ratio c_ab·S/(c_a·c_b) would
+    overflow int64 once symbol counts pass ~1e6 at S=1e12); ties
+    break (score6 desc, left asc, right asc). Symbol counts are
+    weighted occurrence counts over the CURRENT encoding, recomputed
+    per merge like the pair counts.
+
+    Same distributed shape and double-separator merge application as
+    ``bpe_train_distributed`` (one corpus scan; per merge one
+    vocabulary-sized aggregate for pairs + one for symbols + a 1-row
+    argmax collect; leftmost-greedy JVM ``replace``), so the DuckDB
+    oracle replays every step by value. Output: ``(step, sym_left,
+    sym_right, pair_count, score6)``; stops early when no pair
+    reaches ``min_count``."""
+    spark = df.sparkSession
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = df.select(F.explode(toks).alias("w")).filter(
+        F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 1)
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    syms = F.expr(
+        "transform(sequence(1, length(w)), i -> "
+        "  if(i = length(w),"
+        "     concat(substring(w, i, 1), '</w>'),"
+        "     substring(w, i, 1)))"
+    )
+    vocab = wc.select(
+        F.concat(
+            F.lit("__"), F.array_join(syms, "__"), F.lit("__")
+        ).alias("enc"),
+        "cnt",
+    ).persist()
+    pair_struct = F.expr(
+        "CASE WHEN size(__ss) >= 2 THEN"
+        "  transform(sequence(1, size(__ss) - 1),"
+        "            i -> struct(__ss[i-1] AS l, __ss[i] AS r))"
+        " ELSE array() END"
+    )
+    merges: list[tuple[int, str, str, int, int]] = []
+    for step in range(1, num_merges + 1):
+        split_enc = vocab.withColumn(
+            "__ss", F.expr("filter(split(enc, '_'), x -> x <> '')")
+        ).persist()
+        sym_counts = (
+            split_enc.select(F.explode("__ss").alias("s"), "cnt")
+            .groupBy("s")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        pc = (
+            split_enc.select(F.explode(pair_struct).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .filter(F.col("pair_count") >= min_count)
+        )
+        scored = (
+            pc.join(
+                sym_counts.select(
+                    F.col("s").alias("l"), F.col("c").alias("__cl")
+                ),
+                "l",
+            )
+            .join(
+                sym_counts.select(
+                    F.col("s").alias("r"), F.col("c").alias("__cr")
+                ),
+                "r",
+            )
+            .select(
+                "l",
+                "r",
+                "pair_count",
+                F.round(
+                    (
+                        F.log("pair_count")
+                        - F.log("__cl")
+                        - F.log("__cr")
+                    )
+                    * 1e6,
+                    0,
+                )
+                .cast("long")
+                .alias("score6"),
+            )
+        )
+        best = (
+            scored.orderBy(F.desc("score6"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        split_enc.unpersist()
+        if not best:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        merges.append(
+            (step, left, right, int(best[0]["pair_count"]),
+             int(best[0]["score6"]))
+        )
+        nxt = vocab.select(
+            F.replace(
+                F.col("enc"),
+                F.lit(f"_{left}__{right}_"),
+                F.lit(f"_{left}{right}_"),
+            ).alias("enc"),
+            "cnt",
+        ).persist()
+        nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "step int, sym_left string, sym_right string, "
+        "pair_count bigint, score6 bigint",
+    )

@@ -4166,3 +4166,99 @@ def test_ngram_lm_order_validation_and_bigram_order(spark):
         + (_SB_ALPHA6 + lp6(c1["</s>"], n_tot))  # </s> unigram backoff
     )
     assert (got["n_events"], got["s6"]) == (3, exp_s6)
+
+
+def test_wordpiece_train_matches_local_reference_and_differs_from_bpe(
+    spark,
+):
+    """The WordPiece trainer equals a pure-Python replay of its spec
+    (weighted symbol/pair counts over the double-separator encoding,
+    argmax of round((ln c_ab − ln c_a − ln c_b)·1e6), leftmost-greedy
+    replace), and on a corpus where the most FREQUENT pair is not the
+    most ASSOCIATED one its first merge differs from BPE's — the
+    criterion, not just the plumbing, is under test."""
+    import math
+    from collections import Counter
+
+    from job_post_similarity_spark.operators.text_analysis import (
+        bpe_train_distributed,
+        wordpiece_train_distributed,
+    )
+
+    # 'qz' is perfectly associated (q never appears without z);
+    # 'th'/'he' are frequent but their symbols are diluted by many
+    # other words -> BPE merges the frequent pair, WordPiece 'qz</w>'
+    rows = [
+        ("the then they them there " * 3,),
+        ("qz qz qz " * 2,),
+        ("ha he hi ho hu ta te ti to tu " * 2,),
+    ]
+    docs = spark.createDataFrame(rows, "text string")
+    got = [
+        (r["step"], r["sym_left"], r["sym_right"], r["pair_count"],
+         r["score6"])
+        for r in wordpiece_train_distributed(
+            docs, num_merges=4, min_count=2
+        ).collect()
+    ]
+
+    # pure-Python replay
+    words = Counter()
+    for (t,) in rows:
+        for w in t.lower().split():
+            if w.isalpha():
+                words[w] += 1
+    vocab = {
+        tuple([*w[:-1], w[-1] + "</w>"]): c for w, c in words.items()
+    }
+    exp = []
+    for step in range(1, 5):
+        syms = Counter()
+        pairs = Counter()
+        for ss, c in vocab.items():
+            for s in ss:
+                syms[s] += c
+            for a, b in zip(ss, ss[1:]):
+                pairs[(a, b)] += c
+        scored = [
+            (
+                round(
+                    (math.log(pc) - math.log(syms[a]) - math.log(syms[b]))
+                    * 1e6
+                ),
+                a,
+                b,
+                pc,
+            )
+            for (a, b), pc in pairs.items()
+            if pc >= 2
+        ]
+        if not scored:
+            break
+        # tie-break (score6 desc, l asc, r asc):
+        best = sorted(scored, key=lambda t: (-t[0], t[1], t[2]))[0]
+        s6, a, b, pc = best
+        exp.append((step, a, b, pc, s6))
+        new_vocab = Counter()
+        for ss, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == a and ss[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    assert got == exp
+
+    bpe_first = bpe_train_distributed(
+        docs, num_merges=1, min_count=2
+    ).collect()[0]
+    assert (got[0][1], got[0][2]) != (
+        bpe_first["sym_left"],
+        bpe_first["sym_right"],
+    )
+    assert got[0][1] == "q"  # the associated pair wins under WordPiece
