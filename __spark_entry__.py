@@ -6372,6 +6372,37 @@ def pq_planted_recall_embeddings(
     )
 
 
+def opq_planted_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION OPQ search planted-twin recall (round 9): the
+    learned rotation is a function of the (deterministic, seeded)
+    training alternation only, so a bit-identical twin rotates AND
+    encodes identically to its original — the PQ planted argument is
+    rotation-invariant, and the twin again scores the global ADC
+    minimum. Same closed-form expected set as the PQ gate. (Oracle
+    staged in _PENDING_ORACLES.)"""
+    from job_post_similarity_spark.operators import ann
+
+    emb = _planted_emb_union(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    R, books = ann.opq_train(
+        emb, "embedding", m=8, bits=5, opq_iters=4, seed=42, n_rows=450
+    )
+    codes = ann.opq_encode(emb, R, books, "vec_id", "embedding")
+    hits = ann.opq_topk_search(
+        queries_df, codes, R, books, k=4, include_self=False
+    )
+    return (
+        hits.filter(
+            (F.col("neighbor_id") - F.col("query_id") == _PLANT_OFFSET)
+            & (F.col("query_id") < 50)
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
 def ivfpq_planted_recall_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7105,6 +7136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 8: the last two production search tiers get the
         # planted-recall treatment (VERDICT r7 item 2)
         "pq_planted_recall_embeddings": pq_planted_recall_embeddings,
+        # round 9: OPQ planted recall (rotation-invariant twin
+        # argument), staged for the r10 window
+        "opq_planted_recall_embeddings": opq_planted_recall_embeddings,
         "ivfpq_planted_recall_embeddings":
             ivfpq_planted_recall_embeddings,
         # round 8: incremental graph maintenance (VERDICT r7 item 5)
@@ -13678,3 +13712,9 @@ def _wordpiece_oracle(num_merges: int = 6, min_count: int = 2) -> str:
 
 
 _PENDING_ORACLES["wordpiece_train_documents"] = _wordpiece_oracle()
+
+
+_PENDING_ORACLES["opq_planted_recall_embeddings"] = """
+    SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id
+"""

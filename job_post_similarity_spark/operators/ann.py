@@ -3682,3 +3682,173 @@ def filtered_topk_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
     )
+
+
+def _pq_reconstruct(mat, books):
+    """Decode-of-encode on a local sample: per subspace, replace each
+    row's slice by its nearest codebook entry (argmin over squared
+    distance, first-index ties — np.argmin's deterministic rule)."""
+    import numpy as np
+
+    m, _k, sub = books.shape
+    out = np.empty_like(mat)
+    for j in range(m):
+        sl = mat[:, j * sub : (j + 1) * sub]
+        d2 = ((sl[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        out[:, j * sub : (j + 1) * sub] = books[j][np.argmin(d2, axis=1)]
+    return out
+
+
+def opq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    bits: int = 8,
+    opq_iters: int = 10,
+    sample_rows: int = 100_000,
+    seed: int = 42,
+    n_rows: int | None = None,
+):
+    """Optimized Product Quantization (Ge et al., CVPR 2013 — OPQ-NP,
+    the non-parametric alternation; Faiss's ``OPQ<m>`` pre-transform):
+    learn an ORTHONORMAL rotation R so that PQ's independent-subspace
+    assumption holds in the rotated space — plain PQ wastes its code
+    budget when variance is unevenly spread or correlated ACROSS
+    subspace boundaries, and a rotation is distance-preserving, so
+    ADC search in rotated space returns the same metric.
+
+    Alternation on the driver-local seeded sample (the Lloyd/PQ
+    training policy — the model is small, the data never leaves the
+    cluster for encode/search): (1) fix R, train per-subspace Lloyd
+    codebooks on X·Rᵀ; (2) fix the reconstruction X̂ (decode∘encode of
+    the rotated sample) and solve the orthogonal Procrustes problem
+    min_R ‖X·Rᵀ − X̂‖_F → R = U·Vᵀ from SVD(X̂ᵀ·X). Reconstruction
+    error is monotonically non-increasing across iterations (each
+    half-step is an exact argmin).
+
+    Returns ``(R, codebooks)`` — R is (d, d); codebooks match
+    ``pq_train``'s (m, 2^bits, d/m) contract, so ``opq_encode`` /
+    ``opq_topk_search`` are thin rotate-then-PQ compositions."""
+    import numpy as np
+
+    n = df.count() if n_rows is None else n_rows
+    fraction = min(1.0, sample_rows / max(n, 1))
+    train_df = df.sample(fraction, seed=seed) if fraction < 1.0 else df
+    sample = train_df.select(vec_col).limit(sample_rows).toPandas()
+    mat = np.asarray(list(sample[vec_col]), dtype=np.float64)
+    if len(mat) == 0:
+        raise ValueError("cannot train OPQ on an empty sample")
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    k = 2**bits
+    R = np.eye(dim)
+    books = None
+    for _ in range(max(1, opq_iters)):
+        rot = mat @ R.T
+        books = np.stack(
+            [
+                _lloyd_kmeans(
+                    np.ascontiguousarray(rot[:, j * sub : (j + 1) * sub]),
+                    k,
+                    10,
+                    seed + j,
+                )
+                for j in range(m)
+            ]
+        )
+        xhat = _pq_reconstruct(rot, books)
+        u, _s, vt = np.linalg.svd(xhat.T @ mat)
+        R = u @ vt
+    # final codebooks for the final R (the loop above trains books
+    # for the PREVIOUS R before updating it)
+    rot = mat @ R.T
+    books = np.stack(
+        [
+            _lloyd_kmeans(
+                np.ascontiguousarray(rot[:, j * sub : (j + 1) * sub]),
+                k,
+                10,
+                seed + j,
+            )
+            for j in range(m)
+        ]
+    )
+    return R, books
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side vector rotation against a broadcast (d, d) matrix —
+    Arrow-batched mapInPandas (one BLAS matmul per batch, never
+    per-row Python), shuffle-free at any corpus size. Output keeps
+    (id_col, vec_col) with the rotated vectors."""
+    import numpy as np
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(rotation, dtype=np.float64)
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def op(it):
+        R = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            out = mat @ R.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: list(out)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        op, f"{id_col} {id_type}, {vec_col} array<double>"
+    )
+
+
+def opq_encode(
+    df: DataFrame,
+    rotation,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rotate then PQ-encode: (id, pq_code). Both steps are map-side
+    against broadcast models — encoding 100 TB stays shuffle-free."""
+    return pq_encode(
+        rotate_vectors(df, rotation, id_col, vec_col),
+        codebooks,
+        id_col,
+        vec_col,
+    )
+
+
+def opq_topk_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    rotation,
+    codebooks,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """ADC top-k in the rotated space: rotate the query batch, then
+    the standard PQ ADC scan over the (rotation-encoded) code table.
+    Orthonormal R preserves distances, so approx_similarity keeps the
+    1 − d²/2 cosine bridge of ``pq_topk_search``."""
+    return pq_topk_search(
+        rotate_vectors(queries, rotation, id_col, vec_col),
+        codes,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        include_self=include_self,
+    )

@@ -1552,3 +1552,82 @@ def test_filtered_topk_dispatch_branches(spark):
         (r["query_id"], r["rank"]): r["neighbor_id"] for r in got
     }
     assert got_map == exact
+
+
+def test_opq_rotation_orthonormal_and_beats_pq_on_anisotropic(spark):
+    """OPQ learns a real orthonormal rotation (RᵀR = I) that cuts
+    PQ reconstruction error on data whose variance straddles the
+    subspace grid (the regime OPQ exists for — Ge et al. 2013), and
+    the alternation is seed-deterministic."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        _pq_reconstruct,
+        opq_train,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(13)
+    # anisotropic + cross-subspace correlated: stretch a random basis
+    z = rng.normal(size=(400, 16))
+    scales = np.array([6, 5, 4, 3, 2.5, 2, 1.5, 1.2] + [0.3] * 8)
+    q, _ = np.linalg.qr(rng.normal(size=(16, 16)))
+    mat = (z * scales) @ q.T
+    df = _vec_df(spark, mat)
+
+    R, obooks = opq_train(
+        df, m=4, bits=3, opq_iters=8, seed=11, n_rows=400
+    )
+    assert np.allclose(R.T @ R, np.eye(16), atol=1e-9)
+
+    pbooks = pq_train(df, m=4, bits=3, seed=11, n_rows=400)
+    pq_err = ((mat - _pq_reconstruct(mat, pbooks)) ** 2).sum()
+    rot = mat @ R.T
+    opq_err = ((rot - _pq_reconstruct(rot, obooks)) ** 2).sum()
+    assert opq_err < 0.8 * pq_err, (opq_err, pq_err)
+
+    R2, obooks2 = opq_train(
+        df, m=4, bits=3, opq_iters=8, seed=11, n_rows=400
+    )
+    assert np.array_equal(R, R2) and np.array_equal(obooks, obooks2)
+
+
+def test_opq_search_planted_twin_and_encode_parity(spark):
+    """End-to-end OPQ serving: a bit-identical planted twin rotates
+    and encodes to the SAME code as its original, so ADC search must
+    return it in the top-k (the PQ planted argument, rotation
+    invariant); distributed opq_encode equals the local
+    rotate-then-reconstruct assignment."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        opq_encode,
+        opq_topk_search,
+        opq_train,
+    )
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(120, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    df = _vec_df(spark, base)
+    R, books = opq_train(df, m=4, bits=4, opq_iters=4, seed=7, n_rows=120)
+
+    twins = df.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    union = df.unionByName(twins)
+    codes = opq_encode(union, R, books)
+    by_id = {r["vec_id"]: tuple(r["pq_code"]) for r in codes.collect()}
+    for i in range(10):
+        assert by_id[i] == by_id[i + 1000]
+
+    hits = opq_topk_search(
+        df.filter(F.col("vec_id") < 10), codes, R, books,
+        k=3, include_self=False,
+    )
+    found = {
+        r["query_id"]
+        for r in hits.collect()
+        if r["neighbor_id"] == r["query_id"] + 1000
+    }
+    assert found == set(range(10))
