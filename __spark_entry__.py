@@ -1478,6 +1478,7 @@ def hnsw_descent_recall_embeddings(
         queries, emb, k=1, hierarchy=hier, corpus_rows=n,
         query_rows=len(qids), top_layer=hier_meta["top_layer"],
         layer_sizes=hier_meta["layer_sizes"],
+        size_cap=hier_meta.get("size_cap"),
     )
     exact = knn.knn_join(
         queries, "vec_id", "embedding", k=1, right=emb
@@ -1538,13 +1539,15 @@ def hnsw_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             meta=meta,
         ).persist()
         hier.count()
-        cached = (hier, meta["top_layer"], meta["layer_sizes"])
+        cached = (hier, meta["top_layer"], meta["layer_sizes"],
+                  meta.get("size_cap"))
         _CLUSTERED_EMB_CACHE[hk] = cached
-    hier, top, sizes = cached
+    hier, top, sizes, cap = cached
     queries = emb.filter(F.col("vec_id").isin(qids))
     return ann.hnsw_topk_search(
         queries, emb, k=1, hierarchy=hier, corpus_rows=n,
         query_rows=len(qids), top_layer=top, layer_sizes=sizes,
+        size_cap=cap,
     ).select("query_id", "neighbor_id")
 
 

@@ -284,6 +284,7 @@ class VectorSearch:
                     corpus_rows=self.ntotal,
                     top_layer=self._hier_meta["top_layer"],
                     layer_sizes=self._hier_meta["layer_sizes"],
+                    size_cap=self._hier_meta.get("size_cap"),
                 )
             return ann.graph_topk_search(
                 queries, self._df, k=k,
@@ -360,6 +361,7 @@ class VectorSearch:
                 self.ntotal,
                 self._hier_meta["top_layer"],
                 self._hier_meta["layer_sizes"],
+                size_cap=self._hier_meta.get("size_cap"),
             )
         else:
             index_store.delete_index(index_path + "__hier")
@@ -401,6 +403,7 @@ class VectorSearch:
                 self._hier_meta = {
                     "top_layer": hmeta["top_layer"],
                     "layer_sizes": hmeta["layer_sizes"],
+                    "size_cap": hmeta.get("size_cap"),
                 }
         except index_store.IndexLoadError:
             pass

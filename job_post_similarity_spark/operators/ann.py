@@ -3260,6 +3260,23 @@ def hnsw_max_level(n: int, m: int = 2, entry_budget: int = 512) -> int:
     return max(1, _math.ceil(_math.log(max(n / entry_budget, m), m)))
 
 
+
+def _hnsw_hash(id_col: str) -> Column:
+    """The level-draw hash: first 14 hex chars of md5('hnswlvl:'||id)
+    as a long. level >= l  <=>  _hnsw_hash % m^l == 0 — a map-side
+    PREDICATE, so layer membership never needs a join."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("hnswlvl:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+
 def hnsw_levels(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -3275,15 +3292,7 @@ def hnsw_levels(
     tier's policy, not a seeded RNG). Output: (id_col, level)."""
     if m < 2 or max_level < 1:
         raise ValueError("m must be >= 2 and max_level >= 1")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("hnswlvl:"), F.col(id_col).cast("string"))),
-            1,
-            14,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = _hnsw_hash(id_col)
     lvl = F.lit(0)
     for l in range(1, max_level + 1):
         lvl = F.when(h % (m**l) == 0, l).otherwise(lvl)
@@ -3399,7 +3408,13 @@ def hnsw_hierarchy_build(
     out = base.select(F.lit(0).cast("int").alias("layer"), "*")
     if meta is not None:
         meta["top_layer"] = 0
+        # upper-layer sizes come from a bounded limit(exact_budget+1)
+        # probe, so values above exact_budget are CAPPED sentinels
+        # ("> exact_budget"), not true cardinalities — size_cap lets
+        # the serve path clamp start_budget instead of mistaking a
+        # capped huge layer for one it can seed exhaustively
         meta["layer_sizes"] = {0: n}
+        meta["size_cap"] = exact_budget
     for l in range(1, levels + 1):
         members = (
             df.join(lv.filter(F.col("level") >= l), id_col)
@@ -3447,6 +3462,7 @@ def hnsw_topk_search(
     top_layer: int | None = None,
     layer_sizes: dict | None = None,
     start_budget: int = 1024,
+    size_cap: int | None = None,
 ) -> DataFrame:
     """Serve top-k by LAYERED DESCENT over a ``hnsw_hierarchy_build``
     hierarchy — the HNSW search loop, relationally, with one latency
@@ -3490,6 +3506,12 @@ def hnsw_topk_search(
             top_layer = built_meta["top_layer"]
         if layer_sizes is None:
             layer_sizes = built_meta["layer_sizes"]
+            size_cap = built_meta.get("size_cap", size_cap)
+    if size_cap is not None:
+        # builder meta sizes above size_cap are capped sentinels, not
+        # true cardinalities — never exhaustively seed a layer whose
+        # real size is unknown
+        start_budget = min(start_budget, size_cap)
     if beam is None:
         beam = max(2 * k + 8, 16)
     nq = (
@@ -3533,12 +3555,17 @@ def hnsw_topk_search(
         # corpus edge: nobody drew the level, so union the flat
         # beam-smallest default (dedup'd by the hop-0 aggregate).
         s = top + 1
-        lv = hnsw_levels(corpus, id_col, m, s)
         members = (
-            corpus.join(lv.filter(F.col("level") >= s), id_col)
+            corpus.filter(_hnsw_hash(id_col) % (m**s) == 0)
             .select(F.col(id_col).alias("node"))
             .unionByName(
-                corpus.select(F.col(id_col).alias("node"))
+                # non-empty backstop: the smallest ids of layer `top`
+                # itself (m**0 == 1 makes this the flat default when
+                # there are no upper layers) — these ARE members of
+                # the first walked layer, so the member-filtered walk
+                # cannot drop them
+                corpus.filter(_hnsw_hash(id_col) % (m**top) == 0)
+                .select(F.col(id_col).alias("node"))
                 .orderBy("node")
                 .limit(beam)
             )
@@ -3550,8 +3577,14 @@ def hnsw_topk_search(
     )
     for l in range(s - 1, 0, -1):
         g_l = hierarchy.filter(F.col("layer") == l).drop("layer")
+        # the walk only ever visits layer members, so its scoring
+        # relation is the MEMBER subset (a map-side hash predicate,
+        # no join) — without this every upper walk rebuilt its
+        # broadcast from the FULL corpus and warm-serve latency grew
+        # linearly in n (measured exponent 0.95 at the 10x step)
+        corpus_l = corpus.filter(_hnsw_hash(id_col) % (m**l) == 0)
         res = graph_beam_search(
-            corpus,
+            corpus_l,
             g_l,
             [],
             k=1,
@@ -3560,7 +3593,7 @@ def hnsw_topk_search(
             id_col=id_col,
             vec_col=vec_col,
             queries_df=queries,
-            corpus_rows=n,
+            corpus_rows=max(1, n // (m**l)),
             entries_df=ent_df,
             raw=True,
             query_rows=nq,

@@ -493,6 +493,7 @@ def save_hnsw_hierarchy(
     top_layer: int,
     layer_sizes: dict,
     params: dict | None = None,
+    size_cap: int | None = None,
 ) -> None:
     """Persist a layered HNSW hierarchy (``ann.hnsw_hierarchy_build``
     output — the (layer, id, neighbor_id, rank, sim_ppm) edge table)
@@ -509,6 +510,7 @@ def save_hnsw_hierarchy(
             "n_rows": int(n_rows),
             "top_layer": int(top_layer),
             "layer_sizes": {str(k): int(v) for k, v in layer_sizes.items()},
+            "size_cap": None if size_cap is None else int(size_cap),
             **(params or {}),
         },
     )

@@ -2183,7 +2183,10 @@ def ngram_lm_train(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    st.unpersist()
+    # st stays persisted: the returned relation reads it once per
+    # order branch when the CONSUMER first acts (unpersisting here
+    # would silently re-tokenize the corpus per branch — the
+    # bigram_perplexity persist policy; LRU eviction reclaims it)
     return out
 
 
