@@ -3463,6 +3463,7 @@ def hnsw_topk_search(
     layer_sizes: dict | None = None,
     start_budget: int = 1024,
     size_cap: int | None = None,
+    descent_stride: int | None = None,
 ) -> DataFrame:
     """Serve top-k by LAYERED DESCENT over a ``hnsw_hierarchy_build``
     hierarchy — the HNSW search loop, relationally, with one latency
@@ -3487,7 +3488,15 @@ def hnsw_topk_search(
     Same output contract as ``graph_topk_search``: (query_id,
     neighbor_id, similarity, rank). ``layer_sizes`` (from the
     builder's ``meta``) skips the per-layer cardinality job when
-    serving an externally built hierarchy."""
+    serving an externally built hierarchy.
+
+    ``descent_stride`` walks every stride-th layer (membership is
+    NESTED — level >= l implies membership of every layer below —
+    so a hand-off may legally skip layers). Default auto-picks the
+    stride that makes the walked size ratio ≈ 4× (stride 2 at m=2):
+    m=2 builds dense layers for COVERAGE, but walking all of them
+    pays a blocking round per layer for refinement the next walk
+    re-does anyway."""
     n = corpus_rows if corpus_rows is not None else corpus.count()
     if hierarchy is None:
         built_meta: dict = {}
@@ -3575,7 +3584,11 @@ def hnsw_topk_search(
         queries.select(F.col(id_col).alias("qid"))
         .crossJoin(F.broadcast(members))
     )
-    for l in range(s - 1, 0, -1):
+    if descent_stride is None:
+        import math as _math
+
+        descent_stride = max(1, round(_math.log(4, m)))
+    for l in range(s - 1, 0, -descent_stride):
         g_l = hierarchy.filter(F.col("layer") == l).drop("layer")
         # the walk only ever visits layer members, so its scoring
         # relation is the MEMBER subset (a map-side hash predicate,
@@ -3598,11 +3611,12 @@ def hnsw_topk_search(
             raw=True,
             query_rows=nq,
         )
-        # eager hand-off: |queries|·upper_beam rows — materializing
-        # per layer keeps each layer's plan shallow (a lazily-chained
-        # descent compiles one mega-plan whose Catalyst/codegen cost
-        # dwarfs the data at serving batch sizes)
-        ent_df = res.select("qid", "node").localCheckpoint()
+        # lazy hand-off: |queries|·upper_beam rows. The checkpoint
+        # truncates LINEAGE (so Catalyst never re-optimizes the whole
+        # chain as one mega-plan) but stays lazy — with the stride
+        # keeping walk count low, the entire descent schedules as ONE
+        # action instead of a blocking round per layer
+        ent_df = res.select("qid", "node").localCheckpoint(eager=False)
     # final search graph = layer 0 UNION every upper layer's edges:
     # the upper edges are the long-range links a converged kNN graph
     # lacks (HNSW gets them from insertion order — early inserts keep
