@@ -3623,7 +3623,12 @@ def hnsw_topk_search(
     # cross-basin layer-0 neighbors); they cost nothing extra (the
     # hierarchy already built them, Σ n/m^l rows) and can only widen
     # the beam's candidate pool
-    search_graph = hierarchy.select("id", "neighbor_id").distinct()
+    # NO distinct: an edge present in several layers would cost a
+    # full edge-table shuffle per serving call to dedup here, while
+    # the beam search's per-hop (qid, node) aggregate already dedups
+    # candidates — duplicate adjacency entries only pad the grouped
+    # lists a little
+    search_graph = hierarchy.select("id", "neighbor_id")
     out = graph_beam_search(
         corpus,
         search_graph,
