@@ -328,6 +328,18 @@ def main() -> None:
         "Discovering planted duplicate mass is the operator's JOB;",
         "the fixture, not the plan, sets that output size.",
         "",
+        "`hnsw_serve_embeddings` note (round 9, measured): the",
+        "layered tier re-derives each walked layer's member relation",
+        "and adjacency broadcast PER SERVING CALL — Σ n/m^l ≈ n rows",
+        "of per-batch setup on top of the flat tier's one nav-table",
+        "build, which is what its ~0.6-0.7 exponent measures at these",
+        "sizes (round count itself grows only log_m(n/start_budget);",
+        "the flat tier is and should be the dispatch below",
+        "hierarchy_min_rows). At true serving scale the per-layer nav",
+        "relations are corpus-invariant state to persist ONCE beside",
+        "the index — the 10x column here rebuilds them every call by",
+        "construction of the bench harness.",
+        "",
     ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write("\n".join(lines))
