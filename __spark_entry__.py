@@ -1979,19 +1979,37 @@ def filtered_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully SQL-replayable); the unselective oversample-and-post-filter
     branch is pinned by unit test (an index filtered BEFORE
     navigation severs paths — the operator keeps the graph intact).
-    (Oracle staged in _PENDING_ORACLES.)"""
+    The exact branch is PINNED here: the gate measures selectivity
+    itself and raises if a fixture regeneration pushes label=0 past
+    the threshold — dispatch silently flipping to the oversample
+    branch would otherwise surface as an opaque oracle hash drift."""
     from job_post_similarity_spark.operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 30).select(
         "vec_id", "embedding"
     )
+    n = emb.count()
+    budget = int(n * 0.15)
+    mrows = (
+        emb.filter(F.col("label") == 0).limit(budget + 1).count()
+    )
+    if mrows > budget:
+        raise AssertionError(
+            "filtered_topk_embeddings gate pins the EXACT branch: "
+            f"label=0 matches {mrows} rows > {budget} "
+            "(15% of the corpus) — the fixture was rebalanced; "
+            "re-pick the gate predicate instead of letting dispatch "
+            "flip branches under the oracle"
+        )
     out = ann.filtered_topk_search(
         queries,
         emb,
         F.col("label") == 0,
         k=3,
         selectivity_threshold=0.15,
+        corpus_rows=n,
+        matched_rows=mrows,
     )
     return out.select(
         "query_id",
@@ -6488,6 +6506,66 @@ def bpe_encode_udf_graded_documents(
 # additions — run tools/plan_rotation.py for the live count) queue for
 # round 6; every entry parked at 51+ is green in
 # CORRECTNESS_r01∪r02∪r03∪r04.
+_R10_WINDOW: tuple[str, ...] = (
+    # 8 never-graded round-10 gates first (window priority; their
+    # staged SQL is promoted from _PENDING_ORACLES by the loop
+    # below), then 42 prior-green canaries rotated OLDEST-GRADING-
+    # FIRST with md5("r10:<name>") as the within-staleness tie-break
+    # (tools/plan_rotation.py --round 10 — the committed window and
+    # the planner agree verbatim)
+    "ngram_lm_train_documents",
+    "ngram_lm_score_documents",
+    "filtered_topk_embeddings",
+    "stream_graph_topk_embeddings",
+    "wordpiece_train_documents",
+    "opq_planted_recall_embeddings",
+    "hnsw_descent_recall_embeddings",
+    "unigram_shrink_train_documents",
+    "q10_returned_items",
+    "tfidf_top_terms_documents",
+    "curate_corpus_documents",
+    "stream_sessionize_events",
+    "q19_disjunctive_revenue",
+    "similarity_histogram_pairs",
+    "q14_promo_revenue",
+    "pii_scrub_documents",
+    "running_total_orders",
+    "mixture_sample_documents",
+    "id_set_union_events",
+    "quality_score_documents",
+    "q21_sole_late_shipper",
+    "asof_join_events",
+    "q9_product_profit",
+    "q22_dormant_high_balance",
+    "q12_shipmode_priority",
+    "token_explode_documents",
+    "q11_important_parts",
+    "q18_large_volume_customers",
+    "curation_funnel_documents",
+    "customers_without_orders",
+    "cohort_retention_events",
+    "semantic_dedup_embeddings",
+    "pq_recall_vs_exact",
+    "bm25_rank_documents",
+    "stream_click_attribution_events",
+    "scd2_user_events",
+    "triangle_counts_suppliers",
+    "strip_dup_spans_documents",
+    "zorder_key_orders",
+    "full_outer_monthly_counts",
+    "token_windows_udtf_documents",
+    "phrase_search_documents",
+    "json_extract_events",
+    "bucketed_join_orders",
+    "label_centroids_embeddings",
+    "prefix_jaccard_docs",
+    "stratified_sample_orders",
+    "funnel_conversion_events",
+    "sq8_recall_vs_exact",
+    "skew_profile_events",
+)
+
+
 _R9_WINDOW: tuple[str, ...] = (
     # 5 never-graded round-9 gates first (window priority; their
     # staged SQL is promoted from _PENDING_ORACLES by the loop
@@ -6793,9 +6871,9 @@ _R5_WINDOW: tuple[str, ...] = (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
-    FIRST 50 dict entries per round. Round 9 applies _R9_WINDOW (the
-    5 never-graded round-9 gates in plan_rotation order + prior-green
-    canaries rotated OLDEST-GRADING-FIRST, md5("r9:<name>") breaking
+    FIRST 50 dict entries per round. Round 10 applies _R10_WINDOW (the
+    8 never-graded round-10 gates in plan_rotation order + prior-green
+    canaries rotated OLDEST-GRADING-FIRST, md5("r10:<name>") breaking
     staleness ties — the policy re-grades every oracle-backed entry
     within ceil(n_oracles/slack) rounds deterministically) on top of
     the prior ordering: window members first, everything else keeps
@@ -7179,7 +7257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounds (oracle staged for the r10 window)
         "unigram_shrink_train_documents": unigram_shrink_train_documents,
     }
-    out = {k: base[k] for k in _R9_WINDOW}
+    out = {k: base[k] for k in _R10_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -11335,7 +11413,7 @@ def oracle_sql() -> dict[str, str]:
     # into oracle_sql() and stays registered afterwards (the
     # parked-at-51+ entries remain prior-green).
     for _k in (_R5_WINDOW + _R6_WINDOW + _R7_WINDOW + _R8_WINDOW
-               + _R9_WINDOW):
+               + _R9_WINDOW + _R10_WINDOW):
         if _k not in out and _k in _PENDING_ORACLES:
             out[_k] = _PENDING_ORACLES[_k]
     # r7 cross-tier equivalence alias: the pandas-UDF BPE encoder is

@@ -77,6 +77,13 @@ class VectorSearch:
         # scaling once region count grows with the corpus
         self._hier: DataFrame | None = None
         self._hier_meta: dict | None = None
+        # memoized OPQ tier ('OPQ…' descriptors): the trained
+        # (rotation, codebooks) + the persisted encoded corpus for
+        # the flat form, or the persisted ROTATED corpus for the
+        # OPQ…,IVF…,PQ… composition (ivfpq_topk_search builds its own
+        # buckets/codes over it). Corpus-invariant — invalidated on
+        # any mutation like the graph memo.
+        self._opq: tuple | None = None
         # memoized row count: every search consults ntotal (the
         # exact-shortcut dispatch) and the graph tier threads it into
         # beam search's size dispatch — one count per mutation, not
@@ -117,6 +124,12 @@ class VectorSearch:
             self._hier.unpersist()
             self._hier = None
             self._hier_meta = None
+        if self._opq is not None:
+            # the encoded/rotated relation is corpus-derived — any
+            # mutation (warm or cold) stales it; the model retrains
+            # on the next OPQ search
+            self._opq[-1].unpersist()
+            self._opq = None
         self._ntotal_cache = None  # every mutation routes through here
 
     # -------------------------------------------------- build surface
@@ -197,6 +210,57 @@ class VectorSearch:
             return knn.knn_join(
                 queries, self.id_col, self.vec_col, k=k,
                 include_self=False, right=self._df,
+            )
+        if d.startswith("opq"):
+            # Faiss 'OPQ<m>[,IVF<c>],PQ<m>' family: learn the
+            # orthonormal rotation once per corpus (Ge 2013
+            # alternation on a seeded sample), then serve ADC in the
+            # rotated space — with IVF coarse pruning when the
+            # descriptor asks for it. Model + encoded relation are
+            # memoized across query batches like the graph tier.
+            pq_m, ivf_c = ann.parse_opq_description(d)
+            if self._opq is None:
+                R, books = ann.opq_train(
+                    self._df, self.vec_col, m=pq_m,
+                    n_rows=self.ntotal,
+                )
+                if ivf_c is not None:
+                    rotated = ann.rotate_vectors(
+                        self._df, R, self.id_col, self.vec_col
+                    ).persist()
+                    self._opq = ("ivf", R, books, rotated)
+                else:
+                    codes = ann.opq_encode(
+                        self._df, R, books, self.id_col, self.vec_col
+                    ).persist()
+                    self._opq = ("flat", R, books, codes)
+            kind, R, books, rel = self._opq
+            if kind == "ivf":
+                # rotation preserves distances, so rotate-then-IVFPQ
+                # is exactly Faiss's OPQ,IVF,PQ pipeline; the coarse
+                # quantizer + residual codebooks train in rotated
+                # space inside ivfpq_topk_search
+                out = ann.ivfpq_topk_search(
+                    ann.rotate_vectors(
+                        queries, R, self.id_col, self.vec_col
+                    ),
+                    rel,
+                    k=k,
+                    id_col=self.id_col,
+                    vec_col=self.vec_col,
+                    n_centroids=ivf_c,
+                    m=pq_m,
+                )
+            else:
+                out = ann.opq_topk_search(
+                    queries, rel, R, books, k=k,
+                    id_col=self.id_col, vec_col=self.vec_col,
+                )
+            # the class contract names the score column 'similarity'
+            # (ADC scores are approximate — the tier docstrings keep
+            # the distinction; the column keeps the API)
+            return out.withColumnRenamed(
+                "approx_similarity", "similarity"
             )
         if d.startswith("hnsw"):
             if self._graph is None:

@@ -1676,6 +1676,18 @@ def index_for_description(description: str):
     d = description.strip().lower()
     if d == "flat":
         return knn.similarity_pairs
+    if d.startswith("opq"):
+        # Faiss-style 'OPQ16,IVF100,PQ8' / 'OPQ16,PQ8': the OPQ
+        # pre-transform is an orthonormal rotation — it changes codes,
+        # never cosine values — so the PAIR-JOIN strategy follows the
+        # inner segment (IVF coarse partitioning if present, else the
+        # banded-SRP tier). The rotated SEARCH tier itself
+        # (opq_train/opq_topk_search) is dispatched by
+        # VectorSearch.search, where the trained model is memoizable.
+        inner = d.split(",", 1)[1] if "," in d else ""
+        if inner.startswith("ivf"):
+            return index_for_description(inner)
+        return srp_lsh_similarity_join
     if d.startswith("ivf"):
         # Faiss-style 'IVF100,Flat' → 100 coarse centroids
         m = re.match(r"ivf(\d+)", d)
@@ -1685,6 +1697,33 @@ def index_for_description(description: str):
             )
         return ivf_similarity_join
     return srp_lsh_similarity_join
+
+
+def parse_opq_description(description: str):
+    """Parse a Faiss-style OPQ descriptor — ``OPQ<m>[,IVF<c>][,PQ<m2>]``
+    → ``(pq_m, ivf_centroids | None)``. The subquantizer count the
+    codebooks train with is the PQ segment's when present (Faiss's
+    convention pairs OPQ<m> with PQ<m>; a mismatch follows the PQ
+    side, which is what actually shapes the codes), else the OPQ
+    segment's. Raises ValueError on a non-OPQ descriptor."""
+    import re
+
+    segs = [s.strip() for s in description.strip().lower().split(",")]
+    mo = re.match(r"opq(\d+)", segs[0])
+    if not mo:
+        raise ValueError(f"not an OPQ descriptor: {description!r}")
+    m = int(mo.group(1))
+    ivf = None
+    # per-SEGMENT matching: 'opq16' itself contains the substring
+    # 'pq16', so a whole-string search would misread the OPQ token
+    for s in segs[1:]:
+        iv = re.match(r"ivf(\d+)", s)
+        pq = re.match(r"pq(\d+)", s)
+        if iv:
+            ivf = int(iv.group(1))
+        elif pq:
+            m = int(pq.group(1))
+    return m, ivf
 
 
 # ------------------------------------------------------ scalar quantization
@@ -3385,7 +3424,8 @@ def hnsw_hierarchy_build(
     driver-side Lloyd, and md5-replayable membership. Caveat shared
     with real HNSW: a cluster is reachable only if some member drew
     a high level (P(miss) = (1-1/m)^cluster_size — why m defaults to
-    4 here, denser than HNSW's 1/M law, and why
+    2 here, the densest layering and far denser than HNSW's 1/M law
+    (P(miss) halves per member at m=2 vs the 0.75^size of m=4), and why
     ``ivf_graph_entries`` remains the geometry-aware alternative for
     few-huge-cluster corpora).
 

@@ -1774,6 +1774,23 @@ def stream_topk_search(
         q.processAllAvailable()
     finally:
         q.stop()
+        # per-call persists are released here: the returned DataFrame
+        # reads the parquet sink, not the cached relations, so the
+        # caller never observes the unpersist
+        graph.unpersist()
+        corpus.unpersist()
+    if not os.path.isdir(out_dir):
+        # a query stream that delivered zero rows never writes the
+        # sink — return an EMPTY frame with the serving schema
+        # instead of letting spark.read raise AnalysisException
+        id_type = dict(corpus.dtypes)[id_col]
+        return spark.createDataFrame(
+            [],
+            schema=(
+                f"query_id {id_type}, neighbor_id {id_type}, "
+                "rank int, sim_ppm long"
+            ),
+        )
     return (
         spark.read.parquet(out_dir)
         .dropDuplicates(["query_id", "rank"])

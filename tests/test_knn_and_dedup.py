@@ -2,6 +2,7 @@
 ANN tiers — the invariants SURVEY.md §5 lists as the reference's
 implicit expectations, plus ANN recall vs the exact oracle."""
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -131,13 +132,16 @@ def test_lsh_recall_vs_exact(embeddings):
             embeddings, "vec_id", "embedding", 0.40
         ).collect()
     }
-    approx = {
-        (r["id1"], r["id2"])
-        for r in ann.lsh_similarity_join(
-            embeddings, "vec_id", "embedding", 0.40,
-            bucket_length=2.0, num_hash_tables=6,
-        ).collect()
-    }
+    # the API-parity tier warns BY DESIGN — assert-and-swallow so the
+    # suite's warning summary only surfaces surprises
+    with pytest.warns(UserWarning, match="DEGENERATE"):
+        approx = {
+            (r["id1"], r["id2"])
+            for r in ann.lsh_similarity_join(
+                embeddings, "vec_id", "embedding", 0.40,
+                bucket_length=2.0, num_hash_tables=6,
+            ).collect()
+        }
     assert len(exact) > 0
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9

@@ -265,7 +265,10 @@ def test_lsh_model_save_load_roundtrip(embeddings, tmp_path):
 
     from job_post_similarity_spark.operators import ann
 
-    model, prepared = ann.lsh_fit(embeddings, "embedding", 2.0, 4)
+    # the API-parity tier warns BY DESIGN — assert-and-swallow so the
+    # suite's warning summary only surfaces surprises
+    with pytest.warns(UserWarning, match="DEGENERATE"):
+        model, prepared = ann.lsh_fit(embeddings, "embedding", 2.0, 4)
     path = str(tmp_path / "lsh_model")
     model.write().overwrite().save(path)
     loaded = BucketedRandomProjectionLSHModel.load(path)
@@ -913,6 +916,91 @@ def test_vector_search_hnsw_routes_to_graph_tier(spark, embeddings):
         ).collect()
     }
     assert got3 == {q: q + 3_000_000 for q in range(5, 10)}
+
+
+def test_opq_descriptor_parse_and_join_routing():
+    """Faiss 'OPQ…' descriptor surface (VERDICT r9 item 5): the parse
+    helper reads the segment family (per-segment, so 'opq16' never
+    misreads as 'pq16'), and the pair-join dispatch follows the inner
+    segment — rotation never changes cosine values."""
+    import functools
+
+    from job_post_similarity_spark.operators import ann
+
+    assert ann.parse_opq_description("OPQ16,IVF100,PQ8") == (8, 100)
+    assert ann.parse_opq_description("OPQ16,PQ8") == (8, None)
+    assert ann.parse_opq_description("OPQ4") == (4, None)
+    assert ann.parse_opq_description(" opq32 , ivf64 ") == (32, 64)
+    with pytest.raises(ValueError):
+        ann.parse_opq_description("IVF100,PQ8")
+
+    f = ann.index_for_description("OPQ16,IVF100,PQ8")
+    assert isinstance(f, functools.partial)
+    assert f.func is ann.ivf_similarity_join
+    assert f.keywords == {"n_centroids": 100}
+    assert (
+        ann.index_for_description("OPQ16,PQ8")
+        is ann.srp_lsh_similarity_join
+    )
+
+
+def test_vector_search_opq_descriptor_serves_planted_twins(
+    spark, embeddings
+):
+    """'OPQ<m>[,IVF<c>],PQ<m>' descriptors route VectorSearch.search
+    to the rotated ADC tier (VERDICT r9 item 5): the trained
+    (rotation, codebooks) + encoded relation are memoized per corpus,
+    a bit-identical planted twin is retrieved (rotation-invariant PQ
+    planted argument), and any mutation drops the memo."""
+    from job_post_similarity_spark.index_api import VectorSearch
+    from job_post_similarity_spark.operators import knn
+
+    emb = embeddings.select("vec_id", "embedding")
+    plant = 1_000_000
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + plant).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    for desc, kind in (("OPQ4,PQ4", "flat"), ("OPQ4,IVF8,PQ4", "ivf")):
+        vs = VectorSearch(64, desc, spark=spark)
+        vs.add(corpus)
+        vs.exact_shortcut_rows = 0
+        got = vs.search(queries, k=4)
+        assert {f.name for f in got.schema.fields} >= {
+            "query_id", "neighbor_id", "similarity", "rank",
+        }
+        rows = got.collect()
+        assert vs._opq is not None and vs._opq[0] == kind
+        found = {
+            r["query_id"]
+            for r in rows
+            if r["neighbor_id"] == r["query_id"] + plant
+        }
+        assert len(found) >= 16, (desc, sorted(found))
+        # memo survives a second batch, dies on mutation
+        memo = vs._opq
+        vs.search(queries.limit(3), k=2).collect()
+        assert vs._opq is memo
+        vs.remove([0])
+        assert vs._opq is None
+
+    # small corpora keep the exact shortcut regardless of descriptor
+    vs = VectorSearch(64, "OPQ4,PQ4", spark=spark)
+    vs.add(corpus)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vs.search(queries, k=1).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.knn_join(
+            queries, "vec_id", "embedding", k=1,
+            include_self=False, right=corpus,
+        ).collect()
+    }
+    assert got == want and vs._opq is None
 
 
 def test_vector_search_saves_and_reloads_graph_artifact(

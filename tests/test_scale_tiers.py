@@ -1494,6 +1494,51 @@ def test_stream_topk_search_multibatch_equals_batch(spark, tmp_path):
     assert len(parts) >= 2
 
 
+def test_stream_topk_search_empty_stream_returns_empty(spark, tmp_path):
+    """A query stream that delivers ZERO rows never writes the sink:
+    the facade must return an empty DataFrame with the serving schema
+    (query_id, neighbor_id, rank, sim_ppm) instead of letting
+    spark.read.parquet raise on the missing directory, and must
+    release its per-call graph/corpus persists either way."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        nn_descent_knn_graph,
+    )
+    from job_post_similarity_spark.streaming import stream_topk_search
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = _vec_df(spark, vecs)
+    g = nn_descent_knn_graph(df, k=4, iters=2)
+
+    qdir = str(tmp_path / "queries")
+    df.limit(0).write.parquet(qdir)  # schema-only, zero rows
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    got = stream_topk_search(
+        spark,
+        stream,
+        df,
+        str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        graph=g,
+        k=3,
+    )
+    assert got.collect() == []
+    assert [f.name for f in got.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "sim_ppm",
+    ]
+    # the per-call persists were released (caller never observes
+    # them: the non-empty path serves from the parquet sink)
+    assert not g.is_cached
+    assert not df.is_cached
+
+
 def test_filtered_topk_dispatch_branches(spark):
     """Selectivity dispatch of the filtered-ANN facade: a selective
     predicate serves EXACT over the filtered subset (equal to the
