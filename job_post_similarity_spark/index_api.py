@@ -77,6 +77,19 @@ class VectorSearch:
         # scaling once region count grows with the corpus
         self._hier: DataFrame | None = None
         self._hier_meta: dict | None = None
+        # memoized per-layer navigation membership (ann.
+        # hnsw_nav_members) — the descent's seed/scoring relations,
+        # kept resident beside the hierarchy so a warm serve never
+        # rescans the full corpus per layer; persisted with the
+        # hierarchy artifact on save()
+        self._nav: DataFrame | None = None
+        # memoized warm-serving navigation tables: the flat tier's
+        # (node, qv, nxts) relation and the descent tier's per-layer
+        # dict (ann.graph_nav_table / ann.hnsw_serving_state) —
+        # materialized once per index so every batch's plan references
+        # lineage-free relations (the loaded-Faiss zero-setup shape)
+        self._nav_tab: DataFrame | None = None
+        self._serving_state: dict | None = None
         # memoized OPQ tier ('OPQ…' descriptors): the trained
         # (rotation, codebooks) + the persisted encoded corpus for
         # the flat form, or the persisted ROTATED corpus for the
@@ -124,6 +137,15 @@ class VectorSearch:
             self._hier.unpersist()
             self._hier = None
             self._hier_meta = None
+        if self._nav is not None:
+            # membership is corpus-derived — stale with the hierarchy
+            self._nav.unpersist()
+            self._nav = None
+        # serving tables embed vectors AND adjacency — stale with the
+        # graph on ANY mutation (checkpointed blocks are released when
+        # the references drop)
+        self._nav_tab = None
+        self._serving_state = None
         if self._opq is not None:
             # the encoded/rotated relation is corpus-derived — any
             # mutation (warm or cold) stales it; the model retrains
@@ -188,10 +210,26 @@ class VectorSearch:
     #: corpora at or above this row count serve the HNSW tier by
     #: LAYERED DESCENT (ann.hnsw_topk_search over upper layers built
     #: on the memoized layer-0 graph) instead of flat provisioned
-    #: entries: the flat tier's hop-0 cost grows with the region
-    #: count a big corpus needs, the descent's with
-    #: log(n/start_budget). Tests lower it to exercise the path.
-    hierarchy_min_rows: int = 100_000
+    #: entries. Default equals exact_shortcut_rows — the descent IS
+    #: the approximate serving tier from the point approximate
+    #: serving starts: measured (r10, 20k-row 32-cluster fixture at
+    #: the 10x step) the flat tier's fixed-hop walk from one entry
+    #: per region collapses as intra-cluster graph diameter grows
+    #: (recall@1 0.10 at 4 hops) while the descent's exhaustive
+    #: ~start_budget-member seed holds 0.88-0.92 AND serves faster
+    #: warm (1.35 s vs 1.68 s). The flat provisioned-entries path
+    #: stays reachable (raise this knob, or call
+    #: ann.graph_topk_search directly) for corpora known to have
+    #: small, many clusters.
+    hierarchy_min_rows: int = 10_000
+
+    #: build knobs for the layered tier — recorded into the saved
+    #: hierarchy artifact's meta and REQUIRED to match on load (the
+    #: descent replays the md5 % m^l membership predicate, so serving
+    #: a hierarchy built with a different m would silently degrade
+    #: recall — ADVICE r9). One source of truth for build, serve,
+    #: save and load.
+    _HIER_KNOBS: dict = {"m": 2, "k": 8, "entry_budget": 512}
 
     def search(self, queries: DataFrame, k: int = 2) -> DataFrame:
         """k-NN search: (query_id, neighbor_id, similarity, rank).
@@ -333,29 +371,63 @@ class VectorSearch:
                         self._df, self.id_col
                     )
             if self.ntotal >= self.hierarchy_min_rows:
+                knobs = self._HIER_KNOBS
                 if self._hier is None:
                     meta: dict = {}
                     self._hier = ann.hnsw_hierarchy_build(
                         self._df, self.id_col, self.vec_col,
+                        k=knobs["k"], m=knobs["m"],
+                        entry_budget=knobs["entry_budget"],
                         corpus_rows=self.ntotal,
                         base_graph=self._graph, meta=meta,
                     ).persist()
                     self._hier_meta = meta
+                if self._nav is None:
+                    # per-layer membership, materialized once per
+                    # corpus — every batch's descent reads it instead
+                    # of md5-rescanning the full corpus per layer
+                    self._nav = ann.hnsw_nav_members(
+                        self._df, self.id_col, self.vec_col,
+                        m=knobs["m"],
+                        top_layer=self._hier_meta["top_layer"],
+                    ).persist()
+                if self._serving_state is None:
+                    # prebuilt (node, qv, nxts) tables per layer —
+                    # each batch's plan references lineage-free
+                    # relations (zero per-batch setup, the loaded-
+                    # Faiss shape)
+                    self._serving_state = ann.hnsw_serving_state(
+                        self._df, self._hier,
+                        self._hier_meta["top_layer"],
+                        id_col=self.id_col, vec_col=self.vec_col,
+                        nav_members=self._nav, m=knobs["m"],
+                    )
                 return ann.hnsw_topk_search(
                     queries, self._df, k=k,
                     id_col=self.id_col, vec_col=self.vec_col,
                     hierarchy=self._hier,
+                    m=knobs["m"],
+                    graph_k=knobs["k"],
+                    entry_budget=knobs["entry_budget"],
                     corpus_rows=self.ntotal,
                     top_layer=self._hier_meta["top_layer"],
                     layer_sizes=self._hier_meta["layer_sizes"],
                     size_cap=self._hier_meta.get("size_cap"),
+                    nav_members=self._nav,
+                    serving_state=self._serving_state,
                 )
+            if self._nav_tab is None:
+                # flat-tier warm-serving state, one per index build
+                self._nav_tab = ann.graph_nav_table(
+                    self._df, self._graph, self.id_col, self.vec_col
+                ).localCheckpoint()
             return ann.graph_topk_search(
                 queries, self._df, k=k,
                 id_col=self.id_col, vec_col=self.vec_col,
                 graph=self._graph,
                 entries=self._graph_entries,
                 corpus_rows=self.ntotal,
+                nav_tab=self._nav_tab,
             )
         return ann.srp_topk_search(
             queries, self._df, k=k, id_col=self.id_col, vec_col=self.vec_col
@@ -418,14 +490,24 @@ class VectorSearch:
             index_store.delete_index(index_path + "__graph")
         if self._hier is not None and self._hier_meta is not None:
             # at-scale tier: the layered hierarchy persists beside the
-            # vectors too, so a reloaded index descends immediately
+            # vectors too — WITH the per-layer navigation membership
+            # and the build knobs, so a reloaded index descends
+            # immediately and with the right membership predicate
+            if self._nav is None:
+                self._nav = ann.hnsw_nav_members(
+                    self._df, self.id_col, self.vec_col,
+                    m=self._HIER_KNOBS["m"],
+                    top_layer=self._hier_meta["top_layer"],
+                ).persist()
             index_store.save_hnsw_hierarchy(
                 index_path + "__hier",
                 self._hier,
                 self.ntotal,
                 self._hier_meta["top_layer"],
                 self._hier_meta["layer_sizes"],
+                params=dict(self._HIER_KNOBS),
                 size_cap=self._hier_meta.get("size_cap"),
+                nav_members=self._nav,
             )
         else:
             index_store.delete_index(index_path + "__hier")
@@ -459,8 +541,13 @@ class VectorSearch:
         except index_store.IndexLoadError:
             pass
         try:
+            # expect= refuses a hierarchy built with different knobs
+            # (a mismatched m would be served through the wrong
+            # md5 % m^l membership predicate — ADVICE r9); n_rows
+            # keeps the flat artifact's staleness contract
             hier, hmeta = index_store.load_hnsw_hierarchy(
-                self._spark, index_path + "__hier"
+                self._spark, index_path + "__hier",
+                expect=self._HIER_KNOBS,
             )
             if hmeta["n_rows"] == self.ntotal:
                 self._hier = hier.persist()
@@ -469,6 +556,11 @@ class VectorSearch:
                     "layer_sizes": hmeta["layer_sizes"],
                     "size_cap": hmeta.get("size_cap"),
                 }
+                nav = index_store.load_hnsw_nav(
+                    self._spark, index_path + "__hier"
+                )
+                if nav is not None:
+                    self._nav = nav.persist()
         except index_store.IndexLoadError:
             pass
 

@@ -2726,6 +2726,36 @@ def nn_descent_refresh(
     )
 
 
+def graph_nav_table(
+    df: DataFrame,
+    graph: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The beam search's per-node navigation relation —
+    ``(node, qv, nxts)``: quantized vector + grouped adjacency list —
+    built ONCE as warm-serving state (a loaded Faiss index carries
+    exactly this in RAM; app/vector_search.py:241-294). Callers
+    persist/localCheckpoint it and pass it to
+    ``graph_beam_search(nav_tab=...)`` / ``hnsw_topk_search(
+    serving_state=...)`` so each serving batch's plan references the
+    prebuilt relation instead of re-deriving (and re-planning) the
+    groupBy+join per call. Nodes with no outgoing edges keep a NULL
+    ``nxts`` (the left join) — the hop explode coalesces it."""
+    quant = _micro_quant(vec_col)
+    qtab = df.select(F.col(id_col).alias("node"), quant.alias("qv"))
+    edges = graph.select(
+        F.col("id").alias("node"), F.col("neighbor_id").alias("nxt")
+    )
+    return qtab.join(
+        F.broadcast(
+            edges.groupBy("node").agg(F.collect_list("nxt").alias("nxts"))
+        ),
+        "node",
+        "left",
+    )
+
+
 def graph_beam_search(
     df: DataFrame,
     graph: DataFrame,
@@ -2741,6 +2771,7 @@ def graph_beam_search(
     entries_df: DataFrame | None = None,
     raw: bool = False,
     query_rows: int | None = None,
+    nav_tab: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy beam search over a kNN graph — the SERVING half of the
     graph-index tier (``nn_descent_knn_graph`` is the build half):
@@ -2777,7 +2808,18 @@ def graph_beam_search(
     the final beam itself — ``(qid, node, dot)``, ≤ ``beam`` rows per
     query, NO self-exclusion or top-k cut — which is what a descent
     consumes (``k`` is ignored; the beam width is the contract).
-    """
+
+    ``nav_tab`` (from ``graph_nav_table`` — a PERSISTED/checkpointed
+    ``(node, qv, nxts)`` relation: quantized vector + grouped
+    adjacency per node) is the warm-serving state: without it every
+    call re-derives that relation from ``df``+``graph`` (a groupBy +
+    join whose planning and execution repeat per batch — measured
+    ~3× of warm serve latency at 20k rows); with it each hop's plan
+    references the prebuilt relation directly. Small-corpus path
+    only (the ≤100k broadcast regime — at larger sizes the node-keyed
+    shuffle joins dominate and the grouped relation is built in-plan);
+    values must match ``df``/``graph`` — the caller owns staleness
+    (VectorSearch/index_store invalidate on mutation)."""
     from pyspark.sql.window import Window
 
     if k < 1 or hops < 0:
@@ -2873,18 +2915,20 @@ def graph_beam_search(
     small_batch = small and n_queries <= 100_000
     tiny_batch = small and n_queries <= 1_000
     if small:
-        # the adjacency attach is itself a broadcast join (the grouped
-        # edge table is ≤ n rows), so building nav_tab costs ONE small
-        # exchange (the groupBy) and no shuffle of the vector table
-        nav_tab = qtab.join(
-            F.broadcast(
-                edges.groupBy("node").agg(
-                    F.collect_list("nxt").alias("nxts")
-                )
-            ),
-            "node",
-            "left",
-        )
+        if nav_tab is None:
+            # the adjacency attach is itself a broadcast join (the
+            # grouped edge table is ≤ n rows), so building nav_tab
+            # costs ONE small exchange (the groupBy) and no shuffle
+            # of the vector table
+            nav_tab = qtab.join(
+                F.broadcast(
+                    edges.groupBy("node").agg(
+                        F.collect_list("nxt").alias("nxts")
+                    )
+                ),
+                "node",
+                "left",
+            )
         q_score = F.broadcast(nav_tab)
         query_side = F.broadcast(queries) if small_batch else queries
     else:
@@ -3227,6 +3271,7 @@ def graph_topk_search(
     graph_k: int = 8,
     iters: int = 3,
     corpus_rows: int | None = None,
+    nav_tab: DataFrame | None = None,
 ) -> DataFrame:
     """HNSW-shaped serving facade: NN-Descent graph build +
     ``graph_beam_search`` over an external query batch — the
@@ -3251,10 +3296,21 @@ def graph_topk_search(
     structure. On structureless random unit vectors recall@1 is poor
     for ANY graph index — gate graph_recall_vs_exact_embeddings pins
     ≥ 0.9 recall on the clustered fixture; srp_topk_search remains
-    the unstructured-data tier. Output: (query_id, neighbor_id,
+    the unstructured-data tier. SIZE regime (measured r10): a fixed
+    ``hops`` walk from one entry per region degrades as intra-cluster
+    graph diameter grows with cluster size (recall@1 1.0 at ~60-row
+    clusters, 0.10 at ~600-row clusters, 4 hops) — above ~10k corpus
+    rows prefer the layered tier (``hnsw_topk_search``; its
+    exhaustive ~start_budget-member seed is cluster-size-robust),
+    which is what ``VectorSearch`` dispatches. Output: (query_id, neighbor_id,
     similarity, rank) — similarity is the integer micro-dot scaled
     back to ~cosine (1e-6 precision), matching the contract of the
     other top-k tiers.
+
+    ``nav_tab`` (``graph_nav_table(corpus, graph)``, persisted) is
+    the flat tier's warm-serving state — same contract as
+    ``graph_beam_search(nav_tab=...)``: batch-serving callers build
+    it once beside the graph and entries.
     """
     if graph is None:
         graph = nn_descent_knn_graph(
@@ -3278,6 +3334,7 @@ def graph_topk_search(
         entries=entries,
         queries_df=queries,
         corpus_rows=corpus_rows,
+        nav_tab=nav_tab,
     )
     return out.select(
         "query_id",
@@ -3336,6 +3393,105 @@ def hnsw_levels(
     for l in range(1, max_level + 1):
         lvl = F.when(h % (m**l) == 0, l).otherwise(lvl)
     return df.select(F.col(id_col), lvl.cast("int").alias("level"))
+
+
+def hnsw_nav_members(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    top_layer: int = 1,
+) -> DataFrame:
+    """Materialized per-layer NAVIGATION MEMBERSHIP — the serving
+    state a loaded Faiss HNSW index carries implicitly (its in-RAM
+    per-level adjacency; reference serves with zero per-query setup,
+    app/vector_search.py:241-294) and the relational descent had been
+    recomputing per batch: every walked layer's member rows
+    ``(layer, id, vec)`` for layers 1..top_layer+1, derived from the
+    md5 level draw in ONE corpus scan (a node at level L is a member
+    of every layer <= L, so membership explodes from the level
+    expression — no joins).
+
+    Size: Σ_{l>=1} n/m^l <= n/(m-1) rows — at the default m=2 about
+    one extra corpus-worth of (id, vec) pairs, the price of serving
+    without per-layer corpus rescans. ``hnsw_topk_search`` accepts it
+    via ``nav_members=``: the start-layer seed, the top+1 entry
+    membership, and every walked layer's scoring relation then read
+    this (persisted or parquet-partition-pruned) table instead of
+    re-filtering the FULL corpus with the md5 predicate per layer per
+    batch — the setup that kept the warm serve exponent at 0.68.
+    Layer top_layer+1 is included because the serve path seeds from
+    the ENTRY membership above the top built layer when no built
+    layer fits its start budget."""
+    cap = top_layer + 1
+    h = _hnsw_hash(id_col)
+    lvl = F.lit(0)
+    for l in range(1, cap + 1):
+        lvl = F.when(h % (m**l) == 0, l).otherwise(lvl)
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col), lvl.alias("__lv"))
+        .filter(F.col("__lv") >= 1)
+        .select(
+            # sequence of two int literals/columns is array<int>, so
+            # 'layer' comes out int without a cast (a cast here would
+            # nest the generator inside an expression, which Spark
+            # rejects)
+            F.explode(F.sequence(F.lit(1), F.col("__lv"))).alias("layer"),
+            id_col,
+            vec_col,
+        )
+    )
+
+
+def hnsw_serving_state(
+    corpus: DataFrame,
+    hierarchy: DataFrame,
+    top_layer: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nav_members: DataFrame | None = None,
+    m: int = 2,
+    materialize: bool = True,
+) -> dict:
+    """Build the descent's WARM SERVING STATE once per index: the
+    per-layer ``(node, qv, nxts)`` navigation tables
+    (``graph_nav_table``) for every walkable layer 1..top plus the
+    layer-0 table over the FULL corpus with the union of all layers'
+    edges (exactly the relation the in-plan path derives — duplicate
+    cross-layer edges pad the grouped lists identically, so serving
+    through the state is a pure substitution). Returns
+    ``{layer: nav_tab}`` for ``hnsw_topk_search(serving_state=...)``.
+
+    ``materialize=True`` localCheckpoints each table (eager): the
+    serving plans then reference lineage-free in-memory relations —
+    zero per-batch derivation, grouping, or re-planning of the
+    navigation relations, the role the reference's loaded Faiss HNSW
+    structure plays (app/vector_search.py:241-294). Size: layer 0
+    holds n rows; layers above sum to ≤ n/(m-1) — the same budget as
+    ``nav_members``, which supplies the per-layer member vectors
+    without rescanning the corpus when provided."""
+    tabs: dict = {}
+    for l in range(1, top_layer + 1):
+        if nav_members is not None:
+            members_l = nav_members.filter(F.col("layer") == l).select(
+                id_col, vec_col
+            )
+        else:
+            members_l = corpus.filter(
+                _hnsw_hash(id_col) % (m**l) == 0
+            ).select(id_col, vec_col)
+        tabs[l] = graph_nav_table(
+            members_l,
+            hierarchy.filter(F.col("layer") == l),
+            id_col,
+            vec_col,
+        )
+    tabs[0] = graph_nav_table(
+        corpus, hierarchy.select("id", "neighbor_id"), id_col, vec_col
+    )
+    if materialize:
+        tabs = {l: t.localCheckpoint() for l, t in tabs.items()}
+    return tabs
 
 
 def _exact_knn_graph(
@@ -3504,6 +3660,9 @@ def hnsw_topk_search(
     start_budget: int = 1024,
     size_cap: int | None = None,
     descent_stride: int | None = None,
+    nav_members: DataFrame | None = None,
+    serving_state: dict | None = None,
+    max_walks: int | None = None,
 ) -> DataFrame:
     """Serve top-k by LAYERED DESCENT over a ``hnsw_hierarchy_build``
     hierarchy — the HNSW search loop, relationally, with one latency
@@ -3536,7 +3695,36 @@ def hnsw_topk_search(
     stride that makes the walked size ratio ≈ 4× (stride 2 at m=2):
     m=2 builds dense layers for COVERAGE, but walking all of them
     pays a blocking round per layer for refinement the next walk
-    re-does anyway."""
+    re-does anyway.
+
+    ``nav_members`` (from ``hnsw_nav_members`` — persisted in RAM by
+    a warm server, or parquet beside the saved hierarchy via
+    ``index_store``) is the per-layer membership relation
+    ``(layer, id, vec)`` for layers 1..top+1: when provided, the
+    start seed, the entry membership, and every walked layer's
+    scoring relation read it (small, layer-pruned) instead of
+    re-filtering the FULL corpus with the md5 predicate per layer —
+    the per-batch setup a loaded Faiss HNSW never pays
+    (app/vector_search.py:241-294). It must have been built with the
+    same ``m`` and cover layers through top+1; ``index_store`` keeps
+    the knobs in the artifact meta and refuses a mismatch.
+
+    ``serving_state`` (from ``hnsw_serving_state``) goes one step
+    further: the per-layer ``(node, qv, nxts)`` navigation tables are
+    prebuilt and MATERIALIZED once, so each walk's and the final
+    search's plan references a lineage-free relation — per-batch
+    planning+grouping work drops out entirely (the warm-latency
+    lever; Faiss pays zero per-query setup for the same reason).
+
+    ``max_walks`` caps the intermediate beam-walks between the start
+    seed and layer 0. Default (None) is adaptive: 0 when the seed
+    scored a fitted layer exhaustively (the seed is already
+    basin-accurate; walking from it narrows the candidate pool and
+    pays a blocking round per layer — measured recall@1 0.78 walked
+    vs 0.92 direct at the 10x step, 3.7 s vs 0.9 s warm), the full
+    strided descent when seeding from the sparse entry membership
+    (no fitted layer — HNSW's actual regime, where the walks ARE the
+    navigation). Pass an int to pin either behavior."""
     n = corpus_rows if corpus_rows is not None else corpus.count()
     if hierarchy is None:
         built_meta: dict = {}
@@ -3593,9 +3781,33 @@ def hnsw_topk_search(
     ]
     if fits:
         s = min(fits)
+        if nav_members is not None:
+            # one row per member by construction — no distinct, no
+            # edge-table scan
+            members = nav_members.filter(F.col("layer") == s).select(
+                F.col(id_col).alias("node")
+            )
+        else:
+            members = (
+                hierarchy.filter(F.col("layer") == s)
+                .select(F.col("id").alias("node"))
+                .distinct()
+            )
+    elif nav_members is not None and top >= 1:
+        # entry membership above the top built layer + the smallest-id
+        # backstop, both straight from the materialized member table
+        # (layer top+1 may be empty on a tiny corpus — the backstop
+        # rows are layer-top members, so the walk cannot drop them)
+        s = top + 1
         members = (
-            hierarchy.filter(F.col("layer") == s)
-            .select(F.col("id").alias("node"))
+            nav_members.filter(F.col("layer") == s)
+            .select(F.col(id_col).alias("node"))
+            .unionByName(
+                nav_members.filter(F.col("layer") == top)
+                .select(F.col(id_col).alias("node"))
+                .orderBy("node")
+                .limit(beam)
+            )
             .distinct()
         )
     else:
@@ -3628,14 +3840,36 @@ def hnsw_topk_search(
         import math as _math
 
         descent_stride = max(1, round(_math.log(4, m)))
-    for l in range(s - 1, 0, -descent_stride):
+    walk_layers = list(range(s - 1, 0, -descent_stride))
+    if max_walks is None:
+        # auto policy (measured on the 10x clustered fixture, r10):
+        # an EXHAUSTIVE seed over a fitted layer already lands every
+        # query in its basin — intermediate beam-walks from there
+        # LOSE candidates (narrow upper_beam hand-offs collapse
+        # diversity: recall@1 0.78 walked vs 0.92 direct) and pay a
+        # blocking round each (3.7 s vs 0.9 s warm). Walks carry the
+        # navigation only when the seed is the SPARSE entry
+        # membership (no layer fit start_budget) — there the full
+        # descent remains the mechanism, exactly HNSW's regime.
+        max_walks = 0 if fits else len(walk_layers)
+    walk_layers = walk_layers[: max_walks]
+    for l in walk_layers:
         g_l = hierarchy.filter(F.col("layer") == l).drop("layer")
         # the walk only ever visits layer members, so its scoring
         # relation is the MEMBER subset (a map-side hash predicate,
         # no join) — without this every upper walk rebuilt its
         # broadcast from the FULL corpus and warm-serve latency grew
-        # linearly in n (measured exponent 0.95 at the 10x step)
-        corpus_l = corpus.filter(_hnsw_hash(id_col) % (m**l) == 0)
+        # linearly in n (measured exponent 0.95 at the 10x step).
+        # With nav_members the subset is already materialized: the
+        # md5 predicate still rescans the full corpus per layer per
+        # batch, the member table reads Σ n/m^l rows ONCE total.
+        corpus_l = (
+            nav_members.filter(F.col("layer") == l).select(
+                id_col, vec_col
+            )
+            if nav_members is not None
+            else corpus.filter(_hnsw_hash(id_col) % (m**l) == 0)
+        )
         res = graph_beam_search(
             corpus_l,
             g_l,
@@ -3650,6 +3884,7 @@ def hnsw_topk_search(
             entries_df=ent_df,
             raw=True,
             query_rows=nq,
+            nav_tab=(serving_state or {}).get(l),
         )
         # lazy hand-off: |queries|·upper_beam rows. The checkpoint
         # truncates LINEAGE (so Catalyst never re-optimizes the whole
@@ -3682,6 +3917,7 @@ def hnsw_topk_search(
         corpus_rows=n,
         entries_df=ent_df,
         query_rows=nq,
+        nav_tab=(serving_state or {}).get(0),
     )
     return out.select(
         "query_id",

@@ -39,6 +39,7 @@ _FORMAT_VERSION = 1
 _META = "meta.json"
 _QUANTIZER = "quantizer.npz"
 _ROWS = "rows"
+_NAV = "nav_members"
 
 
 class IndexLoadError(RuntimeError):
@@ -494,15 +495,40 @@ def save_hnsw_hierarchy(
     layer_sizes: dict,
     params: dict | None = None,
     size_cap: int | None = None,
+    nav_members: DataFrame | None = None,
 ) -> None:
     """Persist a layered HNSW hierarchy (``ann.hnsw_hierarchy_build``
     output — the (layer, id, neighbor_id, rank, sim_ppm) edge table)
     plus the serving metadata (``top_layer``, per-layer sizes) the
     descent needs to start without rediscovery jobs. Same staleness
     contract as the flat graph artifact: ``n_rows`` mismatch means
-    rebuild."""
+    rebuild.
+
+    Both the edge table and the optional ``nav_members`` relation
+    (``ann.hnsw_nav_members`` — the per-layer (layer, id, vec)
+    membership the descent's seed/scoring steps read) are written
+    PARTITIONED BY layer: every per-layer access at serve time is a
+    pruned scan of one small partition, never a full-artifact filter
+    — the loaded index serves with zero per-query setup, like the
+    reference's loaded Faiss HNSW (app/vector_search.py:241-294).
+
+    ``params`` should carry the BUILD KNOBS (``m``, ``k``,
+    ``entry_budget``): the md5 membership predicate the descent
+    replays is a function of ``m``, so serving a hierarchy with a
+    different ``m`` than it was built with silently degrades recall —
+    ``load_hnsw_hierarchy(expect=...)`` refuses the mismatch."""
     os.makedirs(path, exist_ok=True)
-    hier.write.mode("overwrite").parquet(os.path.join(path, _ROWS))
+    hier.write.mode("overwrite").partitionBy("layer").parquet(
+        os.path.join(path, _ROWS)
+    )
+    nav_dir = os.path.join(path, _NAV)
+    if nav_members is not None:
+        nav_members.write.mode("overwrite").partitionBy("layer").parquet(
+            nav_dir
+        )
+    else:
+        # a prior save's nav table must not outlive its hierarchy
+        delete_index(nav_dir)
     _write_meta(
         path,
         {
@@ -511,21 +537,50 @@ def save_hnsw_hierarchy(
             "top_layer": int(top_layer),
             "layer_sizes": {str(k): int(v) for k, v in layer_sizes.items()},
             "size_cap": None if size_cap is None else int(size_cap),
+            "has_nav": nav_members is not None,
             **(params or {}),
         },
     )
 
 
-def load_hnsw_hierarchy(spark: SparkSession, path: str):
+def load_hnsw_hierarchy(
+    spark: SparkSession, path: str, expect: dict | None = None
+):
     """→ (hierarchy DataFrame, meta dict with int-keyed
-    ``layer_sizes``); IndexLoadError on a missing/corrupt artifact."""
+    ``layer_sizes``); IndexLoadError on a missing/corrupt artifact.
+
+    ``expect`` maps build-knob names (``m``, ``k``,
+    ``entry_budget``, …) to the values the serving stack will replay;
+    any knob that is present in BOTH the meta and ``expect`` but
+    differs raises IndexLoadError — adopting a hierarchy built with a
+    different ``m`` would serve descent seeds through the wrong
+    membership predicate (md5 % m^l) and silently degrade recall. A
+    knob missing from the meta (pre-knob artifact vintage) also
+    refuses: staleness must fail loudly, not probabilistically."""
     meta = _read_meta(path)
     if meta.get("kind") != "hnsw_hierarchy":
         raise IndexLoadError(
             f"kind {meta.get('kind')!r} is not 'hnsw_hierarchy'"
         )
+    for knob, want in (expect or {}).items():
+        have = meta.get(knob)
+        if have != want:
+            raise IndexLoadError(
+                f"hierarchy build knob {knob}={have!r} does not match "
+                f"the serving stack's {want!r} — rebuild"
+            )
     meta["layer_sizes"] = {
         int(k): int(v) for k, v in meta.get("layer_sizes", {}).items()
     }
     hier = _read_rows(spark, path)
     return hier, meta
+
+
+def load_hnsw_nav(spark: SparkSession, path: str) -> DataFrame | None:
+    """The persisted ``ann.hnsw_nav_members`` relation saved beside a
+    hierarchy artifact, or None when the artifact was saved without
+    one (callers fall back to the md5-predicate path)."""
+    nav_dir = os.path.join(path, _NAV)
+    if not os.path.isdir(nav_dir):
+        return None
+    return spark.read.parquet(nav_dir)

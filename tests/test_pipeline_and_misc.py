@@ -1908,8 +1908,18 @@ def test_vector_search_saves_and_reloads_hierarchy_artifact(
     vs2.exact_shortcut_rows = 0
     vs2.hierarchy_min_rows = 1
     assert vs2._hier is not None and vs2._hier_meta is not None
+    # the per-layer nav membership rides the artifact too — the
+    # reloaded index serves without md5-rescanning the corpus
+    assert vs2._nav is not None
     got = sorted(map(tuple, vs2.search(queries, k=2).collect()))
     assert got == want
+
+    # a knob mismatch refuses the hierarchy artifact (ADVICE r9):
+    # the descent would replay the wrong md5 % m^l membership
+    vs_m4 = VectorSearch(dim, "HNSW32", spark=spark)
+    vs_m4._HIER_KNOBS = {**VectorSearch._HIER_KNOBS, "m": 4}
+    vs_m4.load(path)
+    assert vs_m4._hier is None and vs_m4._nav is None
 
     # a save from an instance WITHOUT a built hierarchy removes the
     # stale sibling (same lifecycle rule as the flat graph artifact)

@@ -1398,13 +1398,14 @@ def test_hnsw_descent_navigates_stranded_clusters(spark):
 
     qids = [15, 27, 39, 44, 58]
     queries = df.filter(F.col("vec_id").isin(qids))
-    # start_budget=8 too, so the serve path actually WALKS the upper
-    # layers (the default 1024 would seed exhaustively from layer 1
-    # on a 60-row corpus and skip the descent)
+    # start_budget=8 too, and max_walks pins the WALKED descent (the
+    # r10 adaptive default skips walks whenever a fitted layer was
+    # seeded exhaustively — this test exists to prove the walks
+    # themselves navigate, so force them)
     served = hnsw_topk_search(
         queries, df, k=1, hierarchy=hier, entry_budget=8,
         top_layer=meta["top_layer"], layer_sizes=meta["layer_sizes"],
-        start_budget=8,
+        start_budget=8, max_walks=99,
     )
     hits = sum(
         1
@@ -1412,6 +1413,157 @@ def test_hnsw_descent_navigates_stranded_clusters(spark):
         if r["rank"] == 1 and r["neighbor_id"] // 10 == r["query_id"] // 10
     )
     assert hits == len(qids)
+
+
+def test_hnsw_nav_members_match_md5_predicate(spark):
+    """The materialized navigation membership (one scan, explode from
+    the level expression) equals the md5 % m^l predicate the descent
+    replays, per layer 1..top+1, with exactly one row per member —
+    the equivalence that makes nav_members a pure serving-state
+    substitution."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        _hnsw_hash,
+        hnsw_nav_members,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(200, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = _vec_df(spark, vecs)
+    for m in (2, 4):
+        top = 2
+        nav = hnsw_nav_members(df, m=m, top_layer=top)
+        rows = nav.collect()
+        assert len(rows) == len({(r["layer"], r["vec_id"]) for r in rows})
+        by_layer = {}
+        for r in rows:
+            by_layer.setdefault(r["layer"], set()).add(r["vec_id"])
+        for l in range(1, top + 2):
+            want = {
+                r["vec_id"]
+                for r in df.filter(
+                    _hnsw_hash("vec_id") % (m**l) == 0
+                ).collect()
+            }
+            assert by_layer.get(l, set()) == want, (m, l)
+        # vectors ride along unchanged
+        sample = nav.filter(F.col("layer") == 1).limit(1).collect()
+        if sample:
+            vid = sample[0]["vec_id"]
+            assert sample[0]["embedding"] == list(map(float, vecs[vid]))
+
+
+def test_hnsw_descent_with_nav_state_equals_without(spark):
+    """Serving through persisted nav state is a pure substitution:
+    identical output rows with and without nav_members, on both the
+    walked-descent path (a built layer fits start_budget) and the
+    entry-membership path (none fits — seed from level top+1 + the
+    smallest-id backstop)."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        hnsw_hierarchy_build,
+        hnsw_nav_members,
+        hnsw_topk_search,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 24))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:
+        pts = c + 0.05 * rng.normal(size=(10, 24))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+    df = _vec_df(spark, vecs)
+    meta = {}
+    hier = hnsw_hierarchy_build(df, k=8, iters=3, entry_budget=8, meta=meta)
+    nav = hnsw_nav_members(df, m=2, top_layer=meta["top_layer"])
+    queries = df.filter(F.col("vec_id").isin([15, 27, 39, 44, 58]))
+    # sb=8 → fitted exhaustive seed (0 walks by the adaptive
+    # default); sb=1 → entry-membership seed (full walked descent);
+    # mw=99 at sb=8 → fitted seed + forced walks. All three paths
+    # must be pure substitutions under nav state.
+    for sb, mw in ((8, None), (1, None), (8, 99)):
+        kw = dict(
+            k=2, hierarchy=hier, entry_budget=8,
+            top_layer=meta["top_layer"],
+            layer_sizes=meta["layer_sizes"], start_budget=sb,
+            max_walks=mw,
+        )
+        without = sorted(
+            map(tuple, hnsw_topk_search(queries, df, **kw).collect())
+        )
+        with_nav = sorted(
+            map(
+                tuple,
+                hnsw_topk_search(
+                    queries, df, nav_members=nav, **kw
+                ).collect(),
+            )
+        )
+        assert with_nav == without, (sb, mw)
+        assert len(with_nav) == 10  # 5 queries × k=2
+
+
+def test_hierarchy_artifact_roundtrip_with_nav_and_knobs(spark, tmp_path):
+    """save_hnsw_hierarchy persists the nav membership beside the
+    layer-partitioned edges and records the build knobs; load refuses
+    a knob mismatch OR a pre-knob artifact when the caller states its
+    expectations (ADVICE r9: a hierarchy built with a different m
+    must not be served through the wrong membership predicate)."""
+    import numpy as np
+    import pytest
+
+    from job_post_similarity_spark.operators import index_store
+    from job_post_similarity_spark.operators.ann import (
+        hnsw_hierarchy_build,
+        hnsw_nav_members,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = _vec_df(spark, vecs)
+    meta = {}
+    hier = hnsw_hierarchy_build(df, k=4, iters=2, entry_budget=8, meta=meta)
+    nav = hnsw_nav_members(df, m=2, top_layer=meta["top_layer"])
+    path = str(tmp_path / "hier")
+    knobs = {"m": 2, "k": 4, "entry_budget": 8}
+    index_store.save_hnsw_hierarchy(
+        path, hier, 60, meta["top_layer"], meta["layer_sizes"],
+        params=knobs, nav_members=nav,
+    )
+
+    back, bmeta = index_store.load_hnsw_hierarchy(spark, path, expect=knobs)
+    assert bmeta["n_rows"] == 60 and bmeta["m"] == 2
+    assert sorted(map(tuple, back.select(hier.columns).collect())) == sorted(
+        map(tuple, hier.collect())
+    )
+    nav_back = index_store.load_hnsw_nav(spark, path)
+    assert nav_back is not None
+    assert sorted(
+        map(tuple, nav_back.select(nav.columns).collect())
+    ) == sorted(map(tuple, nav.collect()))
+
+    with pytest.raises(index_store.IndexLoadError, match="knob m="):
+        index_store.load_hnsw_hierarchy(
+            spark, path, expect={**knobs, "m": 4}
+        )
+    # pre-knob vintage (meta without the knob) also refuses
+    with pytest.raises(index_store.IndexLoadError, match="knob"):
+        index_store.load_hnsw_hierarchy(
+            spark, path, expect={"iters": 3}
+        )
+
+    # a save without nav drops a stale nav table
+    index_store.save_hnsw_hierarchy(
+        path, hier, 60, meta["top_layer"], meta["layer_sizes"],
+        params=knobs,
+    )
+    assert index_store.load_hnsw_nav(spark, path) is None
 
 
 def test_hnsw_descent_tiny_corpus_falls_back_flat(spark):
