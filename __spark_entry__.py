@@ -1676,6 +1676,98 @@ def graph_insert_exact_embeddings(
     )
 
 
+def hierarchy_insert_exact_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental HIERARCHY maintenance gate (round 10 —
+    ``ann.hnsw_hierarchy_insert``; staged oracle for the r11 window):
+    insert 50 planted twins into the layered hierarchy built over the
+    exact 400-row clustered graph, repairing each layer the twins'
+    md5 levels touch — the result must equal the hierarchy REBUILT
+    over the union from the brute-force exact union layer-0 graph,
+    byte for byte across every layer (skip edges included; the
+    exact-tier layers rebuild over union members, layer 0 carries the
+    r9 insert gate's strictly-stronger-than-cold contract). The
+    reference keeps its HNSW levels incremental on add
+    (app/vector_search.py:85-141) — this proves ours does too."""
+    from pyspark.sql.window import Window
+
+    from job_post_similarity_spark.operators import ann
+    from job_post_similarity_spark.operators.ann import (
+        _SIM_PPM_SQL,
+        _int_dot,
+        _micro_quant,
+    )
+
+    clustered, n, step = _clustered_emb_corpus(spark, sf_dir, limit=400)
+    emb = clustered.select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    union = emb.unionByName(twins)
+    entries, _qids = _graph_fixture_picks(clustered, n, step)
+
+    def exact_topk(frame):
+        # plain exact top-8 (no skips) — the layer-0 reference
+        q = frame.select(
+            F.col("vec_id").alias("id"),
+            _micro_quant("embedding").alias("q"),
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+        return (
+            q.alias("a")
+            .join(q.alias("b"), F.col("a.id") != F.col("b.id"))
+            .select(
+                F.col("a.id").alias("src"),
+                F.col("b.id").alias("dst"),
+                _int_dot("a.q", "b.q").alias("dot"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 8)
+            .select(
+                F.col("src").alias("id"),
+                F.col("dst").alias("neighbor_id"),
+                F.col("rn").cast("int").alias("rank"),
+                F.expr(_SIM_PPM_SQL).cast("long").alias("sim_ppm"),
+            )
+        )
+
+    meta: dict = {}
+    hier = ann.hnsw_hierarchy_build(
+        emb, k=8, iters=3, entry_budget=8,
+        base_graph=exact_topk(emb), corpus_rows=400, meta=meta,
+    )
+    ins_meta: dict = {}
+    ins = ann.hnsw_hierarchy_insert(
+        emb, hier, twins, k=8, entry_budget=8, corpus_rows=400,
+        entries=entries, meta=ins_meta,
+    ).persist()
+    want_meta: dict = {}
+    want = ann.hnsw_hierarchy_build(
+        union, k=8, iters=3, entry_budget=8,
+        base_graph=exact_topk(union), corpus_rows=450, meta=want_meta,
+    ).persist()
+    cols = ["layer", "id", "neighbor_id", "rank", "sim_ppm"]
+    try:
+        n_diff = (
+            ins.select(*cols)
+            .exceptAll(want.select(*cols))
+            .unionAll(want.select(*cols).exceptAll(ins.select(*cols)))
+            .count()
+        )
+    finally:
+        ins.unpersist()
+        want.unpersist()
+    return spark.createDataFrame(
+        [(
+            n_diff,
+            ins_meta["top_layer"] == want_meta["top_layer"],
+            n_diff == 0,
+        )],
+        "n_diff long, tops_match boolean, insert_equals_rebuild boolean",
+    )
+
+
 # unigram-LM gate knobs, shared by both gates and the SQL replay
 # generator (one definition so they cannot drift)
 _UNIGRAM_KNOBS = dict(
@@ -7277,6 +7369,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: the full shrink-cycle loop — prune BETWEEN EM
         # rounds (oracle staged for the r10 window)
         "unigram_shrink_train_documents": unigram_shrink_train_documents,
+        # round 10: incremental hierarchy maintenance — per-layer
+        # insert ≡ rebuilt hierarchy (oracle staged for the r11
+        # window; VERDICT r9 item 4)
+        "hierarchy_insert_exact_embeddings": (
+            hierarchy_insert_exact_embeddings
+        ),
     }
     out = {k: base[k] for k in _R10_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -13314,6 +13412,12 @@ _PENDING_ORACLES["graph_insert_exact_embeddings"] = """
            3600::BIGINT AS n_edges_exact,
            0::BIGINT AS n_diff,
            true AS insert_equals_exact
+"""
+
+_PENDING_ORACLES["hierarchy_insert_exact_embeddings"] = """
+    SELECT 0::BIGINT AS n_diff,
+           true AS tops_match,
+           true AS insert_equals_rebuild
 """
 
 _PENDING_ORACLES["unigram_train_documents"] = f"""

@@ -77,6 +77,11 @@ class VectorSearch:
         # scaling once region count grows with the corpus
         self._hier: DataFrame | None = None
         self._hier_meta: dict | None = None
+        # retired-but-repairable hierarchy after an append (see
+        # _invalidate_graph keep_warm): the next descent search
+        # repairs it per-layer instead of rebuilding the upper layers
+        self._stale_hier: DataFrame | None = None
+        self._stale_hier_meta: dict | None = None
         # memoized per-layer navigation membership (ann.
         # hnsw_nav_members) — the descent's seed/scoring relations,
         # kept resident beside the hierarchy so a warm serve never
@@ -132,11 +137,26 @@ class VectorSearch:
         self._graph_entries = None
         if self._hier is not None:
             # the hierarchy embeds layer 0 — ANY graph invalidation
-            # (warm or cold) stales it; it rebuilds from the next
-            # memoized layer-0 graph at +1/(m-1) cost
-            self._hier.unpersist()
+            # stales it. keep_warm (add) RETIRES it instead of
+            # dropping: the next descent search repairs it per-layer
+            # via ann.hnsw_hierarchy_insert (cost ∝ new rows), the
+            # incremental contract the reference's index.add keeps
+            # (app/vector_search.py:85-141). Cold invalidation
+            # (remove/load) drops it — heavy removal breaks the
+            # per-layer insert premise.
+            if keep_warm:
+                if self._stale_hier is not None:
+                    self._stale_hier.unpersist()
+                self._stale_hier = self._hier
+                self._stale_hier_meta = self._hier_meta
+            else:
+                self._hier.unpersist()
             self._hier = None
             self._hier_meta = None
+        if not keep_warm and self._stale_hier is not None:
+            self._stale_hier.unpersist()
+            self._stale_hier = None
+            self._stale_hier_meta = None
         if self._nav is not None:
             # membership is corpus-derived — stale with the hierarchy
             self._nav.unpersist()
@@ -301,6 +321,11 @@ class VectorSearch:
                 "approx_similarity", "similarity"
             )
         if d.startswith("hnsw"):
+            # capture the append bookkeeping BEFORE the layer-0
+            # build consumes it — the hierarchy repair below needs
+            # (old corpus, appended rows) to insert per-layer
+            pend = self._pending_new
+            pend_corpus = self._graph_corpus
             if self._graph is None:
                 if (
                     self._stale_graph is not None
@@ -374,13 +399,34 @@ class VectorSearch:
                 knobs = self._HIER_KNOBS
                 if self._hier is None:
                     meta: dict = {}
-                    self._hier = ann.hnsw_hierarchy_build(
-                        self._df, self.id_col, self.vec_col,
-                        k=knobs["k"], m=knobs["m"],
-                        entry_budget=knobs["entry_budget"],
-                        corpus_rows=self.ntotal,
-                        base_graph=self._graph, meta=meta,
-                    ).persist()
+                    if (
+                        self._stale_hier is not None
+                        and pend is not None
+                        and pend_corpus is not None
+                    ):
+                        # append path: repair the retired hierarchy
+                        # per-layer — layer 0 adopts the graph the
+                        # insert/refresh dispatch above already
+                        # maintained, upper layers pay only for the
+                        # rows whose md5 level reaches them
+                        self._hier = ann.hnsw_hierarchy_insert(
+                            pend_corpus, self._stale_hier, pend,
+                            id_col=self.id_col, vec_col=self.vec_col,
+                            k=knobs["k"], m=knobs["m"],
+                            entry_budget=knobs["entry_budget"],
+                            base_graph=self._graph, meta=meta,
+                        ).persist()
+                        self._stale_hier.unpersist()
+                        self._stale_hier = None
+                        self._stale_hier_meta = None
+                    else:
+                        self._hier = ann.hnsw_hierarchy_build(
+                            self._df, self.id_col, self.vec_col,
+                            k=knobs["k"], m=knobs["m"],
+                            entry_budget=knobs["entry_budget"],
+                            corpus_rows=self.ntotal,
+                            base_graph=self._graph, meta=meta,
+                        ).persist()
                     self._hier_meta = meta
                 if self._nav is None:
                     # per-layer membership, materialized once per

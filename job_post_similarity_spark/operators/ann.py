@@ -3638,6 +3638,138 @@ def hnsw_hierarchy_build(
     return out
 
 
+def hnsw_hierarchy_insert(
+    corpus: DataFrame,
+    hierarchy: DataFrame,
+    new_rows: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    m: int = 2,
+    exact_budget: int = 2000,
+    entry_budget: int = 512,
+    corpus_rows: int | None = None,
+    entries: list | None = None,
+    base_graph: DataFrame | None = None,
+    meta: dict | None = None,
+) -> DataFrame:
+    """INCREMENTAL maintenance of a layered hierarchy — the HNSW
+    ``add`` at the hierarchy tier (reference ``index.add`` keeps its
+    levels incremental, app/vector_search.py:85-141): appended rows
+    join every layer their deterministic md5 level grants (level >= l
+    ⇒ member of layer l — the same draw the builder and the serve
+    membership predicate replay), and only the layers they touch pay:
+
+    - layer 0: ``graph_insert`` of the new rows into the stored
+      graph (cost ∝ new rows; exact-union property on exact stored
+      graphs — the r9 graded contract), or adopt ``base_graph`` when
+      the caller already maintained layer 0 (the VectorSearch path,
+      where insert/refresh dispatch happened upstream);
+    - layer l >= 1 whose UNION membership fits ``exact_budget``: the
+      exact broadcast graph is REBUILT over the union members —
+      byte-identical to what ``hnsw_hierarchy_build`` on the union
+      produces, which also repairs the rank-2^j skip edges exactly
+      (an insert-style top-k repair would drop them); these layers
+      are <= exact_budget rows, so the rebuild is the cheap path,
+      not a concession;
+    - larger (NN-Descent-built) layers: ``graph_insert`` of the
+      layer's new members into the stored layer graph — cost ∝ new
+      members of that layer (n_new/m^l in expectation), never the
+      n/m^l a rebuild pays;
+    - layers ABOVE the stored top: the union may cross the builder's
+      stopping rule (a membership that was <= entry_budget can
+      outgrow it) — re-derived with the builder's own loop, so the
+      layer SET equals a from-scratch build's.
+
+    ``meta`` (mutated like the builder's) receives top_layer /
+    layer_sizes / size_cap for the serve call. Output: the full
+    updated (layer, id, neighbor_id, rank, sim_ppm) hierarchy.
+    Equality contract (gate ``hierarchy_insert_exact_embeddings``):
+    where the stored layer 0 is exact and every upper layer is
+    exact-tier, insert ≡ the rebuilt hierarchy whose layer 0 is the
+    brute-force exact union graph — strictly stronger than
+    rebuilt-with-cold-NN-Descent, mirroring the r9 insert gate."""
+    n_old = corpus_rows if corpus_rows is not None else corpus.count()
+    n_new = new_rows.count()
+    n = n_old + n_new
+    union = corpus.select(id_col, vec_col).unionByName(
+        new_rows.select(id_col, vec_col)
+    )
+    if base_graph is not None:
+        l0 = base_graph
+    else:
+        l0 = graph_insert(
+            corpus.select(id_col, vec_col),
+            hierarchy.filter(F.col("layer") == 0).drop("layer"),
+            new_rows.select(id_col, vec_col),
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            # beam-smallest default entries strand clusters (the
+            # documented converged-graph hazard) — provision like the
+            # serve facades do
+            entries=(
+                entries
+                if entries is not None
+                else default_graph_entries(corpus, id_col)
+            ),
+        )
+    out = l0.select(F.lit(0).cast("int").alias("layer"), "*")
+    if meta is not None:
+        meta["top_layer"] = 0
+        meta["layer_sizes"] = {0: n}
+        meta["size_cap"] = exact_budget
+        meta["built"] = "insert"
+    levels = hnsw_max_level(n, m, entry_budget)
+    stored_top = (
+        hierarchy.agg(F.max("layer").alias("t")).collect()[0]["t"] or 0
+    )
+    edge_cols = ["id", "neighbor_id", "rank", "sim_ppm"]
+    for l in range(1, levels + 1):
+        members = union.filter(_hnsw_hash(id_col) % (m**l) == 0)
+        cnt = members.limit(exact_budget + 1).count()
+        if cnt <= entry_budget:
+            break  # builder's stopping rule — layer IS the entry set
+        if cnt <= exact_budget:
+            g = _exact_knn_graph(members, id_col, vec_col, k)
+        elif l <= stored_top:
+            old_members = corpus.select(id_col, vec_col).filter(
+                _hnsw_hash(id_col) % (m**l) == 0
+            )
+            new_members = new_rows.select(id_col, vec_col).filter(
+                _hnsw_hash(id_col) % (m**l) == 0
+            )
+            g_old = hierarchy.filter(F.col("layer") == l).select(
+                *edge_cols
+            )
+            if new_members.limit(1).count() == 0:
+                g = g_old  # nobody drew this level — layer unchanged
+            else:
+                g = graph_insert(
+                    old_members,
+                    g_old,
+                    new_members,
+                    k=k,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    entries=default_graph_entries(old_members, id_col),
+                )
+        else:
+            # a layer this large above the stored top means the union
+            # crossed a level boundary the old corpus never built
+            g = nn_descent_knn_graph(
+                members, id_col, vec_col, k=k, iters=iters
+            )
+        out = out.unionByName(
+            g.select(F.lit(l).cast("int").alias("layer"), *edge_cols)
+        )
+        if meta is not None:
+            meta["top_layer"] = l
+            meta["layer_sizes"][l] = cnt
+    return out
+
+
 def hnsw_topk_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -3940,6 +4072,8 @@ def filtered_topk_search(
     oversample: int = 4,
     corpus_rows: int | None = None,
     matched_rows: int | None = None,
+    hierarchy_min_rows: int = 10_000,
+    hierarchy: DataFrame | None = None,
 ) -> DataFrame:
     """Metadata-FILTERED ANN search (the Faiss ``IDSelector`` role —
     top-k among only the corpus rows satisfying ``predicate``, a
@@ -3952,7 +4086,7 @@ def filtered_topk_search(
       navigation and immune to the filtered-graph pathology below.
       This branch is fully deterministic (the blocked-BLAS tier's
       tie contract), so the gate's DuckDB oracle replays it by value.
-    - UNSELECTIVE predicate: serve the INTACT graph index with an
+    - UNSELECTIVE predicate: serve the INTACT index with an
       OVERSAMPLED k (k·oversample), then post-filter and re-rank.
       The index must stay unfiltered: dropping non-matching nodes
       from the graph severs navigation paths that merely pass
@@ -3961,7 +4095,12 @@ def filtered_topk_search(
       w.h.p. — raise ``oversample`` for harsher filters. Fewer than
       k survivors for a query means the oversample missed; callers
       needing a hard guarantee lower ``selectivity_threshold`` to
-      push more predicates onto the exact branch.
+      push more predicates onto the exact branch. The index tier
+      follows corpus size like ``VectorSearch.search`` does:
+      corpora >= ``hierarchy_min_rows`` serve the LAYERED hierarchy
+      (``hnsw_topk_search`` — the fixed-hop flat walk degrades as
+      intra-cluster diameter grows; pass ``hierarchy=`` to reuse a
+      built one), smaller ones the flat provisioned-entries graph.
 
     Cost shape at scale: one bounded selectivity probe
     (``limit(threshold·n + 1).count()`` on the filtered scan —
@@ -3990,16 +4129,27 @@ def filtered_topk_search(
             include_self=False,
             right=matched,
         )
-    served = graph_topk_search(
-        queries,
-        corpus,
-        k=k * oversample,
-        id_col=id_col,
-        vec_col=vec_col,
-        graph=graph,
-        entries=entries,
-        corpus_rows=n,
-    )
+    if n >= hierarchy_min_rows:
+        served = hnsw_topk_search(
+            queries,
+            corpus,
+            k=k * oversample,
+            id_col=id_col,
+            vec_col=vec_col,
+            hierarchy=hierarchy,
+            corpus_rows=n,
+        )
+    else:
+        served = graph_topk_search(
+            queries,
+            corpus,
+            k=k * oversample,
+            id_col=id_col,
+            vec_col=vec_col,
+            graph=graph,
+            entries=entries,
+            corpus_rows=n,
+        )
     keep = matched.select(F.col(id_col).alias("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("similarity"), F.asc("neighbor_id")

@@ -1868,18 +1868,28 @@ def test_vector_search_hierarchy_dispatch_at_scale_threshold(spark, embeddings):
     vs.search(queries, k=1).collect()
     assert vs._hier is hier_first  # memoized across batches
 
-    # mutation invalidates: the next search rebuilds hierarchy over
-    # the refreshed layer-0 graph and still serves the new row
-    new_vec = [0.0] * dim
-    new_vec[0] = 1.0
-    extra = spark.createDataFrame(
-        [(10_000_000, new_vec)], f"vec_id long, embedding array<double>"
+    # append RETIRES the hierarchy instead of dropping it: the next
+    # search repairs it per-layer (ann.hnsw_hierarchy_insert — layer 0
+    # adopts the insert/refresh-maintained graph, upper layers pay
+    # only for rows whose md5 level reaches them) and serves the
+    # union correctly — add-then-search parity at the descent tier
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
-    vs.add(extra)
-    assert vs._hier is None
-    got2 = vs.search(queries, k=1).collect()
+    vs.add(twins)
+    assert vs._hier is None and vs._stale_hier is hier_first
+    got2 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in vs.search(
+            emb.filter(F.col("vec_id") < 5), k=1
+        ).collect()
+    }
     assert vs._hier is not None and vs._hier is not hier_first
-    assert len(got2) == len(qids)
+    assert vs._stale_hier is None
+    assert vs._hier_meta.get("built") == "insert"
+    # each original's top-1 is now its bit-identical twin — the
+    # repaired hierarchy serves the appended rows exactly
+    assert got2 == {q: q + 10_000_000 for q in range(5)}
 
 
 def test_vector_search_saves_and_reloads_hierarchy_artifact(

@@ -1508,6 +1508,100 @@ def test_hnsw_descent_with_nav_state_equals_without(spark):
         assert len(with_nav) == 10  # 5 queries × k=2
 
 
+def test_hnsw_hierarchy_insert_equals_rebuild(spark):
+    """Incremental hierarchy maintenance (VERDICT r9 item 4): insert
+    12 twins into a built 6-cluster hierarchy — every upper layer the
+    twins' md5 levels touch is repaired (exact-tier layers rebuilt
+    over union members, skip edges included), untouched layers pass
+    through, and the layer SET follows the builder's stopping rule on
+    the union. Where layer 0 is exact and every upper layer is
+    exact-tier, the result equals hnsw_hierarchy_build over the union
+    seeded with the exact union layer-0 graph, byte for byte."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    from job_post_similarity_spark.operators.ann import (
+        _SIM_PPM_SQL,
+        _int_dot,
+        _micro_quant,
+        hnsw_hierarchy_build,
+        hnsw_hierarchy_insert,
+    )
+
+    def exact_topk(frame, k=8):
+        # plain exact top-k layer-0 graph (NO rank-2^j skip edges —
+        # layer 0 is an NN-Descent-shaped graph, only UPPER exact
+        # layers carry skips): the r9 insert gate's exact reference
+        q = frame.select(
+            F.col("vec_id").alias("id"),
+            _micro_quant("embedding").alias("q"),
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.desc("dot"), F.asc("dst")
+        )
+        return (
+            q.alias("a")
+            .join(q.alias("b"), F.col("a.id") != F.col("b.id"))
+            .select(
+                F.col("a.id").alias("src"),
+                F.col("b.id").alias("dst"),
+                _int_dot("a.q", "b.q").alias("dot"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(
+                F.col("src").alias("id"),
+                F.col("dst").alias("neighbor_id"),
+                F.col("rn").cast("int").alias("rank"),
+                F.expr(_SIM_PPM_SQL).cast("long").alias("sim_ppm"),
+            )
+        )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 24))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:
+        pts = c + 0.05 * rng.normal(size=(10, 24))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+    df = _vec_df(spark, vecs)
+    # exact layer 0 so graph_insert's exact-union property applies
+    l0 = exact_topk(df)
+    meta = {}
+    hier = hnsw_hierarchy_build(
+        df, k=8, iters=3, entry_budget=8, base_graph=l0, meta=meta
+    )
+    twins = df.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    union = df.unionByName(twins)
+
+    ins_meta = {}
+    ins = hnsw_hierarchy_insert(
+        df, hier, twins, k=8, entry_budget=8,
+        corpus_rows=60, meta=ins_meta,
+    )
+
+    want_meta = {}
+    want = hnsw_hierarchy_build(
+        union, k=8, iters=3, entry_budget=8,
+        base_graph=exact_topk(union),
+        meta=want_meta,
+    )
+    cols = ["layer", "id", "neighbor_id", "rank", "sim_ppm"]
+    diff = (
+        ins.select(cols).exceptAll(want.select(cols))
+        .unionAll(want.select(cols).exceptAll(ins.select(cols)))
+        .count()
+    )
+    assert diff == 0
+    assert ins_meta["top_layer"] == want_meta["top_layer"]
+    assert ins_meta["layer_sizes"] == want_meta["layer_sizes"]
+    assert ins_meta["built"] == "insert"
+
+
 def test_hierarchy_artifact_roundtrip_with_nav_and_knobs(spark, tmp_path):
     """save_hnsw_hierarchy persists the nav membership beside the
     layer-partitioned edges and records the build knobs; load refuses
@@ -1749,6 +1843,20 @@ def test_filtered_topk_dispatch_branches(spark):
         (r["query_id"], r["rank"]): r["neighbor_id"] for r in got
     }
     assert got_map == exact
+
+    # at-scale composition (VERDICT r9 item 6): corpora >=
+    # hierarchy_min_rows serve the unselective branch through the
+    # LAYERED hierarchy, same output contract — on this fixture the
+    # survivors still equal the exact filtered answer
+    got_h = filtered_topk_search(
+        queries, df, F.col("vec_id") % 2 == 0, k=3,
+        selectivity_threshold=0.1, oversample=8,
+        hierarchy_min_rows=1,
+    ).collect()
+    got_h_map = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in got_h
+    }
+    assert got_h_map == exact
 
 
 def test_opq_rotation_orthonormal_and_beats_pq_on_anisotropic(spark):
