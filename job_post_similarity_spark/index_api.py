@@ -557,6 +557,23 @@ class VectorSearch:
             )
         else:
             index_store.delete_index(index_path + "__hier")
+        if self._opq is not None and self._opq[0] == "flat":
+            # trained OPQ tier persists too: rotation + codebooks +
+            # the encoded code table (the reference saves the whole
+            # trained Faiss structure, OPQ pre-transform included).
+            # The IVF composition memoizes a rotated copy of the
+            # vectors instead of codes — rebuilt on load rather than
+            # doubling the stored corpus.
+            kind, R, books, codes = self._opq
+            pq_m, _ivf = ann.parse_opq_description(
+                self.index_description
+            )
+            index_store.save_opq_index(
+                index_path + "__opq", R, books, codes, self.ntotal,
+                params={"descriptor_m": pq_m},
+            )
+        else:
+            index_store.delete_index(index_path + "__opq")
 
     def load(self, index_path: str, id_map_path: str | None = None) -> None:
         assert self._spark is not None, "pass spark= before load()"
@@ -609,6 +626,24 @@ class VectorSearch:
                     self._nav = nav.persist()
         except index_store.IndexLoadError:
             pass
+        d = self.index_description.strip().lower()
+        if d.startswith("opq"):
+            try:
+                pq_m, ivf_c = ann.parse_opq_description(d)
+                codes, R, books, ometa = index_store.load_opq_index(
+                    self._spark, index_path + "__opq"
+                )
+                # adopt only when the artifact matches BOTH the data
+                # (row count) and the descriptor's subquantizer count
+                # — a different m reshapes the codes
+                if (
+                    ivf_c is None
+                    and ometa["n_rows"] == self.ntotal
+                    and ometa["m"] == pq_m
+                ):
+                    self._opq = ("flat", R, books, codes.persist())
+            except index_store.IndexLoadError:
+                pass
 
     @property
     def ntotal(self) -> int:

@@ -281,6 +281,57 @@ def load_pq_index(spark: SparkSession, path: str):
     return codes, npz["codebooks"], centers, meta
 
 
+def save_opq_index(
+    path: str,
+    rotation,
+    codebooks,
+    codes: DataFrame,
+    n_rows: int,
+    params: dict | None = None,
+) -> None:
+    """Persist a trained OPQ index: the learned orthonormal rotation +
+    per-subspace codebooks in one npz (broadcast-sized, like the PQ
+    artifact's), the rotated-then-encoded code table as parquet — the
+    re-encode is the expensive step persistence exists to skip (the
+    reference saves its whole trained Faiss structure, OPQ
+    pre-transform included, app/vector_search.py:207-239)."""
+    import numpy as np
+
+    os.makedirs(path, exist_ok=True)
+    _save_quantizer(
+        path,
+        rotation=np.asarray(rotation),
+        codebooks=np.asarray(codebooks),
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(path, _ROWS))
+    m, k, sub = np.asarray(codebooks).shape
+    _write_meta(
+        path,
+        {
+            "kind": "opq",
+            "n_rows": int(n_rows),
+            "m": int(m),
+            "codebook_entries": int(k),
+            "dim": int(m * sub),
+            **(params or {}),
+        },
+    )
+
+
+def load_opq_index(spark: SparkSession, path: str):
+    """→ (codes DataFrame, rotation, codebooks, meta);
+    IndexLoadError on a missing/corrupt/non-OPQ artifact."""
+    meta = _read_meta(path)
+    if meta.get("kind") != "opq":
+        raise IndexLoadError(f"kind {meta.get('kind')!r} is not 'opq'")
+    npz = _load_quantizer(path)
+    for arr in ("rotation", "codebooks"):
+        if arr not in npz:
+            raise IndexLoadError(f"no {arr} array in {_QUANTIZER}")
+    codes = _read_rows(spark, path)
+    return codes, npz["rotation"], npz["codebooks"], meta
+
+
 def load_or_build_pq(
     spark: SparkSession,
     df: DataFrame,

@@ -1745,6 +1745,19 @@ def stream_topk_search(
     graph = graph.persist()
     corpus = corpus.persist()
     n = corpus_rows if corpus_rows is not None else corpus.count()
+    # warm serving state, built ONCE before the stream starts: every
+    # micro-batch's plan references the materialized (node, qv, nxts)
+    # relation instead of re-deriving + re-planning the adjacency
+    # grouping per trigger (the r10 nav-state contract; pure
+    # substitution, so stream == batch equality is unchanged).
+    # Small-corpus regime only — graph_beam_search ignores it on the
+    # node-keyed shuffle path.
+    nav_tab = (
+        ann.graph_nav_table(corpus, graph, id_col, vec_col)
+        .localCheckpoint()
+        if n <= 100_000
+        else None
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1761,6 +1774,7 @@ def stream_topk_search(
             entries=entries,
             queries_df=batch_df,
             corpus_rows=n,
+            nav_tab=nav_tab,
         )
         served.write.mode("append").parquet(out_dir)
 

@@ -1003,6 +1003,49 @@ def test_vector_search_opq_descriptor_serves_planted_twins(
     assert got == want and vs._opq is None
 
 
+def test_vector_search_saves_and_reloads_opq_artifact(
+    spark, embeddings, tmp_path
+):
+    """The trained OPQ tier persists through save/load (sibling
+    ``__opq`` artifact: rotation + codebooks npz, encoded code table
+    parquet): a reloaded index serves the same answers WITHOUT
+    retraining or re-encoding, a row-count or subquantizer mismatch
+    refuses the artifact, and a save from a non-OPQ instance removes
+    a stale sibling."""
+    from job_post_similarity_spark.index_api import VectorSearch
+
+    emb = embeddings.select("vec_id", "embedding")
+    vs = VectorSearch(64, "OPQ4,PQ4", spark=spark)
+    vs.add(emb)
+    vs.exact_shortcut_rows = 0
+    queries = emb.filter(F.col("vec_id") < 10)
+    want = sorted(map(tuple, vs.search(queries, k=3).collect()))
+    assert vs._opq is not None and vs._opq[0] == "flat"
+    path = str(tmp_path / "opq_idx")
+    vs.save(path)
+
+    vs2 = VectorSearch(64, "OPQ4,PQ4", spark=spark)
+    vs2.load(path)
+    vs2.exact_shortcut_rows = 0
+    # model + codes adopted at load — no retrain before serving
+    assert vs2._opq is not None and vs2._opq[0] == "flat"
+    got = sorted(map(tuple, vs2.search(queries, k=3).collect()))
+    assert got == want
+
+    # descriptor-m mismatch refuses (codes are shaped by m)
+    vs3 = VectorSearch(64, "OPQ8,PQ8", spark=spark)
+    vs3.load(path)
+    assert vs3._opq is None
+
+    # a save from an instance without the OPQ memo drops the sibling
+    vs4 = VectorSearch(64, "OPQ4,PQ4", spark=spark)
+    vs4.add(emb)
+    vs4.save(path)
+    vs5 = VectorSearch(64, "OPQ4,PQ4", spark=spark)
+    vs5.load(path)
+    assert vs5._opq is None
+
+
 def test_vector_search_saves_and_reloads_graph_artifact(
     spark, embeddings, tmp_path
 ):
