@@ -1541,11 +1541,16 @@ def hnsw_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, emb, path, k=8, iters=3, n_rows=n
         )
         meta: dict = {}
+        # localCheckpoint (not persist): the hierarchy is SERVING
+        # STATE — lineage-free, so the descent/insert plans that
+        # reference it 3-4 times each stay shallow (a cached-but-
+        # lineaged hierarchy re-pays Catalyst optimization of the
+        # whole build plan per serving call — measured 15 s vs 5 s
+        # on the insert path at 2k rows)
         hier = ann.hnsw_hierarchy_build(
             emb, k=8, iters=3, corpus_rows=n, base_graph=graph,
             meta=meta,
-        ).persist()
-        hier.count()
+        ).localCheckpoint()
         # the per-layer navigation relations are SERVING STATE
         # (VERDICT r9 item 2): membership + prebuilt (node, qv, nxts)
         # tables built once with the hierarchy and kept resident, so
@@ -1600,6 +1605,49 @@ def graph_refresh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     union = emb.unionByName(twins)
     return ann.nn_descent_refresh(union, old, k=8, iters=2)
+
+
+def hnsw_insert_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HIERARCHY maintenance latency — the bench row for
+    ``ann.hnsw_hierarchy_insert`` (VERDICT r9 item 4): 50 twin rows
+    appended to the full clustered corpus repair the RAM-resident
+    layered hierarchy per layer (layer 0 via graph_insert into the
+    stored edge artifact, upper layers only where a twin's md5 level
+    reaches), vs ``hnsw_serve_embeddings``'s build half which pays
+    the full hierarchy. Cost ∝ new rows — the add-amortization claim
+    a VectorSearch('HNSW32') user relies on (reference index.add,
+    app/vector_search.py:85-141). Rows-only by scale (insert ≡
+    rebuilt is hash-graded by ``hierarchy_insert_exact_embeddings``)."""
+    from job_post_similarity_spark.operators import ann, index_store
+
+    clustered, n, step = _clustered_emb_corpus(spark, sf_dir)
+    emb = clustered.select("vec_id", "embedding")
+    hit = _CLUSTERED_EMB_CACHE.get((_spark_key(spark), sf_dir, "serve_fixture"))
+    if hit is None:
+        graph_serve_embeddings(spark, sf_dir)
+        hit = _CLUSTERED_EMB_CACHE[(_spark_key(spark), sf_dir, "serve_fixture")]
+    path, _entries, qids = hit
+    hk = (_spark_key(spark), sf_dir, "hnsw_hier")
+    cached = _CLUSTERED_EMB_CACHE.get(hk)
+    if cached is None:
+        hnsw_serve_embeddings(spark, sf_dir)
+        cached = _CLUSTERED_EMB_CACHE[hk]
+    hier, top, sizes, cap, nav, state = cached
+    # the flat tier's cached (node, qv, nxts) table covers exactly
+    # the hierarchy's layer 0 (the hierarchy adopts the same stored
+    # artifact as its base graph) — warm maintenance reuses it for
+    # the insert navigation
+    gk = (_spark_key(spark), sf_dir, "serve_graph")
+    flat = _CLUSTERED_EMB_CACHE.get(gk)
+    nav_tab = flat[1] if flat is not None else None
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    return ann.hnsw_hierarchy_insert(
+        emb, hier, twins, corpus_rows=n, nav_tab=nav_tab,
+    ).groupBy("layer").agg(
+        F.count(F.lit(1)).alias("n_edges")
+    ).orderBy("layer")
 
 
 def graph_insert_exact_embeddings(
@@ -7375,6 +7423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_insert_exact_embeddings": (
             hierarchy_insert_exact_embeddings
         ),
+        # round 10: hierarchy maintenance bench row (rows-only by
+        # scale; correctness via the staged exact gate above)
+        "hnsw_insert_embeddings": hnsw_insert_embeddings,
     }
     out = {k: base[k] for k in _R10_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)

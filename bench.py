@@ -106,6 +106,12 @@ HEADLINE = [
     # Backoff LM scoring pipeline (train even half, score odd half)
     "hnsw_serve_embeddings",
     "ngram_lm_score_documents",
+    # round-10: incremental HIERARCHY maintenance (50 appended rows
+    # repair the resident layered hierarchy per layer — layer 0 via
+    # graph_insert, upper layers only where a twin's md5 level
+    # reaches) next to the layer-0-only graph_refresh row; insert ≡
+    # rebuilt is hash-graded by hierarchy_insert_exact_embeddings
+    "hnsw_insert_embeddings",
 ]
 
 
