@@ -95,6 +95,9 @@ class VectorSearch:
         # lineage-free relations (the loaded-Faiss zero-setup shape)
         self._nav_tab: DataFrame | None = None
         self._serving_state: dict | None = None
+        # retired flat nav table after an append — the insert
+        # navigation's warm state (see _invalidate_graph keep_warm)
+        self._stale_nav_tab: DataFrame | None = None
         # memoized OPQ tier ('OPQ…' descriptors): the trained
         # (rotation, codebooks) + the persisted encoded corpus for
         # the flat form, or the persisted ROTATED corpus for the
@@ -162,8 +165,13 @@ class VectorSearch:
             self._nav.unpersist()
             self._nav = None
         # serving tables embed vectors AND adjacency — stale with the
-        # graph on ANY mutation (checkpointed blocks are released when
-        # the references drop)
+        # graph on ANY mutation. keep_warm RETIRES the flat table:
+        # it covers exactly (old corpus, old graph), which is what the
+        # per-row insert's navigation beam-search wants
+        if keep_warm:
+            self._stale_nav_tab = self._nav_tab
+        else:
+            self._stale_nav_tab = None
         self._nav_tab = None
         self._serving_state = None
         if self._opq is not None:
@@ -327,18 +335,24 @@ class VectorSearch:
             pend = self._pending_new
             pend_corpus = self._graph_corpus
             if self._graph is None:
-                if (
-                    self._stale_graph is not None
+                old_n = (
+                    self._graph_corpus.count()
+                    if self._stale_graph is not None
                     and self._pending_new is not None
                     and self._graph_corpus is not None
+                    else None
+                )
+                if (
+                    old_n is not None
                     and self.insert_add_fraction > 0
                     and self._pending_new.count()
-                    <= self.insert_add_fraction
-                    * self._graph_corpus.count()
+                    <= self.insert_add_fraction * old_n
                 ):
                     # small add: exact per-row insert — navigate the
                     # stored graph, repair reverse fan-in; cost ∝ new
-                    # rows (ann.graph_insert's exact-union contract)
+                    # rows (ann.graph_insert's exact-union contract).
+                    # The retired nav table (old corpus, old graph)
+                    # is exactly the insert navigation's warm state.
                     self._graph = ann.graph_insert(
                         self._graph_corpus,
                         self._stale_graph,
@@ -348,6 +362,8 @@ class VectorSearch:
                         entries=ann.default_graph_entries(
                             self._graph_corpus, self.id_col
                         ),
+                        corpus_rows=old_n,
+                        nav_tab=self._stale_nav_tab,
                     ).persist()
                     self._graph_params = {
                         "k": 8, "built": "insert",
@@ -389,6 +405,7 @@ class VectorSearch:
                     self._stale_graph = None
                 self._graph_corpus = None
                 self._pending_new = None
+                self._stale_nav_tab = None  # consumed (or obsolete)
                 if self.ntotal < self.hierarchy_min_rows:
                     # flat-tier provisioning only: the descent path
                     # derives entries from the hierarchy itself
