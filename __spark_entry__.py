@@ -6585,6 +6585,90 @@ def opq_planted_recall_embeddings(
     )
 
 
+def opq_ivfpq_planted_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPQ,IVF,PQ COMPOSITION planted-twin recall (round 10 — the
+    exact pipeline VectorSearch dispatches for 'OPQ8,IVF16,PQ8'
+    descriptors: learn the rotation, rotate corpus AND queries, run
+    residual IVF-PQ in rotated space): the rotation is a
+    deterministic function of the seeded alternation, orthonormal R
+    preserves the coarse argmin and the residual geometry, so the
+    bit-identical twin again shares its original's bucket, the own
+    bucket is always probed, and the twin's residual code scores the
+    ADC minimum — the ivfpq planted argument, rotation-invariant.
+    Closed-form expected set, same as the flat OPQ gate. (Oracle
+    staged in _PENDING_ORACLES for the r11 window.)"""
+    from job_post_similarity_spark.operators import ann
+
+    emb = _planted_emb_union(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    R, _books = ann.opq_train(
+        emb, "embedding", m=8, bits=5, opq_iters=4, seed=42, n_rows=450
+    )
+    rotated = ann.rotate_vectors(emb, R)
+    rq = ann.rotate_vectors(queries_df, R)
+    hits = ann.ivfpq_topk_search(
+        rq, rotated, k=4, n_centroids=16, n_probe=2, m=8, bits=5,
+        include_self=False,
+    )
+    return (
+        hits.filter(
+            (F.col("neighbor_id") - F.col("query_id") == _PLANT_OFFSET)
+            & (F.col("query_id") < 50)
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
+def filtered_oversample_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered-ANN OVERSAMPLE branch planted-twin recall (round 10 —
+    the branch the graded gate's measured-selectivity pin deliberately
+    avoids): an UNselective predicate (~55% of the 450-row clustered
+    union, twins included) dispatches ``ann.filtered_topk_search`` to
+    the intact-index oversample-and-post-filter path, served through
+    the LAYERED hierarchy (hierarchy_min_rows=1 pins the at-scale
+    composition, VERDICT r9 item 6). Each query's bit-identical twin
+    is the global ADC^0 top-1 AND passes the predicate, so it must
+    survive the post-filter at rank 1 — closed-form expected set on
+    the md5-deterministic descent (verified 50/50 at all three SFs).
+    (Oracle staged in _PENDING_ORACLES for the r11 window.)"""
+    from job_post_similarity_spark.operators import ann
+
+    clustered, n, step = _clustered_emb_corpus(spark, sf_dir, limit=400)
+    emb = clustered.select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    union = emb.unionByName(twins)
+    queries = emb.filter(F.col("vec_id") < 50)
+    pred = (F.col("vec_id") < 200) | (
+        F.col("vec_id") >= _PLANT_OFFSET
+    )
+    out = ann.filtered_topk_search(
+        queries,
+        union,
+        pred,
+        k=3,
+        selectivity_threshold=0.15,
+        oversample=4,
+        corpus_rows=450,
+        hierarchy_min_rows=1,
+    )
+    return (
+        out.filter(
+            (F.col("neighbor_id") - F.col("query_id") == _PLANT_OFFSET)
+            & (F.col("query_id") < 50)
+            & (F.col("rank") == 1)
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
 def ivfpq_planted_recall_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7426,6 +7510,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 10: hierarchy maintenance bench row (rows-only by
         # scale; correctness via the staged exact gate above)
         "hnsw_insert_embeddings": hnsw_insert_embeddings,
+        # round 10: the two r10 dispatch paths that were unit-test-
+        # pinned only, made driver-gradable (oracles staged for r11)
+        "opq_ivfpq_planted_recall_embeddings": (
+            opq_ivfpq_planted_recall_embeddings
+        ),
+        "filtered_oversample_recall_embeddings": (
+            filtered_oversample_recall_embeddings
+        ),
     }
     out = {k: base[k] for k in _R10_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -13469,6 +13561,20 @@ _PENDING_ORACLES["hierarchy_insert_exact_embeddings"] = """
     SELECT 0::BIGINT AS n_diff,
            true AS tops_match,
            true AS insert_equals_rebuild
+"""
+
+# the OPQ,IVF,PQ composition finds every planted twin (rotation-
+# invariant ivfpq planted argument — see the gate docstring)
+_PENDING_ORACLES["opq_ivfpq_planted_recall_embeddings"] = """
+    SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id
+"""
+
+# the filtered oversample branch (hierarchy-served) keeps every
+# planted twin at rank 1 after the post-filter
+_PENDING_ORACLES["filtered_oversample_recall_embeddings"] = """
+    SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id
 """
 
 _PENDING_ORACLES["unigram_train_documents"] = f"""
