@@ -426,13 +426,19 @@ class VectorSearch:
                         # insert/refresh dispatch above already
                         # maintained, upper layers pay only for the
                         # rows whose md5 level reaches them
+                        # localCheckpoint, not persist: the hierarchy
+                        # is referenced 3-4 times per maintenance/
+                        # state-build call, and a cached-but-lineaged
+                        # relation re-pays Catalyst optimization of
+                        # the whole build plan per reference
+                        # (measured 15 s vs 5 s on the insert path)
                         self._hier = ann.hnsw_hierarchy_insert(
                             pend_corpus, self._stale_hier, pend,
                             id_col=self.id_col, vec_col=self.vec_col,
                             k=knobs["k"], m=knobs["m"],
                             entry_budget=knobs["entry_budget"],
                             base_graph=self._graph, meta=meta,
-                        ).persist()
+                        ).localCheckpoint()
                         self._stale_hier.unpersist()
                         self._stale_hier = None
                         self._stale_hier_meta = None
@@ -443,7 +449,7 @@ class VectorSearch:
                             entry_budget=knobs["entry_budget"],
                             corpus_rows=self.ntotal,
                             base_graph=self._graph, meta=meta,
-                        ).persist()
+                        ).localCheckpoint()
                     self._hier_meta = meta
                 if self._nav is None:
                     # per-layer membership, materialized once per
