@@ -1597,9 +1597,18 @@ def graph_refresh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph_serve_embeddings(spark, sf_dir)
         hit = _CLUSTERED_EMB_CACHE[(_spark_key(spark), sf_dir, "serve_fixture")]
     path = hit[0]
-    old, _ = index_store.load_or_build_knn_graph(
-        spark, emb, path, k=8, iters=3
-    )
+    # resident stored graph (VERDICT r10 item 5: the refresh path
+    # reused nothing from the warm server) — a warm server keeps the
+    # edge table in RAM beside its nav state; re-reading the parquet
+    # artifact per refresh call paid a scan + re-plan each time
+    rk = (_spark_key(spark), sf_dir, "refresh_old_graph")
+    old = _CLUSTERED_EMB_CACHE.get(rk)
+    if old is None:
+        old, _ = index_store.load_or_build_knn_graph(
+            spark, emb, path, k=8, iters=3
+        )
+        old = old.localCheckpoint()
+        _CLUSTERED_EMB_CACHE[rk] = old
     twins = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
     )
@@ -6622,6 +6631,42 @@ def opq_ivfpq_planted_recall_embeddings(
     )
 
 
+def rabitq_planted_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RaBitQ 1-bit tier planted-twin recall (round 11 — the
+    'RaBitQ' descriptor VectorSearch dispatches: seeded-rotation sign
+    codes + the asymmetric estimator ``<sign(u_x), u_q>/Σ|u_x|``,
+    shortlist-then-exact-rerank): a bit-identical twin rotates and
+    sign-encodes identically and shares its original's abs_sum, so
+    its estimate equals the query's own self-estimate (the global
+    maximum of the estimator for that query) — it always enters the
+    shortlist, and the engine-exact integer rerank then pins it at
+    rank 1. Closed-form expected set, same shape as the OPQ/PQ
+    planted gates. Completes the modern Faiss quantizer family
+    (VERDICT r10 item 4; reference descriptor surface
+    app/vector_search.py:42-47). (Oracle staged in _PENDING_ORACLES
+    for the r12 window.)"""
+    from job_post_similarity_spark.operators import ann
+
+    emb = _planted_emb_union(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    P = ann.rabitq_train(emb, "embedding", seed=42)
+    codes = ann.rabitq_encode(emb, P, "vec_id", "embedding")
+    hits = ann.rabitq_topk_search(
+        queries_df, emb, k=4, rotation=P, codes=codes,
+        include_self=False,
+    )
+    return (
+        hits.filter(
+            (F.col("neighbor_id") - F.col("query_id") == _PLANT_OFFSET)
+            & (F.col("query_id") < 50)
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
 def filtered_oversample_recall_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6751,6 +6796,66 @@ def bpe_encode_udf_graded_documents(
 # additions — run tools/plan_rotation.py for the live count) queue for
 # round 6; every entry parked at 51+ is green in
 # CORRECTNESS_r01∪r02∪r03∪r04.
+_R11_WINDOW: tuple[str, ...] = (
+    # 3 never-graded round-11 gates first (window priority; their
+    # staged SQL is promoted out of _PENDING_ORACLES at module end —
+    # see _PROMOTED_ORACLES), then 47 prior-green canaries rotated
+    # OLDEST-GRADING-FIRST with md5("r11:<name>") as the within-
+    # staleness tie-break (tools/plan_rotation.py --round 11 — the
+    # committed window and the planner agree verbatim)
+    "hierarchy_insert_exact_embeddings",
+    "opq_ivfpq_planted_recall_embeddings",
+    "filtered_oversample_recall_embeddings",
+    "hash_split_events",
+    "hard_negatives_embeddings",
+    "event_transitions_events",
+    "stream_keep_latest_events",
+    "pagerank_lineitem_graph",
+    "fuzzy_join_suppliers",
+    "ivfpq_recall_vs_exact",
+    "merge_upsert_events",
+    "perplexity_buckets_documents",
+    "line_dedup_documents",
+    "stream_topk_users",
+    "pmi_collocations_documents",
+    "basket_lift_lineitem",
+    "mad_outliers_events",
+    "group_zscore_events",
+    "chi2_token_label_documents",
+    "bigram_perplexity_documents",
+    "knn_classify_embeddings",
+    "leakage_safe_split_documents",
+    "containment_join_docs",
+    "srp_rademacher_oracle_embeddings",
+    "hamming_rerank_embeddings",
+    "grouped_median_events",
+    "mmr_rerank_oracle_embeddings",
+    "psi_drift_lineitem",
+    "rrf_hybrid_documents",
+    "bpe_train_documents",
+    "dsir_weights_documents",
+    "stream_expectation_monitor_events",
+    "ivf_stratified_search_embeddings",
+    "temperature_mixture_documents",
+    "equi_depth_histogram_lineitem",
+    "datacard_documents",
+    "ivfpq_stratified_search_embeddings",
+    "expectation_report_lineitem",
+    "truncate_tokens_documents",
+    "bpe_train_encode_documents",
+    "time_weighted_avg_events",
+    "analyze_table_events",
+    "top_tokens_by_lang_documents",
+    "quantize_int8_embeddings",
+    "asof_forward_tolerance_events",
+    "monthly_revenue_change_orders",
+    "keep_best_dedup_documents",
+    "fim_transform_documents",
+    "simhash_banded_oracle_documents",
+    "sorted_neighborhood_suppliers",
+)
+
+
 _R10_WINDOW: tuple[str, ...] = (
     # 8 never-graded round-10 gates first (window priority; their
     # staged SQL is promoted from _PENDING_ORACLES by the loop
@@ -7116,9 +7221,9 @@ _R5_WINDOW: tuple[str, ...] = (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
-    FIRST 50 dict entries per round. Round 10 applies _R10_WINDOW (the
-    8 never-graded round-10 gates in plan_rotation order + prior-green
-    canaries rotated OLDEST-GRADING-FIRST, md5("r10:<name>") breaking
+    FIRST 50 dict entries per round. Round 11 applies _R11_WINDOW (the
+    3 never-graded round-11 gates in plan_rotation order + prior-green
+    canaries rotated OLDEST-GRADING-FIRST, md5("r11:<name>") breaking
     staleness ties — the policy re-grades every oracle-backed entry
     within ceil(n_oracles/slack) rounds deterministically) on top of
     the prior ordering: window members first, everything else keeps
@@ -7518,8 +7623,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_oversample_recall_embeddings": (
             filtered_oversample_recall_embeddings
         ),
+        # round 11: RaBitQ 1-bit asymmetric-estimator tier — the
+        # quantizer-family completion (oracle staged for the r12
+        # window; VERDICT r10 item 4)
+        "rabitq_planted_recall_embeddings": (
+            rabitq_planted_recall_embeddings
+        ),
     }
-    out = {k: base[k] for k in _R10_WINDOW}
+    out = {k: base[k] for k in _R11_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -11671,13 +11782,17 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     # Promote staged SQL for every gate that has EVER entered a graded
-    # window: a gate entering the window moves from _PENDING_ORACLES
-    # into oracle_sql() and stays registered afterwards (the
-    # parked-at-51+ entries remain prior-green).
-    for _k in (_R5_WINDOW + _R6_WINDOW + _R7_WINDOW + _R8_WINDOW
-               + _R9_WINDOW + _R10_WINDOW):
-        if _k not in out and _k in _PENDING_ORACLES:
-            out[_k] = _PENDING_ORACLES[_k]
+    # window: a gate entering the window moves OUT of _PENDING_ORACLES
+    # into _PROMOTED_ORACLES at module end (see the promotion block at
+    # the bottom of this file) and stays registered afterwards (the
+    # parked-at-51+ entries remain prior-green). Reading the promoted
+    # dict — not _PENDING_ORACLES — keeps pending strictly disjoint
+    # from oracle_sql(), so check_oracles --pending's merge-with-
+    # override can never shadow registered SQL (VERDICT r10 item 3;
+    # the round-4 semantic_dedup near-miss mechanism).
+    for _k, _staged_sql in _PROMOTED_ORACLES.items():
+        if _k not in out:
+            out[_k] = _staged_sql
     # r7 cross-tier equivalence alias: the pandas-UDF BPE encoder is
     # graded by the SAME replace-chain replay as the expr-chain gate
     # (bpe_apply == bpe_encode_expr is the equivalence claim; both
@@ -14081,3 +14196,28 @@ _PENDING_ORACLES["opq_planted_recall_embeddings"] = """
     SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
     FROM embeddings WHERE vec_id < 50 ORDER BY query_id
 """
+
+# the RaBitQ 1-bit tier keeps every planted twin: identical sign code
+# + identical abs_sum ⇒ the twin's estimate ties the query's own
+# maximum, survives the shortlist, and the exact rerank ranks it first
+_PENDING_ORACLES["rabitq_planted_recall_embeddings"] = """
+    SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Promotion (runs once, after every _PENDING_ORACLES assignment above):
+# a gate that has entered ANY graded window moves OUT of the staging
+# dict permanently. _PENDING_ORACLES therefore holds ONLY gates staged
+# for a FUTURE round, and is disjoint from oracle_sql() by construction
+# (contract-tested in tests/test_contract.py) — check_oracles.py
+# --pending merges pending OVER registered, so a stale duplicate would
+# silently shadow the graded SQL (VERDICT r10 item 3).
+# --------------------------------------------------------------------------
+_PROMOTED_ORACLES: dict[str, str] = {}
+for _k in (_R5_WINDOW + _R6_WINDOW + _R7_WINDOW + _R8_WINDOW
+           + _R9_WINDOW + _R10_WINDOW + _R11_WINDOW):
+    if _k in _PENDING_ORACLES:
+        _PROMOTED_ORACLES[_k] = _PENDING_ORACLES.pop(_k)
+del _k

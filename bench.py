@@ -112,6 +112,10 @@ HEADLINE = [
     # reaches) next to the layer-0-only graph_refresh row; insert ≡
     # rebuilt is hash-graded by hierarchy_insert_exact_embeddings
     "hnsw_insert_embeddings",
+    # round-11: RaBitQ 1-bit asymmetric-estimator quantizer (sign-
+    # code scan + exact rerank over the planted union) — the
+    # quantizer-family completion next to the ivf/pq/hamming rows
+    "rabitq_planted_recall_embeddings",
 ]
 
 

@@ -105,6 +105,11 @@ class VectorSearch:
         # buckets/codes over it). Corpus-invariant — invalidated on
         # any mutation like the graph memo.
         self._opq: tuple | None = None
+        # memoized RaBitQ tier ('RaBitQ' descriptor): the seeded
+        # orthonormal rotation + the persisted 1-bit code table
+        # (ann.rabitq_train/encode — no codebooks; model is d²
+        # driver doubles)
+        self._rabitq: tuple | None = None
         # memoized row count: every search consults ntotal (the
         # exact-shortcut dispatch) and the graph tier threads it into
         # beam search's size dispatch — one count per mutation, not
@@ -167,12 +172,24 @@ class VectorSearch:
         # serving tables embed vectors AND adjacency — stale with the
         # graph on ANY mutation. keep_warm RETIRES the flat table:
         # it covers exactly (old corpus, old graph), which is what the
-        # per-row insert's navigation beam-search wants
+        # per-row insert's navigation beam-search wants. Retire only
+        # when there IS a table (ADVICE r10: a second consecutive
+        # keep-warm mutation would overwrite the retired table with
+        # None, discarding warm state that still matches), and release
+        # whatever gets replaced/dropped.
         if keep_warm:
-            self._stale_nav_tab = self._nav_tab
+            if self._nav_tab is not None:
+                if self._stale_nav_tab is not None:
+                    self._stale_nav_tab.unpersist()
+                self._stale_nav_tab = self._nav_tab
         else:
+            if self._stale_nav_tab is not None:
+                self._stale_nav_tab.unpersist()
             self._stale_nav_tab = None
         self._nav_tab = None
+        if self._serving_state is not None:
+            for _tab in self._serving_state.values():
+                _tab.unpersist()
         self._serving_state = None
         if self._opq is not None:
             # the encoded/rotated relation is corpus-derived — any
@@ -180,6 +197,10 @@ class VectorSearch:
             # on the next OPQ search
             self._opq[-1].unpersist()
             self._opq = None
+        if self._rabitq is not None:
+            # same corpus-derived staleness as the OPQ code table
+            self._rabitq[-1].unpersist()
+            self._rabitq = None
         self._ntotal_cache = None  # every mutation routes through here
 
     # -------------------------------------------------- build surface
@@ -328,6 +349,25 @@ class VectorSearch:
             return out.withColumnRenamed(
                 "approx_similarity", "similarity"
             )
+        if d.startswith("rabitq"):
+            # RaBitQ 1-bit tier: seeded-rotation sign codes + the
+            # asymmetric estimator shortlist, exact rerank — completes
+            # the quantizer family next to SQ8/int8/PQ/OPQ (VERDICT
+            # r10 item 4). Model + code table memoized per corpus
+            # like the OPQ tier; ranks are exact-rerank outputs, so
+            # the 'similarity' column keeps the engine-exact currency.
+            if self._rabitq is None:
+                P = ann.rabitq_train(self._df, self.vec_col)
+                codes = ann.rabitq_encode(
+                    self._df, P, self.id_col, self.vec_col
+                ).persist()
+                self._rabitq = (P, codes)
+            P, codes = self._rabitq
+            return ann.rabitq_topk_search(
+                queries, self._df, k=k,
+                id_col=self.id_col, vec_col=self.vec_col,
+                rotation=P, codes=codes,
+            )
         if d.startswith("hnsw"):
             # capture the append bookkeeping BEFORE the layer-0
             # build consumes it — the hierarchy repair below needs
@@ -342,11 +382,15 @@ class VectorSearch:
                     and self._graph_corpus is not None
                     else None
                 )
+                pend_n = (
+                    self._pending_new.count()
+                    if old_n is not None
+                    else None
+                )
                 if (
                     old_n is not None
                     and self.insert_add_fraction > 0
-                    and self._pending_new.count()
-                    <= self.insert_add_fraction * old_n
+                    and pend_n <= self.insert_add_fraction * old_n
                 ):
                     # small add: exact per-row insert — navigate the
                     # stored graph, repair reverse fan-in; cost ∝ new
@@ -364,6 +408,7 @@ class VectorSearch:
                         ),
                         corpus_rows=old_n,
                         nav_tab=self._stale_nav_tab,
+                        new_rows_count=pend_n,
                     ).persist()
                     self._graph_params = {
                         "k": 8, "built": "insert",
@@ -405,7 +450,12 @@ class VectorSearch:
                     self._stale_graph = None
                 self._graph_corpus = None
                 self._pending_new = None
-                self._stale_nav_tab = None  # consumed (or obsolete)
+                if self._stale_nav_tab is not None:
+                    # consumed (the insert's count above materialized
+                    # its reader) or obsolete (refresh/cold path) —
+                    # release the checkpoint blocks either way
+                    self._stale_nav_tab.unpersist()
+                self._stale_nav_tab = None
                 if self.ntotal < self.hierarchy_min_rows:
                     # flat-tier provisioning only: the descent path
                     # derives entries from the hierarchy itself
@@ -465,11 +515,20 @@ class VectorSearch:
                     # each batch's plan references lineage-free
                     # relations (zero per-batch setup, the loaded-
                     # Faiss shape)
+                    # guarded per layer (ADVICE r10 medium): tabs are
+                    # built only for layers serving will read — the
+                    # layer-0 table (full corpus) only within the
+                    # ≤100k broadcast regime the beam search itself
+                    # dispatches on, upper tabs only when no fitted
+                    # layer zeroes the auto walk policy
                     self._serving_state = ann.hnsw_serving_state(
                         self._df, self._hier,
                         self._hier_meta["top_layer"],
                         id_col=self.id_col, vec_col=self.vec_col,
                         nav_members=self._nav, m=knobs["m"],
+                        corpus_rows=self.ntotal,
+                        layer_sizes=self._hier_meta["layer_sizes"],
+                        size_cap=self._hier_meta.get("size_cap"),
                     )
                 return ann.hnsw_topk_search(
                     queries, self._df, k=k,
@@ -597,6 +656,15 @@ class VectorSearch:
             )
         else:
             index_store.delete_index(index_path + "__opq")
+        if self._rabitq is not None:
+            # RaBitQ tier: rotation (the whole model) + 1-bit code
+            # table persist beside the vectors like the OPQ artifact
+            P, codes = self._rabitq
+            index_store.save_rabitq_index(
+                index_path + "__rabitq", P, codes, self.ntotal
+            )
+        else:
+            index_store.delete_index(index_path + "__rabitq")
 
     def load(self, index_path: str, id_map_path: str | None = None) -> None:
         assert self._spark is not None, "pass spark= before load()"
@@ -665,6 +733,16 @@ class VectorSearch:
                     and ometa["m"] == pq_m
                 ):
                     self._opq = ("flat", R, books, codes.persist())
+            except index_store.IndexLoadError:
+                pass
+        if d.startswith("rabitq"):
+            try:
+                codes, R, rmeta = index_store.load_rabitq_index(
+                    self._spark, index_path + "__rabitq"
+                )
+                # row-count adoption guard, like the other artifacts
+                if rmeta["n_rows"] == self.ntotal:
+                    self._rabitq = (R, codes.persist())
             except index_store.IndexLoadError:
                 pass
 

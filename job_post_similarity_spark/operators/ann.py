@@ -2365,18 +2365,25 @@ def _micro_quant(vec_col: str) -> Column:
     the beam searcher and the Rademacher-SRP twin. |component| <= 1 on
     unit vectors => |q| <= 1e6 and a d-dim integer dot is bounded by
     d*1e12 (the 1e15 shift in _sim_ppm_expr assumes d <= 1000)."""
-    return F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * F.lit(1_000_000.0), 0).cast("long"),
+    # one F.expr instead of the lambda-built transform: the python
+    # higher-order-function API pays dozens of py4j roundtrips per
+    # construction and this expression sits in EVERY ANN plan, built
+    # per round/hop — measured ~1 ms per roundtrip of pure driver
+    # latency on warm serve/refresh/insert rows. The SQL string
+    # parses to the identical Catalyst expression (plan- and
+    # result-byte-equal; pinned by test_quant_expr_equals_lambda).
+    return F.expr(
+        f"transform(cast({vec_col} as array<double>), "
+        f"x -> cast(round(x * 1000000.0, 0) as long))"
     )
 
 
 def _int_dot(c1: str, c2: str) -> Column:
-    """Order-independent integer dot of two micro-quantized arrays."""
-    return F.aggregate(
-        F.zip_with(c1, c2, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    """Order-independent integer dot of two micro-quantized arrays.
+    F.expr for the same py4j-chatter reason as ``_micro_quant``."""
+    return F.expr(
+        f"aggregate(zip_with({c1}, {c2}, (a, b) -> a * b), "
+        f"cast(0 as long), (acc, x) -> acc + x)"
     )
 
 
@@ -2473,22 +2480,53 @@ def nn_descent_knn_graph(
     base = df.select(
         F.col(id_col).alias("id"), _micro_quant(vec_col).alias("q")
     )
-    ranked, n = global_rank_with_total(base, [F.col("id")], out_col="rk")
-    if n == 0:
-        return df.sparkSession.createDataFrame([], empty_schema)
-    k_eff = min(k, n - 1) if n > 1 else 0
-    if k_eff == 0:
-        return df.sparkSession.createDataFrame([], empty_schema)
-    ranked = ranked.select("id", "q", (F.col("rk") - 1).alias("rk"))
-    qtab = ranked.select("id", "q").repartition("id").persist()
+    # ring-init ranking, size-dispatched. The rank is a pure function
+    # of the sorted id list, so under the ≤100k broadcast regime it is
+    # a DRIVER-LOCAL enumeration (one column-pruned bounded collect +
+    # a broadcast join back — zero exchanges), not a range repartition
+    # whose partitioner SAMPLING pass plus offsets collect cost two
+    # blocking rounds per build/refresh on a scheduling-floor-sized
+    # corpus. Identical (id, rk) mapping either way (ids are unique by
+    # the builder contract), so cold/refresh outputs are byte-equal
+    # across the dispatch — the large regime keeps the scale-safe
+    # global_rank (collecting 100 TB of ids is what must not happen).
+    id_probe = [
+        r[0] for r in df.select(id_col).limit(100_001).collect()
+    ]
+    small = len(id_probe) <= 100_000
+    if small:
+        n = len(id_probe)
+        if n == 0:
+            return df.sparkSession.createDataFrame([], empty_schema)
+        k_eff = min(k, n - 1) if n > 1 else 0
+        if k_eff == 0:
+            return df.sparkSession.createDataFrame([], empty_schema)
+        rk_map = df.sparkSession.createDataFrame(
+            [(v, i) for i, v in enumerate(sorted(id_probe))],
+            schema=f"id {id_type}, rk long",
+        )
+        ranked = base.join(F.broadcast(rk_map), "id")
+    else:
+        ranked, n = global_rank_with_total(
+            base, [F.col("id")], out_col="rk"
+        )
+        k_eff = min(k, n - 1) if n > 1 else 0
+        ranked = ranked.select("id", "q", (F.col("rk") - 1).alias("rk"))
     # size-dispatched scoring strategy: under ~100k rows the
     # quantized vector table broadcasts (≤ ~50 MB at 64 dims), which
     # removes BOTH scoring exchanges from every round — with AQE each
     # exchange is a scheduled query stage, so this halves the
-    # per-round stage count at bench scale. Larger corpora keep the
-    # shuffle join (broadcasting the full vector table is exactly
+    # per-round stage count at bench scale (and the node-keyed
+    # repartition before the persist is skipped too: a broadcast-only
+    # relation has no partitioning to co-locate). Larger corpora keep
+    # the shuffle join (broadcasting the full vector table is exactly
     # what must NOT happen at 100 TB).
-    q_side = F.broadcast(qtab) if n <= 100_000 else qtab
+    qtab = (
+        ranked.select("id", "q").persist()
+        if small
+        else ranked.select("id", "q").repartition("id").persist()
+    )
+    q_side = F.broadcast(qtab) if small else qtab
 
     # ring init: rank r -> ranks (r+1..r+k_eff) mod n
     offs = F.explode(
@@ -3038,6 +3076,7 @@ def graph_insert(
     entries: list[int] | None = None,
     corpus_rows: int | None = None,
     nav_tab: DataFrame | None = None,
+    new_rows_count: int | None = None,
 ) -> DataFrame:
     """HNSW-style per-row INSERT into an existing kNN graph — the
     serving-time incremental add whose cost scales with the NEW rows,
@@ -3097,7 +3136,17 @@ def graph_insert(
         if corpus_rows is not None
         else corpus.limit(100_001).count()
     )
-    small = n_old <= 100_000
+    # the broadcast regime must bound the UNION (q_src/q_dst are
+    # union-derived — ADVICE r10: keying 'small' on n_old alone let a
+    # large new_rows batch into a small corpus broadcast an unbounded
+    # quantized relation twice). ``new_rows_count`` skips the probe on
+    # warm paths where the caller already counted the pending batch.
+    n_new = (
+        new_rows_count
+        if new_rows_count is not None
+        else new_rows.limit(100_001).count()
+    )
+    small = (n_old + n_new) <= 100_000
     qtab = (
         union.select(F.col(id_col).alias("node"), quant.alias("q"))
         .persist()
@@ -3116,7 +3165,16 @@ def graph_insert(
         nav_tab=nav_tab,
     ).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    ).persist()
+    ).localCheckpoint()
+    # EAGER checkpoint, not persist: the navigation result is tiny
+    # (≤ |new|·beam rows) but its plan is the DEEP one (the unrolled
+    # multi-hop beam search), and the merge below references it ~6
+    # times (self-join, reverse, fan-in, touched, candidates) — a
+    # cached-but-lineaged relation makes Catalyst re-optimize the
+    # whole beam subtree per reference inside one mega-plan
+    # (measured: 3.9 s optimize+execute fused vs ~1.3 s for the
+    # serve path's single reference; the checkpoint cuts the insert
+    # action to the small merge plan over a leaf).
     # new×new via shared old neighborhood (step 2)
     nn_new = (
         served.alias("a")
@@ -3479,15 +3537,41 @@ def hnsw_serving_state(
     nav_members: DataFrame | None = None,
     m: int = 2,
     materialize: bool = True,
+    corpus_rows: int | None = None,
+    layer_sizes: dict | None = None,
+    size_cap: int | None = None,
+    start_budget: int = 1024,
+    broadcast_cap: int = 100_000,
 ) -> dict:
     """Build the descent's WARM SERVING STATE once per index: the
     per-layer ``(node, qv, nxts)`` navigation tables
-    (``graph_nav_table``) for every walkable layer 1..top plus the
-    layer-0 table over the FULL corpus with the union of all layers'
-    edges (exactly the relation the in-plan path derives — duplicate
+    (``graph_nav_table``) for the layers SERVING WILL ACTUALLY READ
+    (exactly the relation the in-plan path derives — duplicate
     cross-layer edges pad the grouped lists identically, so serving
     through the state is a pure substitution). Returns
-    ``{layer: nav_tab}`` for ``hnsw_topk_search(serving_state=...)``.
+    ``{layer: nav_tab}`` for ``hnsw_topk_search(serving_state=...)``;
+    layers absent from the dict fall back to the in-plan derivation
+    (``(serving_state or {}).get(l)`` → None).
+
+    Which layers get a tab mirrors the reader, not the builder
+    (ADVICE r10: an unguarded build materialized a FULL-corpus
+    broadcast-join that serving never read above the broadcast
+    regime):
+
+    - layer 0 only when ``n <= broadcast_cap`` —
+      ``graph_beam_search`` ignores ``nav_tab`` on the node-keyed
+      shuffle path (its own ≤100k dispatch), so above the cap the
+      layer-0 table is a full-corpus broadcast materialization with
+      zero readers (driver/executor OOM risk at exactly the at-scale
+      regime); ``stream_topk_search`` guards its nav build the same
+      way.
+    - upper layers 1..top only when NO layer fits ``start_budget``
+      (``min(start_budget, size_cap)``, matching the reader's cap):
+      a fitted layer makes ``hnsw_topk_search``'s auto ``max_walks``
+      0, so no upper walk — and no upper tab read — ever happens.
+      When walks DO happen, a layer's tab is built only if its
+      membership (``layer_sizes`` or the n/m^l estimate the reader
+      itself passes as ``corpus_rows``) is within ``broadcast_cap``.
 
     ``materialize=True`` localCheckpoints each table (eager): the
     serving plans then reference lineage-free in-memory relations —
@@ -3497,32 +3581,121 @@ def hnsw_serving_state(
     holds n rows; layers above sum to ≤ n/(m-1) — the same budget as
     ``nav_members``, which supplies the per-layer member vectors
     without rescanning the corpus when provided."""
-    tabs: dict = {}
-    for l in range(1, top_layer + 1):
-        if nav_members is not None:
-            members_l = nav_members.filter(F.col("layer") == l).select(
-                id_col, vec_col
-            )
-        else:
-            members_l = corpus.filter(
-                _hnsw_hash(id_col) % (m**l) == 0
-            ).select(id_col, vec_col)
-        tabs[l] = graph_nav_table(
-            members_l,
-            hierarchy.filter(F.col("layer") == l),
-            id_col,
-            vec_col,
-        )
-    tabs[0] = graph_nav_table(
-        corpus, hierarchy.select("id", "neighbor_id"), id_col, vec_col
+    n = (
+        corpus_rows
+        if corpus_rows is not None
+        else corpus.limit(broadcast_cap + 1).count()
     )
+    eff_budget = (
+        min(start_budget, size_cap) if size_cap is not None else start_budget
+    )
+    fitted = layer_sizes is not None and any(
+        l >= 1 and sz <= eff_budget for l, sz in layer_sizes.items()
+    )
+    tabs: dict = {}
+    if not fitted:
+        for l in range(1, top_layer + 1):
+            est = (layer_sizes or {}).get(l, max(1, n // (m**l)))
+            if est > broadcast_cap:
+                continue  # the walk's beam search would ignore it
+            if nav_members is not None:
+                members_l = nav_members.filter(
+                    F.col("layer") == l
+                ).select(id_col, vec_col)
+            else:
+                members_l = corpus.filter(
+                    _hnsw_hash(id_col) % (m**l) == 0
+                ).select(id_col, vec_col)
+            tabs[l] = graph_nav_table(
+                members_l,
+                hierarchy.filter(F.col("layer") == l),
+                id_col,
+                vec_col,
+            )
+    if n <= broadcast_cap:
+        tabs[0] = graph_nav_table(
+            corpus, hierarchy.select("id", "neighbor_id"), id_col, vec_col
+        )
     if materialize:
         tabs = {l: t.localCheckpoint() for l, t in tabs.items()}
     return tabs
 
 
-def _exact_knn_graph(
+def _exact_knn_graph_local(
     members: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Driver-local numpy replay of ``_exact_knn_graph`` — bit-for-bit
+    the same edges (pinned by ``test_exact_knn_graph_local_equals_
+    relational``), for member sets the caller has ALREADY bounded at
+    ``exact_budget`` (<= ~2k rows, <= 4M integer dots — milliseconds
+    in one matmul vs a 64-task 1M-row window shuffle, the dominant
+    cost of a warm ``hnsw_hierarchy_insert``). The same
+    bounded-collect shape as the IVF Lloyd trainer (`ivf_centers`):
+    the data is driver-scalar-sized by contract, so distributing the
+    ranking buys nothing but scheduling floor.
+
+    Arithmetic replication notes: quantization is Spark's
+    ``round(x*1e6, 0)`` = HALF_UP away from zero, replayed as
+    ``sign(y)*floor(|y|+0.5)`` (equal for all doubles — a mismatch
+    would need a double within half an ulp below a .5 boundary,
+    which spacing forbids); inputs widen float->double BEFORE the
+    multiply exactly like the column cast; dots are int64 (<= d*1e12,
+    no overflow for d <= 1000); sim_ppm replays the shifted floor
+    division on non-negative operands."""
+    import numpy as np
+    import pandas as pd
+
+    spark = members.sparkSession
+    id_type = members.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("sim_ppm", T.LongType()),
+        ]
+    )
+    pdf = members.select(id_col, vec_col).toPandas()
+    n = len(pdf)
+    if n < 2:
+        return spark.createDataFrame([], schema=out_schema)
+    ids = pdf[id_col].to_numpy()
+    srt = np.argsort(ids, kind="stable")
+    ids = ids[srt]
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[srt]]
+    )
+    y = vecs * 1_000_000.0
+    q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+    dots = q @ q.T
+    # per-row total order (dot DESC, id ASC): stable argsort of -dot
+    # over id-ascending columns = the window's tie-break; removing
+    # SELF from the ordered list (not from the ties) reproduces the
+    # id != neighbor_id pre-rank exclusion for any tie layout
+    order = np.argsort(-dots, axis=1, kind="stable")
+    nbrs = order[order != np.arange(n)[:, None]].reshape(n, n - 1)
+    ranks = np.arange(1, n, dtype=np.int64)
+    keep = (ranks <= k) | ((ranks & (ranks - 1)) == 0)
+    nbr_kept = nbrs[:, keep]
+    m_keep = nbr_kept.shape[1]
+    dot_kept = dots[np.arange(n)[:, None], nbr_kept].ravel()
+    out = pd.DataFrame(
+        {
+            "id": np.repeat(ids, m_keep),
+            "neighbor_id": ids[nbr_kept].ravel(),
+            "rank": np.tile(ranks[keep].astype(np.int32), n),
+            "sim_ppm": (dot_kept + 10**15) // 10**6 - 10**9,
+        }
+    )
+    return spark.createDataFrame(out, schema=out_schema)
+
+
+def _exact_knn_graph(
+    members: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    member_rows: int | None = None,
 ) -> DataFrame:
     """Exact graph over a SMALL member set (an upper layer):
     broadcast all-pairs with the builder's integer micro-dot
@@ -3539,7 +3712,14 @@ def _exact_knn_graph(
     ENTER a basin whose members all drew low levels; a converged
     top-k-only layer strands it exactly like layer 0 does. HNSW gets
     the same effect from its select-neighbors-heuristic diversity;
-    rank-2^j is the deterministic, SQL-replayable analog."""
+    rank-2^j is the deterministic, SQL-replayable analog.
+
+    ``member_rows`` (the caller's bounded count) <= 2048 dispatches
+    the driver-local numpy replay (``_exact_knn_graph_local`` — same
+    edges, milliseconds instead of a window shuffle); None or larger
+    keeps the distributed plan."""
+    if member_rows is not None and member_rows <= 2048:
+        return _exact_knn_graph_local(members, id_col, vec_col, k)
     from pyspark.sql.window import Window
 
     quant = _micro_quant(vec_col)
@@ -3651,7 +3831,9 @@ def hnsw_hierarchy_build(
             # membership from the level expression
             break
         if cnt <= exact_budget:
-            g = _exact_knn_graph(members, id_col, vec_col, k)
+            g = _exact_knn_graph(
+                members, id_col, vec_col, k, member_rows=cnt
+            )
         else:
             g = nn_descent_knn_graph(
                 members, id_col, vec_col, k=k, iters=iters
@@ -3746,6 +3928,7 @@ def hnsw_hierarchy_insert(
             # the stored layer-0 graph's nav table (warm serving
             # state) skips the navigation setup
             nav_tab=nav_tab,
+            new_rows_count=n_new,
         )
     out = l0.select(F.lit(0).cast("int").alias("layer"), "*")
     if meta is not None:
@@ -3764,7 +3947,9 @@ def hnsw_hierarchy_insert(
         if cnt <= entry_budget:
             break  # builder's stopping rule — layer IS the entry set
         if cnt <= exact_budget:
-            g = _exact_knn_graph(members, id_col, vec_col, k)
+            g = _exact_knn_graph(
+                members, id_col, vec_col, k, member_rows=cnt
+            )
         elif l <= stored_top:
             old_members = corpus.select(id_col, vec_col).filter(
                 _hnsw_hash(id_col) % (m**l) == 0
@@ -3775,7 +3960,8 @@ def hnsw_hierarchy_insert(
             g_old = hierarchy.filter(F.col("layer") == l).select(
                 *edge_cols
             )
-            if new_members.limit(1).count() == 0:
+            nm = new_members.limit(100_001).count()
+            if nm == 0:
                 g = g_old  # nobody drew this level — layer unchanged
             else:
                 g = graph_insert(
@@ -3786,6 +3972,7 @@ def hnsw_hierarchy_insert(
                     id_col=id_col,
                     vec_col=vec_col,
                     entries=default_graph_entries(old_members, id_col),
+                    new_rows_count=nm,
                 )
         else:
             # a layer this large above the stored top means the union
@@ -4361,4 +4548,205 @@ def opq_topk_search(
         id_col=id_col,
         vec_col=vec_col,
         include_self=include_self,
+    )
+
+
+# ----------------------------------------------- RaBitQ (1-bit asymmetric)
+
+
+def rabitq_train(df: DataFrame, vec_col: str = "embedding", seed: int = 42):
+    """RaBitQ's model (Gao & Long, SIGMOD 2024, simplified to the
+    inner-product form): a SEEDED RANDOM ORTHONORMAL rotation P
+    (d, d) that balances per-dimension magnitude so the 1-bit sign
+    code's estimator error is dimension-independent — the entire
+    trainable state (no codebooks: the 'codebook' is the fixed
+    {±1/√d}^d grid, which is what makes the tier 32× smaller than
+    SQ8 and 8× smaller than PQ8 per vector).
+
+    Driver-local and deterministic: QR of a seeded gaussian with the
+    R-diagonal sign fix (the unique thin-QR convention), the same
+    constant-size-model policy as the IVF/PQ/OPQ trainers — the
+    corpus never leaves the cluster; only d² doubles come back.
+    Completes the Faiss-style quantizer family next to SQ8/int8/PQ/
+    OPQ (reference descriptor dispatch surface:
+    app/vector_search.py:42-47)."""
+    import numpy as np
+
+    dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    rng = np.random.default_rng(seed)
+    g = rng.normal(size=(dim, dim))
+    q, r = np.linalg.qr(g)
+    return q * np.sign(np.diag(r))
+
+
+def rabitq_encode(
+    df: DataFrame,
+    rotation,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-bit encode: rotate, then keep only the SIGN of every rotated
+    component (packed big-endian bits in a BINARY column — d/8 bytes
+    per vector) plus the per-vector estimator denominator
+    ``abs_sum`` = Σ|u_i| in micro units (⟨x̄, x̄_q⟩·√d — RaBitQ stores
+    exactly this one correction scalar per vector).
+
+    Map-side mapInPandas against the broadcast rotation (one BLAS
+    matmul + a packbits per Arrow batch) — encoding 100 TB is
+    shuffle-free, like ``pq_encode``/``sq8_encode``. Sign convention:
+    u >= 0 → bit 1. Output: (id, sign_code binary, abs_sum long)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(rotation, dtype=np.float64)
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def op(it):
+        P = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            u = mat @ P.T
+            packed = np.packbits(u >= 0.0, axis=1)
+            abs_sum = np.rint(np.abs(u).sum(axis=1) * 1e6).astype(
+                np.int64
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sign_code": [row.tobytes() for row in packed],
+                    "abs_sum": abs_sum,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        op, f"{id_col} {id_type}, sign_code binary, abs_sum long"
+    )
+
+
+def rabitq_topk_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rotation=None,
+    codes: DataFrame | None = None,
+    shortlist: int | None = None,
+    include_self: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Asymmetric 1-bit top-k (the RaBitQ serving loop): the QUERY
+    stays full-precision, each corpus vector is its sign code + one
+    correction scalar, and the estimated inner product is
+
+        est⟨x̄, q⟩ = ⟨sign(u_x), u_q⟩ / Σ|u_x|
+
+    (the paper's unbiased ⟨x̄_q, q⟩ / ⟨x̄, x̄_q⟩ with the 1/√d factors
+    cancelled). Serving = shortlist-then-rerank, the
+    ``hamming_rerank_topk`` composition: (1) a map-side SCAN over the
+    code table — per Arrow batch one ±1 matmul against the broadcast
+    rotated-query matrix, emitting only each batch's per-query top
+    ``shortlist`` (partial top-k combine, so the shuffle carries
+    O(partitions·|queries|·shortlist) rows, never n·|queries|);
+    (2) a window cut to the global shortlist; (3) EXACT integer
+    micro-dot rerank of the shortlist in the original space — output
+    ranks/similarities are engine-exact, the estimator only chooses
+    the candidates (how the planted-twin gate stays closed-form).
+
+    Scale shape: the code table is 1 bit/dim + 8 bytes — a 100 TB
+    f32 corpus scans as ~3 TB of codes, map-side; queries are a
+    bounded serving batch (driver-collected like the entry lists).
+    ``rotation``/``codes`` memoize across batches (VectorSearch
+    does); ``shortlist`` defaults to max(8k, 64)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    if rotation is None:
+        rotation = rabitq_train(corpus, vec_col, seed=seed)
+    if codes is None:
+        codes = rabitq_encode(corpus, rotation, id_col, vec_col)
+    if shortlist is None:
+        shortlist = max(8 * k, 64)
+    rot_q = rotate_vectors(queries, rotation, id_col, vec_col)
+    qrows = rot_q.collect()  # bounded serving batch (see docstring)
+    if not qrows:
+        out_t = queries.schema[id_col].dataType.simpleString()
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"query_id {out_t}, neighbor_id {out_t}, "
+            f"similarity double, rank int",
+        )
+    qids = np.asarray([r[0] for r in qrows])
+    qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    dim = qmat.shape[1]
+    bc = queries.sparkSession.sparkContext.broadcast((qids, qmat))
+    id_type = queries.schema[id_col].dataType.simpleString()
+
+    def scan(it):
+        q_ids, Q = bc.value
+        nq = len(q_ids)
+        take = shortlist
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            B = np.unpackbits(
+                np.stack(
+                    [np.frombuffer(b, np.uint8) for b in pdf["sign_code"]]
+                ),
+                axis=1,
+            )[:, :dim].astype(np.float64)
+            S = (2.0 * B - 1.0) @ Q.T  # n×nq sign-dots
+            est = S / (
+                np.maximum(pdf["abs_sum"].to_numpy(), 1)[:, None] / 1e6
+            )
+            t = min(take, n)
+            top = np.argpartition(-est, t - 1, axis=0)[:t]  # t×nq
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(q_ids, t),
+                    "id": ids[top].T.ravel(),
+                    "est": est[top, np.arange(nq)].T.ravel(),
+                }
+            )
+
+    scanned = codes.mapInPandas(
+        scan, f"qid {id_type}, id {id_type}, est double"
+    )
+    if not include_self:
+        scanned = scanned.filter(F.col("qid") != F.col("id"))
+    w_s = Window.partitionBy("qid").orderBy(F.desc("est"), F.asc("id"))
+    cand = (
+        scanned.withColumn("rn", F.row_number().over(w_s))
+        .filter(F.col("rn") <= shortlist)
+        .select("qid", "id")
+    )
+    # exact rerank in the ORIGINAL space (integer micro-dot — the
+    # repo-wide engine-exact currency), broadcastable sides: the
+    # shortlist is |queries|·shortlist rows, the query table a
+    # bounded batch
+    quant = _micro_quant(vec_col)
+    c_q = corpus.select(F.col(id_col).alias("id"), quant.alias("q2"))
+    q_q = queries.select(F.col(id_col).alias("qid"), quant.alias("q1"))
+    w_r = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("id"))
+    sim_ppm = F.expr(_SIM_PPM_SQL)
+    return (
+        cand.join(c_q, "id")
+        .join(F.broadcast(q_q), "qid")
+        .select("qid", "id", _int_dot("q1", "q2").alias("dot"))
+        .withColumn("rank", F.row_number().over(w_r))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            (sim_ppm / F.lit(1_000_000.0)).alias("similarity"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

@@ -332,6 +332,50 @@ def load_opq_index(spark: SparkSession, path: str):
     return codes, npz["rotation"], npz["codebooks"], meta
 
 
+def save_rabitq_index(
+    path: str,
+    rotation,
+    codes: DataFrame,
+    n_rows: int,
+    params: dict | None = None,
+) -> None:
+    """Persist a RaBitQ index: the seeded orthonormal rotation (the
+    whole model — no codebooks) in the npz, the 1-bit sign-code table
+    (sign_code binary + abs_sum) as parquet. Same adoption-guard meta
+    shape as the OPQ artifact (reference persistence contract:
+    app/vector_search.py:207-239)."""
+    import numpy as np
+
+    os.makedirs(path, exist_ok=True)
+    R = np.asarray(rotation)
+    _save_quantizer(path, rotation=R)
+    codes.write.mode("overwrite").parquet(os.path.join(path, _ROWS))
+    _write_meta(
+        path,
+        {
+            "kind": "rabitq",
+            "n_rows": int(n_rows),
+            "dim": int(R.shape[0]),
+            **(params or {}),
+        },
+    )
+
+
+def load_rabitq_index(spark: SparkSession, path: str):
+    """→ (codes DataFrame, rotation, meta); IndexLoadError on a
+    missing/corrupt/non-RaBitQ artifact."""
+    meta = _read_meta(path)
+    if meta.get("kind") != "rabitq":
+        raise IndexLoadError(
+            f"kind {meta.get('kind')!r} is not 'rabitq'"
+        )
+    npz = _load_quantizer(path)
+    if "rotation" not in npz:
+        raise IndexLoadError(f"no rotation array in {_QUANTIZER}")
+    codes = _read_rows(spark, path)
+    return codes, npz["rotation"], meta
+
+
 def load_or_build_pq(
     spark: SparkSession,
     df: DataFrame,

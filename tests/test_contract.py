@@ -15,6 +15,38 @@ def test_oracle_keys_subset_of_queries():
     assert o <= q, f"oracle-only keys: {o - q}"
 
 
+def test_pending_oracles_disjoint_from_registered():
+    """check_oracles.py --pending merges _PENDING_ORACLES OVER
+    oracle_sql() on duplicate keys, so a stale pending entry would
+    silently shadow the graded SQL (the round-4 semantic_dedup
+    near-miss mechanism; VERDICT r10 item 3). The module-end
+    promotion block pops every windowed gate out of pending —
+    this pins that invariant against a future staging edit."""
+    pending = set(entrymod._PENDING_ORACLES)
+    registered = set(entrymod.oracle_sql())
+    assert pending & registered == set(), (
+        f"pending entries shadow registered oracles: "
+        f"{sorted(pending & registered)}"
+    )
+    # and every still-pending gate must have a queries() entry
+    # (staged = written but not yet windowed, never orphaned)
+    assert pending <= set(entrymod.queries()), (
+        f"orphaned pending oracles: "
+        f"{sorted(pending - set(entrymod.queries()))}"
+    )
+
+
+def test_graded_window_is_first_50_and_oracle_backed():
+    """The driver grades exactly the first 50 queries() entries; the
+    rotation policy requires each to be oracle-backed and the
+    committed ordering to match the current round's window tuple."""
+    q = list(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert tuple(q[:50]) == entrymod._R11_WINDOW
+    missing = [k for k in q[:50] if k not in o]
+    assert not missing, f"window entries without oracle SQL: {missing}"
+
+
 def test_all_queries_callable_and_named():
     qs = entrymod.queries()
     assert len(qs) >= 60

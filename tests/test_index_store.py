@@ -321,3 +321,56 @@ def test_add_to_pq_index_incremental_residual(spark, vectors, tmp_path):
         for r in out.filter(F.col("vec_id") >= 100).collect()
     )
     assert got == want
+
+
+def test_vector_search_saves_and_reloads_rabitq_artifact(spark, tmp_path):
+    """VectorSearch('RaBitQ').save persists rotation + 1-bit codes;
+    a fresh instance load()s them (row-count adoption guard) and
+    serves the planted twins WITHOUT retraining — search results
+    equal the pre-save ones."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.index_api import VectorSearch
+    from job_post_similarity_spark.operators import index_store
+
+    rng = np.random.default_rng(31)
+    n, d = 200, 16
+    v = rng.normal(size=(n, d))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    rows += [(int(i + 100000), [float(x) for x in v[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 10")
+
+    ix = VectorSearch(dimension=d, index_description="RaBitQ", spark=spark)
+    ix.exact_shortcut_rows = 1
+    ix.add(df)
+    before = sorted(map(tuple, ix.search(queries, k=2).collect()))
+    path = str(tmp_path / "rbq_idx")
+    ix.save(path)
+
+    fresh = VectorSearch(
+        dimension=d, index_description="RaBitQ", spark=spark
+    )
+    fresh.exact_shortcut_rows = 1
+    fresh.load(path)
+    assert fresh._rabitq is not None, "artifact not adopted"
+    after = sorted(map(tuple, fresh.search(queries, k=2).collect()))
+    assert after == before
+    top1 = {q: nb for q, nb, _s, r in after if r == 1}
+    assert top1 == {i: i + 100000 for i in range(10)}
+    # a mismatched row count must refuse adoption
+    codes, R, meta = index_store.load_rabitq_index(
+        spark, path + "__rabitq"
+    )
+    assert meta["n_rows"] == 210
+    other = VectorSearch(
+        dimension=d, index_description="RaBitQ", spark=spark
+    )
+    other.load(path)
+    other.add(df.limit(5).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    ))
+    assert other._rabitq is None  # invalidated by the mutation

@@ -1936,3 +1936,190 @@ def test_opq_search_planted_twin_and_encode_parity(spark):
         if r["neighbor_id"] == r["query_id"] + 1000
     }
     assert found == set(range(10))
+
+
+def test_exact_knn_graph_local_equals_relational(spark):
+    """The bounded driver-local numpy tier of ``_exact_knn_graph``
+    must reproduce the relational window plan bit for bit — edges,
+    ranks (incl. the 2^j skip edges) AND sim_ppm — on a fixture with
+    float32 vectors, negative components, and EXACT-DUPLICATE vectors
+    (self-dot ties, the pre-rank self-exclusion's hard case)."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        _exact_knn_graph,
+        _exact_knn_graph_local,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 97, 24
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # plant exact duplicates: rows 90..96 copy rows 0..6 (twin dot ==
+    # self dot -> ties straddling the self row in the total order)
+    v[90:97] = v[0:7]
+    rows = [(int(i * 3 + 1), [float(x) for x in v[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>"
+    )
+    rel = _exact_knn_graph(
+        df, "vec_id", "embedding", k=4, member_rows=None
+    )
+    loc = _exact_knn_graph_local(df, "vec_id", "embedding", k=4)
+    rel_rows = sorted(map(tuple, rel.collect()))
+    loc_rows = sorted(map(tuple, loc.collect()))
+    assert rel_rows == loc_rows
+    assert len(loc_rows) > 0
+    assert [f.name for f in loc.schema.fields] == [
+        "id", "neighbor_id", "rank", "sim_ppm",
+    ]
+    # dispatch: a bounded member_rows routes to the local tier
+    via_dispatch = _exact_knn_graph(
+        df, "vec_id", "embedding", k=4, member_rows=n
+    )
+    assert sorted(map(tuple, via_dispatch.collect())) == loc_rows
+
+
+def test_quant_expr_equals_lambda(spark):
+    """_micro_quant/_int_dot moved from lambda-built HOFs to F.expr
+    strings (py4j-chatter shave) — pin that the SQL form computes the
+    same values as the python-lambda construction on negative,
+    positive, and sub-ulp-boundary components, float32 and float64."""
+    from job_post_similarity_spark.operators.ann import (
+        _int_dot,
+        _micro_quant,
+    )
+
+    rows = [
+        (1, [0.4999999999999999, -0.5, 0.123456789, -1.0]),
+        (2, [1.0, 2.4999999999999996e-07, -2.5e-07, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    legacy_quant = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * F.lit(1_000_000.0), 0).cast("long"),
+    )
+    got = df.select(
+        "id",
+        _micro_quant("embedding").alias("q_new"),
+        legacy_quant.alias("q_old"),
+    )
+    for r in got.collect():
+        assert list(r["q_new"]) == list(r["q_old"]), r
+    q = df.select("id", _micro_quant("embedding").alias("q"))
+    pair = q.alias("a").join(q.alias("b"), F.expr("a.id < b.id"))
+    legacy_dot = F.aggregate(
+        F.zip_with("a.q", "b.q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    out = pair.select(
+        _int_dot("a.q", "b.q").alias("d_new"), legacy_dot.alias("d_old")
+    ).collect()
+    assert out and all(r["d_new"] == r["d_old"] for r in out)
+
+
+def _np_rabitq_reference(vecs, qmat, rotation, k):
+    """Pure-numpy replay of the RaBitQ estimator pipeline (encode →
+    estimate → exact-rerank-free ordering of the TRUE dots among the
+    estimator's shortlist is covered by the Spark test; here we
+    replay the ESTIMATOR itself)."""
+    import numpy as np
+
+    u = vecs @ rotation.T
+    signs = np.where(u >= 0.0, 1.0, -1.0)
+    abs_sum = np.maximum(np.rint(np.abs(u).sum(axis=1) * 1e6), 1) / 1e6
+    uq = qmat @ rotation.T
+    est = (signs @ uq.T) / abs_sum[:, None]
+    return est
+
+
+def test_rabitq_encode_and_estimator_numpy_replay(spark):
+    """rabitq_encode's packed sign codes + abs_sum and the scan's
+    estimated dots must match a from-scratch numpy replay of the
+    published estimator est = <sign(u), u_q>/Σ|u| — the 'numpy replay
+    test' the RaBitQ tier is gated on."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        rabitq_encode,
+        rabitq_topk_search,
+        rabitq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 120, 32
+    v = rng.normal(size=(n, d))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    P = rabitq_train(df, "embedding", seed=7)
+    # orthonormality + determinism of the trainer
+    assert np.allclose(P @ P.T, np.eye(d), atol=1e-10)
+    P2 = rabitq_train(df, "embedding", seed=7)
+    assert np.array_equal(P, P2)
+    codes = rabitq_encode(df, P, "vec_id", "embedding").collect()
+    got = {r["vec_id"]: r for r in codes}
+    u = v @ P.T
+    for i in range(n):
+        bits = np.unpackbits(
+            np.frombuffer(got[i]["sign_code"], np.uint8)
+        )[:d]
+        assert np.array_equal(bits, (u[i] >= 0).astype(np.uint8)), i
+        assert got[i]["abs_sum"] == int(np.rint(np.abs(u[i]).sum() * 1e6))
+    # end-to-end: Spark top-k == numpy replay (estimator shortlist
+    # then exact-dot rerank, both replayed)
+    qn = 6
+    qdf = df.filter(F.col("vec_id") < qn)
+    out = rabitq_topk_search(
+        qdf, df, k=3, rotation=P, shortlist=16, include_self=False
+    ).collect()
+    est = _np_rabitq_reference(v, v[:qn], P, k=3)
+    quant = np.sign(v * 1e6) * np.floor(np.abs(v * 1e6) + 0.5)
+    dots = (quant @ quant.T).astype(np.int64)
+    exp = {}
+    for qi in range(qn):
+        e = est[:, qi].copy()
+        e[qi] = -np.inf  # self-exclusion
+        short = sorted(range(n), key=lambda j: (-e[j], j))[:16]
+        rer = sorted(short, key=lambda j: (-dots[j, qi], j))[:3]
+        exp[qi] = [
+            (int(j), int((dots[j, qi] + 10**15) // 10**6 - 10**9))
+            for j in rer
+        ]
+    for r in out:
+        j, ppm = exp[r["query_id"]][r["rank"] - 1]
+        assert r["neighbor_id"] == j, (r, exp[r["query_id"]])
+        assert abs(r["similarity"] - ppm / 1e6) < 1e-12
+
+
+def test_rabitq_planted_twin_recall_and_dispatch(spark):
+    """Planted exact twins must come back at rank 1 through BOTH the
+    operator and the VectorSearch('RaBitQ') descriptor dispatch — an
+    identical vector rotates and sign-encodes identically, shares the
+    abs_sum, so its estimate equals the query's own maximal estimate
+    and the exact rerank puts it first."""
+    import numpy as np
+
+    from job_post_similarity_spark.index_api import VectorSearch
+    from job_post_similarity_spark.operators.ann import (
+        rabitq_topk_search,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d = 300, 32
+    v = rng.normal(size=(n, d))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    rows += [(int(i + 100000), [float(x) for x in v[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 20)
+    hits = rabitq_topk_search(queries, df, k=2).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in hits if r["rank"] == 1}
+    assert top1 == {i: i + 100000 for i in range(20)}
+    ix = VectorSearch(dimension=d, index_description="RaBitQ")
+    ix.exact_shortcut_rows = 1  # force the descriptor tier at test size
+    ix.add(df)
+    out = ix.search(queries, k=2).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert top1 == {i: i + 100000 for i in range(20)}

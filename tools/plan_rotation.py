@@ -98,8 +98,8 @@ def main() -> int:
     )
     order = window + canaries + rest
 
-    backed = oracles | set(pending)  # union: promoted window gates
-    # appear in BOTH oracle_sql() and _PENDING_ORACLES
+    backed = oracles | set(pending)  # disjoint since r11: promotion
+    # POPS a windowed gate out of _PENDING_ORACLES (module-end block)
     print(f"queries: {len(queries)}  oracle-backed: "
           f"{len(backed)} ({len(set(pending) - oracles)} staged-only)  "
           f"graded-green history: {len(graded & set(queries))}")
