@@ -1563,7 +1563,9 @@ def hnsw_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist()
         nav.count()
         state = ann.hnsw_serving_state(
-            emb, hier, meta["top_layer"], nav_members=nav
+            emb, hier, meta["top_layer"], nav_members=nav,
+            corpus_rows=n, layer_sizes=meta["layer_sizes"],
+            size_cap=meta.get("size_cap"),
         )
         cached = (hier, meta["top_layer"], meta["layer_sizes"],
                   meta.get("size_cap"), nav, state)

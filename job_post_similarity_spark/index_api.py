@@ -544,8 +544,12 @@ class VectorSearch:
                     nav_members=self._nav,
                     serving_state=self._serving_state,
                 )
-            if self._nav_tab is None:
-                # flat-tier warm-serving state, one per index build
+            if self._nav_tab is None and self.ntotal <= 100_000:
+                # flat-tier warm-serving state, one per index build —
+                # only within the broadcast regime the beam search
+                # reads it in (a user-raised hierarchy_min_rows could
+                # otherwise route a >100k corpus here and materialize
+                # a full-corpus broadcast join serving ignores)
                 self._nav_tab = ann.graph_nav_table(
                     self._df, self._graph, self.id_col, self.vec_col
                 ).localCheckpoint()

@@ -3174,7 +3174,10 @@ def graph_insert(
     # whole beam subtree per reference inside one mega-plan
     # (measured: 3.9 s optimize+execute fused vs ~1.3 s for the
     # serve path's single reference; the checkpoint cuts the insert
-    # action to the small merge plan over a leaf).
+    # action to the small merge plan over a leaf). A lazy variant
+    # (defer all layers' execution into one fused action) was
+    # measured and REJECTED: no win at sf0.1, slightly worse at the
+    # 10x step — the per-layer materializations pipeline fine.
     # new×new via shared old neighborhood (step 2)
     nn_new = (
         served.alias("a")
@@ -3261,6 +3264,11 @@ def graph_insert(
         merged = merged.coalesce(1).sortWithinPartitions("id", "rank")
     else:
         merged = merged.orderBy("id", "rank")
+    # eager localCheckpoint (same rationale as the builder's per-round
+    # checkpoints) so the intermediates this function persisted can be
+    # released HERE — callers can't reach qtab/served, and a lazy
+    # return would either leak both caches for the session or lose
+    # them before the caller's first action
     out = merged.localCheckpoint()
     qtab.unpersist()
     served.unpersist()
@@ -4674,7 +4682,16 @@ def rabitq_topk_search(
     if shortlist is None:
         shortlist = max(8 * k, 64)
     rot_q = rotate_vectors(queries, rotation, id_col, vec_col)
-    qrows = rot_q.collect()  # bounded serving batch (see docstring)
+    # bounded serving batch: the rotated queries broadcast into the
+    # scan (≤ ~50 MB at 100k×64 f64) — refuse beyond the repo-wide
+    # 100k driver-collect budget instead of silently OOMing; split
+    # larger batches upstream (each chunk scans the codes once)
+    qrows = rot_q.limit(100_001).collect()
+    if len(qrows) > 100_000:
+        raise ValueError(
+            "rabitq_topk_search serves bounded query batches "
+            "(<= 100k rows) — split the batch upstream"
+        )
     if not qrows:
         out_t = queries.schema[id_col].dataType.simpleString()
         return queries.sparkSession.createDataFrame(
