@@ -1656,6 +1656,10 @@ def hnsw_insert_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ann.hnsw_hierarchy_insert(
         emb, hier, twins, corpus_rows=n, nav_tab=nav_tab,
+        # warm serving state: the resident membership table + stored
+        # layer sizes make each repaired layer probe only the 50 new
+        # rows instead of md5-rescanning the corpus per layer
+        nav_members=nav, old_layer_sizes=sizes, old_top_layer=top,
     ).groupBy("layer").agg(
         F.count(F.lit(1)).alias("n_edges")
     ).orderBy("layer")

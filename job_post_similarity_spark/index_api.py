@@ -88,6 +88,10 @@ class VectorSearch:
         # rescans the full corpus per layer; persisted with the
         # hierarchy artifact on save()
         self._nav: DataFrame | None = None
+        # retired pre-mutation membership table after an append —
+        # the hierarchy repair's per-layer old-member source (see
+        # _invalidate_graph keep_warm)
+        self._stale_nav: DataFrame | None = None
         # memoized warm-serving navigation tables: the flat tier's
         # (node, qv, nxts) relation and the descent tier's per-layer
         # dict (ann.graph_nav_table / ann.hnsw_serving_state) —
@@ -166,9 +170,21 @@ class VectorSearch:
             self._stale_hier = None
             self._stale_hier_meta = None
         if self._nav is not None:
-            # membership is corpus-derived — stale with the hierarchy
-            self._nav.unpersist()
+            # membership is corpus-derived — stale with the hierarchy.
+            # keep_warm (add) RETIRES it: it covers exactly the OLD
+            # corpus's per-layer membership, which is what the
+            # hierarchy repair's per-layer old-member relations want
+            # (saves an md5 rescan of the corpus per repaired layer)
+            if keep_warm:
+                if self._stale_nav is not None:
+                    self._stale_nav.unpersist()
+                self._stale_nav = self._nav
+            else:
+                self._nav.unpersist()
             self._nav = None
+        if not keep_warm and self._stale_nav is not None:
+            self._stale_nav.unpersist()
+            self._stale_nav = None
         # serving tables embed vectors AND adjacency — stale with the
         # graph on ANY mutation. keep_warm RETIRES the flat table:
         # it covers exactly (old corpus, old graph), which is what the
@@ -482,16 +498,31 @@ class VectorSearch:
                         # relation re-pays Catalyst optimization of
                         # the whole build plan per reference
                         # (measured 15 s vs 5 s on the insert path)
+                        stale_meta = self._stale_hier_meta or {}
                         self._hier = ann.hnsw_hierarchy_insert(
                             pend_corpus, self._stale_hier, pend,
                             id_col=self.id_col, vec_col=self.vec_col,
                             k=knobs["k"], m=knobs["m"],
                             entry_budget=knobs["entry_budget"],
                             base_graph=self._graph, meta=meta,
+                            # retired warm state: membership + stored
+                            # sizes make the per-layer repair probe
+                            # only the NEW rows (no md5 rescan of the
+                            # full corpus per layer)
+                            nav_members=self._stale_nav,
+                            old_layer_sizes=stale_meta.get(
+                                "layer_sizes"
+                            ),
+                            old_top_layer=stale_meta.get("top_layer"),
                         ).localCheckpoint()
                         self._stale_hier.unpersist()
                         self._stale_hier = None
                         self._stale_hier_meta = None
+                        if self._stale_nav is not None:
+                            # consumed — the checkpoint above
+                            # materialized every reader
+                            self._stale_nav.unpersist()
+                            self._stale_nav = None
                     else:
                         self._hier = ann.hnsw_hierarchy_build(
                             self._df, self.id_col, self.vec_col,

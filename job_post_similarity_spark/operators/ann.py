@@ -3871,6 +3871,9 @@ def hnsw_hierarchy_insert(
     base_graph: DataFrame | None = None,
     meta: dict | None = None,
     nav_tab: DataFrame | None = None,
+    nav_members: DataFrame | None = None,
+    old_layer_sizes: dict | None = None,
+    old_top_layer: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL maintenance of a layered hierarchy — the HNSW
     ``add`` at the hierarchy tier (reference ``index.add`` keeps its
@@ -3903,6 +3906,22 @@ def hnsw_hierarchy_insert(
     ``meta`` (mutated like the builder's) receives top_layer /
     layer_sizes / size_cap for the serve call. Output: the full
     updated (layer, id, neighbor_id, rank, sim_ppm) hierarchy.
+
+    Warm-state reuse (the cost levers at scale — without them every
+    repaired layer re-scans the FULL union with the md5 predicate
+    plus a bounded count probe, O(n) driver-blocking jobs per layer):
+    ``nav_members`` — the RETIRED pre-mutation membership table
+    (``hnsw_nav_members`` over the OLD corpus, layers 1..top+1):
+    old members read Σ n/m^l materialized rows instead of md5-
+    rescanning the corpus per layer; ``old_layer_sizes`` /
+    ``old_top_layer`` — the stored hierarchy's meta: the union layer
+    size is then old + (new members' cheap count), so the per-layer
+    probe touches only the NEW rows. Values above the builder's
+    size_cap are capped sentinels — still > exact_budget, so every
+    dispatch decision is unchanged (stored layers are all
+    > entry_budget by the stopping rule, so the break rule can only
+    trigger on probed layers above the stored top, exactly as
+    before).
     Equality contract (gate ``hierarchy_insert_exact_embeddings``):
     where the stored layer 0 is exact and every upper layer is
     exact-tier, insert ≡ the rebuilt hierarchy whose layer 0 is the
@@ -3911,9 +3930,6 @@ def hnsw_hierarchy_insert(
     n_old = corpus_rows if corpus_rows is not None else corpus.count()
     n_new = new_rows.count()
     n = n_old + n_new
-    union = corpus.select(id_col, vec_col).unionByName(
-        new_rows.select(id_col, vec_col)
-    )
     if base_graph is not None:
         l0 = base_graph
     else:
@@ -3946,12 +3962,36 @@ def hnsw_hierarchy_insert(
         meta["built"] = "insert"
     levels = hnsw_max_level(n, m, entry_budget)
     stored_top = (
-        hierarchy.agg(F.max("layer").alias("t")).collect()[0]["t"] or 0
+        old_top_layer
+        if old_top_layer is not None
+        else hierarchy.agg(F.max("layer").alias("t")).collect()[0]["t"]
+        or 0
     )
     edge_cols = ["id", "neighbor_id", "rank", "sim_ppm"]
     for l in range(1, levels + 1):
-        members = union.filter(_hnsw_hash(id_col) % (m**l) == 0)
-        cnt = members.limit(exact_budget + 1).count()
+        new_members = new_rows.select(id_col, vec_col).filter(
+            _hnsw_hash(id_col) % (m**l) == 0
+        )
+        nm = new_members.limit(100_001).count()
+        # old membership: the retired member table covers layers
+        # 1..stored_top+1; beyond it (or without warm state) the md5
+        # predicate over the corpus is the source, as the builder's
+        if nav_members is not None and l <= stored_top + 1:
+            old_members = nav_members.filter(
+                F.col("layer") == l
+            ).select(id_col, vec_col)
+        else:
+            old_members = corpus.select(id_col, vec_col).filter(
+                _hnsw_hash(id_col) % (m**l) == 0
+            )
+        members = old_members.unionByName(new_members)
+        if old_layer_sizes is not None and l in old_layer_sizes:
+            # stored size + new draw count — no union-wide probe.
+            # A capped sentinel stays > exact_budget, so the dispatch
+            # below is decision-identical to the probed value.
+            cnt = int(old_layer_sizes[l]) + nm
+        else:
+            cnt = members.limit(exact_budget + 1).count()
         if cnt <= entry_budget:
             break  # builder's stopping rule — layer IS the entry set
         if cnt <= exact_budget:
@@ -3959,16 +3999,9 @@ def hnsw_hierarchy_insert(
                 members, id_col, vec_col, k, member_rows=cnt
             )
         elif l <= stored_top:
-            old_members = corpus.select(id_col, vec_col).filter(
-                _hnsw_hash(id_col) % (m**l) == 0
-            )
-            new_members = new_rows.select(id_col, vec_col).filter(
-                _hnsw_hash(id_col) % (m**l) == 0
-            )
             g_old = hierarchy.filter(F.col("layer") == l).select(
                 *edge_cols
             )
-            nm = new_members.limit(100_001).count()
             if nm == 0:
                 g = g_old  # nobody drew this level — layer unchanged
             else:

@@ -1601,6 +1601,31 @@ def test_hnsw_hierarchy_insert_equals_rebuild(spark):
     assert ins_meta["layer_sizes"] == want_meta["layer_sizes"]
     assert ins_meta["built"] == "insert"
 
+    # WARM-STATE path (r11): the retired membership table + stored
+    # sizes replace the per-layer union md5 scans — the repaired
+    # hierarchy and its meta must be byte-identical to the cold path
+    from job_post_similarity_spark.operators.ann import (
+        hnsw_nav_members,
+    )
+
+    nav = hnsw_nav_members(df, m=2, top_layer=meta["top_layer"])
+    warm_meta = {}
+    warm = hnsw_hierarchy_insert(
+        df, hier, twins, k=8, entry_budget=8,
+        corpus_rows=60, meta=warm_meta,
+        nav_members=nav,
+        old_layer_sizes=meta["layer_sizes"],
+        old_top_layer=meta["top_layer"],
+    )
+    diff_w = (
+        warm.select(cols).exceptAll(want.select(cols))
+        .unionAll(want.select(cols).exceptAll(warm.select(cols)))
+        .count()
+    )
+    assert diff_w == 0
+    assert warm_meta["layer_sizes"] == want_meta["layer_sizes"]
+    assert warm_meta["top_layer"] == want_meta["top_layer"]
+
 
 def test_hierarchy_artifact_roundtrip_with_nav_and_knobs(spark, tmp_path):
     """save_hnsw_hierarchy persists the nav membership beside the
