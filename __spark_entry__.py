@@ -6673,6 +6673,38 @@ def rabitq_planted_recall_embeddings(
     )
 
 
+def rabitq_ivf_planted_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RaBitQ,IVF COMPOSITION planted-twin recall (round 11 — the
+    pipeline VectorSearch dispatches for 'RaBitQ,IVF<c>': one coarse
+    list per row, queries probe their n_probe nearest lists, the
+    1-bit asymmetric-estimator scan touches probed lists only, exact
+    rerank): a bit-identical twin shares its original's single list
+    assignment (same vector ⇒ same argmin centroid, stable
+    tie-break), the query's own list is always among its probes, so
+    the twin is scanned, ties the query's self-estimate, and the
+    engine-exact rerank pins it at rank 1. Closed-form expected set,
+    same shape as the flat RaBitQ / OPQ,IVF,PQ gates. (Oracle staged
+    in _PENDING_ORACLES for the r12 window.)"""
+    from job_post_similarity_spark.operators import ann
+
+    emb = _planted_emb_union(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    hits = ann.rabitq_ivf_topk_search(
+        queries_df, emb, k=4, n_centroids=16, n_probe=2, seed=42,
+        include_self=False, corpus_rows=450,
+    )
+    return (
+        hits.filter(
+            (F.col("neighbor_id") - F.col("query_id") == _PLANT_OFFSET)
+            & (F.col("query_id") < 50)
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
 def filtered_oversample_recall_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7634,6 +7666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; VERDICT r10 item 4)
         "rabitq_planted_recall_embeddings": (
             rabitq_planted_recall_embeddings
+        ),
+        "rabitq_ivf_planted_recall_embeddings": (
+            rabitq_ivf_planted_recall_embeddings
         ),
     }
     out = {k: base[k] for k in _R11_WINDOW}
@@ -14207,6 +14242,14 @@ _PENDING_ORACLES["opq_planted_recall_embeddings"] = """
 # + identical abs_sum ⇒ the twin's estimate ties the query's own
 # maximum, survives the shortlist, and the exact rerank ranks it first
 _PENDING_ORACLES["rabitq_planted_recall_embeddings"] = """
+    SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id
+"""
+
+# the RaBitQ,IVF composition keeps every planted twin: identical
+# vector ⇒ identical coarse list, the own list is always probed, the
+# estimator tie survives the shortlist, exact rerank pins rank 1
+_PENDING_ORACLES["rabitq_ivf_planted_recall_embeddings"] = """
     SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
     FROM embeddings WHERE vec_id < 50 ORDER BY query_id
 """

