@@ -376,6 +376,37 @@ def load_rabitq_index(spark: SparkSession, path: str):
     return codes, npz["rotation"], meta
 
 
+def add_to_rabitq_index(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Faiss ``add()`` at the RaBitQ tier: encode ONLY the new rows
+    against the STORED rotation — the rotation is a pure function of
+    (seed, dim), never of the data, so old codes stay valid under
+    append by construction (stronger than IVF/PQ, whose quantizers
+    can drift) — append to the artifact, bump the row count. The
+    caller owns id uniqueness. Returns (codes over the full
+    artifact, rotation, meta)."""
+    from . import ann
+
+    codes_old, rotation, meta = load_rabitq_index(spark, path)
+    n_new = new_rows.count()
+    if n_new:
+        new_codes = ann.rabitq_encode(
+            new_rows, rotation, id_col, vec_col
+        )
+        new_codes.select(*codes_old.columns).write.mode(
+            "append"
+        ).parquet(os.path.join(path, _ROWS))
+        _write_meta(path, {**meta, "n_rows": meta["n_rows"] + n_new})
+    codes = _read_rows(spark, path)
+    meta = _read_meta(path)
+    return codes, rotation, meta
+
+
 def load_or_build_pq(
     spark: SparkSession,
     df: DataFrame,

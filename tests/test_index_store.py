@@ -374,3 +374,31 @@ def test_vector_search_saves_and_reloads_rabitq_artifact(spark, tmp_path):
         (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
     ))
     assert other._rabitq is None  # invalidated by the mutation
+
+
+def test_add_to_rabitq_index_incremental_no_retrain(spark, tmp_path):
+    """RaBitQ add() contract: new rows encode against the STORED
+    rotation (seed-only model — appending can never invalidate old
+    codes), the artifact grows in place, and the appended codes are
+    byte-identical to a from-scratch encode of the union."""
+    from pyspark.sql import functions as F
+
+    from job_post_similarity_spark.operators import ann, index_store
+
+    rng = np.random.default_rng(17)
+    v = rng.normal(size=(80, 16))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old, new = df.filter("vec_id < 60"), df.filter("vec_id >= 60")
+    P = ann.rabitq_train(old, "embedding", seed=9)
+    path = str(tmp_path / "rbq_add")
+    index_store.save_rabitq_index(
+        path, P, ann.rabitq_encode(old, P), 60
+    )
+    codes, R2, meta = index_store.add_to_rabitq_index(spark, new, path)
+    assert meta["n_rows"] == 80
+    assert np.array_equal(P, R2)
+    got = sorted(map(tuple, codes.collect()))
+    want = sorted(map(tuple, ann.rabitq_encode(df, P).collect()))
+    assert got == want
