@@ -1688,6 +1688,17 @@ def index_for_description(description: str):
         if inner.startswith("ivf"):
             return index_for_description(inner)
         return srp_lsh_similarity_join
+    if d.startswith("rabitq"):
+        # 1-bit codes change the SEARCH economics, never cosine
+        # values — the pair-join strategy follows the inner segment
+        # like OPQ's (IVF coarse partitioning when present, else the
+        # banded-SRP tier); the 1-bit search tier itself is
+        # dispatched by VectorSearch.search where the model/codes
+        # are memoizable.
+        inner = d.split(",", 1)[1] if "," in d else ""
+        if inner.startswith("ivf"):
+            return index_for_description(inner)
+        return srp_lsh_similarity_join
     if d.startswith("ivf"):
         # Faiss-style 'IVF100,Flat' → 100 coarse centroids
         m = re.match(r"ivf(\d+)", d)

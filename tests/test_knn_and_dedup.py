@@ -179,6 +179,15 @@ def test_index_for_description_dispatch():
     # approximate description
     assert ann.index_for_description("LSH") is ann.srp_lsh_similarity_join
     assert ann.index_for_description("LSH4,Flat") is ann.srp_lsh_similarity_join
+    # RaBitQ follows the OPQ policy: pair-join strategy by the inner
+    # segment (codes never change cosine values)
+    assert (
+        ann.index_for_description("RaBitQ")
+        is ann.srp_lsh_similarity_join
+    )
+    rbq_ivf = ann.index_for_description("RaBitQ,IVF64")
+    assert rbq_ivf.func is ann.ivf_similarity_join
+    assert rbq_ivf.keywords == {"n_centroids": 64}
 
 
 def test_brp_lsh_tier_warns_degenerate(embeddings):
