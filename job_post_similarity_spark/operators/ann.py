@@ -4733,12 +4733,13 @@ def rabitq_topk_search(
         codes = rabitq_encode(corpus, rotation, id_col, vec_col)
     if shortlist is None:
         shortlist = max(8 * k, 64)
-    rot_q = rotate_vectors(queries, rotation, id_col, vec_col)
     # bounded serving batch: the rotated queries broadcast into the
     # scan (≤ ~50 MB at 100k×64 f64) — refuse beyond the repo-wide
     # 100k driver-collect budget instead of silently OOMing; split
-    # larger batches upstream (each chunk scans the codes once)
-    qrows = rot_q.limit(100_001).collect()
+    # larger batches upstream (each chunk scans the codes once).
+    # One collect; the rotation (already a driver array) applies
+    # driver-side — float64 matmul, identical to rotate_vectors'.
+    qrows = queries.select(id_col, vec_col).limit(100_001).collect()
     if len(qrows) > 100_000:
         raise ValueError(
             "rabitq_topk_search serves bounded query batches "
@@ -4752,7 +4753,9 @@ def rabitq_topk_search(
             f"similarity double, rank int",
         )
     qids = np.asarray([r[0] for r in qrows])
-    qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qmat = np.asarray(
+        [list(r[1]) for r in qrows], dtype=np.float64
+    ) @ np.asarray(rotation, dtype=np.float64).T
     dim = qmat.shape[1]
     bc = queries.sparkSession.sparkContext.broadcast((qids, qmat))
     id_type = queries.schema[id_col].dataType.simpleString()
@@ -4893,8 +4896,11 @@ def rabitq_ivf_topk_search(
         )
     if shortlist is None:
         shortlist = max(8 * k, 64)
-    rot_q = rotate_vectors(queries, rotation, id_col, vec_col)
-    qrows = rot_q.limit(100_001).collect()
+    # ONE bounded collect: original-space vectors drive the bucket
+    # probe (assignment space must match the corpus side's), the
+    # rotation applies driver-side for the estimator (rotation only
+    # shapes codes — float64 matmul, identical to rotate_vectors')
+    qrows = queries.select(id_col, vec_col).limit(100_001).collect()
     if len(qrows) > 100_000:
         raise ValueError(
             "rabitq_ivf_topk_search serves bounded query batches "
@@ -4907,31 +4913,22 @@ def rabitq_ivf_topk_search(
             f"query_id {out_t}, neighbor_id {out_t}, "
             f"similarity double, rank int",
         )
-    # original-space query vectors for the bucket probe (assignment
-    # space must match the corpus side's; rotation only shapes codes)
-    oq = {
-        r[0]: np.asarray(list(r[1]), dtype=np.float64)
-        for r in queries.select(id_col, vec_col)
-        .limit(100_001)
-        .collect()
-    }
+    P = np.asarray(rotation, dtype=np.float64)
     cents = np.asarray(centers, dtype=np.float64)
     reps = min(n_probe, len(cents))
-    qid_list = [r[0] for r in qrows]
     probe_pairs = []
-    for q in qid_list:
-        x = oq[q]
+    uq = {}
+    for r in qrows:
+        x = np.asarray(list(r[1]), dtype=np.float64)
+        uq[r[0]] = x @ P.T
         d2 = ((cents - x) ** 2).sum(axis=1)
         # stable ascending ⇒ distance ties break on the lower centroid
         # id — the ivf_assign_with_centers contract
         for b in np.argsort(d2, kind="stable")[:reps]:
-            probe_pairs.append((q, int(b)))
+            probe_pairs.append((r[0], int(b)))
     q_buckets = queries.sparkSession.createDataFrame(
         probe_pairs, schema=f"qid {out_t}, bucket int"
     )
-    uq = {
-        r[0]: np.asarray(list(r[1]), dtype=np.float64) for r in qrows
-    }
     dim = len(next(iter(uq.values())))
     bc = queries.sparkSession.sparkContext.broadcast(uq)
     # each probed-bucket code row carries its probing query's id; est
