@@ -6195,6 +6195,58 @@ def stream_graph_topk_embeddings(
     )
 
 
+def stream_rabitq_topk_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING 1-bit serving gate (round 11): the planted-twin
+    corpus and queries of ``rabitq_planted_recall_embeddings``, but
+    the 50 query vectors arrive as a 2-micro-batch file stream served
+    via ``streaming.stream_rabitq_topk_search`` (foreachBatch against
+    the static RAM-resident rotation + code table, parquet append
+    sink, read-back dedup). Per-query independence makes the
+    accumulated sink equal the batch operator exactly, so the SAME
+    closed-form planted oracle grades the streaming path end to end
+    after the twin projection. (Oracle staged in _PENDING_ORACLES
+    for the r12 window.)"""
+    import tempfile as _tempfile
+
+    from job_post_similarity_spark.operators import ann
+    from job_post_similarity_spark.streaming import (
+        stream_rabitq_topk_search,
+    )
+
+    emb = _planted_emb_union(spark, sf_dir)
+    P = ann.rabitq_train(emb, "embedding", seed=42)
+    codes = ann.rabitq_encode(emb, P, "vec_id", "embedding")
+    qdf = emb.filter(F.col("vec_id") < 50)
+    base = _tempfile.mkdtemp(prefix="jps_stream_rabitq_")
+    qdir = f"{base}/queries"
+    qdf.repartition(2).write.parquet(qdir)
+    stream = (
+        spark.readStream.schema(qdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    hits = stream_rabitq_topk_search(
+        spark,
+        stream,
+        emb,
+        f"{base}/out",
+        checkpoint_dir=f"{base}/ckpt",
+        k=4,
+        rotation=P,
+        codes=codes,
+    )
+    return (
+        hits.filter(
+            (F.col("neighbor_id") - F.col("query_id") == _PLANT_OFFSET)
+            & (F.col("query_id") < 50)
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
 def wordpiece_train_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7670,6 +7722,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rabitq_ivf_planted_recall_embeddings": (
             rabitq_ivf_planted_recall_embeddings
         ),
+        # round 11: streaming serving at the 1-bit tier (oracle
+        # staged for the r12 window — the planted SQL under this
+        # name; stream ≡ batch by per-query independence)
+        "stream_rabitq_topk_embeddings": stream_rabitq_topk_embeddings,
     }
     out = {k: base[k] for k in _R11_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -14250,6 +14306,14 @@ _PENDING_ORACLES["rabitq_planted_recall_embeddings"] = """
 # vector ⇒ identical coarse list, the own list is always probed, the
 # estimator tie survives the shortlist, exact rerank pins rank 1
 _PENDING_ORACLES["rabitq_ivf_planted_recall_embeddings"] = """
+    SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id
+"""
+
+# streaming 1-bit serving: per-query independence makes the
+# accumulated sink equal the batch operator, so the same planted SQL
+# grades the stream end to end
+_PENDING_ORACLES["stream_rabitq_topk_embeddings"] = """
     SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
     FROM embeddings WHERE vec_id < 50 ORDER BY query_id
 """

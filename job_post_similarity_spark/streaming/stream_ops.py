@@ -1810,3 +1810,91 @@ def stream_topk_search(
         .dropDuplicates(["query_id", "rank"])
         .orderBy("query_id", "rank")
     )
+
+
+def stream_rabitq_topk_search(
+    spark: SparkSession,
+    queries_stream: DataFrame,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rotation=None,
+    codes: DataFrame | None = None,
+    shortlist: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming serving at the RaBitQ 1-bit tier: a stream of query
+    vectors is served per micro-batch against a STATIC code table
+    (``ann.rabitq_train``/``rabitq_encode`` run ONCE before the
+    stream starts and stay RAM-resident — the loaded-Faiss contract,
+    reference app/main.py:177-194) via ``foreachBatch`` +
+    ``ann.rabitq_topk_search(queries=batch)``, appending each batch's
+    (query_id, neighbor_id, similarity, rank) to a parquet sink.
+
+    Contract: per-query independence (the estimator scan and the
+    exact rerank touch only the query's own rows) makes the
+    accumulated sink equal the BATCH operator over the union of all
+    micro-batches — the stream==batch equality the gate grades.
+    Delivery is at-least-once (checkpoint + append sink); results are
+    deterministic per query, so the read-back ``dropDuplicates``
+    upgrades a replayed batch to effectively-once.
+
+    100 TB shape: the code table (1 bit/dim + 8 B per row) is
+    persisted once and scanned map-side per batch with per-batch
+    partial top-k; each micro-batch is a bounded query set (the batch
+    tier's ≤100k collect budget applies per trigger)."""
+    from ..operators import ann
+
+    if rotation is None:
+        rotation = ann.rabitq_train(corpus, vec_col, seed=seed)
+    if codes is None:
+        codes = ann.rabitq_encode(corpus, rotation, id_col, vec_col)
+    codes = codes.persist()
+    corpus = corpus.persist()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        served = ann.rabitq_topk_search(
+            batch_df,
+            corpus,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            rotation=rotation,
+            codes=codes,
+            shortlist=shortlist,
+        )
+        served.write.mode("append").parquet(out_dir)
+
+    writer = queries_stream.writeStream.foreachBatch(handle).outputMode(
+        "append"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        codes.unpersist()
+        corpus.unpersist()
+    if not os.path.isdir(out_dir):
+        # zero delivered rows ⇒ no sink files — return an EMPTY frame
+        # with the serving schema (the stream_topk_search contract)
+        id_type = dict(corpus.dtypes)[id_col]
+        return spark.createDataFrame(
+            [],
+            schema=(
+                f"query_id {id_type}, neighbor_id {id_type}, "
+                "similarity double, rank int"
+            ),
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .dropDuplicates(["query_id", "rank"])
+        .orderBy("query_id", "rank")
+    )

@@ -2197,3 +2197,66 @@ def test_rabitq_ivf_planted_twin_recall(spark):
     assert len(ix._rabitq) == 3
     t1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
     assert t1 == {i: i + 100000 for i in range(16)}
+
+
+def test_stream_rabitq_topk_multibatch_equals_batch(spark, tmp_path):
+    """Streaming 1-bit serving == batch serving over the union of
+    micro-batches: query files streamed one per trigger against the
+    static rotation + code table accumulate exactly the batch
+    operator's rows (per-query independence); an empty stream
+    returns the schema-stable empty frame."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        rabitq_encode,
+        rabitq_topk_search,
+        rabitq_train,
+    )
+    from job_post_similarity_spark.streaming import (
+        stream_rabitq_topk_search,
+    )
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(90, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(90)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    P = rabitq_train(df, "embedding", seed=3)
+    codes = rabitq_encode(df, P)
+    qids = [2, 19, 40, 66, 85]
+    qdf = df.filter(F.col("vec_id").isin(qids))
+    qdir = str(tmp_path / "queries")
+    qdf.repartition(2).write.parquet(qdir)
+    stream = (
+        spark.readStream.schema(qdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    got = stream_rabitq_topk_search(
+        spark, stream, df, str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=3, rotation=P, codes=codes,
+    ).collect()
+    want = rabitq_topk_search(
+        qdf, df, k=3, rotation=P, codes=codes
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == len(qids) * 3
+
+    # empty stream: no sink files -> schema-stable empty frame
+    edir = str(tmp_path / "equeries")
+    qdf.limit(0).write.parquet(edir)
+    estream = (
+        spark.readStream.schema(qdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(edir)
+    )
+    empty = stream_rabitq_topk_search(
+        spark, estream, df, str(tmp_path / "eout"),
+        checkpoint_dir=str(tmp_path / "eckpt"),
+        k=3, rotation=P, codes=codes,
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "neighbor_id", "similarity", "rank",
+    ]
