@@ -6886,6 +6886,68 @@ def bpe_encode_udf_graded_documents(
 # additions — run tools/plan_rotation.py for the live count) queue for
 # round 6; every entry parked at 51+ is green in
 # CORRECTNESS_r01∪r02∪r03∪r04.
+_R12_WINDOW: tuple[str, ...] = (
+    # 3 never-graded round-12 gates first (the RaBitQ family staged
+    # in round 11; their SQL is promoted out of _PENDING_ORACLES at
+    # module end — see _PROMOTED_ORACLES), then 47 prior-green
+    # canaries rotated OLDEST-GRADING-FIRST with md5("r12:<name>")
+    # as the within-staleness tie-break (tools/plan_rotation.py
+    # --round 12 — the committed window and the planner agree
+    # verbatim; run only after CORRECTNESS_r11 landed, per the
+    # NOTES r12 rotation caveat)
+    "rabitq_planted_recall_embeddings",
+    "rabitq_ivf_planted_recall_embeddings",
+    "stream_rabitq_topk_embeddings",
+    "semantic_dedup_planted_twin",
+    "sentence_split_documents",
+    "stream_ohlc_events",
+    "simhash_near_dup_documents",
+    "utf8_stats_documents",
+    "sq8_encode_embeddings",
+    "lsh_similarity_pairs",
+    "calendar_dimension",
+    "classification_report_embeddings",
+    "embed_twin_documents",
+    "one_hot_events",
+    "order_arrays_by_customer",
+    "variant_extract_events",
+    "contamination_matrix_documents",
+    "ks_drift_lineitem",
+    "entity_resolution_suppliers",
+    "feature_hash_events",
+    "sql_registered_udaf_events",
+    "transitive_closure_parts",
+    "minhash_near_dup_documents",
+    "dense_ids_orders",
+    "sql_parameterized_revenue",
+    "shortest_paths_parts",
+    "quality_filter_twin_documents",
+    "inverted_index_documents",
+    "scd2_lookup_events",
+    "vocab_coverage_documents",
+    "try_divide_lineitem",
+    "grouping_sets_orders",
+    "stream_psi_drift_events",
+    "negative_samples_embeddings",
+    "linear_fit_orders",
+    "srp_lsh_similarity_pairs",
+    "seasonality_events",
+    "listagg_orders",
+    "entropy_profile_events",
+    "impute_group_mean_events",
+    "strip_html_fidelity_documents",
+    "srp_fixed_planted_recall_embeddings",
+    "curriculum_shards_documents",
+    "fuzzy_decontaminate_documents",
+    "dup_ngram_coverage_documents",
+    "ivf_recall_vs_exact",
+    "strip_html_documents",
+    "stream_running_counts_events",
+    "minhash_xxh_planted_recall_documents",
+    "mrl_search_embeddings",
+)
+
+
 _R11_WINDOW: tuple[str, ...] = (
     # 3 never-graded round-11 gates first (window priority; their
     # staged SQL is promoted out of _PENDING_ORACLES at module end —
@@ -7311,9 +7373,9 @@ _R5_WINDOW: tuple[str, ...] = (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver grades exactly the
-    FIRST 50 dict entries per round. Round 11 applies _R11_WINDOW (the
-    3 never-graded round-11 gates in plan_rotation order + prior-green
-    canaries rotated OLDEST-GRADING-FIRST, md5("r11:<name>") breaking
+    FIRST 50 dict entries per round. Round 12 applies _R12_WINDOW (the
+    3 never-graded round-12 gates in plan_rotation order + prior-green
+    canaries rotated OLDEST-GRADING-FIRST, md5("r12:<name>") breaking
     staleness ties — the policy re-grades every oracle-backed entry
     within ceil(n_oracles/slack) rounds deterministically) on top of
     the prior ordering: window members first, everything else keeps
@@ -7727,7 +7789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # name; stream ≡ batch by per-query independence)
         "stream_rabitq_topk_embeddings": stream_rabitq_topk_embeddings,
     }
-    out = {k: base[k] for k in _R11_WINDOW}
+    out = {k: base[k] for k in _R12_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -14330,7 +14392,7 @@ _PENDING_ORACLES["stream_rabitq_topk_embeddings"] = """
 # --------------------------------------------------------------------------
 _PROMOTED_ORACLES: dict[str, str] = {}
 for _k in (_R5_WINDOW + _R6_WINDOW + _R7_WINDOW + _R8_WINDOW
-           + _R9_WINDOW + _R10_WINDOW + _R11_WINDOW):
+           + _R9_WINDOW + _R10_WINDOW + _R11_WINDOW + _R12_WINDOW):
     if _k in _PENDING_ORACLES:
         _PROMOTED_ORACLES[_k] = _PENDING_ORACLES.pop(_k)
 del _k

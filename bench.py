@@ -116,6 +116,12 @@ HEADLINE = [
     # code scan + exact rerank over the planted union) — the
     # quantizer-family completion next to the ivf/pq/hamming rows
     "rabitq_planted_recall_embeddings",
+    # round-12 (VERDICT r11 item 5): the RaBitQ,IVF composition
+    # (coarse-pruned 1-bit scan) and the streaming 1-bit serving twin
+    # recorded next to their flat sibling, so the whole tier's scale
+    # behavior is visible in SCALING.md
+    "rabitq_ivf_planted_recall_embeddings",
+    "stream_rabitq_topk_embeddings",
 ]
 
 

@@ -134,14 +134,14 @@ class VectorSearch:
         if self._graph is not None:
             if keep_warm:
                 if self._stale_graph is not None:
-                    self._stale_graph.unpersist()
+                    ann.release_relation(self._stale_graph)
                 self._stale_graph = self._graph
             else:
-                self._graph.unpersist()
+                ann.release_relation(self._graph)
             self._graph = None
         if not keep_warm:
             if self._stale_graph is not None:
-                self._stale_graph.unpersist()
+                ann.release_relation(self._stale_graph)
                 self._stale_graph = None
             self._graph_corpus = None
             self._pending_new = None
@@ -158,15 +158,15 @@ class VectorSearch:
             # per-layer insert premise.
             if keep_warm:
                 if self._stale_hier is not None:
-                    self._stale_hier.unpersist()
+                    ann.release_relation(self._stale_hier)
                 self._stale_hier = self._hier
                 self._stale_hier_meta = self._hier_meta
             else:
-                self._hier.unpersist()
+                ann.release_relation(self._hier)
             self._hier = None
             self._hier_meta = None
         if not keep_warm and self._stale_hier is not None:
-            self._stale_hier.unpersist()
+            ann.release_relation(self._stale_hier)
             self._stale_hier = None
             self._stale_hier_meta = None
         if self._nav is not None:
@@ -177,13 +177,13 @@ class VectorSearch:
             # (saves an md5 rescan of the corpus per repaired layer)
             if keep_warm:
                 if self._stale_nav is not None:
-                    self._stale_nav.unpersist()
+                    ann.release_relation(self._stale_nav)
                 self._stale_nav = self._nav
             else:
-                self._nav.unpersist()
+                ann.release_relation(self._nav)
             self._nav = None
         if not keep_warm and self._stale_nav is not None:
-            self._stale_nav.unpersist()
+            ann.release_relation(self._stale_nav)
             self._stale_nav = None
         # serving tables embed vectors AND adjacency — stale with the
         # graph on ANY mutation. keep_warm RETIRES the flat table:
@@ -196,26 +196,26 @@ class VectorSearch:
         if keep_warm:
             if self._nav_tab is not None:
                 if self._stale_nav_tab is not None:
-                    self._stale_nav_tab.unpersist()
+                    ann.release_relation(self._stale_nav_tab)
                 self._stale_nav_tab = self._nav_tab
         else:
             if self._stale_nav_tab is not None:
-                self._stale_nav_tab.unpersist()
+                ann.release_relation(self._stale_nav_tab)
             self._stale_nav_tab = None
         self._nav_tab = None
         if self._serving_state is not None:
             for _tab in self._serving_state.values():
-                _tab.unpersist()
+                ann.release_relation(_tab)
         self._serving_state = None
         if self._opq is not None:
             # the encoded/rotated relation is corpus-derived — any
             # mutation (warm or cold) stales it; the model retrains
             # on the next OPQ search
-            self._opq[-1].unpersist()
+            ann.release_relation(self._opq[-1])
             self._opq = None
         if self._rabitq is not None:
             # same corpus-derived staleness as the OPQ code table
-            self._rabitq[-1].unpersist()
+            ann.release_relation(self._rabitq[-1])
             self._rabitq = None
         self._ntotal_cache = None  # every mutation routes through here
 
@@ -496,7 +496,7 @@ class VectorSearch:
                     # the first action recompute the old graph from
                     # cold inside the 'incremental' path
                     self._graph.count()
-                    self._stale_graph.unpersist()
+                    ann.release_relation(self._stale_graph)
                     self._stale_graph = None
                 self._graph_corpus = None
                 self._pending_new = None
@@ -504,7 +504,9 @@ class VectorSearch:
                     # consumed (the insert's count above materialized
                     # its reader) or obsolete (refresh/cold path) —
                     # release the checkpoint blocks either way
-                    self._stale_nav_tab.unpersist()
+                    # (release_relation, not the checkpoint-no-op
+                    # unpersist — ADVICE r11)
+                    ann.release_relation(self._stale_nav_tab)
                 self._stale_nav_tab = None
                 if self.ntotal < self.hierarchy_min_rows:
                     # flat-tier provisioning only: the descent path
@@ -549,13 +551,13 @@ class VectorSearch:
                             ),
                             old_top_layer=stale_meta.get("top_layer"),
                         ).localCheckpoint()
-                        self._stale_hier.unpersist()
+                        ann.release_relation(self._stale_hier)
                         self._stale_hier = None
                         self._stale_hier_meta = None
                         if self._stale_nav is not None:
                             # consumed — the checkpoint above
                             # materialized every reader
-                            self._stale_nav.unpersist()
+                            ann.release_relation(self._stale_nav)
                             self._stale_nav = None
                     else:
                         self._hier = ann.hnsw_hierarchy_build(

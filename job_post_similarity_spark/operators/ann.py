@@ -57,6 +57,29 @@ from pyspark.sql import types as T
 from ..functions import vectors as V
 
 
+def release_relation(df: DataFrame) -> None:
+    """Free a memoized relation's executor storage whether it came
+    from ``persist()`` or ``localCheckpoint()``. ``DataFrame.
+    unpersist()`` only drops cache-manager entries — on a
+    CHECKPOINTED relation it is a silent no-op, because the blocks
+    belong to the internal checkpointed RDD and are otherwise freed
+    only by driver GC + ContextCleaner (ADVICE r11). For those, the
+    analyzed plan is a ``LogicalRDD`` whose ``rdd()`` IS the block
+    owner; unpersisting it releases the blocks immediately (verified
+    against ``sc.getPersistentRDDs``). Best-effort: any reflection
+    failure falls back to the GC path the session already relies on."""
+    try:
+        df.unpersist()
+    except Exception:  # pragma: no cover - session teardown races
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - non-JVM or torn-down plan
+        pass
+
+
 def _to_mllib_vec(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
@@ -2383,17 +2406,34 @@ def _micro_quant(vec_col: str) -> Column:
     # latency on warm serve/refresh/insert rows. The SQL string
     # parses to the identical Catalyst expression (plan- and
     # result-byte-equal; pinned by test_quant_expr_equals_lambda).
+    # Identifiers are backtick-quoted (ADVICE r11): vec_col is a
+    # public VectorSearch parameter, and names needing quoting
+    # (dots, spaces, hyphens) resolved through the old F.col path
+    # but would mis-parse interpolated raw.
     return F.expr(
-        f"transform(cast({vec_col} as array<double>), "
+        f"transform(cast({_bq(vec_col)} as array<double>), "
         f"x -> cast(round(x * 1000000.0, 0) as long))"
     )
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote a column reference with F.col's conventions:
+    dots separate QUALIFIERS (``a.q`` → ```a`.`q```, so alias-
+    qualified references keep resolving), every segment is quoted (so
+    spaces/hyphens/keywords parse), and a name the caller already
+    backtick-quoted passes through untouched — exactly the contract
+    the pre-F.expr ``F.col`` path gave these helpers."""
+    if "`" in name:
+        return name
+    return ".".join("`" + p + "`" for p in name.split("."))
+
+
 def _int_dot(c1: str, c2: str) -> Column:
     """Order-independent integer dot of two micro-quantized arrays.
-    F.expr for the same py4j-chatter reason as ``_micro_quant``."""
+    F.expr for the same py4j-chatter reason as ``_micro_quant``;
+    identifiers backtick-quoted like ``_micro_quant``'s."""
     return F.expr(
-        f"aggregate(zip_with({c1}, {c2}, (a, b) -> a * b), "
+        f"aggregate(zip_with({_bq(c1)}, {_bq(c2)}, (a, b) -> a * b), "
         f"cast(0 as long), (acc, x) -> acc + x)"
     )
 
@@ -3088,6 +3128,7 @@ def graph_insert(
     corpus_rows: int | None = None,
     nav_tab: DataFrame | None = None,
     new_rows_count: int | None = None,
+    entries_df: DataFrame | None = None,
 ) -> DataFrame:
     """HNSW-style per-row INSERT into an existing kNN graph — the
     serving-time incremental add whose cost scales with the NEW rows,
@@ -3135,7 +3176,10 @@ def graph_insert(
     the graded exact-union equality is order-insensitive). Larger
     corpora keep the node-keyed shuffle joins. ``nav_tab`` (the
     stored graph's ``graph_nav_table``, e.g. from warm serving
-    state) is forwarded to the navigation beam search."""
+    state) is forwarded to the navigation beam search, as is
+    ``entries_df`` (per-query seed nodes, columns ``qid, node`` —
+    overrides ``entries``; the batched multi-layer hierarchy repair
+    uses it to confine each new row's navigation to its own layer)."""
     from pyspark.sql.window import Window
 
     quant = _micro_quant(vec_col)
@@ -3173,7 +3217,7 @@ def graph_insert(
         # bound and a safely-over-bound sentinel above it — valid
         # for beam search's own ≤100k dispatch either way
         queries_df=new_rows, corpus_rows=n_old,
-        nav_tab=nav_tab,
+        nav_tab=nav_tab, entries_df=entries_df,
     ).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     ).localCheckpoint()
@@ -3279,10 +3323,12 @@ def graph_insert(
     # checkpoints) so the intermediates this function persisted can be
     # released HERE — callers can't reach qtab/served, and a lazy
     # return would either leak both caches for the session or lose
-    # them before the caller's first action
+    # them before the caller's first action. served is CHECKPOINTED,
+    # so release_relation (not the no-op unpersist — ADVICE r11)
+    # frees its blocks.
     out = merged.localCheckpoint()
     qtab.unpersist()
-    served.unpersist()
+    release_relation(served)
     return out
 
 
@@ -3589,8 +3635,18 @@ def hnsw_serving_state(
       a fitted layer makes ``hnsw_topk_search``'s auto ``max_walks``
       0, so no upper walk — and no upper tab read — ever happens.
       When walks DO happen, a layer's tab is built only if its
-      membership (``layer_sizes`` or the n/m^l estimate the reader
-      itself passes as ``corpus_rows``) is within ``broadcast_cap``.
+      membership is KNOWN to be within ``broadcast_cap``. Builder
+      ``layer_sizes`` values above ``size_cap`` are CAPPED SENTINELS
+      ("> exact_budget", not true cardinalities — see
+      ``hnsw_hierarchy_build``), so a sentinel is never compared
+      against ``broadcast_cap`` directly: with a trustworthy ``n``
+      (caller-supplied ``corpus_rows``, or a row probe that finished
+      under its own cap) the estimate is ``max(sentinel, n // m**l)``;
+      when ``n`` itself is a capped probe (``corpus_rows`` omitted on
+      a >``broadcast_cap`` corpus) the layer's size is unbounded-
+      unknown and the tab is SKIPPED — serving falls back to the
+      in-plan derivation rather than risk materializing an ~n/m^l-row
+      table nobody reads (ADVICE r11 medium).
 
     ``materialize=True`` localCheckpoints each table (eager): the
     serving plans then reference lineage-free in-memory relations —
@@ -3611,10 +3667,27 @@ def hnsw_serving_state(
     fitted = layer_sizes is not None and any(
         l >= 1 and sz <= eff_budget for l, sz in layer_sizes.items()
     )
+    # when corpus_rows was omitted, n came from a bounded probe and is
+    # itself a capped sentinel once the corpus exceeds broadcast_cap —
+    # fine for the one-sided layer-0 gate below, unusable as the base
+    # of an n/m^l upper-layer estimate
+    n_is_capped = corpus_rows is None and n > broadcast_cap
     tabs: dict = {}
     if not fitted:
         for l in range(1, top_layer + 1):
-            est = (layer_sizes or {}).get(l, max(1, n // (m**l)))
+            sz = (layer_sizes or {}).get(l)
+            sz_known = sz is not None and (
+                size_cap is None or sz <= size_cap
+            )
+            if sz_known:
+                est = sz
+            elif not n_is_capped:
+                # sentinel (or missing) size, trustworthy n: the true
+                # size exceeds size_cap, so take the larger of the
+                # sentinel and the expected-membership estimate
+                est = max(sz or 0, 1, n // (m**l))
+            else:
+                continue  # size unknown AND n capped: skip (fallback)
             if est > broadcast_cap:
                 continue  # the walk's beam search would ignore it
             if nav_members is not None:
@@ -3885,6 +3958,7 @@ def hnsw_hierarchy_insert(
     nav_members: DataFrame | None = None,
     old_layer_sizes: dict | None = None,
     old_top_layer: int | None = None,
+    batch_layers: bool = True,
 ) -> DataFrame:
     """INCREMENTAL maintenance of a layered hierarchy — the HNSW
     ``add`` at the hierarchy tier (reference ``index.add`` keeps its
@@ -3941,31 +4015,6 @@ def hnsw_hierarchy_insert(
     n_old = corpus_rows if corpus_rows is not None else corpus.count()
     n_new = new_rows.count()
     n = n_old + n_new
-    if base_graph is not None:
-        l0 = base_graph
-    else:
-        l0 = graph_insert(
-            corpus.select(id_col, vec_col),
-            hierarchy.filter(F.col("layer") == 0).drop("layer"),
-            new_rows.select(id_col, vec_col),
-            k=k,
-            id_col=id_col,
-            vec_col=vec_col,
-            # beam-smallest default entries strand clusters (the
-            # documented converged-graph hazard) — provision like the
-            # serve facades do
-            entries=(
-                entries
-                if entries is not None
-                else default_graph_entries(corpus, id_col)
-            ),
-            corpus_rows=n_old,
-            # the stored layer-0 graph's nav table (warm serving
-            # state) skips the navigation setup
-            nav_tab=nav_tab,
-            new_rows_count=n_new,
-        )
-    out = l0.select(F.lit(0).cast("int").alias("layer"), "*")
     if meta is not None:
         meta["top_layer"] = 0
         meta["layer_sizes"] = {0: n}
@@ -3979,6 +4028,7 @@ def hnsw_hierarchy_insert(
         or 0
     )
     edge_cols = ["id", "neighbor_id", "rank", "sim_ppm"]
+    specs: list = []  # (l, tier, old_members, new_members, members, cnt, nm)
     for l in range(1, levels + 1):
         new_members = new_rows.select(id_col, vec_col).filter(
             _hnsw_hash(id_col) % (m**l) == 0
@@ -4006,39 +4056,225 @@ def hnsw_hierarchy_insert(
         if cnt <= entry_budget:
             break  # builder's stopping rule — layer IS the entry set
         if cnt <= exact_budget:
+            tier = "exact"
+        elif l <= stored_top:
+            tier = "unchanged" if nm == 0 else "ginsert"
+        else:
+            tier = "descent"
+        specs.append((l, tier, old_members, new_members, members, cnt, nm))
+        if meta is not None:
+            meta["top_layer"] = l
+            meta["layer_sizes"][l] = cnt
+    # ≥2 graph_insert-tier repairs collapse into ONE batched insert
+    # over a struct-keyed union (r12; NOTES r12 candidate (b)) —
+    # including LAYER 0 itself whenever this call owns it (no
+    # base_graph): the per-layer path paid a full graph_insert plan
+    # construction per dispatched layer (~13k py4j roundtrips per
+    # repair at the 10× step — the dominant insert cost), while the
+    # batched plan has the SAME shape regardless of layer count.
+    # Row-for-row equal to the per-layer calls
+    # (test_hierarchy_batched_insert_equals_per_layer).
+    batch_specs: list = []  # (l, old_members, new_members, nm, entry_list)
+    if base_graph is None and n_new > 0:
+        batch_specs.append((
+            0,
+            corpus.select(id_col, vec_col),
+            new_rows.select(id_col, vec_col),
+            n_new,
+            # beam-smallest default entries strand clusters (the
+            # documented converged-graph hazard) — provision like the
+            # serve facades do
+            (
+                entries
+                if entries is not None
+                else default_graph_entries(corpus, id_col)
+            ),
+        ))
+    for l, tier, old_members, new_members, _mem, _cnt, nm in specs:
+        if tier == "ginsert":
+            batch_specs.append((
+                l, old_members, new_members, nm,
+                default_graph_entries(old_members, id_col),
+            ))
+    batched: DataFrame | None = None
+    if batch_layers and len(batch_specs) >= 2:
+        batched = _batched_layer_graph_insert(
+            hierarchy, batch_specs, k, id_col, vec_col, edge_cols
+        )
+    # layer 0 (when not folded into the batch)
+    if base_graph is not None:
+        l0 = base_graph
+    elif batched is not None and n_new > 0:
+        l0 = None  # rows come out of the batched block
+    else:
+        l0 = graph_insert(
+            corpus.select(id_col, vec_col),
+            hierarchy.filter(F.col("layer") == 0).drop("layer"),
+            new_rows.select(id_col, vec_col),
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            entries=(
+                entries
+                if entries is not None
+                else default_graph_entries(corpus, id_col)
+            ),
+            corpus_rows=n_old,
+            # the stored layer-0 graph's nav table (warm serving
+            # state) skips the navigation setup
+            nav_tab=nav_tab,
+            new_rows_count=n_new,
+        )
+    out = (
+        l0.select(F.lit(0).cast("int").alias("layer"), *edge_cols)
+        if l0 is not None
+        else None
+    )
+    for l, tier, old_members, new_members, members, cnt, nm in specs:
+        if tier == "exact":
             g = _exact_knn_graph(
                 members, id_col, vec_col, k, member_rows=cnt
             )
-        elif l <= stored_top:
-            g_old = hierarchy.filter(F.col("layer") == l).select(
-                *edge_cols
+        elif tier == "unchanged":
+            # nobody drew this level — layer unchanged
+            g = hierarchy.filter(F.col("layer") == l).select(*edge_cols)
+        elif tier == "ginsert":
+            if batched is not None:
+                continue  # emitted once below, outside the loop
+            g = graph_insert(
+                old_members,
+                hierarchy.filter(F.col("layer") == l).select(*edge_cols),
+                new_members,
+                k=k,
+                id_col=id_col,
+                vec_col=vec_col,
+                entries=default_graph_entries(old_members, id_col),
+                new_rows_count=nm,
             )
-            if nm == 0:
-                g = g_old  # nobody drew this level — layer unchanged
-            else:
-                g = graph_insert(
-                    old_members,
-                    g_old,
-                    new_members,
-                    k=k,
-                    id_col=id_col,
-                    vec_col=vec_col,
-                    entries=default_graph_entries(old_members, id_col),
-                    new_rows_count=nm,
-                )
         else:
             # a layer this large above the stored top means the union
             # crossed a level boundary the old corpus never built
             g = nn_descent_knn_graph(
                 members, id_col, vec_col, k=k, iters=iters
             )
-        out = out.unionByName(
-            g.select(F.lit(l).cast("int").alias("layer"), *edge_cols)
-        )
-        if meta is not None:
-            meta["top_layer"] = l
-            meta["layer_sizes"][l] = cnt
+        piece = g.select(F.lit(l).cast("int").alias("layer"), *edge_cols)
+        out = piece if out is None else out.unionByName(piece)
+    if batched is not None:
+        piece = batched.select("layer", *edge_cols)
+        out = piece if out is None else out.unionByName(piece)
     return out
+
+
+def _batched_layer_graph_insert(
+    hierarchy: DataFrame,
+    batch_specs: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    edge_cols: list,
+) -> DataFrame:
+    """ONE ``graph_insert`` repairing EVERY graph_insert-tier layer of
+    a hierarchy at once (layer 0 included when the caller owns it):
+    nodes are keyed by a ``struct(ly, nid)`` composite, so per-layer
+    relations stay disjoint through every join/window while the whole
+    repair is a single plan construction + action. Row-for-row equal
+    to per-layer ``graph_insert`` calls:
+
+    - edges and entries are layer-local, and ``entries_df`` seeds each
+      new member ONLY with its own layer's entry nodes, so no walk,
+      candidate, or scored pair ever crosses layers;
+    - the beam/merge total order ``(dot DESC, node ASC)`` on the
+      struct compares ``(ly, nid)`` lexicographically — within one
+      query's (single-layer) candidate set that IS the per-layer
+      ``nid ASC`` tie-break;
+    - the entry lists in ``batch_specs`` are exactly the per-layer
+      lists the per-layer calls would pass (``default_graph_entries``
+      strides / the caller's layer-0 entries); the layer-0 ``nav_tab``
+      substitution is dropped, which is output-neutral by the nav-tab
+      purity contract (test_hnsw_descent_with_nav_state_equals_without).
+
+    ``batch_specs``: ``(layer, old_members, new_members, nm,
+    entry_list)`` rows. Returns ``(layer, id, neighbor_id, rank,
+    sim_ppm)`` covering exactly the batched layers."""
+    spark = hierarchy.sparkSession
+    layers = [s[0] for s in batch_specs]
+    id_type = batch_specs[0][2].schema[id_col].dataType
+    nid = F.col(id_col).alias("nid")
+
+    def skey(l):
+        return F.struct(
+            F.lit(l).cast("int").alias("ly"), nid
+        ).alias(id_col)
+
+    def tag_members(df, l):
+        return df.select(skey(l), vec_col)
+
+    b_corpus = b_new = None
+    entry_rows: list = []
+    total_new = 0
+    for l, old_members, new_members, nm, entry_list in batch_specs:
+        b_corpus = (
+            tag_members(old_members, l)
+            if b_corpus is None
+            else b_corpus.unionByName(tag_members(old_members, l))
+        )
+        b_new = (
+            tag_members(new_members, l)
+            if b_new is None
+            else b_new.unionByName(tag_members(new_members, l))
+        )
+        # DEDUPED like the list path's entry_df (a repeated entry id
+        # must not occupy two hop-0 beam slots)
+        for e in dict.fromkeys(entry_list):
+            entry_rows.append((l, e))
+        total_new += nm
+    b_graph = hierarchy.filter(F.col("layer").isin(layers)).select(
+        F.struct(
+            F.col("layer").cast("int").alias("ly"),
+            F.col("id").alias("nid"),
+        ).alias("id"),
+        F.struct(
+            F.col("layer").cast("int").alias("ly"),
+            F.col("neighbor_id").alias("nid"),
+        ).alias("neighbor_id"),
+        "rank",
+        "sim_ppm",
+    )
+    ent = spark.createDataFrame(
+        entry_rows,
+        T.StructType([
+            T.StructField("__ly", T.IntegerType()),
+            T.StructField("__e", id_type),
+        ]),
+    )
+    entries_df = (
+        b_new.select(F.col(id_col).alias("qid"))
+        .join(
+            F.broadcast(ent), F.col("qid.ly") == F.col("__ly")
+        )
+        .select(
+            "qid",
+            F.struct(
+                F.col("__ly").alias("ly"), F.col("__e").alias("nid")
+            ).alias("node"),
+        )
+    )
+    merged = graph_insert(
+        b_corpus,
+        b_graph,
+        b_new,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        entries_df=entries_df,
+        new_rows_count=total_new,
+    )
+    return merged.select(
+        F.col("id.ly").alias("layer"),
+        F.col("id.nid").alias("id"),
+        F.col("neighbor_id.nid").alias("neighbor_id"),
+        *edge_cols[2:],
+    )
 
 
 def hnsw_topk_search(
@@ -4687,6 +4923,41 @@ def rabitq_encode(
     )
 
 
+# Serving-batch budgets for the driver-collected query tiers, in
+# float64 ELEMENTS (rows × dim), not rows (VERDICT r11 item 4: a
+# row-count cap is dimension-blind — 100k 384-d rotated queries are
+# ~300 MB broadcast, 6× the 64-d figure the old cap was sized for).
+# _RABITQ_CHUNK_ELEMENTS (~50 MB f64) bounds each broadcast chunk;
+# _RABITQ_MAX_BATCH_ELEMENTS (~512 MB f64) bounds the ONE driver
+# collect a serving call makes — beyond it the caller must page.
+_RABITQ_CHUNK_ELEMENTS = 6_400_000
+_RABITQ_MAX_BATCH_ELEMENTS = 64_000_000
+
+
+def _collect_query_batch(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    max_batch_elements: int,
+    op_name: str,
+) -> list:
+    """ONE bounded driver collect of a serving query batch. The bound
+    is dimension-aware: ``max_batch_elements // dim`` rows; one past
+    it raises instead of silently OOMing the driver. ``dim`` comes
+    from the (already driver-resident) rotation/model, so no probe
+    job is paid."""
+    max_rows = max(1, max_batch_elements // max(1, dim))
+    qrows = queries.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(qrows) > max_rows:
+        raise ValueError(
+            f"{op_name} serves driver-collected query batches of at "
+            f"most {max_batch_elements} elements (= {max_rows} rows "
+            f"at dim {dim}) — page larger batches upstream"
+        )
+    return qrows
+
+
 def rabitq_topk_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -4698,6 +4969,8 @@ def rabitq_topk_search(
     shortlist: int | None = None,
     include_self: bool = False,
     seed: int = 42,
+    chunk_elements: int = _RABITQ_CHUNK_ELEMENTS,
+    max_batch_elements: int = _RABITQ_MAX_BATCH_ELEMENTS,
 ) -> DataFrame:
     """Asymmetric 1-bit top-k (the RaBitQ serving loop): the QUERY
     stays full-precision, each corpus vector is its sign code + one
@@ -4721,7 +4994,16 @@ def rabitq_topk_search(
     f32 corpus scans as ~3 TB of codes, map-side; queries are a
     bounded serving batch (driver-collected like the entry lists).
     ``rotation``/``codes`` memoize across batches (VectorSearch
-    does); ``shortlist`` defaults to max(8k, 64)."""
+    does); ``shortlist`` defaults to max(8k, 64).
+
+    Batch budget is DIMENSION-AWARE (VERDICT r11 item 4): the
+    rotated-query broadcast is rows × dim float64, so the budget is
+    in ELEMENTS, not rows — oversized batches are auto-split into
+    ``chunk_elements``-sized chunks served independently and unioned
+    (each chunk scans the code table once; per-query independence
+    makes chunked ≡ single, pinned by
+    test_rabitq_chunked_equals_single). Only a batch whose COLLECT
+    would exceed ``max_batch_elements`` driver-side is refused."""
     import numpy as np
     import pandas as pd
 
@@ -4733,18 +5015,11 @@ def rabitq_topk_search(
         codes = rabitq_encode(corpus, rotation, id_col, vec_col)
     if shortlist is None:
         shortlist = max(8 * k, 64)
-    # bounded serving batch: the rotated queries broadcast into the
-    # scan (≤ ~50 MB at 100k×64 f64) — refuse beyond the repo-wide
-    # 100k driver-collect budget instead of silently OOMing; split
-    # larger batches upstream (each chunk scans the codes once).
-    # One collect; the rotation (already a driver array) applies
-    # driver-side — float64 matmul, identical to rotate_vectors'.
-    qrows = queries.select(id_col, vec_col).limit(100_001).collect()
-    if len(qrows) > 100_000:
-        raise ValueError(
-            "rabitq_topk_search serves bounded query batches "
-            "(<= 100k rows) — split the batch upstream"
-        )
+    P = np.asarray(rotation, dtype=np.float64)
+    qrows = _collect_query_batch(
+        queries, id_col, vec_col, P.shape[0],
+        max_batch_elements, "rabitq_topk_search",
+    )
     if not qrows:
         out_t = queries.schema[id_col].dataType.simpleString()
         return queries.sparkSession.createDataFrame(
@@ -4752,50 +5027,87 @@ def rabitq_topk_search(
             f"query_id {out_t}, neighbor_id {out_t}, "
             f"similarity double, rank int",
         )
-    qids = np.asarray([r[0] for r in qrows])
-    qmat = np.asarray(
-        [list(r[1]) for r in qrows], dtype=np.float64
-    ) @ np.asarray(rotation, dtype=np.float64).T
-    dim = qmat.shape[1]
-    bc = queries.sparkSession.sparkContext.broadcast((qids, qmat))
     id_type = queries.schema[id_col].dataType.simpleString()
+    dim = P.shape[0]
 
-    def scan(it):
-        q_ids, Q = bc.value
-        nq = len(q_ids)
-        take = shortlist
-        for pdf in it:
-            n = len(pdf)
-            if n == 0:
-                continue
-            B = np.unpackbits(
-                np.stack(
-                    [np.frombuffer(b, np.uint8) for b in pdf["sign_code"]]
-                ),
-                axis=1,
-            )[:, :dim].astype(np.float64)
-            S = (2.0 * B - 1.0) @ Q.T  # n×nq sign-dots
-            est = S / (
-                np.maximum(pdf["abs_sum"].to_numpy(), 1)[:, None] / 1e6
-            )
-            t = min(take, n)
-            top = np.argpartition(-est, t - 1, axis=0)[:t]  # t×nq
-            ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(q_ids, t),
-                    "id": ids[top].T.ravel(),
-                    "est": est[top, np.arange(nq)].T.ravel(),
-                }
-            )
+    def make_scan(bc):
+        def scan(it):
+            q_ids, Q = bc.value
+            nq = len(q_ids)
+            take = shortlist
+            for pdf in it:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                B = np.unpackbits(
+                    np.stack(
+                        [
+                            np.frombuffer(b, np.uint8)
+                            for b in pdf["sign_code"]
+                        ]
+                    ),
+                    axis=1,
+                )[:, :dim].astype(np.float64)
+                S = (2.0 * B - 1.0) @ Q.T  # n×nq sign-dots
+                est = S / (
+                    np.maximum(pdf["abs_sum"].to_numpy(), 1)[:, None]
+                    / 1e6
+                )
+                ids = pdf[id_col].to_numpy()
+                t = min(take, n)
+                top = np.argpartition(-est, t - 1, axis=0)[:t]  # t×nq
+                # deterministic boundary cut (ADVICE r11):
+                # argpartition keeps ARBITRARY members of an
+                # estimator tie straddling the top-t value — exact
+                # ties are the planted-twin regime's norm — so
+                # re-resolve any boundary tie id-ascending. The
+                # per-batch membership then matches the global
+                # (est desc, id asc) window cut (and the IVF scan's
+                # pandas sort), making the partial-top-k compose
+                # partition-invariantly.
+                cols = np.arange(nq)
+                v = est[top, cols].min(axis=0)  # cut value per query
+                n_tied_kept = (est[top, cols] == v).sum(axis=0)
+                n_tied_all = (est == v[None, :]).sum(axis=0)
+                for j in np.nonzero(n_tied_all > n_tied_kept)[0]:
+                    cj = est[:, j]
+                    strict = np.nonzero(cj > v[j])[0]
+                    tied = np.nonzero(cj == v[j])[0]
+                    tied = tied[np.argsort(ids[tied], kind="stable")]
+                    top[:, j] = np.concatenate([strict, tied])[:t]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(q_ids, t),
+                        "id": ids[top].T.ravel(),
+                        "est": est[top, np.arange(nq)].T.ravel(),
+                    }
+                )
 
-    scanned = codes.mapInPandas(
-        scan, f"qid {id_type}, id {id_type}, est double"
-    )
-    return _rabitq_shortlist_rerank(
-        scanned, queries, corpus, k, shortlist, include_self,
-        id_col, vec_col,
-    )
+        return scan
+
+    spark = queries.sparkSession
+    qschema = queries.select(id_col, vec_col).schema
+    chunk_rows = max(1, chunk_elements // max(1, dim))
+    out = None
+    for s in range(0, len(qrows), chunk_rows):
+        chunk = qrows[s:s + chunk_rows]
+        qids = np.asarray([r[0] for r in chunk])
+        qmat = np.asarray(
+            [list(r[1]) for r in chunk], dtype=np.float64
+        ) @ P.T
+        bc = spark.sparkContext.broadcast((qids, qmat))
+        scanned = codes.mapInPandas(
+            make_scan(bc), f"qid {id_type}, id {id_type}, est double"
+        )
+        # the rerank's query side comes from the ALREADY-COLLECTED
+        # chunk rows (one local relation) — re-planning the incoming
+        # query relation per chunk would recompute it |chunks|+1 times
+        piece = _rabitq_shortlist_rerank(
+            scanned, spark.createDataFrame(chunk, qschema), corpus,
+            k, shortlist, include_self, id_col, vec_col,
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
 
 
 def _rabitq_shortlist_rerank(
@@ -4859,6 +5171,8 @@ def rabitq_ivf_topk_search(
     include_self: bool = False,
     seed: int = 42,
     corpus_rows: int | None = None,
+    chunk_elements: int = _RABITQ_CHUNK_ELEMENTS,
+    max_batch_elements: int = _RABITQ_MAX_BATCH_ELEMENTS,
 ) -> DataFrame:
     """``RaBitQ,IVF<c>`` composition — the Faiss coarse-then-scan
     pipeline with a 1-bit fine stage: each corpus row lives in ONE
@@ -4877,7 +5191,10 @@ def rabitq_ivf_topk_search(
     constant-size driver artifacts. ``codes`` (bucket-carrying, from
     ``rabitq_encode(..., carry_cols=("bucket",))`` over an
     ``ivf_assign_with_centers(n_probe=1)`` assignment) and
-    ``centers``/``rotation`` memoize across batches."""
+    ``centers``/``rotation`` memoize across batches. Batch budget is
+    dimension-aware with auto-chunking, exactly as in
+    ``rabitq_topk_search`` (each chunk joins/scans only its own
+    probed lists)."""
     import numpy as np
     import pandas as pd
 
@@ -4896,16 +5213,15 @@ def rabitq_ivf_topk_search(
         )
     if shortlist is None:
         shortlist = max(8 * k, 64)
+    P = np.asarray(rotation, dtype=np.float64)
     # ONE bounded collect: original-space vectors drive the bucket
     # probe (assignment space must match the corpus side's), the
     # rotation applies driver-side for the estimator (rotation only
     # shapes codes — float64 matmul, identical to rotate_vectors')
-    qrows = queries.select(id_col, vec_col).limit(100_001).collect()
-    if len(qrows) > 100_000:
-        raise ValueError(
-            "rabitq_ivf_topk_search serves bounded query batches "
-            "(<= 100k rows) — split the batch upstream"
-        )
+    qrows = _collect_query_batch(
+        queries, id_col, vec_col, P.shape[0],
+        max_batch_elements, "rabitq_ivf_topk_search",
+    )
     out_t = queries.schema[id_col].dataType.simpleString()
     if not qrows:
         return queries.sparkSession.createDataFrame(
@@ -4913,65 +5229,94 @@ def rabitq_ivf_topk_search(
             f"query_id {out_t}, neighbor_id {out_t}, "
             f"similarity double, rank int",
         )
-    P = np.asarray(rotation, dtype=np.float64)
     cents = np.asarray(centers, dtype=np.float64)
     reps = min(n_probe, len(cents))
-    probe_pairs = []
-    uq = {}
-    for r in qrows:
-        x = np.asarray(list(r[1]), dtype=np.float64)
-        uq[r[0]] = x @ P.T
-        d2 = ((cents - x) ** 2).sum(axis=1)
-        # stable ascending ⇒ distance ties break on the lower centroid
-        # id — the ivf_assign_with_centers contract
-        for b in np.argsort(d2, kind="stable")[:reps]:
-            probe_pairs.append((r[0], int(b)))
-    q_buckets = queries.sparkSession.createDataFrame(
-        probe_pairs, schema=f"qid {out_t}, bucket int"
-    )
-    dim = len(next(iter(uq.values())))
-    bc = queries.sparkSession.sparkContext.broadcast(uq)
-    # each probed-bucket code row carries its probing query's id; est
-    # is then a row-wise signed dot against that query's rotated
-    # vector — one einsum per Arrow batch
-    cand_codes = codes.join(F.broadcast(q_buckets), "bucket")
+    dim = P.shape[0]
+    spark = queries.sparkSession
+    qschema = queries.select(id_col, vec_col).schema
 
-    def scan(it):
-        Qmap = bc.value
-        for pdf in it:
-            n_rows_b = len(pdf)
-            if n_rows_b == 0:
-                continue
-            B = np.unpackbits(
-                np.stack(
-                    [np.frombuffer(b, np.uint8) for b in pdf["sign_code"]]
-                ),
-                axis=1,
-            )[:, :dim].astype(np.float64)
-            Qm = np.stack([Qmap[q] for q in pdf["qid"]])
-            s = np.einsum("ij,ij->i", 2.0 * B - 1.0, Qm)
-            est = s / (
-                np.maximum(pdf["abs_sum"].to_numpy(), 1) / 1e6
-            )
-            out = pd.DataFrame(
-                {"qid": pdf["qid"], "id": pdf[id_col], "est": est}
-            )
-            # per-batch partial top-k per query (same combine as the
-            # flat scan — bounds the shuffle)
-            out = (
-                out.sort_values(
-                    ["qid", "est", "id"],
-                    ascending=[True, False, True],
+    def make_scan(bc):
+        def scan(it):
+            q_ids, Qrot = bc.value
+            # (ids, matrix) broadcast, not a dict of ndarrays (ADVICE
+            # r11 low): one contiguous pickle, the flat tier's form;
+            # the id → row map is rebuilt once per partition
+            qix = {q: i for i, q in enumerate(q_ids)}
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                B = np.unpackbits(
+                    np.stack(
+                        [
+                            np.frombuffer(b, np.uint8)
+                            for b in pdf["sign_code"]
+                        ]
+                    ),
+                    axis=1,
+                )[:, :dim].astype(np.float64)
+                Qm = Qrot[[qix[q] for q in pdf["qid"]]]
+                s = np.einsum("ij,ij->i", 2.0 * B - 1.0, Qm)
+                est = s / (
+                    np.maximum(pdf["abs_sum"].to_numpy(), 1) / 1e6
                 )
-                .groupby("qid", sort=False)
-                .head(shortlist)
-            )
-            yield out
+                out = pd.DataFrame(
+                    {"qid": pdf["qid"], "id": pdf[id_col], "est": est}
+                )
+                # per-batch partial top-k per query (same combine as
+                # the flat scan — bounds the shuffle)
+                out = (
+                    out.sort_values(
+                        ["qid", "est", "id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("qid", sort=False)
+                    .head(shortlist)
+                )
+                yield out
 
-    scanned = cand_codes.mapInPandas(
-        scan, f"qid {out_t}, id {out_t}, est double"
-    )
-    return _rabitq_shortlist_rerank(
-        scanned, queries, corpus, k, shortlist, include_self,
-        id_col, vec_col,
-    )
+        return scan
+
+    chunk_rows = max(1, chunk_elements // max(1, dim))
+    result = None
+    for s0 in range(0, len(qrows), chunk_rows):
+        chunk = qrows[s0:s0 + chunk_rows]
+        X = np.asarray([list(r[1]) for r in chunk], dtype=np.float64)
+        # the probe MUST share ivf_assign_with_centers' arithmetic
+        # verbatim (ADVICE r11): the expanded |x|^2 - 2x·c + |c|^2
+        # batch expression, not (c - x)^2 — float rounding can order
+        # near-tied centroids differently across the two forms, and
+        # the planted-twin guarantee ("the query's own list is always
+        # probed") holds only when query- and corpus-side assignments
+        # agree
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        # stable ascending ⇒ distance ties break on the lower
+        # centroid id — the ivf_assign_with_centers contract
+        probes = np.argsort(d2, axis=1, kind="stable")[:, :reps]
+        q_ids = np.asarray([r[0] for r in chunk])
+        Qrot = X @ P.T
+        probe_pairs = [
+            (r[0], int(b))
+            for i, r in enumerate(chunk)
+            for b in probes[i]
+        ]
+        q_buckets = spark.createDataFrame(
+            probe_pairs, schema=f"qid {out_t}, bucket int"
+        )
+        bc = spark.sparkContext.broadcast((q_ids, Qrot))
+        # each probed-bucket code row carries its probing query's id;
+        # est is then a row-wise signed dot against that query's
+        # rotated vector — one einsum per Arrow batch
+        cand_codes = codes.join(F.broadcast(q_buckets), "bucket")
+        scanned = cand_codes.mapInPandas(
+            make_scan(bc), f"qid {out_t}, id {out_t}, est double"
+        )
+        piece = _rabitq_shortlist_rerank(
+            scanned, spark.createDataFrame(chunk, qschema), corpus,
+            k, shortlist, include_self, id_col, vec_col,
+        )
+        result = piece if result is None else result.unionByName(piece)
+    return result

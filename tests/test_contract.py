@@ -42,7 +42,7 @@ def test_graded_window_is_first_50_and_oracle_backed():
     committed ordering to match the current round's window tuple."""
     q = list(entrymod.queries())
     o = set(entrymod.oracle_sql())
-    assert tuple(q[:50]) == entrymod._R11_WINDOW
+    assert tuple(q[:50]) == entrymod._R12_WINDOW
     missing = [k for k in q[:50] if k not in o]
     assert not missing, f"window entries without oracle SQL: {missing}"
 

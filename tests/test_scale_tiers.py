@@ -2260,3 +2260,349 @@ def test_stream_rabitq_topk_multibatch_equals_batch(spark, tmp_path):
     assert [f.name for f in empty.schema.fields] == [
         "query_id", "neighbor_id", "similarity", "rank",
     ]
+
+
+# ---------------------------------------------------------------------------
+# Round-12 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_hnsw_serving_state_sentinel_layer_sizes(spark):
+    """ADVICE r11 (medium): builder layer_sizes above size_cap are
+    CAPPED SENTINELS, not cardinalities — the serving-state build
+    must never compare one against broadcast_cap directly. With a
+    trustworthy n the estimate is max(sentinel, n/m^l); when n itself
+    came from the capped probe (no corpus_rows) a sentinel-sized
+    layer is SKIPPED entirely (serving falls back to the in-plan
+    derivation instead of materializing an unread full-layer table)."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        hnsw_hierarchy_build,
+        hnsw_serving_state,
+    )
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(60, 16))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    df = _vec_df(spark, v)
+    meta = {}
+    hier = hnsw_hierarchy_build(df, k=4, iters=2, entry_budget=4, meta=meta)
+    top = meta["top_layer"]
+    assert top >= 1  # the scenarios below need a real upper layer
+    common = dict(
+        id_col="vec_id", vec_col="embedding", materialize=False,
+        start_budget=1,  # nothing fits -> the upper-layer loop runs
+    )
+    # (a) sentinel size + capped n probe (no corpus_rows, corpus over
+    # broadcast_cap): layer 1 tab SKIPPED, layer 0 over the cap too
+    tabs = hnsw_serving_state(
+        df, hier, top, layer_sizes={1: 21}, size_cap=20,
+        broadcast_cap=20, **common,
+    )
+    assert 1 not in tabs and 0 not in tabs
+    # (b) sentinel size + trustworthy n: est = max(21, 60//2) = 30,
+    # within the cap -> built; layer 0 within the cap -> built
+    tabs = hnsw_serving_state(
+        df, hier, top, layer_sizes={1: 21}, size_cap=20,
+        broadcast_cap=100, corpus_rows=60, **common,
+    )
+    assert 1 in tabs and 0 in tabs
+    assert tabs[1].count() > 0
+    # (c) sentinel size + trustworthy n, estimate OVER the cap:
+    # skipped even though the raw sentinel (21) sits under it
+    tabs = hnsw_serving_state(
+        df, hier, top, layer_sizes={1: 21}, size_cap=20,
+        broadcast_cap=25, corpus_rows=60, **common,
+    )
+    assert 1 not in tabs
+    # (d) EXACT (non-sentinel) size is trusted even under a capped
+    # probe: true layer-1 membership fits broadcast_cap=40 while the
+    # corpus probe (41 rows) caps out
+    true_l1 = meta["layer_sizes"].get(1)
+    if true_l1 is not None and true_l1 <= 40:
+        tabs = hnsw_serving_state(
+            df, hier, top, layer_sizes={1: true_l1}, size_cap=2000,
+            broadcast_cap=40, **common,
+        )
+        assert 1 in tabs
+
+
+def test_rabitq_flat_boundary_ties_partition_invariant(spark):
+    """ADVICE r11: the flat scan's per-batch argpartition cut kept
+    ARBITRARY members of an estimator tie straddling the top-t value
+    — with exact-duplicate vectors (identical sign code + abs_sum ⇒
+    identical estimate) the served top-k could change with code-table
+    partitioning. The id-ascending boundary resolution makes the
+    output identical across partitionings and equal to the global
+    (est desc, id asc) order."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        rabitq_encode,
+        rabitq_topk_search,
+        rabitq_train,
+    )
+
+    rng = np.random.default_rng(9)
+    d = 24
+    base = rng.normal(size=d)
+    base /= np.linalg.norm(base)
+    other = rng.normal(size=(10, d))
+    other /= np.linalg.norm(other, axis=1, keepdims=True)
+    # ids 0..39 all share ONE vector: every estimate ties exactly and
+    # the shortlist cut (8) lands strictly inside the tie group
+    rows = [(int(i), [float(x) for x in base]) for i in range(40)]
+    rows += [(int(100 + j), [float(x) for x in other[j]]) for j in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(1000, [float(x) for x in base])],
+        "vec_id long, embedding array<double>",
+    )
+    P = rabitq_train(df, "embedding", seed=3)
+    codes = rabitq_encode(df, P, "vec_id", "embedding")
+    outs = []
+    for parts in (1, 7):
+        got = rabitq_topk_search(
+            qdf, df, k=5, rotation=P,
+            codes=codes.repartition(parts), shortlist=8,
+        ).collect()
+        outs.append(sorted((r["neighbor_id"], r["rank"]) for r in got))
+    assert outs[0] == outs[1]
+    # and the winners are the id-smallest tied duplicates
+    assert [n for n, _ in outs[0]] == [0, 1, 2, 3, 4]
+
+
+def test_rabitq_ivf_probe_matches_assignment_arithmetic(spark):
+    """ADVICE r11: the query-side centroid probe must share
+    ivf_assign_with_centers' expanded |x|² − 2x·c + |c|² batch
+    expression verbatim — the (c−x)² form can order near-tied
+    centroids differently under float rounding. Pin: for queries that
+    ARE corpus rows, probe #1 equals the corpus-side bucket on every
+    row."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        _lloyd_kmeans,
+        _quantizer_train_sample,
+        ivf_assign_with_centers,
+        rabitq_ivf_topk_search,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d = 200, 16
+    v = rng.normal(size=(n, d))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mat = _quantizer_train_sample(df, "embedding", n, 5, None)
+    centers = _lloyd_kmeans(mat, 8, 10, 5)
+    assigned = {
+        r["vec_id"]: r["bucket"]
+        for r in ivf_assign_with_centers(
+            df, centers, "embedding", n_probe=1
+        ).collect()
+    }
+    # replicate the operator's driver-side probe expression
+    cents = np.asarray(centers, dtype=np.float64)
+    X = np.asarray(v, dtype=np.float64)
+    d2 = (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :1]
+    for i in range(n):
+        assert int(probes[i][0]) == assigned[i], i
+    # end to end: n_probe=1 must still find every query's own row at
+    # rank 1 (its list is probed by the shared arithmetic)
+    qdf = df.filter(F.col("vec_id") < 12)
+    got = rabitq_ivf_topk_search(
+        qdf, df, k=1, n_centroids=8, n_probe=1, seed=5,
+        include_self=True, centers=centers,
+    ).collect()
+    assert {r["query_id"]: r["neighbor_id"] for r in got} == {
+        i: i for i in range(12)
+    }
+
+
+def test_release_relation_frees_persisted_and_checkpointed(spark):
+    """ADVICE r11: DataFrame.unpersist() is a silent no-op on a
+    localCheckpoint()ed relation (blocks belong to the internal
+    checkpointed RDD) — release_relation must actually free the
+    blocks for BOTH memoization styles, verified against the
+    context's persistent-RDD registry."""
+    from job_post_similarity_spark.operators.ann import release_relation
+
+    def cached_ids():
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, out = m.iterator(), set()
+        while it.hasNext():
+            out.add(int(it.next()._1()))
+        return out
+
+    before = cached_ids()
+    p = spark.range(100).selectExpr("id", "id * 2 as b").persist()
+    p.count()
+    ck = spark.range(100).selectExpr("id", "id * 3 as c").localCheckpoint()
+    added = cached_ids() - before
+    assert added  # both live in the registry
+    # plain unpersist does NOT free the checkpointed blocks
+    ck.unpersist()
+    assert cached_ids() - before
+    release_relation(p)
+    release_relation(ck)
+    assert cached_ids() - before == set()
+
+
+def test_micro_quant_int_dot_quoted_identifiers(spark):
+    """ADVICE r11: _micro_quant/_int_dot interpolate caller-supplied
+    column names into F.expr SQL — names needing backtick quoting
+    (spaces, hyphens) are public VectorSearch parameters and must
+    parse, while dots must keep resolving as alias QUALIFIERS
+    (``a.q``) exactly as the old F.col path did."""
+    from job_post_similarity_spark.operators.ann import (
+        _int_dot,
+        _micro_quant,
+    )
+
+    df = spark.createDataFrame(
+        [([0.5, -0.25], [1.0, 0.5])],
+        ["my vec col-1", "plain"],
+    )
+    got = df.select(
+        _micro_quant("my vec col-1").alias("q1"),
+        _micro_quant("plain").alias("q2"),
+    ).select(_int_dot("q1", "q2").alias("dot")).collect()
+    want = 500000 * 1000000 + (-250000) * 500000
+    assert got[0]["dot"] == want
+    # alias-qualified references still resolve (the regression the
+    # first quoting attempt introduced)
+    q = df.select(
+        _micro_quant("plain").alias("q"), F.lit(1).alias("j")
+    )
+    got2 = (
+        q.alias("a")
+        .join(q.alias("b"), "j")
+        .select(_int_dot("a.q", "b.q").alias("dot"))
+        .collect()
+    )
+    assert got2[0]["dot"] == 1000000 * 1000000 + 500000 * 500000
+
+
+def test_hierarchy_batched_insert_equals_per_layer(spark):
+    """r12 batched multi-layer repair: when ≥2 layers dispatch to
+    graph_insert, ONE struct-keyed batched insert must produce
+    row-for-row what the per-layer calls produce (same edges, ranks,
+    sim_ppm per layer) — the py4j-amortization lever (NOTES r12
+    candidate (b)) must be a pure substitution."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        hnsw_hierarchy_build,
+        hnsw_hierarchy_insert,
+        hnsw_nav_members,
+    )
+
+    rng = np.random.default_rng(29)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:
+        pts = c + 0.12 * rng.normal(size=(30, 16))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.extend(pts)
+    df = _vec_df(spark, vecs)  # 240 rows
+    kw = dict(k=4, iters=2, m=2, exact_budget=40, entry_budget=10)
+    meta = {}
+    hier = hnsw_hierarchy_build(df, meta=meta, **kw).localCheckpoint()
+    nav = hnsw_nav_members(df, m=2, top_layer=meta["top_layer"])
+    # twins of existing rows -> deterministic md5 levels; enough rows
+    # that >=2 stored layers see new members
+    twins = df.filter(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    common = dict(
+        corpus_rows=240, nav_members=nav,
+        old_layer_sizes=meta["layer_sizes"],
+        old_top_layer=meta["top_layer"], **kw,
+    )
+    m_a, m_b = {}, {}
+    per_layer = hnsw_hierarchy_insert(
+        df, hier, twins, meta=m_a, batch_layers=False, **common
+    )
+    batched = hnsw_hierarchy_insert(
+        df, hier, twins, meta=m_b, batch_layers=True, **common
+    )
+    # the fixture must actually exercise the batched path: >=2 layers
+    # above exact_budget with new members
+    big = [
+        l for l, s in m_b["layer_sizes"].items()
+        if l >= 1 and s > kw["exact_budget"]
+    ]
+    assert len(big) >= 2, m_b["layer_sizes"]
+    assert m_a == m_b
+    a = sorted(map(tuple, per_layer.collect()))
+    b = sorted(map(tuple, batched.collect()))
+    assert a == b
+
+
+def test_rabitq_chunked_equals_single(spark):
+    """VERDICT r11 item 4: the serving-batch budget is in ELEMENTS
+    (rows × dim) and oversized batches auto-chunk — chunked serving
+    must equal single-pass serving row-for-row on BOTH RaBitQ tiers
+    (per-query independence), and a 150k-row batch at small dim must
+    be served, not refused."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        _collect_query_batch,
+        rabitq_encode,
+        rabitq_ivf_topk_search,
+        rabitq_topk_search,
+        rabitq_train,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d = 150, 16
+    v = rng.normal(size=(n, d))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = df.filter(F.col("vec_id") < 25)
+    P = rabitq_train(df, "embedding", seed=3)
+    codes = rabitq_encode(df, P, "vec_id", "embedding")
+    single = sorted(map(tuple, rabitq_topk_search(
+        qdf, df, k=3, rotation=P, codes=codes, shortlist=8,
+    ).collect()))
+    # chunk_elements = 7 rows worth -> 4 chunks over the 25 queries
+    chunked = sorted(map(tuple, rabitq_topk_search(
+        qdf, df, k=3, rotation=P, codes=codes, shortlist=8,
+        chunk_elements=7 * d,
+    ).collect()))
+    assert chunked == single and len(single) == 75
+    ivf_kw = dict(k=3, n_centroids=4, n_probe=2, seed=5, shortlist=8)
+    single_i = sorted(map(tuple, rabitq_ivf_topk_search(
+        qdf, df, rotation=P, **ivf_kw
+    ).collect()))
+    chunked_i = sorted(map(tuple, rabitq_ivf_topk_search(
+        qdf, df, rotation=P, chunk_elements=7 * d, **ivf_kw
+    ).collect()))
+    assert chunked_i == single_i and len(single_i) == 75
+    # dimension-aware refusal: budget is elements, so 150k rows at a
+    # small dim COLLECT fine ...
+    big = spark.range(150_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(4)]).alias("embedding"),
+    )
+    got = _collect_query_batch(
+        big, "vec_id", "embedding", 4, 64_000_000, "t"
+    )
+    assert len(got) == 150_000
+    # ... and the refusal trips on ELEMENTS, not a row count
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="elements"):
+        _collect_query_batch(
+            big, "vec_id", "embedding", 4, 100_000, "t"
+        )
