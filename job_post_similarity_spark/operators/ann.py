@@ -4007,13 +4007,42 @@ def hnsw_hierarchy_insert(
     > entry_budget by the stopping rule, so the break rule can only
     trigger on probed layers above the stored top, exactly as
     before).
+    Batched repair (r12): when ≥2 layers dispatch to ``graph_insert``
+    — layer 0 included whenever this call owns it (``base_graph``
+    None) — they are repaired by ONE struct-keyed
+    ``_batched_layer_graph_insert`` instead of one call per layer:
+    plan construction (the dominant warm-insert cost, ~13k py4j
+    roundtrips per repair at the 10× step) is paid once regardless of
+    layer count (measured 20.2 s → ~13 s at 10×-sf0.1), and one md5
+    level histogram of the new rows replaces the per-level membership
+    probes (one job, exact counts). Row-for-row equal to the
+    per-layer path (``batch_layers=False``), pinned by
+    test_hierarchy_batched_insert_equals_per_layer.
+
     Equality contract (gate ``hierarchy_insert_exact_embeddings``):
     where the stored layer 0 is exact and every upper layer is
     exact-tier, insert ≡ the rebuilt hierarchy whose layer 0 is the
     brute-force exact union graph — strictly stronger than
     rebuilt-with-cold-NN-Descent, mirroring the r9 insert gate."""
     n_old = corpus_rows if corpus_rows is not None else corpus.count()
-    n_new = new_rows.count()
+    # ONE job — the md5-level histogram of the new rows — replaces
+    # the n_new count plus one bounded membership probe per level
+    # (driver-blocking jobs scale with the level count otherwise;
+    # level 48 bounds any real corpus: P(level >= l) = m^-l).
+    # level >= l <=> the per-layer filter's hash % m^l == 0, so the
+    # suffix sums ARE the per-layer new-member counts, exact.
+    lvl_hist: dict = {
+        r["level"]: r["cnt"]
+        for r in hnsw_levels(new_rows, id_col, m, 48)
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_new = sum(lvl_hist.values())
+
+    def nm_of(layer: int) -> int:
+        return sum(c for lv, c in lvl_hist.items() if lv >= layer)
+
     n = n_old + n_new
     if meta is not None:
         meta["top_layer"] = 0
@@ -4033,7 +4062,7 @@ def hnsw_hierarchy_insert(
         new_members = new_rows.select(id_col, vec_col).filter(
             _hnsw_hash(id_col) % (m**l) == 0
         )
-        nm = new_members.limit(100_001).count()
+        nm = nm_of(l)
         # old membership: the retired member table covers layers
         # 1..stored_top+1; beyond it (or without warm state) the md5
         # predicate over the corpus is the source, as the builder's
@@ -4074,6 +4103,12 @@ def hnsw_hierarchy_insert(
     # batched plan has the SAME shape regardless of layer count.
     # Row-for-row equal to the per-layer calls
     # (test_hierarchy_batched_insert_equals_per_layer).
+    # entry_list None = derive the layer's rank-stride entries inside
+    # the batch's ONE consolidated global-rank job (identical
+    # membership to per-layer default_graph_entries — see
+    # _batched_layer_graph_insert); a caller-provided layer-0 list
+    # (the beam-smallest-strands-clusters provisioning, like the
+    # serve facades') is honored verbatim
     batch_specs: list = []  # (l, old_members, new_members, nm, entry_list)
     if base_graph is None and n_new > 0:
         batch_specs.append((
@@ -4081,21 +4116,11 @@ def hnsw_hierarchy_insert(
             corpus.select(id_col, vec_col),
             new_rows.select(id_col, vec_col),
             n_new,
-            # beam-smallest default entries strand clusters (the
-            # documented converged-graph hazard) — provision like the
-            # serve facades do
-            (
-                entries
-                if entries is not None
-                else default_graph_entries(corpus, id_col)
-            ),
+            entries,
         ))
     for l, tier, old_members, new_members, _mem, _cnt, nm in specs:
         if tier == "ginsert":
-            batch_specs.append((
-                l, old_members, new_members, nm,
-                default_graph_entries(old_members, id_col),
-            ))
+            batch_specs.append((l, old_members, new_members, nm, None))
     batched: DataFrame | None = None
     if batch_layers and len(batch_specs) >= 2:
         batched = _batched_layer_graph_insert(
@@ -4187,15 +4212,26 @@ def _batched_layer_graph_insert(
       struct compares ``(ly, nid)`` lexicographically — within one
       query's (single-layer) candidate set that IS the per-layer
       ``nid ASC`` tie-break;
-    - the entry lists in ``batch_specs`` are exactly the per-layer
-      lists the per-layer calls would pass (``default_graph_entries``
-      strides / the caller's layer-0 entries); the layer-0 ``nav_tab``
-      substitution is dropped, which is output-neutral by the nav-tab
-      purity contract (test_hnsw_descent_with_nav_state_equals_without).
+    - a ``batch_specs`` row with ``entry_list=None`` gets the
+      ``default_graph_entries`` rank-stride derived INSIDE the
+      batch's one consolidated global-rank job: ranking the tagged
+      union by ``(ly, nid)`` and subtracting each layer's cumulative
+      offset reproduces every layer's within-layer 1-based id rank
+      exactly, so the stride picks (``(rk-1) % ceil(cnt/32) == 0``)
+      are membership-identical to the per-layer calls' — for ~3
+      driver-blocking jobs TOTAL instead of ~3 per layer. A non-None
+      list (the caller's layer-0 entries) is honored verbatim. The
+      layer-0 ``nav_tab`` substitution is dropped, which is
+      output-neutral by the nav-tab purity contract
+      (test_hnsw_descent_with_nav_state_equals_without).
 
     ``batch_specs``: ``(layer, old_members, new_members, nm,
-    entry_list)`` rows. Returns ``(layer, id, neighbor_id, rank,
+    entry_list|None)`` rows. Returns ``(layer, id, neighbor_id, rank,
     sim_ppm)`` covering exactly the batched layers."""
+    import math as _math
+
+    from .windows import global_rank
+
     spark = hierarchy.sparkSession
     layers = [s[0] for s in batch_specs]
     id_type = batch_specs[0][2].schema[id_col].dataType
@@ -4210,6 +4246,7 @@ def _batched_layer_graph_insert(
         return df.select(skey(l), vec_col)
 
     b_corpus = b_new = None
+    stride_tagged = None  # flat (ly, nid) of layers needing strides
     entry_rows: list = []
     total_new = 0
     for l, old_members, new_members, nm, entry_list in batch_specs:
@@ -4223,10 +4260,20 @@ def _batched_layer_graph_insert(
             if b_new is None
             else b_new.unionByName(tag_members(new_members, l))
         )
-        # DEDUPED like the list path's entry_df (a repeated entry id
-        # must not occupy two hop-0 beam slots)
-        for e in dict.fromkeys(entry_list):
-            entry_rows.append((l, e))
+        if entry_list is None:
+            tagged = old_members.select(
+                F.lit(l).cast("int").alias("ly"), nid
+            )
+            stride_tagged = (
+                tagged
+                if stride_tagged is None
+                else stride_tagged.unionByName(tagged)
+            )
+        else:
+            # DEDUPED like the list path's entry_df (a repeated entry
+            # id must not occupy two hop-0 beam slots)
+            for e in dict.fromkeys(entry_list):
+                entry_rows.append((l, e))
         total_new += nm
     b_graph = hierarchy.filter(F.col("layer").isin(layers)).select(
         F.struct(
@@ -4240,17 +4287,60 @@ def _batched_layer_graph_insert(
         "rank",
         "sim_ppm",
     )
-    ent = spark.createDataFrame(
-        entry_rows,
-        T.StructType([
-            T.StructField("__ly", T.IntegerType()),
-            T.StructField("__e", id_type),
-        ]),
+    entries_parts = []
+    if stride_tagged is not None:
+        ranked = global_rank(
+            stride_tagged, [F.col("ly"), F.col("nid")], out_col="__rk"
+        )
+        # per-layer counts -> cumulative offsets + stride steps (one
+        # tiny job; the per-layer true sizes, NOT the capped meta)
+        cnts = {
+            r["ly"]: r["c"]
+            for r in ranked.groupBy("ly")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        off, acc = {}, 0
+        for ly in sorted(cnts):
+            off[ly] = acc
+            acc += cnts[ly]
+        step = {
+            ly: max(1, _math.ceil(c / 32)) for ly, c in cnts.items()
+        }
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                [(ly, off[ly], step[ly]) for ly in sorted(cnts)],
+                "ly int, __off long, __step long",
+            )
+        )
+        entries_parts.append(
+            ranked.join(off_df, "ly")
+            .filter(
+                (F.col("__rk") - 1 - F.col("__off")) % F.col("__step")
+                == 0
+            )
+            .select("ly", "nid")
+        )
+    if entry_rows:
+        entries_parts.append(
+            spark.createDataFrame(
+                entry_rows,
+                T.StructType([
+                    T.StructField("ly", T.IntegerType()),
+                    T.StructField("nid", id_type),
+                ]),
+            )
+        )
+    entry_rel = entries_parts[0]
+    for p in entries_parts[1:]:
+        entry_rel = entry_rel.unionByName(p)
+    entry_rel = entry_rel.select(
+        F.col("ly").alias("__ly"), F.col("nid").alias("__e")
     )
     entries_df = (
         b_new.select(F.col(id_col).alias("qid"))
         .join(
-            F.broadcast(ent), F.col("qid.ly") == F.col("__ly")
+            F.broadcast(entry_rel), F.col("qid.ly") == F.col("__ly")
         )
         .select(
             "qid",

@@ -105,6 +105,13 @@ def main() -> int:
           f"graded-green history: {len(graded & set(queries))}")
     print(f"round: {round_no} (canary rotation key = "
           f"md5('r{round_no}:<name>'))")
+    # staleness bound (VERDICT r11 item 8): with oldest-grading-first
+    # canaries, no green gate waits longer than ceil(oracles/slack)
+    # rounds for a re-grade; watch this as the registry grows
+    slack_bound = max(1, 50 - len(never_graded))
+    cycle = -(-len(backed) // slack_bound)
+    print(f"re-grade cycle bound: ceil({len(backed)}/{slack_bound}) "
+          f"= {cycle} rounds (no green gate staler than that)")
     print(f"never-graded oracle gates: {len(never_graded)}")
     print(f"  -> window: {len(window)} never-graded"
           f" + {len(canaries)} rotated canaries")
