@@ -4024,16 +4024,22 @@ def hnsw_hierarchy_insert(
     exact-tier, insert ≡ the rebuilt hierarchy whose layer 0 is the
     brute-force exact union graph — strictly stronger than
     rebuilt-with-cold-NN-Descent, mirroring the r9 insert gate."""
+    import math as _math
+
     n_old = corpus_rows if corpus_rows is not None else corpus.count()
     # ONE job — the md5-level histogram of the new rows — replaces
     # the n_new count plus one bounded membership probe per level
-    # (driver-blocking jobs scale with the level count otherwise;
-    # level 48 bounds any real corpus: P(level >= l) = m^-l).
+    # (driver-blocking jobs scale with the level count otherwise).
     # level >= l <=> the per-layer filter's hash % m^l == 0, so the
-    # suffix sums ARE the per-layer new-member counts, exact.
+    # suffix sums ARE the per-layer new-member counts, exact. The
+    # histogram's level cap is the largest l with m^l inside int64
+    # (floor(62/log2 m), <= 48) — a FIXED 48 overflowed the m**l
+    # literal for m >= 3 (3^48 > 2^63); no reachable `levels` exceeds
+    # the cap, since levels ~ log_m(n/entry_budget) and n is int64.
+    lvl_cap = min(48, int(62 // _math.log2(m)))
     lvl_hist: dict = {
         r["level"]: r["cnt"]
-        for r in hnsw_levels(new_rows, id_col, m, 48)
+        for r in hnsw_levels(new_rows, id_col, m, lvl_cap)
         .groupBy("level")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
@@ -5017,11 +5023,16 @@ def rabitq_encode(
 # float64 ELEMENTS (rows × dim), not rows (VERDICT r11 item 4: a
 # row-count cap is dimension-blind — 100k 384-d rotated queries are
 # ~300 MB broadcast, 6× the 64-d figure the old cap was sized for).
-# _RABITQ_CHUNK_ELEMENTS (~50 MB f64) bounds each broadcast chunk;
-# _RABITQ_MAX_BATCH_ELEMENTS (~512 MB f64) bounds the ONE driver
-# collect a serving call makes — beyond it the caller must page.
+# _RABITQ_CHUNK_ELEMENTS (~50 MB as packed f64) bounds each broadcast
+# chunk; _RABITQ_MAX_BATCH_ELEMENTS bounds the ONE driver collect a
+# serving call makes — beyond it the caller must page. The collect
+# materializes BOXED Python rows, ~5× the packed size (a Row + list +
+# float objects per element), so the 16M-element cap budgets ~128 MB
+# packed / under ~1 GB boxed peak — at 64-d that is 250k rows (2.5×
+# the old row cap) and at 384-d ~42k (where the old cap silently
+# admitted 6× the memory it was sized for).
 _RABITQ_CHUNK_ELEMENTS = 6_400_000
-_RABITQ_MAX_BATCH_ELEMENTS = 64_000_000
+_RABITQ_MAX_BATCH_ELEMENTS = 16_000_000
 
 
 def _collect_query_batch(

@@ -2606,3 +2606,35 @@ def test_rabitq_chunked_equals_single(spark):
         _collect_query_batch(
             big, "vec_id", "embedding", 4, 100_000, "t"
         )
+
+
+def test_hierarchy_insert_m3_no_overflow(spark):
+    """r12 regression: the level-histogram cap must stay inside
+    int64 for m >= 3 (a fixed cap of 48 built a 3^48 literal and
+    crashed plan construction) — a public-API m=3 insert must run
+    and match the m=3 rebuild's layer set."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        hnsw_hierarchy_build,
+        hnsw_hierarchy_insert,
+    )
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=(90, 12))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    df = _vec_df(spark, v)
+    kw = dict(k=4, iters=2, m=3, exact_budget=50, entry_budget=8)
+    meta = {}
+    hier = hnsw_hierarchy_build(df, meta=meta, **kw).localCheckpoint()
+    twins = df.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    m2 = {}
+    out = hnsw_hierarchy_insert(
+        df, hier, twins, corpus_rows=90, meta=m2, **kw
+    )
+    layers = sorted(
+        r["layer"] for r in out.select("layer").distinct().collect()
+    )
+    assert layers[0] == 0 and m2["layer_sizes"][0] == 102

@@ -107,11 +107,16 @@ def main() -> int:
           f"md5('r{round_no}:<name>'))")
     # staleness bound (VERDICT r11 item 8): with oldest-grading-first
     # canaries, no green gate waits longer than ceil(oracles/slack)
-    # rounds for a re-grade; watch this as the registry grows
-    slack_bound = max(1, 50 - len(never_graded))
-    cycle = -(-len(backed) // slack_bound)
-    print(f"re-grade cycle bound: ceil({len(backed)}/{slack_bound}) "
-          f"= {cycle} rounds (no green gate staler than that)")
+    # rounds for a re-grade; watch this as the registry grows. With
+    # zero slack (never-graded gates fill the window) no bound holds
+    # this round — say so instead of printing a false one.
+    if slack > 0:
+        cycle = -(-len(backed) // slack)
+        print(f"re-grade cycle bound: ceil({len(backed)}/{slack}) "
+              f"= {cycle} rounds (no green gate staler than that)")
+    else:
+        print("re-grade cycle bound: NONE this round (never-graded "
+              "gates fill the window; no canaries rotate)")
     print(f"never-graded oracle gates: {len(never_graded)}")
     print(f"  -> window: {len(window)} never-graded"
           f" + {len(canaries)} rotated canaries")
