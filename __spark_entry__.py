@@ -6757,6 +6757,43 @@ def rabitq_ivf_planted_recall_embeddings(
     )
 
 
+def rabitq_ivfres_planted_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESIDUAL RaBitQ,IVF planted-twin recall (round 12 — the
+    paper's actual IVF composition, Gao & Long SIGMOD'24 §3.1 /
+    Faiss's residual convention: codes quantize x − c_bucket via
+    ``ann.rabitq_encode_residual``, queries scan probed lists with
+    their own per-bucket residual, and the shortlist is cut by the
+    estimated negative squared distance; VectorSearch dispatches it
+    for 'RaBitQ,IVF<c>,Residual'). A bit-identical twin shares its
+    original's list AND residual, so its sign code, abs_sum, and
+    res_nrm2 are identical, its estimate hits the exact-tie maximum
+    (score |q−c|² − |x−c|² ≈ 0, above every true candidate), and the
+    engine-exact rerank pins rank 1 — the same closed-form shape as
+    the raw-form sibling. On clustered corpora the residual form's
+    shortlists are strictly better (raw within-list sign codes
+    collapse toward the centroid's code —
+    test_rabitq_residual_beats_raw_on_tight_clusters measures 4×).
+    (Oracle staged in _PENDING_ORACLES for the r13 window.)"""
+    from job_post_similarity_spark.operators import ann
+
+    emb = _planted_emb_union(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    hits = ann.rabitq_ivf_topk_search(
+        queries_df, emb, k=4, n_centroids=16, n_probe=2, seed=42,
+        include_self=False, corpus_rows=450, residual=True,
+    )
+    return (
+        hits.filter(
+            (F.col("neighbor_id") - F.col("query_id") == _PLANT_OFFSET)
+            & (F.col("query_id") < 50)
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
 def filtered_oversample_recall_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7788,6 +7825,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # staged for the r12 window — the planted SQL under this
         # name; stream ≡ batch by per-query independence)
         "stream_rabitq_topk_embeddings": stream_rabitq_topk_embeddings,
+        # round 12: the residual-encoding IVF composition (oracle
+        # staged for the r13 window under this name)
+        "rabitq_ivfres_planted_recall_embeddings":
+            rabitq_ivfres_planted_recall_embeddings,
     }
     out = {k: base[k] for k in _R12_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -14376,6 +14417,16 @@ _PENDING_ORACLES["rabitq_ivf_planted_recall_embeddings"] = """
 # accumulated sink equal the batch operator, so the same planted SQL
 # grades the stream end to end
 _PENDING_ORACLES["stream_rabitq_topk_embeddings"] = """
+    SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id
+"""
+
+# the residual composition keeps every planted twin too: identical
+# vector => identical coarse list AND identical residual => identical
+# sign code/abs_sum/res_nrm2; the twin's distance-composition score is
+# the exact-tie maximum (~0), the own list is always probed, and the
+# exact rerank pins rank 1
+_PENDING_ORACLES["rabitq_ivfres_planted_recall_embeddings"] = """
     SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
     FROM embeddings WHERE vec_id < 50 ORDER BY query_id
 """

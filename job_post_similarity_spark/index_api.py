@@ -378,10 +378,23 @@ class VectorSearch:
             import re as _re
 
             ivf_c = None
+            residual = False
             for seg in d.split(",")[1:]:
                 mo = _re.match(r"\s*ivf(\d+)", seg)
                 if mo:
                     ivf_c = int(mo.group(1))
+                if seg.strip() == "residual":
+                    # 'RaBitQ,IVF<c>,Residual' — the paper's (and
+                    # Faiss's) residual IVF form: codes quantize
+                    # x − c_bucket; strictly better shortlists on
+                    # clustered corpora (raw within-list sign codes
+                    # collapse toward the centroid's code)
+                    residual = True
+            if residual and ivf_c is None:
+                raise ValueError(
+                    "Residual RaBitQ needs a coarse quantizer — use "
+                    "'RaBitQ,IVF<c>,Residual'"
+                )
             if self._rabitq is None:
                 P = ann.rabitq_train(self._df, self.vec_col)
                 if ivf_c is not None:
@@ -391,13 +404,19 @@ class VectorSearch:
                         self._df, self.vec_col, self.ntotal, 42, None
                     )
                     centers = ann._lloyd_kmeans(mat, ivf_c, 10, 42)
-                    codes = ann.rabitq_encode(
-                        ann.ivf_assign_with_centers(
-                            self._df, centers, self.vec_col, n_probe=1
-                        ),
-                        P, self.id_col, self.vec_col,
-                        carry_cols=("bucket",),
-                    ).persist()
+                    assigned = ann.ivf_assign_with_centers(
+                        self._df, centers, self.vec_col, n_probe=1
+                    )
+                    if residual:
+                        codes = ann.rabitq_encode_residual(
+                            assigned, P, centers,
+                            self.id_col, self.vec_col,
+                        ).persist()
+                    else:
+                        codes = ann.rabitq_encode(
+                            assigned, P, self.id_col, self.vec_col,
+                            carry_cols=("bucket",),
+                        ).persist()
                     self._rabitq = (P, centers, codes)
                 else:
                     codes = ann.rabitq_encode(
@@ -411,6 +430,7 @@ class VectorSearch:
                     n_centroids=ivf_c or 16,
                     id_col=self.id_col, vec_col=self.vec_col,
                     rotation=P, centers=centers, codes=codes,
+                    residual=residual,
                 )
             P, codes = self._rabitq
             return ann.rabitq_topk_search(

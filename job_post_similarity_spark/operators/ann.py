@@ -5019,6 +5019,62 @@ def rabitq_encode(
     )
 
 
+def rabitq_encode_residual(
+    assigned: DataFrame,
+    rotation,
+    centers,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RESIDUAL 1-bit encode — the paper's actual IVF composition
+    (Gao & Long SIGMOD'24 §3.1 pair RaBitQ with IVF by quantizing
+    x − c_bucket, exactly as Faiss IVF encodes residuals): each row's
+    sign code is ``sign(P(x − c_b))`` and two per-vector scalars ride
+    beside it — ``abs_sum`` = Σ|u|·1e6 (the estimator denominator, as
+    in the raw encode) and ``res_nrm2`` = |x − c_b|² (float64, the
+    exact residual energy the serving scan's distance composition
+    needs: −dist² = 2⟨q−c, x−c⟩ − |x−c|² − |q−c|²).
+
+    ``assigned`` must carry the single-list ``bucket`` column
+    (``ivf_assign_with_centers(n_probe=1)``). One Arrow pass —
+    subtract the broadcast centroid row, one BLAS matmul, packbits —
+    shuffle-free like the raw encode. Output: (id, bucket,
+    sign_code binary, abs_sum long, res_nrm2 double)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = assigned.sparkSession.sparkContext.broadcast((
+        np.asarray(rotation, dtype=np.float64),
+        np.asarray(centers, dtype=np.float64),
+    ))
+    id_type = assigned.schema[id_col].dataType.simpleString()
+
+    def op(it):
+        P, C = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            R = X - C[pdf["bucket"].to_numpy()]
+            U = R @ P.T
+            packed = np.packbits(U >= 0.0, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "bucket": pdf["bucket"],
+                "sign_code": [row.tobytes() for row in packed],
+                "abs_sum": np.rint(
+                    np.abs(U).sum(axis=1) * 1e6
+                ).astype(np.int64),
+                "res_nrm2": (R * R).sum(axis=1),
+            })
+
+    return assigned.select(id_col, vec_col, "bucket").mapInPandas(
+        op,
+        f"{id_col} {id_type}, bucket int, sign_code binary, "
+        f"abs_sum long, res_nrm2 double",
+    )
+
+
 # Serving-batch budgets for the driver-collected query tiers, in
 # float64 ELEMENTS (rows × dim), not rows (VERDICT r11 item 4: a
 # row-count cap is dimension-blind — 100k 384-d rotated queries are
@@ -5274,6 +5330,7 @@ def rabitq_ivf_topk_search(
     corpus_rows: int | None = None,
     chunk_elements: int = _RABITQ_CHUNK_ELEMENTS,
     max_batch_elements: int = _RABITQ_MAX_BATCH_ELEMENTS,
+    residual: bool = False,
 ) -> DataFrame:
     """``RaBitQ,IVF<c>`` composition — the Faiss coarse-then-scan
     pipeline with a 1-bit fine stage: each corpus row lives in ONE
@@ -5295,7 +5352,27 @@ def rabitq_ivf_topk_search(
     ``centers``/``rotation`` memoize across batches. Batch budget is
     dimension-aware with auto-chunking, exactly as in
     ``rabitq_topk_search`` (each chunk joins/scans only its own
-    probed lists)."""
+    probed lists).
+
+    ``residual=True`` switches to the paper's ACTUAL IVF form (and
+    Faiss's): codes quantize the RESIDUAL x − c_bucket
+    (``rabitq_encode_residual``), queries scan with their own
+    per-bucket residual q − c_b, and the shortlist is cut by the
+    estimated NEGATIVE squared distance
+    2·îp − |x−c_b|² − |q−c_b|² (îp = est·|x−c_b|², est the
+    asymmetric sign estimator over residuals). On clustered corpora
+    the raw form's sign codes are dominated by the shared centroid
+    direction (within-list codes collapse toward the centroid's
+    code), while residual codes keep discriminating — measured
+    strictly better shortlist recall at tight cluster spread
+    (test_rabitq_residual_beats_raw_on_tight_clusters). A planted
+    twin shares its original's bucket AND residual, so its sign code
+    + abs_sum + res_nrm2 are identical, its estimate hits the
+    exact-tie maximum (est = 1 ⇒ score = |q−c|² − |x−c|² ≈ 0, every
+    true distance below it), and the exact rerank pins rank 1. The
+    final rerank is IDENTICAL to the raw form — engine-exact integer
+    dots in the original space — so output ranks/similarities keep
+    the repo-wide currency regardless of the estimator form."""
     import numpy as np
     import pandas as pd
 
@@ -5309,9 +5386,15 @@ def rabitq_ivf_topk_search(
         assigned = ivf_assign_with_centers(
             corpus, centers, vec_col, n_probe=1
         )
-        codes = rabitq_encode(
-            assigned, rotation, id_col, vec_col, carry_cols=("bucket",)
-        )
+        if residual:
+            codes = rabitq_encode_residual(
+                assigned, rotation, centers, id_col, vec_col
+            )
+        else:
+            codes = rabitq_encode(
+                assigned, rotation, id_col, vec_col,
+                carry_cols=("bucket",),
+            )
     if shortlist is None:
         shortlist = max(8 * k, 64)
     P = np.asarray(rotation, dtype=np.float64)
@@ -5377,7 +5460,63 @@ def rabitq_ivf_topk_search(
 
         return scan
 
-    chunk_rows = max(1, chunk_elements // max(1, dim))
+    def make_residual_scan(bc):
+        def scan(it):
+            # per-(query, probed-bucket) residual queries: the key is
+            # the PAIR, because the same query scans each probed list
+            # against a different residual q − c_b
+            p_qids, p_buckets, Qp, qn2 = bc.value
+            pix = {
+                (q, int(b)): i
+                for i, (q, b) in enumerate(zip(p_qids, p_buckets))
+            }
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                B = np.unpackbits(
+                    np.stack(
+                        [
+                            np.frombuffer(b, np.uint8)
+                            for b in pdf["sign_code"]
+                        ]
+                    ),
+                    axis=1,
+                )[:, :dim].astype(np.float64)
+                rows = [
+                    pix[(q, int(b))]
+                    for q, b in zip(pdf["qid"], pdf["bucket"])
+                ]
+                s = np.einsum(
+                    "ij,ij->i", 2.0 * B - 1.0, Qp[rows]
+                )
+                nrm2 = pdf["res_nrm2"].to_numpy()
+                # est ≈ ⟨q−c, x−c⟩ / |x−c|²; îp = est·|x−c|²_exact;
+                # score = −estimated dist² (a twin scores exactly
+                # |q−c|² − |x−c|² ≈ 0, above every true candidate)
+                ip = (
+                    s / (np.maximum(pdf["abs_sum"].to_numpy(), 1) / 1e6)
+                ) * nrm2
+                score = 2.0 * ip - nrm2 - qn2[rows]
+                out = pd.DataFrame(
+                    {"qid": pdf["qid"], "id": pdf[id_col], "est": score}
+                )
+                out = (
+                    out.sort_values(
+                        ["qid", "est", "id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("qid", sort=False)
+                    .head(shortlist)
+                )
+                yield out
+
+        return scan
+
+    # residual mode broadcasts one rotated residual PER PROBE, so the
+    # per-chunk element budget divides by n_probe too
+    chunk_rows = max(
+        1, chunk_elements // max(1, dim * (reps if residual else 1))
+    )
     result = None
     for s0 in range(0, len(qrows), chunk_rows):
         chunk = qrows[s0:s0 + chunk_rows]
@@ -5397,8 +5536,6 @@ def rabitq_ivf_topk_search(
         # stable ascending ⇒ distance ties break on the lower
         # centroid id — the ivf_assign_with_centers contract
         probes = np.argsort(d2, axis=1, kind="stable")[:, :reps]
-        q_ids = np.asarray([r[0] for r in chunk])
-        Qrot = X @ P.T
         probe_pairs = [
             (r[0], int(b))
             for i, r in enumerate(chunk)
@@ -5407,13 +5544,35 @@ def rabitq_ivf_topk_search(
         q_buckets = spark.createDataFrame(
             probe_pairs, schema=f"qid {out_t}, bucket int"
         )
-        bc = spark.sparkContext.broadcast((q_ids, Qrot))
+        if residual:
+            # one rotated RESIDUAL per (query, probed bucket) — plus
+            # the exact |q−c_b|² the distance composition needs
+            p_qids = np.asarray([q for q, _ in probe_pairs])
+            p_buckets = np.asarray(
+                [b for _, b in probe_pairs], dtype=np.int64
+            )
+            V = np.asarray(
+                [
+                    X[i] - cents[b]
+                    for i, r in enumerate(chunk)
+                    for b in probes[i]
+                ],
+                dtype=np.float64,
+            )
+            bc = spark.sparkContext.broadcast(
+                (p_qids, p_buckets, V @ P.T, (V * V).sum(axis=1))
+            )
+            scan_fn = make_residual_scan(bc)
+        else:
+            q_ids = np.asarray([r[0] for r in chunk])
+            bc = spark.sparkContext.broadcast((q_ids, X @ P.T))
+            scan_fn = make_scan(bc)
         # each probed-bucket code row carries its probing query's id;
         # est is then a row-wise signed dot against that query's
-        # rotated vector — one einsum per Arrow batch
+        # rotated (residual) vector — one einsum per Arrow batch
         cand_codes = codes.join(F.broadcast(q_buckets), "bucket")
         scanned = cand_codes.mapInPandas(
-            make_scan(bc), f"qid {out_t}, id {out_t}, est double"
+            scan_fn, f"qid {out_t}, id {out_t}, est double"
         )
         piece = _rabitq_shortlist_rerank(
             scanned, spark.createDataFrame(chunk, qschema), corpus,

@@ -2638,3 +2638,164 @@ def test_hierarchy_insert_m3_no_overflow(spark):
         r["layer"] for r in out.select("layer").distinct().collect()
     )
     assert layers[0] == 0 and m2["layer_sizes"][0] == 102
+
+
+def test_rabitq_residual_encode_replay_and_planted_twin(spark):
+    """Residual RaBitQ,IVF (the paper's actual IVF form): codes must
+    replay as sign(P(x − c_bucket)) with abs_sum = Σ|u|·1e6 and the
+    exact residual energy res_nrm2; planted twins (same vector ⇒
+    same bucket ⇒ identical residual code) must come back at rank 1
+    through BOTH the operator and the 'RaBitQ,IVF8,Residual'
+    descriptor."""
+    import numpy as np
+
+    from job_post_similarity_spark.index_api import VectorSearch
+    from job_post_similarity_spark.operators.ann import (
+        _lloyd_kmeans,
+        _quantizer_train_sample,
+        ivf_assign_with_centers,
+        rabitq_encode_residual,
+        rabitq_ivf_topk_search,
+        rabitq_train,
+    )
+
+    rng = np.random.default_rng(43)
+    n, d = 320, 32
+    cents0 = rng.normal(size=(8, d))
+    cents0 /= np.linalg.norm(cents0, axis=1, keepdims=True)
+    v = np.vstack([
+        (cents0[i % 8] + 0.15 * rng.normal(size=d)) for i in range(n)
+    ])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    rows += [(int(i + 100000), [float(x) for x in v[i]]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    P = rabitq_train(df, "embedding", seed=7)
+    mat = _quantizer_train_sample(df, "embedding", n + 12, 5, None)
+    centers = _lloyd_kmeans(mat, 8, 10, 5)
+    assigned = ivf_assign_with_centers(df, centers, "embedding", n_probe=1)
+    got = {
+        r["vec_id"]: r
+        for r in rabitq_encode_residual(
+            assigned, P, centers, "vec_id", "embedding"
+        ).collect()
+    }
+    C = np.asarray(centers)
+    buckets = {r["vec_id"]: r["bucket"] for r in assigned.collect()}
+    for i in list(range(0, n, 37)) + [100000]:
+        x = v[i % 100000 if i >= 100000 else i]
+        r = x - C[buckets[i]]
+        u = r @ np.asarray(P).T
+        bits = np.unpackbits(
+            np.frombuffer(got[i]["sign_code"], np.uint8)
+        )[:d]
+        assert np.array_equal(bits, (u >= 0).astype(np.uint8)), i
+        assert got[i]["abs_sum"] == int(np.rint(np.abs(u).sum() * 1e6))
+        assert abs(got[i]["res_nrm2"] - (r * r).sum()) < 1e-12
+    # twin shares code + scalars with its original exactly
+    assert got[0]["sign_code"] == got[100000]["sign_code"]
+    assert got[0]["abs_sum"] == got[100000]["abs_sum"]
+    assert got[0]["res_nrm2"] == got[100000]["res_nrm2"]
+    queries = df.filter(F.col("vec_id") < 12)
+    hits = rabitq_ivf_topk_search(
+        queries, df, k=2, n_centroids=8, n_probe=2, seed=5,
+        rotation=P, centers=centers, residual=True,
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in hits if r["rank"] == 1}
+    assert top1 == {i: i + 100000 for i in range(12)}
+    ix = VectorSearch(dimension=d, index_description="RaBitQ,IVF8,Residual")
+    ix.exact_shortcut_rows = 1
+    ix.add(df)
+    out = ix.search(queries, k=2).collect()
+    t1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert t1 == {i: i + 100000 for i in range(12)}
+
+
+def test_rabitq_residual_beats_raw_on_tight_clusters(spark):
+    """The residual form's reason to exist: at tight cluster spread
+    the RAW within-list sign codes collapse toward the centroid's
+    code (every member's rotated signs agree), so the raw estimator
+    cannot order candidates inside a list — residual codes keep
+    discriminating. Measure shortlist-recall@1 vs the exact
+    neighbor with a TIGHT shortlist on both forms; residual must be
+    at least as good, and strictly better on this fixture."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        _lloyd_kmeans,
+        _quantizer_train_sample,
+        rabitq_ivf_topk_search,
+        rabitq_train,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 240, 48
+    cents0 = rng.normal(size=(4, d))
+    cents0 /= np.linalg.norm(cents0, axis=1, keepdims=True)
+    # spread 0.04: raw sign codes inside a cluster are ~identical
+    v = np.vstack([
+        (cents0[i % 4] + 0.04 * rng.normal(size=d)) for i in range(n)
+    ])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qn = 24
+    qdf = df.filter(F.col("vec_id") < qn)
+    # exact top-1 (integer micro-dot currency, self excluded)
+    q = np.sign(v * 1e6) * np.floor(np.abs(v * 1e6) + 0.5)
+    dots = (q @ q.T).astype(np.int64)
+    exact1 = {}
+    for i in range(qn):
+        order = sorted(
+            (j for j in range(n) if j != i),
+            key=lambda j: (-dots[j, i], j),
+        )
+        exact1[i] = order[0]
+    P = rabitq_train(df, "embedding", seed=11)
+    mat = _quantizer_train_sample(df, "embedding", n, 9, None)
+    centers = _lloyd_kmeans(mat, 4, 10, 9)
+    recalls = {}
+    for form in (False, True):
+        hits = rabitq_ivf_topk_search(
+            qdf, df, k=1, n_centroids=4, n_probe=1, seed=9,
+            rotation=P, centers=centers, residual=form,
+            shortlist=3,  # tight: the estimator must do the work
+        ).collect()
+        got1 = {r["query_id"]: r["neighbor_id"] for r in hits}
+        recalls[form] = sum(
+            got1.get(i) == exact1[i] for i in range(qn)
+        ) / qn
+    # seed-pinned on this fixture: raw 0.083 (collapsed codes),
+    # residual 0.333 — a 4× shortlist-recall gap at 1 bit/dim
+    assert recalls[True] > recalls[False], recalls
+    assert recalls[False] <= 0.2, recalls  # raw really does collapse
+    assert recalls[True] >= 0.25, recalls
+
+
+def test_rabitq_residual_chunked_equals_single(spark):
+    """Residual-mode chunked serving (budget divides by n_probe too)
+    must equal single-pass serving row-for-row."""
+    import numpy as np
+
+    from job_post_similarity_spark.operators.ann import (
+        rabitq_ivf_topk_search,
+    )
+
+    rng = np.random.default_rng(21)
+    n, d = 160, 16
+    v = rng.normal(size=(n, d))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = df.filter(F.col("vec_id") < 20)
+    kw = dict(
+        k=3, n_centroids=4, n_probe=2, seed=5, shortlist=8,
+        residual=True,
+    )
+    single = sorted(map(tuple, rabitq_ivf_topk_search(
+        qdf, df, **kw
+    ).collect()))
+    chunked = sorted(map(tuple, rabitq_ivf_topk_search(
+        qdf, df, chunk_elements=6 * d * 2, **kw
+    ).collect()))
+    assert chunked == single and len(single) == 60
