@@ -2657,19 +2657,22 @@ def nn_descent_knn_graph(
     )
 
     def score(cand: DataFrame) -> DataFrame:
-        """(src, dst, is_new) → + integer dot."""
+        """(src, dst, is_new) → + integer dot. dst joined FIRST so the
+        large regime's last exchange is hash(src) — the downstream
+        per-src window then reuses it instead of re-clustering (the
+        small regime broadcasts both sides; order is free there)."""
         return (
             cand.join(
-                q_side.select(
-                    F.col("id").alias("src"), F.col("q").alias("q1")
-                ),
-                "src",
-            )
-            .join(
                 q_side.select(
                     F.col("id").alias("dst"), F.col("q").alias("q2")
                 ),
                 "dst",
+            )
+            .join(
+                q_side.select(
+                    F.col("id").alias("src"), F.col("q").alias("q1")
+                ),
+                "src",
             )
             .select("src", "dst", int_dot.alias("dot"), "is_new")
         )
@@ -2740,29 +2743,30 @@ def nn_descent_knn_graph(
                 .select("a.src", F.col("dst2").alias("dst"))
             )
 
-        # one exchange dedups the NoN output AND drops pairs already
-        # in cur (their dots are exact and carried below): cur rows
-        # enter with fresh=false, and min() poisons any candidate
-        # copy of the same pair
+        # ONE exchange per round (guide §2.4): candidates and carried
+        # edges dedup through a single hash(src) repartition — the
+        # (src, dst) aggregate runs on it without re-clustering
+        # (hash(src) already co-locates every (src, dst) group), the
+        # broadcast scoring joins preserve it, and the per-src top-k
+        # window reuses it, where the previous shape paid a second
+        # hash(src) exchange to re-cluster the window input. cur rows
+        # enter with fresh=false and min() poisons any candidate copy
+        # of the same pair, so the surviving flag IS is_new; carried
+        # edges are re-scored by the same integer arithmetic over the
+        # same persisted qtab (deterministic ⇒ identical dots), so the
+        # round output is byte-equal to the carried-dot shape.
         gen = non(sym_new, sym_all)
         if sym_old is not None:
             gen = gen.union(non(sym_old, sym_new))
-        cand_new = (
+        cand_all = (
             gen.select("src", "dst", F.lit(True).alias("fresh"))
             .union(cur.select("src", "dst", F.lit(False).alias("fresh")))
+            .repartition("src")
             .groupBy("src", "dst")
             .agg(F.min("fresh").alias("fresh"))
-            .filter(F.col("fresh"))
-            .select("src", "dst", F.lit(True).alias("is_new"))
+            .select("src", "dst", F.col("fresh").alias("is_new"))
         )
-        # carried edges keep their already-exact dots and turn OLD —
-        # their expansion happened this round
-        carried = cur.select(
-            "src", "dst", "dot", F.lit(False).alias("is_new")
-        )
-        cur = rank_topk(
-            carried.unionByName(score(cand_new))
-        ).localCheckpoint(eager=False)
+        cur = rank_topk(score(cand_all)).localCheckpoint(eager=False)
 
     sim_ppm = F.expr(_SIM_PPM_SQL)
     return cur.select(
