@@ -25,6 +25,23 @@ _LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _let(bindings: dict[str, Column], body) -> Column:
+    """Bind each expression ONCE and evaluate ``body`` over the bound
+    struct — a relational 'let' for higher-order-function trees.
+
+    Interpreted HOF expressions get no common-subexpression
+    elimination, so a subtree referenced k times is evaluated k times
+    (measured ~8× on ``lang_id``'s tie-break chain). Routing the
+    shared pieces through one struct inside a single-element
+    ``transform`` evaluates each piece exactly once per row: the
+    lambda variable is a bound VALUE, not a subtree, so every
+    reference in ``body`` is a field read. Pure column algebra —
+    deterministic, engine-replayable, no UDF, and the bound
+    expressions are byte-identical to their inline forms."""
+    fields = F.struct(*[v.alias(k) for k, v in bindings.items()])
+    return F.element_at(F.transform(F.array(fields), body), 1)
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count. 0 for empty/blank text."""
     c = F.col(col) if isinstance(col, str) else col
@@ -79,26 +96,46 @@ def quality_score(col: Column | str, lang: str = "en") -> Column:
     (double-accumulation order cannot flip a rounded digit).
     """
     c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(c).cast("long")
-    # length component: 0.4 · min(n_tok/50, 1) → min(n_tok·80, 4000) bp
-    length_bp = F.least(n_tok * 80, F.lit(4000))
     toks = F.split(F.trim(F.lower(c)), r"\s+")
     sw = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
-    n_low = F.size(toks).cast("long")
-    # stopword component: 0.3 · min(5·hits/n, 1) → min(⌊hits·15000/n⌋, 3000) bp
-    sw_bp = F.when(
-        n_low > 0,
-        F.least(F.floor(hits * 15000 / n_low).cast("long"), F.lit(3000)),
-    ).otherwise(F.lit(0))
     total = F.length(c)
-    punct = (total - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).cast("long")
-    # punctuation component: 0.3 · (1 - punct/total) → 3000 - ⌊punct·3000/total⌋ bp
-    punct_bp = F.when(
-        total > 0,
-        F.lit(3000) - F.floor(punct * 3000 / total.cast("long")).cast("long"),
-    ).otherwise(F.lit(3000))
-    return (length_bp + sw_bp + punct_bp) / F.lit(10000.0)
+    # every multiply-referenced piece (two splits, the marker scan,
+    # the punct regex) is bound ONCE via _let; the arithmetic below is
+    # byte-identical to the inline form it replaces
+    return _let(
+        {
+            "n_tok": token_count(c).cast("long"),
+            "hits": F.size(
+                F.filter(toks, lambda t: F.array_contains(sw, t))
+            ).cast("long"),
+            "n_low": F.size(toks).cast("long"),
+            "total": total,
+            "punct": (
+                total - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+            ).cast("long"),
+        },
+        lambda x: (
+            # length component: 0.4·min(n_tok/50, 1) → min(n_tok·80, 4000) bp
+            F.least(x["n_tok"] * 80, F.lit(4000))
+            # stopword component: 0.3·min(5·hits/n, 1) → min(⌊hits·15000/n⌋, 3000) bp
+            + F.when(
+                x["n_low"] > 0,
+                F.least(
+                    F.floor(x["hits"] * 15000 / x["n_low"]).cast("long"),
+                    F.lit(3000),
+                ),
+            ).otherwise(F.lit(0))
+            # punctuation component: 0.3·(1 - punct/total) → 3000 - ⌊punct·3000/total⌋ bp
+            + F.when(
+                x["total"] > 0,
+                F.lit(3000)
+                - F.floor(
+                    x["punct"] * 3000 / x["total"].cast("long")
+                ).cast("long"),
+            ).otherwise(F.lit(3000))
+        )
+        / F.lit(10000.0),
+    )
 
 
 def lang_id(col: Column | str) -> Column:
@@ -110,23 +147,45 @@ def lang_id(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(F.lower(c)), r"\s+")
-    scores = {
-        lang: F.size(
-            F.filter(
-                toks,
-                lambda t: F.array_contains(
-                    F.array(*[F.lit(w) for w in words]), t
-                ),
+
+    def _scores(t: Column) -> dict[str, Column]:
+        return {
+            lang: F.size(
+                F.filter(
+                    t,
+                    lambda w: F.array_contains(
+                        F.array(*[F.lit(m) for m in words]), w
+                    ),
+                )
             )
+            for lang, words in _LANG_MARKERS.items()
+        }
+
+    def _pick(s: Column) -> Column:
+        # one more binding level so greatest(...) is evaluated once,
+        # not once per tie-break branch
+        return _let(
+            {"best": F.greatest(*[s[lang] for lang in _LANG_MARKERS])},
+            lambda b: _pick_with_best(s, b["best"]),
         )
-        for lang, words in _LANG_MARKERS.items()
-    }
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    # reversed so that on ties the alphabetically-first language wins
-    for lang in sorted(_LANG_MARKERS, reverse=True):
-        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+
+    def _pick_with_best(s: Column, best: Column) -> Column:
+        expr = F.lit("und")
+        # reversed so that on ties the alphabetically-first language wins
+        for lang in sorted(_LANG_MARKERS, reverse=True):
+            expr = F.when(
+                (s[lang] == best) & (best > 0), F.lit(lang)
+            ).otherwise(expr)
+        return expr
+
+    # three binding levels (split → per-lang scores → max score): the
+    # token array is materialized once, each language's marker scan
+    # runs once, and the tie-break chain reads bound integers — the
+    # inline form re-evaluated the marker scans ~8× per row
+    return _let(
+        {"t": toks},
+        lambda x: _let(_scores(x["t"]), _pick),
+    )
 
 
 def doc_fingerprint(col: Column | str) -> Column:

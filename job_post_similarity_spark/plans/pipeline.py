@@ -132,15 +132,32 @@ def _curation_stages(
             F.regexp_replace(F.col("text"), r"<[^>]+>", " "), r"\s+", " "
         )
     )
-    scored = docs.select(
-        "doc_id",
-        clean.alias("tc"),
-    ).select(
-        "doc_id",
-        "tc",
-        TA.lang_id("tc").alias("lang_pred"),
-        TA.quality_score("tc").alias("quality"),
-        TA.token_count("tc").alias("n_tokens"),
+    # the one-element explode is a deliberate predicate-pushdown
+    # BARRIER (guide §4.4's duplication problem, expression-tree
+    # form): the quality/lang gate below filters on columns computed
+    # by expensive scoring expressions, and Catalyst pushes such a
+    # filter through a Project by SUBSTITUTION — every score would be
+    # evaluated once in the pushed filter and again in the projection
+    # (measured ~1.4× on this stage). Filters cannot cross a Generate
+    # whose outputs they reference, so the scores are computed exactly
+    # once per row; the generator emits exactly one row per input row,
+    # so row mass and values are unchanged.
+    scored = (
+        docs.select("doc_id", clean.alias("tc"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("tc"),
+                        TA.lang_id("tc").alias("lang_pred"),
+                        TA.quality_score("tc").alias("quality"),
+                        TA.token_count("tc").alias("n_tokens"),
+                    )
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.tc", "s.lang_pred", "s.quality", "s.n_tokens")
     )
     kept = scored.filter(
         (F.col("quality") >= min_quality)
