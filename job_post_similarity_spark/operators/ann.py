@@ -782,11 +782,24 @@ def srp_lsh_similarity_join(
     # shuffle total instead of two join-side shuffles (measured 3.3 s
     # → 2.1 s at sf0.1; the streaming store applies the same layout,
     # stream_ops._register_sigs_store).
+    # EXPLICIT partition count (cluster-scaled), not
+    # repartition("band", "bucket"): the cached signature table is
+    # small in BYTES (20 B/row), so byte-sized AQE cache coalescing
+    # would collapse it to a couple of partitions — and the band
+    # self-join it feeds is the operator's high-fan-out CPU stage
+    # (the stress tier's candidate mass is quadratic in bucket size),
+    # which then runs nearly serial (measured 1.9 s → 2.7 s on the
+    # fixed tier). An explicit count is never AQE-coalesced, and
+    # defaultParallelism scales with the cluster.
     sig = (
         srp_band_signatures(
             df, id_col, vec_col, bits_per_band, num_bands, seed
         )
-        .repartition("band", "bucket")
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            "band",
+            "bucket",
+        )
         .persist()
     )
     a = sig.select(F.col(id_col).alias("id1"), "band", "bucket")
