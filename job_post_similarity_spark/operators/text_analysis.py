@@ -16,6 +16,12 @@ from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker lists for the n-gram/stopword
 # heuristic language-ID. Deliberately small + deterministic.
+# Distinct-word budget for the unigram trainer's driver fast tier
+# (the connected_components small-graph pattern): word tables at or
+# under this row count are collected once and EM/loss passes run
+# in-process; larger tables keep the distributed mapInPandas path.
+_UNIGRAM_DRIVER_BUDGET = 200_000
+
 _LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"],
@@ -1877,6 +1883,23 @@ def unigram_lm_train(
     spark = df.sparkSession
     pool = seed_pool if seed_pool is not None else vocab_size * 3
     wc = _unigram_word_table(df, text_col).persist()
+    # Bounded-probe driver fast tier (the connected_components
+    # small-graph pattern): the EM loop's unit of work is the DISTINCT
+    # weighted word, and word tables are tiny relative to corpora
+    # (token mass collapses onto repeated words). When the table fits
+    # the budget it is collected ONCE and every E-step / loss pass
+    # runs in-process over the SAME ``_viterbi_split`` the distributed
+    # path broadcasts — integer usage/loss sums are order-independent,
+    # so the counts are identical and the per-round
+    # mapInPandas+aggregate+collect jobs (pure scheduling at this
+    # grain) disappear. Past the budget the distributed path below is
+    # unchanged — at 100 TB the word table stays distributed.
+    probe = wc.limit(_UNIGRAM_DRIVER_BUDGET + 1).collect()
+    local_wc = (
+        [(r["w"], int(r["cnt"])) for r in probe]
+        if len(probe) <= _UNIGRAM_DRIVER_BUDGET
+        else None
+    )
 
     subs = F.expr(
         f"flatten(transform(sequence(1, {int(max_piece_len)}), l -> "
@@ -1898,8 +1921,17 @@ def unigram_lm_train(
     )
     pieces = singles.unionByName(multi)
 
-    def em_usage(piece_rows) -> DataFrame:
+    def em_usage(piece_rows) -> dict:
         scores = {r["piece"]: r["lp6"] for r in piece_rows}
+        if local_wc is not None:
+            use: dict = {}
+            for w, cnt in local_wc:
+                segs = _viterbi_split(w, scores, max_piece_len)
+                if segs is None:
+                    continue
+                for p in segs:
+                    use[p] = use.get(p, 0) + cnt
+            return use
         bc = spark.sparkContext.broadcast(scores)
 
         def op(batches):
@@ -1920,16 +1952,36 @@ def unigram_lm_train(
                     )
 
         local = wc.mapInPandas(op, "piece string, use_cnt long")
-        return local.groupBy("piece").agg(
-            F.sum("use_cnt").alias("use_cnt")
-        )
+        return {
+            r["piece"]: r["use_cnt"]
+            for r in local.groupBy("piece")
+            .agg(F.sum("use_cnt").alias("use_cnt"))
+            .collect()
+        }
 
     def loss_table(piece_rows) -> dict:
         """Per-piece likelihood loss under the given scored pool: one
         map-side what-if pass over the WORD table (ban each distinct
         multi-char piece of the word's best path, re-segment) + a
-        piece-keyed aggregate; bounded collect (≤ pool rows)."""
+        piece-keyed aggregate; bounded collect (≤ pool rows). Runs
+        in-process on the driver tier (same arithmetic, same
+        ``_viterbi_split``/``_viterbi_score``)."""
         scores = {r["piece"]: r["lp6"] for r in piece_rows}
+        if local_wc is not None:
+            loss: dict = {}
+            for w, cnt in local_wc:
+                segs = _viterbi_split(w, scores, max_piece_len)
+                if segs is None:
+                    continue
+                best6 = sum(scores[p] for p in segs)
+                for p in set(segs):
+                    if len(p) == 1:
+                        continue
+                    alt6 = _viterbi_score(
+                        w, scores, max_piece_len, banned=p
+                    )
+                    loss[p] = loss.get(p, 0) + cnt * (best6 - alt6)
+            return loss
         bc = spark.sparkContext.broadcast(scores)
 
         def loss_op(batches):
@@ -1990,10 +2042,7 @@ def unigram_lm_train(
         # out of the returned plan's lineage (lazy rounds re-ran the
         # corpus-wide Viterbi pass on every downstream action)
         scored_rows = _unigram_lp6(pieces).collect()
-        use = {
-            r["piece"]: r["use_cnt"]
-            for r in em_usage(scored_rows).collect()
-        }
+        use = em_usage(scored_rows)
         new_rows = []
         for r in scored_rows:
             p = r["piece"]

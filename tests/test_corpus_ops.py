@@ -3644,6 +3644,41 @@ def test_unigram_lm_train_hand_case(spark):
         assert r["lp6"] == round(math.log(r["freq"] / 7) * 1e6)
 
 
+def test_unigram_driver_tier_equals_distributed(spark):
+    """The bounded-probe driver fast tier (word table collected once,
+    EM/loss passes in-process) must be row-for-row equal to the
+    distributed mapInPandas path — both run the same _viterbi_split
+    over the same integer counts, so forcing the budget to 0 (every
+    table 'too big') must not change a single piece, freq, or lp6,
+    on both prune criteria."""
+    from job_post_similarity_spark.operators import text_analysis as TA
+
+    df = spark.createDataFrame(
+        [
+            (1, "ab ab ab c abc"),
+            (2, "abc abc ab a b"),
+            (3, "cab cab ab abc ca"),
+        ],
+        "doc_id long, text string",
+    )
+    assert TA._UNIGRAM_DRIVER_BUDGET > 0  # default: fast tier on
+    for prune, shrink in (("freq", None), ("loss", None), ("loss", 0.6)):
+        fast = TA.unigram_lm_train(
+            df, vocab_size=8, iters=2, max_piece_len=3,
+            prune=prune, shrink_factor=shrink,
+        ).collect()
+        old = TA._UNIGRAM_DRIVER_BUDGET
+        TA._UNIGRAM_DRIVER_BUDGET = 0
+        try:
+            dist = TA.unigram_lm_train(
+                df, vocab_size=8, iters=2, max_piece_len=3,
+                prune=prune, shrink_factor=shrink,
+            ).collect()
+        finally:
+            TA._UNIGRAM_DRIVER_BUDGET = old
+        assert fast == dist, (prune, shrink)
+
+
 def test_unigram_viterbi_matches_brute_force():
     """The DP segmentation score equals the max over ALL
     segmentations, and ties resolve to the shortest-last-piece path
