@@ -2181,6 +2181,13 @@ def unigram_viterbi_encode(
 # the spec both engines replay).
 _SB_ALPHA6 = -916291
 
+# Model-row budget for the scorer's driver fast tier (the unigram
+# trainer's bounded-probe pattern): ARPA-analog model tables at or
+# under this row count are collected once and the backoff lookup runs
+# in one Arrow mapInPandas pass; larger models keep the distributed
+# suffix-join path.
+_NGLM_DRIVER_BUDGET = 200_000
+
 
 def ngram_lm_train(
     df: DataFrame,
@@ -2323,12 +2330,33 @@ def ngram_lm_score(
     model order on the gram suffix key (n-1 joins + one 1-row
     broadcast for the floor) against the vocabulary-sized model;
     the per-doc rollup is one hash aggregation. No UDFs, no driver
-    data.
+    data. The model is vocabulary-sized, so it is persisted for the
+    duration of the call (each order's sub-relation plus the floor
+    reads the cache instead of re-running the trainer's gram
+    aggregations per reference), and when it fits
+    ``_NGLM_DRIVER_BUDGET`` it is collected ONCE and the whole
+    backoff chain runs as one Arrow ``mapInPandas`` pass over the
+    padded token arrays — the n-1 suffix joins and the per-doc
+    aggregate collapse into map-side dict lookups with the SAME
+    integer arithmetic (order-independent integer sums, the
+    bigram_perplexity policy), and the per-event enumeration is the
+    same ``s[i:i+n]`` window ``arrays_zip``+``slice`` produces.
+    Larger models keep the distributed joins — at 100 TB the model
+    stays distributed.
     """
-    orders = [
-        r["order"]
-        for r in model.select("order").distinct().collect()
-    ]
+    model = model.persist()
+    n_model = model.limit(_NGLM_DRIVER_BUDGET + 1).count()
+    local_model = (
+        model.collect() if n_model <= _NGLM_DRIVER_BUDGET else None
+    )
+    if local_model is not None:
+        orders = sorted({r["order"] for r in local_model})
+        model.unpersist()
+    else:
+        orders = [
+            r["order"]
+            for r in model.select("order").distinct().collect()
+        ]
     nmax = max(orders)
     if nmax < 2 or 0 not in orders:
         raise ValueError("model must be an ngram_lm_train artifact")
@@ -2340,11 +2368,73 @@ def ngram_lm_score(
         toks,
         F.array(F.lit("</s>")),
     )
+    docs = df.filter(F.col(text_col).isNotNull()).filter(low != "")
+    ppl = F.round(
+        F.exp(
+            -(
+                F.col("s6").cast("double")
+                / (F.col("n_events").cast("double") * F.lit(1e6))
+            )
+        ),
+        4,
+    ).alias("ppl")
+    if local_model is not None:
+        # driver fast tier: tokenization stays the SAME Spark
+        # expressions (lower/trim/split/pad), so the only moved logic
+        # is the per-event dict lookup + integer sum
+        tabs: dict = {o: {} for o in orders if o >= 1}
+        lp0 = None
+        for r in local_model:
+            o = r["order"]
+            if o == 0:
+                lp0 = int(r["lp6"])
+            else:
+                key = tuple(r[f"w{i}"] for i in range(1, o + 1))
+                tabs[o][key] = int(r["lp6"])
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast((tabs, lp0))
+        id_type = df.schema[id_col].dataType.simpleString()
+        a6 = int(alpha6)
+        nm = int(nmax)
+
+        def op(batches):
+            t, floor0 = bc.value
+            oov = floor0 + (nm - 1) * a6
+            lookups = [
+                (t.get(o, {}), nm - o, (nm - o) * a6)
+                for o in range(nm, 0, -1)
+            ]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids, nev, s6 = [], [], []
+                for did, s in zip(pdf[id_col], pdf["s"]):
+                    w = list(s)
+                    n = len(w) - (nm - 1)
+                    tot = 0
+                    for i in range(n):
+                        g = tuple(w[i : i + nm])
+                        sc = oov
+                        for tab, skip, pen in lookups:
+                            v = tab.get(g[skip:])
+                            if v is not None:
+                                sc = v + pen
+                                break
+                        tot += sc
+                    ids.append(did)
+                    nev.append(n)
+                    s6.append(tot)
+                yield pd.DataFrame(
+                    {id_col: ids, "n_events": nev, "s6": s6}
+                )
+
+        per = docs.select(F.col(id_col), padded.alias("s")).mapInPandas(
+            op, f"{id_col} {id_type}, n_events long, s6 long"
+        )
+        return per.select(id_col, "n_events", "s6", ppl)
     sz = F.size("s")
     ev = (
-        df.filter(F.col(text_col).isNotNull())
-        .filter(low != "")
-        .select(F.col(id_col), padded.alias("s"))
+        docs.select(F.col(id_col), padded.alias("s"))
         .select(
             id_col,
             F.explode(
@@ -2396,20 +2486,7 @@ def ngram_lm_score(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("__s6").alias("s6"),
     )
-    return per.select(
-        id_col,
-        "n_events",
-        "s6",
-        F.round(
-            F.exp(
-                -(
-                    F.col("s6").cast("double")
-                    / (F.col("n_events").cast("double") * F.lit(1e6))
-                )
-            ),
-            4,
-        ).alias("ppl"),
-    )
+    return per.select(id_col, "n_events", "s6", ppl)
 
 
 def wordpiece_train_distributed(

@@ -4161,6 +4161,41 @@ def test_ngram_lm_score_exercises_every_backoff_branch(spark):
     assert branch_seen == {"tri", "bi", "uni", "oov"}
 
 
+def test_ngram_lm_score_driver_tier_equals_distributed(spark, monkeypatch):
+    """The bounded-model driver fast tier (collect the vocabulary-
+    sized model once, run the backoff chain in one Arrow pass) must be
+    row-for-row identical to the distributed suffix-join path — pinned
+    by forcing the budget to 0 so the SAME inputs take the join path.
+    Covers every backoff branch (the fixture of the branch test) at
+    n=3 and the bigram order."""
+    from job_post_similarity_spark.operators import text_analysis as ta
+
+    train = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat on the log",)],
+        "text string",
+    )
+    score_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the mat"),
+        (3, "mat the cat"),
+        (4, "zzz qqq"),
+        (5, None),
+        (6, "   "),
+    ]
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+    for n in (2, 3):
+        model = ta.ngram_lm_train(train, n=n)
+        fast = sorted(
+            tuple(r) for r in ta.ngram_lm_score(docs, model).collect()
+        )
+        monkeypatch.setattr(ta, "_NGLM_DRIVER_BUDGET", 0)
+        slow = sorted(
+            tuple(r) for r in ta.ngram_lm_score(docs, model).collect()
+        )
+        monkeypatch.setattr(ta, "_NGLM_DRIVER_BUDGET", 200_000)
+        assert fast == slow and len(fast) == 4
+
+
 def test_ngram_lm_order_validation_and_bigram_order(spark):
     """n outside 2..5 raises; n=2 trains a bigram model whose score
     chain has ONE backoff step (alpha6 + unigram) before the floor."""

@@ -1,7 +1,8 @@
-"""Dump .explain("formatted") for headline queries to plans/<tag>/.
+"""Dump .explain("formatted") for headline queries.
 
-Usage: python tools/dump_plans.py <tag-dir-suffix> [name ...]
-Writes plans/r12/<query>_<tag>.txt (tag e.g. 'before'/'after').
+Usage: python tools/dump_plans.py [--dir plans/rNN] <tag> [name ...]
+Writes <dir>/<query>_<tag>.txt (tag e.g. 'before'/'after'); the
+output directory defaults to plans/r13 for the current round.
 """
 
 from __future__ import annotations
@@ -14,8 +15,14 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    tag = sys.argv[1]
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    outdir = os.path.join(REPO, "plans", "r13")
+    if "--dir" in args:
+        i = args.index("--dir")
+        outdir = args[i + 1]
+        del args[i : i + 2]
+    tag = args[0]
+    names = args[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from bench import HEADLINE
 
@@ -24,7 +31,6 @@ def main() -> None:
 
     spark = get_spark("dump-plans")
     qs = entrymod.queries()
-    outdir = os.path.join(REPO, "plans", "r12")
     os.makedirs(outdir, exist_ok=True)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
