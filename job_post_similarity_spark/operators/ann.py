@@ -733,6 +733,7 @@ def srp_lsh_similarity_join(
     num_bands: int = 16,
     seed: int = 42,
     verify: str = "auto",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Cosine ANN pair join via banded SRP-LSH: band-bucket self-join
     proposes candidates, exact dot product verifies (precision is
@@ -769,8 +770,12 @@ def srp_lsh_similarity_join(
     if bits_per_band == "auto":
         # one count action (the IVF tier pays the same to size its
         # centroids) feeds the formula-driven planner — the knobs
-        # that keep candidate mass linear at any corpus size
-        plan = srp_parameter_plan(df.count(), threshold)
+        # that keep candidate mass linear at any corpus size.
+        # ``corpus_rows`` (a caller-known index-build-time statistic,
+        # e.g. a per-session table-count memo) skips the job — the
+        # planner sees the identical n either way.
+        n = corpus_rows if corpus_rows is not None else df.count()
+        plan = srp_parameter_plan(n, threshold)
         bits_per_band = plan["bits_per_band"]
         num_bands = plan["num_bands"]
     # persist: the signature frame feeds BOTH sides of the self-join;
@@ -2585,11 +2590,22 @@ def nn_descent_knn_graph(
     # relation has no partitioning to co-locate). Larger corpora keep
     # the shuffle join (broadcasting the full vector table is exactly
     # what must NOT happen at 100 TB).
-    qtab = (
-        ranked.select("id", "q").persist()
-        if small
-        else ranked.select("id", "q").repartition("id").persist()
-    )
+    # small path: the quantized table is SERVING-STATE-shaped — it is
+    # referenced by every round's two scoring joins plus the warm
+    # removal probe, and a persisted-but-lineaged relation makes each
+    # round's (builder-time) Catalyst pass re-optimize the whole
+    # upstream corpus plan per reference (measured: refresh planning
+    # 2.3 s/call, ~90% of the row). localCheckpoint materializes the
+    # same blocks but leaves a LEAF — each round then plans against a
+    # scan. Large corpora keep the node-keyed persisted layout (a
+    # lineage-free local checkpoint trades away recompute-on-evict,
+    # which matters when blocks are 100 TB-scale, and the shuffle
+    # joins want the co-partitioning).
+    if small:
+        qtab = base.localCheckpoint()
+        ranked = qtab.join(F.broadcast(rk_map), "id")
+    else:
+        qtab = ranked.select("id", "q").repartition("id").persist()
     q_side = F.broadcast(qtab) if small else qtab
 
     # ring init: rank r -> ranks (r+1..r+k_eff) mod n
@@ -3219,9 +3235,14 @@ def graph_insert(
         else new_rows.limit(100_001).count()
     )
     small = (n_old + n_new) <= 100_000
+    # small path: eager localCheckpoint, not persist — the merge plan
+    # references the quantized union twice (q_src/q_dst) and a
+    # lineaged cache re-pays Catalyst optimization of the upstream
+    # corpus plan per reference at builder time (the nn_descent qtab
+    # rationale). Large corpora keep the node-keyed persisted layout.
     qtab = (
         union.select(F.col(id_col).alias("node"), quant.alias("q"))
-        .persist()
+        .localCheckpoint()
         if small
         else union.select(F.col(id_col).alias("node"), quant.alias("q"))
         .repartition("node")
@@ -3230,10 +3251,12 @@ def graph_insert(
     served = graph_beam_search(
         corpus, graph, [], k=k, beam=beam, hops=hops,
         id_col=id_col, vec_col=vec_col, entries=entries,
-        # n_old from the bounded probe is exact under the dispatch
-        # bound and a safely-over-bound sentinel above it — valid
-        # for beam search's own ≤100k dispatch either way
-        queries_df=new_rows, corpus_rows=n_old,
+        # n_old/n_new from the bounded probes are exact under the
+        # dispatch bound and safely-over-bound sentinels above it —
+        # valid for beam search's own ≤100k/≤1k dispatches either
+        # way; forwarding n_new as query_rows saves the beam's own
+        # batch-size probe job per insert
+        queries_df=new_rows, corpus_rows=n_old, query_rows=n_new,
         nav_tab=nav_tab, entries_df=entries_df,
     ).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
@@ -3296,8 +3319,20 @@ def graph_insert(
         .unionByName(nn_new)
         .unionByName(rev)
         .unionByName(rev_fan)
-        .dropDuplicates(["src", "dst"])
     )
+    if small:
+        # one src-keyed exchange that BOTH the (src, dst) dedup
+        # aggregate and the per-src top-k window reuse (hash(src)
+        # satisfies each clustering) — the NN-Descent round pattern
+        # (see nn_descent_knn_graph): the broadcast scoring joins
+        # preserve the stream's partitioning, so the dedup's
+        # hash(src, dst) exchange AND the window's hash(src) exchange
+        # collapse into this one. Keyed repartition with no explicit
+        # count, so AQE still sizes it by bytes. Big-path candidate
+        # streams keep the planner's layout — their scoring joins are
+        # node-keyed shuffles that re-cluster anyway.
+        cand = cand.repartition("src")
+    cand = cand.dropDuplicates(["src", "dst"])
     int_dot = _int_dot("q1", "q2")
     w = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
     q_src = qtab.select(F.col("node").alias("src"), F.col("q").alias("q1"))
@@ -3344,7 +3379,7 @@ def graph_insert(
     # so release_relation (not the no-op unpersist — ADVICE r11)
     # frees its blocks.
     out = merged.localCheckpoint()
-    qtab.unpersist()
+    release_relation(qtab)
     release_relation(served)
     return out
 

@@ -1850,9 +1850,15 @@ def stream_rabitq_topk_search(
 
     if rotation is None:
         rotation = ann.rabitq_train(corpus, vec_col, seed=seed)
-    if codes is None:
+    # a caller-provided code table is WARM SERVING STATE (persisted,
+    # possibly shared across streams) — persist/unpersist only what
+    # this call built, so a warm server's resident codes survive the
+    # stream teardown instead of being dropped and re-encoded per
+    # serving session
+    owns_codes = codes is None
+    if owns_codes:
         codes = ann.rabitq_encode(corpus, rotation, id_col, vec_col)
-    codes = codes.persist()
+        codes = codes.persist()
     corpus = corpus.persist()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -1880,7 +1886,8 @@ def stream_rabitq_topk_search(
         q.processAllAvailable()
     finally:
         q.stop()
-        codes.unpersist()
+        if owns_codes:
+            codes.unpersist()
         corpus.unpersist()
     if not os.path.isdir(out_dir):
         # zero delivered rows ⇒ no sink files — return an EMPTY frame

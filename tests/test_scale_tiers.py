@@ -2799,3 +2799,23 @@ def test_rabitq_residual_chunked_equals_single(spark):
         qdf, df, chunk_elements=6 * d * 2, **kw
     ).collect()))
     assert chunked == single and len(single) == 60
+
+
+def test_fixture_entries_equal_default_graph_entries(spark):
+    """The serve fixture's memoized entry picks must equal
+    ``default_graph_entries`` over the same corpus: both apply the
+    ceil(n/32) stride to the vec_id global rank, and the warm
+    hierarchy-insert path passes the MEMOIZED list to its layer-0
+    repair instead of re-deriving the stride per call — legal only
+    while the two selections are membership-identical."""
+    import __spark_entry__ as entrymod
+    from job_post_similarity_spark.operators.ann import (
+        default_graph_entries,
+    )
+
+    clustered, n, step = entrymod._clustered_emb_corpus(
+        spark, "/root/testdata/sf0.001"
+    )
+    entries, _qids = entrymod._graph_fixture_picks(clustered, n, step)
+    emb = clustered.select("vec_id", "embedding")
+    assert sorted(entries) == sorted(default_graph_entries(emb))
