@@ -13,6 +13,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..caching import cache_auto
 
 # Tiny per-language stopword marker lists for the n-gram/stopword
 # heuristic language-ID. Deliberately small + deterministic.
@@ -105,22 +106,28 @@ def quality_score(col: Column | str, lang: str = "en") -> Column:
     toks = F.split(F.trim(F.lower(c)), r"\s+")
     sw = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
     total = F.length(c)
-    # every multiply-referenced piece (two splits, the marker scan,
-    # the punct regex) is bound ONCE via _let; the arithmetic below is
-    # byte-identical to the inline form it replaces
+    # every multiply-referenced piece is bound ONCE via _let — the
+    # lowered token array at an OUTER level (lang_id's shape; inlining
+    # it into both the marker scan and the size binding evaluated the
+    # trim+lower+split twice per row — ADVICE r12), the scalar pieces
+    # (token_count's own un-lowered split, the punct regex) at the
+    # inner level; the arithmetic below is byte-identical to the
+    # inline form it replaces
     return _let(
-        {
-            "n_tok": token_count(c).cast("long"),
-            "hits": F.size(
-                F.filter(toks, lambda t: F.array_contains(sw, t))
-            ).cast("long"),
-            "n_low": F.size(toks).cast("long"),
-            "total": total,
-            "punct": (
-                total - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-            ).cast("long"),
-        },
-        lambda x: (
+        {"t": toks},
+        lambda o: _let(
+            {
+                "n_tok": token_count(c).cast("long"),
+                "hits": F.size(
+                    F.filter(o["t"], lambda t: F.array_contains(sw, t))
+                ).cast("long"),
+                "n_low": F.size(o["t"]).cast("long"),
+                "total": total,
+                "punct": (
+                    total - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+                ).cast("long"),
+            },
+            lambda x: (
             # length component: 0.4·min(n_tok/50, 1) → min(n_tok·80, 4000) bp
             F.least(x["n_tok"] * 80, F.lit(4000))
             # stopword component: 0.3·min(5·hits/n, 1) → min(⌊hits·15000/n⌋, 3000) bp
@@ -139,8 +146,9 @@ def quality_score(col: Column | str, lang: str = "en") -> Column:
                     x["punct"] * 3000 / x["total"].cast("long")
                 ).cast("long"),
             ).otherwise(F.lit(3000))
-        )
-        / F.lit(10000.0),
+            )
+            / F.lit(10000.0),
+        ),
     )
 
 
@@ -420,7 +428,7 @@ def bigram_perplexity(
         df.filter(F.size(toks) >= 2)
         .select(id_col, F.explode(pairs).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    ).persist()
+    ).transform(cache_auto)
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     vocab = big.agg(F.countDistinct("w2").alias("vv"))
@@ -491,7 +499,7 @@ def tf_idf_top_terms(
     # (and the scan) runs twice. Rows = distinct (doc, term) pairs.
     tf = (
         tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    ).persist()
+    ).transform(cache_auto)
     dfreq = tf.groupBy("token").agg(F.countDistinct(id_col).alias("df_t"))
     scored = tf.join(dfreq, "token").select(
         id_col,
@@ -563,7 +571,7 @@ def pmi_collocations(
         df.filter(F.size(toks) >= 2)
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    ).persist()
+    ).transform(cache_auto)
     c12 = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n12"))
@@ -949,7 +957,7 @@ def vocab_coverage(
         value_col="cnt",
         rank_col="__r",
         cumsum_col="__cum",
-    ).select("cnt", "__r", "__cum").persist()
+    ).select("cnt", "__r", "__cum").transform(cache_auto)
     total = ranked.agg(F.max("__cum").alias("__t"))
     # one pass for ALL thresholds: explode them against the (1-row)
     # total, broadcast onto the ranked vocab, take min rank per cut
@@ -1284,7 +1292,7 @@ def bpe_train_distributed(
             F.lit("__"), F.array_join(syms, "__"), F.lit("__")
         ).alias("enc"),
         "cnt",
-    ).persist()
+    ).transform(cache_auto)
     pair_struct = F.expr(
         "CASE WHEN size(__ss) >= 2 THEN"
         "  transform(sequence(1, size(__ss) - 1),"
@@ -1320,7 +1328,7 @@ def bpe_train_distributed(
                 F.lit(f"_{left}{right}_"),
             ).alias("enc"),
             "cnt",
-        ).persist()
+        ).transform(cache_auto)
         nxt.count()  # materialize before dropping the parent
         vocab.unpersist()
         vocab = nxt
@@ -1782,12 +1790,26 @@ def _unigram_word_table(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _unigram_lp6(pieces: DataFrame) -> DataFrame:
+def _unigram_lp6(pieces: DataFrame, total: int | None = None) -> DataFrame:
     """Attach integer micro-log probabilities: lp6 =
     round(ln(freq / total) * 1e6) — the bigram-perplexity micro-log
-    policy, reproducible across engines. One 1-row broadcast attach."""
-    total = pieces.agg(F.sum("freq").alias("__tot"))
-    return pieces.crossJoin(F.broadcast(total)).select(
+    policy, reproducible across engines. One 1-row broadcast attach;
+    when the caller already holds the EXACT integer total (the EM
+    rounds' piece pools are driver lists, so Σfreq is a Python sum) it
+    is inlined as a literal instead — same Divide(long, long) → double
+    → ln → round chain evaluated by the same engine, so the lp6
+    values are bit-identical, without the aggregate+cross-join job."""
+    if total is not None:
+        tot = F.lit(int(total)).cast("long")
+        return pieces.select(
+            "piece",
+            "freq",
+            F.round(F.log(F.col("freq") / tot) * 1e6, 0)
+            .cast("long")
+            .alias("lp6"),
+        )
+    total_df = pieces.agg(F.sum("freq").alias("__tot"))
+    return pieces.crossJoin(F.broadcast(total_df)).select(
         "piece",
         "freq",
         F.round(F.log(F.col("freq") / F.col("__tot")) * 1e6, 0)
@@ -1882,7 +1904,7 @@ def unigram_lm_train(
             raise ValueError("shrink_factor must be in (0, 1]")
     spark = df.sparkSession
     pool = seed_pool if seed_pool is not None else vocab_size * 3
-    wc = _unigram_word_table(df, text_col).persist()
+    wc = _unigram_word_table(df, text_col).transform(cache_auto)
     # Bounded-probe driver fast tier (the connected_components
     # small-graph pattern): the EM loop's unit of work is the DISTINCT
     # weighted word, and word tables are tiny relative to corpora
@@ -2035,13 +2057,30 @@ def unigram_lm_train(
     import math as _math
 
     shrinking = prune == "loss" and shrink_factor is not None
+    # after the first M-step the piece pool is a DRIVER list (the
+    # createDataFrame below) — its Σfreq is then an exact Python
+    # integer, so every later lp6 pass inlines the total instead of
+    # paying an aggregate + cross-join job over a local relation, and
+    # the final filter/sort/limit assembly runs in-process (same
+    # total orders). Only the SEED pool (round 0 / iters == 0) is a
+    # distributed relation and keeps the aggregate path.
+    local_pieces: list | None = None
+
+    def lp6_of(rel: DataFrame) -> DataFrame:
+        tot = (
+            sum(f for _, f in local_pieces)
+            if local_pieces is not None
+            else None
+        )
+        return _unigram_lp6(rel, total=tot)
+
     for rnd in range(iters):
         # bounded collects: the piece pool (≤ singles + seed_pool
         # rows) is the broadcast model, exactly like the IVF centroid
         # table — and making each round EAGER here keeps the E-step
         # out of the returned plan's lineage (lazy rounds re-ran the
         # corpus-wide Viterbi pass on every downstream action)
-        scored_rows = _unigram_lp6(pieces).collect()
+        scored_rows = lp6_of(pieces).collect()
         use = em_usage(scored_rows)
         new_rows = []
         for r in scored_rows:
@@ -2052,12 +2091,13 @@ def unigram_lm_train(
         pieces = spark.createDataFrame(
             new_rows, "piece string, freq long"
         )
+        local_pieces = new_rows
         if shrinking:
             # SentencePiece's per-round prune: loss under the POST-M
             # distribution, keep top shrink_factor of the multi pool
             # (never below the final target); the LAST round cuts
             # straight to the target
-            post_rows = _unigram_lp6(pieces).collect()
+            post_rows = lp6_of(pieces).collect()
             loss6 = loss_table(post_rows)
             n_singles_r = sum(
                 1 for r in post_rows if len(r["piece"]) == 1
@@ -2078,9 +2118,35 @@ def unigram_lm_train(
             pieces = spark.createDataFrame(
                 kept, "piece string, freq long"
             )
+            local_pieces = kept
 
     if shrinking and iters > 0:
-        out = _unigram_lp6(pieces).orderBy("piece")
+        out = lp6_of(pieces).orderBy("piece")
+        wc.unpersist()
+        return out
+
+    if local_pieces is not None:
+        # driver-side final assembly over the in-hand pool: the same
+        # (length == 1) split, (freq DESC, piece ASC) multi order and
+        # vocab cut as the relational branch below, without the count
+        # job + filter/sort/limit plans over a local relation
+        singles_rows = [(p, f) for p, f in local_pieces if len(p) == 1]
+        keep_n = max(0, vocab_size - len(singles_rows))
+        if prune == "loss":
+            scored_rows = lp6_of(pieces).collect()
+            multi = loss_ranked_multi(
+                scored_rows, loss_table(scored_rows)
+            )
+        else:
+            multi = sorted(
+                ((p, f) for p, f in local_pieces if len(p) > 1),
+                key=lambda t: (-t[1], t[0]),
+            )
+        final_rows = singles_rows + multi[:keep_n]
+        local_pieces = final_rows
+        out = lp6_of(
+            spark.createDataFrame(final_rows, "piece string, freq long")
+        ).orderBy("piece")
         wc.unpersist()
         return out
 
@@ -2239,7 +2305,7 @@ def ngram_lm_train(
         df.filter(F.col(text_col).isNotNull())
         .filter(low != "")
         .select(padded.alias("s"))
-        .persist()
+        .transform(cache_auto)
     )
     wcols = [f"w{i}" for i in range(1, n + 1)]
     sz = F.size("s")
@@ -2344,7 +2410,7 @@ def ngram_lm_score(
     Larger models keep the distributed joins — at 100 TB the model
     stays distributed.
     """
-    model = model.persist()
+    model = model.transform(cache_auto)
     n_model = model.limit(_NGLM_DRIVER_BUDGET + 1).count()
     local_model = (
         model.collect() if n_model <= _NGLM_DRIVER_BUDGET else None
@@ -2536,7 +2602,7 @@ def wordpiece_train_distributed(
             F.lit("__"), F.array_join(syms, "__"), F.lit("__")
         ).alias("enc"),
         "cnt",
-    ).persist()
+    ).transform(cache_auto)
     pair_struct = F.expr(
         "CASE WHEN size(__ss) >= 2 THEN"
         "  transform(sequence(1, size(__ss) - 1),"
@@ -2547,7 +2613,7 @@ def wordpiece_train_distributed(
     for step in range(1, num_merges + 1):
         split_enc = vocab.withColumn(
             "__ss", F.expr("filter(split(enc, '_'), x -> x <> '')")
-        ).persist()
+        ).transform(cache_auto)
         sym_counts = (
             split_enc.select(F.explode("__ss").alias("s"), "cnt")
             .groupBy("s")
@@ -2609,7 +2675,7 @@ def wordpiece_train_distributed(
                 F.lit(f"_{left}{right}_"),
             ).alias("enc"),
             "cnt",
-        ).persist()
+        ).transform(cache_auto)
         nxt.count()
         vocab.unpersist()
         vocab = nxt
