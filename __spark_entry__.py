@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from job_post_similarity_spark.caching import cache_auto
 
 from job_post_similarity_spark.functions import strings as S
 from job_post_similarity_spark.functions import vectors as V
@@ -1172,7 +1173,7 @@ def _clustered_emb_corpus(
         "vec_id",
         "rk",
         F.transform(v2, lambda x: x / norm).alias("embedding"),
-    ).persist()  # feeds graph build, entry/query picks, and scoring
+    ).transform(cache_auto)  # feeds graph build, entry/query picks, and scoring
     out = (clustered, n, step)
     _CLUSTERED_EMB_CACHE[key] = out
     return out
@@ -1278,8 +1279,8 @@ def graph_refresh_equals_cold_embeddings(
     )
     union = emb.unionByName(twins)
     old = ann.nn_descent_knn_graph(emb, k=8, iters=3)
-    cold = ann.nn_descent_knn_graph(union, k=8, iters=3).persist()
-    ref = ann.nn_descent_refresh(union, old, k=8, iters=2).persist()
+    cold = ann.nn_descent_knn_graph(union, k=8, iters=3).transform(cache_auto)
+    ref = ann.nn_descent_refresh(union, old, k=8, iters=2).transform(cache_auto)
     cols = ["id", "neighbor_id", "rank", "sim_ppm"]
     try:
         # eager scalars so the persisted edge tables can be released
@@ -1368,7 +1369,7 @@ def graph_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph, _ = index_store.load_or_build_knn_graph(
             spark, emb, path, k=8, iters=3, n_rows=n
         )
-        graph = graph.persist()
+        graph = graph.transform(cache_auto)
         graph.count()
         # flat-tier warm-serving state (r10): the (node, qv, nxts)
         # navigation table is corpus-invariant — materialize once
@@ -1573,7 +1574,7 @@ def hnsw_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # app/vector_search.py:241-294)
         nav = ann.hnsw_nav_members(
             emb, m=2, top_layer=meta["top_layer"]
-        ).persist()
+        ).transform(cache_auto)
         nav.count()
         state = ann.hnsw_serving_state(
             emb, hier, meta["top_layer"], nav_members=nav,
@@ -1739,7 +1740,7 @@ def graph_insert_exact_embeddings(
     entries, _qids = _graph_fixture_picks(clustered, n, step)
     ins = ann.graph_insert(
         emb, old, twins, k=8, beam=40, hops=4, entries=entries
-    ).persist()
+    ).transform(cache_auto)
 
     q = union.select(
         F.col("vec_id").alias("id"), _micro_quant("embedding").alias("q")
@@ -1761,7 +1762,7 @@ def graph_insert_exact_embeddings(
             F.col("rn").cast("int").alias("rank"),
             F.expr(_SIM_PPM_SQL).cast("long").alias("sim_ppm"),
         )
-        .persist()
+        .transform(cache_auto)
     )
     cols = ["id", "neighbor_id", "rank", "sim_ppm"]
     try:
@@ -1848,12 +1849,12 @@ def hierarchy_insert_exact_embeddings(
     ins = ann.hnsw_hierarchy_insert(
         emb, hier, twins, k=8, entry_budget=8, corpus_rows=400,
         entries=entries, meta=ins_meta,
-    ).persist()
+    ).transform(cache_auto)
     want_meta: dict = {}
     want = ann.hnsw_hierarchy_build(
         union, k=8, iters=3, entry_budget=8,
         base_graph=exact_topk(union), corpus_rows=450, meta=want_meta,
-    ).persist()
+    ).transform(cache_auto)
     cols = ["layer", "id", "neighbor_id", "rank", "sim_ppm"]
     try:
         n_diff = (
@@ -6283,7 +6284,7 @@ def stream_rabitq_topk_embeddings(
     state = _CLUSTERED_EMB_CACHE.get(sk)
     if state is None:
         P = ann.rabitq_train(emb, "embedding", seed=42)
-        codes = ann.rabitq_encode(emb, P, "vec_id", "embedding").persist()
+        codes = ann.rabitq_encode(emb, P, "vec_id", "embedding").transform(cache_auto)
         codes.count()
         qdf = emb.filter(F.col("vec_id") < 50)
         qbase = _tempfile.mkdtemp(prefix="jps_stream_rabitq_q_")

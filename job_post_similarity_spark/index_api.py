@@ -29,6 +29,7 @@ reference's Flat/IVF/HNSW switch.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from .caching import cache_auto
 
 from .operators import ann, knn
 from .schemas import require_embedding_dim
@@ -330,12 +331,12 @@ class VectorSearch:
                 if ivf_c is not None:
                     rotated = ann.rotate_vectors(
                         self._df, R, self.id_col, self.vec_col
-                    ).persist()
+                    ).transform(cache_auto)
                     self._opq = ("ivf", R, books, rotated)
                 else:
                     codes = ann.opq_encode(
                         self._df, R, books, self.id_col, self.vec_col
-                    ).persist()
+                    ).transform(cache_auto)
                     self._opq = ("flat", R, books, codes)
             kind, R, books, rel = self._opq
             if kind == "ivf":
@@ -411,17 +412,17 @@ class VectorSearch:
                         codes = ann.rabitq_encode_residual(
                             assigned, P, centers,
                             self.id_col, self.vec_col,
-                        ).persist()
+                        ).transform(cache_auto)
                     else:
                         codes = ann.rabitq_encode(
                             assigned, P, self.id_col, self.vec_col,
                             carry_cols=("bucket",),
-                        ).persist()
+                        ).transform(cache_auto)
                     self._rabitq = (P, centers, codes)
                 else:
                     codes = ann.rabitq_encode(
                         self._df, P, self.id_col, self.vec_col
-                    ).persist()
+                    ).transform(cache_auto)
                     self._rabitq = (P, codes)
             if len(self._rabitq) == 3:
                 P, centers, codes = self._rabitq
@@ -479,7 +480,7 @@ class VectorSearch:
                         corpus_rows=old_n,
                         nav_tab=self._stale_nav_tab,
                         new_rows_count=pend_n,
-                    ).persist()
+                    ).transform(cache_auto)
                     self._graph_params = {
                         "k": 8, "built": "insert",
                         "base": (self._graph_params or {}).get(
@@ -498,14 +499,14 @@ class VectorSearch:
                         self._df, self._stale_graph,
                         self.id_col, self.vec_col,
                         assume_append_only=True,
-                    ).persist()
+                    ).transform(cache_auto)
                     self._graph_params = {
                         "k": 8, "iters": 2, "built": "refresh",
                     }
                 else:
                     self._graph = ann.nn_descent_knn_graph(
                         self._df, self.id_col, self.vec_col
-                    ).persist()
+                    ).transform(cache_auto)
                     self._graph_params = {
                         "k": 8, "iters": 3, "built": "cold",
                     }
@@ -596,7 +597,7 @@ class VectorSearch:
                         self._df, self.id_col, self.vec_col,
                         m=knobs["m"],
                         top_layer=self._hier_meta["top_layer"],
-                    ).persist()
+                    ).transform(cache_auto)
                 if self._serving_state is None:
                     # prebuilt (node, qv, nxts) tables per layer —
                     # each batch's plan references lineage-free
@@ -717,7 +718,7 @@ class VectorSearch:
                     self._df, self.id_col, self.vec_col,
                     m=self._HIER_KNOBS["m"],
                     top_layer=self._hier_meta["top_layer"],
-                ).persist()
+                ).transform(cache_auto)
             index_store.save_hnsw_hierarchy(
                 index_path + "__hier",
                 self._hier,
@@ -777,7 +778,7 @@ class VectorSearch:
                 self._spark, index_path + "__graph"
             )
             if meta["n_rows"] == self.ntotal:  # populates the memo too
-                self._graph = graph.persist()
+                self._graph = graph.transform(cache_auto)
                 self._graph_entries = ann.default_graph_entries(
                     df, self.id_col
                 )
@@ -798,7 +799,7 @@ class VectorSearch:
                 expect=self._HIER_KNOBS,
             )
             if hmeta["n_rows"] == self.ntotal:
-                self._hier = hier.persist()
+                self._hier = hier.transform(cache_auto)
                 self._hier_meta = {
                     "top_layer": hmeta["top_layer"],
                     "layer_sizes": hmeta["layer_sizes"],
@@ -808,7 +809,7 @@ class VectorSearch:
                     self._spark, index_path + "__hier"
                 )
                 if nav is not None:
-                    self._nav = nav.persist()
+                    self._nav = nav.transform(cache_auto)
         except index_store.IndexLoadError:
             pass
         d = self.index_description.strip().lower()
@@ -826,7 +827,7 @@ class VectorSearch:
                     and ometa["n_rows"] == self.ntotal
                     and ometa["m"] == pq_m
                 ):
-                    self._opq = ("flat", R, books, codes.persist())
+                    self._opq = ("flat", R, books, codes.transform(cache_auto))
             except index_store.IndexLoadError:
                 pass
         if d.startswith("rabitq") and "ivf" not in d:
@@ -838,7 +839,7 @@ class VectorSearch:
                 )
                 # row-count adoption guard, like the other artifacts
                 if rmeta["n_rows"] == self.ntotal:
-                    self._rabitq = (R, codes.persist())
+                    self._rabitq = (R, codes.transform(cache_auto))
             except index_store.IndexLoadError:
                 pass
 

@@ -53,6 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..caching import cache_auto, cache_pinned
 
 from ..functions import vectors as V
 
@@ -445,7 +446,7 @@ def ivf_similarity_join(
         # on the join key first so the bucket self-join reads the
         # cache's partitioning and plans no further exchanges (the
         # SRP-join layout trick — see srp_lsh_similarity_join).
-        assigned = assigned.repartition("bucket").persist()
+        assigned = assigned.repartition("bucket").transform(cache_auto)
     a = assigned.select("bucket", F.col(id_col).alias("id1"))
     b = assigned.select("bucket", F.col(id_col).alias("id2"))
     # candidates stay (id1, id2) pairs: the multi-probe duplicate pairs
@@ -787,26 +788,16 @@ def srp_lsh_similarity_join(
     # shuffle total instead of two join-side shuffles (measured 3.3 s
     # → 2.1 s at sf0.1; the streaming store applies the same layout,
     # stream_ops._register_sigs_store).
-    # EXPLICIT partition count (cluster-scaled), not
-    # repartition("band", "bucket"): the cached signature table is
-    # small in BYTES (20 B/row), so byte-sized AQE cache coalescing
-    # would collapse it to a couple of partitions — and the band
-    # self-join it feeds is the operator's high-fan-out CPU stage
-    # (the stress tier's candidate mass is quadratic in bucket size),
-    # which then runs nearly serial (measured 1.9 s → 2.7 s on the
-    # fixed tier). An explicit count is never AQE-coalesced, and
-    # defaultParallelism scales with the cluster.
-    sig = (
-        srp_band_signatures(
-            df, id_col, vec_col, bits_per_band, num_bands, seed
-        )
-        .repartition(
-            df.sparkSession.sparkContext.defaultParallelism,
-            "band",
-            "bucket",
-        )
-        .persist()
-    )
+    # PINNED layout (cache_pinned = explicit cluster-scaled count,
+    # never AQE-coalesced): the cached signature table is small in
+    # BYTES (20 B/row), so byte-sized AQE cache coalescing would
+    # collapse it to a couple of partitions — and the band self-join
+    # it feeds is the operator's high-fan-out CPU stage (the stress
+    # tier's candidate mass is quadratic in bucket size), which then
+    # runs nearly serial (measured 1.9 s → 2.7 s on the fixed tier).
+    sig = srp_band_signatures(
+        df, id_col, vec_col, bits_per_band, num_bands, seed
+    ).transform(cache_pinned("band", "bucket"))
     a = sig.select(F.col(id_col).alias("id1"), "band", "bucket")
     b = sig.select(F.col(id_col).alias("id2"), "band", "bucket")
     cand = (
@@ -2286,7 +2277,7 @@ def ivfpq_stratified_search(
             F.expr(f"CAST({id_col} AS LONG) DIV {int(k_coarse)}"),
             F.lit(k_codes),
         ),
-    ).persist()
+    ).transform(cache_auto)
     base2.count()
     # one residual-centroid pass, sliced per subspace driver-side
     # (subvector means == slices of the full mean; see the PQ twin)
@@ -2605,7 +2596,7 @@ def nn_descent_knn_graph(
         qtab = base.localCheckpoint()
         ranked = qtab.join(F.broadcast(rk_map), "id")
     else:
-        qtab = ranked.select("id", "q").repartition("id").persist()
+        qtab = ranked.select("id", "q").repartition("id").transform(cache_auto)
     q_side = F.broadcast(qtab) if small else qtab
 
     # ring init: rank r -> ranks (r+1..r+k_eff) mod n
@@ -3246,7 +3237,7 @@ def graph_insert(
         if small
         else union.select(F.col(id_col).alias("node"), quant.alias("q"))
         .repartition("node")
-        .persist()
+        .transform(cache_auto)
     )
     served = graph_beam_search(
         corpus, graph, [], k=k, beam=beam, hops=hops,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..caching import cache_auto
 
 PPM = 1_000_000
 
@@ -63,7 +64,7 @@ def basket_pair_lift(
         # (the SRP-signature cache-layout trick; measured 2.4 → 1.9 s
         # at sf0.1)
         .repartition("__g")
-        .persist()
+        .transform(cache_auto)
     )
     n_baskets = bi.select("__g").distinct().count()
     support = bi.groupBy("__n").agg(F.count(F.lit(1)).alias("__cnt"))

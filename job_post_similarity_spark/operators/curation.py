@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..caching import cache_auto
 
 from .dedup import word_ngrams
 from .text_analysis import token_count
@@ -352,7 +353,7 @@ def dsir_weights(
             )
         )
 
-    raw_b = _buckets(raw).persist()
+    raw_b = _buckets(raw).transform(cache_auto)
     tgt_b = _buckets(target)
 
     # full-outer on bucket: a bucket absent from one corpus gets
@@ -516,7 +517,7 @@ def contamination_matrix(
         )
         .filter(F.col("__s").isNotNull())
         .distinct()
-        .persist()
+        .transform(cache_auto)
     )
     totals = sg.groupBy("__s").agg(F.count(F.lit(1)).alias("__tot"))
     a = sg.select(F.col("__s").alias("src_a"), "__g")

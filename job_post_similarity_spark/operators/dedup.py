@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..caching import cache_auto
 
 _MOD = 2**31 - 1  # Mersenne prime for universal hashing
 
@@ -228,7 +229,7 @@ def minhash_near_dup_pairs(
     sigs = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(text_col, num_hashes, ngram, seed).alias("sig"),
-    ).persist()
+    ).transform(cache_auto)
     # band-key layout + persist for the slim band table: both join
     # sides read the cache's (band, bucket) partitioning — no
     # join-side exchanges (the SRP-signature layout trick; the key is
@@ -240,7 +241,7 @@ def minhash_near_dup_pairs(
         )
         .select("id", "band", "bucket")
         .repartition("band", "bucket")
-        .persist()
+        .transform(cache_auto)
     )
     cand = (
         slim.alias("a")
@@ -423,7 +424,7 @@ def simhash_near_dup_pairs(
         ).alias("bc"),
     ).select("id", "sig", "bc.band", "bc.chunk").repartition(
         "band", "chunk"
-    ).persist()
+    ).transform(cache_auto)
     # chunk-key layout + persist (the band-join cache-layout pattern):
     # both self-join children read the cached partitioning, and the
     # simhash64 token fold — the expensive part — runs once, not twice
@@ -537,7 +538,7 @@ def connected_components(
         # pair-detection plan re-executes per iteration (measured 10×
         # on the semantic-dedup gate, whose pair subplan carries the
         # within-cluster dot scoring)
-        .persist()
+        .transform(cache_auto)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -835,7 +836,7 @@ def stratified_semantic_dedup(
         # collapse the hash layout to ≤8 live partitions and the
         # downstream verify loses its parallelism — the trick needs a
         # HIGH-cardinality key (band×bucket, basket id).
-        .persist()
+        .transform(cache_auto)
     )
     from ..functions import vectors as V
 
@@ -984,7 +985,7 @@ def substring_dup_spans(
     # double-compute srp_lsh_similarity_join persists against). Rows
     # are (id, pos, 8-byte hash) — comparable to input text size,
     # LRU-evicted under pressure.
-    grams = _k_gram_hashes(df, text_col, id_col, k).persist()
+    grams = _k_gram_hashes(df, text_col, id_col, k).transform(cache_auto)
     dup = (
         grams.groupBy("gram")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -1033,7 +1034,7 @@ def strip_dup_spans(
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     with_toks = df.select(F.col(id_col), F.col(text_col), toks.alias("__toks"))
     # persisted for the same both-sides reason as substring_dup_spans
-    grams = _k_gram_hashes(df, text_col, id_col, k).persist()
+    grams = _k_gram_hashes(df, text_col, id_col, k).transform(cache_auto)
     owners = (
         grams.groupBy("gram")
         .agg(
@@ -1134,7 +1135,7 @@ def fuzzy_join_dist1(
         F.col(id_col).alias("__id"),
         s.alias("__s"),
         F.explode(variants).alias("__v"),
-    ).repartition("__v").persist()
+    ).repartition("__v").transform(cache_auto)
     a = sig.select(
         F.col("__id").alias("id1"), F.col("__s").alias("s1"), "__v"
     )
@@ -1271,7 +1272,7 @@ def prefix_jaccard_join(
         df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("token"))
         .filter(F.col("token") != "")
         .distinct()
-        .persist()
+        .transform(cache_auto)
     )
     freq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("__f"))
     w = Window.partitionBy("__id").orderBy(F.asc("__f"), F.asc("token"))
@@ -1290,7 +1291,7 @@ def prefix_jaccard_join(
     # double window above recompute per side, and the token layout
     # lets the join read the cache partitioning with no further
     # exchange (high-cardinality key, so no parallelism collapse)
-    ).repartition("token").persist()
+    ).repartition("token").transform(cache_auto)
     cand = (
         prefix.select(F.col("__id").alias("id1"), "token")
         .join(
@@ -1362,7 +1363,7 @@ def containment_join(
         df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("token"))
         .filter(F.col("token") != "")
         .distinct()
-        .persist()
+        .transform(cache_auto)
     )
     freq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("__f"))
     w = Window.partitionBy("__id").orderBy(F.asc("__f"), F.asc("token"))
@@ -1663,7 +1664,7 @@ def _md5_banded_sig_tables(
         df.select(F.col(id_col).alias("id"), word_ngrams(c, ngram).alias("g"))
         .filter(F.size("g") > 0)
         .repartition("id")
-        .persist()
+        .transform(cache_auto)
     )
     codes = F.transform(
         F.col("g"),
@@ -1718,7 +1719,7 @@ def _md5_banded_sig_tables(
         )
         .select("id", "bk.band", "bk.key")
         .repartition("band", "key")
-        .persist()
+        .transform(cache_auto)
     )
     return shg, banded
 
@@ -1857,7 +1858,7 @@ def cross_near_dup_pairs(
         )
         .select(F.col("id").alias("corpus_id"), "band", "bucket")
         .repartition("band", "bucket")
-        .persist()
+        .transform(cache_auto)
     )
     bb = (
         banded_minhash_signatures(
@@ -1865,7 +1866,7 @@ def cross_near_dup_pairs(
         )
         .select(F.col("id").alias("bench_id"), "band", "bucket")
         .repartition("band", "bucket")
-        .persist()
+        .transform(cache_auto)
     )
     cands = (
         bc.join(bb, ["band", "bucket"])

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..caching import cache_auto
 
 RANK_UNIT = 1_000_000  # one "probability" in ppm units
 
@@ -69,7 +70,7 @@ def pagerank(
             ed.select(F.col("src").alias("node"))
             .union(ed.select(F.col("dst").alias("node")))
             .distinct()
-            .persist()  # referenced in every iteration's rebuild join
+            .transform(cache_auto)  # referenced in every iteration's rebuild join
         )
     # out-degree via ONE window over the src-keyed exchange instead of
     # groupBy + self-join (two exchanges of the full edge table + the
@@ -79,7 +80,7 @@ def pagerank(
     # sf0.1: 2.77 s → 1.95 s for the full 3-iteration query.
     e = ed.withColumn(
         "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    ).persist()
+    ).transform(cache_auto)
     try:
         base = RANK_UNIT - damping_ppm
         ranks = None
@@ -287,7 +288,7 @@ def transitive_closure(
         edges.select(F.col("src"), F.col("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .persist()
+        .transform(cache_auto)
     )
     # distinct column names on the edge side: a same-named self join
     # through localCheckpointed lineage trips Catalyst attribute
@@ -354,7 +355,7 @@ def label_propagation(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        .transform(cache_auto)
     )
     labels = seeds.select(
         F.col("id"), F.col("label"), F.lit(0).alias("hops")
@@ -466,7 +467,7 @@ def shortest_paths(
     e = (
         edges.select("src", "dst", F.col("weight").cast("long"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .persist()
+        .transform(cache_auto)
     )
     if e.filter(F.col("weight") < 0).limit(1).count() > 0:
         e.unpersist()

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..caching import cache_auto
 
 from ..functions import vectors as V
 
@@ -704,7 +705,7 @@ def pca_fit(
 
     # persisted: the batch-partials table feeds three tiny reductions
     # (gram, sum, count) — unpersisted, the corpus pass runs thrice
-    parts = df.select(vec_col).mapInPandas(partial, schema).persist()
+    parts = df.select(vec_col).mapInPandas(partial, schema).transform(cache_auto)
     gram_rows = (
         parts.select(F.posexplode("gram").alias("pos", "g"))
         .groupBy("pos")
@@ -1206,7 +1207,7 @@ def kcenter_select(
         df.select(id_col, vec_col)
         .filter(F.col(id_col) != first[id_col])
         .withColumn("__d", dist_to(first[vec_col]))
-        .persist()
+        .transform(cache_auto)
     )
     cur.count()
     try:
@@ -1228,7 +1229,7 @@ def kcenter_select(
             nxt = (
                 cur.filter(F.col(id_col) != row[id_col])
                 .withColumn("__d", F.least(F.col("__d"), dist_to(vec)))
-                .persist()
+                .transform(cache_auto)
             )
             nxt.count()
             cur.unpersist()

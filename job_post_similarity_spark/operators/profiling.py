@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..caching import cache_auto
 
 
 def group_count_topn(df: DataFrame, column: str, n: int = 20) -> DataFrame:
@@ -286,7 +287,7 @@ def heavy_hitters(
     # total-count aggregate, the exact recount join) — unpersisted,
     # the upstream pipeline (often a tokenize+explode over the whole
     # corpus, via frequent_tokens) runs three times
-    src = df.select(column).filter(F.col(column).isNotNull()).persist()
+    src = df.select(column).filter(F.col(column).isNotNull()).transform(cache_auto)
 
     def mg(batches):
         counts: dict = {}
@@ -440,7 +441,7 @@ def mad_outliers(
     dev = (
         base.join(F.broadcast(med), key)
         .withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
-        .persist()
+        .transform(cache_auto)
     )
     mad = dev.groupBy(key).agg(
         F.percentile("__adev", F.lit(0.5)).alias("__mad")

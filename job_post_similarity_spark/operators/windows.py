@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..caching import cache_auto
 
 
 def running_agg(
@@ -155,7 +156,7 @@ def _global_rank_impl(
         df.repartitionByRange(p, *order)
         .sortWithinPartitions(*order)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .transform(cache_auto)
     )
     aggs = [F.count(F.lit(1)).alias("cnt")]
     if value_col is not None:

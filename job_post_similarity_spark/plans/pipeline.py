@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..caching import cache_auto, cache_pinned
 
 from ..config import EngineConfig
 from ..functions import embed as E
@@ -303,20 +304,15 @@ def prepare_pretraining_corpus(
     if weights is None:
         weights = {"train": 0.9, "eval": 0.1}
     # feeds the shingle pass AND the component join — one curation
-    # scan. The partition count is EXPLICIT (defaultParallelism, i.e.
-    # cluster-scaled) rather than repartition("doc_id"): AQE sizes
-    # cached layouts by BYTES, and this table is small in bytes but
+    # scan. PINNED layout (cache_pinned = explicit cluster-scaled
+    # count, never AQE-coalesced): this table is small in bytes but
     # feeds CPU-DENSE map work (per-doc shingling + 16 universal
     # hashes, per-candidate n-gram Jaccard) — letting the cache
-    # coalesce to ~2 partitions serialized those stages (measured
-    # verify 1.2 s → 6.5 s). An explicit count is never AQE-coalesced.
-    d = (
-        _curation_stages(docs, min_quality, langs, min_words)["deduped"]
-        .repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-        )
-        .persist()
-    )
+    # coalesce by bytes to ~2 partitions serialized those stages
+    # (measured verify 1.2 s → 6.5 s).
+    d = _curation_stages(docs, min_quality, langs, min_words)[
+        "deduped"
+    ].transform(cache_pinned("doc_id"))
     mh_in = d.select("doc_id", F.col("scrub_lower").alias("text"))
     if near_dup_tier == "xxh":
         cand = D.minhash_near_dup_pairs(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+from ..caching import cache_auto
 
 # legacy events shape (ts = long nanos, the TIMESTAMP(NANOS) read via
 # nanosAsLong); kept for fixture-building tests that exercise that path
@@ -1742,8 +1743,8 @@ def stream_topk_search(
 
     if graph is None:
         graph = ann.nn_descent_knn_graph(corpus, id_col, vec_col)
-    graph = graph.persist()
-    corpus = corpus.persist()
+    graph = graph.transform(cache_auto)
+    corpus = corpus.transform(cache_auto)
     n = corpus_rows if corpus_rows is not None else corpus.count()
     # warm serving state, built ONCE before the stream starts: every
     # micro-batch's plan references the materialized (node, qv, nxts)
@@ -1858,8 +1859,8 @@ def stream_rabitq_topk_search(
     owns_codes = codes is None
     if owns_codes:
         codes = ann.rabitq_encode(corpus, rotation, id_col, vec_col)
-        codes = codes.persist()
-    corpus = corpus.persist()
+        codes = codes.transform(cache_auto)
+    corpus = corpus.transform(cache_auto)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -223,3 +223,30 @@ def test_linear_classifier_twin_contract(spark):
     assert out[2]["keep"] is True
     assert out[1]["logit_milli"] == out[3]["logit_milli"]
     assert -1000 <= out[1]["logit_milli"] <= 1000
+
+
+def test_cache_layout_helpers(spark):
+    """cache_auto persists with the plan unchanged; cache_pinned puts
+    an explicit (never-AQE-coalesced) cluster-scaled repartition under
+    the persist — the declared-layout contract every query-path cache
+    routes through (see caching.py / tools/cache_census.py)."""
+    from job_post_similarity_spark.caching import cache_auto, cache_pinned
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    a = df.transform(cache_auto)
+    assert a.storageLevel.useMemory
+    assert sorted(r["k"] for r in a.collect()) == list(range(100))
+    a.unpersist()
+
+    p = df.transform(cache_pinned("k", partitions=7))
+    assert p.storageLevel.useMemory
+    assert p.rdd.getNumPartitions() == 7
+    assert sorted(r["k"] for r in p.collect()) == list(range(100))
+    p.unpersist()
+
+    d = df.transform(cache_pinned())
+    assert (
+        d.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    d.unpersist()

@@ -83,6 +83,10 @@ def main() -> int:
         "plan census (strict)",
         lambda: _run(["tools/plan_census.py", "--strict"]),
     )
+    _step(
+        "cache census (strict)",
+        lambda: _run(["tools/cache_census.py"]),
+    )
     if not fast:
         _step("pytest", lambda: _run(["-m", "pytest", "tests/", "-q"]))
         _step("bench sf0.1", lambda: _run(["bench.py"]))
